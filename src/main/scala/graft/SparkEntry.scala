@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.Tables._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * `queries` entry (Spark DataFrame program) and, where ANSI-SQL-expressible,
+  * a matching `oracleSql` entry that DuckDB runs over the same parquet tables.
+  * Column names and ordering are aligned on both sides; float aggregates are
+  * rounded on both sides to absorb summation-order differences.
+  */
 object SparkEntry {
+
+  /** One registered query: Spark program + optional DuckDB oracle SQL. */
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.regionRevenue(
+      lineitem(spark, Sf0001), orders(spark, Sf0001), customer(spark, Sf0001),
+      supplier(spark, Sf0001), nation(spark, Sf0001), region(spark, Sf0001))
+
+  private val Sf0001 = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- registry
+
+  private def relationalQueries: Seq[Q] = Seq(
+    Q("rel_q1_pricing_summary",
+      (s, d) => Relational.pricingSummary(lineitem(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("rel_q3_top_revenue_orders",
+      (s, d) => Relational.topRevenueOrders(
+        lineitem(s, d), orders(s, d), customer(s, d), "BUILDING", 10),
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  o_orderpriority
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    Q("rel_q5_region_revenue",
+      (s, d) => Relational.regionRevenue(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d), region(s, d)),
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("rel_join_semi",
+      (s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d)),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS sum_acctbal
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("rel_join_anti",
+      (s, d) => Relational.customersWithoutOrders(customer(s, d), orders(s, d), "P"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("rel_window_topk_per_group",
+      (s, d) => Relational.topOrdersPerCustomer(orders(s, d), 3),
+      Some("""SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    Q("rel_window_running_total",
+      (s, d) => Relational.runningQuantity(lineitem(s, d), 3),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
+             |  l_quantity,
+             |  round(sum(l_quantity) OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+             |FROM lineitem
+             |WHERE l_suppkey < 3
+             |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("rel_window_moving_avg",
+      (s, d) => Relational.monthlyMovingAvg(orders(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT o_orderpriority,
+             |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             |    round(sum(o_totalprice), 2) AS total
+             |  FROM orders
+             |  GROUP BY o_orderpriority, date_trunc('month', o_orderdate))
+             |SELECT o_orderpriority, month, total,
+             |  round(avg(total) OVER (
+             |    PARTITION BY o_orderpriority ORDER BY month
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg
+             |FROM monthly
+             |ORDER BY o_orderpriority, month""".stripMargin)),
+
+    Q("rel_agg_rollup",
+      (s, d) => Relational.rollupSummary(lineitem(s, d)),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    Q("rel_agg_cube",
+      (s, d) => Relational.cubeSummary(orders(s, d)),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+             |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY orderstatus, orderpriority""".stripMargin)),
+
+    Q("rel_agg_grouping_sets",
+      (s, d) => Relational.groupingSets(lineitem(s, d)),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    Q("rel_set_ops",
+      (s, d) => Relational.setOpsCustomers(orders(s, d)),
+      Some("""WITH open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |     done AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |     tagged AS (
+             |       SELECT o_custkey, 'open_only' AS set_op FROM (SELECT * FROM open EXCEPT SELECT * FROM done)
+             |       UNION ALL
+             |       SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM open INTERSECT SELECT * FROM done))
+             |SELECT set_op, count(*) AS n_customers
+             |FROM tagged GROUP BY set_op ORDER BY set_op""".stripMargin)),
+
+    Q("rel_distinct_counts",
+      (s, d) => Relational.distinctCounts(lineitem(s, d)),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_suppkey) AS n_suppliers,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("rel_topk_parts",
+      (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
+      Some("""SELECT l_partkey, p_name, p_brand,
+             |  round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY l_partkey, p_name, p_brand
+             |ORDER BY total_qty DESC, l_partkey
+             |LIMIT 10""".stripMargin))
+  )
+
+  private def all: Seq[Q] = relationalQueries
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library over the TPC-H-ish star schema.
+  *
+  * The reference pipeline has no joins/windows (SURVEY.md §2.6–2.8); these are
+  * the general-purpose relational operators the engine ships for the driver's
+  * star-schema harness, written Spark-first:
+  *
+  *   - dimension joins take `broadcast()` hints (region/nation/supplier/part are
+  *     tiny at every scale factor; at 100 TB the fact table never shuffles for
+  *     a dim join),
+  *   - fact-fact joins (lineitem ⋈ orders) are left to Catalyst/AQE, which
+  *     picks sort-merge with both sides hash-partitioned on the join key,
+  *   - aggregations rely on partial (map-side) aggregation — no `collect`,
+  *     no driver loops,
+  *   - every query ends in a deterministic `orderBy` on a unique key so the
+  *     DuckDB oracle hash-compare is order-stable, and every float aggregate
+  *     is `round`ed to absorb summation-order ulp differences.
+  */
+object Relational {
+
+  /** Money-style revenue expression used by several queries. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1-shaped pricing summary: single scan, hash aggregate on two
+    * low-cardinality keys. Partial aggregation makes the shuffle O(groups).
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: fact-fact join (sort-merge) + broadcast-able customer
+    * filter, grouped revenue, top-10. The customer side is filtered *before*
+    * the join so the broadcast stays small at scale.
+    */
+  def topRevenueOrders(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                       segment: String, k: Int): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q5-shaped: five-way star join; all dims broadcast, only the
+    * lineitem↔orders edge shuffles.
+    */
+  def regionRevenue(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Semi join: customers that have at least one order (EXISTS). No payload
+    * columns cross the join — Spark's LeftSemi never materializes the right side
+    * beyond the key.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Anti join: customers with no order in the given status (NOT EXISTS).
+    * The filter is applied to the right side before the join, so the anti
+    * join's build side shrinks to the matching keys only.
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             status: String): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderstatus") === status).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Top-k per group via ranking window: top-N orders per customer by price.
+    * One shuffle on the partition key; rank predicate is applied before any
+    * further join so the window output is pruned early.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running total window (ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    * over a deterministic unique ordering. Restricted to a few suppliers so the
+    * result stays oracle-sized at every scale factor.
+    */
+  def runningQuantity(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.filter(col("l_suppkey") < maxSuppkey)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Moving average over a monthly time grid (3-row trailing window per
+    * priority class). Months are truncated with `date_trunc` and emitted as
+    * strings for timestamp-precision-proof oracle parity.
+    */
+  def monthlyMovingAvg(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(col("o_orderpriority"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+      .rowsBetween(-2, Window.currentRow)
+    monthly.withColumn("moving_avg", round(avg(col("total")).over(w), 2))
+      .orderBy(col("o_orderpriority"), col("month"))
+  }
+
+  /** ROLLUP aggregate. Grouping-set null indicators are `coalesce`d to 'ALL'
+    * so Spark/DuckDB null-ordering differences can't affect the oracle compare
+    * (the grouping columns themselves are never null in the data).
+    */
+  def rollupSummary(li: DataFrame): DataFrame =
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE aggregate over order status × priority. */
+  def cubeSummary(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("total"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** Set operations: customers keyed by order status — EXCEPT / INTERSECT
+    * (both are DISTINCT-semantics set ops, matching ANSI/DuckDB).
+    */
+  def setOpsCustomers(orders: DataFrame): DataFrame = {
+    val open = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val onlyOpen = open.except(done).withColumn("set_op", lit("open_only"))
+    val both = open.intersect(done).withColumn("set_op", lit("both"))
+    onlyOpen.unionByName(both)
+      .groupBy(col("set_op")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("set_op"))
+  }
+
+  /** Exact distinct aggregates per group (expand-based distinct aggregate). */
+  def distinctCounts(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Top-k parts by shipped quantity: fact-side aggregation first (shrinks to
+    * |parts| rows), then broadcast join to the part dimension for names.
+    */
+  def topPartsByQuantity(li: DataFrame, part: DataFrame, k: Int): DataFrame =
+    li.groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("p_brand"),
+        col("total_qty"), col("n_lines"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+
+  /** GROUPING SETS via SQL — the DataFrame API exposes only rollup/cube, and
+    * the SQL form plans identically (single Expand node, one aggregate).
+    */
+  def groupingSets(li: DataFrame): DataFrame = {
+    val spark = li.sparkSession
+    li.createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(1) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+}

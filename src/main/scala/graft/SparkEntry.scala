@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.jsonstat.{Fixtures, JsonStat}
 import graft.ops.Relational
+import graft.silver.SilverTransform
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -191,7 +193,64 @@ object SparkEntry {
              |LIMIT 10""".stripMargin))
   )
 
-  private def all: Seq[Q] = relationalQueries
+  /** Reference-parity queries: JSON-stat densifier + silver transforms
+    * (SURVEY.md §2.2 S1–S6). `s2_densify` runs on an embedded fixture cube
+    * (the densifier's input is a payload, not a table); its oracle is a VALUES
+    * table derived from an independent driver-side enumeration.
+    */
+  private def parityQueries: Seq[Q] = Seq(
+    Q("s2_densify",
+      (s, _) => JsonStat.densify(s, Fixtures.sparseCube)
+        .select(col("unit"), col("geo"), col("time").as("time_code"), col("value"))
+        .orderBy("unit", "geo", "time_code"),
+      Some(Fixtures.expectedValuesSql)),
+
+    Q("s3_time_parse",
+      (s, d) => {
+        val o = orders(s, d)
+        val code = when(col("o_orderkey") % 3 === 0,
+            date_format(col("o_orderdate"), "yyyy'M'MM"))
+          .when(col("o_orderkey") % 3 === 1,
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM"))
+        o.select(col("o_orderkey"), code.as("time_code"))
+          .withColumn("parsed_month",
+            date_format(SilverTransform.parseTimeCode(col("time_code")), "yyyy-MM-dd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%YM%m')
+             |       WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+             |       ELSE strftime(o_orderdate, '%Y-%m') END AS time_code,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS parsed_month
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("s6_silver_pipeline",
+      (s, _) => SilverTransform.silver(s, Fixtures.sparseCube,
+          "2026-01-01T00:00:00+00:00", "raw/hicp/fixture/ts=20260101_000000.json")
+        .select(date_format(col("time"), "yyyy-MM-dd").as("time"),
+          col("geo"), col("unit"), col("value"),
+          col("processed_at_utc"), col("raw_blob"))
+        .orderBy("geo", "unit", "time"),
+      Some {
+        val rows = Fixtures.expectedRows
+          .map { case (u, g, t, v) =>
+            val month = s"${t.take(4)}-${t.drop(5)}-01"
+            (month, g, u, v)
+          }
+          .sortBy(r => (r._2, r._3, r._1))
+          .map { case (m, g, u, v) =>
+            val vs = v.map(d => s"CAST($d AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+            s"('$m', '$g', '$u', $vs, '2026-01-01T00:00:00+00:00', 'raw/hicp/fixture/ts=20260101_000000.json')"
+          }
+        s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+           |AS t(time, geo, unit, value, processed_at_utc, raw_blob)
+           |ORDER BY geo, unit, time""".stripMargin
+      })
+  )
+
+  private def all: Seq[Q] = parityQueries ++ relationalQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.gold.GoldWriter
 import graft.jsonstat.{Fixtures, JsonStat}
 import graft.ops.Relational
+import graft.quality.QualityChecks
 import graft.silver.SilverTransform
 import graft.Tables._
 
@@ -250,7 +252,151 @@ object SparkEntry {
       })
   )
 
-  private def all: Seq[Q] = parityQueries ++ relationalQueries
+  /** Quality-check queries Q2–Q8 (SURVEY.md §2.3), instantiated over the
+    * driver's star schema: lineitem plays the silver table with key
+    * (l_orderkey, l_linenumber), time l_shipdate, value l_quantity; orders
+    * provides the per-group monthly-continuity workload.
+    */
+  private def qualityQueries: Seq[Q] = Seq(
+    Q("qc_q2_null_counts",
+      (s, d) => QualityChecks.nullCounts(lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_returnflag")),
+      Some("""SELECT
+             |  count(*) FILTER (WHERE l_orderkey IS NULL) AS l_orderkey_nulls,
+             |  count(*) FILTER (WHERE l_linenumber IS NULL) AS l_linenumber_nulls,
+             |  count(*) FILTER (WHERE l_shipdate IS NULL) AS l_shipdate_nulls,
+             |  count(*) FILTER (WHERE l_quantity IS NULL) AS l_quantity_nulls,
+             |  count(*) FILTER (WHERE l_returnflag IS NULL) AS l_returnflag_nulls
+             |FROM lineitem""".stripMargin)),
+
+    Q("qc_q3_duplicate_keys",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val withDups = li.unionByName(
+          li.orderBy("l_orderkey", "l_linenumber").limit(100))
+        QualityChecks.duplicateKeyCount(withDups, Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT l_orderkey, l_linenumber FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber FROM
+             |    (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)),
+             |g AS (SELECT count(*) AS c FROM aug GROUP BY l_orderkey, l_linenumber)
+             |SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_rows FROM g""".stripMargin)),
+
+    Q("qc_q4_value_sanity",
+      (s, d) => lineitem(s, d).agg(
+        QualityChecks.nonPositiveCount(lineitem(s, d), "l_quantity"),
+        count(when(col("l_discount") <= 0, 1)).as("l_discount_nonpositive")),
+      Some("""SELECT
+             |  count(*) FILTER (WHERE l_quantity <= 0) AS l_quantity_nonpositive,
+             |  count(*) FILTER (WHERE l_discount <= 0) AS l_discount_nonpositive
+             |FROM lineitem""".stripMargin)),
+
+    Q("qc_q5_time_parse_nulls",
+      (s, d) => {
+        val o = orders(s, d)
+        val code = when(col("o_orderkey") % 10 === 0, col("o_orderpriority"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        val parsed = o.select(SilverTransform.parseTimeCode(code).as("t"))
+        parsed.agg(QualityChecks.nullTimeCount(parsed, "t"))
+      },
+      Some("""SELECT count(*) FILTER (WHERE o_orderkey % 10 = 0) AS time_nulls
+             |FROM orders""".stripMargin)),
+
+    Q("qc_q6_continuity",
+      (s, d) => QualityChecks.monthlyContinuity(orders(s, d), Seq("o_custkey"), "o_orderdate")
+        .select(col("o_custkey"), col("n_months"),
+          date_format(col("min_month"), "yyyy-MM-dd").as("min_month"),
+          date_format(col("max_month"), "yyyy-MM-dd").as("max_month"),
+          col("expected_months"), col("ok"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+             |  strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS min_month,
+             |  strftime(max(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS max_month,
+             |  date_diff('month', min(date_trunc('month', o_orderdate)),
+             |            max(date_trunc('month', o_orderdate))) + 1 AS expected_months,
+             |  (count(DISTINCT date_trunc('month', o_orderdate)) < 3 OR
+             |   count(DISTINCT date_trunc('month', o_orderdate)) =
+             |     date_diff('month', min(date_trunc('month', o_orderdate)),
+             |               max(date_trunc('month', o_orderdate))) + 1) AS ok
+             |FROM orders
+             |GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("qc_q7_summary",
+      (s, d) => lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_time"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_time"),
+        round(min(col("l_quantity")), 2).as("value_min"),
+        round(max(col("l_quantity")), 2).as("value_max")),
+      Some("""SELECT count(*) AS n_rows,
+             |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_time,
+             |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_time,
+             |  round(min(l_quantity), 2) AS value_min,
+             |  round(max(l_quantity), 2) AS value_max
+             |FROM lineitem""".stripMargin)),
+
+    Q("qc_report_gate",
+      (s, d) => QualityChecks.reportRow(s, QualityChecks.runChecks(
+        lineitem(s, d),
+        requiredCols = Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        timeCol = "l_shipdate", valueCol = "l_quantity",
+        groupCols = Seq("l_suppkey"))),
+      Some("""WITH nulls AS (
+             |  SELECT count(*) FILTER (WHERE l_orderkey IS NULL)
+             |       + count(*) FILTER (WHERE l_linenumber IS NULL)
+             |       + count(*) FILTER (WHERE l_shipdate IS NULL)
+             |       + count(*) FILTER (WHERE l_quantity IS NULL) AS n FROM lineitem),
+             |dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n FROM
+             |  (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g),
+             |nonpos AS (SELECT count(*) AS n FROM lineitem WHERE l_quantity <= 0),
+             |tnull AS (SELECT count(*) AS n FROM lineitem WHERE l_shipdate IS NULL),
+             |cont AS (SELECT count(*) FILTER (WHERE NOT ok) AS failing FROM (
+             |  SELECT l_suppkey,
+             |    (count(DISTINCT date_trunc('month', l_shipdate)) < 3 OR
+             |     count(DISTINCT date_trunc('month', l_shipdate)) =
+             |       date_diff('month', min(date_trunc('month', l_shipdate)),
+             |                 max(date_trunc('month', l_shipdate))) + 1) AS ok
+             |  FROM lineitem GROUP BY l_suppkey) pg)
+             |SELECT
+             |  (SELECT count(*) FROM lineitem) AS n_rows,
+             |  TRUE AS required_columns,
+             |  (SELECT n FROM nulls) = 0 AS no_nulls,
+             |  (SELECT n FROM dup) = 0 AS no_duplicate_keys,
+             |  (SELECT n FROM nonpos) = 0 AS values_positive,
+             |  (SELECT n FROM tnull) = 0 AS times_parseable,
+             |  (SELECT failing FROM cont) = 0 AS monthly_continuity,
+             |  ((SELECT n FROM nulls) = 0 AND (SELECT n FROM dup) = 0 AND
+             |   (SELECT n FROM nonpos) = 0 AND (SELECT n FROM tnull) = 0 AND
+             |   (SELECT failing FROM cont) = 0) AS passed""".stripMargin)),
+
+    Q("g2_gold_projection",
+      (s, _) => GoldWriter.goldProjection(
+          SilverTransform.silver(s, Fixtures.sparseCube,
+            "2026-01-01T00:00:00+00:00", "raw/hicp/fixture/ts=20260101_000000.json"))
+        .select(date_format(col("time"), "yyyy-MM-dd").as("time"),
+          col("geo"), col("unit"), col("value"),
+          col("processed_at_utc"), col("raw_blob"))
+        .orderBy("geo", "unit", "time"),
+      Some {
+        val rows = Fixtures.expectedRows
+          .map { case (u, g, t, v) => (s"${t.take(4)}-${t.drop(5)}-01", g, u, v) }
+          .sortBy(r => (r._2, r._3, r._1))
+          .map { case (m, g, u, v) =>
+            val vs = v.map(d => s"CAST($d AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+            s"('$m', '$g', '$u', $vs, '2026-01-01T00:00:00+00:00', 'raw/hicp/fixture/ts=20260101_000000.json')"
+          }
+        s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+           |AS t(time, geo, unit, value, processed_at_utc, raw_blob)
+           |ORDER BY geo, unit, time""".stripMargin
+      })
+  )
+
+  private def all: Seq[Q] = parityQueries ++ qualityQueries ++ relationalQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

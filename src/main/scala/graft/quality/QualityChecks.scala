@@ -1,0 +1,148 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks Q1–Q7 (SURVEY.md §2.3), generalized from the
+  * reference's hard-coded HICP silver checks (`check_hicp_quality.py:52–119`)
+  * to arbitrary (key, time, value) table shapes.
+  *
+  * Every check is a DataFrame aggregation — partial+final hash aggregate, no
+  * driver loops (the reference's per-group Python loop for continuity,
+  * `:89–100`, becomes a single groupBy). `runChecks` batches all scalar checks
+  * into ONE job so the quality gate costs two scans total at any scale.
+  */
+object QualityChecks {
+
+  /** Q1: required-column set difference (`check_hicp_quality.py:57–60`).
+    * Schema metadata only — no job.
+    */
+  def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
+    required.filterNot(df.columns.contains)
+
+  private def nullCountCol(c: String): Column =
+    count(when(col(c).isNull, 1)).as(s"${c}_nulls")
+
+  /** Q2: per-column null counts in one aggregate (`:63–66`). One row out. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(nullCountCol(cols.head), cols.tail.map(nullCountCol): _*)
+
+  /** Q3: rows duplicated beyond the first per key = Σ(count−1) over key groups
+    * (`:69–73`, pandas `duplicated` semantics). One row out.
+    */
+  def duplicateKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count()
+      .agg(coalesce(sum(col("count") - 1), lit(0L)).as("n_dup_rows"))
+
+  /** Q4: non-positive-value count (`:76–80`; SQL comparison is already
+    * null-excluding, matching the pandas behavior actually used).
+    */
+  def nonPositiveCount(df: DataFrame, valueCol: String): Column =
+    count(when(col(valueCol) <= 0, 1)).as(s"${valueCol}_nonpositive")
+
+  /** Q5: unparseable-time count — after S3 parsing, unparseable == null (`:83–86`). */
+  def nullTimeCount(df: DataFrame, timeCol: String): Column =
+    count(when(col(timeCol).isNull, 1)).as("time_nulls")
+
+  /** Q6: per-group monthly continuity (`_monthly_frequency_ok`, `:41–49` +
+    * grouped loop `:89–100`). A group passes when it has <3 distinct months,
+    * or its distinct-month count fills the [min,max] month grid exactly
+    * (equivalent to the reference's element-wise grid compare given
+    * month-start-normalized times). Returns one row per group.
+    */
+  def monthlyContinuity(df: DataFrame, groupCols: Seq[String], timeCol: String): DataFrame = {
+    val month = date_trunc("month", col(timeCol))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        countDistinct(month).as("n_months"),
+        min(month).as("min_month"),
+        max(month).as("max_month"))
+      .withColumn("expected_months",
+        (months_between(col("max_month"), col("min_month")) + 1).cast("long"))
+      .withColumn("ok",
+        col("n_months") < 3 || col("n_months") === col("expected_months"))
+  }
+
+  /** Q7: null-safe global summary (`:103–117`) — min/max already skip nulls. */
+  def summary(df: DataFrame, timeCol: String, valueCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("rows"),
+      min(col(timeCol)).as("min_time"),
+      max(col(timeCol)).as("max_time"),
+      min(col(valueCol)).as("value_min"),
+      max(col(valueCol)).as("value_max"))
+
+  /** One check outcome (reference report entry shape, `:53–54`). */
+  final case class CheckResult(name: String, passed: Boolean, detail: Map[String, String])
+
+  /** Full report (reference `:119,135–144`): global gate = AND of checks. */
+  final case class Report(passed: Boolean, checks: Seq[CheckResult],
+                          summary: Map[String, String]) {
+    def gateSuffix: String = if (passed) "_PASS" else "_FAIL"
+  }
+
+  /** Flatten a report into a single-row DataFrame (one boolean column per
+    * check + row count + global gate) — the driver-facing, oracle-comparable
+    * shape of Q8.
+    */
+  def reportRow(spark: org.apache.spark.sql.SparkSession, report: Report): DataFrame = {
+    import spark.implicits._
+    def check(name: String): Boolean = report.checks.find(_.name == name).exists(_.passed)
+    Seq((
+      report.summary.getOrElse("rows", "0").toLong,
+      check("required_columns"), check("no_nulls"), check("no_duplicate_keys"),
+      check("values_positive"), check("times_parseable"), check("monthly_continuity"),
+      report.passed))
+      .toDF("n_rows", "required_columns", "no_nulls", "no_duplicate_keys",
+        "values_positive", "times_parseable", "monthly_continuity", "passed")
+  }
+
+  /** E2: run Q1–Q7 over a silver-shaped table. All scalar checks share ONE
+    * aggregation job; continuity adds one grouped job. Two scans total.
+    */
+  def runChecks(df: DataFrame, requiredCols: Seq[String], keyCols: Seq[String],
+                timeCol: String, valueCol: String, groupCols: Seq[String]): Report = {
+    val missing = missingColumns(df, requiredCols)
+    val q1 = CheckResult("required_columns", missing.isEmpty,
+      Map("missing" -> missing.mkString(",")))
+    if (missing.nonEmpty)
+      return Report(passed = false, Seq(q1), Map.empty)
+
+    val scalarAggs: Seq[Column] =
+      requiredCols.map(nullCountCol) ++ Seq(
+        nonPositiveCount(df, valueCol),
+        nullTimeCount(df, timeCol),
+        count(lit(1)).as("rows"),
+        min(col(timeCol)).cast("string").as("min_time"),
+        max(col(timeCol)).cast("string").as("max_time"),
+        min(col(valueCol)).cast("string").as("value_min"),
+        max(col(valueCol)).cast("string").as("value_max"))
+    val scalars = df.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0)
+    def l(name: String): Long = scalars.getAs[Long](name)
+    def s(name: String): String = Option(scalars.getAs[String](name)).getOrElse("null")
+
+    val dupRows = duplicateKeyCount(df, keyCols).collect()(0).getAs[Long]("n_dup_rows")
+    val continuity = monthlyContinuity(df, groupCols, timeCol)
+      .agg(count(lit(1)).as("groups"),
+        count(when(!col("ok"), 1)).as("failing")).collect()(0)
+
+    val nullsByCol = requiredCols.map(c => c -> l(s"${c}_nulls"))
+    val checks = Seq(
+      q1,
+      CheckResult("no_nulls", nullsByCol.forall(_._2 == 0L),
+        nullsByCol.map { case (c, n) => c -> n.toString }.toMap),
+      CheckResult("no_duplicate_keys", dupRows == 0L, Map("n_dup_rows" -> dupRows.toString)),
+      CheckResult("values_positive", l(s"${valueCol}_nonpositive") == 0L,
+        Map("n_nonpositive" -> l(s"${valueCol}_nonpositive").toString)),
+      CheckResult("times_parseable", l("time_nulls") == 0L,
+        Map("n_unparseable" -> l("time_nulls").toString)),
+      CheckResult("monthly_continuity", continuity.getAs[Long]("failing") == 0L,
+        Map("groups" -> continuity.getAs[Long]("groups").toString,
+          "failing_groups" -> continuity.getAs[Long]("failing").toString)))
+
+    Report(checks.forall(_.passed), checks,
+      Map("rows" -> l("rows").toString,
+        "min_time" -> s("min_time"), "max_time" -> s("max_time"),
+        "value_min" -> s("value_min"), "value_max" -> s("value_max")))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.quality
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Mutant fixtures per FIXTURES.md §A2 — each mutant must flip exactly its
+  * targeted check.
+  */
+class QualityChecksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Clean 4-month single series. */
+  private def clean = Seq(
+    (ts("2024-01-01 00:00:00"), "LU", "CP00", "I15", Some(105.1)),
+    (ts("2024-02-01 00:00:00"), "LU", "CP00", "I15", Some(105.6)),
+    (ts("2024-03-01 00:00:00"), "LU", "CP00", "I15", Some(106.0)),
+    (ts("2024-04-01 00:00:00"), "LU", "CP00", "I15", Some(106.2)))
+
+  private def run(rows: Seq[(Timestamp, String, String, String, Option[Double])]) =
+    QualityChecks.runChecks(
+      rows.toDF("time", "geo", "coicop", "unit", "value"),
+      requiredCols = Seq("time", "geo", "coicop", "unit", "value"),
+      keyCols = Seq("time", "geo", "coicop", "unit"),
+      timeCol = "time", valueCol = "value",
+      groupCols = Seq("geo", "coicop", "unit"))
+
+  private def failing(r: QualityChecks.Report): Set[String] =
+    r.checks.filterNot(_.passed).map(_.name).toSet
+
+  test("clean series passes all checks") {
+    val r = run(clean)
+    assert(r.passed, failing(r).toString)
+    assert(r.summary("rows") == "4")
+    assert(r.summary("min_time").startsWith("2024-01-01"))
+  }
+
+  test("missing required column fails Q1 and short-circuits") {
+    val df = clean.toDF("time", "geo", "coicop", "unit", "value").drop("value")
+    val r = QualityChecks.runChecks(df, Seq("time", "value"), Seq("time"), "time", "time", Seq("geo"))
+    assert(!r.passed && failing(r) == Set("required_columns"))
+  }
+
+  test("null in required column fails Q2 only") {
+    val r = run(clean :+ ((ts("2024-05-01 00:00:00"), null: String, "CP00", "I15", Some(1.0))))
+    assert(failing(r) == Set("no_nulls"))
+  }
+
+  test("duplicate key fails Q3 only") {
+    val r = run(clean :+ clean.head.copy(_5 = Some(999.0)))
+    assert(failing(r) == Set("no_duplicate_keys"))
+  }
+
+  test("non-positive value fails Q4; null value does NOT") {
+    assert(failing(run(clean :+ ((ts("2024-05-01 00:00:00"), "LU", "CP00", "I15", Some(-1.0)))))
+      == Set("values_positive"))
+    // sparse-miss null observation: value-sanity must NOT fail (nulls are
+    // excluded from the <= 0 comparison, matching the reference's used behavior)
+    val r = run(clean :+ ((ts("2024-05-01 00:00:00"), "LU", "CP00", "I15", None)))
+    assert(!failing(r).contains("values_positive"))
+  }
+
+  test("null time fails Q5 (and not continuity: nulls excluded from grid)") {
+    val r = run(clean :+ ((null: Timestamp, "LU", "CP00", "I15", Some(1.0))))
+    assert(failing(r).contains("times_parseable"))
+  }
+
+  test("gap in the middle fails Q6 only; 2-point series passes (<3 branch)") {
+    val gapped = clean.patch(2, Nil, 1) // drop March -> Jan,Feb,Apr
+    assert(failing(run(gapped)) == Set("monthly_continuity"))
+    assert(run(clean.take(2)).passed)
+  }
+
+  test("multi-series: only the gapped group fails, detail counts groups") {
+    val de = Seq(
+      (ts("2024-01-01 00:00:00"), "DE", "CP00", "I15", Some(1.0)),
+      (ts("2024-02-01 00:00:00"), "DE", "CP00", "I15", Some(2.0)),
+      (ts("2024-05-01 00:00:00"), "DE", "CP00", "I15", Some(3.0))) // gap
+    val r = run(clean ++ de)
+    assert(failing(r) == Set("monthly_continuity"))
+    val detail = r.checks.find(_.name == "monthly_continuity").get.detail
+    assert(detail("groups") == "2" && detail("failing_groups") == "1")
+  }
+}

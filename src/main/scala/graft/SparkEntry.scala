@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gold.GoldWriter
 import graft.jsonstat.{Fixtures, JsonStat}
-import graft.ops.Relational
+import graft.ops.{EventOps, Relational}
 import graft.quality.QualityChecks
 import graft.silver.SilverTransform
 import graft.Tables._
@@ -396,7 +396,85 @@ object SparkEntry {
       })
   )
 
-  private def all: Seq[Q] = parityQueries ++ qualityQueries ++ relationalQueries
+  /** Event-stream operators (batch semantics; streaming variants live in
+    * graft.stream and are verified against these in tests). Event-time outputs
+    * are strings of `date_trunc` results because `events.ts` is ns in parquet
+    * (µs in Spark, ns in DuckDB).
+    */
+  private def eventQueries: Seq[Q] = Seq(
+    Q("ev_type_agg",
+      (s, d) => EventOps.typeAgg(events(s, d)),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  round(sum(value), 2) AS sum_value,
+             |  round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("ev_json_extract",
+      (s, d) => EventOps.jsonPropAgg(events(s, d)),
+      Some("""SELECT event_type,
+             |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("ev_window_tumbling",
+      (s, d) => EventOps.hourlyTumbling(events(s, d)),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY date_trunc('hour', ts), event_type
+             |ORDER BY wstart, event_type""".stripMargin)),
+
+    Q("ev_window_sliding",
+      (s, d) => EventOps.slidingCounts(events(s, d)),
+      Some("""WITH assigned AS (
+             |  SELECT event_type, unnest([
+             |    date_trunc('hour', ts),
+             |    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
+             |  FROM events)
+             |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+             |  count(*) AS n
+             |FROM assigned
+             |GROUP BY wstart, event_type
+             |ORDER BY wstart, event_type""".stripMargin)),
+
+    Q("ev_sessionize",
+      (s, d) => EventOps.sessionize(events(s, d)),
+      Some("""WITH gaps AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM gaps),
+             |per_session AS (
+             |  SELECT user_id, session_id, count(*) AS session_events
+             |  FROM sessions GROUP BY user_id, session_id)
+             |SELECT user_id,
+             |  CAST(max(session_id) AS BIGINT) AS n_sessions,
+             |  CAST(sum(session_events) AS BIGINT) AS n_events,
+             |  CAST(max(session_events) AS BIGINT) AS max_session_events
+             |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("ev_dedup_exact",
+      (s, d) => EventOps.dedupExact(events(s, d)),
+      Some("""SELECT event_type, count(*) AS n
+             |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM (
+             |        SELECT event_id, event_type FROM events
+             |        UNION ALL
+             |        SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+
+  private def all: Seq[Q] =
+    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

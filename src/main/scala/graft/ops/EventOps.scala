@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the driver's `events` table (SURVEY.md §2.10,
+  * §2.12): JSON property extraction, tumbling/sliding event-time windows,
+  * gap-based sessionization, and exact dedup. These are the batch-mode
+  * semantics; `graft.stream.EventStream` runs the same logic under Structured
+  * Streaming with watermarks.
+  *
+  * `events.ts` is nanosecond-precision in parquet and Spark truncates to µs,
+  * so every time output is emitted as a formatted string of a `date_trunc`
+  * result — identical on both engines.
+  */
+object EventOps {
+
+  /** Per-type global aggregate (count / sum / avg). */
+  def typeAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** JSON extraction from the `props` payload column (`get_json_object` —
+    * codegen'd path access, no UDF), aggregated per event type.
+    */
+  def jsonPropAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling event-time window aggregate using Spark's native `window()`
+    * (epoch-aligned, same bucketing as `date_trunc('hour')`).
+    */
+  def hourlyTumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Sliding event-time windows (2h window, 1h slide): each event lands in
+    * two buckets. Epoch-aligned like the tumbling case.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session): classic
+    * lag + cumulative-sum-of-session-starts window pattern — one shuffle on
+    * user_id, no state kept on the driver. Output is one row per user with
+    * session stats.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // exact ns arithmetic via ts_ns (see Tables.events) — bit-identical to a
+    // ns-precision engine at the gap boundary
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val withGap = events
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > gapMinutes * 60L * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        sum(col("session_events")).as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact event dedup: duplicate a deterministic subset, then
+    * `dropDuplicates` on the event key restores exactly-once counts.
+    */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
+      .unionByName(events.filter(col("event_id") % 7 === 0))
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+}

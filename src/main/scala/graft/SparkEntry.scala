@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gold.GoldWriter
 import graft.jsonstat.{Fixtures, JsonStat}
-import graft.ops.{EventOps, Relational}
+import graft.ops.{DedupOps, EventOps, Relational, TextOps}
 import graft.quality.QualityChecks
 import graft.silver.SilverTransform
 import graft.Tables._
@@ -473,8 +473,123 @@ object SparkEntry {
              |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
+  /** DuckDB-side normalized token list (must match TextOps.normalize/tokens:
+    * lower(trim(collapse-whitespace)) split on single space).
+    */
+  private val DuckToks =
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+  /** Text-analysis + dedup queries (LLM-pipeline extension operators).
+    * MinHash-LSH and SimHash have no DuckDB-expressible oracle (engine-
+    * specific hash kernels) — they get rows-only checks here and exact
+    * equivalence tests against brute-force in DedupOpsSpec.
+    */
+  private def textQueries: Seq[Q] = Seq(
+    Q("txt_stats_by_lang",
+      (s, d) => TextOps.statsByLang(documents(s, d)),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  round(avg(n_chars), 4) AS avg_chars,
+              |  round(avg(len($DuckToks)), 4) AS avg_tokens,
+              |  CAST(sum(len($DuckToks)) AS BIGINT) AS total_tokens
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("txt_token_freq",
+      (s, d) => TextOps.tokenFrequency(documents(s, d), 20),
+      Some(s"""SELECT token, count(*) AS n
+              |FROM (SELECT unnest($DuckToks) AS token FROM documents)
+              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    Q("txt_quality_score",
+      (s, d) => TextOps.qualityScore(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, n_chars, $DuckToks AS toks,
+              |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, lang, len(toks) AS n_tokens,
+              |    least(n_chars / 500.0, 1.0) AS len_score,
+              |    CASE WHEN len(toks) > 0 THEN
+              |      CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks)
+              |      ELSE 0.0 END AS stop_ratio,
+              |    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+              |  FROM t)
+              |SELECT doc_id, lang, n_tokens,
+              |  floor(len_score * 10000 + 0.5) / 10000 AS len_score,
+              |  floor(stop_ratio * 10000 + 0.5) / 10000 AS stop_ratio,
+              |  floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+              |  floor((0.4 * len_score + 0.3 * (1.0 - punct_ratio)
+              |         + 0.3 * least(stop_ratio * 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    Q("txt_langid_confusion",
+      (s, d) => TextOps.langIdConfusion(documents(s, d)),
+      Some {
+        val scores = TextOps.LangMarkers.map { case (lang, markers) =>
+          val list = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"len(list_filter(toks, x -> list_contains($list, x))) AS score_$lang"
+        }.mkString(",\n    ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val cases = langs.map { lang =>
+          val others = langs.filter(_ != lang)
+            .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+          s"WHEN score_$lang > 0 AND $others THEN '$lang'"
+        }.mkString("\n    ")
+        s"""WITH t AS (SELECT lang, $DuckToks AS toks FROM documents),
+           |s AS (SELECT lang,
+           |    $scores
+           |  FROM t)
+           |SELECT lang, CASE $cases ELSE 'und' END AS guessed, count(*) AS n
+           |FROM s GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin
+      }),
+
+    Q("txt_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")).limit(100),
+      Some("""SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin)),
+
+    Q("dedup_exact",
+      (s, d) => DedupOps.exactDupStats(documents(s, d)),
+      Some("""WITH fp AS (
+             |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             |    count(*) AS n
+             |  FROM documents GROUP BY 1)
+             |SELECT count(*) AS n_distinct_texts,
+             |  count(*) FILTER (WHERE n > 1) AS n_dup_groups,
+             |  CAST(coalesce(sum(n - 1) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_rows
+             |FROM fp""".stripMargin)),
+
+    Q("dedup_ngram_jaccard",
+      (s, d) => DedupOps.ngramJaccardPairs(documents(s, d)),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, lang, CAST(n_chars // 16 AS BIGINT) AS bucket,
+              |    list_distinct(list_transform(range(len($DuckToks) - 2),
+              |      i -> array_to_string($DuckToks[i + 1:i + 3], ' '))) AS sh
+              |  FROM documents
+              |  WHERE len($DuckToks) >= 3),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+              |  FROM base a JOIN base b
+              |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, lang, round(j, 4) AS jaccard
+              |FROM pairs WHERE round(j, 4) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => DedupOps.minhashLshPairs(documents(s, d)),
+      None),
+
+    Q("dedup_simhash",
+      (s, d) => DedupOps.simhashPairs(documents(s, d)),
+      None)
+  )
+
   private def all: Seq[Q] =
-    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries
+    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries ++ textQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

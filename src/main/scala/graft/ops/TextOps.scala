@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.12 +
+  * LLM-pipeline extensions): normalization, tokenization, token statistics,
+  * quality scoring, language ID, and content fingerprinting.
+  *
+  * All column expressions are built-ins (codegen'd, no UDFs): at 100 TB these
+  * run at scan speed with no shuffle except the final aggregates.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, trimmed, lowercased text — the canonical form all
+    * fingerprints/shingles are computed over.
+    */
+  def normalize(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Deterministic 128-bit content fingerprint of the normalized text.
+    * (md5 rather than a rolling hash so any engine can reproduce it.)
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Per-language corpus statistics. */
+  def statsByLang(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  /** Global token frequency, top-k (explode → count → top-k). The explode
+    * fan-out is bounded by total token count; the aggregate is map-side
+    * combined before the single shuffle on token.
+    */
+  def tokenFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Tiny stopword set used by quality scoring and language ID. Chosen to be
+    * reproducible in plain SQL on any engine.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score in [0,1]: length saturation + punctuation
+    * discipline + stopword prevalence — the standard cheap pre-filter shape
+    * for LLM training corpora (cf. C4/Gopher-style rules).
+    */
+  /** Quantize to 4 decimals with pure double arithmetic. Unlike `round`
+    * (whose half-way tie behavior differs between engines — Spark rounds the
+    * shortest decimal representation, others round the binary value), this
+    * computes identically on any IEEE-754 engine.
+    */
+  def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("len_score", least(col("n_chars") / lit(500.0), lit(1.0)))
+      .withColumn("stop_ratio",
+        when(nTokens > 0, stopHits.cast("double") / nTokens).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, punct.cast("double") / col("n_chars")).otherwise(0.0))
+      .withColumn("quality",
+        q4(lit(0.4) * col("len_score") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        q4(col("len_score")).as("len_score"),
+        q4(col("stop_ratio")).as("stop_ratio"),
+        q4(col("punct_ratio")).as("punct_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID heuristic.
+    * Deterministic argmax with a fixed tie-break order (en,de,fr,es,zh).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Language-ID: count marker-word hits per language over the token set,
+    * pick the argmax (ties resolved by marker list order). Aggregated into a
+    * (declared_lang, guessed_lang) confusion table.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = LangMarkers.foldLeft(docs.withColumn("toks", toks)) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isin(markers: _*))))
+    }
+    val best = LangMarkers.map(_._1).foldRight(lit("und")) { case (lang, alt) =>
+      val isMax = LangMarkers.map(_._1).filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(alt)
+    }
+    scored
+      .withColumn("guessed", best)
+      .groupBy(col("lang"), col("guessed"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guessed"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("shingles: distinct 3-gram set; short docs yield empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted.toSeq).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq())
+    assert(got(3L) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exact dedup: manufactured duplicates are counted and survivor is min id") {
+    val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 100000L)
+    val stats = DedupOps.exactDupStats(docs.unionByName(dup)).collect()(0)
+    assert(stats.getAs[Long]("n_dup_groups") == 5)
+    assert(stats.getAs[Long]("n_dup_rows") == 5)
+  }
+
+  test("MinHash-LSH finds all near-dup pairs that brute-force Jaccard finds") {
+    // brute force over all pairs (500 docs -> 125k pairs, fine at sf0.001)
+    val base = docs
+      .withColumn("sh", DedupOps.shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(DedupOps.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = DedupOps.minhashLshPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // verification step guarantees precision; banding with b=8,r=4 makes
+    // missing a >=0.5-Jaccard pair overwhelmingly unlikely — require none
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    assert(brute.subsetOf(lsh), s"missed pairs: ${brute -- lsh}")
+  }
+
+  test("SimHash: identical texts collide; signature is deterministic") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    graft.functions.SimHash64.register(spark)
+    val sigs = df.withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sig", expr("simhash64(toks)"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sig")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+
+    val pairs = DedupOps.simhashPairs(df, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

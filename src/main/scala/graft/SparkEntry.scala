@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gold.GoldWriter
 import graft.jsonstat.{Fixtures, JsonStat}
-import graft.ops.{DedupOps, EventOps, Relational, TextOps}
+import graft.ops.{DedupOps, EventOps, Relational, TextOps, VectorOps}
 import graft.quality.QualityChecks
 import graft.silver.SilverTransform
 import graft.Tables._
@@ -588,8 +588,114 @@ object SparkEntry {
       None)
   )
 
+  /** DuckDB-side double-cast embedding list. */
+  private val DuckVec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** Vector / similarity-search queries. Both sides compute in DOUBLE with
+    * identical quantization (floor(x*1e4+0.5)/1e4) and rank on the quantized
+    * similarity so ordering is engine-stable.
+    */
+  private def vectorQueries: Seq[Q] = Seq(
+    Q("vec_norms",
+      (s, d) => VectorOps.norms(embeddings(s, d)),
+      Some(s"""SELECT vec_id, label,
+              |  floor(sqrt(list_sum(list_transform($DuckVec, x -> x * x))) * 10000 + 0.5) / 10000 AS l2_norm
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("vec_centroids",
+      (s, d) => VectorOps.centroidTable(embeddings(s, d)),
+      Some(s"""SELECT label, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |FROM (SELECT label,
+              |        CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |        unnest($DuckVec) AS v
+              |      FROM embeddings)
+              |GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    Q("vec_knn_cosine",
+      (s, d) => VectorOps.knnBruteForce(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+              |pairs AS (
+              |  SELECT q.query_id, n.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM q JOIN n ON n.vec_id <> q.query_id)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+              |  SELECT query_id, vec_id, sim,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |  FROM pairs)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("vec_ann_lsh",
+      (s, d) => VectorOps.annLsh(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some {
+        // same multi-table construction: 4 tables x 4 planes, candidates =
+        // shared bucket in ANY table (UNION de-dups the pairs)
+        val planes = VectorOps.hyperplanes()
+        def bucketExpr(t: Int): String = (0 until 4).map { j =>
+          val p = planes(t * 4 + j)
+          val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        val bucketCols = (0 until 4).map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n        ")
+        val unions = (0 until 4).map(t =>
+          s"SELECT q.query_id, b.vec_id FROM q JOIN b ON q.b$t = b.b$t AND b.vec_id <> q.query_id")
+          .mkString("\n  UNION\n  ")
+        s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+           |b AS (SELECT vec_id, v,
+           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+           |        $bucketCols
+           |      FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, b0, b1, b2, b3
+           |      FROM b WHERE vec_id < 5),
+           |cand AS (
+           |  $unions),
+           |pairs AS (
+           |  SELECT c.query_id, c.vec_id,
+           |    floor((list_sum(list_transform(range(1, 65), i -> q.qv[i] * b.v[i]))
+           |           / (q.qn * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+           |  FROM cand c
+           |  JOIN q ON q.query_id = c.query_id
+           |  JOIN b ON b.vec_id = c.vec_id)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+           |  SELECT query_id, vec_id, sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    Q("vec_centroid_assign",
+      (s, d) => VectorOps.centroidAssignConfusion(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id, label AS true_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT true_label AS c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |d AS (
+              |  SELECT f.vec_id, f.true_label, c.c_label,
+              |    floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM flat f JOIN cent c ON f.pos = c.pos
+              |  GROUP BY 1, 2, 3),
+              |a AS (
+              |  SELECT vec_id, true_label, c_label,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+              |  FROM d)
+              |SELECT true_label, c_label AS assigned, count(*) AS n
+              |FROM a WHERE rn = 1
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
   private def all: Seq[Q] =
-    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries ++ textQueries
+    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries ++
+      textQueries ++ vectorQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

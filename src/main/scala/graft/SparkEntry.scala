@@ -185,6 +185,44 @@ object SparkEntry {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_asof_join",
+      (s, d) => Relational.asOfJoinOrdersEvents(orders(s, d), events(s, d), 15),
+      Some("""SELECT o.o_orderkey, o.o_custkey % 15 AS key, e.event_id AS asof_event_id,
+             |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS asof_event_time
+             |FROM orders o
+             |ASOF LEFT JOIN events e
+             |  ON o.o_custkey % 15 = e.user_id AND e.ts <= o.o_orderdate
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    Q("rel_range_join",
+      (s, d) => Relational.shippedWithin(lineitem(s, d), orders(s, d), 30),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(avg(l_quantity), 4) AS avg_qty
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey
+             | AND l_shipdate >= o_orderdate
+             | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("rel_stats_aggs",
+      (s, d) => Relational.statsAggs(lineitem(s, d)),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(var_samp(l_quantity), 4) AS var_qty,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("rel_percentiles",
+      (s, d) => Relational.percentiles(lineitem(s, d)),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
       Some("""SELECT l_partkey, p_name, p_brand,
@@ -583,6 +621,23 @@ object SparkEntry {
       (s, d) => DedupOps.minhashLshPairs(documents(s, d)),
       None),
 
+    Q("dedup_winnowing",
+      (s, d) => DedupOps.winnowingFingerprints(documents(s, d)),
+      None),
+
+    Q("txt_bpe_tokens",
+      (s, d) => TextOps.bpeTokenStats(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT lang,
+              |    len($DuckToks) AS n_ws,
+              |    len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+              |        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS n_bpe
+              |  FROM documents)
+              |SELECT lang, CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+              |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+              |  round(avg(n_bpe), 4) AS avg_bpe_tokens
+              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("dedup_simhash",
       (s, d) => DedupOps.simhashPairs(documents(s, d)),
       None)
@@ -667,6 +722,20 @@ object SparkEntry {
            |WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       }),
+
+    Q("dedup_embedding_cosine",
+      (s, d) => VectorOps.cosineNearDupPairs(embeddings(s, d), threshold = 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, label, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |pairs AS (
+              |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              |           / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT label, vec_a, vec_b, sim
+              |FROM pairs WHERE sim >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     Q("vec_centroid_assign",
       (s, d) => VectorOps.centroidAssignConfusion(embeddings(s, d)),

@@ -23,17 +23,18 @@ import org.apache.spark.sql.SparkSession
   * to hashing `concat_ws(' ', slice(...))` shingle strings — but with no
   * string allocation.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String = if (distinct) "shingle_hashes" else "shingle_hash_seq"
 
   override protected def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seq = if (distinct) null else new Array[Long](m - n + 1)
     var i = 0
     while (i <= m - n) {
       var h = 42L
@@ -43,9 +44,10 @@ case class ShingleHashes(child: Expression, n: Int)
         h = if (t == null) h * 31 else XxHash64Function.hash(t, StringType, h)
         j += 1
       }
-      seen.add(h)
+      if (distinct) seen.add(h) else seq(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(seq)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var p = 0
@@ -97,6 +99,11 @@ object MinHashFunctions {
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash_seq",
+      exprs => ShingleHashes(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3), distinct = false),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",

@@ -161,6 +161,28 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken): the set of
+    * per-window minima over the ORDERED rolling shingle-hash sequence. Every
+    * w-window contributes its min, so any match of length ≥ w+n-1 tokens
+    * between two documents shares a fingerprint — the standard local
+    * plagiarism/near-dup sketch. Emits per-doc fingerprint-set stats.
+    */
+  def winnowingFingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      // ordered, NON-deduplicated rolling hash sequence — winnowing windows
+      // must see repeats, unlike the Jaccard set representation
+      .withColumn("hs", expr("shingle_hash_seq(toks, 3)"))
+      .filter(size(col("hs")) >= window)
+      .withColumn("fp", expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $window), i -> array_min(slice(hs, i + 1, $window))))"))
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+        size(col("fp")).as("n_fingerprints"),
+        expr("array_min(fp)").as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash signatures + banded candidates: docs sharing any 16-bit band of
     * the 64-bit signature are candidates; report pairs within the given
     * hamming radius.

@@ -201,6 +201,72 @@ object Relational {
       .orderBy(col("total_qty").desc, col("l_partkey"))
       .limit(k)
 
+  /** As-of join: for each left row, the single latest right row at or before
+    * the left row's time, per key. Implemented as the union-window pattern
+    * (tag both sides, sort within key by (time, tag) with right rows first at
+    * ties, carry the last seen right id forward): ONE shuffle on the key,
+    * no custom physical operator, no per-key driver logic — the classic
+    * Spark-native as-of formulation that scales like a groupBy.
+    */
+  def asOfJoinOrdersEvents(orders: DataFrame, events: DataFrame, nUsers: Int): DataFrame = {
+    val left = orders.select(
+      (col("o_custkey") % nUsers).as("key"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"), lit(1).as("tag"),
+      lit(null).cast("long").as("ev_id"), lit(null).cast("timestamp").as("ev_ts"))
+    val right = events.select(
+      col("user_id").as("key"),
+      col("ts").as("t"),
+      lit(null).cast("long").as("o_orderkey"), lit(0).as("tag"),
+      col("event_id").as("ev_id"), col("ts").as("ev_ts"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("tag"), col("ev_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_event_id", last(col("ev_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_event_ts", last(col("ev_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("o_orderkey"), col("key"), col("asof_event_id"),
+        date_format(col("asof_event_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_event_time"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Equi + range join: line items shipped within `days` of their order's
+    * date. The equality key keeps it a hash/sort-merge join; the range
+    * predicate is applied as a join residual — no cross product.
+    */
+  def shippedWithin(li: DataFrame, orders: DataFrame, days: Int): DataFrame =
+    li.join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Statistical aggregates (sample stddev/variance, correlation,
+    * covariance) per group — all codegen'd built-ins.
+    */
+  def statsAggs(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact percentiles (linear interpolation) per group. */
+  def percentiles(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
   /** GROUPING SETS via SQL — the DataFrame API exposes only rollup/cube, and
     * the SQL form plans identically (single Expand node, one aggregate).
     */

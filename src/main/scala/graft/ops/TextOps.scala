@@ -87,6 +87,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2-shaped, simplified to the syntax
+    * subset Java regex and RE2 treat identically): optional-space-prefixed
+    * letter runs, digit runs, punctuation runs, or whitespace runs.
+    */
+  val BpePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Token counting with the BPE-ish pre-tokenizer (regexp_count — codegen'd,
+    * no explode) vs plain whitespace tokens, per language.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(tokens(col("text"))))
+      .withColumn("n_bpe_tokens",
+        regexp_count(normalize(col("text")), lit(BpePattern)))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        round(avg(col("n_bpe_tokens")), 4).as("avg_bpe_tokens"))
+      .orderBy(col("lang"))
+
   /** Marker words per language for the n-gram/stopword language-ID heuristic.
     * Deterministic argmax with a fixed tie-break order (en,de,fr,es,zh).
     */

@@ -112,6 +112,23 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
+    * family): all pairs above the similarity threshold. Quadratic candidate
+    * generation here is bounded by a label block (at corpus scale the LSH
+    * bucketing of `annLsh` is the candidate generator instead); ranking-free,
+    * so output is exactly the thresholded pair set.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", q4(cosine(col("e_a"), col("e_b"))))
+      .filter(col("sim") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Assign every vector to its nearest label centroid (squared L2), emit the
     * label × assigned confusion counts. Centroids are quantized BEFORE the
     * distance computation so both engine sides feed identical inputs into the

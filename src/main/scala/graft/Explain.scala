@@ -12,7 +12,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (args.length > 1) args.drop(1).toSeq.filter(SparkEntry.queries.contains)
       else Seq("rel_q5_region_revenue", "rel_q1_pricing_summary", "rel_topk_parts",
         "ev_sessionize", "dedup_minhash_lsh", "vec_knn_cosine")
     val spark = SparkSession.builder()

@@ -68,6 +68,27 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** G5-style idempotent streaming sink: every micro-batch writes its hourly
+    * partitions with dynamic partition overwrite via `foreachBatch`, so a
+    * replayed batch REPLACES its partitions instead of appending duplicates —
+    * the streaming analogue of the reference's delete-then-append warehouse
+    * load (`load_hicp_to_sql.py:54–62,91`).
+    */
+  def idempotentHourlySink(events: DataFrame, path: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyyMMddHH"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("hour")
+          .mode("overwrite")
+          .parquet(path)
+      }
+      .start()
+
   /** Custom sessionization state machine via flatMapGroupsWithState — the
     * arbitrary-stateful-processing escape hatch for semantics the built-in
     * session_window can't express. Emits one row per closed session; open

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions register native functions for plain SQL on a fresh session") {
+    val base = spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT simhash64(array('a', 'b')) AS sh,
+          |  size(shingle_hashes(array('a', 'b', 'c', 'd'), 3)) AS n_sh,
+          |  size(minhash_sig(shingle_hashes(array('a', 'b', 'c', 'd'), 3), 16)) AS k,
+          |  size(shingle_hash_seq(array('x', 'x', 'x', 'x'), 3)) AS n_seq
+          |""".stripMargin).collect()(0)
+      assert(row.getInt(1) == 2)   // 2 distinct 3-gram shingles of 4 tokens
+      assert(row.getInt(2) == 16)  // k signature rows
+      assert(row.getInt(3) == 2)   // non-distinct keeps both (identical) windows
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

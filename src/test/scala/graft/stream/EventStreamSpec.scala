@@ -54,6 +54,22 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foreachBatch idempotent sink: replay overwrites partitions, no duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("gold_stream").toString
+    def runOnce(cp: String): Unit = {
+      val q = EventStream.idempotentHourlySink(EventStream.source(spark, sfDir), out, cp)
+      q.processAllAvailable(); q.stop()
+    }
+    // two independent runs (fresh checkpoints) simulate a full replay of the
+    // same source into the same sink path
+    runOnce(java.nio.file.Files.createTempDirectory("cp1").toString)
+    val afterFirst = spark.read.parquet(out).count()
+    runOnce(java.nio.file.Files.createTempDirectory("cp2").toString)
+    val afterReplay = spark.read.parquet(out).count()
+    assert(afterFirst == batchEvents.count())
+    assert(afterReplay == afterFirst, "replay must overwrite, not append")
+  }
+
   test("flatMapGroupsWithState sessionizer closes all but the open session per user") {
     val closed = runToTable(
       EventStream.statefulSessionize(spark, EventStream.source(spark, sfDir)),

@@ -223,6 +223,16 @@ object SparkEntry {
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_approx_distinct",
+      // HLL-sketch distinct counting — the constant-memory path for distinct
+      // cardinalities at 100 TB. No cross-engine oracle (sketch internals
+      // differ); the spec bounds its error against the exact count.
+      (s, d) => lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
       Some("""SELECT l_partkey, p_name, p_brand,

@@ -511,6 +511,25 @@ object SparkEntry {
              |  CAST(max(session_events) AS BIGINT) AS max_session_events
              |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("ev_date_funcs",
+      // temporal scalar-function breadth over order dates: add_months,
+      // last_day, dayofweek, datediff, date_trunc to quarter
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_98"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter"))
+        .orderBy(col("o_orderkey")).limit(500),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+             |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter
+             |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)),
+
     Q("ev_dedup_exact",
       (s, d) => EventOps.dedupExact(events(s, d)),
       Some("""SELECT event_type, count(*) AS n
@@ -589,6 +608,25 @@ object SparkEntry {
            |SELECT lang, CASE $cases ELSE 'und' END AS guessed, count(*) AS n
            |FROM s GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin
       }),
+
+    Q("txt_string_funcs",
+      // scalar string-function breadth: substring/upper/translate/levenshtein/
+      // lpad/reverse — all codegen'd built-ins, oracle-identical semantics
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head12"),
+          translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("tr20"),
+          levenshtein(substring(col("text"), 1, 10), lit("the fast k")).as("lev"),
+          lpad(col("lang"), 5, "_").as("lang5"),
+          reverse(col("source")).as("rsrc"))
+        .orderBy(col("doc_id")).limit(200),
+      Some("""SELECT doc_id,
+             |  upper(substring(text, 1, 12)) AS head12,
+             |  translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS tr20,
+             |  CAST(levenshtein(substring(text, 1, 10), 'the fast k') AS INTEGER) AS lev,
+             |  lpad(lang, 5, '_') AS lang5,
+             |  reverse(source) AS rsrc
+             |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
 
     Q("txt_fingerprint",
       (s, d) => documents(s, d)

@@ -223,6 +223,50 @@ object SparkEntry {
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_salted_agg",
+      (s, d) => Relational.saltedAggregation(lineitem(s, d), 16),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("rel_pivot",
+      (s, d) => Relational.pivotStatus(orders(s, d)),
+      Some("""SELECT o_orderpriority,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("rel_unpivot",
+      (s, d) => Relational.unpivotStatus(orders(s, d)),
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F,
+             |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O,
+             |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, status, total FROM (
+             |  SELECT o_orderpriority, 'F' AS status, F AS total FROM wide
+             |  UNION ALL SELECT o_orderpriority, 'O', O FROM wide
+             |  UNION ALL SELECT o_orderpriority, 'P', P FROM wide)
+             |WHERE total IS NOT NULL
+             |ORDER BY o_orderpriority, status""".stripMargin)),
+
+    Q("rel_histogram",
+      (s, d) => Relational.priceHistogram(orders(s, d), 25000.0),
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  round(min(o_totalprice), 2) AS lo,
+             |  round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("rel_deterministic_sample",
+      (s, d) => Relational.deterministicSample(lineitem(s, d), 10, 3),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(avg(l_extendedprice), 4) AS avg_price
+             |FROM lineitem WHERE l_orderkey % 10 = 3
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("rel_approx_distinct",
       // HLL-sketch distinct counting — the constant-memory path for distinct
       // cardinalities at 100 TB. No cross-engine oracle (sketch internals

@@ -267,6 +267,58 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Skew-safe two-phase aggregation: salt the (few, hot) grouping keys
+    * across `salts` partial groups, aggregate, then aggregate the partials.
+    * Semantics-identical to a plain groupBy (the oracle IS the plain
+    * groupBy) — the technique that keeps one hot key from serializing a
+    * 1000-executor aggregate. (AQE handles skewed JOINS automatically; this
+    * is the explicit pattern for skewed aggregation keys.)
+    */
+  def saltedAggregation(li: DataFrame, salts: Int): DataFrame =
+    li.withColumn("salt", (col("l_orderkey") % salts).cast("int"))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("partial_qty")), 2).as("sum_qty"),
+        sum(col("partial_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: order counts + revenue per priority, order-status columns. */
+  def pivotStatus(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt): wide per-priority status totals back to long form. */
+  def unpivotStatus(orders: DataFrame): DataFrame =
+    pivotStatus(orders)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "total")
+      .filter(col("total").isNotNull)
+      .orderBy(col("o_orderpriority"), col("status"))
+
+  /** Fixed-width histogram of order totals: bin = floor(x / width). */
+  def priceHistogram(orders: DataFrame, width: Double): DataFrame =
+    orders
+      .withColumn("bin", floor(col("o_totalprice") / width).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+
+  /** Deterministic key-based sample: keep keys ≡ r (mod m) — reproducible
+    * across runs/engines, the standard pipeline-data sampling shape (a
+    * hash-mod in production; plain mod here so any engine can replay it).
+    */
+  def deterministicSample(li: DataFrame, m: Int, r: Int): DataFrame =
+    li.filter(col("l_orderkey") % m === r)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
   /** GROUPING SETS via SQL — the DataFrame API exposes only rollup/cube, and
     * the SQL form plans identically (single Expand node, one aggregate).
     */

@@ -50,6 +50,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.subsetOf(lsh), s"missed pairs: ${brute -- lsh}")
   }
 
+  test("winnowing: identical docs share fingerprints; edits keep most windows") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = text.replace("lazy", "hazy")
+    val df = Seq((1L, text), (2L, text), (3L, edited)).toDF("doc_id", "text")
+    val rows = DedupOps.winnowingFingerprints(df)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(rows(1L) == rows(2L), "identical docs must have identical fingerprint sets")
+    // a one-token edit only perturbs the windows covering that token
+    assert(rows(3L)._1 == rows(1L)._1 || math.abs(rows(3L)._1 - rows(1L)._1) <= 4)
+  }
+
   test("SimHash: identical texts collide; signature is deterministic") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

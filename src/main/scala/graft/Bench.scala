@@ -38,10 +38,16 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only a 2000-char tail of the sbt output and parses the
+    // JSON line out of it; sbt's trailing "[success] ..." line eats ~80 of
+    // those chars, so the line must stay well under ~1900 chars. 3-decimal
+    // (millisecond) resolution keeps 63 queries at ~1700 chars.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.{MinHashSig, ShingleHashes, SimHash61}
 
 /** Standard Spark extension entry point: registers the engine's native
   * Catalyst functions permanently for a session, so any user (including pure
@@ -24,9 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.rules.JaccardPrefilter)
     e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      exprs => SimHash64(exprs.head)))
+      FunctionIdentifier("simhash61"),
+      info("simhash61", "simhash61(tokens) - 61-bit MD5-based SimHash of a token array"),
+      exprs => SimHash61(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(tokens[, n]) - distinct n-gram shingle hashes"),

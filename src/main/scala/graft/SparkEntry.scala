@@ -269,13 +269,22 @@ object SparkEntry {
 
     Q("rel_approx_distinct",
       // HLL-sketch distinct counting — the constant-memory path for distinct
-      // cardinalities at 100 TB. No cross-engine oracle (sketch internals
-      // differ); the spec bounds its error against the exact count.
+      // cardinalities at 100 TB. Sketch internals differ across engines, so
+      // the oracle checks the PROPERTY instead of the estimate: the exact
+      // count must match and the HLL estimate (rsd=0.02) must land within
+      // 10% of it — DuckDB asserts `within_tol = true` per group.
       (s, d) => lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.1).as("within_tol"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  true AS within_tol
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
@@ -590,10 +599,31 @@ object SparkEntry {
   private val DuckToks =
     "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
+  /** 2^61-1: the modulus of the portable hash domain (see Md5Hash61). */
+  private val DuckM = "2305843009213693951"
+
+  /** DuckDB twin of Md5Hash61.hash61: lower-64 of MD5, masked to 61 bits. */
+  private def duckH61(sqlExpr: String): String =
+    s"CAST((md5_number_lower($sqlExpr) & $DuckM) AS BIGINT)"
+
+  /** DuckDB CTEs `t` (tokens) + `sh` (distinct 61-bit 3-gram shingle hashes,
+    * docs with ≥3 tokens) — the shared front of the dedup oracles. Matches
+    * `shingle_hashes(toks, 3)` exactly (same strings, same hash).
+    */
+  private def duckShingleCtes: String =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(len(toks) - 2),
+       |      i -> ${duckH61("array_to_string(toks[i + 1:i + 3], ' ')")})) AS hs
+       |  FROM t WHERE len(toks) >= 3)""".stripMargin
+
   /** Text-analysis + dedup queries (LLM-pipeline extension operators).
-    * MinHash-LSH and SimHash have no DuckDB-expressible oracle (engine-
-    * specific hash kernels) — they get rows-only checks here and exact
-    * equivalence tests against brute-force in DedupOpsSpec.
+    * The MinHash-LSH / SimHash / winnowing oracles replay the exact hash
+    * arithmetic in DuckDB: the base hash is `md5_number_lower & (2^61-1)`
+    * (= graft.functions.Md5Hash61) and the k MinHash permutations are affine
+    * maps mod 2^61-1 whose constants are generated from the SAME Scala table
+    * (Md5Hash61.AB) that the native expressions evaluate — identical
+    * signatures by construction, verified in Md5Hash61Spec.
     */
   private def textQueries: Seq[Q] = Seq(
     Q("txt_stats_by_lang",
@@ -711,11 +741,50 @@ object SparkEntry {
 
     Q("dedup_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(documents(s, d)),
-      None),
+      Some {
+        // one list_min per seed, constants from the shared table (k=32)
+        val sigExprs = graft.functions.Md5Hash61.AB.take(32).map { case (a, b) =>
+          s"list_min(list_transform(hs, h -> CAST((CAST($a AS HUGEINT) * h + $b) % $DuckM AS BIGINT)))"
+        }.mkString("list_value(\n      ", ",\n      ", ")")
+        s"""$duckShingleCtes,
+           |sigs AS (SELECT doc_id, hs, $sigExprs AS sig FROM sh),
+           |banded AS (
+           |  SELECT doc_id, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS key
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |  FROM banded l JOIN banded r
+           |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |j AS (
+           |  SELECT doc_a, doc_b,
+           |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+           |    len(sa.hs) AS na, len(sb.hs) AS nb
+           |  FROM cand
+           |  JOIN sigs sa ON sa.doc_id = doc_a
+           |  JOIN sigs sb ON sb.doc_id = doc_b)
+           |SELECT doc_a, doc_b,
+           |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+           |FROM j
+           |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
 
     Q("dedup_winnowing",
       (s, d) => DedupOps.winnowingFingerprints(documents(s, d)),
-      None),
+      // ordered (non-distinct) shingle-hash sequence, window-4 minima
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |sq AS (SELECT doc_id,
+              |    list_transform(range(len(toks) - 2),
+              |      i -> ${duckH61("array_to_string(toks[i + 1:i + 3], ' ')")}) AS hs
+              |  FROM t WHERE len(toks) >= 3),
+              |w AS (SELECT doc_id, hs,
+              |    list_distinct(list_transform(range(len(hs) - 3),
+              |      i -> list_min(list_slice(hs, i + 1, i + 4)))) AS fp
+              |  FROM sq WHERE len(hs) >= 4)
+              |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_shingles,
+              |  CAST(len(fp) AS INTEGER) AS n_fingerprints,
+              |  list_min(fp) AS min_fp
+              |FROM w ORDER BY doc_id""".stripMargin)),
 
     Q("txt_bpe_tokens",
       (s, d) => TextOps.bpeTokenStats(documents(s, d)),
@@ -732,7 +801,28 @@ object SparkEntry {
 
     Q("dedup_simhash",
       (s, d) => DedupOps.simhashPairs(documents(s, d)),
-      None)
+      // 61-bit Charikar simhash over per-token hashes: bit b of the signature
+      // is set iff strictly more tokens have bit b set than clear; pairs
+      // agreeing on any 16-bit band are candidates, reported at hamming <= 8
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |th AS (SELECT doc_id,
+              |    list_transform(toks, tok -> ${duckH61("tok")}) AS hs
+              |  FROM t),
+              |sg AS (SELECT doc_id,
+              |    CAST(list_sum(list_transform(range(0, 61),
+              |      b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+              |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+              |  FROM th),
+              |bd AS (SELECT doc_id, sig, band, (sig >> CAST(band * 16 AS INTEGER)) & 65535 AS bits
+              |  FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+              |cand AS (
+              |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+              |    l.sig AS sig_a, r.sig AS sig_b
+              |  FROM bd l JOIN bd r
+              |    ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
+              |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB-side double-cast embedding list. */
@@ -887,13 +977,20 @@ object SparkEntry {
              |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 16.0) / 4.0) AS INTEGER) AS n_sampled
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Scalar-only output (doc_id, n_bytes, feat_idx, feature): the driver's
+    // canonicalization sorts rows by every column, which crashes on
+    // array-typed cells — so the 8-float vector is posexploded into rows.
+    // Still rows-only (no oracle): the decode stub's rolling 64-bit hash is
+    // not expressible in DuckDB SQL.
     Q("mm_decode_features",
       (s, d) => {
         val ds = MultimodalOps.decodeFeatures(documents(s, d))
-        ds.toDF().select(col("doc_id"), col("n_bytes"),
-          expr("transform(features, f -> floor(CAST(f AS DOUBLE) * 10000 + 0.5) / 10000)")
-            .as("features"))
-          .orderBy(col("doc_id"))
+        ds.toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            posexplode(expr(
+              "transform(features, f -> floor(CAST(f AS DOUBLE) * 10000 + 0.5) / 10000)"))
+              .as(Seq("feat_idx", "feature")))
+          .orderBy(col("doc_id"), col("feat_idx"))
       },
       None)
   )

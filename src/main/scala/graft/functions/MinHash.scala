@@ -1,9 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Native Catalyst expressions for the MinHash pipeline. The pure
@@ -13,15 +15,74 @@ import org.apache.spark.sql.SparkSession
   * tight JVM loop over Tungsten `ArrayData` (no boxing, one pass), which
   * measured ~10x faster end-to-end on the LSH query.
   *
-  * Hashing reuses Spark's XxHash64 kernel; shingle hashes chain the seed
-  * through the n-gram's tokens, so a shingle's hash is order-sensitive and
-  * needs no intermediate string concatenation at all.
+  * HASH CHOICE — cross-engine reproducibility. The base shingle hash is the
+  * lower 64 bits of MD5 (exactly DuckDB's `md5_number_lower`: the digest's
+  * last 8 bytes, little-endian) masked to 61 bits, and the k MinHash values
+  * derive from it by fixed affine permutations modulo the Mersenne prime
+  * 2^61-1. Every step is therefore expressible in portable SQL (hugeint
+  * arithmetic + md5_number_lower in DuckDB), so the LSH/SimHash/winnowing
+  * operators get EXACT external oracles instead of rows-only checks, and the
+  * signatures are stable across engines, JVMs, and partitionings. MD5 runs
+  * once per shingle (the k permutations are 6 ALU ops each), so the cost
+  * over xxhash is one short digest per shingle — negligible against the
+  * join work downstream.
   */
+object Md5Hash61 {
+  /** 2^61 - 1, the modulus of the permutation domain. */
+  val M: Long = 2305843009213693951L
 
-/** `shingle_hashes(tokens)` → distinct xxhash64 values of all n-gram
-  * shingles of the token array. Equivalent (modulo the 64-bit hash bijection)
-  * to hashing `concat_ws(' ', slice(...))` shingle strings — but with no
-  * string allocation.
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def digestFor(): MessageDigest = { val d = mdLocal.get(); d.reset(); d }
+
+  /** Lower-64 of an MD5 digest per DuckDB `md5_number_lower`: last 8 digest
+    * bytes, little-endian — then masked into the 61-bit domain.
+    */
+  def finish61(md: MessageDigest): Long = {
+    val d = md.digest()
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h & M
+  }
+
+  def hash61(bytes: Array[Byte]): Long = {
+    val md = digestFor()
+    md.update(bytes)
+    finish61(md)
+  }
+
+  /** Fixed affine-permutation constants (a_s, b_s) in [0, M): golden-ratio
+    * multiples masked into the domain. The SAME table generates both the JVM
+    * evaluation and the DuckDB oracle SQL, so the two engines compute
+    * identical signatures by construction.
+    */
+  val AB: Array[(Long, Long)] = Array.tabulate(64) { s =>
+    val a = (0x9E3779B97F4A7C15L * (2 * s + 3)) & M
+    val b = (0xC2B2AE3D27D4EB4FL * (s + 1)) & M
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** (a*h + b) mod M, exact, for 0 <= a,h <= M < 2^61. The 122-bit product
+    * folds via 2^64 ≡ 8 and 2^61 ≡ 1 (mod M) — no BigInt, ~6 ALU ops.
+    */
+  def mulAddMod(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // operands < 2^61 ⇒ positive, exact
+    val lo = a * h                   // wrapped low 64 bits
+    var r = (hi << 3) + (lo >>> 61) + (lo & M)
+    while (r >= M) r -= M
+    r += b
+    if (r >= M) r -= M
+    r
+  }
+}
+
+/** `shingle_hashes(tokens[, n])` → distinct 61-bit MD5 hashes of all n-gram
+  * shingle strings (tokens joined by a single space) of the token array;
+  * `shingle_hash_seq` is the ordered non-distinct variant (winnowing input).
+  * Hash-identical to DuckDB's
+  * `md5_number_lower(array_to_string(toks[i:i+n-1], ' ')) & (2^61-1)`.
   */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
@@ -29,21 +90,31 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = if (distinct) "shingle_hashes" else "shingle_hash_seq"
 
+  private val space = Array(' '.toByte)
+
   override protected def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
+    // each token participates in up to n shingles — extract its bytes once
+    val tb = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) {
+      tb(t) = if (arr.isNullAt(t)) Array.emptyByteArray else arr.getUTF8String(t).getBytes
+      t += 1
+    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val seq = if (distinct) null else new Array[Long](m - n + 1)
     var i = 0
     while (i <= m - n) {
-      var h = 42L
+      val md = Md5Hash61.digestFor()
       var j = 0
       while (j < n) {
-        val t = arr.getUTF8String(i + j)
-        h = if (t == null) h * 31 else XxHash64Function.hash(t, StringType, h)
+        if (j > 0) md.update(space)
+        md.update(tb(i + j))
         j += 1
       }
+      val h = Md5Hash61.finish61(md)
       if (distinct) seen.add(h) else seq(i) = h
       i += 1
     }
@@ -59,11 +130,12 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
-/** `minhash_sig(hashes)` → k salted min-hashes of a long array: one pass per
-  * element over all k seeds.
+/** `minhash_sig(hashes[, k])` → k affine-permutation min-hashes of a long
+  * array: one pass over the elements, k permutations each (6 ALU ops).
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  require(k <= Md5Hash61.AB.length, s"k=$k exceeds permutation table")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -77,7 +149,8 @@ case class MinHashSig(child: Expression, k: Int)
       val h = arr.getLong(i)
       var s = 0
       while (s < k) {
-        val v = XxHash64Function.hash(h, LongType, s.toLong)
+        val (a, b) = Md5Hash61.AB(s)
+        val v = Md5Hash61.mulAddMod(a, h, b)
         if (v < mins(s)) mins(s) = v
         s += 1
       }

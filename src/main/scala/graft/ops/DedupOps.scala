@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.SimHash64
+import graft.functions.SimHash61
 
 /** Deduplication operator family over `documents` (LLM-pipeline extension):
   *
@@ -102,25 +102,16 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Base hashes: each shingle string hashed to a long exactly ONCE. The K
-    * min-hash rows then derive from cheap long re-hashing — one string pass
-    * instead of K (was the dominant cost of the LSH pipeline).
-    */
-  def shingleHashes(shingleCol: String): Column =
-    expr(s"transform($shingleCol, s -> xxhash64(s))")
-
-  /** MinHash signature from pre-hashed shingles: K salted min-hashes. */
-  def minhashSignatureFromHashes(hashCol: String, k: Int = 32): Column =
-    array((0 until k).map(seed =>
-      expr(s"array_min(transform($hashCol, h -> xxhash64($seed, h)))")): _*)
-
-  /** MinHash-LSH near-dup pairs: signatures → bands (rows-per-band hashes) →
-    * equi-join on (band index, band hash) → distinct candidate pairs →
+  /** MinHash-LSH near-dup pairs: signatures → bands (rows-per-band key) →
+    * equi-join on (band index, band slice) → distinct candidate pairs →
     * verified with exact Jaccard over the hashed shingle sets. The only
     * shuffles are the band-bucket exchange (O(n·bands)) and the candidate
     * join — never O(n²). Shingle hashing and the k min-hashes run as native
     * Catalyst expressions (graft.functions.MinHash) — tight loops over
-    * Tungsten arrays instead of per-element interpreted lambdas.
+    * Tungsten arrays instead of per-element interpreted lambdas. The band
+    * key is the signature slice itself (array<long> equi-join key), not a
+    * hash of it: collision-free, so candidate generation is exactly "agree
+    * on all rows of some band" — the property the DuckDB oracle replays.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
@@ -135,15 +126,15 @@ object DedupOps {
       // cache so the signature pipeline runs once (tiny: ids + hashes only)
       .select(col("doc_id"), col("hs"), col("sig"))
       .persist()
-    // candidate generation on (doc_id, band hash) ONLY — the wide shingle
+    // candidate generation on (doc_id, band slice) ONLY — the wide shingle
     // arrays stay out of the band shuffle and the pair-dedup shuffle
     val banded = withSig.select(
       col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
-        .as(Seq("band", "band_hash")))
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
+        .as(Seq("band", "band_key")))
     val candidates = banded.as("l")
-      .join(banded.as("r"), Seq("band", "band_hash"))
+      .join(banded.as("r"), Seq("band", "band_key"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -184,14 +175,14 @@ object DedupOps {
   }
 
   /** SimHash signatures + banded candidates: docs sharing any 16-bit band of
-    * the 64-bit signature are candidates; report pairs within the given
+    * the 61-bit signature are candidates; report pairs within the given
     * hamming radius.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    SimHash64.register(docs.sparkSession)
+    SimHash61.register(docs.sparkSession)
     val sigs = docs
       .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sig", expr("simhash64(toks)"))
+      .withColumn("sig", expr("simhash61(toks)"))
       .select(col("doc_id"), col("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
@@ -202,7 +193,7 @@ object DedupOps {
     l.join(r, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr(SimHash64.hammingExpr("sig_a", "sig_b")).cast("int"))
+      .withColumn("hamming", expr(SimHash61.hammingExpr("sig_a", "sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -14,7 +14,7 @@ class GraftExtensionsSpec extends SparkSpec {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       val row = s2.sql(
-        """SELECT simhash64(array('a', 'b')) AS sh,
+        """SELECT simhash61(array('a', 'b')) AS sh,
           |  size(shingle_hashes(array('a', 'b', 'c', 'd'), 3)) AS n_sh,
           |  size(minhash_sig(shingle_hashes(array('a', 'b', 'c', 'd'), 3), 16)) AS k,
           |  size(shingle_hash_seq(array('x', 'x', 'x', 'x'), 3)) AS n_seq

@@ -68,9 +68,9 @@ class DedupOpsSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely different words entirely unrelated content here"))
       .toDF("doc_id", "text")
-    graft.functions.SimHash64.register(spark)
+    graft.functions.SimHash61.register(spark)
     val sigs = df.withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sig", expr("simhash64(toks)"))
+      .withColumn("sig", expr("simhash61(toks)"))
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("sig")).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))

@@ -746,11 +746,20 @@ object SparkEntry {
         val sigExprs = graft.functions.Md5Hash61.AB.take(32).map { case (a, b) =>
           s"list_min(list_transform(hs, h -> CAST((CAST($a AS HUGEINT) * h + $b) % $DuckM AS BIGINT)))"
         }.mkString("list_value(\n      ", ",\n      ", ")")
+        // per-band key: the same affine fold the native band_hashes computes
+        val bandA = graft.functions.Md5Hash61.BandA
+        val bandExprs = (0 until 8).map { band =>
+          (1 to 4).map(j => s"sig[${band * 4 + j}]")
+            .foldLeft("CAST(0 AS BIGINT)") { (acc, v) =>
+              s"CAST((CAST($bandA AS HUGEINT) * ($acc) + $v) % $DuckM AS BIGINT)"
+            }
+        }.mkString("list_value(\n      ", ",\n      ", ")")
         s"""$duckShingleCtes,
            |sigs AS (SELECT doc_id, hs, $sigExprs AS sig FROM sh),
+           |bsigs AS (SELECT doc_id, $bandExprs AS bhs FROM sigs),
            |banded AS (
-           |  SELECT doc_id, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS key
-           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+           |  SELECT doc_id, band, bhs[band + 1] AS key
+           |  FROM bsigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
            |cand AS (
            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
            |  FROM banded l JOIN banded r

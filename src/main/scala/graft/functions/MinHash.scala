@@ -2,10 +2,10 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Native Catalyst expressions for the MinHash pipeline. The pure
@@ -64,6 +64,12 @@ object Md5Hash61 {
     (if (a == 0) 1L else a, b)
   }
 
+  /** Multiplier for folding a band's signature rows into one 61-bit key
+    * (`band_hashes`): acc ← (BandA·acc + v) mod M. Both engines compute the
+    * identical fold, so the (negligible) collisions are identical too.
+    */
+  val BandA: Long = 0x9E3779B97F4A7C15L & M
+
   /** (a*h + b) mod M, exact, for 0 <= a,h <= M < 2^61. The 122-bit product
     * folds via 2^64 ≡ 8 and 2^61 ≡ 1 (mod M) — no BigInt, ~6 ALU ops.
     */
@@ -79,9 +85,11 @@ object Md5Hash61 {
 }
 
 /** `shingle_hashes(tokens[, n])` → distinct 61-bit MD5 hashes of all n-gram
-  * shingle strings (tokens joined by a single space) of the token array;
-  * `shingle_hash_seq` is the ordered non-distinct variant (winnowing input).
-  * Hash-identical to DuckDB's
+  * shingle strings (tokens joined by a single space) of the token array,
+  * SORTED ascending (so set intersections downstream can merge-walk instead
+  * of building per-row hash sets — see [[IntersectCount]]);
+  * `shingle_hash_seq` is the positionally-ordered non-distinct variant
+  * (winnowing input). Hash-identical to DuckDB's
   * `md5_number_lower(array_to_string(toks[i:i+n-1], ' ')) & (2^61-1)`.
   */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
@@ -103,7 +111,7 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
       tb(t) = if (arr.isNullAt(t)) Array.emptyByteArray else arr.getUTF8String(t).getBytes
       t += 1
     }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
     val seq = if (distinct) null else new Array[Long](m - n + 1)
     var i = 0
     while (i <= m - n) {
@@ -123,6 +131,7 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     val it = seen.iterator()
     var p = 0
     while (it.hasNext) { out(p) = it.next(); p += 1 }
+    java.util.Arrays.sort(out) // all values ≥ 0: signed sort == unsigned sort
     new GenericArrayData(out)
   }
 
@@ -163,6 +172,74 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `band_hashes(sig[, bands[, rows_per_band]])` → one 61-bit key per LSH
+  * band: the affine fold acc ← (BandA·acc + sig_i) mod 2^61-1 over the band's
+  * rows. A single long per band keeps the band shuffle key narrow (the raw
+  * 4-long slice as a join key forces wide array comparisons), and the fold is
+  * replayed verbatim by the DuckDB oracle, so both engines see identical
+  * buckets — including any of the ~2^-61-rare fold collisions, which the
+  * exact-Jaccard verification step absorbs anyway.
+  */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override protected def nullSafeEval(sig: Any): Any = {
+    val arr = sig.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        acc = Md5Hash61.mulAddMod(Md5Hash61.BandA, acc, arr.getLong(b * rowsPerBand + j))
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(a, b)` → |a ∩ b| for two SORTED distinct long
+  * arrays, via a single merge walk — no per-row hash set, no boxing. This is
+  * the hot inner loop of every pairwise Jaccard verification (blocked n-gram
+  * dedup, LSH candidate verification): per pair cost is O(|a|+|b|) loads and
+  * compares, ~5-10x cheaper than `array_intersect`'s generic set build.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i)
+      val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectCount = copy(left = newLeft, right = newRight)
+}
+
 object MinHashFunctions {
   /** Register `shingle_hashes(tokens[, n])` and `minhash_sig(hashes[, k])`
     * for use via `expr(...)`. Idempotent per session.
@@ -182,6 +259,16 @@ object MinHashFunctions {
       "minhash_sig",
       exprs => MinHashSig(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => IntersectCount(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "band_hashes",
+      exprs => BandHashes(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8),
+        exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(4)),
       "scala_udf")
   }
 }

@@ -27,13 +27,23 @@ case class SimHash61(child: Expression)
   override def prettyName: String = "simhash61"
 
   override protected def nullSafeEval(tokens: Any): Any = {
+    val cache = SimHash61.tokenCache.get()
     val arr = tokens.asInstanceOf[ArrayData]
     val counts = new Array[Int](61)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Md5Hash61.hash61(arr.getUTF8String(i).getBytes)
+        // token frequencies are Zipfian: memoizing the per-token MD5 turns
+        // the digest from per-occurrence into per-distinct-token cost
+        val t = arr.getUTF8String(i).toString
+        var boxed = cache.get(t)
+        if (boxed == null) {
+          boxed = java.lang.Long.valueOf(
+            Md5Hash61.hash61(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          if (cache.size < SimHash61.MaxCachedTokens) cache.put(t, boxed)
+        }
+        val h = boxed.longValue()
         var b = 0
         while (b < 61) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -56,6 +66,14 @@ case class SimHash61(child: Expression)
 }
 
 object SimHash61 {
+  /** Cap on the per-thread token→hash memo (bounds executor memory; at the
+    * cap the memo simply stops admitting new tokens, staying correct).
+    */
+  private[functions] val MaxCachedTokens = 1 << 16
+
+  private[functions] val tokenCache: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long](1 << 12))
+
   /** Register `simhash61(array<string>) -> bigint` for use via `expr(...)`
     * and SQL. Idempotent per session.
     */

@@ -96,7 +96,11 @@ object DedupOps {
     a.join(b, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      // shingle_hashes emits sorted arrays: the intersection is a native
+      // merge walk (sorted_intersect_count), not a per-pair hash set
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -109,9 +113,10 @@ object DedupOps {
     * join — never O(n²). Shingle hashing and the k min-hashes run as native
     * Catalyst expressions (graft.functions.MinHash) — tight loops over
     * Tungsten arrays instead of per-element interpreted lambdas. The band
-    * key is the signature slice itself (array<long> equi-join key), not a
-    * hash of it: collision-free, so candidate generation is exactly "agree
-    * on all rows of some band" — the property the DuckDB oracle replays.
+    * key is a 61-bit affine fold of the band's signature rows (band_hashes):
+    * a narrow long join key (an array key forces wide comparisons in the
+    * exchange), with the SAME fold replayed by the DuckDB oracle, so both
+    * engines see identical buckets.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
@@ -126,12 +131,11 @@ object DedupOps {
       // cache so the signature pipeline runs once (tiny: ids + hashes only)
       .select(col("doc_id"), col("hs"), col("sig"))
       .persist()
-    // candidate generation on (doc_id, band slice) ONLY — the wide shingle
+    // candidate generation on (doc_id, band hash) ONLY — the wide shingle
     // arrays stay out of the band shuffle and the pair-dedup shuffle
     val banded = withSig.select(
       col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
+      posexplode(expr(s"band_hashes(sig, $bands, $rowsPerBand)"))
         .as(Seq("band", "band_key")))
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band", "band_key"))
@@ -146,7 +150,9 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
       .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
-      .withColumn("jaccard", round(jaccard(col("h_a"), col("h_b")), 4))
+      .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (size(col("h_a")) + size(col("h_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

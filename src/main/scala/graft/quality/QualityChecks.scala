@@ -98,10 +98,17 @@ object QualityChecks {
   }
 
   /** E2: run Q1–Q7 over a silver-shaped table. All scalar checks share ONE
-    * aggregation job; continuity adds one grouped job. Two scans total.
+    * aggregation job; duplicate-keys and continuity each need their own
+    * grouping, so those two jobs run CONCURRENTLY with the scalar job (the
+    * three are independent Spark actions — on a cluster their stages overlap,
+    * so the gate costs max(scan) wall-clock, not 3×scan).
     */
   def runChecks(df: DataFrame, requiredCols: Seq[String], keyCols: Seq[String],
                 timeCol: String, valueCol: String, groupCols: Seq[String]): Report = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     val missing = missingColumns(df, requiredCols)
     val q1 = CheckResult("required_columns", missing.isEmpty,
       Map("missing" -> missing.mkString(",")))
@@ -117,14 +124,19 @@ object QualityChecks {
         max(col(timeCol)).cast("string").as("max_time"),
         min(col(valueCol)).cast("string").as("value_min"),
         max(col(valueCol)).cast("string").as("value_max"))
-    val scalars = df.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0)
+    val scalarsF = Future { df.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0) }
+    val dupF = Future { duplicateKeyCount(df, keyCols).collect()(0).getAs[Long]("n_dup_rows") }
+    val contF = Future {
+      monthlyContinuity(df, groupCols, timeCol)
+        .agg(count(lit(1)).as("groups"),
+          count(when(!col("ok"), 1)).as("failing")).collect()(0)
+    }
+    val scalars = Await.result(scalarsF, Duration.Inf)
     def l(name: String): Long = scalars.getAs[Long](name)
     def s(name: String): String = Option(scalars.getAs[String](name)).getOrElse("null")
 
-    val dupRows = duplicateKeyCount(df, keyCols).collect()(0).getAs[Long]("n_dup_rows")
-    val continuity = monthlyContinuity(df, groupCols, timeCol)
-      .agg(count(lit(1)).as("groups"),
-        count(when(!col("ok"), 1)).as("failing")).collect()(0)
+    val dupRows = Await.result(dupF, Duration.Inf)
+    val continuity = Await.result(contF, Duration.Inf)
 
     val nullsByCol = requiredCols.map(c => c -> l(s"${c}_nulls"))
     val checks = Seq(

@@ -52,6 +52,25 @@ class Md5Hash61Spec extends SparkSpec {
     assert(got == Seq(150619623413316519L)) // hash61("a b c")
   }
 
+  test("shingle_hashes emits sorted arrays and sorted_intersect_count equals array_intersect") {
+    MinHashFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .selectExpr("doc_id", "shingle_hashes(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), 3) AS hs")
+    val sortedViolations = docs
+      .selectExpr("size(filter(transform(hs, (h, i) -> i = 0 OR hs[i - 1] < h), x -> NOT x)) AS bad")
+      .agg(sum(col("bad"))).collect()(0).getLong(0)
+    assert(sortedViolations == 0L, "shingle_hashes must be strictly ascending")
+
+    val a = docs.selectExpr("doc_id AS ia", "hs AS ha")
+    val b = docs.selectExpr("doc_id AS ib", "hs AS hb")
+    val mismatches = a.crossJoin(b)
+      .selectExpr("sorted_intersect_count(ha, hb) AS fast",
+        "size(array_intersect(ha, hb)) AS slow")
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches == 0L)
+  }
+
   test("simhash61 matches the independent bit-vote reference") {
     SimHash61.register(spark)
     val got = Seq(

@@ -61,3 +61,75 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
 }
+
+/** All LSH table buckets of an embedding in ONE native pass. The HOF
+  * formulation evaluates `aggregate(zip_with(...))` per hyperplane —
+  * nTables×planesPerTable interpreted 64-element folds per row; this walks
+  * the planes in a tight loop instead. Per plane the dot is the same
+  * multiply-then-add left fold (i = 0..n-1) as the HOF form and the oracle's
+  * `list_sum(list_transform(...))`, so bucket ids are bit-identical to both.
+  *
+  * `planes` is the deterministic ±1 hyperplane matrix (VectorOps
+  * .hyperplanes); bucket bit j of table t is the sign of plane t·ppt+j.
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+                      planesPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  private val nTables = planes.length / planesPerTable
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  private lazy val elem =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  override protected def nullSafeEval(embedding: Any): Any = {
+    val e = embedding.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = elem match {
+        case FloatType => e.getFloat(i).toDouble
+        case _ => e.getDouble(i)
+      }
+      i += 1
+    }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        val p = planes(t * planesPerTable + j)
+        var dot = 0.0
+        var d = 0
+        val m = math.min(n, p.length)
+        while (d < m) { dot += v(d) * p(d); d += 1 }
+        if (dot > 0) bucket += (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  /** Register `lsh_buckets(embedding) -> array<bigint>` bound to the given
+    * plane matrix (the matrix is deterministic, so re-registration with the
+    * same parameters is idempotent in effect).
+    */
+  def register(spark: SparkSession, planes: Array[Array[Double]],
+               planesPerTable: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBuckets(exprs.head, planes, planesPerTable),
+      "scala_udf")
+}

@@ -97,22 +97,31 @@ object VectorOps {
     * ((1−θ/π)^8 ≈ 0.03); 4 tables × 4 planes gives ≈0.5 while keeping
     * candidate generation an equi-join on (table, bucket). Recall < 1 by
     * construction; the spec measures it against brute force.
+    *
+    * Plan shape for scale: bucket ids come from ONE native pass over the
+    * embedding (graft.functions.LshBuckets — the per-plane HOF fold is
+    * interpreted and was the dominant cost), and only (vec_id, tbl, bucket)
+    * enter the band explode + candidate dedup shuffles; the embedding
+    * arrays are joined back by broadcasting the (small) candidate and query
+    * sets onto the corpus scan, so no 64-float payload ever shuffles.
     */
   def annLsh(emb: DataFrame, maxQueryId: Int, k: Int,
              nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
     val planes = hyperplanes(nTables * planesPerTable)
-    val tableBuckets = (0 until nTables).map { t =>
-      lshBucket(col("embedding"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable))
-    }
-    val exploded = emb
-      .withColumn("buckets", array(tableBuckets: _*))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val queries = exploded.filter(col("vec_id") < maxQueryId)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q"))
-    val pairs = exploded.join(broadcast(queries), Seq("tbl", "bucket"))
+    graft.functions.LshBuckets.register(emb.sparkSession,
+      planes.map(_.toArray).toArray, planesPerTable)
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(call_function("lsh_buckets", col("embedding"))).as(Seq("tbl", "bucket")))
+    val queries = bucketed.filter(col("vec_id") < maxQueryId)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"))
+    val cand = bucketed.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    val qvecs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -45,4 +45,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.toSet.size > 1, "all vectors in one bucket: hyperplanes broken")
   }
+
+  test("native lsh_buckets matches the HOF per-plane reference, table by table") {
+    val nTables = 4
+    val ppt = 4
+    val planes = VectorOps.hyperplanes(nTables * ppt)
+    graft.functions.LshBuckets.register(spark, planes.map(_.toArray).toArray, ppt)
+    val hofCols = (0 until nTables).map { t =>
+      VectorOps.lshBucket(col("embedding"), planes.slice(t * ppt, (t + 1) * ppt)).as(s"h$t")
+    }
+    val rows = emb
+      .select(col("vec_id") +: call_function("lsh_buckets", col("embedding")).as("nb") +: hofCols: _*)
+      .collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      (0 until nTables).foreach { t =>
+        assert(native(t) == r.getAs[Long](s"h$t"), s"vec ${r.getLong(0)} table $t")
+      }
+    }
+  }
 }

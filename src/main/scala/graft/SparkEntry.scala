@@ -808,6 +808,33 @@ object SparkEntry {
               |  round(avg(n_bpe), 4) AS avg_bpe_tokens
               |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("txt_repetition",
+      (s, d) => TextOps.repetitionStats(documents(s, d)),
+      // Gopher-style repetition signals; the oracle counts the top bigram
+      // by brute force over the per-doc bigram list
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |b AS (SELECT doc_id, len(toks) AS n_tokens,
+              |    len(list_distinct(toks)) AS n_distinct,
+              |    CASE WHEN len(toks) < 2 THEN list_value()
+              |         ELSE [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
+              |    END AS bgs
+              |  FROM t),
+              |a AS (SELECT doc_id, n_tokens, n_distinct, len(bgs) AS n_bigrams,
+              |    CASE WHEN len(bgs) = 0 THEN 0
+              |         ELSE list_max(list_transform(list_distinct(bgs),
+              |                x -> len(list_filter(bgs, y -> y = x))))
+              |    END AS top_n
+              |  FROM b),
+              |m AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              |    floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS distinct_ratio,
+              |    CASE WHEN n_bigrams = 0 THEN 0.0
+              |         ELSE floor(CAST(top_n AS DOUBLE) / n_bigrams * 10000 + 0.5) / 10000
+              |    END AS top_bigram_frac
+              |  FROM a)
+              |SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+              |  (top_bigram_frac > 0.18 OR distinct_ratio < 0.5) AS is_repetitive
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_simhash",
       (s, d) => DedupOps.simhashPairs(documents(s, d)),
       // 61-bit Charikar simhash over per-token hashes: bit b of the signature
@@ -913,6 +940,50 @@ object SparkEntry {
            |WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       }),
+
+    Q("vec_ivf_ann",
+      (s, d) => VectorOps.ivfAnn(embeddings(s, d), maxQueryId = 5, k = 5),
+      // same coarse-quantize -> probe -> exact-rerank pipeline in SQL: label
+      // centroids as cells, nProbe=2, quantized distances + similarities
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v,
+              |    label
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |d AS (
+              |  SELECT f.vec_id, c.cell,
+              |    floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM flat f JOIN cent c ON f.pos = c.pos
+              |  GROUP BY 1, 2),
+              |r AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              |  FROM d),
+              |assign AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 5 AND rn <= 2),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, a.vec_id
+              |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+              |e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |pairs AS (
+              |  SELECT c.query_id, c.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+              |           / (q.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM cand c
+              |  JOIN n q ON q.vec_id = c.query_id
+              |  JOIN n b ON b.vec_id = c.vec_id)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+              |  SELECT query_id, vec_id, sim,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |  FROM pairs)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
 
     Q("dedup_embedding_cosine",
       (s, d) => VectorOps.cosineNearDupPairs(embeddings(s, d), threshold = 0.45),

@@ -130,6 +130,45 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the second scale path
+    * next to hyperplane LSH. The label-mean centroids act as the coarse
+    * quantizer cells: every corpus vector is assigned to its nearest cell
+    * (quantized squared-L2 argmin, ties by cell id), each query probes its
+    * `nProbe` nearest cells, and only vectors in probed cells are re-ranked
+    * with exact cosine. At corpus scale the cell assignment is the partition
+    * key — a query touches nProbe/nCells of the data instead of all of it.
+    * Every step (quantized centroids, quantized distances, deterministic tie
+    * breaks) is replayed exactly by the DuckDB oracle.
+    */
+  def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = centroids(emb).select(col("label").as("cell"), col("pos"), q4(col("c")).as("c"))
+    val flat = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dists = flat.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c")))
+        .as("dist"))
+      .withColumn("dist", floor(col("dist") * 1000000 + 0.5) / 1000000)
+    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val ranked = dists.withColumn("rn", row_number().over(byDist))
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < maxQueryId && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val qvecs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
     * family): all pairs above the similarity threshold. Quadratic candidate
     * generation here is bounded by a label block (at corpus scale the LSH

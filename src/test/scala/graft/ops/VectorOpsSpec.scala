@@ -46,6 +46,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "all vectors in one bucket: hyperplanes broken")
   }
 
+  test("IVF-ANN: recall is decent and every reported pair is real") {
+    val brute = VectorOps.knnBruteForce(emb, maxQueryId = 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = VectorOps.ivfAnn(emb, maxQueryId = 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(s"IVF recall vs brute-force top-5: $recall")
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.2, s"recall $recall suspiciously low")
+  }
+
   test("native lsh_buckets matches the HOF per-plane reference, table by table") {
     val nTables = 4
     val ppt = 4

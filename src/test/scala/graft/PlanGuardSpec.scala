@@ -1,0 +1,61 @@
+package graft
+
+/** Guards on the PHYSICAL plans of scale-critical queries — the properties
+  * that make them survive a 100 TB input. A regression here (a broadcast
+  * silently becoming a sort-merge join, a filter no longer reaching the
+  * parquet scan, a projection reading dropped columns) would still pass the
+  * correctness gate, so these assert the plan shape itself.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("Q5 star join broadcasts every dimension (only the fact-fact edge may shuffle)") {
+    val plan = executedPlan("rel_q5_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("Q3 pushes the segment filter into the customer parquet scan") {
+    val plan = executedPlan("rel_q3_top_revenue_orders")
+    assert(plan.contains("PushedFilters") && plan.contains("c_mktsegment"),
+      s"segment filter not pushed to scan:\n$plan")
+  }
+
+  test("Q1 prunes the lineitem scan to the aggregated columns only") {
+    val plan = executedPlan("rel_q1_pricing_summary")
+    // ReadSchema must not pull join keys the query never touches
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey"),
+      s"lineitem scan reads unused columns:\n$plan")
+  }
+
+  test("text scans prune documents to the referenced columns") {
+    val plan = executedPlan("txt_stats_by_lang")
+    assert(!plan.contains("doc_id"),
+      s"documents scan reads doc_id for a lang-level aggregate:\n$plan")
+  }
+
+  test("semi/anti joins never materialize right-side payload columns") {
+    val semi = executedPlan("rel_join_semi")
+    assert(semi.contains("LeftSemi"), s"semi join lost its LeftSemi shape:\n$semi")
+    assert(!semi.contains("o_totalprice"),
+      s"semi join reads orders payload columns:\n$semi")
+    val anti = executedPlan("rel_join_anti")
+    assert(anti.contains("LeftAnti"), s"anti join lost its LeftAnti shape:\n$anti")
+  }
+
+  test("ANN candidate shuffles carry ids and buckets, never embedding arrays") {
+    val df = SparkEntry.queries("vec_ann_lsh")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "embedding" || n == "q"),
+        s"embedding array crosses a shuffle: ${out.mkString(",")}")
+    }
+  }
+}

@@ -286,6 +286,22 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_join_full_outer",
+      (s, d) => Relational.fullOuterOrderCounts(customer(s, d), orders(s, d), "F"),
+      Some("""SELECT match_type, count(*) AS n_rows,
+             |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS total_orders
+             |FROM (
+             |  SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+             |              WHEN o.o_custkey IS NULL THEN 'customer_only'
+             |              ELSE 'both' END AS match_type,
+             |         o.n_orders
+             |  FROM customer c
+             |  FULL OUTER JOIN (
+             |    SELECT o_custkey, count(*) AS n_orders
+             |    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) o
+             |  ON c.c_custkey = o.o_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
       Some("""SELECT l_partkey, p_name, p_brand,
@@ -954,11 +970,13 @@ object SparkEntry {
               |cent AS (
               |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
               |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
               |d AS (
-              |  SELECT f.vec_id, c.cell,
-              |    floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000 + 0.5) / 1000000 AS dist
-              |  FROM flat f JOIN cent c ON f.pos = c.pos
-              |  GROUP BY 1, 2),
+              |  SELECT e2.vec_id, cl.cell,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
               |r AS (
               |  SELECT vec_id, cell,
               |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -1001,6 +1019,8 @@ object SparkEntry {
 
     Q("vec_centroid_assign",
       (s, d) => VectorOps.centroidAssignConfusion(embeddings(s, d)),
+      // per-cell centroid ARRAYS + an ordered list_sum: the summation order
+      // (i = 1..64) is deterministic and matches the native sq_l2 fold
       Some(s"""WITH flat AS (
               |  SELECT vec_id, label AS true_label,
               |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
@@ -1010,11 +1030,13 @@ object SparkEntry {
               |  SELECT true_label AS c_label, pos,
               |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
               |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, label AS true_label, $DuckVec AS v FROM embeddings),
               |d AS (
-              |  SELECT f.vec_id, f.true_label, c.c_label,
-              |    floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000 + 0.5) / 1000000 AS dist
-              |  FROM flat f JOIN cent c ON f.pos = c.pos
-              |  GROUP BY 1, 2, 3),
+              |  SELECT e2.vec_id, e2.true_label, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
               |a AS (
               |  SELECT vec_id, true_label, c_label,
               |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn

@@ -62,6 +62,52 @@ object CosineSim {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
 }
 
+/** `sq_l2(a, b)` — squared L2 distance between two numeric arrays as a
+  * strict sequential left fold (i = 0..n-1) in double: deterministic across
+  * partitionings and bit-identical to a SQL `list_sum` over the same ordered
+  * list, unlike a grouped SUM whose combine order floats. The kernel of the
+  * centroid-assignment / IVF coarse-quantization paths.
+  */
+case class SqL2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_l2"
+
+  private def elemOf(e: Expression) =
+    e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+  private lazy val leftElem = elemOf(left)
+  private lazy val rightElem = elemOf(right)
+
+  private def at(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = at(x, i, leftElem) - at(y, i, rightElem)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqL2 = copy(left = newLeft, right = newRight)
+}
+
+object SqL2 {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_l2", exprs => SqL2(exprs.head, exprs(1)), "scala_udf")
+}
+
 /** All LSH table buckets of an embedding in ONE native pass. The HOF
   * formulation evaluates `aggregate(zip_with(...))` per hyperplane —
   * nTables×planesPerTable interpreted 64-element folds per row; this walks

@@ -100,6 +100,27 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** Full outer join: customer records against per-customer counts of
+    * orders in one status — rows survive from BOTH unmatched sides (the
+    * filter manufactures customers with no matching orders). Summarized to
+    * match-type counts so the result is scale-independent.
+    */
+  def fullOuterOrderCounts(customer: DataFrame, orders: DataFrame,
+                           status: String): DataFrame = {
+    val co = orders.filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"))
+      .join(co, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("match_type",
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both"))
+      .groupBy(col("match_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_orders")), lit(0L)).as("total_orders"))
+      .orderBy(col("match_type"))
+  }
+
   /** Top-k per group via ranking window: top-N orders per customer by price.
     * One shuffle on the partition key; rank predicate is applied before any
     * further join so the window output is pruned early.

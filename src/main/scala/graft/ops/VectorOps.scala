@@ -58,6 +58,32 @@ object VectorOps {
       .select(col("label"), col("pos"), q4(col("c")).as("c"))
       .orderBy(col("label"), col("pos"))
 
+  /** Quantized per-label centroid ARRAYS (pos-ordered): the broadcastable
+    * form every distance computation consumes — one row per cell instead of
+    * one row per (cell, dimension).
+    */
+  private def centroidArrays(emb: DataFrame): DataFrame =
+    centroids(emb)
+      .select(col("label").as("c_label"), col("pos"), q4(col("c")).as("c"))
+      .groupBy(col("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+
+  /** Squared-L2 distances of every vector to every cell centroid: a
+    * broadcast cross join of k cell rows against the corpus and one native
+    * sequential fold per pair (graft.functions.SqL2) — k rows per vector,
+    * not k×dim exploded rows, and a deterministic summation order shared
+    * with the SQL oracle.
+    */
+  private def cellDistances(emb: DataFrame): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("label").as("true_label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(centroidArrays(emb)))
+      .withColumn("dist",
+        floor(call_function("sq_l2", col("v"), col("cvec")) * 1000000 + 0.5) / 1000000)
+      .select(col("vec_id"), col("true_label"), col("c_label"), col("dist"))
+  }
+
   /** Brute-force cosine top-k for a query subset: broadcast the query
     * vectors, stream the corpus once, rank per query on the QUANTIZED
     * similarity (ties broken by vec_id) so ranking is reproducible across
@@ -141,13 +167,8 @@ object VectorOps {
     * breaks) is replayed exactly by the DuckDB oracle.
     */
   def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2): DataFrame = {
-    val cent = centroids(emb).select(col("label").as("cell"), col("pos"), q4(col("c")).as("c"))
-    val flat = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val dists = flat.join(broadcast(cent), Seq("pos"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c")))
-        .as("dist"))
-      .withColumn("dist", floor(col("dist") * 1000000 + 0.5) / 1000000)
+    val dists = cellDistances(emb).select(
+      col("vec_id"), col("c_label").as("cell"), col("dist"))
     val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
     val ranked = dists.withColumn("rn", row_number().over(byDist))
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
@@ -192,16 +213,7 @@ object VectorOps {
     * argmin; distances are quantized before ranking for the same reason.
     */
   def centroidAssignConfusion(emb: DataFrame): DataFrame = {
-    val cent = centroids(emb).select(col("label").as("c_label"), col("pos"), q4(col("c")).as("c"))
-    val flat = emb.select(col("vec_id"), col("label").as("true_label"),
-      posexplode(col("embedding")).as(Seq("pos", "v")))
-    val dists = flat.join(broadcast(cent), Seq("pos"))
-      .groupBy(col("vec_id"), col("true_label"), col("c_label"))
-      // (v-c)*(v-c), not pow(v-c, 2): Math.pow is not guaranteed bit-equal
-      // to plain multiplication, and the oracle side multiplies
-      .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c")))
-        .as("dist"))
-      .withColumn("dist", floor(col("dist") * 1000000 + 0.5) / 1000000)
+    val dists = cellDistances(emb)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
     dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("true_label"), col("c_label").as("assigned"))

@@ -286,6 +286,18 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_window_lead_lag",
+      (s, d) => Relational.leadLagQuartiles(orders(s, d), 200),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  round(o_totalprice, 2) AS price,
+             |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("rel_join_full_outer",
       (s, d) => Relational.fullOuterOrderCounts(customer(s, d), orders(s, d), "F"),
       Some("""SELECT match_type, count(*) AS n_rows,
@@ -606,7 +618,26 @@ object SparkEntry {
              |        SELECT event_id, event_type FROM events
              |        UNION ALL
              |        SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("ev_funnel",
+      (s, d) => EventOps.funnel(events(s, d)),
+      // stage comparisons run on the exact ns timestamps in both engines
+      // (Spark: ts_ns long; DuckDB: TIMESTAMP_NS), so > is tie-free
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS n_stage1,
+             |       (SELECT count(*) FROM c) AS n_stage2,
+             |       (SELECT count(*) FROM p) AS n_stage3""".stripMargin))
   )
 
   /** DuckDB-side normalized token list (must match TextOps.normalize/tokens:

@@ -95,4 +95,31 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** Ordered funnel (view → click → purchase): per user, the earliest view,
+    * then the earliest click strictly after it, then the earliest purchase
+    * strictly after that; output is the per-stage user count. Three
+    * aggregations co-partitioned on user_id (the natural funnel shuffle key
+    * at any scale); ordering uses the exact ns timestamp, so stage
+    * comparisons are tie-free across engines.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val Seq(s1, s2, s3) = stages
+    val v = events.filter(col("event_type") === s1)
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+    val c = events.filter(col("event_type") === s2)
+      .select(col("user_id"), col("ts_ns"))
+      .join(v, Seq("user_id"))
+      .filter(col("ts_ns") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+    val p = events.filter(col("event_type") === s3)
+      .select(col("user_id"), col("ts_ns"))
+      .join(c, Seq("user_id"))
+      .filter(col("ts_ns") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+    v.agg(count(lit(1)).as("n_stage1"))
+      .crossJoin(c.agg(count(lit(1)).as("n_stage2")))
+      .crossJoin(p.agg(count(lit(1)).as("n_stage3")))
+  }
 }

@@ -100,6 +100,23 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** Navigation + distribution window functions (lag / lead / ntile) over
+    * per-customer order history — one shuffle on the partition key, every
+    * function evaluated in the same window pass.
+    */
+  def leadLagQuartiles(orders: DataFrame, maxCustkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.filter(col("o_custkey") < maxCustkey)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Full outer join: customer records against per-customer counts of
     * orders in one status — rows survive from BOTH unmatched sides (the
     * filter manufactures customers with no matching orders). Summarized to

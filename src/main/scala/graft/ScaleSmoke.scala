@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.jsonstat.{JsonStat, JsonStatCube}
-import graft.ops.{DedupOps, EventOps}
+import graft.ops.{DedupOps, EventOps, VectorOps}
 
 /** Scale smoke-test main: drives the operators whose 100-TB story depends on
   * staying shuffle-free / signature-bounded, at synthetic row counts far
@@ -79,6 +79,39 @@ object ScaleSmoke {
     // 4. Exact dedup over ~250k docs with manufactured duplicates.
     timed("dedup_exact_250k_docs", 50L * docs.count()) {
       DedupOps.exactDupStats(bigDocs).collect()(0).getAs[Long]("n_distinct_texts")
+    }
+
+    // 5. Full MinHash-LSH near-dup pipeline over ~250k documents. Every
+    // token is salted with the copy id (so replicas are NOT near-dups of
+    // each other — without the salt every 50-copy group floods the band
+    // buckets) — the candidate volume stays proportional to the true
+    // near-dup rate, which is what holds at 100 TB.
+    val saltedDocs = spark.range(50).crossJoin(docs)
+      .withColumn("doc_id", col("id") * 1000000 + col("doc_id"))
+      .withColumn("text",
+        regexp_replace(col("text"), lit("(^| )"), concat(lit("$1c"), col("id"), lit("_"))))
+      .drop("id")
+    timed("minhash_lsh_pairs_250k_docs", 50L * docs.count()) {
+      DedupOps.minhashLshPairs(saltedDocs).count() + 50L * docs.count()
+    }
+
+    // 6. LSH-ANN over ~100k vectors: native bucketing + id-only candidate
+    // shuffle; copies are angle-perturbed so buckets spread realistically.
+    val emb = Tables.embeddings(spark, sfDir)
+    val bigEmb = spark.range(20).crossJoin(emb)
+      .withColumn("vec_id", col("id") * 1000000 + col("vec_id"))
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> x + CAST((id % 7 + i % 5) AS FLOAT) * 0.01f)"))
+      .drop("id")
+    timed("ann_lsh_100k_vectors", 20L * emb.count()) {
+      VectorOps.annLsh(bigEmb, maxQueryId = 5, k = 5).count() + 20L * emb.count()
+    }
+
+    // 7. IVF cell assignment over ~100k vectors: k broadcast centroid rows
+    // per vector, native sq_l2 — linear in the corpus, no wide shuffle.
+    timed("ivf_assign_100k_vectors", 20L * emb.count()) {
+      VectorOps.centroidAssignConfusion(bigEmb)
+        .agg(sum(col("n")).as("n")).collect()(0).getAs[Long]("n")
     }
 
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, ShingleHashes, SimHash61}
+import graft.functions.{BandHashes, CosineSim, IntersectCount, MinHashSig, ShingleHashes, SimHash61, SqL2}
 
 /** Standard Spark extension entry point: registers the engine's native
   * Catalyst functions permanently for a session, so any user (including pure
@@ -42,5 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(hashes[, k]) - k salted min-hashes"),
       exprs => MinHashSig(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32))))
+    e.injectFunction((
+      FunctionIdentifier("band_hashes"),
+      info("band_hashes", "band_hashes(sig[, bands[, rows_per_band]]) - 61-bit LSH band keys"),
+      exprs => BandHashes(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8),
+        exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(4))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a ∩ b| of two sorted long arrays"),
+      exprs => IntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - single-pass cosine similarity"),
+      exprs => CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sq_l2"),
+      info("sq_l2", "sq_l2(a, b) - squared L2 distance, sequential fold"),
+      exprs => SqL2(exprs.head, exprs(1))))
   }
 }

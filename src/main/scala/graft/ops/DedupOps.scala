@@ -146,7 +146,10 @@ object DedupOps {
     // cheaper to intersect than the shingle strings, same Jaccard value
     // modulo negligible 64-bit collisions; shingle_hashes already dedups)
     val sets = withSig.select(col("doc_id"), col("hs").as("hset"))
-    candidates
+    // the candidate pair list is orders of magnitude smaller than the
+    // shingle-set table — broadcast it onto both set joins so the wide hash
+    // arrays never shuffle
+    broadcast(candidates)
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
       .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))

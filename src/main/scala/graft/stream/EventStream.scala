@@ -68,6 +68,22 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming CONTENT dedup (the streaming member of the dedup family):
+    * records whose payload fingerprint (md5 over type+value+props) repeats
+    * within the watermark horizon are dropped, regardless of event_id — the
+    * bounded-state analogue of batch exact dedup. State holds one
+    * fingerprint per distinct payload per watermark window, so memory is
+    * bounded by the dedup horizon, not the stream length.
+    */
+  def dedupByContent(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp",
+        md5(concat_ws("|", col("event_type"), col("value"), col("props"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** G5-style idempotent streaming sink: every micro-batch writes its hourly
     * partitions with dynamic partition overwrite via `foreachBatch`, so a
     * replayed batch REPLACES its partitions instead of appending duplicates —

@@ -54,6 +54,19 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming content dedup drops payload-identical events like batch distinct") {
+    val got = runToTable(
+      EventStream.dedupByContent(EventStream.source(spark, sfDir)), "t_cdedup", "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = batchEvents
+      .withColumn("fp",
+        md5(concat_ws("|", col("event_type"), col("value"), col("props"))))
+      .dropDuplicates("fp")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("foreachBatch idempotent sink: replay overwrites partitions, no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("gold_stream").toString
     def runOnce(cp: String): Unit = {

@@ -620,6 +620,17 @@ object SparkEntry {
              |        SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("ev_retention",
+      (s, d) => EventOps.retention(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS d0
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+             |SELECT CAST(date_diff('day', u.d0, a.d) AS INTEGER) AS day_offset,
+             |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+             |FROM a JOIN u ON u.user_id = a.user_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("ev_funnel",
       (s, d) => EventOps.funnel(events(s, d)),
       // stage comparisons run on the exact ns timestamps in both engines
@@ -854,6 +865,13 @@ object SparkEntry {
               |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
               |  round(avg(n_bpe), 4) AS avg_bpe_tokens
               |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("txt_scrub_digits",
+      (s, d) => TextOps.scrubDigits(documents(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+             |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("txt_repetition",
       (s, d) => TextOps.repetitionStats(documents(s, d)),

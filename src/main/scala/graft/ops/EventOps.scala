@@ -96,6 +96,21 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Cohort retention: users grouped by their first active day; for each
+    * day-offset from that cohort day, how many distinct users were active.
+    * Two aggregations co-partitioned on user_id plus one small shuffle on
+    * the offset — the standard retention-curve shape at any scale.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val activeDays = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    activeDays.join(firstDay, Seq("user_id"))
+      .groupBy(datediff(col("d"), col("d0")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day_offset"))
+  }
+
   /** Ordered funnel (view → click → purchase): per user, the earliest view,
     * then the earliest click strictly after it, then the earliest purchase
     * strictly after that; output is the per-stage user count. Three

@@ -54,6 +54,17 @@ object TextOps {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** C4-style scrub pass: digit runs collapse to a `<NUM>` placeholder.
+    * Emits the match count and the fingerprint of the scrubbed text (the
+    * fingerprint makes the full rewritten payload oracle-comparable without
+    * shipping megabytes of text through the compare).
+    */
+  def scrubDigits(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("int").as("n_digit_runs"),
+      md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+
   /** Gopher-style repetition signals per document: distinct-token ratio and
     * the fraction of all bigrams taken by the single most frequent bigram.
     * Highly repetitive documents (boilerplate, keyword stuffing, generation

@@ -40,14 +40,19 @@ object Bench {
     }
     // The driver keeps only a 2000-char tail of the sbt output and parses the
     // JSON line out of it; sbt's trailing "[success] ..." line eats ~80 of
-    // those chars, so the line must stay well under ~1900 chars. 3-decimal
-    // (millisecond) resolution keeps 63 queries at ~1700 chars.
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // those chars, so the line must stay under ~1900 chars. Start at
+    // 3-decimal (millisecond) resolution and degrade to 2 decimals if the
+    // query count pushes the line over budget.
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    def render(decimals: Int): String = {
+      def f(v: Double): String = s"%.${decimals}f".format(v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val line = render(3)
+    println(if (line.length <= 1850) line else render(2))
     spark.stop()
   }
 }

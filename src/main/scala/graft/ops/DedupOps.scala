@@ -193,6 +193,9 @@ object DedupOps {
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sig", expr("simhash61(toks)"))
       .select(col("doc_id"), col("sig"))
+      // both sides of the band self-join read this — cache so the corpus is
+      // tokenized + hashed once (tiny: two longs per doc)
+      .persist()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(sig, b * 16) & 65535))"))

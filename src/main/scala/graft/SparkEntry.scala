@@ -223,6 +223,25 @@ object SparkEntry {
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("rel_approx_percentiles",
+      // sketch-based quantiles (approx_percentile / KLL-style) — the
+      // constant-memory path at 100 TB. Like rel_approx_distinct, the oracle
+      // checks the PROPERTY: the exact median must match and the sketch
+      // estimate must land within 5% of it (relative), asserted per group.
+      (s, d) => lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .select(col("l_returnflag"),
+          round(col("exact_p50"), 4).as("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            <= col("exact_p50") * 0.05).as("within_tol"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+             |  true AS within_tol
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     Q("rel_salted_agg",
       (s, d) => Relational.saltedAggregation(lineitem(s, d), 16),
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

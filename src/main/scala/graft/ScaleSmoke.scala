@@ -49,6 +49,21 @@ object ScaleSmoke {
         .count()
     }
 
+    // 1b. SPARSE densify at 100M cells with a 200k-entry value map: over
+    // the literal cap, the map becomes a distributed (i, value) frame
+    // LEFT-joined onto the range spine (AQE broadcasts it at this size) —
+    // no typedLit in the plan, lookup cost scales with the map, not the
+    // cube. 499 is coprime with 10^8, so the scattered keys are distinct.
+    val sparseVals = (0 until 200000)
+      .map(k => (k.toLong * 499L) % bigCube.n -> k.toDouble).toMap
+    val sparseCube = JsonStatCube(dims, None, Some(sparseVals))
+    timed("s2_densify_sparse_100M_cells", bigCube.n) {
+      val nonNull = JsonStat.densify(spark, sparseCube)
+        .filter(col("value").isNotNull).count()
+      require(nonNull == 200000L, s"sparse join lost values: $nonNull")
+      bigCube.n
+    }
+
     // 2. MinHash signatures over ~250k documents (docs x 50): constant-size
     // signature per doc, native expression kernels.
     val docs = Tables.documents(spark, sfDir)

@@ -811,7 +811,9 @@ object SparkEntry {
               |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
               |  FROM base a JOIN base b
-              |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+              |    ON a.lang = b.lang
+              |    AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+              |    AND a.doc_id < b.doc_id)
               |SELECT doc_a, doc_b, lang, round(j, 4) AS jaccard
               |FROM pairs WHERE round(j, 4) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
@@ -923,7 +925,8 @@ object SparkEntry {
       (s, d) => DedupOps.simhashPairs(documents(s, d)),
       // 61-bit Charikar simhash over per-token hashes: bit b of the signature
       // is set iff strictly more tokens have bit b set than clear; pairs
-      // agreeing on any 16-bit band are candidates, reported at hamming <= 8
+      // agreeing on any 16-bit band are candidates, reported at hamming <= 3
+      // (4 bands guarantee recall only up to radius 3 — pigeonhole)
       Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
               |th AS (SELECT doc_id,
               |    list_transform(toks, tok -> ${duckH61("tok")}) AS hs
@@ -941,7 +944,7 @@ object SparkEntry {
               |  FROM bd l JOIN bd r
               |    ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
               |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
@@ -1150,8 +1153,10 @@ object SparkEntry {
     // Scalar-only output (doc_id, n_bytes, feat_idx, feature): the driver's
     // canonicalization sorts rows by every column, which crashes on
     // array-typed cells — so the 8-float vector is posexploded into rows.
-    // Still rows-only (no oracle): the decode stub's rolling 64-bit hash is
-    // not expressible in DuckDB SQL.
+    // The stub feature is the MD5-61 hash of each payload octant scaled to
+    // [0,1) (float), so DuckDB replays it exactly: char substrings equal
+    // byte chunks on this ASCII corpus, and REAL/DOUBLE casts are IEEE on
+    // both engines.
     Q("mm_decode_features",
       (s, d) => {
         val ds = MultimodalOps.decodeFeatures(documents(s, d))
@@ -1162,7 +1167,19 @@ object SparkEntry {
               .as(Seq("feat_idx", "feature")))
           .orderBy(col("doc_id"), col("feat_idx"))
       },
-      None)
+      Some(s"""WITH j AS (SELECT unnest(range(0, 8)) AS feat_idx),
+              |c AS (
+              |  SELECT doc_id, octet_length(encode(text)) AS n_bytes, feat_idx,
+              |    substring(text,
+              |      CAST(feat_idx * octet_length(encode(text)) // 8 AS BIGINT) + 1,
+              |      CAST((feat_idx + 1) * octet_length(encode(text)) // 8
+              |        - feat_idx * octet_length(encode(text)) // 8 AS BIGINT)) AS chunk
+              |  FROM documents CROSS JOIN j)
+              |SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+              |  CAST(feat_idx AS INTEGER) AS feat_idx,
+              |  floor(CAST(CAST(CAST(${duckH61("chunk")} AS DOUBLE)
+              |    / 2305843009213693952.0 AS REAL) AS DOUBLE) * 10000 + 0.5) / 10000 AS feature
+              |FROM c ORDER BY doc_id, feat_idx""".stripMargin))
   )
 
   private def all: Seq[Q] =

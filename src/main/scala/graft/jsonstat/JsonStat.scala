@@ -107,19 +107,29 @@ object JsonStat {
     * the reference's `itertools.product` enumeration.
     *
     * Dense payloads distribute the `(i, value)` pairs and decode positions per
-    * row; sparse payloads build a distributed `spark.range(n)` spine and look
-    * the value up in a broadcast-sized map literal (missing ⇒ null, row kept).
+    * row. Sparse payloads build a distributed `spark.range(n)` spine; values
+    * up to `sparseLiteralMax` entries ride along as a broadcast-sized map
+    * literal (`element_at`, no shuffle at all), while larger maps become a
+    * distributed `(i, value)` frame LEFT-joined onto the spine — Spark
+    * broadcasts it while it fits and falls back to a shuffle join beyond
+    * that, so a billion-entry sparse cube densifies without ever
+    * materializing a literal in the plan. Missing indices ⇒ null, row KEPT
+    * (`process_hicp_silver.py:101–102`) in both shapes.
     */
-  def densify(spark: SparkSession, cube: JsonStatCube): DataFrame = {
+  def densify(spark: SparkSession, cube: JsonStatCube,
+              sparseLiteralMax: Int = 10000): DataFrame = {
     import spark.implicits._
     val indexed = (cube.denseValues, cube.sparseValues) match {
       case (Some(dense), _) =>
         spark.createDataset(dense.zipWithIndex.map { case (v, i) => (i.toLong, v) })
           .toDF("i", "value")
-      case (_, Some(sparse)) =>
+      case (_, Some(sparse)) if sparse.size <= sparseLiteralMax =>
         val m = typedLit(sparse)
         spark.range(cube.n).toDF("i")
           .withColumn("value", element_at(m, col("i")))
+      case (_, Some(sparse)) =>
+        val kv = spark.createDataset(sparse.toSeq).toDF("i", "value")
+        spark.range(cube.n).toDF("i").join(kv, Seq("i"), "left")
       case _ => throw new IllegalStateException("cube has no values")
     }
     decodeIndex(indexed, cube)

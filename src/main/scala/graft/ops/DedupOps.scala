@@ -91,7 +91,14 @@ object DedupOps {
       // both sides of the self-join read this — cache so tokenize+shingle
       // runs once (at cluster scale: checkpoint/write the shingled table)
       .persist()
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
+    // probe side fans each doc out to buckets {b-1, b, b+1} so near-dups
+    // whose lengths straddle a bucket edge are still compared (standard
+    // length-band trick; exact buckets silently drop a 31-char/33-char
+    // pair). Each qualifying pair matches exactly once: the probe buckets
+    // are distinct and the build side keeps its single true bucket.
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"),
+      col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -119,7 +126,8 @@ object DedupOps {
     * engines see identical buckets.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val rowsPerBand = k / bands
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val withSig = docs
@@ -146,10 +154,13 @@ object DedupOps {
     // cheaper to intersect than the shingle strings, same Jaccard value
     // modulo negligible 64-bit collisions; shingle_hashes already dedups)
     val sets = withSig.select(col("doc_id"), col("hs").as("hset"))
-    // the candidate pair list is orders of magnitude smaller than the
-    // shingle-set table — broadcast it onto both set joins so the wide hash
-    // arrays never shuffle
-    broadcast(candidates)
+    // the candidate pair list is normally orders of magnitude smaller than
+    // the shingle-set table — broadcast it onto both set joins so the wide
+    // hash arrays never shuffle. The hint is GATED on the actual candidate
+    // count: a degenerate corpus can make the pair set arbitrarily large,
+    // and past the cap we fall back to a shuffle join (AQE may still
+    // broadcast from runtime stats if it genuinely fits).
+    Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
       .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
@@ -186,8 +197,14 @@ object DedupOps {
   /** SimHash signatures + banded candidates: docs sharing any 16-bit band of
     * the 61-bit signature are candidates; report pairs within the given
     * hamming radius.
+    *
+    * Recall contract: 4 bands guarantee (pigeonhole) that every pair with
+    * hamming ≤ 3 shares at least one untouched band, so the default radius 3
+    * has EXACT recall — DedupOpsSpec checks it against brute-force hamming.
+    * A larger radius needs more band tables (guarantee holds for
+    * hamming < #bands), not a bigger filter constant.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     SimHash61.register(docs.sparkSession)
     val sigs = docs
       .withColumn("toks", TextOps.tokens(col("text")))

@@ -111,30 +111,33 @@ object EventOps {
       .orderBy(col("day_offset"))
   }
 
-  /** Ordered funnel (view → click → purchase): per user, the earliest view,
-    * then the earliest click strictly after it, then the earliest purchase
-    * strictly after that; output is the per-stage user count. Three
-    * aggregations co-partitioned on user_id (the natural funnel shuffle key
-    * at any scale); ordering uses the exact ns timestamp, so stage
-    * comparisons are tie-free across engines.
+  /** Ordered N-stage funnel (default view → click → purchase): per user, the
+    * earliest stage-1 event, then the earliest stage-2 event strictly after
+    * it, and so on; output is the per-stage user count (one `n_stageK`
+    * column per stage). One aggregation per stage, all co-partitioned on
+    * user_id (the natural funnel shuffle key at any scale); ordering uses
+    * the exact ns timestamp, so stage comparisons are tie-free across
+    * engines.
     */
   def funnel(events: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    val Seq(s1, s2, s3) = stages
-    val v = events.filter(col("event_type") === s1)
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
-    val c = events.filter(col("event_type") === s2)
-      .select(col("user_id"), col("ts_ns"))
-      .join(v, Seq("user_id"))
-      .filter(col("ts_ns") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
-    val p = events.filter(col("event_type") === s3)
-      .select(col("user_id"), col("ts_ns"))
-      .join(c, Seq("user_id"))
-      .filter(col("ts_ns") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
-    v.agg(count(lit(1)).as("n_stage1"))
-      .crossJoin(c.agg(count(lit(1)).as("n_stage2")))
-      .crossJoin(p.agg(count(lit(1)).as("n_stage3")))
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val evts = events.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts_ns"))
+        val reached = acc.headOption match {
+          case None =>
+            evts.groupBy(col("user_id")).agg(min(col("ts_ns")).as(s"t${i + 1}"))
+          case Some(prev) =>
+            evts.join(prev, Seq("user_id"))
+              .filter(col("ts_ns") > col(s"t$i"))
+              .groupBy(col("user_id")).agg(min(col("ts_ns")).as(s"t${i + 1}"))
+        }
+        reached :: acc
+    }.reverse
+    perStage.zipWithIndex
+      .map { case (df, i) => df.agg(count(lit(1)).as(s"n_stage${i + 1}")) }
+      .reduce(_.crossJoin(_))
   }
 }

@@ -56,15 +56,24 @@ object MultimodalOps {
       }
   }
 
-  /** Deterministic fake "decoder": 8 floats from a rolling byte hash. */
+  /** Deterministic fake "decoder": one feature per payload OCTANT — the
+    * MD5-61 hash of the chunk's bytes (the same kernel as the dedup family)
+    * scaled into [0, 1). Chunk j covers bytes [⌊j·n/8⌋, ⌊(j+1)·n/8⌋), the
+    * byte-level shape of per-frame features. Being MD5-based, the whole
+    * stub is replayable in SQL (`md5_number_lower` over char substrings —
+    * identical to byte chunks for any single-byte encoding), so the query
+    * has a full DuckDB oracle instead of a rows-only check.
+    */
   private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % 8) += ((h >>> 32) & 0xffff).toFloat / 65536f
-      i += 1
+    val n = bytes.length
+    var j = 0
+    while (j < 8) {
+      val from = (j.toLong * n / 8).toInt
+      val until = ((j + 1).toLong * n / 8).toInt
+      val h = graft.functions.Md5Hash61.hash61(java.util.Arrays.copyOfRange(bytes, from, until))
+      out(j) = (h.toDouble / 2305843009213693952.0).toFloat // h / 2^61 ∈ [0,1)
+      j += 1
     }
     out
   }

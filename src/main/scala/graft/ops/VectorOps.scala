@@ -132,7 +132,8 @@ object VectorOps {
     * sets onto the corpus scan, so no 64-float payload ever shuffles.
     */
   def annLsh(emb: DataFrame, maxQueryId: Int, k: Int,
-             nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+             nTables: Int = 4, planesPerTable: Int = 4,
+             maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val planes = hyperplanes(nTables * planesPerTable)
     graft.functions.LshBuckets.register(emb.sparkSession,
       planes.map(_.toArray).toArray, planesPerTable)
@@ -146,7 +147,9 @@ object VectorOps {
       .dropDuplicates("query_id", "vec_id")
     val qvecs = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val pairs = emb.join(broadcast(cand), Seq("vec_id"))
+    // query vectors are bounded by maxQueryId (safe to hint); the candidate
+    // set is data-dependent — gate its broadcast on the actual count
+    val pairs = emb.join(Exec.broadcastIfSmall(cand, maxBroadcastCandidates), Seq("vec_id"))
       .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -166,7 +169,8 @@ object VectorOps {
     * Every step (quantized centroids, quantized distances, deterministic tie
     * breaks) is replayed exactly by the DuckDB oracle.
     */
-  def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2): DataFrame = {
+  def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
+             maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val dists = cellDistances(emb).select(
       col("vec_id"), col("c_label").as("cell"), col("dist"))
     val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
@@ -180,7 +184,9 @@ object VectorOps {
       .dropDuplicates("query_id", "vec_id")
     val qvecs = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val pairs = emb.join(broadcast(cand), Seq("vec_id"))
+    // same gate as annLsh: probe fan-out makes the candidate count
+    // data-dependent, so the broadcast hint must be earned, not assumed
+    val pairs = emb.join(Exec.broadcastIfSmall(cand, maxBroadcastCandidates), Seq("vec_id"))
       .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))

@@ -107,8 +107,12 @@ object EventStream {
 
   /** Custom sessionization state machine via flatMapGroupsWithState — the
     * arbitrary-stateful-processing escape hatch for semantics the built-in
-    * session_window can't express. Emits one row per closed session; open
-    * sessions flush on event-time timeout.
+    * session_window can't express. Emits one row per closed session; the
+    * open session flushes (and its state row is REMOVED) on event-time
+    * timeout, so the state store holds at most one row per currently-active
+    * user — bounded by the gap + watermark horizon, not the stream length.
+    * A user seen once and never again costs one state row until
+    * `last event + gap` passes the watermark, then nothing.
     */
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(userId: Long, nEvents: Int, durationSec: Double)
@@ -117,29 +121,47 @@ object EventStream {
                          gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
     events
-      .selectExpr("user_id", "ts_ns div 1000 as ts_us")
-      .as[(Long, Long)]
+      // the watermark both bounds lateness and drives the timeout clock
+      .withWatermark("ts", "1 hour")
+      .selectExpr("user_id", "ts", "ts_ns div 1000 as ts_us")
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (userId, rows, state: GroupState[List[SessionState]]) =>
-          // micro-batch arrives unordered: sort within the batch, then fold
-          val times = rows.map(_._2).toSeq.sorted
-          val init = state.getOption.getOrElse(Nil)
-          var sessions = init
-          var closed = List.empty[SessionOut]
-          for (t <- times) sessions match {
-            case cur :: rest if t - cur.last <= gapUs =>
-              sessions = cur.copy(last = t, n = cur.n + 1) :: rest
-            case cur :: rest =>
-              closed ::= SessionOut(userId, cur.n, (cur.last - cur.start) / 1e6)
-              sessions = SessionState(t, t, 1) :: rest
-            case Nil =>
-              sessions = SessionState(t, t, 1) :: Nil
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the open
+            // session can never be extended — emit it and EVICT the row
+            val out = state.getOption
+              .map(s => SessionOut(userId, s.n, (s.last - s.start) / 1e6))
+              .iterator
+            state.remove()
+            out
+          } else {
+            // micro-batch arrives unordered: sort within the batch, then fold
+            val times = rows.map(_._3).toSeq.sorted
+            var open = state.getOption
+            var closed = List.empty[SessionOut]
+            for (t <- times) open match {
+              case Some(cur) if t - cur.last <= gapUs =>
+                open = Some(cur.copy(last = t, n = cur.n + 1))
+              case Some(cur) =>
+                closed ::= SessionOut(userId, cur.n, (cur.last - cur.start) / 1e6)
+                open = Some(SessionState(t, t, 1))
+              case None =>
+                open = Some(SessionState(t, t, 1))
+            }
+            open.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes the session gap; the engine
+              // rejects timestamps at/behind the current watermark, so clamp
+              state.setTimeoutTimestamp(
+                math.max(s.last / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
           }
-          state.update(sessions)
-          closed.reverseIterator
       }
       .toDF("user_id", "n_events", "duration_sec")
   }

@@ -58,4 +58,21 @@ class PlanGuardSpec extends SparkSpec {
         s"embedding array crosses a shuffle: ${out.mkString(",")}")
     }
   }
+
+  test("LSH verification broadcast is gated: over the cap the query still runs unhinted") {
+    val docs = Tables.documents(spark, sfDir)
+    // force the gate shut: every candidate count exceeds a cap of 0
+    val gated = graft.ops.DedupOps.minhashLshPairs(docs, maxBroadcastCandidates = 0L)
+    val hinted = graft.ops.DedupOps.minhashLshPairs(docs)
+    // no broadcast HINT on the gated plan's candidate joins (AQE may still
+    // choose broadcast from runtime stats — the point is the mandatory hint
+    // and its OOM risk are gone)
+    val logical = gated.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      s"gated plan still carries a broadcast hint:\n$logical")
+    // and the results are identical either way
+    val a = gated.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, s"gating changed results: ${(a -- b) ++ (b -- a)}")
+  }
 }

@@ -96,6 +96,22 @@ class JsonStatSpec extends SparkSpec {
     }
   }
 
+  test("sparse densify over the literal cap: spine join path == literal path") {
+    val dims = Seq(
+      "geo" -> IndexedSeq("LU", "DE"),
+      "time" -> (0 until 6).map(i => f"2024M$i%02d").toIndexedSeq)
+    val cube = JsonStatCube(dims, None, Some(Map(0L -> 1.0, 5L -> 2.5, 11L -> 3.0)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val viaLiteral = rowsOf(JsonStat.densify(spark, cube))
+    // cap of 0 forces the exploded (i, value) frame + range-spine LEFT join
+    val viaJoin = rowsOf(JsonStat.densify(spark, cube, sparseLiteralMax = 0))
+    assert(viaJoin == viaLiteral)
+    assert(viaJoin.size == 12, "all 12 cells present, missing ones as null rows")
+    assert(viaJoin.values.count(_.isEmpty) == 9)
+  }
+
   test("error: missing dimension/value keys") {
     intercept[IllegalArgumentException] {
       JsonStat.parse("""{"id": ["geo"], "size": [1], "value": [1.0]}""")

@@ -79,4 +79,41 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("SimHash banding has exact recall at the advertised radius (vs brute force)") {
+    // 4×16-bit bands guarantee a shared band for hamming <= 3 (pigeonhole);
+    // this pins the contract by comparing against brute-force hamming over
+    // ALL signature pairs of the 500-doc sample
+    graft.functions.SimHash61.register(spark)
+    val sigs = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sig", expr("simhash61(toks)"))
+      .select(col("doc_id"), col("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupOps.simhashPairs(docs) // default radius 3
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missed: ${brute -- banded}; spurious: ${banded -- brute}")
+  }
+
+  test("Jaccard blocking compares near-dups straddling a length-bucket edge") {
+    // 31 vs 33 chars: buckets 1 and 2 under width 16 — exact-bucket blocking
+    // would never compare these two near-identical docs
+    val t1 = "alpha beta gamma delta epsilon1" // 31 chars
+    val t2 = "alpha beta gamma delta epsilon123" // 33 chars
+    assert(t1.length == 31 && t2.length == 33)
+    val df = Seq((1L, "en", t1), (2L, "en", t2))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+    val pairs = DedupOps.ngramJaccardPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"boundary-straddling near-dup pair must be found; got ${pairs.toSeq}")
+  }
 }

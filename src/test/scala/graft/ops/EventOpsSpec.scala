@@ -13,6 +13,22 @@ class EventOpsSpec extends SparkSpec {
     assert(s1 > 0, "no users entered the funnel — degenerate data")
   }
 
+  test("funnel generalizes to N stages (4-stage run, monotone, prefix-consistent)") {
+    import spark.implicits._
+    // user 1 completes all 4 stages in order; user 2 stalls after stage 2;
+    // user 3 does stage 2 BEFORE stage 1, so never advances past stage 1
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "d"),
+      (2L, 10L, "a"), (2L, 20L, "b"),
+      (3L, 20L, "a"), (3L, 10L, "b"))
+      .toDF("user_id", "ts_ns", "event_type")
+    val r = EventOps.funnel(ev, Seq("a", "b", "c", "d")).collect()(0)
+    assert((0 until 4).map(r.getLong) == Seq(3L, 2L, 1L, 1L))
+    // 3-stage prefix over the same data agrees with the 4-stage run's prefix
+    val p = EventOps.funnel(ev, Seq("a", "b", "c")).collect()(0)
+    assert((0 until 3).map(p.getLong) == Seq(3L, 2L, 1L))
+  }
+
   test("retention: day-0 row counts every user exactly once") {
     val rows = EventOps.retention(events).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -83,14 +83,54 @@ class EventStreamSpec extends SparkSpec {
     assert(afterReplay == afterFirst, "replay must overwrite, not append")
   }
 
-  test("flatMapGroupsWithState sessionizer closes all but the open session per user") {
+  test("flatMapGroupsWithState sessionizer closes sessions; open ones flush by timeout") {
     val closed = runToTable(
       EventStream.statefulSessionize(spark, EventStream.source(spark, sfDir)),
       "t_fmgws", "append")
     val batch = EventOps.sessionize(batchEvents)
     val totalSessions = batch.agg(sum("n_sessions")).collect()(0).getLong(0)
     val nUsers = batch.count()
-    // one micro-batch: each user's final session stays open (NoTimeout)
-    assert(closed.count() == totalSessions - nUsers)
+    // gap-closed sessions all emit; each user's final (open) session emits
+    // too iff the final watermark (max event - 1h) passed its last + gap
+    val maxUs = batchEvents.agg(max(expr("ts_ns div 1000"))).collect()(0).getLong(0)
+    val wmMs = maxUs / 1000L - 3600L * 1000L
+    val gapMs = 30L * 60L * 1000L
+    val flushedUsers = batchEvents.groupBy("user_id")
+      .agg(max(expr("ts_ns div 1000")).as("last_us"))
+      .filter(col("last_us") / 1000L + gapMs < wmMs)
+      .count()
+    assert(closed.count() == totalSessions - nUsers + flushedUsers)
+  }
+
+  test("stateful sessionize: idle user flushes on watermark advance and state row is evicted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val src = mem.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withColumn("ts_ns", col("ts_us") * 1000L)
+    val q = EventStream.statefulSessionize(spark, src)
+      .writeStream.outputMode("append").format("memory").queryName("t_evict").start()
+    val hourUs = 3600L * 1000000L
+    // user 1: events at 10:00 and 10:10 — one open session, then idle forever
+    mem.addData((1L, 10 * hourUs), (1L, 10 * hourUs + 600L * 1000000L))
+    q.processAllAvailable()
+    // user 2 at 14:00 advances the watermark to 13:00 (> user 1's 10:40 timeout)
+    mem.addData((2L, 14 * hourUs))
+    q.processAllAvailable()
+    // one more batch so the expired timeout is definitely processed
+    mem.addData((2L, 14 * hourUs + 60L * 1000000L))
+    q.processAllAvailable()
+    val rows = spark.table("t_evict").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 2, 600.0)),
+      s"idle user's open session must flush on timeout; got $rows")
+    // the state store must hold ONLY user 2's open session — user 1 evicted
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+    assert(lastState.numRowsTotal == 1,
+      s"expected 1 state row after eviction, got ${lastState.numRowsTotal}")
+    q.stop()
   }
 }

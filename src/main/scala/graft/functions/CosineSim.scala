@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSession
@@ -17,39 +17,28 @@ import org.apache.spark.sql.SparkSession
   * results are bit-identical to both.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
-
-  private def valueAt(arr: ArrayData, i: Int, elem: DataType): Double = elem match {
-    case FloatType => arr.getFloat(i).toDouble
-    case _ => arr.getDouble(i)
-  }
 
   private lazy val leftElem =
     left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
   private lazy val rightElem =
     right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = valueAt(x, i, leftElem)
-      val yv = valueAt(y, i, rightElem)
-      dot += xv * yv
-      nx += xv * xv
-      ny += yv * yv
-      i += 1
-    }
-    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(CosineSim.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftElem == FloatType, rightElem == FloatType))
+
+  // codegen emits a direct static call (the loop itself is already compiled
+  // Scala): no per-row virtual eval() dispatch, no Double boxing, and the
+  // expression no longer breaks the surrounding WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSim.compute($a, $b, " +
+        s"${leftElem == FloatType}, ${rightElem == FloatType});")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CosineSim =
@@ -57,6 +46,26 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
+  /** One pass over both arrays: dot, |a|², |b|² together, sequential left
+    * fold in double (i = 0..n-1). Static so generated code can call it.
+    */
+  def compute(x: ArrayData, y: ArrayData, xIsFloat: Boolean, yIsFloat: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
@@ -69,7 +78,7 @@ object CosineSim {
   * centroid-assignment / IVF coarse-quantization paths.
   */
 case class SqL2(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq_l2"
@@ -79,30 +88,36 @@ case class SqL2(left: Expression, right: Expression)
   private lazy val leftElem = elemOf(left)
   private lazy val rightElem = elemOf(right)
 
-  private def at(arr: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => arr.getFloat(i).toDouble
-    case _ => arr.getDouble(i)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(SqL2.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftElem == FloatType, rightElem == FloatType))
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = at(x, i, leftElem) - at(y, i, rightElem)
-      acc += d * d
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SqL2.compute($a, $b, " +
+        s"${leftElem == FloatType}, ${rightElem == FloatType});")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SqL2 = copy(left = newLeft, right = newRight)
 }
 
 object SqL2 {
+  /** Strict sequential left fold of (x_i − y_i)², static for codegen. */
+  def compute(x: ArrayData, y: ArrayData, xIsFloat: Boolean, yIsFloat: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq_l2", exprs => SqL2(exprs.head, exprs(1)), "scala_udf")

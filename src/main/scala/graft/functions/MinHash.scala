@@ -214,14 +214,32 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
   * compares, ~5-10x cheaper than `array_intersect`'s generic set build.
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(IntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  // direct static call from generated code: the merge walk stays compiled
+  // Scala, but the per-pair virtual eval() + boxing disappear and the
+  // verification filter stays inside WholeStageCodegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectCount = copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+  /** Merge walk over two SORTED long arrays; static for codegen. */
+  def compute(x: ArrayData, y: ArrayData): Int = {
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0
     var j = 0
@@ -235,9 +253,6 @@ case class IntersectCount(left: Expression, right: Expression)
     }
     c
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): IntersectCount = copy(left = newLeft, right = newRight)
 }
 
 object MinHashFunctions {

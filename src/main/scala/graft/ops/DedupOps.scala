@@ -91,17 +91,21 @@ object DedupOps {
       // both sides of the self-join read this — cache so tokenize+shingle
       // runs once (at cluster scale: checkpoint/write the shingled table)
       .persist()
-    // probe side fans each doc out to buckets {b-1, b, b+1} so near-dups
-    // whose lengths straddle a bucket edge are still compared (standard
-    // length-band trick; exact buckets silently drop a 31-char/33-char
-    // pair). Each qualifying pair matches exactly once: the probe buckets
-    // are distinct and the build side keeps its single true bucket.
+    // length-band trick: the probe side fans each doc out to buckets
+    // {b, b+1} so near-dups whose lengths straddle a bucket edge are still
+    // compared (exact buckets silently drop a 31-char/33-char pair). Each
+    // unordered pair matches exactly once — same-bucket pairs via the
+    // doc_a < doc_b half of the `up = 0` orientation, adjacent-bucket pairs
+    // only when the SHORTER doc probes up (`up = 1`) — so no dedup pass and
+    // no double intersections; ids are least/greatest-normalized on output.
+    // Probing {b, b+1} instead of {b-1, b, b+1} keeps the duplicated
+    // shingle arrays in the exchange at 2x, not 3x.
     val a = base.select(col("doc_id").as("doc_a"), col("lang"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"),
+      posexplode(array(col("bucket"), col("bucket") + 1)).as(Seq("up", "bucket")),
       col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("up") === 1 || col("doc_a") < col("doc_b"))
       .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       // shingle_hashes emits sorted arrays: the intersection is a native
       // merge walk (sorted_intersect_count), not a per-pair hash set
@@ -109,7 +113,8 @@ object DedupOps {
       .withColumn("jaccard", round(
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("lang"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSession
@@ -133,11 +133,12 @@ object SqL2 {
   * `planes` is the deterministic ±1 hyperplane matrix (VectorOps
   * .hyperplanes); bucket bit j of table t is the sign of plane t·ppt+j.
   */
+// stays CodegenFallback deliberately — see the measured CODEGEN NOTE in
+// MinHash.scala (warm-identical, one-shot compile cost on the ANN queries)
 case class LshBuckets(child: Expression, planes: Array[Array[Double]],
                       planesPerTable: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
-
-  private val nTables = planes.length / planesPerTable
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
@@ -147,16 +148,24 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
   private lazy val elem =
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
-  override protected def nullSafeEval(embedding: Any): Any = {
-    val e = embedding.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(embedding: Any): Any =
+    LshBuckets.compute(embedding.asInstanceOf[ArrayData], planes, planesPerTable,
+      elem == FloatType)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  /** All table buckets in one pass; static for codegen. */
+  def compute(e: ArrayData, planes: Array[Array[Double]], planesPerTable: Int,
+              isFloat: Boolean): ArrayData = {
+    val nTables = planes.length / planesPerTable
     val n = e.numElements()
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
-      v(i) = elem match {
-        case FloatType => e.getFloat(i).toDouble
-        case _ => e.getDouble(i)
-      }
+      v(i) = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
       i += 1
     }
     val out = new Array[Long](nTables)
@@ -179,11 +188,6 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
-    copy(child = newChild)
-}
-
-object LshBuckets {
   /** Register `lsh_buckets(embedding) -> array<bigint>` bound to the given
     * plane matrix (the matrix is deterministic, so re-registration with the
     * same parameters is idempotent in effect).

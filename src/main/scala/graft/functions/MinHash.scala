@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSession
@@ -92,16 +92,35 @@ object Md5Hash61 {
   * (winnowing input). Hash-identical to DuckDB's
   * `md5_number_lower(array_to_string(toks[i:i+n-1], ' ')) & (2^61-1)`.
   */
+/* CODEGEN NOTE (measured, r3): the array-kernel expressions below
+ * (ShingleHashes, MinHashSig, BandHashes — and SimHash61/LshBuckets in
+ * their files) deliberately stay CodegenFallback. A doGenCode variant
+ * (static call, same shape as CosineSim.compute) measured IDENTICAL warm
+ * throughput at sf0.1 — their cost is the MD5/array loop itself, not eval()
+ * dispatch — while the extra generated-class compilation added ~1-2 s of
+ * one-shot latency to the dedup queries. The scalar per-pair kernels
+ * (CosineSim, SqL2, IntersectCount) keep codegen: they sit inside hot
+ * join filters where staying in the WholeStageCodegen span does win.
+ */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = if (distinct) "shingle_hashes" else "shingle_hash_seq"
 
+  override protected def nullSafeEval(tokens: Any): Any =
+    ShingleHashes.compute(tokens.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
   private val space = Array(' '.toByte)
 
-  override protected def nullSafeEval(tokens: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
+  /** Static so generated code can call it directly. */
+  def compute(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
     // each token participates in up to n shingles — extract its bytes once
@@ -134,23 +153,31 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     java.util.Arrays.sort(out) // all values ≥ 0: signed sort == unsigned sort
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
 }
 
 /** `minhash_sig(hashes[, k])` → k affine-permutation min-hashes of a long
   * array: one pass over the elements, k permutations each (6 ALU ops).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k <= Md5Hash61.AB.length, s"k=$k exceeds permutation table")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(hashes: Any): Any = {
-    val arr = hashes.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(hashes: Any): Any =
+    MinHashSig.compute(hashes.asInstanceOf[ArrayData], k)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** One pass over the hashes, k affine permutations each; static for
+    * codegen.
+    */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val m = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -167,9 +194,6 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
 }
 
 /** `band_hashes(sig[, bands[, rows_per_band]])` → one 61-bit key per LSH
@@ -181,13 +205,22 @@ case class MinHashSig(child: Expression, k: Int)
   * exact-Jaccard verification step absorbs anyway.
   */
 case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_hashes"
 
-  override protected def nullSafeEval(sig: Any): Any = {
-    val arr = sig.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(sig: Any): Any =
+    BandHashes.compute(sig.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  /** Affine fold per band; static for codegen. */
+  def compute(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -202,9 +235,6 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): BandHashes =
-    copy(child = newChild)
 }
 
 /** `sorted_intersect_count(a, b)` → |a ∩ b| for two SORTED distinct long
@@ -226,10 +256,7 @@ case class IntersectCount(left: Expression, right: Expression)
   // direct static call from generated code: the merge walk stays compiled
   // Scala, but the per-pair virtual eval() + boxing disappear and the
   // verification filter stays inside WholeStageCodegen
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.IntersectCount.compute($a, $b);")
 

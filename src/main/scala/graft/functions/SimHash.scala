@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.sql.SparkSession
@@ -20,15 +19,34 @@ import org.apache.spark.sql.SparkSession
   * the identical value with `md5_number_lower` + bit arithmetic, giving this
   * operator an exact external oracle.
   */
+// stays CodegenFallback deliberately — see the measured CODEGEN NOTE in
+// MinHash.scala (warm-identical, one-shot compile cost on the dedup family)
 case class SimHash61(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash61"
 
-  override protected def nullSafeEval(tokens: Any): Any = {
-    val cache = SimHash61.tokenCache.get()
-    val arr = tokens.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(tokens: Any): Any =
+    java.lang.Long.valueOf(SimHash61.compute(tokens.asInstanceOf[ArrayData]))
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash61 =
+    copy(child = newChild)
+}
+
+object SimHash61 {
+  /** Cap on the per-thread token→hash memo (bounds executor memory; at the
+    * cap the memo simply stops admitting new tokens, staying correct).
+    */
+  private[functions] val MaxCachedTokens = 1 << 16
+
+  private[functions] val tokenCache: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long](1 << 12))
+
+  /** Charikar construction over the token array; static for codegen. */
+  def compute(arr: ArrayData): Long = {
+    val cache = tokenCache.get()
     val counts = new Array[Int](61)
     var i = 0
     val n = arr.numElements()
@@ -41,7 +59,7 @@ case class SimHash61(child: Expression)
         if (boxed == null) {
           boxed = java.lang.Long.valueOf(
             Md5Hash61.hash61(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          if (cache.size < SimHash61.MaxCachedTokens) cache.put(t, boxed)
+          if (cache.size < MaxCachedTokens) cache.put(t, boxed)
         }
         val h = boxed.longValue()
         var b = 0
@@ -58,21 +76,8 @@ case class SimHash61(child: Expression)
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash61 =
-    copy(child = newChild)
-}
-
-object SimHash61 {
-  /** Cap on the per-thread token→hash memo (bounds executor memory; at the
-    * cap the memo simply stops admitting new tokens, staying correct).
-    */
-  private[functions] val MaxCachedTokens = 1 << 16
-
-  private[functions] val tokenCache: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long](1 << 12))
 
   /** Register `simhash61(array<string>) -> bigint` for use via `expr(...)`
     * and SQL. Idempotent per session.

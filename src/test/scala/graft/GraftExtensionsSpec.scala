@@ -37,6 +37,8 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("codegen'd kernels compile under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // only the scalar per-pair kernels carry doGenCode — the array kernels
+    // stay CodegenFallback by measurement (see CODEGEN NOTE in MinHash.scala)
     graft.functions.CosineSim.register(spark)
     graft.functions.SqL2.register(spark)
     graft.functions.MinHashFunctions.register(spark)

@@ -717,6 +717,38 @@ object SparkEntry {
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // cross-corpus 5-gram repetition (boilerplate / contamination scan):
+    // per-doc DISTINCT shingle sets, so count(*) after the explode is the
+    // document frequency
+    Q("txt_crossdoc_ngrams",
+      (s, d) => TextOps.crossDocNgrams(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |s AS (SELECT unnest(list_distinct(list_transform(range(len(toks) - 4),
+              |        i -> array_to_string(toks[i + 1:i + 5], ' ')))) AS ngram
+              |      FROM t WHERE len(toks) >= 5),
+              |g AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY 1)
+              |SELECT ngram, n_docs FROM g WHERE n_docs >= 2
+              |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin)),
+
+    // tf-idf top terms per language; both engines rank on the 4dp
+    // floor-quantized score (ties by token) so ordering is engine-stable
+    Q("txt_tfidf_top_terms",
+      (s, d) => TextOps.tfidfTopTerms(documents(s, d)),
+      Some(s"""WITH e AS (SELECT doc_id, lang, unnest($DuckToks) AS token FROM documents),
+              |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+              |       FROM e GROUP BY 1, 2),
+              |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              |       FROM (SELECT DISTINCT doc_id, token FROM e) GROUP BY 1),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+              |s AS (SELECT lang, token,
+              |        floor(tf * ln(CAST(n_total AS DOUBLE) / df) * 10000 + 0.5) / 10000 AS score
+              |      FROM tf JOIN df USING (token) CROSS JOIN n),
+              |r AS (SELECT lang, token, score,
+              |        CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS INTEGER) AS rank
+              |      FROM s)
+              |SELECT lang, rank, token, score FROM r WHERE rank <= 10
+              |ORDER BY lang, rank""".stripMargin)),
+
     Q("txt_quality_score",
       (s, d) => TextOps.qualityScore(documents(s, d)),
       Some(s"""WITH t AS (

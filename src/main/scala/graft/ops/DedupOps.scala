@@ -80,7 +80,8 @@ object DedupOps {
     * collisions (P ≈ n²/2⁶⁵ — negligible at any realistic block size).
     */
   def ngramJaccardPairs(docs: DataFrame, bucketWidth: Int = 16,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val base = docs
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -88,33 +89,48 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .withColumn("bucket", (col("n_chars") / bucketWidth).cast("long"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
-      // both sides of the self-join read this — cache so tokenize+shingle
-      // runs once (at cluster scale: checkpoint/write the shingled table)
+      // both the candidate pass and the verification join read this — cache
+      // so tokenize+shingle runs once (at cluster scale: checkpoint/write
+      // the shingled table)
       .persist()
-    // length-band trick: the probe side fans each doc out to buckets
+    // candidate generation runs entirely on NARROW columns — (doc_id, lang,
+    // bucket, |sh|) — so no shingle array ever enters the length-band
+    // exchange (the same arrays-stay-home shape as the LSH verification).
+    // Length-band trick: the probe side fans each doc out to buckets
     // {b, b+1} so near-dups whose lengths straddle a bucket edge are still
     // compared (exact buckets silently drop a 31-char/33-char pair). Each
     // unordered pair matches exactly once — same-bucket pairs via the
     // doc_a < doc_b half of the `up = 0` orientation, adjacent-bucket pairs
-    // only when the SHORTER doc probes up (`up = 1`) — so no dedup pass and
-    // no double intersections; ids are least/greatest-normalized on output.
-    // Probing {b, b+1} instead of {b-1, b, b+1} keeps the duplicated
-    // shingle arrays in the exchange at 2x, not 3x.
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+    // only when the SHORTER doc probes up (`up = 1`) — so no dedup pass;
+    // the size-ratio prune runs here on the carried |sh| counts, before
+    // any array is touched.
+    val narrow = base.select(col("doc_id"), col("lang"), col("bucket"),
+      size(col("sh")).as("ns"))
+    val a = narrow.select(col("doc_id").as("doc_a"), col("lang"),
       posexplode(array(col("bucket"), col("bucket") + 1)).as(Seq("up", "bucket")),
-      col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "bucket"))
+      col("ns").as("ns_a"))
+    val b = narrow.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
+      col("ns").as("ns_b"))
+    val candidates = a.join(b, Seq("lang", "bucket"))
       .filter(col("up") === 1 || col("doc_a") < col("doc_b"))
-      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
+      .filter(least(col("ns_a"), col("ns_b")).cast("double")
+        / greatest(col("ns_a"), col("ns_b")) >= threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("lang"))
+    // verification attaches the sorted hash arrays by joining the (gated)
+    // candidate list onto the shingled table — when candidates broadcast,
+    // the arrays never shuffle at all
+    val sets = base.select(col("doc_id"), col("sh"))
+    Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       // shingle_hashes emits sorted arrays: the intersection is a native
       // merge walk (sorted_intersect_count), not a per-pair hash set
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("lang"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.12 +
@@ -192,5 +193,55 @@ object TextOps {
       .groupBy(col("lang"), col("guessed"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("guessed"))
+  }
+
+  /** Cross-document n-gram repetition scan (boilerplate / eval-contamination
+    * detection for a pretraining corpus): the top-k n-grams by the number of
+    * DISTINCT documents containing them. Per-doc shingle sets are distinct
+    * by construction, so one exact-count aggregation on the exploded
+    * (n-gram) key gives document frequency — one shuffle keyed by n-gram,
+    * which is exactly how it partitions at corpus scale. Output is the
+    * human-readable n-gram string (this is a reporting operator; the hashed
+    * twin of this shape is the dedup family).
+    */
+  def crossDocNgrams(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+                     k: Int = 20): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(DedupOps.shinglesFromTokens(col("toks"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      // per-doc sets are distinct ⇒ plain count == distinct-doc count
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(k)
+
+  /** TF-IDF top terms per language: tf = corpus-wide term count within the
+    * language, idf = ln(N_docs / doc-frequency across the whole corpus).
+    * Two aggregations (both keyed by token after one explode) + a per-lang
+    * top-k window; N rides along from a 1-row broadcast instead of a
+    * driver-side collect. Score is floor-quantized at 4dp and ranking runs
+    * on the QUANTIZED value (ties by token) so ordering is engine-stable.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    val exploded = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+      // read by both the tf and the df aggregation
+      .persist()
+    val tf = exploded.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = exploded.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", floor(
+        col("tf") * log(col("n_total").cast("double") / col("df")) * 10000 + 0.5) / 10000)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("token"), col("score"))
+      .orderBy(col("lang"), col("rank"))
   }
 }

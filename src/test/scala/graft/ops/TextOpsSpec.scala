@@ -34,4 +34,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") == 10)
     assert(r.getAs[Double]("distinct_ratio") == 0.5)
   }
+
+  test("cross-doc n-grams: shared boilerplate found, doc-internal repeats not double-counted") {
+    val boiler = "this content is provided as is for you"
+    val df = Seq(
+      (1L, s"$boiler and more words follow here now"),
+      (2L, s"totally different opening text then $boiler"),
+      // doc 3 contains the boilerplate TWICE — must still count once
+      (3L, s"$boiler $boiler"),
+      (4L, "unrelated text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.crossDocNgrams(df, n = 8, minDocs = 2, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows(boiler) == 3L,
+      s"8-gram '$boiler' appears in docs 1,2,3 -> df 3; got $rows")
+    assert(rows.values.forall(_ >= 2), "minDocs filter must hold")
+  }
+
+  test("tf-idf: corpus-universal term scores zero; distinctive term ranks first") {
+    val df = Seq(
+      (1L, "en", "common common apple apple apple"),
+      (2L, "en", "common apple"),
+      (3L, "de", "common zug zug zug"))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextOps.tfidfTopTerms(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    // 'common' is in every doc: idf = ln(3/3) = 0 -> score 0 in both langs
+    val enScores = rows.collect { case ((l, _), (t, s)) if l == "en" => t -> s }.toMap
+    assert(enScores("common") == 0.0)
+    // 'apple' (df 2) beats 'common' in en; 'zug' (df 1) ranks first in de
+    assert(rows(("en", 1))._1 == "apple")
+    assert(rows(("de", 1))._1 == "zug")
+    assert(rows(("de", 1))._2 > 0.0)
+  }
 }

@@ -694,6 +694,43 @@ object SparkEntry {
        |      i -> ${duckH61("array_to_string(toks[i + 1:i + 3], ' ')")})) AS hs
        |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
+  /** DuckDB CTE chain replaying the full MinHash-LSH pipeline (signatures →
+    * band keys → candidate pairs → verified intersection stats in `j`) —
+    * shared by the pair and cluster oracles. Constants come from the SAME
+    * Scala tables the native expressions use (k=32, 8 bands × 4 rows).
+    */
+  private lazy val duckLshCtes: String = {
+    // one list_min per seed, constants from the shared table (k=32)
+    val sigExprs = graft.functions.Md5Hash61.AB.take(32).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> CAST((CAST($a AS HUGEINT) * h + $b) % $DuckM AS BIGINT)))"
+    }.mkString("list_value(\n      ", ",\n      ", ")")
+    // per-band key: the same affine fold the native band_hashes computes
+    val bandA = graft.functions.Md5Hash61.BandA
+    val bandExprs = (0 until 8).map { band =>
+      (1 to 4).map(j => s"sig[${band * 4 + j}]")
+        .foldLeft("CAST(0 AS BIGINT)") { (acc, v) =>
+          s"CAST((CAST($bandA AS HUGEINT) * ($acc) + $v) % $DuckM AS BIGINT)"
+        }
+    }.mkString("list_value(\n      ", ",\n      ", ")")
+    s"""$duckShingleCtes,
+       |sigs AS (SELECT doc_id, hs, $sigExprs AS sig FROM sh),
+       |bsigs AS (SELECT doc_id, $bandExprs AS bhs FROM sigs),
+       |banded AS (
+       |  SELECT doc_id, band, bhs[band + 1] AS key
+       |  FROM bsigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(sa.hs) AS na, len(sb.hs) AS nb
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
   /** Text-analysis + dedup queries (LLM-pipeline extension operators).
     * The MinHash-LSH / SimHash / winnowing oracles replay the exact hash
     * arithmetic in DuckDB: the base hash is `md5_number_lower & (2^61-1)`
@@ -852,42 +889,33 @@ object SparkEntry {
 
     Q("dedup_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(documents(s, d)),
-      Some {
-        // one list_min per seed, constants from the shared table (k=32)
-        val sigExprs = graft.functions.Md5Hash61.AB.take(32).map { case (a, b) =>
-          s"list_min(list_transform(hs, h -> CAST((CAST($a AS HUGEINT) * h + $b) % $DuckM AS BIGINT)))"
-        }.mkString("list_value(\n      ", ",\n      ", ")")
-        // per-band key: the same affine fold the native band_hashes computes
-        val bandA = graft.functions.Md5Hash61.BandA
-        val bandExprs = (0 until 8).map { band =>
-          (1 to 4).map(j => s"sig[${band * 4 + j}]")
-            .foldLeft("CAST(0 AS BIGINT)") { (acc, v) =>
-              s"CAST((CAST($bandA AS HUGEINT) * ($acc) + $v) % $DuckM AS BIGINT)"
-            }
-        }.mkString("list_value(\n      ", ",\n      ", ")")
-        s"""$duckShingleCtes,
-           |sigs AS (SELECT doc_id, hs, $sigExprs AS sig FROM sh),
-           |bsigs AS (SELECT doc_id, $bandExprs AS bhs FROM sigs),
-           |banded AS (
-           |  SELECT doc_id, band, bhs[band + 1] AS key
-           |  FROM bsigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
-           |cand AS (
-           |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           |  FROM banded l JOIN banded r
-           |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-           |j AS (
-           |  SELECT doc_a, doc_b,
-           |    len(list_intersect(sa.hs, sb.hs)) AS inter,
-           |    len(sa.hs) AS na, len(sb.hs) AS nb
-           |  FROM cand
-           |  JOIN sigs sa ON sa.doc_id = doc_a
-           |  JOIN sigs sb ON sb.doc_id = doc_b)
-           |SELECT doc_a, doc_b,
-           |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-           |FROM j
-           |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      Some(s"""$duckLshCtes
+              |SELECT doc_a, doc_b,
+              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+              |FROM j
+              |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // near-dup CLUSTERS: connected components of the LSH pair graph by
+    // min-label propagation; DuckDB replays it with a recursive CTE
+    // (min reachable id == component min, survivor = component min itself)
+    Q("dedup_clusters",
+      (s, d) => DedupOps.nearDupClusters(documents(s, d)),
+      Some("WITH RECURSIVE " + duckLshCtes.stripPrefix("WITH ") +
+        s""",
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM j
+           |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+           |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |r(node, label) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node)
+           |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+           |  (node = min(label)) AS is_survivor
+           |FROM r GROUP BY node ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_winnowing",
       (s, d) => DedupOps.winnowingFingerprints(documents(s, d)),

@@ -193,6 +193,50 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTERS — the dedup endgame: LSH pairs are only half
+    * the job; a pipeline ships one survivor per connected component of the
+    * near-dup graph (A≈B≈C must collapse to ONE doc even when A≉C).
+    * Connected components via iterative min-label propagation: each step is
+    * one distributed join + aggregation, and the driver loop runs
+    * O(component diameter) times — near-dup components are shallow (chains
+    * of edits), so this converges in a handful of passes at any corpus
+    * size; the edge list is materialized once and reused. Output: one row
+    * per doc that appears in ≥1 near-dup pair, its cluster id (= min doc_id
+    * in the component) and whether it is the surviving representative.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs, k, bands, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // push each node's label one hop along every edge, keep the min
+      val prop = edges.as("e")
+        .join(labels.as("l"), col("e.doc_a") === col("l.node"))
+        .select(col("e.doc_b").as("node"), col("l.label").as("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = labels.withColumnRenamed("label", "old_label")
+        .join(prop, Seq("node"))
+        .filter(col("old_label") =!= col("label"))
+        .count()
+      labels = prop
+      iter += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken): the set of
     * per-window minima over the ORDERED rolling shingle-hash sequence. Every
     * w-window contributes its min, so any match of length ≥ w+n-1 tokens

@@ -59,6 +59,18 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("Jaccard length-band exchanges carry narrow columns, never shingle arrays") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "sh" || n == "sh_a" || n == "sh_b"),
+        s"shingle array crosses a shuffle: ${out.mkString(",")}")
+    }
+  }
+
   test("LSH verification broadcast is gated: over the cap the query still runs unhinted") {
     val docs = Tables.documents(spark, sfDir)
     // force the gate shut: every candidate count exceeds a cap of 0

@@ -102,6 +102,29 @@ class DedupOpsSpec extends SparkSpec {
       s"missed: ${brute -- banded}; spurious: ${banded -- brute}")
   }
 
+  test("near-dup clusters: transitively-linked docs collapse to one survivor") {
+    // chain A-B-C: A≈B and B≈C overlap above threshold, A vs C below it —
+    // pairwise dedup alone would keep A and C; clustering must not
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 x1 x2 x3"   // shares 7 of A's shingles
+    val c = "x9 x8 w3 w4 w5 w6 w7 w8 w9 x1 x2 x3"   // shares B's middle, not A's head
+    val isolated = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, isolated), (5L, c))
+      .toDF("doc_id", "text")
+    // 16 bands x 2 rows: the banding S-curve catches the moderate (~0.55)
+    // A-B similarity reliably; the exact-Jaccard verification still drops
+    // A-C (0.33), so the component forms through B only
+    val rows = DedupOps.nearDupClusters(df, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    // A-B and B-C (and C-C') link 1,2,3,5 into one component rooted at 1
+    assert(byDoc(2L) == byDoc(1L) && byDoc(3L) == byDoc(1L) && byDoc(5L) == byDoc(1L),
+      s"chain must collapse into one cluster; got $rows")
+    assert(byDoc(1L) == 1L)
+    assert(!byDoc.contains(4L), "isolated doc has no pair, no cluster row")
+    assert(rows.count(_._3) == 1, "exactly one survivor per component")
+  }
+
   test("Jaccard blocking compares near-dups straddling a length-bucket edge") {
     // 31 vs 33 chars: buckets 1 and 2 under width 16 — exact-bucket blocking
     // would never compare these two near-identical docs

@@ -51,8 +51,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val line = render(3)
-    println(if (line.length <= 1850) line else render(2))
+    val line = Iterator(3, 2, 1).map(render).find(_.length <= 1850).getOrElse(render(1))
+    println(line)
     spark.stop()
   }
 }

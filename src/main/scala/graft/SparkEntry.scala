@@ -1022,6 +1022,25 @@ object SparkEntry {
               |  floor(sqrt(list_sum(list_transform($DuckVec, x -> x * x))) * 10000 + 0.5) / 10000 AS l2_norm
               |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // int8 scalar quantization: symmetric scale, round-half-up clamp, and a
+    // sequential-fold reconstruction error — every step IEEE-identical in
+    // both engines (the quantized values are exact small integers)
+    Q("vec_quantize_int8",
+      (s, d) => VectorOps.quantizeInt8Stats(embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),
+              |s AS (SELECT vec_id, label, v,
+              |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+              |  FROM e),
+              |q AS (SELECT vec_id, label, v, scale,
+              |    list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS qv
+              |  FROM s)
+              |SELECT vec_id, label,
+              |  floor(scale * 10000000 + 0.5) / 10000000 AS scale_q,
+              |  floor(list_sum(list_transform(range(len(v)),
+              |    i -> (v[i + 1] - qv[i + 1] * scale) * (v[i + 1] - qv[i + 1] * scale)))
+              |    * 1000000 + 0.5) / 1000000 AS sq_err_q
+              |FROM q ORDER BY vec_id""".stripMargin)),
+
     Q("vec_centroids",
       (s, d) => VectorOps.centroidTable(embeddings(s, d)),
       Some(s"""SELECT label, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c

@@ -44,6 +44,28 @@ object VectorOps {
     emb.select(col("vec_id"), col("label"), q4(l2Norm(col("embedding"))).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** Int8 scalar quantization stats — the memory-reduction path of a
+    * vector index (4x smaller than f32, the precursor to PQ): per vector,
+    * symmetric scale = max|x|/127, elements round-half-up and clamp to
+    * [-127, 127], and the squared reconstruction error is a strict
+    * sequential fold (engine-stable). Pure per-row column math, no
+    * shuffle — at corpus scale this runs at scan speed and writes the
+    * quantized column next to the original.
+    */
+  def quantizeInt8Stats(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12d) / 127.0d"))
+      .withColumn("q",
+        expr("transform(v, x -> CAST(greatest(-127.0d, least(127.0d, floor(x / scale + 0.5d))) AS INT))"))
+      .withColumn("sq_err", expr(
+        "aggregate(zip_with(v, q, (a, b) -> (a - b * scale) * (a - b * scale)), 0.0d, (acc, e) -> acc + e)"))
+      .select(col("vec_id"), col("label"),
+        (floor(col("scale") * 1e7 + 0.5) / 1e7).as("scale_q"),
+        (floor(col("sq_err") * 1e6 + 0.5) / 1e6).as("sq_err_q"))
+      .orderBy(col("vec_id"))
+
   /** Per-label centroids in long form (label, pos, c): posexplode + avg —
     * one shuffle on (label, pos), fully parallel in the dimension too.
     */

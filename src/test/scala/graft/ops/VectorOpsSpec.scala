@@ -18,6 +18,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("int8 quantization: reconstruction error bounded by dim*(scale/2)^2") {
+    val rows = VectorOps.quantizeInt8Stats(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(2)
+      val err = r.getDouble(3)
+      // round-half-up to the nearest grid point: per-element error <= scale/2
+      assert(err <= 64.0 * (scale / 2) * (scale / 2) + 1e-9,
+        s"vec ${r.getLong(0)}: sq_err $err exceeds bound for scale $scale")
+      assert(scale > 0.0)
+    }
+  }
+
   test("centroids: 64 positions per label, each centroid bounded by data range") {
     val c = VectorOps.centroids(emb).groupBy(col("label")).count().collect()
     assert(c.forall(_.getLong(1) == 64))

@@ -148,7 +148,16 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      maxBroadcastCandidates: Long = 1000000L): DataFrame = {
+                      maxBroadcastCandidates: Long = 1000000L): DataFrame =
+    minhashLshPairsUnsorted(docs, k, bands, threshold, maxBroadcastCandidates)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Same pair set without the final global sort — for consumers (like the
+    * clustering pass) that only need the edges, not a presentation order.
+    */
+  private def minhashLshPairsUnsorted(docs: DataFrame, k: Int, bands: Int,
+                                      threshold: Double,
+                                      maxBroadcastCandidates: Long): DataFrame = {
     val rowsPerBand = k / bands
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val withSig = docs
@@ -190,26 +199,21 @@ object DedupOps {
         col("inter").cast("double") / (size(col("h_a")) + size(col("h_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Near-duplicate CLUSTERS — the dedup endgame: LSH pairs are only half
-    * the job; a pipeline ships one survivor per connected component of the
-    * near-dup graph (A≈B≈C must collapse to ONE doc even when A≉C).
-    * Connected components via iterative min-label propagation: each step is
-    * one distributed join + aggregation, and the driver loop runs
-    * O(component diameter) times — near-dup components are shallow (chains
-    * of edits), so this converges in a handful of passes at any corpus
-    * size; the edge list is materialized once and reused. Output: one row
-    * per doc that appears in ≥1 near-dup pair, its cluster id (= min doc_id
-    * in the component) and whether it is the surviving representative.
+  /** Connected components of an undirected pair graph (`doc_a`, `doc_b`
+    * columns) via iterative min-label propagation: each step is one
+    * distributed join + aggregation, and the driver loop runs O(component
+    * diameter) times; the edge list is materialized once and reused.
+    * Output: one row per node, its component id (= min node id in the
+    * component) and whether it IS that representative. The general building
+    * block behind [[nearDupClusters]] — usable over any pair source (exact
+    * dedup groups, embedding-cosine pairs, …).
     */
-  def nearDupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLshPairs(docs, k, bands, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val undirected = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = undirected
+      .union(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -236,6 +240,17 @@ object DedupOps {
         (col("node") === col("label")).as("is_survivor"))
       .orderBy(col("doc_id"))
   }
+
+  /** Near-duplicate CLUSTERS — the dedup endgame: LSH pairs are only half
+    * the job; a pipeline ships one survivor per connected component of the
+    * near-dup graph (A≈B≈C must collapse to ONE doc even when A≉C).
+    * Near-dup components are shallow (chains of edits), so the propagation
+    * converges in a handful of passes at any corpus size.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      minhashLshPairsUnsorted(docs, k, bands, threshold, 1000000L), maxIters)
 
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken): the set of
     * per-window minima over the ORDERED rolling shingle-hash sequence. Every

@@ -129,6 +129,20 @@ object ScaleSmoke {
         .agg(sum(col("n")).as("n")).collect()(0).getAs[Long]("n")
     }
 
+    // 8. Connected components over a 2M-node synthetic near-dup graph
+    // (400k chain components of 5 docs, diameter 4): the iterative
+    // min-label propagation converges in ~diameter passes, each a single
+    // distributed join+aggregation over the cached edge list.
+    val nNodes = 2000000L
+    val chain = spark.range(nNodes).filter(col("id") % 5 =!= 4)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    timed("connected_components_2M_nodes", nNodes) {
+      val survivors = DedupOps.connectedComponents(chain)
+        .filter(col("is_survivor")).count()
+      require(survivors == nNodes / 5, s"wrong component count: $survivors")
+      nNodes
+    }
+
     spark.stop()
   }
 }

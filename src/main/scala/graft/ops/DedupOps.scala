@@ -218,9 +218,14 @@ object DedupOps {
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
-    var changed = 1L
+    // labels only ever DECREASE elementwise, so the exact label sum is a
+    // strictly-monotone convergence witness: one scalar aggregation per
+    // round instead of a full old-vs-new join. decimal(38,0) keeps the sum
+    // exact for any id range.
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       // push each node's label one hop along every edge, keep the min
       val prop = edges.as("e")
         .join(labels.as("l"), col("e.doc_a") === col("l.node"))
@@ -228,10 +233,11 @@ object DedupOps {
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .persist()
-      changed = labels.withColumnRenamed("label", "old_label")
-        .join(prop, Seq("node"))
-        .filter(col("old_label") =!= col("label"))
-        .count()
+      val s = prop.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(false)
       labels = prop
       iter += 1
     }

@@ -224,14 +224,18 @@ object TextOps {
     * on the QUANTIZED value (ties by token) so ordering is engine-stable.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 10): DataFrame = {
-    val exploded = docs
+    // ONE wide shuffle: per-(doc, token) counts. Both tf (sum within
+    // language) and df (row count per token — (doc, token) rows are unique
+    // by construction) derive from this far smaller frame, instead of a
+    // full distinct plus two aggregations over the raw exploded tokens.
+    val perDoc = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
-      // read by both the tf and the df aggregation
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
       .persist()
-    val tf = exploded.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = exploded.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = perDoc.groupBy(col("lang"), col("token")).agg(sum(col("cnt")).as("tf"))
+    val df = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val scored = tf.join(df, Seq("token"))
       .crossJoin(broadcast(total))

@@ -16,6 +16,9 @@ object MicroBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = args.toSeq.filter(SparkEntry.queries.contains)
+    val unknown = args.toSeq.diff(names)
+    if (unknown.nonEmpty)
+      System.err.println(s"unknown queries (skipped): ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -26,16 +26,16 @@ object JdbcSink {
     * JDBC equivalent of the reference's `IF NOT EXISTS`, which e.g. Derby
     * does not parse).
     */
-  val CreateTableDdl: String =
-    """CREATE TABLE fact_hicp (
-      |  time DATE NOT NULL,
-      |  geo VARCHAR(10) NOT NULL,
-      |  coicop VARCHAR(20) NOT NULL,
-      |  unit VARCHAR(20) NOT NULL,
-      |  value DOUBLE PRECISION,
-      |  processed_at_utc VARCHAR(40) NOT NULL,
-      |  raw_blob VARCHAR(300) NOT NULL,
-      |  CONSTRAINT ux_fact_hicp UNIQUE (time, geo, coicop, unit))""".stripMargin
+  def createTableDdl(table: String = "fact_hicp"): String =
+    s"""CREATE TABLE $table (
+       |  time DATE NOT NULL,
+       |  geo VARCHAR(10) NOT NULL,
+       |  coicop VARCHAR(20) NOT NULL,
+       |  unit VARCHAR(20) NOT NULL,
+       |  value DOUBLE PRECISION,
+       |  processed_at_utc VARCHAR(40) NOT NULL,
+       |  raw_blob VARCHAR(300) NOT NULL,
+       |  CONSTRAINT ux_$table UNIQUE (time, geo, coicop, unit))""".stripMargin
 
   /** True iff `table` exists per the connection's catalog metadata. */
   def tableExists(conn: Connection, table: String): Boolean = {
@@ -49,10 +49,10 @@ object JdbcSink {
   }
 
   /** G4: idempotent DDL through a plain driver-side connection. */
-  def ensureTable(conn: Connection): Unit =
-    if (!tableExists(conn, "fact_hicp")) {
+  def ensureTable(conn: Connection, table: String = "fact_hicp"): Unit =
+    if (!tableExists(conn, table)) {
       val st = conn.createStatement()
-      try st.execute(CreateTableDdl) finally st.close()
+      try st.execute(createTableDdl(table)) finally st.close()
     }
 
   /** G5 first half: driver-side DELETE of the series about to be loaded
@@ -93,7 +93,7 @@ object JdbcSink {
                  geo: String, coicop: String, unit: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
     try {
-      ensureTable(conn)
+      ensureTable(conn, cfg.table)
       deleteSeries(conn, cfg.table, geo, coicop, unit)
     } finally conn.close()
     append(df, cfg)

@@ -97,8 +97,13 @@ object DedupOps {
     // bucket, |sh|) — so no shingle array ever enters the length-band
     // exchange (the same arrays-stay-home shape as the LSH verification).
     // Length-band trick: the probe side fans each doc out to buckets
-    // {b, b+1} so near-dups whose lengths straddle a bucket edge are still
-    // compared (exact buckets silently drop a 31-char/33-char pair). Each
+    // {b, b+1} so near-dups whose lengths straddle a bucket EDGE are still
+    // compared (exact buckets silently drop a 31-char/33-char pair).
+    // CONTRACT: recall is guaranteed only for pairs within one bucket width
+    // of each other in character length — a ≥-threshold pair whose lengths
+    // diverge further (possible down to ratio=threshold) is not compared
+    // here; MinHash-LSH is the dedup-family member whose candidate
+    // generation is length-agnostic. Each
     // unordered pair matches exactly once — same-bucket pairs via the
     // doc_a < doc_b half of the `up = 0` orientation, adjacent-bucket pairs
     // only when the SHORTER doc probes up (`up = 1`) — so no dedup pass;
@@ -235,12 +240,20 @@ object DedupOps {
         .persist()
       val s = prop.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // null sum ⇔ zero nodes: an empty pair graph is converged immediately
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels.unpersist(false)
       labels = prop
       iter += 1
     }
+    // an unconverged exit would silently report one real component as
+    // several (multiple survivors ⇒ duplicate docs shipped) — fail loudly
+    // instead; callers with deeper graphs must raise maxIters
+    require(converged,
+      s"connectedComponents did not converge within $maxIters iterations — " +
+        "component diameter exceeds the cap; raise maxIters")
+    edges.unpersist(false)
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_survivor"))

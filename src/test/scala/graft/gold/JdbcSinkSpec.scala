@@ -65,6 +65,18 @@ class JdbcSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("loadSeries honors a non-default table name end to end") {
+    val cfg2 = JdbcSink.JdbcConfig(url, "fact_hicp_v2", "", "")
+    JdbcSink.loadSeries(rows.filter(col("geo") === "DE"), cfg2, "DE", "CP00", "I15")
+    val c = conn()
+    try {
+      assert(JdbcSink.tableExists(c, "fact_hicp_v2"))
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM fact_hicp_v2")
+      rs.next()
+      assert(rs.getLong(1) == 2)
+    } finally c.close()
+  }
+
   test("deleteSeries only touches the named series") {
     val c = conn()
     try {

@@ -125,6 +125,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.count(_._3) == 1, "exactly one survivor per component")
   }
 
+  test("connected components: empty pair graph converges immediately to empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("connected components: exceeding maxIters fails loudly instead of splitting components") {
+    // a 6-node path needs ~5 propagation rounds; cap at 2 must throw, not
+    // silently report several clusters
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(path, maxIters = 2).collect()
+    }
+  }
+
   test("Jaccard blocking compares near-dups straddling a length-bucket edge") {
     // 31 vs 33 chars: buckets 1 and 2 under width 16 — exact-bucket blocking
     // would never compare these two near-identical docs

@@ -731,6 +731,32 @@ object SparkEntry {
        |  JOIN sigs sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
+  /** DuckDB CTE chain computing the per-doc repetition signals (`m`:
+    * n_tokens, distinct_ratio, top_bigram_frac) — shared by the repetition
+    * stats and filter-decision oracles. Top bigram counted by brute force
+    * over the per-doc bigram list.
+    */
+  private val duckRepetitionCtes: String =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |b AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    CASE WHEN len(toks) < 2 THEN list_value()
+       |         ELSE [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
+       |    END AS bgs
+       |  FROM t),
+       |a AS (SELECT doc_id, n_tokens, n_distinct, len(bgs) AS n_bigrams,
+       |    CASE WHEN len(bgs) = 0 THEN 0
+       |         ELSE list_max(list_transform(list_distinct(bgs),
+       |                x -> len(list_filter(bgs, y -> y = x))))
+       |    END AS top_n
+       |  FROM b),
+       |m AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |    floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS distinct_ratio,
+       |    CASE WHEN n_bigrams = 0 THEN 0.0
+       |         ELSE floor(CAST(top_n AS DOUBLE) / n_bigrams * 10000 + 0.5) / 10000
+       |    END AS top_bigram_frac
+       |  FROM a)""".stripMargin
+
   /** Text-analysis + dedup queries (LLM-pipeline extension operators).
     * The MinHash-LSH / SimHash / winnowing oracles replay the exact hash
     * arithmetic in DuckDB: the base hash is `md5_number_lower & (2^61-1)`
@@ -958,28 +984,25 @@ object SparkEntry {
       (s, d) => TextOps.repetitionStats(documents(s, d)),
       // Gopher-style repetition signals; the oracle counts the top bigram
       // by brute force over the per-doc bigram list
-      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-              |b AS (SELECT doc_id, len(toks) AS n_tokens,
-              |    len(list_distinct(toks)) AS n_distinct,
-              |    CASE WHEN len(toks) < 2 THEN list_value()
-              |         ELSE [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
-              |    END AS bgs
-              |  FROM t),
-              |a AS (SELECT doc_id, n_tokens, n_distinct, len(bgs) AS n_bigrams,
-              |    CASE WHEN len(bgs) = 0 THEN 0
-              |         ELSE list_max(list_transform(list_distinct(bgs),
-              |                x -> len(list_filter(bgs, y -> y = x))))
-              |    END AS top_n
-              |  FROM b),
-              |m AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-              |    floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS distinct_ratio,
-              |    CASE WHEN n_bigrams = 0 THEN 0.0
-              |         ELSE floor(CAST(top_n AS DOUBLE) / n_bigrams * 10000 + 0.5) / 10000
-              |    END AS top_bigram_frac
-              |  FROM a)
+      Some(s"""$duckRepetitionCtes
               |SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac,
               |  (top_bigram_frac > 0.18 OR distinct_ratio < 0.5) AS is_repetitive
               |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // composed keep/drop verdict with the FIRST failing rule as the reason —
+    // same signal CTEs, one CASE on top
+    Q("txt_filter_decisions",
+      (s, d) => TextOps.filterDecisions(documents(s, d)),
+      Some(s"""$duckRepetitionCtes,
+              |r AS (SELECT doc_id, n_tokens,
+              |    CASE WHEN n_tokens < 10 THEN 'too_short'
+              |         WHEN n_tokens > 100000 THEN 'too_long'
+              |         WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+              |         WHEN top_bigram_frac > 0.3 THEN 'repetitive'
+              |         ELSE 'ok' END AS reason
+              |  FROM m)
+              |SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason
+              |FROM r ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_simhash",
       (s, d) => DedupOps.simhashPairs(documents(s, d)),

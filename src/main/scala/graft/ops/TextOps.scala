@@ -195,6 +195,29 @@ object TextOps {
       .orderBy(col("lang"), col("guessed"))
   }
 
+  /** Composed keep/drop FILTER DECISION per document — the operator a
+    * pretraining pipeline actually ships (cf. C4/Gopher rule stacks): the
+    * individual signals (token count, lexical diversity, bigram looping)
+    * fold into one verdict plus the FIRST failing rule as the reason, so
+    * drop rates are attributable per rule downstream. Pure composition of
+    * the existing signal computations — same single explode + aggregate
+    * shape, one decision column on top.
+    */
+  def filterDecisions(docs: DataFrame,
+                      minTokens: Int = 10, maxTokens: Int = 100000,
+                      minDistinctRatio: Double = 0.3,
+                      maxTopBigramFrac: Double = 0.3): DataFrame =
+    repetitionStats(docs)
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("distinct_ratio") < minDistinctRatio, "low_diversity")
+          .when(col("top_bigram_frac") > maxTopBigramFrac, "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+
   /** Cross-document n-gram repetition scan (boilerplate / eval-contamination
     * detection for a pretraining corpus): the top-k n-grams by the number of
     * DISTINCT documents containing them. Per-doc shingle sets are distinct

@@ -35,6 +35,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("distinct_ratio") == 0.5)
   }
 
+  test("filter decisions: first failing rule wins; clean docs keep") {
+    val docs = Seq(
+      (1L, "a b c"), // 3 tokens -> too_short
+      (2L, ("x y " * 30).trim), // 60 tokens, 2 distinct -> low_diversity fires before repetitive
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")) // clean
+      .toDF("doc_id", "text")
+    val got = TextOps.filterDecisions(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(got(1L) == (false, "too_short"))
+    assert(got(2L) == (false, "low_diversity"))
+    assert(got(3L) == (true, "ok"))
+  }
+
   test("cross-doc n-grams: shared boilerplate found, doc-internal repeats not double-counted") {
     val boiler = "this content is provided as is for you"
     val df = Seq(

@@ -122,9 +122,20 @@ object EventOps {
   def funnel(events: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // one narrow scan of the source: only funnel-stage events, only the
+    // three columns the funnel reads — at 100 TB the stage filter is the
+    // pushed-down predicate and everything downstream is per-user-sized
+    val narrow = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .persist()
+    // each stage frame is read TWICE (the next stage's join + its own
+    // count), and stage k's plan nests every earlier stage's — persist each
+    // so the chain executes once per stage instead of O(K²) times. Session
+    // runners release the pins via Exec.clearPinned.
     val perStage = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
       case (acc, (stage, i)) =>
-        val evts = events.filter(col("event_type") === stage)
+        val evts = narrow.filter(col("event_type") === stage)
           .select(col("user_id"), col("ts_ns"))
         val reached = acc.headOption match {
           case None =>
@@ -134,7 +145,7 @@ object EventOps {
               .filter(col("ts_ns") > col(s"t$i"))
               .groupBy(col("user_id")).agg(min(col("ts_ns")).as(s"t${i + 1}"))
         }
-        reached :: acc
+        reached.persist() :: acc
     }.reverse
     perStage.zipWithIndex
       .map { case (df, i) => df.agg(count(lit(1)).as(s"n_stage${i + 1}")) }

@@ -20,4 +20,19 @@ object Exec {
     val pinned = df.persist()
     if (pinned.count() <= maxRows) broadcast(pinned) else pinned
   }
+
+  /** Release every frame the operator family pinned with `persist()`.
+    *
+    * The dedup/text operators cache small intermediate frames (hashed
+    * shingle sets, signatures, per-user stage times) that are read by two or
+    * more downstream joins of the SAME query — the persist is load-bearing
+    * there, and the returned DataFrame is lazy, so the operator itself has
+    * no point at which it could safely unpersist. In a session that runs
+    * MANY queries back to back (the bench, the verify dump, a notebook),
+    * those pins accumulate; call this between queries to drop them. Single-
+    * query applications never need it — executor storage is reclaimed when
+    * the session ends.
+    */
+  def clearPinned(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sharedState.cacheManager.clearCache()
 }

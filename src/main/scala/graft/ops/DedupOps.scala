@@ -220,8 +220,14 @@ object DedupOps {
     val edges = undirected
       .union(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with each node's ONE-HOP minimum — identical to what the first
+    // propagation round would produce from identity labels, but computed
+    // with a single aggregation over the edge list instead of a
+    // distinct + join + union round trip: one fewer iteration of the loop
+    var labels = edges.groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc_a").as("node"),
+        least(col("doc_a"), col("mn")).as("label"))
       .persist()
     // labels only ever DECREASE elementwise, so the exact label sum is a
     // strictly-monotone convergence witness: one scalar aggregation per

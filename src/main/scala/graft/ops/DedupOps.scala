@@ -207,9 +207,13 @@ object DedupOps {
   }
 
   /** Connected components of an undirected pair graph (`doc_a`, `doc_b`
-    * columns) via iterative min-label propagation: each step is one
-    * distributed join + aggregation, and the driver loop runs O(component
-    * diameter) times; the edge list is materialized once and reused.
+    * columns) via iterative min-label propagation with POINTER JUMPING:
+    * each round pushes labels one hop along the edges and then shortcuts
+    * every node to its label's label. Shortcutting squares the reach of a
+    * round, so the driver loop runs O(log diameter) times instead of
+    * O(diameter) — on a 100-TB corpus whose near-dup graph contains a long
+    * edit chain, that is the difference between ~6 and ~64 shuffle rounds.
+    * The edge list is materialized once and reused.
     * Output: one row per node, its component id (= min node id in the
     * component) and whether it IS that representative. The general building
     * block behind [[nearDupClusters]] — usable over any pair source (exact
@@ -228,7 +232,7 @@ object DedupOps {
       .agg(min(col("doc_b")).as("mn"))
       .select(col("doc_a").as("node"),
         least(col("doc_a"), col("mn")).as("label"))
-      .persist()
+      .localCheckpoint()
     // labels only ever DECREASE elementwise, so the exact label sum is a
     // strictly-monotone convergence witness: one scalar aggregation per
     // round instead of a full old-vs-new join. decimal(38,0) keeps the sum
@@ -237,19 +241,34 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // push each node's label one hop along every edge, keep the min
-      val prop = edges.as("e")
+      // push each node's label one hop along every edge, keep the min.
+      // Eager localCheckpoint CUTS THE LINEAGE each round: the shortcut
+      // self-join below would otherwise embed two copies of the previous
+      // round's plan — exponential logical-plan growth that Catalyst
+      // re-analyzes on every action (persist truncates execution, not
+      // analysis). Constant-size plans are what make the loop iterable at
+      // all; a fault-tolerant deployment swaps this for checkpoint() on a
+      // reliable dir (same lineage cut, resilient to executor loss).
+      val hop = edges.as("e")
         .join(labels.as("l"), col("e.doc_a") === col("l.node"))
         .select(col("e.doc_b").as("node"), col("l.label").as("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
+      // pointer jump: shortcut each node to its label's current label.
+      // Every label IS a node of the graph (it is the min id reached so
+      // far), so the self-join is total, and labels only ever decrease —
+      // the shortcut is semantics-preserving and squares per-round reach,
+      // giving O(log diameter) rounds.
+      val prop = hop.as("a")
+        .join(hop.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+        .localCheckpoint()
       val s = prop.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
       // null sum ⇔ zero nodes: an empty pair graph is converged immediately
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
-      labels.unpersist(false)
       labels = prop
       iter += 1
     }

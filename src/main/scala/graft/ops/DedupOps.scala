@@ -221,17 +221,24 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val undirected = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = undirected
+    val bothWays = undirected
       .union(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // SELF-LOOP per node: each propagation join then carries a node's own
+    // label alongside its neighbors', so no per-round `union(labels)` is
+    // needed. (Unioning a localCheckpoint'd frame each round also tripped a
+    // Spark constraint-rewrite defect — LogicalRDD constraints keep the
+    // pre-checkpoint attribute ids; the self-loop form sidesteps the Union
+    // node entirely.) One distinct over node ids, materialized once.
+    val edges = bothWays
+      .union(bothWays.select(col("doc_a")).distinct()
+        .select(col("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    // seed with each node's ONE-HOP minimum — identical to what the first
-    // propagation round would produce from identity labels, but computed
-    // with a single aggregation over the edge list instead of a
-    // distinct + join + union round trip: one fewer iteration of the loop
+    // seed with each node's one-hop minimum (self-loops put the node itself
+    // in its neighbor set) — what the first propagation round would produce
+    // from identity labels, for one aggregation instead of a loop round
     var labels = edges.groupBy(col("doc_a"))
-      .agg(min(col("doc_b")).as("mn"))
-      .select(col("doc_a").as("node"),
-        least(col("doc_a"), col("mn")).as("label"))
+      .agg(min(col("doc_b")).as("label"))
+      .select(col("doc_a").as("node"), col("label"))
       .localCheckpoint()
     // labels only ever DECREASE elementwise, so the exact label sum is a
     // strictly-monotone convergence witness: one scalar aggregation per
@@ -252,7 +259,6 @@ object DedupOps {
       val hop = edges.as("e")
         .join(labels.as("l"), col("e.doc_a") === col("l.node"))
         .select(col("e.doc_b").as("node"), col("l.label").as("label"))
-        .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       // pointer jump: shortcut each node to its label's current label.

@@ -333,6 +333,41 @@ object SparkEntry {
              |  ON c.c_custkey = o.o_custkey)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("rel_scalar_subquery",
+      (s, d) => Relational.belowAvgQuantityRevenue(lineitem(s, d), part(s, d)),
+      // correlated scalar subquery in SQL; decorrelated agg+join in Spark —
+      // quantities are integer-valued so the 0.2*avg threshold is IEEE-exact
+      Some("""SELECT p_brand, count(*) AS n_lines,
+             |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE l_quantity < (SELECT avg(l2.l_quantity) * 0.2
+             |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("rel_window_distribution",
+      (s, d) => Relational.distributionWindows(lineitem(s, d), 3),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             |  floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+             |  floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cume,
+             |  first_value(l_quantity) OVER wf AS min_qty,
+             |  last_value(l_quantity) OVER wf AS max_qty,
+             |  nth_value(l_quantity, 2) OVER wf AS second_qty
+             |FROM lineitem WHERE l_suppkey < 3
+             |WINDOW
+             |  w AS (PARTITION BY l_suppkey
+             |        ORDER BY l_quantity, l_orderkey, l_linenumber),
+             |  wf AS (PARTITION BY l_suppkey
+             |         ORDER BY l_quantity, l_orderkey, l_linenumber
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("rel_string_agg",
+      (s, d) => Relational.nationsPerRegion(nation(s, d), region(s, d)),
+      Some("""SELECT r_name, count(*) AS n_nations,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
       Some("""SELECT l_partkey, p_name, p_brand,
@@ -341,6 +376,80 @@ object SparkEntry {
              |GROUP BY l_partkey, p_name, p_brand
              |ORDER BY total_qty DESC, l_partkey
              |LIMIT 10""".stripMargin))
+  )
+
+  /** Shared oracle front for the monthly per-supplier series: observed
+    * monthly sums, per-key [min,max] spans, and the exploded month spine.
+    */
+  private val duckMonthlySpineCtes: String =
+    """WITH monthly AS (
+      |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+      |    sum(l_quantity) AS qty
+      |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT l_suppkey, min(month) AS mn, max(month) AS mx
+      |  FROM monthly GROUP BY 1),
+      |spine AS (
+      |  SELECT l_suppkey, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+      |  FROM spans),
+      |f AS (
+      |  SELECT s.l_suppkey, s.month, m.qty
+      |  FROM spine s LEFT JOIN monthly m
+      |    ON m.l_suppkey = s.l_suppkey AND m.month = s.month)""".stripMargin
+
+  /** Time-series queries: month-spine gap fill, linear interpolation across
+    * gaps, and year-over-year rates (SURVEY.md §2 extension — the operations
+    * the reference's continuity check Q6 implies but never computes).
+    */
+  private def timeSeriesQueries: Seq[Q] = Seq(
+    Q("ts_gap_fill",
+      (s, d) => graft.ops.TimeSeriesOps.gapFillTable(lineitem(s, d), 10),
+      Some(s"""$duckMonthlySpineCtes
+              |SELECT l_suppkey, strftime(month, '%Y-%m-%d') AS month,
+              |  round(qty, 2) AS qty, qty IS NULL AS is_gap
+              |FROM f ORDER BY 1, 2""".stripMargin)),
+
+    Q("ts_interpolate",
+      (s, d) => graft.ops.TimeSeriesOps.interpolateMonthly(lineitem(s, d), 10),
+      Some(s"""$duckMonthlySpineCtes,
+              |x AS (
+              |  SELECT l_suppkey, month, qty,
+              |    last_value(qty IGNORE NULLS) OVER wp AS prev_qty,
+              |    last_value(CASE WHEN qty IS NOT NULL THEN month END IGNORE NULLS)
+              |      OVER wp AS prev_m,
+              |    first_value(qty IGNORE NULLS) OVER wn AS next_qty,
+              |    first_value(CASE WHEN qty IS NOT NULL THEN month END IGNORE NULLS)
+              |      OVER wn AS next_m
+              |  FROM f
+              |  WINDOW
+              |    wp AS (PARTITION BY l_suppkey ORDER BY month
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |    wn AS (PARTITION BY l_suppkey ORDER BY month
+              |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT l_suppkey, strftime(month, '%Y-%m-%d') AS month,
+              |  qty IS NULL AS was_gap,
+              |  floor(CASE WHEN qty IS NOT NULL THEN qty
+              |    WHEN prev_qty IS NULL OR next_qty IS NULL THEN NULL
+              |    ELSE prev_qty + (next_qty - prev_qty)
+              |      * (CAST(date_diff('month', prev_m, month) AS DOUBLE)
+              |         / CAST(date_diff('month', prev_m, next_m) AS DOUBLE))
+              |    END * 100 + 0.5) / 100 AS qty_filled
+              |FROM x ORDER BY 1, 2""".stripMargin)),
+
+    Q("ts_yoy",
+      (s, d) => graft.ops.TimeSeriesOps.yoyChange(lineitem(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT l_returnflag,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT m.l_returnflag, strftime(m.month, '%Y-%m-%d') AS month,
+             |  round(m.qty, 2) AS qty, round(p.qty, 2) AS prev_qty,
+             |  floor((m.qty / p.qty - 1) * 100 * 10000 + 0.5) / 10000 AS yoy_pct
+             |FROM monthly m LEFT JOIN monthly p
+             |  ON p.l_returnflag = m.l_returnflag
+             | AND CAST(p.month + INTERVAL 12 MONTH AS DATE) = m.month
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Reference-parity queries: JSON-stat densifier + silver transforms
@@ -650,6 +759,17 @@ object SparkEntry {
              |FROM a JOIN u ON u.user_id = a.user_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("ev_zscore_anomaly",
+      (s, d) => EventOps.zscoreAnomalies(events(s, d)),
+      Some("""WITH s AS (
+             |  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS sd
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n_events,
+             |  count(*) FILTER (WHERE abs(e.value - s.mean) / s.sd > 3.0) AS n_anomalies,
+             |  floor(max(abs(e.value - s.mean) / s.sd) * 10000 + 0.5) / 10000 AS max_z
+             |FROM events e JOIN s ON s.event_type = e.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("ev_funnel",
       (s, d) => EventOps.funnel(events(s, d)),
       // stage comparisons run on the exact ns timestamps in both engines
@@ -779,6 +899,76 @@ object SparkEntry {
       Some(s"""SELECT token, count(*) AS n
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // fixed-size overlapping character chunks (RAG prep): chunk i covers
+    // [i*90, i*90+120); payloads compared by md5 fingerprint
+    Q("txt_chunk_overlap",
+      (s, d) => TextOps.chunkFixedOverlap(documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, CAST(ceil(length(text) / 90.0) AS BIGINT))) AS i
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             |  length(substr(text, CAST(i * 90 + 1 AS INTEGER), 120)) AS chunk_len,
+             |  md5(substr(text, CAST(i * 90 + 1 AS INTEGER), 120)) AS chunk_fp
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // PII scrub (emails/URLs/phones -> placeholders, fixed order): the
+    // corpus has no PII, so both sides append the same deterministic
+    // contact line first; the rewrite is verified by md5 fingerprint
+    Q("txt_pii_scrub",
+      (s, d) => TextOps.piiScrub(documents(s, d)),
+      Some(s"""WITH a AS (
+              |  SELECT doc_id,
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |         || '@mail.example via https://site' || CAST(doc_id AS VARCHAR)
+              |         || '.example/p or +1-555-01'
+              |         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS aug
+              |  FROM documents),
+              |s AS (SELECT doc_id, aug,
+              |    regexp_replace(regexp_replace(regexp_replace(aug,
+              |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+              |      '${TextOps.UrlRe}', '<URL>', 'g'),
+              |      '${TextOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+              |  FROM a)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS INTEGER) AS n_emails,
+              |  CAST(len(regexp_extract_all(aug, '${TextOps.UrlRe}')) AS INTEGER) AS n_urls,
+              |  CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS INTEGER) AS n_phones,
+              |  length(scrubbed) AS scrub_len, md5(scrubbed) AS scrub_fp
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // C4-style exact block dedup: 10-token non-overlapping blocks, global
+    // first-occurrence survivor by (doc_id, block_idx), md5 block keys
+    Q("dedup_blocks",
+      (s, d) => TextOps.duplicateBlocks(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |b AS (SELECT doc_id, toks,
+              |    unnest(range(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT) + 1)) AS block_idx
+              |  FROM t),
+              |h AS (SELECT doc_id, block_idx,
+              |    md5(array_to_string(toks[block_idx * 10 + 1:block_idx * 10 + 10], ' ')) AS block_fp
+              |  FROM b),
+              |r AS (SELECT doc_id,
+              |    row_number() OVER (PARTITION BY block_fp ORDER BY doc_id, block_idx) AS rn
+              |  FROM h)
+              |SELECT doc_id, count(*) AS n_blocks,
+              |  count(*) FILTER (WHERE rn > 1) AS n_dup_blocks,
+              |  floor(CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE) / count(*)
+              |    * 10000 + 0.5) / 10000 AS dup_frac
+              |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100 tokens
+    Q("txt_zipf",
+      (s, d) => TextOps.zipfFit(documents(s, d)),
+      Some(s"""WITH f AS (SELECT unnest($DuckToks) AS token FROM documents),
+              |g AS (SELECT token, count(*) AS n FROM f GROUP BY 1),
+              |r AS (SELECT token, n,
+              |    row_number() OVER (ORDER BY n DESC, token) AS rank FROM g)
+              |SELECT count(*) AS n_terms,
+              |  floor(regr_slope(ln(n), ln(rank)) * 10000 + 0.5) / 10000 AS slope,
+              |  floor(regr_intercept(ln(n), ln(rank)) * 10000 + 0.5) / 10000 AS intercept
+              |FROM r WHERE rank <= 100""".stripMargin)),
 
     // cross-corpus 5-gram repetition (boilerplate / contamination scan):
     // per-doc DISTINCT shingle sets, so count(*) after the explode is the
@@ -1091,6 +1281,67 @@ object SparkEntry {
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("vec_mips_topk",
+      (s, d) => VectorOps.mipsTopK(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |pairs AS (
+              |  SELECT q.query_id, e.vec_id,
+              |    floor(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |      * 10000 + 0.5) / 10000 AS ip
+              |  FROM q JOIN e ON e.vec_id <> q.query_id)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, ip FROM (
+              |  SELECT query_id, vec_id, ip,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank
+              |  FROM pairs)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // matryoshka-truncation recall: top-10 by 16-dim-prefix cosine vs top-10
+    // by full 64-dim cosine, overlap per query
+    Q("vec_matryoshka_recall",
+      (s, d) => VectorOps.matryoshkaRecall(embeddings(s, d), maxQueryId = 5, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+              |fp AS (
+              |  SELECT q.query_id, n.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM q JOIN n ON n.vec_id <> q.query_id),
+              |full_k AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |    FROM fp) WHERE rank <= 10),
+              |t AS (SELECT vec_id, v[1:16] AS v FROM e),
+              |tn AS (SELECT vec_id, v,
+              |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t),
+              |tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM tn WHERE vec_id < 5),
+              |tp AS (
+              |  SELECT tq.query_id, tn.vec_id,
+              |    floor((list_sum(list_transform(range(1, 17), i -> qv[i] * v[i]))
+              |           / (qn * tn.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM tq JOIN tn ON tn.vec_id <> tq.query_id),
+              |trunc_k AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |    FROM tp) WHERE rank <= 10),
+              |o AS (
+              |  SELECT f.query_id, count(*) AS n_overlap
+              |  FROM full_k f JOIN trunc_k tk
+              |    ON tk.query_id = f.query_id AND tk.vec_id = f.vec_id
+              |  GROUP BY 1),
+              |fc AS (SELECT query_id, count(*) AS n_full FROM full_k GROUP BY 1)
+              |SELECT fc.query_id,
+              |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+              |  floor(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / fc.n_full
+              |    * 10000 + 0.5) / 10000 AS recall
+              |FROM fc LEFT JOIN o ON o.query_id = fc.query_id
+              |ORDER BY fc.query_id""".stripMargin)),
+
     Q("vec_ann_lsh",
       (s, d) => VectorOps.annLsh(embeddings(s, d), maxQueryId = 5, k = 5),
       Some {
@@ -1285,8 +1536,8 @@ object SparkEntry {
   )
 
   private def all: Seq[Q] =
-    parityQueries ++ qualityQueries ++ relationalQueries ++ eventQueries ++
-      textQueries ++ vectorQueries ++ multimodalQueries
+    parityQueries ++ qualityQueries ++ relationalQueries ++ timeSeriesQueries ++
+      eventQueries ++ textQueries ++ vectorQueries ++ multimodalQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -111,6 +111,25 @@ object EventOps {
       .orderBy(col("day_offset"))
   }
 
+  /** Z-score anomaly detection: per event type, flag events whose value sits
+    * more than `zThreshold` sample standard deviations from the type mean.
+    * Two passes — a tiny per-type stats aggregate broadcast back onto the
+    * stream, then one scan scoring every event — the shape that holds at any
+    * scale (the stats side is |event_types| rows; the scoring pass is
+    * shuffle-free). Max |z| is floor-quantized for the oracle compare.
+    */
+  def zscoreAnomalies(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean"), stddev_samp(col("value")).as("sd"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", abs(col("value") - col("mean")) / col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("z") > zThreshold, 1)).as("n_anomalies"),
+        (floor(max(col("z")) * 10000 + 0.5) / 10000).as("max_z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ordered N-stage funnel (default view → click → purchase): per user, the
     * earliest stage-1 event, then the earliest stage-2 event strictly after
     * it, and so on; output is the per-stage user count (one `n_stageK`

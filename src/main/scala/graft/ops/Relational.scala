@@ -357,6 +357,67 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated-scalar-subquery shape (TPC-H Q17): line items whose quantity
+    * is below 20% of the average quantity for their part, revenue summarized
+    * per brand. Implemented DECORRELATED — the per-part average is one
+    * aggregate co-partitioned with the probe side on `l_partkey`, so what a
+    * naive engine runs as one subquery per row becomes a single self-join
+    * (the same rewrite Catalyst's DecorrelateInnerQuery performs on the SQL
+    * form). Quantities are integer-valued, so the per-part average — an
+    * exact integer sum over an exact count — is IEEE-identical in any
+    * engine and the `<` threshold comparison is deterministic.
+    */
+  def belowAvgQuantityRevenue(li: DataFrame, part: DataFrame): DataFrame = {
+    val thresh = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    li.join(thresh, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Distribution-function window suite (percent_rank / cume_dist /
+    * first_value / last_value / nth_value) over per-supplier quantity order.
+    * The ordering key is unique (qty, orderkey, linenumber) so ranks are
+    * deterministic; the value functions use an explicit full-partition ROWS
+    * frame (the default RANGE frame's tie behavior differs across engines).
+    * All five functions evaluate in ONE window pass — one shuffle on the
+    * partition key.
+    */
+  def distributionWindows(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    li.filter(col("l_suppkey") < maxSuppkey)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        q4(percent_rank().over(w)).as("pct_rank"),
+        q4(cume_dist().over(w)).as("cume"),
+        first(col("l_quantity")).over(full).as("min_qty"),
+        last(col("l_quantity")).over(full).as("max_qty"),
+        nth_value(col("l_quantity"), 2).over(full).as("second_qty"))
+      .orderBy(col("l_suppkey"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** Ordered string aggregation (LISTAGG / string_agg): nations per region,
+    * sorted within the group. `array_sort(collect_list(...))` + `concat_ws`
+    * gives a deterministic group-local ordering without a global sort —
+    * collect_list is bounded by the group size (dimension-scale here; at
+    * fact scale an ordered agg like this caps or samples the group first).
+    */
+  def nationsPerRegion(nation: DataFrame, region: DataFrame): DataFrame =
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+
   /** GROUPING SETS via SQL — the DataFrame API exposes only rollup/cube, and
     * the SQL form plans identically (single Expand node, one aggregate).
     */

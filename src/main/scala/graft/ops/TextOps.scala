@@ -239,6 +239,107 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("ngram"))
       .limit(k)
 
+  /** Fixed-size overlapping character chunking — the RAG/context-window
+    * preparation operator: chunk i covers [i·stride, i·stride + size). Pure
+    * per-row `sequence` + `explode` + `substring` (codegen'd, no UDF): a
+    * document fans out into ⌈len/stride⌉ rows with no shuffle at all, so at
+    * corpus scale chunking runs at scan speed and the chunk id is stable
+    * (doc_id, chunk_idx). Chunks travel as md5 fingerprints, not payloads.
+    */
+  def chunkFixedOverlap(docs: DataFrame, size: Int = 120, stride: Int = 90): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          ceil(length(col("text")).cast("double") / stride).cast("long") - 1))
+          .as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"substring(text, CAST(chunk_idx * $stride + 1 AS INT), $size)"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** PII patterns shared with the oracle SQL — restricted to the regex
+    * subset Java and RE2 treat identically (no backrefs, no lookaround).
+    */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe: String = "https?://[^ ]+"
+  val PhoneRe: String = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** PII scrubbing pass (emails → `<EMAIL>`, URLs → `<URL>`, phone numbers →
+    * `<PHONE>`, applied in that fixed order): the corpus here contains no
+    * PII, so a deterministic synthetic contact line derived from doc_id is
+    * appended first — making the scrub observable — and the oracle replays
+    * the same augmentation. Counts come from `regexp_count` on the augmented
+    * text; the scrubbed payload is compared by md5 fingerprint. All
+    * codegen'd per-row expressions, no shuffle before the final sort.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example via https://site"),
+      col("doc_id"), lit(".example/p or +1-555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+        regexp_count(aug, lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(aug, lit(UrlRe)).cast("int").as("n_urls"),
+        regexp_count(aug, lit(PhoneRe)).cast("int").as("n_phones"),
+        length(scrubbed).as("scrub_len"),
+        md5(scrubbed).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact block-level dedup (the C4 "duplicate paragraph removal" shape on
+    * a corpus without paragraph marks): split each document into
+    * non-overlapping `blockTokens`-token blocks, keep the globally FIRST
+    * occurrence of each distinct block (ordered by doc_id, block position),
+    * report per-document duplication. The shuffle is keyed by the block's
+    * md5 fingerprint — never the block text — so the wide exchange carries
+    * 32-char keys; survivor choice is a row_number over (doc_id, block_idx),
+    * deterministic on any engine.
+    */
+  def duplicateBlocks(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+    val blocks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
+           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens))))""".stripMargin))
+        .as(Seq("block_idx", "block_fp")))
+    val w = Window.partitionBy(col("block_fp")).orderBy(col("doc_id"), col("block_idx"))
+    blocks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("rn") > 1, 1)).as("n_dup_blocks"))
+      .withColumn("dup_frac",
+        q4(col("n_dup_blocks").cast("double") / col("n_blocks")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf's-law fit over the top-k token frequencies: OLS slope/intercept of
+    * ln(freq) against ln(rank) via `regr_slope`/`regr_intercept` (a natural
+    * corpus should fit slope ≈ −1; a synthetic or heavily-duplicated corpus
+    * deviates — a cheap distribution-level corpus diagnostic). The global
+    * ranking window runs over the vocabulary AFTER aggregation (vocab-sized,
+    * not corpus-sized), and the regression is a single tiny aggregate.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .agg(count(lit(1)).as("n_terms"),
+        q4(regr_slope(log(col("n")), log(col("rank")))).as("slope"),
+        q4(regr_intercept(log(col("n")), log(col("rank")))).as("intercept"))
+  }
+
   /** TF-IDF top terms per language: tf = corpus-wide term count within the
     * language, idf = ln(N_docs / doc-frequency across the whole corpus).
     * Two aggregations (both keyed by token after one explode) + a per-lang

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over monthly grids — the operations the reference's
+  * continuity check implies but never computes (`check_hicp_quality.py:41–49`
+  * flags month gaps; these operators FILL them, impute values across them,
+  * and derive the year-over-year rates that are the entire point of an HICP
+  * index). Generalized to any (key, month, value) series; demonstrated over
+  * per-supplier monthly shipped quantity from `lineitem`.
+  *
+  * Scale shape: everything is one `groupBy` to the monthly grain (map-side
+  * combined), then per-key window passes — a single shuffle on the series
+  * key. The month spine comes from `sequence()` + `explode` per key (at most
+  * |months| rows per key), never from a driver-side loop, so a 100 TB fact
+  * table densifies into its series grid with the same two exchanges.
+  */
+object TimeSeriesOps {
+
+  /** Monthly sum-of-quantity series per supplier (restricted to a key prefix
+    * so driver outputs stay bounded at every SF). Quantities are
+    * integer-valued in this schema, so the sums are IEEE-exact and every
+    * engine computes identical values regardless of partial-agg order.
+    */
+  def monthlySeries(li: DataFrame, maxSuppkey: Int): DataFrame =
+    li.filter(col("l_suppkey") < maxSuppkey)
+      .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_quantity")).as("qty"))
+
+  /** Gap-fill: expand each key's [min, max] month span into the full month
+    * spine (`sequence` + `explode`) and left-join the observed points back —
+    * missing months surface as explicit null-valued rows (the reference's
+    * sparse-JSON-stat convention: absent index = retained null row).
+    */
+  def gapFillMonthly(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val monthly = monthlySeries(li, maxSuppkey)
+    val spine = monthly.groupBy(col("l_suppkey"))
+      .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+      .select(col("l_suppkey"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+    spine.join(monthly, Seq("l_suppkey", "month"), "left")
+  }
+
+  /** Driver-facing gap-fill table: month as string, explicit gap flag. */
+  def gapFillTable(li: DataFrame, maxSuppkey: Int): DataFrame =
+    gapFillMonthly(li, maxSuppkey)
+      .select(col("l_suppkey"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        round(col("qty"), 2).as("qty"),
+        col("qty").isNull.as("is_gap"))
+      .orderBy(col("l_suppkey"), col("month"))
+
+  /** Linear interpolation across gaps: for each null month, carry the
+    * nearest non-null value from both directions (`last`/`first` with
+    * ignoreNulls over the per-key month order) and weight by month distance.
+    * Leading/trailing gaps (no bracket on one side) stay null. Two window
+    * passes over the SAME partitioning — one shuffle total on the key.
+    */
+  def interpolateMonthly(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val wPrev = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsMonth = when(col("qty").isNotNull, col("month"))
+    gapFillMonthly(li, maxSuppkey)
+      .withColumn("prev_qty", last(col("qty"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_m", last(obsMonth, ignoreNulls = true).over(wPrev))
+      .withColumn("next_qty", first(col("qty"), ignoreNulls = true).over(wNext))
+      .withColumn("next_m", first(obsMonth, ignoreNulls = true).over(wNext))
+      .withColumn("qty_filled",
+        when(col("qty").isNotNull, col("qty"))
+          .when(col("prev_qty").isNull || col("next_qty").isNull,
+            lit(null).cast("double"))
+          .otherwise(col("prev_qty")
+            + (col("next_qty") - col("prev_qty"))
+            * (months_between(col("month"), col("prev_m"))
+              / months_between(col("next_m"), col("prev_m")))))
+      .select(col("l_suppkey"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("qty").isNull.as("was_gap"),
+        (floor(col("qty_filled") * 100 + 0.5) / 100).as("qty_filled"))
+      .orderBy(col("l_suppkey"), col("month"))
+  }
+
+  /** Year-over-year percent change per series — the inflation-rate shape
+    * (HICP's raison d'être). Joins each month to its exact month−12
+    * counterpart (a self-join on the shifted month key, NOT `lag(12)`, which
+    * silently mis-pairs across gaps). Sums are integer-exact, so the ratio
+    * is engine-deterministic; quantized at 4dp for the oracle compare.
+    */
+  def yoyChange(li: DataFrame): DataFrame = {
+    val monthly = li
+      .groupBy(col("l_returnflag"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val prev = monthly.select(col("l_returnflag"),
+      add_months(col("month"), 12).as("month"), col("qty").as("prev_qty"))
+    monthly.join(prev, Seq("l_returnflag", "month"), "left")
+      .select(col("l_returnflag"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        round(col("qty"), 2).as("qty"),
+        round(col("prev_qty"), 2).as("prev_qty"),
+        (floor((col("qty") / col("prev_qty") - 1) * 100 * 10000 + 0.5) / 10000)
+          .as("yoy_pct"))
+      .orderBy(col("l_returnflag"), col("month"))
+  }
+}

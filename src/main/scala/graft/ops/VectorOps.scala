@@ -138,6 +138,48 @@ object VectorOps {
       when(dot(emb, typedLit(p)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Maximum-inner-product top-k (MIPS — the retrieval scoring used when
+    * embeddings are trained unnormalized): same broadcast-queries /
+    * stream-corpus shape as [[knnBruteForce]], but ranked on the raw dot
+    * product. The dot is the deterministic sequential double fold, quantized
+    * before ranking (ties by vec_id) for engine-stable order.
+    */
+  def mipsTopK(emb: DataFrame, maxQueryId: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", q4(dot(col("q"), col("embedding"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("ip"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Matryoshka-truncation recall: rank neighbors by cosine over only the
+    * first `dims` dimensions (the MRL cheap-search trick — truncated
+    * prefixes of a matryoshka-trained embedding approximate the full
+    * vector), and measure per-query overlap@k against the full-dimension
+    * ranking. Two passes of the same broadcast-queries shape; the recall
+    * join is on (query_id, vec_id) pairs only — k·|queries| rows.
+    */
+  def matryoshkaRecall(emb: DataFrame, maxQueryId: Int, k: Int,
+                       dims: Int = 16): DataFrame = {
+    val full = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"))
+    val truncated = emb.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dims)").as("embedding"))
+    val trunc = knnBruteForce(truncated, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"))
+    full.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        q4(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_full")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** ANN via multi-table hyperplane LSH (OR over tables, AND within a
     * table): each vector gets one bucket id per table; query and corpus
     * vector are candidates when they share a bucket in ANY table. A single

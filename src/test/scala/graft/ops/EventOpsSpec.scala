@@ -29,6 +29,20 @@ class EventOpsSpec extends SparkSpec {
     assert((0 until 3).map(p.getLong) == Seq(3L, 2L, 1L))
   }
 
+  test("zscore anomalies: an injected outlier is flagged, a tight cluster is not") {
+    import spark.implicits._
+    // type 'a': 40 values at ~10 plus one at 1000 (an extreme outlier);
+    // type 'b': all identical except tiny jitter — nothing beyond 3 sigma
+    val a = (1 to 40).map(i => ("a", 10.0 + (i % 3))) :+ (("a", 1000.0))
+    val b = (1 to 20).map(i => ("b", 5.0 + (i % 2) * 0.01))
+    val df = (a ++ b).toDF("event_type", "value")
+    val rows = EventOps.zscoreAnomalies(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getLong(2) == 1L, "exactly the injected outlier flags")
+    assert(rows("a").getDouble(3) > 3.0)
+    assert(rows("b").getLong(2) == 0L, "uniform-ish values must not flag")
+  }
+
   test("retention: day-0 row counts every user exactly once") {
     val rows = EventOps.retention(events).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -64,6 +64,58 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.values.forall(_ >= 2), "minDocs filter must hold")
   }
 
+  test("chunking: overlapping chunks tile the text; trailing chunk is short") {
+    // 180 chars, size 120 / stride 90 -> chunks at 0 and 90; the second is
+    // 90 chars (truncated), and together they cover every character
+    val text = ("x" * 89 + "|") * 2  // 180 chars
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextOps.chunkFixedOverlap(df).collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1))
+    assert(rows(0).getInt(2) == 120)          // full first chunk
+    assert(rows(1).getInt(2) == 90)           // 180 - 90 remaining
+    // chunk 0 ends past chunk 1's start: the 30-char overlap is real
+    val df2 = Seq((2L, "ab")).toDF("doc_id", "text")
+    val tiny = TextOps.chunkFixedOverlap(df2).collect()
+    assert(tiny.length == 1 && tiny(0).getInt(2) == 2)
+  }
+
+  test("pii scrub masks emails, urls and phone numbers everywhere") {
+    val df = Seq((7L, "reach me at bob@corp.example or https://x.example/a +1-222-333-4444 thanks"))
+      .toDF("doc_id", "text")
+    val r = TextOps.piiScrub(df).collect()(0)
+    // 1 email/url/phone in the text + 1 each appended deterministically
+    assert(r.getInt(1) == 2, s"emails: ${r.getInt(1)}")
+    assert(r.getInt(2) == 2, s"urls: ${r.getInt(2)}")
+    assert(r.getInt(3) == 2, s"phones: ${r.getInt(3)}")
+  }
+
+  test("block dedup: repeated 10-token block in a later doc is flagged; first keeps it") {
+    val block = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (11 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block $other"),  // owns both blocks (first occurrence)
+      (2L, s"$block"),         // duplicate of doc 1's first block
+      (3L, s"$other $block"))  // both blocks duplicated
+      .toDF("doc_id", "text")
+    val rows = TextOps.duplicateBlocks(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (2L, 0L), "first occurrences are never duplicates")
+    assert(rows(2L) == (1L, 1L))
+    assert(rows(3L) == (2L, 2L))
+  }
+
+  test("zipf fit recovers slope -1 on an exact zipfian frequency table") {
+    // freq(rank) = 1200/rank for ranks 1..8, token names pad the rank order
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(1200 / r)(s"t$r")
+    }.mkString(" ")
+    val df = Seq((1L, docs)).toDF("doc_id", "text")
+    val row = TextOps.zipfFit(df, k = 8).collect()(0)
+    assert(row.getLong(0) == 8L)
+    val slope = row.getDouble(1)
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope should be ~ -1")
+  }
+
   test("tf-idf: corpus-universal term scores zero; distinctive term ranks first") {
     val df = Seq(
       (1L, "en", "common common apple apple apple"),

@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  /** lineitem-shaped frame: one supplier, monthly quantities with a 2-month
+    * hole (Feb+Mar 2024 missing between Jan=10 and Apr=40).
+    */
+  private def withHole: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0, Timestamp.valueOf("2024-01-15 00:00:00"), 10.0),
+      (0, Timestamp.valueOf("2024-04-02 00:00:00"), 40.0),
+      (0, Timestamp.valueOf("2024-05-20 00:00:00"), 5.0))
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+  }
+
+  test("gapFill inserts explicit null rows for missing months") {
+    val rows = TimeSeriesOps.gapFillTable(withHole, 10).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01"))
+    assert(rows.map(_.getBoolean(3)).toSeq ==
+      Seq(false, true, true, false, false))
+    // observed months keep their sums; gap months are null
+    assert(rows(0).getDouble(2) == 10.0 && rows(3).getDouble(2) == 40.0)
+    assert(rows(1).isNullAt(2) && rows(2).isNullAt(2))
+  }
+
+  test("interpolate fills a hole linearly and leaves unbracketed gaps null") {
+    import spark.implicits._
+    // leading gap: add a supplier whose series STARTS with its min month, so
+    // spans never create unbracketed gaps inside; instead verify bracketing
+    // with the 2-month hole: Jan=10 .. Apr=40 -> Feb=20, Mar=30
+    val rows = TimeSeriesOps.interpolateMonthly(withHole, 10).collect()
+    val byMonth = rows.map(r => r.getString(1) -> r).toMap
+    assert(byMonth("2024-02-01").getDouble(3) == 20.0)
+    assert(byMonth("2024-03-01").getDouble(3) == 30.0)
+    assert(!byMonth("2024-02-01").isNullAt(3) && byMonth("2024-02-01").getBoolean(2))
+    // observed rows pass through unchanged
+    assert(byMonth("2024-01-01").getDouble(3) == 10.0)
+    assert(byMonth("2024-05-01").getDouble(3) == 5.0)
+  }
+
+  test("yoy pairs a month with exactly month-12, not the 12th-previous row") {
+    import spark.implicits._
+    // series with a hole: lag(12) over rows would mispair; the month-key
+    // self-join must leave yoy null when month-12 is absent
+    val li = Seq(
+      ("A", Timestamp.valueOf("2023-01-10 00:00:00"), 100.0),
+      ("A", Timestamp.valueOf("2023-03-10 00:00:00"), 50.0),
+      ("A", Timestamp.valueOf("2024-01-20 00:00:00"), 110.0),
+      ("A", Timestamp.valueOf("2024-02-20 00:00:00"), 70.0))
+      .toDF("l_returnflag", "l_shipdate", "l_quantity")
+    val rows = TimeSeriesOps.yoyChange(li).collect()
+      .map(r => r.getString(1) -> r).toMap
+    // 2024-01 vs 2023-01: (110/100 - 1)*100 = 10%
+    assert(rows("2024-01-01").getDouble(4) == 10.0)
+    // 2024-02 has no 2023-02 counterpart -> null yoy
+    assert(rows("2024-02-01").isNullAt(4))
+    // base-year months have no predecessor -> null
+    assert(rows("2023-01-01").isNullAt(4))
+  }
+}

@@ -70,6 +70,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall suspiciously low")
   }
 
+  test("mips top-k ranks by raw inner product, not cosine") {
+    import spark.implicits._
+    // v2 has higher cosine to the query (parallel) but smaller magnitude;
+    // v3 is less aligned but huge, so MIPS must prefer v3
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // query
+      (2L, Seq(0.9f, 0.0f)),            // cosine 1.0, ip 0.9
+      (3L, Seq(10.0f, 10.0f)))          // cosine 0.707, ip 10.0
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.mipsTopK(df, maxQueryId = 1, k = 2).collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 2L))
+    assert(rows(0).getDouble(3) == 10.0)
+  }
+
+  test("matryoshka recall: identical prefixes give recall 1, divergent prefixes less") {
+    val r = VectorOps.matryoshkaRecall(emb, maxQueryId = 5, k = 10, dims = 64)
+      .collect()
+    // truncating to the FULL dimension is a no-op: recall must be exactly 1
+    assert(r.nonEmpty)
+    assert(r.forall(_.getDouble(2) == 1.0), "64-dim 'truncation' must be lossless")
+    val r16 = VectorOps.matryoshkaRecall(emb, maxQueryId = 5, k = 10, dims = 16)
+      .collect()
+    assert(r16.forall(row => row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0))
+    info(s"16-dim prefix recall@10: ${r16.map(_.getDouble(2)).mkString(", ")}")
+  }
+
   test("native lsh_buckets matches the HOF per-plane reference, table by table") {
     val nTables = 4
     val ppt = 4

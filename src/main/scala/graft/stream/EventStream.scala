@@ -84,6 +84,46 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval join: each view joined to the SAME user's clicks
+    * within `windowMinutes` after it (attribution). Both sides carry
+    * watermarks and the join condition bounds the click time relative to the
+    * view time, so the state store retains each side only for the interval +
+    * watermark horizon — the canonical bounded-state stream-stream join. At
+    * scale both sides hash-partition on user_id; state is per-key and
+    * expires as the watermark advances.
+    */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame,
+                           windowMinutes: Int = 30): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  /** Batch twin of [[viewClickAttribution]] (same plan shape minus state):
+    * what the spec compares the streaming result against.
+    */
+  def viewClickAttributionBatch(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** G5-style idempotent streaming sink: every micro-batch writes its hourly
     * partitions with dynamic partition overwrite via `foreachBatch`, so a
     * replayed batch REPLACES its partitions instead of appending duplicates —

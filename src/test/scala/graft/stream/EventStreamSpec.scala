@@ -67,6 +67,20 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val src = EventStream.source(spark, sfDir)
+    // append mode is the only legal mode for stream-stream joins; a static
+    // source emits everything in one micro-batch, then processAllAvailable
+    // drains the final watermark advance
+    val got = runToTable(
+      EventStream.viewClickAttribution(src, src), "t_ssjoin", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStream.viewClickAttributionBatch(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "degenerate data: no view->click pairs at all")
+    assert(got == want)
+  }
+
   test("foreachBatch idempotent sink: replay overwrites partitions, no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("gold_stream").toString
     def runOnce(cp: String): Unit = {

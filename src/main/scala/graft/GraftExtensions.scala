@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BandHashes, CosineSim, IntersectCount, MinHashSig, ShingleHashes, SimHash61, SqL2}
+import graft.functions.{BandHashes, CosineSim, DotProduct, IntersectCount, MinHashSig, ShingleHashes, SimHash61, SqL2}
 
 /** Standard Spark extension entry point: registers the engine's native
   * Catalyst functions permanently for a session, so any user (including pure
@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - single-pass cosine similarity"),
       exprs => CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product, sequential fold"),
+      exprs => DotProduct(exprs.head, exprs(1))))
     e.injectFunction((
       FunctionIdentifier("sq_l2"),
       info("sq_l2", "sq_l2(a, b) - squared L2 distance, sequential fold"),

@@ -759,6 +759,33 @@ object SparkEntry {
              |FROM a JOIN u ON u.user_id = a.user_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // batch twin of the stream-stream interval join (EventStream
+    // .viewClickAttribution): clicks within 30min after a view, per user —
+    // compared on exact ns timestamps so the interval boundary is tie-free
+    Q("ev_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts_ns").as("v_ns"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_ns").as("c_ns"))
+        v.join(c, col("user_id") === col("c_user") &&
+            col("c_ns") > col("v_ns") &&
+            col("c_ns") <= col("v_ns") + lit(30L * 60L * 1000000000L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_attributed"),
+            countDistinct(col("view_id")).as("n_views_with_click"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT v.user_id, count(*) AS n_attributed,
+             |  count(DISTINCT v.event_id) AS n_views_with_click
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND epoch_ns(c.ts) > epoch_ns(v.ts)
+             | AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 1800000000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("ev_zscore_anomaly",
       (s, d) => EventOps.zscoreAnomalies(events(s, d)),
       Some("""WITH s AS (
@@ -1424,6 +1451,65 @@ object SparkEntry {
               |  SELECT query_id, vec_id, sim,
               |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
               |  FROM pairs)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // product-quantization ADC: deterministic k-means sub-codebooks (seeds =
+    // first-16 vectors' subvectors, one Lloyd iteration, 4dp centroids),
+    // per-subspace nearest-code encoding, reconstruction-L2 scoring — every
+    // distance quantized before argmin/ranking so both engines rank
+    // identically
+    Q("vec_pq_adc",
+      (s, d) => VectorOps.pqAdcTopK(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |ms AS (SELECT unnest(range(0, 8)) AS m),
+              |vs AS (SELECT vec_id, m, v[m * 8 + 1:m * 8 + 8] AS vsub
+              |       FROM e CROSS JOIN ms),
+              |seeds AS (SELECT m, CAST(vec_id AS INTEGER) AS code, vsub AS sub
+              |          FROM vs WHERE vec_id < 16),
+              |sd AS (
+              |  SELECT vs.vec_id, vs.m, s.code, vs.vsub,
+              |    floor(list_sum(list_transform(range(1, 9),
+              |        i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS d
+              |  FROM vs JOIN seeds s ON s.m = vs.m),
+              |assigned AS (
+              |  SELECT m, code, vsub FROM (
+              |    SELECT m, code, vsub,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+              |    FROM sd) WHERE rn = 1),
+              |cbl AS (
+              |  SELECT m, code, pos, floor(avg(x) * 10000 + 0.5) / 10000 AS c
+              |  FROM (SELECT m, code,
+              |          CAST(unnest(range(len(vsub))) AS INTEGER) AS pos,
+              |          unnest(vsub) AS x
+              |        FROM assigned)
+              |  GROUP BY 1, 2, 3),
+              |cb AS (SELECT m, code, list(c ORDER BY pos) AS sub FROM cbl GROUP BY 1, 2),
+              |d AS (
+              |  SELECT vs.vec_id, vs.m, cb.code, cb.sub,
+              |    floor(list_sum(list_transform(range(1, 9),
+              |        i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS d
+              |  FROM vs JOIN cb ON cb.m = vs.m),
+              |codes AS (
+              |  SELECT vec_id, m, sub FROM (
+              |    SELECT vec_id, m, sub,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+              |    FROM d) WHERE rn = 1),
+              |recon AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS r
+              |          FROM codes GROUP BY 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.query_id, recon.vec_id,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (qv[i] - r[i]) * (qv[i] - r[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS adc
+              |  FROM q JOIN recon ON recon.vec_id <> q.query_id)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc FROM (
+              |  SELECT query_id, vec_id, adc,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+              |  FROM scored)
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 

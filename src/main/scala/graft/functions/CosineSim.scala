@@ -71,6 +71,57 @@ object CosineSim {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
 }
 
+/** `dot_product(a, b)` — raw inner product of two numeric arrays as the same
+  * sequential left fold (i = 0..n-1) in double as [[CosineSim]], minus the
+  * normalization: the MIPS scoring kernel. Bit-identical to
+  * `aggregate(zip_with(...))` and to a SQL `list_sum` over the ordered
+  * products.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elemOf(e: Expression) =
+    e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+  private lazy val leftElem = elemOf(left)
+  private lazy val rightElem = elemOf(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(DotProduct.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftElem == FloatType, rightElem == FloatType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($a, $b, " +
+        s"${leftElem == FloatType}, ${rightElem == FloatType});")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Strict sequential left fold of x_i·y_i, static for codegen. */
+  def compute(x: ArrayData, y: ArrayData, xIsFloat: Boolean, yIsFloat: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+}
+
 /** `sq_l2(a, b)` — squared L2 distance between two numeric arrays as a
   * strict sequential left fold (i = 0..n-1) in double: deterministic across
   * partitionings and bit-identical to a SQL `list_sum` over the same ordered

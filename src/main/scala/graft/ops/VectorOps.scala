@@ -145,10 +145,11 @@ object VectorOps {
     * before ranking (ties by vec_id) for engine-stable order.
     */
   def mipsTopK(emb: DataFrame, maxQueryId: Int, k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val queries = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val pairs = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("ip", q4(dot(col("q"), col("embedding"))))
+      .withColumn("ip", q4(call_function("dot_product", col("q"), col("embedding"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -257,6 +258,80 @@ object VectorOps {
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product-quantization ANN (ADC — asymmetric distance computation): the
+    * memory-collapse path of a vector index. Each 64-dim vector is split
+    * into `nSub` disjoint subspaces; per subspace it stores only the id of
+    * its nearest sub-codebook entry, so a vector compresses to `nSub` small
+    * codes. The codebook is trained by deterministic k-means (seeds = the
+    * first `nCodes` vectors' subvectors, one Lloyd iteration, quantized
+    * centroids) so any engine recomputes it exactly. Query scoring reconstructs
+    * each candidate from its codes and takes exact L2 against the query —
+    * mathematically identical to the classic per-query lookup-table ADC
+    * (subspaces are disjoint, so Σₘ d(qₘ, cb[codeₘ]) = ‖q − recon‖²), which
+    * is the constant-memory formulation a 100 TB deployment uses.
+    *
+    * Plan shape: the codebook (|labels|·nSub rows of 8 floats) broadcasts;
+    * encoding shuffles only (vec_id, m, code); reconstruction is one
+    * groupBy on vec_id with a deterministic subspace-ordered flatten; the
+    * scoring pass is the same broadcast-queries corpus scan as
+    * [[knnBruteForce]]. Every distance is floor-quantized before any argmin
+    * or ranking, ties broken by id — engine-stable end to end.
+    */
+  def pqAdcTopK(emb: DataFrame, maxQueryId: Int, k: Int,
+                nSub: Int = 8, dim: Int = 64, nCodes: Int = 16): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    val subDim = dim / nSub
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    def subspaces(vecCol: String): Column = posexplode(expr(
+      s"transform(sequence(0, ${nSub - 1}), m -> slice($vecCol, m * $subDim + 1, $subDim))"))
+    // per-(vector, subspace) slices — the train/assign/encode passes all read this
+    val vsub = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), subspaces("v").as(Seq("m", "vsub")))
+      .persist()
+    // k-means codebook, deterministic: seed codes = subvectors of the first
+    // nCodes vectors (data-typical, unlike degenerate global means), then ONE
+    // Lloyd iteration — assign every subvector to its nearest seed (quantized
+    // distance, ties by code id) and average per code, elementwise via
+    // posexplode. Centroids are 4dp-quantized so both engines feed identical
+    // codebooks into the encoder. Seeds with no assignment drop out (same on
+    // both sides).
+    val seeds = vsub.filter(col("vec_id") < nCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("vsub").as("sub"))
+    val wSeed = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("code"))
+    val assigned = vsub.join(broadcast(seeds), Seq("m"))
+      .withColumn("d", q6(call_function("sq_l2", col("vsub"), col("sub"))))
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") === 1)
+      .select(col("m"), col("code"), col("vsub"))
+    val cb = assigned
+      .select(col("m"), col("code"), posexplode(col("vsub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+      .select(col("m"), col("code"), col("pos"), (floor(col("c") * 10000 + 0.5) / 10000).as("c"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("sub"))
+    // encode: nearest trained code per (vector, subspace)
+    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("code"))
+    val codes = vsub.join(broadcast(cb), Seq("m"))
+      .withColumn("d", q6(call_function("sq_l2", col("vsub"), col("sub"))))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sub"))
+    // reconstruction: chosen codebook slices, concatenated in subspace order
+    val recon = codes.groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub))), s -> s.sub))")
+        .as("r"))
+    val qvecs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q"))
+    val scored = recon.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", q6(call_function("sq_l2", col("q"), col("r"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
       .orderBy(col("query_id"), col("rank"))
   }
 

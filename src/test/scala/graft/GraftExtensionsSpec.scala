@@ -21,7 +21,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  size(band_hashes(minhash_sig(shingle_hashes(array('a','b','c','d'), 3), 32))) AS n_bands,
           |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS inter,
           |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
-          |  sq_l2(array(0.0D, 3.0D), array(4.0D, 3.0D)) AS d2
+          |  sq_l2(array(0.0D, 3.0D), array(4.0D, 3.0D)) AS d2,
+          |  dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp
           |""".stripMargin).collect()(0)
       assert(row.getInt(1) == 2)   // 2 distinct 3-gram shingles of 4 tokens
       assert(row.getInt(2) == 16)  // k signature rows
@@ -30,6 +31,7 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getInt(5) == 2)   // {3, 5}
       assert(row.getDouble(6) == 1.0)
       assert(row.getDouble(7) == 16.0)
+      assert(row.getDouble(8) == 23.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
@@ -41,6 +43,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // stay CodegenFallback by measurement (see CODEGEN NOTE in MinHash.scala)
     graft.functions.CosineSim.register(spark)
     graft.functions.SqL2.register(spark)
+    graft.functions.DotProduct.register(spark)
     graft.functions.MinHashFunctions.register(spark)
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     // CODEGEN_ONLY turns a broken doGenCode into a hard failure instead of
@@ -52,11 +55,13 @@ class GraftExtensionsSpec extends SparkSpec {
       val r = spark.range(1, 4).selectExpr(
         "cosine_sim(array(CAST(id AS DOUBLE), 1.0D), array(CAST(id AS DOUBLE), 1.0D)) AS c",
         "sq_l2(array(CAST(id AS DOUBLE)), array(CAST(id AS DOUBLE) + 3.0D)) AS d2",
-        "sorted_intersect_count(array(id, id + 2), array(id + 2, id + 4)) AS i")
+        "sorted_intersect_count(array(id, id + 2), array(id + 2, id + 4)) AS i",
+        "dot_product(array(CAST(id AS DOUBLE), 3.0D), array(0.0D, 2.0D)) AS dp")
         .collect()
       assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
       assert(r.forall(_.getDouble(1) == 9.0))
       assert(r.forall(_.getInt(2) == 1))
+      assert(r.forall(_.getDouble(3) == 6.0))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)

@@ -96,6 +96,25 @@ class VectorOpsSpec extends SparkSpec {
     info(s"16-dim prefix recall@10: ${r16.map(_.getDouble(2)).mkString(", ")}")
   }
 
+  test("PQ-ADC: reported neighbors are real and recall vs exact L2 is sane") {
+    val pq = VectorOps.pqAdcTopK(emb, maxQueryId = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exact L2 top-5 for the same queries (brute force)
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SqL2.register(spark)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("vec_id"))
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d", call_function("sq_l2", col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    info(s"PQ-ADC recall vs exact L2 top-5: $recall")
+    assert(pq.size == exact.size)
+    assert(recall >= 0.2, s"recall $recall suspiciously low for 8x8 PQ")
+  }
+
   test("native lsh_buckets matches the HOF per-plane reference, table by table") {
     val nTables = 4
     val ppt = 4

@@ -596,6 +596,34 @@ object SparkEntry {
              |  round(max(l_quantity), 2) AS value_max
              |FROM lineitem""".stripMargin)),
 
+    // PSI distribution drift between the pre-/post-1996 order snapshots:
+    // fixed-width bins, exact-integer fractions, epsilon floor on empties;
+    // psi_term is quantized from the RAW fractions on both sides
+    Q("qc_psi_drift",
+      (s, d) => {
+        val o = orders(s, d)
+        QualityChecks.psiDrift(
+          o.filter(col("o_orderdate") < lit("1996-01-01")),
+          o.filter(col("o_orderdate") >= lit("1996-01-01")),
+          "o_totalprice", binWidth = 25000.0)
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             |    count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1996-01-01') AS n_before,
+             |    count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01') AS n_after
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT sum(n_before) AS t_before, sum(n_after) AS t_after FROM b),
+             |f AS (
+             |  SELECT bin, n_before, n_after,
+             |    greatest(CAST(n_before AS DOUBLE) / t_before, 1e-6) AS p_raw,
+             |    greatest(CAST(n_after AS DOUBLE) / t_after, 1e-6) AS q_raw
+             |  FROM b CROSS JOIN t)
+             |SELECT bin, n_before, n_after,
+             |  floor(p_raw * 10000 + 0.5) / 10000 AS p_frac,
+             |  floor(q_raw * 10000 + 0.5) / 10000 AS q_frac,
+             |  floor((p_raw - q_raw) * ln(p_raw / q_raw) * 10000 + 0.5) / 10000 AS psi_term
+             |FROM f ORDER BY bin""".stripMargin)),
+
     Q("qc_report_gate",
       (s, d) => QualityChecks.reportRow(s, QualityChecks.runChecks(
         lineitem(s, d),
@@ -984,6 +1012,20 @@ object SparkEntry {
               |  floor(CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE) / count(*)
               |    * 10000 + 0.5) / 10000 AS dup_frac
               |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // perplexity-proxy: per-doc mean unigram surprisal under the corpus
+    // unigram model (sum order can differ between engines; 4dp quantization
+    // absorbs the ulp)
+    Q("txt_surprisal",
+      (s, d) => TextOps.unigramSurprisal(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+              |m AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+              |n AS (SELECT count(*) AS n_total FROM t)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  floor(sum(-ln(CAST(cnt AS DOUBLE) / n_total)) / count(*)
+              |    * 10000 + 0.5) / 10000 AS mean_surprisal
+              |FROM t JOIN m USING (token) CROSS JOIN n
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100 tokens
     Q("txt_zipf",

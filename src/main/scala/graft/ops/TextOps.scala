@@ -321,6 +321,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document mean unigram surprisal — the perplexity-proxy quality
+    * filter of LLM corpora (documents whose tokens are improbable under the
+    * corpus unigram model are gibberish/noise; documents far BELOW the norm
+    * are boilerplate): −(1/n)·Σ ln p(tᵢ) with p from corpus counts. One
+    * explode feeds both the model (token counts) and the scoring join —
+    * shuffles keyed by token then doc_id, the shape that holds at corpus
+    * scale (the unigram model stays distributed; nothing collects).
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .persist()
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(model, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal", -log(col("cnt") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        q4(sum(col("surprisal")) / count(lit(1))).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf's-law fit over the top-k token frequencies: OLS slope/intercept of
     * ln(freq) against ln(rank) via `regr_slope`/`regr_intercept` (a natural
     * corpus should fit slope ≈ −1; a synthetic or heavily-duplicated corpus

@@ -72,6 +72,37 @@ object QualityChecks {
       min(col(valueCol)).as("value_min"),
       max(col(valueCol)).as("value_max"))
 
+  /** Distribution drift between two table snapshots via the Population
+    * Stability Index: fixed-width bins (data-independent edges, so the
+    * binning needs no global pass), per-bin population fractions of each
+    * snapshot, psi_term = (p − q)·ln(p/q) with an epsilon floor for empty
+    * bins. Σ psi_term is the standard drift gate (<0.1 stable, >0.25 major
+    * shift). Two scans + one tiny aggregate — the monitoring query a
+    * pipeline runs on every load. Fractions are exact-integer ratios, so
+    * both engines compute identical doubles; terms are 4dp-quantized.
+    */
+  def psiDrift(before: DataFrame, after: DataFrame, valueCol: String,
+               binWidth: Double, epsilon: Double = 1e-6): DataFrame = {
+    def binned(df: DataFrame, n: String): DataFrame =
+      df.withColumn("bin", floor(col(valueCol) / binWidth).cast("long"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val q4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val p = binned(before, "n_before")
+    val q = binned(after, "n_after")
+    val totals = p.agg(sum(col("n_before")).as("t_before"))
+      .crossJoin(q.agg(sum(col("n_after")).as("t_after")))
+    p.join(q, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_frac", greatest(col("n_before") / col("t_before"), lit(epsilon)))
+      .withColumn("q_frac", greatest(col("n_after") / col("t_after"), lit(epsilon)))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        q4(col("p_frac")).as("p_frac"), q4(col("q_frac")).as("q_frac"),
+        q4((col("p_frac") - col("q_frac")) * log(col("p_frac") / col("q_frac")))
+          .as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** One check outcome (reference report entry shape, `:53–54`). */
   final case class CheckResult(name: String, passed: Boolean, detail: Map[String, String])
 

@@ -104,6 +104,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(3L) == (2L, 2L))
   }
 
+  test("unigram surprisal: rare-token docs score higher than common-token docs") {
+    val df = Seq(
+      (1L, "common common common common"),       // all high-probability tokens
+      (2L, "common rareone rareapart raretwo"),  // mostly singletons
+      (3L, "common common rareone common"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.unigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(2L) > rows(3L) && rows(3L) > rows(1L),
+      s"surprisal must order by rarity: $rows")
+    // doc of only the most common token: surprisal = -ln(count/total) exactly
+    val total = 12.0
+    val pCommon = 8.0 / total  // 'common' appears 8x across the 12 tokens
+    assert(math.abs(rows(1L) - (-math.log(pCommon))) < 1e-4)
+  }
+
   test("zipf fit recovers slope -1 on an exact zipfian frequency table") {
     // freq(rank) = 1200/rank for ranks 1..8, token names pad the rank order
     val docs = (1 to 8).flatMap { r =>

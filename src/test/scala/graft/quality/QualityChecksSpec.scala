@@ -83,4 +83,22 @@ class QualityChecksSpec extends SparkSpec {
     val detail = r.checks.find(_.name == "monthly_continuity").get.detail
     assert(detail("groups") == "2" && detail("failing_groups") == "1")
   }
+
+  test("PSI drift: identical snapshots score ~0, a shifted snapshot scores high") {
+    val before = (1 to 100).map(i => (i % 10) * 10.0 + 5.0).toDF("v")
+    // identical distribution -> every psi_term is 0 (p == q exactly)
+    val same = QualityChecks.psiDrift(before, before, "v", binWidth = 10.0)
+      .collect()
+    assert(same.map(_.getDouble(5)).sum == 0.0)
+    assert(same.length == 10)
+    // shift the whole population two bins up -> strong drift, and bins
+    // present on only one side still appear (epsilon floor, no div-by-zero)
+    val after = (1 to 100).map(i => (i % 10) * 10.0 + 25.0).toDF("v")
+    val drift = QualityChecks.psiDrift(before, after, "v", binWidth = 10.0)
+      .collect()
+    val psi = drift.map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"two-bin shift must exceed the major-drift gate, got $psi")
+    assert(drift.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
+    assert(drift.exists(r => r.getLong(1) == 0 && r.getLong(2) > 0))
+  }
 }

@@ -129,6 +129,25 @@ object ScaleSmoke {
         .agg(sum(col("n")).as("n")).collect()(0).getAs[Long]("n")
     }
 
+    // 7b. PQ encode over ~100k vectors: codebook trains on a 16-seed
+    // k-means (broadcast), then every vector compresses to 8 codes —
+    // linear in the corpus; only (vec_id, m, code) rows shuffle.
+    timed("pq_adc_100k_vectors", 20L * emb.count()) {
+      VectorOps.pqAdcTopK(bigEmb, maxQueryId = 5, k = 5).count() + 20L * emb.count()
+    }
+
+    // 7c. Chunking over ~250k documents: pure per-row fan-out, no shuffle
+    // before the count — runs at scan speed.
+    timed("chunking_250k_docs", 50L * docs.count()) {
+      graft.ops.TextOps.chunkFixedOverlap(bigDocs).count()
+    }
+
+    // 7d. Block-level exact dedup over ~250k docs (md5-keyed shuffle): the
+    // duplicate-span scan of a C4-style pipeline.
+    timed("block_dedup_250k_docs", 50L * docs.count()) {
+      graft.ops.TextOps.duplicateBlocks(bigDocs).count()
+    }
+
     // 8. Connected components over a 2M-node synthetic near-dup graph
     // (400k chain components of 5 docs, diameter 4): the iterative
     // min-label propagation converges in ~diameter passes, each a single

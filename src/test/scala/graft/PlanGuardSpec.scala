@@ -71,6 +71,45 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("scalar subquery decorrelates to one aggregate + joins, no cartesian product") {
+    val plan = executedPlan("rel_scalar_subquery")
+    assert(!plan.contains("CartesianProduct"),
+      s"decorrelated Q17 shape must not produce a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dimension should broadcast:\n$plan")
+  }
+
+  test("chunking runs at scan speed: no exchange before the output sort") {
+    val df = SparkEntry.queries("txt_chunk_overlap")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only legal exchange is the final presentation orderBy's range
+    // partitioning — the fan-out itself must be shuffle-free
+    assert(exchanges.size <= 1,
+      s"chunk fan-out introduced extra shuffles: ${exchanges.size}")
+  }
+
+  test("block-dedup wide exchange carries fingerprints, never token arrays") {
+    val df = SparkEntry.queries("dedup_blocks")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.contains("toks") && !out.contains("text"),
+        s"token array / raw text crosses a shuffle: ${out.mkString(",")}")
+    }
+  }
+
+  test("gap-fill spine explode stays narrow: no qty arrays or text in its exchanges") {
+    val plan = executedPlan("ts_gap_fill")
+    // one groupBy to the monthly grain + the per-key span agg + final sort:
+    // the month spine must come from sequence(), not a join against a
+    // driver-built calendar table
+    assert(!plan.contains("CartesianProduct"), s"spine built by cartesian:\n$plan")
+  }
+
   test("LSH verification broadcast is gated: over the cap the query still runs unhinted") {
     val docs = Tables.documents(spark, sfDir)
     // force the gate shut: every candidate count exceeds a cap of 0

@@ -993,6 +993,25 @@ object SparkEntry {
               |  length(scrubbed) AS scrub_len, md5(scrubbed) AS scrub_fp
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // containment: |A∩B| / min(|A|,|B|) over (lang, source) blocks — the
+    // asymmetric member of the dedup family (short doc inside a long one)
+    Q("dedup_containment",
+      (s, d) => DedupOps.containmentPairs(documents(s, d), threshold = 0.8),
+      Some(s"""WITH t AS (SELECT doc_id, lang, source, $DuckToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, lang, source,
+              |    list_distinct(list_transform(range(len(toks) - 2),
+              |      i -> ${duckH61("array_to_string(toks[i + 1:i + 3], ' ')")})) AS hs
+              |  FROM t WHERE len(toks) >= 3),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+              |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              |      / least(len(a.hs), len(b.hs)), 4) AS containment
+              |  FROM sh a JOIN sh b
+              |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, lang, source, containment
+              |FROM p WHERE containment >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // C4-style exact block dedup: 10-token non-overlapping blocks, global
     // first-occurrence survivor by (doc_id, block_idx), md5 block keys
     Q("dedup_blocks",

@@ -139,6 +139,40 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Containment near-dup pairs: C = |A∩B| / min(|A|,|B|) — the asymmetric
+    * similarity that catches a SHORT document embedded in a long one, which
+    * Jaccard structurally misses (J ≤ |A|/|B| however perfect the overlap)
+    * and which length-banded blocking cannot generate candidates for (the
+    * interesting pairs are exactly the length-divergent ones). Candidates
+    * are therefore blocked on (lang, source) — a metadata block whose size
+    * is corpus-fraction-bounded and which co-partitions the self-join at
+    * scale; within a block the shingle-hash arrays shuffle ONCE to their
+    * block and pairs are verified by the native sorted merge-walk.
+    * CONTRACT: recall covers same-(lang, source) pairs; cross-source
+    * containment needs the LSH family's length-agnostic bands instead.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val base = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", expr("shingle_hashes(toks, 3)"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+    val a = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(size(col("sh_a")), size(col("sh_b"))), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("source"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash-LSH near-dup pairs: signatures → bands (rows-per-band key) →
     * equi-join on (band index, band slice) → distinct candidate pairs →
     * verified with exact Jaccard over the hashed shingle sets. The only

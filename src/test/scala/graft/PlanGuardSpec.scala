@@ -110,6 +110,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"spine built by cartesian:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~95% of the left side — the classic skew that
+      // serializes a 1000-executor join into one straggler task without AQE
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), lit("dim").as("v"))
+      val joined = left.join(right, "k")
+      // drive THIS QueryExecution (count() would plan a separate one and the
+      // adaptive plan here would never finalize)
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() > 0)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark/split the skewed join:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("LSH verification broadcast is gated: over the cap the query still runs unhinted") {
     val docs = Tables.documents(spark, sfDir)
     // force the gate shut: every candidate count exceeds a cap of 0

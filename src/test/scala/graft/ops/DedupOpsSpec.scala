@@ -153,4 +153,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)),
       s"boundary-straddling near-dup pair must be found; got ${pairs.toSeq}")
   }
+
+  test("containment finds a short doc embedded in a long one where Jaccard fails") {
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = ("completely unrelated preamble text goes here with many words " * 5) +
+      short + " and an equally long postamble follows with yet more filler words here"
+    val df = Seq((1L, "en", "src0", short), (2L, "en", "src0", long),
+      (3L, "en", "src1", short)) // same text, different source -> outside the block
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val pairs = DedupOps.containmentPairs(df, threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "the embedded doc must hit containment ~1 against its host")
+    assert(pairs(0).getDouble(4) >= 0.9)
+    // the same pair is invisible to thresholded Jaccard: |short| << |long|
+    val jac = DedupOps.ngramJaccardPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "Jaccard at 0.5 cannot see the length-divergent containment pair")
+  }
 }

@@ -1032,6 +1032,60 @@ object SparkEntry {
               |    * 10000 + 0.5) / 10000 AS dup_frac
               |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // concatenate-and-cut sequence packing: integer-exact running totals,
+    // docs straddle sequence boundaries like real pretraining packing
+    Q("txt_pack_sequences",
+      (s, d) => TextOps.packSequences(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len($DuckToks) AS n_tokens FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM t)
+              |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              |  (cum - n_tokens) // 512 AS first_seq,
+              |  (cum - 1) // 512 AS last_seq,
+              |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs_spanned
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // stable md5-bucket train/val/test split: identical assignment on any
+    // engine (first 32 md5 bits mod 100), per-split corpus stats
+    Q("txt_split_stats",
+      (s, d) => TextOps.hashSplitStats(documents(s, d)),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      % 100 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 10 THEN 'test'
+             |            WHEN bucket < 20 THEN 'val'
+             |            ELSE 'train' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  count(DISTINCT lang) AS n_langs
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // train/eval decontamination: eval doc flagged when any 5-gram shingle
+    // hash appears in the (even-doc_id) train split
+    Q("txt_decontamination",
+      (s, d) => TextOps.decontaminationScan(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, lang, $DuckToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, lang,
+              |    list_distinct(list_transform(range(len(toks) - 4),
+              |      i -> ${duckH61("array_to_string(toks[i + 1:i + 5], ' ')")})) AS hs
+              |  FROM t WHERE len(toks) >= 5),
+              |train AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id, lang, unnest(hs) AS h FROM sh WHERE doc_id % 2 = 1),
+              |hit AS (SELECT DISTINCT ev.doc_id FROM ev JOIN train USING (h))
+              |SELECT s.lang, count(*) AS n_eval,
+              |  count(*) FILTER (WHERE s.doc_id IN (SELECT doc_id FROM hit))
+              |    AS n_contaminated,
+              |  floor(CAST(count(*) FILTER (WHERE s.doc_id IN (SELECT doc_id FROM hit))
+              |      AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS contaminated_frac
+              |FROM sh s WHERE s.doc_id % 2 = 1
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // perplexity-proxy: per-doc mean unigram surprisal under the corpus
     // unigram model (sum order can differ between engines; 4dp quantization
     // absorbs the ulp)

@@ -364,6 +364,81 @@ object TextOps {
         q4(regr_intercept(log(col("n")), log(col("rank")))).as("intercept"))
   }
 
+  /** Sequence packing for training (concatenate-and-cut): tokens laid out in
+    * doc_id order and cut into fixed `budget`-token sequences; per document,
+    * which sequences it lands in (documents straddle boundaries — the
+    * standard pretraining packing). The cumulative count is one running-sum
+    * window; all arithmetic is exact integer division. NOTE: the global
+    * order here makes the result oracle-checkable; a 100 TB pipeline packs
+    * per shard with exactly this query per partition (the window gains a
+    * partitionBy(shard) and nothing else changes).
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("first_seq"),
+        expr(s"(cum - 1) div $budget").as("last_seq"))
+      .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-based train/val/test split + per-split stats: bucket
+    * = first 32 bits of md5(doc_id) mod 100, so the assignment is stable
+    * across runs, engines and corpus growth (a doc never changes split when
+    * new docs arrive — the property a random() split lacks). Pure per-row
+    * expressions + one aggregate.
+    */
+  def hashSplitStats(docs: DataFrame, testPct: Int = 10, valPct: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  /** Train/eval decontamination scan — the eval-integrity gate of an LLM
+    * pipeline: an eval document is CONTAMINATED when any of its `n`-gram
+    * shingles appears anywhere in the train split (here: even/odd doc_id as
+    * the deterministic split). One distinct-hash frame for train, one
+    * shuffle keyed by the 61-bit shingle hash for the probe — document
+    * text never moves, and the join partitions by shingle exactly as it
+    * would across 1000 executors.
+    */
+  def decontaminationScan(docs: DataFrame, n: Int = 5): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val base = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", expr(s"shingle_hashes(toks, $n)"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"), col("sh"))
+      .persist()
+    val trainHashes = base.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val evalDocs = base.filter(col("doc_id") % 2 === 1)
+    val hit = evalDocs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(trainHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    evalDocs.select(col("doc_id"), col("lang"))
+      .join(hit, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("contaminated"), 1)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        q4(col("n_contaminated").cast("double") / col("n_eval")))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF top terms per language: tf = corpus-wide term count within the
     * language, idf = ln(N_docs / doc-frequency across the whole corpus).
     * Two aggregations (both keyed by token after one explode) + a per-lang

@@ -104,6 +104,48 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(3L) == (2L, 2L))
   }
 
+  test("sequence packing: budgets cut mid-document and spans are contiguous") {
+    // budget 512; docs of 400/400/200 tokens -> doc2 straddles seqs 0-1,
+    // doc3 sits fully in seq 1 (cum 800..1000)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words(400)), (2L, words(400)), (3L, words(200)))
+      .toDF("doc_id", "text")
+    val rows = TextOps.packSequences(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) == (0L, 0L, 1L))
+    assert(rows(2L) == (0L, 1L, 2L), "doc 2 must straddle the 512 boundary")
+    assert(rows(3L) == (1L, 1L, 1L))
+  }
+
+  test("hash split: deterministic, complete, and roughly proportioned") {
+    val docs = (1L to 1000L).map(i => (i, "x", "en", i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val rows = TextOps.hashSplitStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("test", "val", "train"))
+    assert(rows.values.sum == 1000L)
+    // md5 buckets are uniform-ish: each 10% split within [5%, 15%]
+    assert(rows("test") > 50 && rows("test") < 150, s"test split ${rows("test")}")
+    assert(rows("val") > 50 && rows("val") < 150, s"val split ${rows("val")}")
+    // identical input -> identical assignment (stability)
+    val again = TextOps.hashSplitStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows)
+  }
+
+  test("decontamination flags an eval doc sharing a 5-gram with train, not clean ones") {
+    val leak = "one two three four five six"
+    val df = Seq(
+      (2L, "en", s"train doc contains the span $leak right here"),
+      (1L, "en", s"eval doc also carries $leak inside its text body"),   // contaminated
+      (3L, "en", "a completely different eval document with no overlap at all"),
+      (5L, "de", "noch ein sauberes eval dokument ohne gemeinsame folgen hier"))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextOps.decontaminationScan(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("en", 2L, 1L), ("de", 1L, 0L)), s"got $rows")
+  }
+
   test("unigram surprisal: rare-token docs score higher than common-token docs") {
     val df = Seq(
       (1L, "common common common common"),       // all high-probability tokens

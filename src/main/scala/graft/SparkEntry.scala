@@ -596,6 +596,36 @@ object SparkEntry {
              |  round(max(l_quantity), 2) AS value_max
              |FROM lineitem""".stripMargin)),
 
+    // one-pass column profiler: exact distincts, nulls, stringified min/max
+    // for four heterogeneous lineitem columns in a single aggregation
+    Q("qc_profile",
+      (s, d) => QualityChecks.profileColumns(lineitem(s, d),
+        Seq("l_returnflag", "l_suppkey", "l_quantity", "l_linenumber")),
+      Some("""SELECT col_name, n_distinct, n_nulls, min_value, max_value
+             |FROM (
+             |  SELECT 'l_returnflag' AS col_name,
+             |    count(DISTINCT l_returnflag) AS n_distinct,
+             |    count(*) FILTER (WHERE l_returnflag IS NULL) AS n_nulls,
+             |    CAST(min(l_returnflag) AS VARCHAR) AS min_value,
+             |    CAST(max(l_returnflag) AS VARCHAR) AS max_value
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_suppkey', count(DISTINCT l_suppkey),
+             |    count(*) FILTER (WHERE l_suppkey IS NULL),
+             |    CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(DISTINCT l_quantity),
+             |    count(*) FILTER (WHERE l_quantity IS NULL),
+             |    CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_linenumber', count(DISTINCT l_linenumber),
+             |    count(*) FILTER (WHERE l_linenumber IS NULL),
+             |    CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+             |  FROM lineitem)
+             |ORDER BY col_name""".stripMargin)),
+
     // PSI distribution drift between the pre-/post-1996 order snapshots:
     // fixed-width bins, exact-integer fractions, epsilon floor on empties;
     // psi_term is quantized from the RAW fractions on both sides
@@ -1048,6 +1078,18 @@ object SparkEntry {
               |  (cum - 1) // 512 AS last_seq,
               |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs_spanned
               |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // deterministic stratified sample: first-N per language in md5 order —
+    // reproducible on any engine, balanced across strata
+    Q("txt_stratified_sample",
+      (s, d) => TextOps.stratifiedSample(documents(s, d)),
+      Some("""SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20
+             |ORDER BY lang, rn""".stripMargin)),
 
     // stable md5-bucket train/val/test split: identical assignment on any
     // engine (first 32 md5 bits mod 100), per-split corpus stats

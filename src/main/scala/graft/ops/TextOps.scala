@@ -406,6 +406,24 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** Deterministic stratified sample: the first `perGroup` documents per
+    * language in md5-of-id order — a "random" sample that is reproducible
+    * across runs and engines and stays balanced across strata (a plain
+    * corpus-level sample over-represents the dominant language). One window
+    * pass per stratum; at corpus scale the rank prunes before anything wide
+    * is touched.
+    */
+  def stratifiedSample(docs: DataFrame, perGroup: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs
+      .withColumn("hk", md5(concat(lit("sample:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Train/eval decontamination scan — the eval-integrity gate of an LLM
     * pipeline: an eval document is CONTAMINATED when any of its `n`-gram
     * shingles appears anywhere in the train split (here: even/odd doc_id as

@@ -72,6 +72,30 @@ object QualityChecks {
       min(col(valueCol)).as("value_min"),
       max(col(valueCol)).as("value_max"))
 
+  /** One-pass column profiler — the standard discovery/monitoring query:
+    * per column, exact distinct count, null count, and min/max (stringified
+    * so heterogeneous types share one output schema). All metrics for all
+    * columns evaluate in a SINGLE aggregation job (multi-distinct plans as
+    * one Expand + aggregate), then `stack` pivots the one wide row to long
+    * form — no per-column scans, no driver loop.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        countDistinct(col(c)).as(s"${c}__nd"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__nd, ${c}__nn, ${c}__min, ${c}__max")
+      .mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, n_nulls, min_value, max_value)"))
+      .orderBy(col("col_name"))
+  }
+
   /** Distribution drift between two table snapshots via the Population
     * Stability Index: fixed-width bins (data-independent edges, so the
     * binning needs no global pass), per-bin population fractions of each

@@ -84,6 +84,17 @@ class QualityChecksSpec extends SparkSpec {
     assert(detail("groups") == "2" && detail("failing_groups") == "1")
   }
 
+  test("column profiler: one row per column with exact distincts, nulls, min/max") {
+    val df = Seq((1L, Some(2.5), "b"), (2L, None, "a"), (3L, Some(2.5), "c"))
+      .toDF("id", "v", "s")
+    val rows = QualityChecks.profileColumns(df, Seq("id", "v", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(rows("id") == (3L, 0L, "1", "3"))
+    assert(rows("v") == (1L, 1L, "2.5", "2.5"))
+    assert(rows("s") == (3L, 0L, "a", "c"))
+  }
+
   test("PSI drift: identical snapshots score ~0, a shifted snapshot scores high") {
     val before = (1 to 100).map(i => (i % 10) * 10.0 + 5.0).toDF("v")
     // identical distribution -> every psi_term is 0 (p == q exactly)

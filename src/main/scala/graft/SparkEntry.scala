@@ -596,6 +596,56 @@ object SparkEntry {
              |  round(max(l_quantity), 2) AS value_max
              |FROM lineitem""".stripMargin)),
 
+    // SCD Type-2 merge (the history-keeping upsert next to G4/G5):
+    // customers as the open dim slice, a deterministic update set (every
+    // 14th key changes segment, every other 7th is a no-op update),
+    // summarized per segment
+    Q("g5_scd2_merge",
+      (s, d) => {
+        val c = customer(s, d)
+        val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val upd = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 14 === 0, lit("MOVED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            lit("1996-06-01").cast("date").as("changed_at"))
+        GoldWriter.scd2Merge(dim, upd, "c_custkey", "c_mktsegment", "changed_at")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(when(col("valid_to").isNull, 1)).as("n_open"),
+            count(when(col("valid_to").isNotNull, 1)).as("n_closed"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM customer),
+             |upd AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 14 = 0 THEN 'MOVED' ELSE c_mktsegment END AS new_attr,
+             |    DATE '1996-06-01' AS changed_at
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |j AS (
+             |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
+             |    u.new_attr, u.changed_at
+             |  FROM dim d LEFT JOIN upd u USING (c_custkey)),
+             |merged AS (
+             |  SELECT c_mktsegment, valid_to FROM j
+             |  WHERE new_attr IS NULL OR new_attr = c_mktsegment
+             |  UNION ALL
+             |  SELECT c_mktsegment, changed_at FROM j
+             |  WHERE new_attr IS NOT NULL AND new_attr <> c_mktsegment
+             |  UNION ALL
+             |  SELECT new_attr, CAST(NULL AS DATE) FROM j
+             |  WHERE new_attr IS NOT NULL AND new_attr <> c_mktsegment)
+             |SELECT c_mktsegment,
+             |  count(*) FILTER (WHERE valid_to IS NULL) AS n_open,
+             |  count(*) FILTER (WHERE valid_to IS NOT NULL) AS n_closed,
+             |  count(*) AS n_rows
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // one-pass column profiler: exact distincts, nulls, stringified min/max
     // for four heterogeneous lineitem columns in a single aggregation
     Q("qc_profile",

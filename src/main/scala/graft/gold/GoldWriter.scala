@@ -45,6 +45,41 @@ object GoldWriter {
       .mode("overwrite")
       .parquet(path)
 
+  /** SCD Type-2 merge — the history-keeping upsert next to G4/G5's
+    * overwrite-in-place: `dim` holds versioned rows (`key`, tracked
+    * attribute, `valid_from`, nullable `valid_to`, open row = null);
+    * `updates` holds (`key`, new attribute value, change timestamp). Open
+    * rows whose attribute CHANGED are closed at the change timestamp and a
+    * new open row is appended; unchanged keys and closed history pass
+    * through untouched. Pure relational: one join of the open slice against
+    * the updates keyed by `key` (co-partitioned at scale), a union, no
+    * driver logic — the MERGE INTO a lakehouse engine runs, expressed in
+    * vanilla Spark so any sink (parquet partition overwrite, JDBC) can
+    * apply it.
+    */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, keyCol: String,
+                attrCol: String, tsCol: String): DataFrame = {
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open = dim.filter(col("valid_to").isNull)
+    val upd = updates.select(col(keyCol), col(attrCol).as("new_attr"), col(tsCol))
+    val joined = open.join(upd, Seq(keyCol), "left")
+    // open rows: unchanged (no update or same value) stay open; changed close
+    val stillOpen = joined
+      .filter(col("new_attr").isNull || col("new_attr") === col(attrCol))
+      .select(dim.columns.map(col): _*)
+    val nowClosed = joined
+      .filter(col("new_attr").isNotNull && col("new_attr") =!= col(attrCol))
+    val closedOut = nowClosed
+      .withColumn("valid_to", col(tsCol))
+      .select(dim.columns.map(col): _*)
+    val reopened = nowClosed
+      .withColumn(attrCol, col("new_attr"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+      .select(dim.columns.map(col): _*)
+    closed.unionByName(stillOpen).unionByName(closedOut).unionByName(reopened)
+  }
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -35,7 +35,9 @@ object TimeSeriesOps {
     * sparse-JSON-stat convention: absent index = retained null row).
     */
   def gapFillMonthly(li: DataFrame, maxSuppkey: Int): DataFrame = {
-    val monthly = monthlySeries(li, maxSuppkey)
+    // read twice (spans + join side) — pin so the fact scan runs once;
+    // session runners release via Exec.clearPinned
+    val monthly = monthlySeries(li, maxSuppkey).persist()
     val spine = monthly.groupBy(col("l_suppkey"))
       .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
       .select(col("l_suppkey"),
@@ -95,6 +97,7 @@ object TimeSeriesOps {
       .groupBy(col("l_returnflag"),
         to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(sum(col("l_quantity")).as("qty"))
+      .persist() // both sides of the month-12 self-join read this
     val prev = monthly.select(col("l_returnflag"),
       add_months(col("month"), 12).as("month"), col("qty").as("prev_qty"))
     monthly.join(prev, Seq("l_returnflag", "month"), "left")

@@ -49,4 +49,37 @@ class GoldWriterSpec extends SparkSpec {
     assert(GoldWriter.latestPath(spark, dir, ".json").exists(_.endsWith("ts=20260102.json")))
     assert(GoldWriter.latestPath(spark, dir + "/nope").isEmpty)
   }
+
+  test("SCD2 merge: changed key closes + reopens, no-op and untouched keys pass through") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val dim = Seq(
+      // key 1 already has closed history + an open row
+      (1L, "old", d("2020-01-01"), Some(d("2022-01-01"))),
+      (1L, "a", d("2022-01-01"), None: Option[Date]),
+      (2L, "b", d("2020-01-01"), None: Option[Date]),
+      (3L, "c", d("2020-01-01"), None: Option[Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq(
+      (1L, "a2", d("2024-06-01")),  // real change
+      (2L, "b", d("2024-06-01")))   // no-op: same value
+      .toDF("k", "attr", "changed_at")
+    val out = GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(out == Set(
+      (1L, "old", "2020-01-01", Some("2022-01-01")),   // history untouched
+      (1L, "a", "2022-01-01", Some("2024-06-01")),     // closed at change ts
+      (1L, "a2", "2024-06-01", None),                  // new open version
+      (2L, "b", "2020-01-01", None),                   // no-op stays open
+      (3L, "c", "2020-01-01", None)))                  // untouched stays open
+    // idempotence: replaying the same update changes nothing
+    val again = GoldWriter.scd2Merge(
+      GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at"),
+      upd, "k", "attr", "changed_at").collect()
+    assert(again.length == out.size)
+  }
 }

@@ -361,6 +361,20 @@ object SparkEntry {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("rel_window_range_frame",
+      (s, d) => Relational.trailing30DayRevenue(orders(s, d), 150),
+      // RANGE frame on an integer day key: same-day rows share the frame;
+      // sums of 2-decimal prices rounded on both sides
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+             |  round(o_totalprice, 2) AS price,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_orderpriority ORDER BY
+             |      date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS trail30
+             |FROM orders WHERE o_custkey < 150
+             |ORDER BY o_orderpriority, day, o_orderkey""".stripMargin)),
+
     Q("rel_string_agg",
       (s, d) => Relational.nationsPerRegion(nation(s, d), region(s, d)),
       Some("""SELECT r_name, count(*) AS n_nations,

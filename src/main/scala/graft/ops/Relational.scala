@@ -405,6 +405,24 @@ object Relational {
         col("l_linenumber"))
   }
 
+  /** RANGE-frame window (vs the ROWS frames elsewhere): trailing 30-day
+    * revenue per priority class, framed by VALUE distance on an integer
+    * day key — rows on the same day share a frame, and absent days still
+    * bound it (which `ROWS BETWEEN 29 PRECEDING` gets wrong on sparse or
+    * tied data). One shuffle on the partition key.
+    */
+  def trailing30DayRevenue(orders: DataFrame, maxCustkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    orders.filter(col("o_custkey") < maxCustkey)
+      .withColumn("day", datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")))
+      .withColumn("trail30", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("day"),
+        round(col("o_totalprice"), 2).as("price"), col("trail30"))
+      .orderBy(col("o_orderpriority"), col("day"), col("o_orderkey"))
+  }
+
   /** Ordered string aggregation (LISTAGG / string_agg): nations per region,
     * sorted within the group. `array_sort(collect_list(...))` + `concat_ws`
     * gives a deterministic group-local ordering without a global sort —

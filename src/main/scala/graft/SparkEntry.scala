@@ -842,6 +842,37 @@ object SparkEntry {
              |  CAST(max(session_events) AS BIGINT) AS max_session_events
              |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Spark's NATIVE session_window in batch mode, verified against the
+    // classic lag+cumsum formulation in DuckDB on µs-truncated timestamps
+    // (session merge rule: same session iff gap < 30min — windows
+    // [t, t+gap) must OVERLAP, so an exact-gap successor starts a session)
+    Q("ev_session_window_native",
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+             |  SELECT user_id, make_timestamp(epoch_us(ts)) AS tsu FROM events),
+             |g AS (
+             |  SELECT user_id, tsu,
+             |    CASE WHEN lag(tsu) OVER w IS NULL
+             |           OR epoch_us(tsu) - epoch_us(lag(tsu) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+             |s AS (
+             |  SELECT user_id, tsu,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id,
+             |  strftime(min(tsu), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     Q("ev_date_funcs",
       // temporal scalar-function breadth over order dates: add_months,
       // last_day, dayofweek, datediff, date_trunc to quarter
@@ -1359,6 +1390,22 @@ object SparkEntry {
               |FROM j
               |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // degree distribution of the near-dup graph: the boilerplate/mega-
+    // cluster early-warning diagnostic, over the same verified pair set
+    Q("dedup_degree_hist",
+      (s, d) => DedupOps.nearDupDegreeHist(documents(s, d)),
+      Some(s"""$duckLshCtes,
+              |edges AS (
+              |  SELECT doc_a, doc_b FROM j
+              |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+              |deg AS (
+              |  SELECT node, count(*) AS degree FROM (
+              |    SELECT doc_a AS node FROM edges
+              |    UNION ALL SELECT doc_b FROM edges)
+              |  GROUP BY 1)
+              |SELECT degree, count(*) AS n_nodes
+              |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // near-dup CLUSTERS: connected components of the LSH pair graph by
     // min-label propagation; DuckDB replays it with a recursive CTE

@@ -336,6 +336,20 @@ object DedupOps {
     connectedComponents(
       minhashLshPairsUnsorted(docs, k, bands, threshold, 1000000L), maxIters)
 
+  /** Degree distribution of the near-dup pair graph — the diagnostic a
+    * dedup pipeline checks BEFORE clustering: a heavy tail (one node with
+    * thousands of edges) means boilerplate flooding a band bucket, and the
+    * component pass will produce a mega-cluster that deletes real data.
+    * One explode of the edge list + two counts; scales like the pair set.
+    */
+  def nearDupDegreeHist(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame =
+    minhashLshPairsUnsorted(docs, k, bands, threshold, 1000000L)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken): the set of
     * per-window minima over the ORDERED rolling shingle-hash sequence. Every
     * w-window contributes its min, so any match of length ≥ w+n-1 tokens

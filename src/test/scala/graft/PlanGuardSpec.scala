@@ -110,6 +110,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"spine built by cartesian:\n$plan")
   }
 
+  test("runtime bloom filter from a filtered dim prunes the fact-side scan") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val supp = Tables.supplier(spark, sfDir).filter(col("s_nationkey") === 3)
+      val joined = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      // the injected runtime filter shows up as might_contain(bloom_filter_agg)
+      // on the fact side — rows for unselected suppliers die before the join
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter was injected:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

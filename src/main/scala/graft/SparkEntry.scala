@@ -382,6 +382,40 @@ object SparkEntry {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // null-semantics breadth: nullif / null-safe equality / coalesce / nvl2
+    Q("rel_null_semantics",
+      (s, d) => customer(s, d)
+        .filter(col("c_custkey") <= 200)
+        .withColumn("seg_n", expr("nullif(c_mktsegment, 'BUILDING')"))
+        .select(col("c_custkey"), col("seg_n"),
+          col("seg_n").eqNullSafe(lit(null).cast("string")).as("was_building"),
+          coalesce(col("seg_n"), lit("(default)")).as("seg_or_default"),
+          expr("nvl2(seg_n, 'kept', 'nulled')").as("nvl2_tag"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |  nullif(c_mktsegment, 'BUILDING') AS seg_n,
+             |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS was_building,
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_or_default,
+             |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+             |       THEN 'kept' ELSE 'nulled' END AS nvl2_tag
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // multiset semantics: EXCEPT ALL / INTERSECT ALL keep duplicates, the
+    // DISTINCT set ops (rel_set_ops) collapse them
+    Q("rel_set_ops_all",
+      (s, d) => {
+        val open = orders(s, d).filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val done = orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        open.exceptAll(done).agg(count(lit(1)).as("n_except_all"))
+          .crossJoin(open.intersectAll(done).agg(count(lit(1)).as("n_intersect_all")))
+      },
+      Some("""WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |     done AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |SELECT
+             |  (SELECT count(*) FROM (SELECT * FROM open EXCEPT ALL SELECT * FROM done)) AS n_except_all,
+             |  (SELECT count(*) FROM (SELECT * FROM open INTERSECT ALL SELECT * FROM done)) AS n_intersect_all""".stripMargin)),
+
     Q("rel_topk_parts",
       (s, d) => Relational.topPartsByQuantity(lineitem(s, d), part(s, d), 10),
       Some("""SELECT l_partkey, p_name, p_brand,
@@ -842,6 +876,24 @@ object SparkEntry {
              |  CAST(max(session_events) AS BIGINT) AS max_session_events
              |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // map-typed access over the JSON props payload: from_json to a map,
+    // sorted keys, element_at — against DuckDB's json_keys/extract
+    Q("ev_props_map",
+      (s, d) => events(s, d)
+        .filter(col("event_id") < 200)
+        .withColumn("m", expr("from_json(props, 'map<string,string>')"))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          element_at(col("m"), "k").as("k_value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |  json_extract_string(props, '$.k') AS k_value
+             |FROM events WHERE event_id < 200
+             |ORDER BY event_id""".stripMargin)),
+
     // Spark's NATIVE session_window in batch mode, verified against the
     // classic lag+cumsum formulation in DuckDB on µs-truncated timestamps
     // (session merge rule: same session iff gap < 30min — windows
@@ -1079,6 +1131,32 @@ object SparkEntry {
       Some(s"""SELECT token, count(*) AS n
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // higher-order array-function breadth: exists / forall / position /
+    // min-max / negative indexing / flatten, each with a DuckDB list twin
+    Q("txt_array_funcs",
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          exists(col("toks"), t => length(t) > 8).as("has_long"),
+          forall(col("toks"), t => length(t) < 20).as("all_short"),
+          array_position(col("toks"), "the").as("the_pos"),
+          array_max(col("toks")).as("max_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          size(flatten(array(col("toks"), col("toks")))).as("n_doubled"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents WHERE doc_id < 100)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS INTEGER) AS n_tokens,
+              |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+              |  len(list_filter(toks, x -> NOT (length(x) < 20))) = 0 AS all_short,
+              |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+              |  list_max(toks) AS max_tok,
+              |  toks[-1] AS last_tok,
+              |  CAST(len(flatten([toks, toks])) AS INTEGER) AS n_doubled
+              |FROM t ORDER BY doc_id""".stripMargin)),
 
     // fixed-size overlapping character chunks (RAG prep): chunk i covers
     // [i*90, i*90+120); payloads compared by md5 fingerprint

@@ -93,7 +93,21 @@ object EventStream {
     * expires as the watermark advances.
     */
   def viewClickAttribution(views: DataFrame, clicks: DataFrame,
-                           windowMinutes: Int = 30): DataFrame = {
+                           windowMinutes: Int = 30): DataFrame =
+    attributionJoin(views, clicks, windowMinutes, "inner")
+
+  /** Left-outer variant of [[viewClickAttribution]]: a view with NO click in
+    * its window emits exactly once with a null click_id, as soon as the
+    * watermark proves no match can still arrive — the "unconverted views"
+    * stream. Same bounded state; the outer row's emission is what the
+    * watermark contract buys.
+    */
+  def viewClickAttributionOuter(views: DataFrame, clicks: DataFrame,
+                                windowMinutes: Int = 30): DataFrame =
+    attributionJoin(views, clicks, windowMinutes, "left_outer")
+
+  private def attributionJoin(views: DataFrame, clicks: DataFrame,
+                              windowMinutes: Int, joinType: String): DataFrame = {
     val v = views.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -104,7 +118,8 @@ object EventStream {
     v.join(c,
       col("user_id") === col("c_user_id") &&
         col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 

@@ -81,6 +81,39 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("left-outer stream-stream join emits unmatched views once the watermark proves it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)] // (event_id, user_id, type, ts_us)
+    val src = mem.toDF().toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val q = EventStream.viewClickAttributionOuter(src, src)
+      .writeStream.outputMode("append").format("memory").queryName("t_ssouter").start()
+    val t0 = 1700000000L * 1000000L // epoch µs base
+    val min = 60L * 1000000L
+    // user 1: view + click 10min later (matches); user 2: view, never clicks
+    mem.addData(Seq(
+      (100L, 1L, "view", t0), (101L, 1L, "click", t0 + 10 * min),
+      (200L, 2L, "view", t0)))
+    q.processAllAvailable()
+    // watermark-advancers far beyond view_ts + 30min + 1h on BOTH sides —
+    // the global watermark is the min over both inputs, and each side's
+    // watermark node sits behind its event-type filter, so a view alone
+    // would leave the click watermark (and the outer emission) stuck
+    mem.addData(Seq(
+      (998L, 9L, "view", t0 + 600 * min),
+      (999L, 9L, "click", t0 + 600 * min)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssouter")
+      .select(col("user_id"), col("view_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got.contains((1L, 100L, 101L)), s"matched pair missing: $got")
+    assert(got.contains((2L, 200L, -1L)), s"unmatched view must emit with null click: $got")
+  }
+
   test("foreachBatch idempotent sink: replay overwrites partitions, no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("gold_stream").toString
     def runOnce(cp: String): Unit = {

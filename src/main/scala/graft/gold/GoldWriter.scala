@@ -61,7 +61,15 @@ object GoldWriter {
                 attrCol: String, tsCol: String): DataFrame = {
     val closed = dim.filter(col("valid_to").isNotNull)
     val open = dim.filter(col("valid_to").isNull)
+    // CDC compaction: a batch may carry several updates for one key — apply
+    // only the LATEST (ties broken on the value for determinism); without
+    // this the join below would fan the open row out into duplicates
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("new_attr"))
     val upd = updates.select(col(keyCol), col(attrCol).as("new_attr"), col(tsCol))
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1).drop("rn")
     val joined = open.join(upd, Seq(keyCol), "left")
     // open rows: unchanged (no update or same value) stay open; changed close
     val stillOpen = joined

@@ -81,5 +81,17 @@ class GoldWriterSpec extends SparkSpec {
       GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at"),
       upd, "k", "attr", "changed_at").collect()
     assert(again.length == out.size)
+    // CDC compaction: two updates for one key in a batch apply only the
+    // latest — no duplicate open rows, and the final value is the newest
+    val multi = Seq(
+      (3L, "c1", d("2024-01-01")),
+      (3L, "c2", d("2024-07-01")))
+      .toDF("k", "attr", "changed_at")
+    val compacted = GoldWriter.scd2Merge(dim, multi, "k", "attr", "changed_at")
+      .filter($"k" === 3L).collect()
+      .map(r => (r.getString(1), Option(r.getDate(3)).map(_.toString))).toSet
+    assert(compacted == Set(
+      ("c", Some("2024-07-01")),  // closed at the LATEST update's ts
+      ("c2", None)))              // one new open row with the newest value
   }
 }

@@ -423,8 +423,116 @@ object SparkEntry {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY l_partkey, p_name, p_brand
              |ORDER BY total_qty DESC, l_partkey
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // Efraimidis–Spirakis weighted sampling without replacement: selection
+    // probability ∝ o_totalprice, randomness = md5-derived uniform, so the
+    // exact sampled keys reproduce on any engine
+    Q("rel_weighted_sample",
+      (s, d) => Relational.weightedSample(orders(s, d), 15),
+      Some("""WITH s AS (
+             |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+             |    ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             |         AS BIGINT) + 1.0) / 4294967296.0) / o_totalprice AS skey
+             |  FROM orders),
+             |r AS (
+             |  SELECT o_orderpriority, o_orderkey, price,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY skey DESC, o_orderkey) AS rn
+             |  FROM s)
+             |SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, price
+             |FROM r WHERE rn <= 15
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // incremental cumulative-distinct: each customer counts once at their
+    // first order month; running total over the month frame
+    Q("rel_cumulative_distinct",
+      (s, d) => Relational.cumulativeDistinctCustomers(orders(s, d)),
+      Some("""WITH fm AS (
+             |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS month
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT month, count(*) AS new_customers FROM fm GROUP BY 1)
+             |SELECT strftime(month, '%Y-%m') AS month, new_customers,
+             |  CAST(sum(new_customers) OVER (ORDER BY month
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_customers
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // exact rolling median over a trailing 3-month band: banded range
+    // self-join + one percentile aggregate per anchor (medians don't
+    // decompose into partials, so this IS the honest distributed exact form)
+    Q("rel_rolling_median",
+      (s, d) => Relational.rollingMedianMonthly(orders(s, d), 3),
+      Some("""WITH om AS (
+             |  SELECT CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', o_orderdate)) AS INTEGER) AS m,
+             |    o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |a AS (SELECT DISTINCT o_orderpriority, m FROM om)
+             |SELECT a.o_orderpriority AS priority, a.m AS m, count(*) AS n_orders,
+             |  floor(quantile_cont(v.cents, 0.5) + 0.5) / 100 AS med_price
+             |FROM a JOIN om v ON v.o_orderpriority = a.o_orderpriority
+             |  AND v.m > a.m - 3 AND v.m <= a.m
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Graph analytics beyond connected components: exact triangle counting
+    * with the degree-ordered orientation (SURVEY.md §2 extension). The edge
+    * list derives deterministically from lineitem key residues, so the
+    * oracle replays the identical graph.
+    */
+  private def graphQueries: Seq[Q] = {
+    val duckEdges =
+      """edges AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+        |    SELECT l_orderkey % 60 AS u, l_partkey % 60 + 60 AS v FROM lineitem
+        |    UNION ALL
+        |    SELECT l_orderkey % 60, l_suppkey % 60 + 120 FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey % 60 + 60, l_suppkey % 60 + 120 FROM lineitem)
+        |  WHERE u <> v),
+        |nodes AS (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges),
+        |degrees AS (SELECT x, count(*) AS deg FROM nodes GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |           THEN e.a ELSE e.b END AS src,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |           THEN e.b ELSE e.a END AS dst
+        |  FROM edges e
+        |  JOIN degrees da ON da.x = e.a
+        |  JOIN degrees db ON db.x = e.b),
+        |tri AS (
+        |  SELECT e1.src AS apex, e1.dst AS w1, e2.dst AS w2
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |  JOIN oriented e3 ON least(e3.src, e3.dst) = e1.dst
+        |                  AND greatest(e3.src, e3.dst) = e2.dst)""".stripMargin
+    Seq(
+      Q("graph_triangles",
+        (s, d) => graft.ops.GraphOps.triangleCount(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60)),
+        Some(s"""WITH $duckEdges
+                |SELECT (SELECT count(DISTINCT x) FROM nodes) AS n_nodes,
+                |  (SELECT count(*) FROM edges) AS n_edges,
+                |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin)),
+
+      Q("graph_triangle_nodes",
+        (s, d) => graft.ops.GraphOps.topTriangleNodes(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60), 15),
+        Some(s"""WITH $duckEdges,
+                |credits AS (
+                |  SELECT apex AS node FROM tri
+                |  UNION ALL SELECT w1 FROM tri
+                |  UNION ALL SELECT w2 FROM tri),
+                |ranked AS (
+                |  SELECT c.node, d.deg, count(*) AS n_triangles
+                |  FROM credits c JOIN degrees d ON d.x = c.node
+                |  GROUP BY 1, 2)
+                |SELECT node, deg, n_triangles FROM ranked
+                |ORDER BY n_triangles DESC, node LIMIT 15""".stripMargin))
+    )
+  }
 
   /** Shared oracle front for the monthly per-supplier series: observed
     * monthly sums, per-key [min,max] spans, and the exploded month spine.
@@ -497,7 +605,41 @@ object SparkEntry {
              |FROM monthly m LEFT JOIN monthly p
              |  ON p.l_returnflag = m.l_returnflag
              | AND CAST(p.month + INTERVAL 12 MONTH AS DATE) = m.month
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // EWMA via the closed-form window unroll (no iterative driver loop);
+    // α = 0.5 makes every scaled term an exact power-of-two-multiple of an
+    // integer, so the window cumsum is bit-identical under ANY summation
+    // order (DuckDB's segment tree vs Spark's sequential scan)
+    Q("ts_ewma",
+      (s, d) => graft.ops.TimeSeriesOps.ewmaMonthly(lineitem(s, d), 0.5),
+      Some("""WITH monthly AS (
+             |  SELECT l_returnflag,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    sum(l_quantity) AS qty
+             |  FROM lineitem
+             |  WHERE l_suppkey < 100 AND l_shipdate >= DATE '1996-01-01'
+             |    AND l_shipdate < DATE '1998-01-01'
+             |  GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT l_returnflag, month, qty,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY month) - 1 AS t
+             |  FROM monthly),
+             |c AS (
+             |  SELECT l_returnflag, month, qty, t,
+             |    sum(qty / power(CAST(0.5 AS DOUBLE), t))
+             |      OVER (PARTITION BY l_returnflag
+             |      ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    first_value(qty) OVER (PARTITION BY l_returnflag ORDER BY month
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0
+             |  FROM idx)
+             |SELECT l_returnflag, strftime(month, '%Y-%m-%d') AS month,
+             |  round(qty, 2) AS qty,
+             |  floor(power(CAST(0.5 AS DOUBLE), t)
+             |    * (CAST(0.5 AS DOUBLE) * cum + CAST(0.5 AS DOUBLE) * x0) * 10000
+             |    + 0.5) / 10000 AS ewma
+             |FROM c ORDER BY 1, 2""".stripMargin))
   )
 
   /** Reference-parity queries: JSON-stat densifier + silver transforms
@@ -659,6 +801,11 @@ object SparkEntry {
             when(col("c_custkey") % 14 === 0, lit("MOVED"))
               .otherwise(col("c_mktsegment")).as("c_mktsegment"),
             lit("1996-06-01").cast("date").as("changed_at"))
+          // WHEN NOT MATCHED arm: keys guaranteed absent from dim insert
+          .unionByName(c.filter(col("c_custkey") % 50 === 0)
+            .select((col("c_custkey") + 10000000).as("c_custkey"),
+              lit("NEWSEG").as("c_mktsegment"),
+              lit("1996-06-01").cast("date").as("changed_at")))
         GoldWriter.scd2Merge(dim, upd, "c_custkey", "c_mktsegment", "changed_at")
           .groupBy(col("c_mktsegment"))
           .agg(count(when(col("valid_to").isNull, 1)).as("n_open"),
@@ -674,7 +821,10 @@ object SparkEntry {
              |  SELECT c_custkey,
              |    CASE WHEN c_custkey % 14 = 0 THEN 'MOVED' ELSE c_mktsegment END AS new_attr,
              |    DATE '1996-06-01' AS changed_at
-             |  FROM customer WHERE c_custkey % 7 = 0),
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000, 'NEWSEG', DATE '1996-06-01'
+             |  FROM customer WHERE c_custkey % 50 = 0),
              |j AS (
              |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
              |    u.new_attr, u.changed_at
@@ -687,7 +837,10 @@ object SparkEntry {
              |  WHERE new_attr IS NOT NULL AND new_attr <> c_mktsegment
              |  UNION ALL
              |  SELECT new_attr, CAST(NULL AS DATE) FROM j
-             |  WHERE new_attr IS NOT NULL AND new_attr <> c_mktsegment)
+             |  WHERE new_attr IS NOT NULL AND new_attr <> c_mktsegment
+             |  UNION ALL
+             |  SELECT u.new_attr, CAST(NULL AS DATE) FROM upd u
+             |  WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim))
              |SELECT c_mktsegment,
              |  count(*) FILTER (WHERE valid_to IS NULL) AS n_open,
              |  count(*) FILTER (WHERE valid_to IS NOT NULL) AS n_closed,
@@ -1019,7 +1172,24 @@ object SparkEntry {
              |  WHERE e.event_type = 'purchase' GROUP BY 1)
              |SELECT (SELECT count(*) FROM v) AS n_stage1,
              |       (SELECT count(*) FROM c) AS n_stage2,
-             |       (SELECT count(*) FROM p) AS n_stage3""".stripMargin))
+             |       (SELECT count(*) FROM p) AS n_stage3""".stripMargin)),
+
+    // first-order Markov transition matrix over per-user event order —
+    // successor via one lead() pass, probabilities row-normalized per source
+    Q("ev_markov",
+      (s, d) => EventOps.markovTransitions(events(s, d)),
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type AS from_type, to_type, count(*) AS n
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+             |    * 10000 + 0.5) / 10000 AS p
+             |FROM c ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB-side normalized token list (must match TextOps.normalize/tokens:
@@ -1131,6 +1301,18 @@ object SparkEntry {
       Some(s"""SELECT token, count(*) AS n
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // exact φ-frequent heavy hitters: output bounded by 100/φ rows at ANY
+    // corpus size (support threshold, not a global-sort top-k)
+    Q("txt_heavy_hitters",
+      (s, d) => TextOps.heavyHitters(documents(s, d), 0.5),
+      Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS token FROM documents),
+              |c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+              |t AS (SELECT count(*) AS total FROM toks)
+              |SELECT token, n,
+              |  floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 10000 AS pct
+              |FROM c, t WHERE n > total * 0.5 / 100.0
+              |ORDER BY n DESC, token""".stripMargin)),
 
     // higher-order array-function breadth: exists / forall / position /
     // min-max / negative indexing / flatten, each with a DuckDB list twin
@@ -1968,8 +2150,9 @@ object SparkEntry {
   )
 
   private def all: Seq[Q] =
-    parityQueries ++ qualityQueries ++ relationalQueries ++ timeSeriesQueries ++
-      eventQueries ++ textQueries ++ vectorQueries ++ multimodalQueries
+    parityQueries ++ qualityQueries ++ relationalQueries ++ graphQueries ++
+      timeSeriesQueries ++ eventQueries ++ textQueries ++ vectorQueries ++
+      multimodalQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

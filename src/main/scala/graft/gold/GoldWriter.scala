@@ -51,11 +51,14 @@ object GoldWriter {
     * `updates` holds (`key`, new attribute value, change timestamp). Open
     * rows whose attribute CHANGED are closed at the change timestamp and a
     * new open row is appended; unchanged keys and closed history pass
-    * through untouched. Pure relational: one join of the open slice against
-    * the updates keyed by `key` (co-partitioned at scale), a union, no
-    * driver logic — the MERGE INTO a lakehouse engine runs, expressed in
-    * vanilla Spark so any sink (parquet partition overwrite, JDBC) can
-    * apply it.
+    * through untouched; updates for keys ABSENT from the dimension insert a
+    * fresh open row (the `WHEN NOT MATCHED THEN INSERT` arm — dim columns
+    * outside the SCD2 quartet come back null for such rows). Pure
+    * relational: one join of the open slice against the updates keyed by
+    * `key` plus one anti-join for the insert arm (both co-partitioned at
+    * scale), a union, no driver logic — the MERGE INTO a lakehouse engine
+    * runs, expressed in vanilla Spark so any sink (parquet partition
+    * overwrite, JDBC) can apply it.
     */
   def scd2Merge(dim: DataFrame, updates: DataFrame, keyCol: String,
                 attrCol: String, tsCol: String): DataFrame = {
@@ -85,7 +88,19 @@ object GoldWriter {
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
       .select(dim.columns.map(col): _*)
+    // WHEN NOT MATCHED: keys in the batch but absent from dim (any version)
+    // insert as new open rows; non-SCD2 dim columns are null for them
+    val inserted = upd
+      .join(dim.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .select(dim.columns.map {
+        case `keyCol`      => col(keyCol)
+        case `attrCol`     => col("new_attr").as(attrCol)
+        case "valid_from"  => col(tsCol).cast(dim.schema("valid_from").dataType).as("valid_from")
+        case "valid_to"    => lit(null).cast(dim.schema("valid_to").dataType).as("valid_to")
+        case other         => lit(null).cast(dim.schema(other).dataType).as(other)
+      }: _*)
     closed.unionByName(stillOpen).unionByName(closedOut).unionByName(reopened)
+      .unionByName(inserted)
   }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =

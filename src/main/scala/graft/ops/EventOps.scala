@@ -170,4 +170,28 @@ object EventOps {
       .map { case (df, i) => df.agg(count(lit(1)).as(s"n_stage${i + 1}")) }
       .reduce(_.crossJoin(_))
   }
+
+  /** First-order Markov transition matrix of the event stream: for each
+    * (from_type, to_type) pair of CONSECUTIVE events of the same user, the
+    * transition count and the row-normalized probability
+    * P(next = to | current = from). One window pass partitioned on user_id
+    * (the per-user event order is the ns timestamp, tie-broken on event_id,
+    * so the successor is unique on every engine), then one small aggregate
+    * over |types|² rows — the user partition is the only real shuffle at
+    * any scale. Probabilities are floor-quantized at 4dp for the oracle.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", floor(col("n") / sum(col("n")).over(wFrom) * 10000 + 0.5) / 10000)
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

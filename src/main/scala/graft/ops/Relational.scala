@@ -451,4 +451,91 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+    * order draws sample key u^(1/w) — equivalently ln(u)/w, the
+    * numerically-safe monotone twin used here — with u ∈ (0,1] derived from
+    * md5 of the key, so the "random" draw is reproducible on any engine.
+    * The top-k keys per group ARE the weighted sample: an order's selection
+    * probability is proportional to `o_totalprice`. One window pass per
+    * stratum — the same single-shuffle shape as any per-group top-k, and
+    * the classic distributed answer to "sample 1M docs from 10B,
+    * weighted by quality score", where sequential reservoir methods fall
+    * over. Output keeps the sampled keys so the oracle checks the exact
+    * selection, not just counts.
+    */
+  def weightedSample(orders: DataFrame, perGroup: Int): DataFrame = {
+    // u from the first 8 md5 hex chars: (h + 1) / 2^32 ∈ (0, 1]
+    val u = (expr(
+      "CAST(conv(substring(md5(concat('ws:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS DOUBLE)")
+      + 1.0) / 4294967296.0
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("skey").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        (log(u) / col("o_totalprice")).as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup)
+      .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
+        col("o_orderkey"), col("price"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Cumulative distinct users by month — "how many unique customers have
+    * we EVER seen, by end of each month". A naive COUNT(DISTINCT) per
+    * growing prefix rescans history every period; this is the incremental
+    * formulation: each customer contributes once at their FIRST order month
+    * (one aggregation, co-partitioned on the customer key), then a running
+    * sum over the tiny month frame. At 100 TB the only wide exchange is the
+    * per-customer min — the same shuffle a single distinct would need.
+    */
+  def cumulativeDistinctCustomers(orders: DataFrame): DataFrame = {
+    val firstMonth = orders.groupBy(col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("month"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstMonth.groupBy(col("month"))
+      .agg(count(lit(1)).as("new_customers"))
+      .withColumn("cum_customers", sum(col("new_customers")).over(w))
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("new_customers"), col("cum_customers"))
+      .orderBy(col("month"))
+  }
+
+  /** Rolling median (exact) of order value over a trailing window — the
+    * robust-statistics twin of [[trailing30DayRevenue]]'s mean. Medians
+    * don't decompose into partial aggregates, so the honest distributed
+    * exact form is a bounded RANGE self-join (each anchor month joins its
+    * trailing `months` of orders; the join is banded by the month key, so
+    * at scale AQE plans it as a co-partitioned range join, never a
+    * cartesian) followed by one percentile aggregate per anchor. Approx
+    * twin at petabyte scale: `approx_percentile` per window. Interpolation
+    * (`percentile` ≡ quantile_cont) matches across engines; 2dp rounding
+    * absorbs float noise.
+    */
+  def rollingMedianMonthly(orders: DataFrame, months: Int): DataFrame = {
+    // median over exact integer CENTS: prices carry 2 decimals, so the
+    // cent values are exact longs and the midpoint interpolation
+    // (a+b)/2 is the same double on every engine — interpolating the raw
+    // doubles instead lets engines' (1−f)·a+f·b vs a+(b−a)·f formulas
+    // disagree by an ULP right at a rounding boundary
+    val om = orders.select(
+      months_between(date_trunc("month", col("o_orderdate")),
+        lit("1992-01-01").cast("date")).cast("int").as("m"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val anchors = om.select(col("o_orderpriority"), col("m")).distinct()
+    anchors.as("a")
+      .join(om.as("v"),
+        col("a.o_orderpriority") === col("v.o_orderpriority")
+          && col("v.m") > col("a.m") - months && col("v.m") <= col("a.m"))
+      .groupBy(col("a.o_orderpriority").as("priority"), col("a.m").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        // cents median is a multiple of 0.5 and exact in double, so the
+        // +0.5/floor half-up is engine-deterministic (round() is not:
+        // Spark's BigDecimal path re-reads the decimal string)
+        (floor(expr("percentile(cents, 0.5)") + 0.5) / 100).as("med_price"))
+      .orderBy(col("priority"), col("m"))
+  }
 }

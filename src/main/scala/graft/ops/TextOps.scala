@@ -50,6 +50,27 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Exact heavy hitters: tokens whose corpus frequency exceeds `supportPct`
+    * percent of all tokens (φ-frequent items). Two aggregations — the
+    * map-side-combined token count and a one-row total broadcast back as the
+    * threshold — so the full pass stays one shuffle on the token key and the
+    * output is bounded by 100/φ rows REGARDLESS of corpus size (the property
+    * that makes the support threshold, unlike a raw top-k, safe to compute
+    * distributed: no global sort, no skew on the limit). The streaming twin
+    * (Misra–Gries within partitions, merged) trades exactness for one pass;
+    * this is the exact batch form.
+    */
+  def heavyHitters(docs: DataFrame, supportPct: Double): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > col("total") * supportPct / 100.0)
+      .select(col("token"), col("n"),
+        (floor(col("n") / col("total") * 1000000 + 0.5) / 10000).as("pct"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Tiny stopword set used by quality scoring and language ID. Chosen to be
     * reproducible in plain SQL on any engine.
     */

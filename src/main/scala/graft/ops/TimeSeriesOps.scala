@@ -86,6 +86,47 @@ object TimeSeriesOps {
       .orderBy(col("l_suppkey"), col("month"))
   }
 
+  /** Exponentially weighted moving average per series:
+    * EWMA_t = α·x_t + (1−α)·EWMA_{t−1}, seeded with x_0. The recurrence
+    * unrolls into a closed form over one window pass:
+    * EWMA_t = (1−α)^t·x_0 + α·Σ_{i=1..t} (1−α)^{t−i}·x_i, computed as a
+    * cumulative sum of x_i/(1−α)^i rescaled by (1−α)^t — pure window
+    * algebra, one shuffle on the series key, no iterative driver loop.
+    *
+    * Determinism contract: with α = 0.5 every scaled term x_i·2^i is an
+    * exact integer-valued double, so the cumulative sum is exact in ANY
+    * addition order — engines that sum window frames with a segment tree
+    * (pairwise order) and engines that scan sequentially produce the SAME
+    * bits. Other α values leave the sum order-sensitive at the ULP; the
+    * series is bounded (key-prefix + 2-year span) so the 2^i scaling stays
+    * far below 2^53. Output floor-quantized at 4dp.
+    */
+  def ewmaMonthly(li: DataFrame, alpha: Double): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val beta = 1.0 - alpha
+    li.filter(col("l_suppkey") < 100
+        && col("l_shipdate") >= lit("1996-01-01").cast("date")
+        && col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .groupBy(col("l_returnflag"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .withColumn("t", row_number().over(w) - 1)
+      // scaled = x_i / β^i  (i = 0-based per-key index); seed term folds in
+      // because the i=0 row contributes x_0/β^0 weighted α, plus the extra
+      // (1−α)^t·x_0 − α·(1−α)^t·x_0 correction below
+      .withColumn("scaled", col("qty") / pow(lit(beta), col("t")))
+      .withColumn("cum", sum(col("scaled")).over(wCum))
+      .withColumn("x0", first(col("qty")).over(wCum))
+      .withColumn("ewma",
+        pow(lit(beta), col("t")) * (lit(alpha) * col("cum") + lit(beta) * col("x0")))
+      .select(col("l_returnflag"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        round(col("qty"), 2).as("qty"),
+        (floor(col("ewma") * 10000 + 0.5) / 10000).as("ewma"))
+      .orderBy(col("l_returnflag"), col("month"))
+  }
+
   /** Year-over-year percent change per series — the inflation-rate shape
     * (HICP's raison d'être). Joins each month to its exact month−12
     * counterpart (a self-join on the shifted month key, NOT `lag(12)`, which

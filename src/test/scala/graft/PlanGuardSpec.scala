@@ -110,6 +110,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"spine built by cartesian:\n$plan")
   }
 
+  test("triangle count: every exchange carries only narrow long keys") {
+    val df = SparkEntry.queries("graph_triangles")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(e.output.length <= 4,
+        s"wide row in a triangle-join exchange: ${e.output.map(_.name).mkString(",")}")
+      e.output.foreach(a =>
+        assert(a.dataType.sameType(org.apache.spark.sql.types.LongType),
+          s"non-long column ${a.name}: ${a.dataType} in triangle exchange"))
+    }
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "triangle join degenerated to a cartesian product")
+  }
+
+  test("rolling median: the banded self-join plans as a real join, not a cartesian") {
+    val plan = executedPlan("rel_rolling_median")
+    assert(!plan.contains("CartesianProduct"),
+      s"range-banded join degenerated to cartesian:\n$plan")
+  }
+
   test("runtime bloom filter from a filtered dim prunes the fact-side scan") {
     import org.apache.spark.sql.functions._
     val confs = Seq(

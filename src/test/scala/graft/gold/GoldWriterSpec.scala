@@ -94,4 +94,29 @@ class GoldWriterSpec extends SparkSpec {
       ("c", Some("2024-07-01")),  // closed at the LATEST update's ts
       ("c2", None)))              // one new open row with the newest value
   }
+
+  test("SCD2 merge: update for a key absent from dim inserts a new open row") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val dim = Seq((1L, "a", d("2020-01-01"), None: Option[Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq(
+      (1L, "a", d("2024-06-01")),    // no-op on existing key
+      (9L, "fresh", d("2024-06-01"))) // brand-new key → insert arm
+      .toDF("k", "attr", "changed_at")
+    val out = GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", "2020-01-01", None),       // untouched
+      (9L, "fresh", "2024-06-01", None)))  // inserted open row, valid_from = ts
+    // replay is idempotent: the key now exists, value matches → no-op
+    val again = GoldWriter.scd2Merge(
+      GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at"),
+      upd, "k", "attr", "changed_at").collect()
+    assert(again.length == out.size)
+  }
 }

@@ -52,4 +52,22 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.keys.forall(_ >= 0), "negative day offset is impossible")
     assert(rows.values.forall(_ <= nUsers), "an offset cannot exceed the user population")
   }
+
+  test("markov transitions: counts follow per-user order; rows normalize per source") {
+    import spark.implicits._
+    // user 1: a→b→a ; user 2: a→b — transitions a→b ×2, b→a ×1
+    val df = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 200L), (1L, 3L, "a", 300L),
+      (2L, 4L, "a", 100L), (2L, 5L, "b", 200L))
+      .toDF("user_id", "event_id", "event_type", "ts_ns")
+    val rows = EventOps.markovTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(("a", "b"), ("b", "a")),
+      "u2's trailing b has no successor — no cross-user transition appears")
+    assert(rows(("a", "b")) == ((2L, 1.0)), "a always transitions to b")
+    assert(rows(("b", "a")) == ((1L, 1.0)), "the only b-sourced transition")
+    // probabilities per source sum to 1 (within quantization)
+    val bySrc = rows.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    assert(bySrc.forall { case (_, p) => math.abs(p - 1.0) < 0.001 })
+  }
 }

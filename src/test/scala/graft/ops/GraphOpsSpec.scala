@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toDF("a", "b")
+
+  test("triangleCount: K4 has 4 triangles, a path has none") {
+    // K4: every pair of {0,1,2,3} — C(4,3) = 4 triangles
+    val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val r = GraphOps.triangleCount(k4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 4L)))
+
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(GraphOps.triangleCount(path).collect()(0).getLong(2) == 0L)
+  }
+
+  test("triangleCount: two triangles sharing an edge") {
+    // {0,1,2} and {1,2,3} share edge (1,2)
+    val g = edges((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(GraphOps.triangleCount(g).collect()(0).getLong(2) == 2L)
+  }
+
+  test("topTriangleNodes credits every corner of every triangle") {
+    // bowtie: triangles {0,1,2} and {2,3,4} meet at node 2
+    val g = edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val rows = GraphOps.topTriangleNodes(g, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(2L) == 2L) // the shared node sits in both triangles
+    assert(Seq(0L, 1L, 3L, 4L).forall(rows(_) == 1L))
+  }
+
+  test("lineitemEdges is undirected-deduplicated and loop-free") {
+    val li = Seq((7L, 7L, 7L), (7L, 7L, 7L), (1L, 2L, 3L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val e = GraphOps.lineitemEdges(li, 60).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all edges ordered a < b, no duplicates, no self-loops
+    assert(e.forall { case (a, b) => a < b })
+    assert(e.distinct.length == e.length)
+    // row (7,7,7) maps to nodes 7, 67, 127 → 3 edges; row (1,2,3) → 3 more
+    assert(e.length == 6)
+  }
+}

@@ -190,4 +190,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(("de", 1))._1 == "zug")
     assert(rows(("de", 1))._2 > 0.0)
   }
+
+  test("heavy hitters: threshold semantics, not a top-k") {
+    import spark.implicits._
+    // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly
+    // {x, y} qualify no matter how many distinct tokens exist
+    val docs = Seq((1L, "x x x y y z"), (2L, "x x x y w v"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.heavyHitters(docs, 30.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("x" -> 6L, "y" -> 4L))
+    // the support threshold bounds output size: at φ=30% at most
+    // 100/30 = 3 tokens can ever qualify, whatever the corpus
+    assert(rows.size <= 3)
+  }
 }

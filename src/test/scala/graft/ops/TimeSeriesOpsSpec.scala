@@ -64,4 +64,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // base-year months have no predecessor -> null
     assert(rows("2023-01-01").isNullAt(4))
   }
+
+  test("ewma closed form matches the sequential recurrence") {
+    import spark.implicits._
+    // 5 months in the operator's window (1996), one key, suppkey < 100
+    val qs = Seq(16.0, 8.0, 12.0, 4.0, 20.0)
+    val li = qs.zipWithIndex.map { case (q, i) =>
+      ("A", 1, Timestamp.valueOf(f"1996-${i + 1}%02d-10 00:00:00"), q)
+    }.toDF("l_returnflag", "l_suppkey", "l_shipdate", "l_quantity")
+    val got = TimeSeriesOps.ewmaMonthly(li, 0.5).collect().map(_.getDouble(3))
+    // driver-side reference: E_0 = x_0; E_t = a*x_t + (1-a)*E_{t-1}
+    val want = qs.tail.scanLeft(qs.head)((e, x) => 0.5 * x + 0.5 * e)
+      .map(v => math.floor(v * 10000 + 0.5) / 10000)
+    assert(got.toSeq == want)
+    // rows outside the window (1995) and key range (suppkey >= 100) drop
+    val extra = Seq(("A", 1, Timestamp.valueOf("1995-06-10 00:00:00"), 999.0),
+      ("A", 500, Timestamp.valueOf("1996-01-11 00:00:00"), 999.0))
+      .toDF("l_returnflag", "l_suppkey", "l_shipdate", "l_quantity")
+    val got2 = TimeSeriesOps.ewmaMonthly(li.unionByName(extra), 0.5).collect()
+    assert(got2.length == qs.length && got2.map(_.getDouble(3)).toSeq == want)
+  }
 }

@@ -432,8 +432,8 @@ object SparkEntry {
       (s, d) => Relational.weightedSample(orders(s, d), 15),
       Some("""WITH s AS (
              |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
-             |    ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
-             |         AS BIGINT) + 1.0) / 4294967296.0) / o_totalprice AS skey
+             |    floor(ln((CAST(('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             |         AS BIGINT) + 1.0) / 4294967296.0) / o_totalprice * 1e12) AS skey
              |  FROM orders),
              |r AS (
              |  SELECT o_orderpriority, o_orderkey, price,
@@ -511,7 +511,8 @@ object SparkEntry {
     Seq(
       Q("graph_triangles",
         (s, d) => graft.ops.GraphOps.triangleCount(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60),
+          memoKey = Some(s"$d#60")),
         Some(s"""WITH $duckEdges
                 |SELECT (SELECT count(DISTINCT x) FROM nodes) AS n_nodes,
                 |  (SELECT count(*) FROM edges) AS n_edges,
@@ -519,7 +520,8 @@ object SparkEntry {
 
       Q("graph_triangle_nodes",
         (s, d) => graft.ops.GraphOps.topTriangleNodes(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60), 15),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 60), 15,
+          memoKey = Some(s"$d#60")),
         Some(s"""WITH $duckEdges,
                 |credits AS (
                 |  SELECT apex AS node FROM tri
@@ -1148,12 +1150,15 @@ object SparkEntry {
       (s, d) => EventOps.zscoreAnomalies(events(s, d)),
       Some("""WITH s AS (
              |  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS sd
-             |  FROM events GROUP BY 1)
-             |SELECT e.event_type, count(*) AS n_events,
-             |  count(*) FILTER (WHERE abs(e.value - s.mean) / s.sd > 3.0) AS n_anomalies,
-             |  floor(max(abs(e.value - s.mean) / s.sd) * 10000 + 0.5) / 10000 AS max_z
-             |FROM events e JOIN s ON s.event_type = e.event_type
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |  FROM events GROUP BY 1),
+             |q AS (
+             |  SELECT e.event_type,
+             |    floor(abs(e.value - s.mean) / s.sd * 10000 + 0.5) / 10000 AS z
+             |  FROM events e JOIN s ON s.event_type = e.event_type)
+             |SELECT event_type, count(*) AS n_events,
+             |  count(*) FILTER (WHERE z > 3.0) AS n_anomalies,
+             |  max(z) AS max_z
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("ev_funnel",
       (s, d) => EventOps.funnel(events(s, d)),

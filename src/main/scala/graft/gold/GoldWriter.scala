@@ -88,10 +88,13 @@ object GoldWriter {
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
       .select(dim.columns.map(col): _*)
-    // WHEN NOT MATCHED: keys in the batch but absent from dim (any version)
-    // insert as new open rows; non-SCD2 dim columns are null for them
+    // WHEN NOT MATCHED: "matched" means matched against the OPEN slice —
+    // a key whose versions are all closed must be REOPENABLE by a new
+    // update (anti-joining against all dim keys would silently drop it
+    // forever, diverging from MERGE-INTO semantics); such keys insert a
+    // fresh open row, non-SCD2 dim columns null
     val inserted = upd
-      .join(dim.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(open.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .select(dim.columns.map {
         case `keyCol`      => col(keyCol)
         case `attrCol`     => col("new_attr").as(attrCol)

@@ -253,7 +253,17 @@ object DedupOps {
     * block behind [[nearDupClusters]] — usable over any pair source (exact
     * dedup groups, embedding-cosine pairs, …).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
+    // lineage cut per round: localCheckpoint is fast but executor-loss-
+    // fragile; a reliable dir swaps in checkpoint() — same constant-size
+    // plans, resilient to executor loss on a long-running cluster job
+    reliableCheckpointDir.foreach { d =>
+      pairs.sparkSession.sparkContext.setCheckpointDir(d)
+    }
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val undirected = pairs.select(col("doc_a"), col("doc_b"))
     val bothWays = undirected
       .union(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -270,10 +280,9 @@ object DedupOps {
     // seed with each node's one-hop minimum (self-loops put the node itself
     // in its neighbor set) — what the first propagation round would produce
     // from identity labels, for one aggregation instead of a loop round
-    var labels = edges.groupBy(col("doc_a"))
+    var labels = cut(edges.groupBy(col("doc_a"))
       .agg(min(col("doc_b")).as("label"))
-      .select(col("doc_a").as("node"), col("label"))
-      .localCheckpoint()
+      .select(col("doc_a").as("node"), col("label")))
     // labels only ever DECREASE elementwise, so the exact label sum is a
     // strictly-monotone convergence witness: one scalar aggregation per
     // round instead of a full old-vs-new join. decimal(38,0) keeps the sum
@@ -283,27 +292,26 @@ object DedupOps {
     var iter = 0
     while (!converged && iter < maxIters) {
       // push each node's label one hop along every edge, keep the min.
-      // Eager localCheckpoint CUTS THE LINEAGE each round: the shortcut
-      // self-join below would otherwise embed two copies of the previous
-      // round's plan — exponential logical-plan growth that Catalyst
-      // re-analyzes on every action (persist truncates execution, not
-      // analysis). Constant-size plans are what make the loop iterable at
-      // all; a fault-tolerant deployment swaps this for checkpoint() on a
-      // reliable dir (same lineage cut, resilient to executor loss).
+      // `labels` is lineage-cut, so hop's plan is CONSTANT SIZE per round
+      // (one join + agg over a checkpointed frame); embedding it on both
+      // sides of the pointer-jump self-join below doubles a constant, not
+      // an exponential — so hop needs only a lazy persist (computed once
+      // inside the prop job, read from cache on the second join side), and
+      // each round materializes exactly ONE eager checkpoint, not two.
       val hop = edges.as("e")
         .join(labels.as("l"), col("e.doc_a") === col("l.node"))
         .select(col("e.doc_b").as("node"), col("l.label").as("label"))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .persist()
       // pointer jump: shortcut each node to its label's current label.
       // Every label IS a node of the graph (it is the min id reached so
       // far), so the self-join is total, and labels only ever decrease —
       // the shortcut is semantics-preserving and squares per-round reach,
       // giving O(log diameter) rounds.
-      val prop = hop.as("a")
+      val prop = cut(hop.as("a")
         .join(hop.as("b"), col("a.label") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.label").as("label"))
-        .localCheckpoint()
+        .select(col("a.node").as("node"), col("b.label").as("label")))
+      hop.unpersist(false)
       val s = prop.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
       // null sum ⇔ zero nodes: an empty pair graph is converged immediately

@@ -121,12 +121,18 @@ object EventOps {
   def zscoreAnomalies(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
     val stats = events.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mean"), stddev_samp(col("value")).as("sd"))
+    // z is quantized to 4 decimals BEFORE the threshold compare, not just
+    // for display: stddev_samp differs at ULP level across engines, and a
+    // raw z sitting exactly at the threshold could flip n_anomalies
+    // between Spark and the oracle (quantization is monotone, so max of
+    // quantized z = quantized max)
     events.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", abs(col("value") - col("mean")) / col("sd"))
+      .withColumn("z",
+        floor(abs(col("value") - col("mean")) / col("sd") * 10000 + 0.5) / 10000)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count(when(col("z") > zThreshold, 1)).as("n_anomalies"),
-        (floor(max(col("z")) * 10000 + 0.5) / 10000).as("max_z"))
+        max(col("z")).as("max_z"))
       .orderBy(col("event_type"))
   }
 

@@ -471,10 +471,16 @@ object Relational {
       + 1.0) / 4294967296.0
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("skey").desc, col("o_orderkey"))
+    // the Efraimidis–Spirakis key ln(u)/w is quantized (floor at 1e-12
+    // absolute resolution) before ranking: ln() differs at ULP level
+    // across engines, and an unquantized rank could flip two near-tied
+    // keys between Spark and the oracle; 1e-12 is ~6 orders of magnitude
+    // below the smallest meaningful key gap, and quantization ties break
+    // deterministically on o_orderkey in both engines
     orders
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"),
-        (log(u) / col("o_totalprice")).as("skey"))
+        floor(log(u) / col("o_totalprice") * 1e12).as("skey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perGroup)
       .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),

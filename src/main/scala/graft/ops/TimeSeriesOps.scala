@@ -102,29 +102,53 @@ object TimeSeriesOps {
     * far below 2^53. Output floor-quantized at 4dp.
     */
   def ewmaMonthly(li: DataFrame, alpha: Double): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val beta = 1.0 - alpha
-    li.filter(col("l_suppkey") < 100
+    val monthly = li.filter(col("l_suppkey") < 100
         && col("l_shipdate") >= lit("1996-01-01").cast("date")
         && col("l_shipdate") < lit("1998-01-01").cast("date"))
       .groupBy(col("l_returnflag"),
         to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(sum(col("l_quantity")).as("qty"))
-      .withColumn("t", row_number().over(w) - 1)
-      // scaled = x_i / β^i  (i = 0-based per-key index); seed term folds in
-      // because the i=0 row contributes x_0/β^0 weighted α, plus the extra
-      // (1−α)^t·x_0 − α·(1−α)^t·x_0 correction below
-      .withColumn("scaled", col("qty") / pow(lit(beta), col("t")))
-      .withColumn("cum", sum(col("scaled")).over(wCum))
-      .withColumn("x0", first(col("qty")).over(wCum))
-      .withColumn("ewma",
-        pow(lit(beta), col("t")) * (lit(alpha) * col("cum") + lit(beta) * col("x0")))
+    ewma(monthly, "l_returnflag", "month", "qty", alpha)
       .select(col("l_returnflag"),
         date_format(col("month"), "yyyy-MM-dd").as("month"),
         round(col("qty"), 2).as("qty"),
         (floor(col("ewma") * 10000 + 0.5) / 10000).as("ewma"))
       .orderBy(col("l_returnflag"), col("month"))
+  }
+
+  /** Generic EWMA core over any (key, order, value) series — the closed-form
+    * window pass documented on [[ewmaMonthly]]. The x_i/β^i rescaling grows
+    * exponentially with the per-key series position, so the range is GUARDED
+    * in-plan: `assert_true` fails the job loudly the moment |x_t|/β^t leaves
+    * the exactly-representable double range (2^53), instead of silently
+    * returning an EWMA built from rounded (eventually inf) terms. The guard
+    * is a scalar expression fused into the projection — no extra job, no
+    * extra shuffle; the `+ coalesce(assert, 0)` form keeps it un-prunable.
+    * Callers with longer series rescale in blocks or pick a larger β.
+    */
+  def ewma(series: DataFrame, keyCol: String, ordCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val beta = 1.0 - alpha
+    val scaledExpr = col(valCol) / pow(lit(beta), col("t"))
+    series
+      .withColumn("t", row_number().over(w) - 1)
+      // scaled = x_i / β^i  (i = 0-based per-key index); seed term folds in
+      // because the i=0 row contributes x_0/β^0 weighted α, plus the extra
+      // (1−α)^t·x_0 − α·(1−α)^t·x_0 correction below
+      .withColumn("scaled",
+        scaledExpr + coalesce(
+          assert_true(abs(scaledExpr) < lit(9.007199254740992e15),
+            concat(lit("ewma: |x_t|/beta^t exceeded 2^53 (series too long " +
+              s"for alpha=$alpha) at t="), col("t").cast("string"))),
+          lit(0.0)))
+      .withColumn("cum", sum(col("scaled")).over(wCum))
+      .withColumn("x0", first(col(valCol)).over(wCum))
+      .withColumn("ewma",
+        pow(lit(beta), col("t")) * (lit(alpha) * col("cum") + lit(beta) * col("x0")))
+      .drop("t", "scaled", "cum", "x0")
   }
 
   /** Year-over-year percent change per series — the inflation-rate shape

@@ -119,11 +119,34 @@ class PlanGuardSpec extends SparkSpec {
       assert(e.output.length <= 4,
         s"wide row in a triangle-join exchange: ${e.output.map(_.name).mkString(",")}")
       e.output.foreach(a =>
-        assert(a.dataType.sameType(org.apache.spark.sql.types.LongType),
+        assert(a.dataType == org.apache.spark.sql.types.LongType,
           s"non-long column ${a.name}: ${a.dataType} in triangle exchange"))
     }
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
       "triangle join degenerated to a cartesian product")
+  }
+
+  test("SCD2 merge: no cartesian; hash exchanges partition on the merge key or group key") {
+    // the op most likely to quietly degrade as dim.columns grows: the CDC
+    // compaction window + open/closed split must stay one co-partitioned
+    // shuffle on the key, and the insert anti-join must never go nested-loop
+    val df = SparkEntry.queries("g5_scd2_merge")(spark, sfDir)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"SCD2 merge degenerated to a cartesian/nested-loop:\n$planStr")
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          val refs = h.expressions.flatMap(_.references).map(_.name).toSet
+          assert(refs.subsetOf(Set("c_custkey", "c_mktsegment")),
+            s"SCD2 exchange partitions on unexpected columns: $refs")
+        case _ => () // the presentation orderBy's range partitioning
+      }
+    }
   }
 
   test("rolling median: the banded self-join plans as a real join, not a cartesian") {

@@ -119,4 +119,26 @@ class GoldWriterSpec extends SparkSpec {
       upd, "k", "attr", "changed_at").collect()
     assert(again.length == out.size)
   }
+
+  test("SCD2 merge: a key whose versions are ALL closed is reopened by a new update") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // key 1 was soft-deleted (every version closed); MERGE-INTO semantics
+    // say a fresh update reopens it, not drops it on the floor
+    val dim = Seq(
+      (1L, "a", d("2020-01-01"), Some(d("2023-01-01"))),
+      (2L, "b", d("2020-01-01"), None: Option[Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq((1L, "a2", d("2024-06-01"))).toDF("k", "attr", "changed_at")
+    val out = GoldWriter.scd2Merge(dim, upd, "k", "attr", "changed_at")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", "2020-01-01", Some("2023-01-01")),  // history untouched
+      (1L, "a2", "2024-06-01", None),               // key reopened
+      (2L, "b", "2020-01-01", None)))
+  }
 }

@@ -195,7 +195,7 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly
     // {x, y} qualify no matter how many distinct tokens exist
-    val docs = Seq((1L, "x x x y y z"), (2L, "x x x y w v"))
+    val docs = Seq((1L, "x x x y y z"), (2L, "x x x y y w"))
       .toDF("doc_id", "text")
     val rows = TextOps.heavyHitters(docs, 30.0).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

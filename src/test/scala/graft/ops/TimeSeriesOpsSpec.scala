@@ -84,4 +84,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val got2 = TimeSeriesOps.ewmaMonthly(li.unionByName(extra), 0.5).collect()
     assert(got2.length == qs.length && got2.map(_.getDouble(3)).toSeq == want)
   }
+
+  test("ewma range guard: a 200-step series at alpha=0.5 fails loudly, not silently wrong") {
+    import spark.implicits._
+    // x_t/0.5^t reaches 2^199 by the end of a 200-month series — far past
+    // the exactly-representable double range; the in-plan guard must throw,
+    // because a silent run would return an EWMA built from inf terms
+    val series = (0 until 200).map(i => ("k", i, 1.0)).toDF("key", "t_ord", "x")
+    val ex = intercept[Exception] {
+      TimeSeriesOps.ewma(series, "key", "t_ord", "x", 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exceeded 2^53")),
+      s"expected the range-guard error, got: $ex")
+    // a safe-length series still computes: guard adds exact +0.0
+    val short = (0 until 30).map(i => ("k", i, 1.0 + i)).toDF("key", "t_ord", "x")
+    val got = TimeSeriesOps.ewma(short, "key", "t_ord", "x", 0.5)
+      .orderBy($"t_ord").collect().map(_.getDouble(3))
+    val want = (1 until 30).map(i => 1.0 + i)
+      .scanLeft(1.0)((e, x) => 0.5 * x + 0.5 * e)
+    assert(got.zip(want).forall { case (g, w) => math.abs(g - w) < 1e-9 })
+  }
 }

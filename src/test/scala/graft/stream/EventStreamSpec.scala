@@ -112,6 +112,18 @@ class EventStreamSpec extends SparkSpec {
       .toSet
     assert(got.contains((1L, 100L, 101L)), s"matched pair missing: $got")
     assert(got.contains((2L, 200L, -1L)), s"unmatched view must emit with null click: $got")
+    // EVICTION, not just emission: once the watermark passes the t0-era
+    // rows, they must leave the join state — only the two advancer events
+    // may remain buffered. Unbounded numRowsTotal here is the classic
+    // stream-stream-join state leak.
+    val totals = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    assert(totals.nonEmpty, "no state-operator progress reported")
+    assert(totals.last < totals.max,
+      s"join state never shrank after the watermark passed: $totals")
+    assert(totals.last <= 4,
+      s"t0-era rows still buffered after watermark eviction: $totals")
   }
 
   test("foreachBatch idempotent sink: replay overwrites partitions, no duplicates") {

@@ -1648,7 +1648,7 @@ object SparkEntry {
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("dedup_minhash_lsh",
-      (s, d) => DedupOps.minhashLshPairs(documents(s, d)),
+      (s, d) => DedupOps.minhashLshPairs(documents(s, d), memoKey = Some(d)),
       Some(s"""$duckLshCtes
               |SELECT doc_a, doc_b,
               |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
@@ -1659,7 +1659,7 @@ object SparkEntry {
     // degree distribution of the near-dup graph: the boilerplate/mega-
     // cluster early-warning diagnostic, over the same verified pair set
     Q("dedup_degree_hist",
-      (s, d) => DedupOps.nearDupDegreeHist(documents(s, d)),
+      (s, d) => DedupOps.nearDupDegreeHist(documents(s, d), memoKey = Some(d)),
       Some(s"""$duckLshCtes,
               |edges AS (
               |  SELECT doc_a, doc_b FROM j
@@ -1676,7 +1676,7 @@ object SparkEntry {
     // min-label propagation; DuckDB replays it with a recursive CTE
     // (min reachable id == component min, survivor = component min itself)
     Q("dedup_clusters",
-      (s, d) => DedupOps.nearDupClusters(documents(s, d)),
+      (s, d) => DedupOps.nearDupClusters(documents(s, d), memoKey = Some(d)),
       Some("WITH RECURSIVE " + duckLshCtes.stripPrefix("WITH ") +
         s""",
            |pairs AS (

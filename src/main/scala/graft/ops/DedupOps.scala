@@ -187,9 +187,35 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      maxBroadcastCandidates: Long = 1000000L): DataFrame =
-    minhashLshPairsUnsorted(docs, k, bands, threshold, maxBroadcastCandidates)
+                      maxBroadcastCandidates: Long = 1000000L,
+                      memoKey: Option[String] = None): DataFrame =
+    minhashPairsMemo(docs, k, bands, threshold, maxBroadcastCandidates, memoKey)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Session-scoped memo of the VERIFIED pair set: the pair list, the
+    * degree diagnostic, and the clustering pass all consume the same LSH
+    * pair graph, and a session running several of them (the bench, a real
+    * dedup pipeline that checks the degree histogram before clustering)
+    * should generate+verify candidates once. The memoized frame is narrow
+    * (two longs + a double) and `localCheckpoint`ed, so it survives
+    * `Exec.clearPinned`; keyed by applicationId + caller key + params so a
+    * different corpus or banding never aliases.
+    */
+  private val pairMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def minhashPairsMemo(docs: DataFrame, k: Int, bands: Int,
+                               threshold: Double, maxBroadcastCandidates: Long,
+                               memoKey: Option[String]): DataFrame =
+    memoKey match {
+      case None =>
+        minhashLshPairsUnsorted(docs, k, bands, threshold, maxBroadcastCandidates)
+      case Some(mk) =>
+        val full = docs.sparkSession.sparkContext.applicationId +
+          s"#$mk#$k#$bands#$threshold"
+        pairMemo.getOrElseUpdate(full,
+          minhashLshPairsUnsorted(docs, k, bands, threshold, maxBroadcastCandidates)
+            .localCheckpoint())
+    }
 
   /** Same pair set without the final global sort — for consumers (like the
     * clustering pass) that only need the edges, not a presentation order.
@@ -340,9 +366,10 @@ object DedupOps {
     * converges in a handful of passes at any corpus size.
     */
   def nearDupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+                      threshold: Double = 0.5, maxIters: Int = 20,
+                      memoKey: Option[String] = None): DataFrame =
     connectedComponents(
-      minhashLshPairsUnsorted(docs, k, bands, threshold, 1000000L), maxIters)
+      minhashPairsMemo(docs, k, bands, threshold, 1000000L, memoKey), maxIters)
 
   /** Degree distribution of the near-dup pair graph — the diagnostic a
     * dedup pipeline checks BEFORE clustering: a heavy tail (one node with
@@ -351,8 +378,9 @@ object DedupOps {
     * One explode of the edge list + two counts; scales like the pair set.
     */
   def nearDupDegreeHist(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                        threshold: Double = 0.5): DataFrame =
-    minhashLshPairsUnsorted(docs, k, bands, threshold, 1000000L)
+                        threshold: Double = 0.5,
+                        memoKey: Option[String] = None): DataFrame =
+    minhashPairsMemo(docs, k, bands, threshold, 1000000L, memoKey)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))

@@ -1546,6 +1546,33 @@ object SparkEntry {
               |SELECT lang, rank, token, score FROM r WHERE rank <= 10
               |ORDER BY lang, rank""".stripMargin)),
 
+    // Okapi BM25 first-stage retrieval for a fixed 3-term query; the oracle
+    // replays the Lucene idf + length-normalized tf saturation exactly
+    Q("txt_bm25",
+      (s, d) => TextOps.bm25Search(documents(s, d),
+        Seq("spark", "vector", "merge"), topN = 20),
+      Some(s"""WITH e AS (SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+              |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM e GROUP BY 1),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |       FROM e WHERE token IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+              |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |s AS (
+              |  SELECT tf.doc_id,
+              |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              |      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+              |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
+              |sc AS (
+              |  SELECT doc_id, floor(sum(w) * 10000 + 0.5) / 10000 AS score,
+              |    CAST(count(*) AS BIGINT) AS n_matched
+              |  FROM s GROUP BY 1),
+              |r AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+              |    doc_id, score, n_matched
+              |  FROM sc)
+              |SELECT rank, doc_id, score, n_matched FROM r
+              |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     Q("txt_quality_score",
       (s, d) => TextOps.qualityScore(documents(s, d)),
       Some(s"""WITH t AS (
@@ -1857,6 +1884,52 @@ object SparkEntry {
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // reciprocal-rank fusion of the cosine and MIPS retrievers: rank-space
+    // fusion (1/(60+rank) summed per doc) — the oracle replays both
+    // retrieval CTEs and the fused ranking
+    Q("vec_rrf_fusion",
+      (s, d) => VectorOps.rrfFusion(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, qn FROM
+              |       (SELECT vec_id, v, nrm AS qn FROM n WHERE vec_id < 5)),
+              |cpairs AS (
+              |  SELECT q.query_id, n.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM q JOIN n ON n.vec_id <> q.query_id),
+              |cosr AS (
+              |  SELECT query_id, vec_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |  FROM cpairs),
+              |mpairs AS (
+              |  SELECT q.query_id, e.vec_id,
+              |    floor(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |      * 10000 + 0.5) / 10000 AS ip
+              |  FROM q JOIN e ON e.vec_id <> q.query_id),
+              |mipsr AS (
+              |  SELECT query_id, vec_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank
+              |  FROM mpairs),
+              |u AS (
+              |  SELECT query_id, vec_id, rank FROM cosr WHERE rank <= 5
+              |  UNION ALL
+              |  SELECT query_id, vec_id, rank FROM mipsr WHERE rank <= 5),
+              |f AS (
+              |  SELECT query_id, vec_id,
+              |    floor(sum(1.0 / (60.0 + rank)) * 1e7 + 0.5) / 1e7 AS rrf,
+              |    CAST(count(*) AS BIGINT) AS n_lists
+              |  FROM u GROUP BY 1, 2),
+              |r AS (
+              |  SELECT query_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rrf DESC, vec_id) AS INTEGER) AS fused_rank,
+              |    vec_id, rrf, n_lists
+              |  FROM f)
+              |SELECT query_id, fused_rank, vec_id, rrf, n_lists FROM r
+              |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)),
+
     // matryoshka-truncation recall: top-10 by 16-dim-prefix cosine vs top-10
     // by full 64-dim cosine, overlap per query
     Q("vec_matryoshka_recall",
@@ -2057,6 +2130,45 @@ object SparkEntry {
               |           / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
               |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT label, vec_a, vec_b, sim
+              |FROM pairs WHERE sim >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // SemDeDup: cell-bucketed semantic dedup — nearest-centroid assignment
+    // (same CTEs as vec_centroid_assign) restricts the cosine pair join to
+    // co-celled vectors; the oracle replays assignment + within-cell pairs
+    Q("dedup_semantic",
+      (s, d) => VectorOps.semanticDupPairs(embeddings(s, d), threshold = 0.45),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT e.label AS c_label, f.pos,
+              |    floor(avg(f.v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat f JOIN embeddings e USING (vec_id)
+              |  GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |asg AS (
+              |  SELECT vec_id, c_label AS cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+              |  FROM d),
+              |cellv AS (
+              |  SELECT a.cell, e2.vec_id, e2.v,
+              |    sqrt(list_sum(list_transform(e2.v, x -> x * x))) AS nrm
+              |  FROM e2 JOIN asg a ON a.vec_id = e2.vec_id AND a.rn = 1),
+              |pairs AS (
+              |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              |           / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT cell, vec_a, vec_b, sim
               |FROM pairs WHERE sim >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),
 

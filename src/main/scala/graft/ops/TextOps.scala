@@ -510,4 +510,45 @@ object TextOps {
       .select(col("lang"), col("rank"), col("token"), col("score"))
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** Okapi BM25 retrieval: rank documents against a fixed term query —
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with
+    * the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)). The corpus statistics
+    * (N of token-bearing docs, avgdl) ride along as a 1-row broadcast, the
+    * per-term doc frequencies as a ≤|query|-row broadcast — the only wide
+    * shuffle is the per-(doc, term) count, which is filtered to QUERY terms
+    * before it ever shuffles, so the exchanged volume is matched postings,
+    * not the corpus. Scores floor-quantized at 4dp, ranked on the quantized
+    * value with doc_id ties — engine-stable. The shape of a distributed
+    * first-stage retriever over 100 TB of text.
+    */
+  def bm25Search(docs: DataFrame, query: Seq[String], topN: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")).persist()
+    // N counts token-BEARING docs (dl ≥ 1): empty docs can't match and are
+    // excluded from avgdl by construction; documented contract, oracle same
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("token").isin(query: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg((floor(sum(col("w")) * 10000 + 0.5) / 10000).as("score"),
+        count(lit(1)).as("n_matched"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("doc_id"), col("score"), col("n_matched"))
+      .orderBy(col("rank"))
+  }
 }

@@ -352,6 +352,69 @@ object VectorOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Reciprocal-rank fusion of two first-stage retrievers (brute-force
+    * cosine and MIPS top-k): RRF(d) = Σ_lists 1/(c + rank_d), the standard
+    * c = 60. Fusing RANKS instead of scores is what makes heterogeneous
+    * retrievers composable — cosine and inner-product scores live on
+    * different scales, ranks don't. Each retriever's list is per-query
+    * top-k (tiny), so the fusion is an aggregation over ≤ 2k rows per
+    * query; the retrieval passes themselves are the scalable part. The RRF
+    * sum (≤ 2 exact-rounded terms, addition commutative) is floor-quantized
+    * at 7dp before the fused ranking; ties break on vec_id.
+    */
+  def rrfFusion(emb: DataFrame, maxQueryId: Int, k: Int, c: Double = 60.0,
+                topN: Int = 5): DataFrame = {
+    val cos = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+    val mips = mipsTopK(emb, maxQueryId, k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+    val fused = cos.unionByName(mips)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        (floor(sum(lit(1.0) / (lit(c) + col("rank"))) * 1e7 + 0.5) / 1e7).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= topN)
+      .select(col("query_id"), col("fused_rank"), col("vec_id"),
+        col("rrf"), col("n_lists"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: assign every vector to its
+    * nearest k-means cell, then generate candidate pairs WITHIN a cell only
+    * — the embedding-space analogue of LSH banding (semantic duplicates
+    * cluster tightly, so a near-dup pair co-locates in one cell with high
+    * probability; cross-cell pairs are the disclosed recall gap, exactly as
+    * in the published SemDeDup recipe). Candidate volume is ~corpus²/k per
+    * cell instead of corpus², and the only wide exchange is each embedding
+    * traveling ONCE to its cell — the formulation that holds at 100 TB,
+    * where brute-force cosine pairs (`cosineNearDupPairs`) cannot run.
+    * Verification is exact quantized cosine, so the output is precisely the
+    * thresholded co-celled pair set.
+    */
+  def semanticDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val dists = cellDistances(emb)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
+    val assigned = dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    // embeddings move once, keyed by cell; within-cell self-join compares
+    // co-celled vectors only
+    val withCell = emb.join(assigned, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val a = withCell.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("e_a"))
+    val b = withCell.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("e_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", q4(cosineFast(emb, col("e_a"), col("e_b"))))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Assign every vector to its nearest label centroid (squared L2), emit the
     * label × assigned confusion counts. Centroids are quantized BEFORE the
     * distance computation so both engine sides feed identical inputs into the

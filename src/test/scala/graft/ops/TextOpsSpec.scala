@@ -191,6 +191,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(("de", 1))._2 > 0.0)
   }
 
+  test("bm25: distinct rare terms beat a saturated repeated term; length normalizes") {
+    import spark.implicits._
+    // N=4 token-bearing docs, avgdl=3.25; query {spark, merge, vector}:
+    // d2 matches TWO rarer terms (df 2 and 1) and is short — it must beat
+    // d1's four saturated 'spark's; d3 matches nothing and must be absent
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark merge"),
+      (3L, "the the the the the the"),
+      (4L, "vector"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.bm25Search(docs, Seq("spark", "merge", "vector"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq == Seq(2L, 4L, 1L), rows.mkString(","))
+    assert(rows.map(_._4).toSeq == Seq(2L, 1L, 1L), "n_matched wrong")
+    // scores strictly decrease down the ranking (no quantization ties here)
+    assert(rows.sliding(2).forall { case Array(h, t) => h._3 > t._3 })
+    // saturation: d1's score is far below 4x a single-occurrence score —
+    // tf*(k1+1)/(tf+k1·norm) caps the contribution of repeated terms
+    val single = TextOps.bm25Search(docs, Seq("spark"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(single(1L) < 4 * single(2L) * 0.6,
+      s"term saturation missing: ${single(1L)} vs 4x${single(2L)}")
+  }
+
   test("heavy hitters: threshold semantics, not a top-k") {
     import spark.implicits._
     // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly

@@ -115,6 +115,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall suspiciously low for 8x8 PQ")
   }
 
+  test("semantic dedup: cell-bucketed pairs == within-cluster brute force on a separable fixture") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1): assignment must send each
+    // vector to its own cluster's centroid, and the pair set is exactly the
+    // within-cluster thresholded cosine pairs (cross-cluster cosine ~0)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),
+      (2L, Seq(0.99f, 0.1f), "a"),
+      (3L, Seq(0.98f, -0.1f), "a"),
+      (10L, Seq(0.0f, 1.0f), "b"),
+      (11L, Seq(0.1f, 0.99f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.semanticDupPairs(df, 0.9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 1L, 2L), ("a", 1L, 3L), ("a", 2L, 3L), ("b", 10L, 11L)))
+    // on real data: cell bucketing can only LOSE pairs vs brute force —
+    // every reported pair must also pass the unblocked threshold check
+    val sem = VectorOps.semanticDupPairs(emb, 0.45).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val brute = a.join(b, col("va") < col("vb"))
+      .withColumn("sim",
+        floor(VectorOps.cosine(col("ea"), col("eb")) * 10000 + 0.5) / 10000)
+      .filter(col("sim") >= 0.45)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(brute), s"spurious pairs: ${sem -- brute}")
+    assert(sem.nonEmpty)
+    info(s"semantic-dedup recall vs brute force: ${sem.size}/${brute.size}")
+  }
+
+  test("rrf fusion: docs on both retriever lists outrank single-list docs") {
+    import spark.implicits._
+    // query 0 = (1,0); vec 2 is on BOTH top-2 lists (cos rank 1, ip rank 2),
+    // vec 4 only on the cosine list, vec 3 only on the MIPS list
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.0f)),    // cos 1.0 (rank 1), ip 0.9 (rank 2)
+      (3L, Seq(10.0f, 10.0f)),  // cos 0.707, ip 10.0 (rank 1)
+      (4L, Seq(0.5f, -0.1f)))   // cos ~0.98 (rank 2), ip 0.5
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.rrfFusion(df, maxQueryId = 1, k = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    // 2: 1/61 + 1/62; 3: 1/61; 4: 1/62 — fused order 2, 3, 4
+    assert(rows.map(_._2).toSeq == Seq(2L, 3L, 4L), rows.mkString(","))
+    assert(rows.map(_._3).toSeq == Seq(2L, 1L, 1L), "n_lists wrong")
+  }
+
   test("native lsh_buckets matches the HOF per-plane reference, table by table") {
     val nTables = 4
     val ppt = 4

@@ -218,6 +218,78 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate the join: zero shuffle exchanges between the scans") {
+    import org.apache.spark.sql.functions._
+    // the pre-shuffled storage layout a 100 TB fact-fact join relies on:
+    // both sides bucketed on the join key into the same bucket count join
+    // WITHOUT a shuffle (and without a broadcast) — only the layout makes
+    // that legal
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("pg_orders_bkt")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("pg_lineitem_bkt")
+      val joined = spark.table("pg_lineitem_bkt")
+        .join(spark.table("pg_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() > 0)
+      val exchanges = qe.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles: ${exchanges.map(_.outputPartitioning)}")
+      assert(qe.executedPlan.toString.contains("SortMergeJoin"),
+        "co-located join should sort-merge over the bucket layout")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pg_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS pg_lineitem_bkt")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("partition-layout scan: the partition predicate prunes at planning, not at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pg_part").toString
+    try {
+      Tables.orders(spark, sfDir)
+        .withColumn("status", col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("status").parquet(dir)
+      val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+        .select(col("o_orderkey"))
+      val plan = pruned.queryExecution.executedPlan.toString
+      // the status predicate must appear as a PartitionFilter on the scan —
+      // directory-level pruning, zero I/O for other partitions — and must
+      // NOT survive as a post-scan data Filter
+      assert(plan.contains("PartitionFilters") && plan.contains("status"),
+        s"partition predicate not applied at the directory level:\n$plan")
+      val scanned = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scanned.nonEmpty)
+      scanned.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          "scan carries no partition filters — it would read every partition")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("LSH verification broadcast is gated: over the cap the query still runs unhinted") {
     val docs = Tables.documents(spark, sfDir)
     // force the gate shut: every candidate count exceeds a cap of 0

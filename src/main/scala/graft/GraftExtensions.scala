@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BandHashes, CosineSim, DotProduct, IntersectCount, MinHashSig, ShingleHashes, SimHash61, SqL2}
+import graft.functions.{BandHashes, CosineSim, DotProduct, Hash61, IntersectCount, MinHashSig, ShingleHashes, SimHash61, SqL2}
 
 /** Standard Spark extension entry point: registers the engine's native
   * Catalyst functions permanently for a session, so any user (including pure
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |a ∩ b| of two sorted long arrays"),
       exprs => IntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hash61"),
+      info("hash61", "hash61(s) - 61-bit MD5 key of one string"),
+      exprs => Hash61(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - single-pass cosine similarity"),

@@ -474,7 +474,137 @@ object SparkEntry {
              |  floor(quantile_cont(v.cents, 0.5) + 0.5) / 100 AS med_price
              |FROM a JOIN om v ON v.o_orderpriority = a.o_orderpriority
              |  AND v.m > a.m - 3 AND v.m <= a.m
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // correlated EXISTS / NOT EXISTS through the SQL front-end; Catalyst
+    // decorrelates into LeftSemi + LeftAnti co-keyed on s_suppkey
+    Q("rel_exists_subquery",
+      (s, d) => Relational.existsSubquery(s, supplier(s, d), lineitem(s, d)),
+      Some("""SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+             |FROM supplier s
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_suppkey = s.s_suppkey
+             |                    AND l.l_returnflag = 'R'
+             |                    AND l.l_quantity >= 48 AND l.l_discount > 0.08)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // schema-evolution union: v1 extract has no priority column, v2 does;
+    // unionByName(allowMissingColumns) null-fills — UNION ALL BY NAME twin
+    Q("rel_union_by_name",
+      (s, d) => Relational.unionByNameEvolution(orders(s, d)),
+      Some("""WITH v1 AS (
+             |  SELECT o_orderkey, o_totalprice, o_custkey
+             |  FROM orders WHERE o_orderdate < DATE '1994-01-01'),
+             |v2 AS (
+             |  SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_orderdate >= DATE '1994-01-01'),
+             |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+             |SELECT coalesce(o_orderpriority, '0-LEGACY') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Morton/z-order layout: per top-4-bit z-range, the min/max envelope of
+    // BOTH interleaved dimensions — the parquet data-skipping geometry
+    Q("store_zorder_stats",
+      (s, d) => Relational.zOrderLayoutStats(lineitem(s, d)),
+      Some("""WITH p AS (
+             |  SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+             |         CAST(l_suppkey % 256 AS INTEGER) AS y
+             |  FROM lineitem),
+             |z AS (
+             |  SELECT x, y, CAST(list_sum(list_transform(range(0, 8), i ->
+             |    (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+             |    AS INTEGER) AS zkey
+             |  FROM p)
+             |SELECT CAST(zkey >> 12 AS INTEGER) AS z_range, count(*) AS n,
+             |  min(x) AS x_min, max(x) AS x_max,
+             |  min(y) AS y_min, max(y) AS y_max,
+             |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // all C(4,2) Pearson coefficients in ONE partial+final aggregate pass,
+    // unpivoted to pair rows; 4dp-quantized (corr sums are order-dependent)
+    Q("rel_corr_matrix",
+      (s, d) => Relational.corrMatrix(lineitem(s, d)),
+      Some("""SELECT * FROM (
+             |  SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+             |    floor(corr(l_discount, l_tax) * 10000 + 0.5) / 10000 AS r
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             |    floor(corr(l_extendedprice, l_discount) * 10000 + 0.5) / 10000
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             |    floor(corr(l_extendedprice, l_tax) * 10000 + 0.5) / 10000
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_discount',
+             |    floor(corr(l_quantity, l_discount) * 10000 + 0.5) / 10000
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+             |    floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_quantity', 'l_tax',
+             |    floor(corr(l_quantity, l_tax) * 10000 + 0.5) / 10000
+             |  FROM lineitem)
+             |ORDER BY col_a, col_b""".stripMargin)),
+
+    // decile feature binning: exact interpolated edges on integer cents,
+    // broadcast back; per-bin population + bounds
+    Q("rel_quantile_bins",
+      (s, d) => Relational.quantileBins(orders(s, d)),
+      Some("""WITH c AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |e AS (SELECT quantile_cont(cents,
+             |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM c),
+             |s AS (
+             |  SELECT cents, 1
+             |    + CAST(cents > qs[1] AS INTEGER) + CAST(cents > qs[2] AS INTEGER)
+             |    + CAST(cents > qs[3] AS INTEGER) + CAST(cents > qs[4] AS INTEGER)
+             |    + CAST(cents > qs[5] AS INTEGER) + CAST(cents > qs[6] AS INTEGER)
+             |    + CAST(cents > qs[7] AS INTEGER) + CAST(cents > qs[8] AS INTEGER)
+             |    + CAST(cents > qs[9] AS INTEGER) AS bin
+             |  FROM c CROSS JOIN e)
+             |SELECT bin, count(*) AS n,
+             |  min(cents) / 100.0 AS min_price, max(cents) / 100.0 AS max_price
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RFM segmentation against broadcast exact-percentile thresholds (not
+    // a global-window ntile); metrics are exact ints so scores are
+    // engine-identical
+    Q("rel_rfm_segments",
+      (s, d) => Relational.rfmSegments(orders(s, d)),
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, max(o_orderdate) AS last_order,
+             |    count(*) AS frequency,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1),
+             |mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+             |pr AS (
+             |  SELECT pc.*, date_diff('day', last_order, max_date) AS recency
+             |  FROM pc CROSS JOIN mx),
+             |th AS (
+             |  SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+             |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+             |    quantile_cont(cents, [0.25, 0.5, 0.75]) AS mq
+             |  FROM pr),
+             |sc AS (
+             |  SELECT 5 - (1 + CAST(recency > rq[1] AS INTEGER)
+             |        + CAST(recency > rq[2] AS INTEGER)
+             |        + CAST(recency > rq[3] AS INTEGER)) AS r,
+             |    1 + CAST(frequency > fq[1] AS INTEGER)
+             |      + CAST(frequency > fq[2] AS INTEGER)
+             |      + CAST(frequency > fq[3] AS INTEGER) AS f,
+             |    1 + CAST(cents > mq[1] AS INTEGER)
+             |      + CAST(cents > mq[2] AS INTEGER)
+             |      + CAST(cents > mq[3] AS INTEGER) AS m,
+             |    cents
+             |  FROM pr CROSS JOIN th)
+             |SELECT r, f, m, count(*) AS n_customers,
+             |  sum(cents) / 100.0 AS segment_value
+             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** Graph analytics beyond connected components: exact triangle counting
@@ -608,6 +738,29 @@ object SparkEntry {
              |  ON p.l_returnflag = m.l_returnflag
              | AND CAST(p.month + INTERVAL 12 MONTH AS DATE) = m.month
              |ORDER BY 1, 2""".stripMargin)),
+
+    // seasonal-naive baseline: month-of-year average per key, deviation
+    // quantized BEFORE the 20% anomaly threshold
+    Q("ts_seasonal_baseline",
+      (s, d) => graft.ops.TimeSeriesOps.seasonalBaseline(lineitem(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |base AS (
+             |  SELECT key, month(month) AS moy, avg(qty) AS base_qty
+             |  FROM monthly GROUP BY 1, 2),
+             |j AS (
+             |  SELECT m.key, m.month, m.qty, b.base_qty,
+             |    floor(abs(m.qty / b.base_qty - 1) * 100 * 10000 + 0.5) / 10000
+             |      AS dev_pct
+             |  FROM monthly m JOIN base b
+             |    ON b.key = m.key AND b.moy = month(m.month))
+             |SELECT key, strftime(month, '%Y-%m-%d') AS month,
+             |  round(qty, 2) AS qty, round(base_qty, 4) AS base_qty,
+             |  dev_pct, dev_pct > 20.0 AS is_anomaly
+             |FROM j ORDER BY key, month""".stripMargin)),
 
     // EWMA via the closed-form window unroll (no iterative driver loop);
     // α = 0.5 makes every scaled term an exact power-of-two-multiple of an
@@ -907,6 +1060,49 @@ object SparkEntry {
              |  floor((p_raw - q_raw) * ln(p_raw / q_raw) * 10000 + 0.5) / 10000 AS psi_term
              |FROM f ORDER BY bin""".stripMargin)),
 
+    // Benford first-digit screen on the money column; leading digit comes
+    // from the exact-cents STRING (numeric log10 extraction can flip at
+    // powers of ten across engines)
+    Q("qc_benford",
+      (s, d) => QualityChecks.benfordFirstDigit(orders(s, d), "o_totalprice"),
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             |  FROM orders WHERE o_totalprice > 0),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT sum(n) AS total FROM c),
+             |e AS (SELECT unnest(range(1, 10)) AS digit),
+             |j AS (
+             |  SELECT e.digit, coalesce(c.n, 0) AS n,
+             |    CAST(coalesce(c.n, 0) AS DOUBLE) / t.total AS p,
+             |    log10(1.0 + 1.0 / e.digit) AS ep
+             |  FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+             |  WHERE coalesce(c.n, 0) > 0)
+             |SELECT CAST(digit AS INTEGER) AS digit, n,
+             |  floor(p * 10000 + 0.5) / 10000 AS observed_p,
+             |  floor(ep * 10000 + 0.5) / 10000 AS expected_p,
+             |  floor(abs(p - ep) * 10000 + 0.5) / 10000 AS abs_dev
+             |FROM j ORDER BY digit""".stripMargin)),
+
+    // categorical dependence screen: per-cell pointwise MI terms (cells
+    // sum to MI; per-cell keeps the compare engine-exact)
+    Q("qc_mutual_info",
+      (s, d) => QualityChecks.mutualInfoCells(lineitem(s, d),
+        "l_returnflag", "l_linestatus"),
+      Some("""WITH j AS (
+             |  SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy
+             |  FROM lineitem GROUP BY 1, 2),
+             |mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY 1),
+             |my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY 1),
+             |t AS (SELECT sum(nxy) AS n FROM j)
+             |SELECT j.x, j.y, j.nxy,
+             |  floor(CAST(j.nxy AS DOUBLE) / t.n * 10000 + 0.5) / 10000 AS p_xy,
+             |  floor((CAST(j.nxy AS DOUBLE) / t.n)
+             |    * ln(CAST(j.nxy AS DOUBLE) * t.n / (mx.nx * my.ny))
+             |    * 10000 + 0.5) / 10000 AS mi_term
+             |FROM j JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y CROSS JOIN t
+             |ORDER BY j.x, j.y""".stripMargin)),
+
     Q("qc_report_gate",
       (s, d) => QualityChecks.reportRow(s, QualityChecks.runChecks(
         lineitem(s, d),
@@ -1158,6 +1354,30 @@ object SparkEntry {
              |SELECT event_type, count(*) AS n_events,
              |  count(*) FILTER (WHERE z > 3.0) AS n_anomalies,
              |  max(z) AS max_z
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // robust (median/MAD) anomalies: exact interpolated medians match
+    // quantile_cont; rz floor-quantized BEFORE the 3.5 threshold
+    Q("ev_mad_anomaly",
+      (s, d) => EventOps.madAnomalies(events(s, d)),
+      Some("""WITH m AS (
+             |  SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |md AS (
+             |  SELECT e.event_type,
+             |    quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+             |    any_value(m.med) AS med
+             |  FROM events e JOIN m ON m.event_type = e.event_type GROUP BY 1),
+             |q AS (
+             |  SELECT e.event_type, md.med, md.mad,
+             |    floor(0.6745 * abs(e.value - md.med) / md.mad * 10000 + 0.5)
+             |      / 10000 AS rz
+             |  FROM events e JOIN md ON md.event_type = e.event_type)
+             |SELECT event_type, count(*) AS n_events,
+             |  count(*) FILTER (WHERE rz > 3.5) AS n_anomalies,
+             |  max(rz) AS max_rz,
+             |  floor(any_value(med) * 10000 + 0.5) / 10000 AS med_q,
+             |  floor(any_value(mad) * 10000 + 0.5) / 10000 AS mad_q
              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("ev_funnel",
@@ -1422,6 +1642,36 @@ object SparkEntry {
               |    * 10000 + 0.5) / 10000 AS dup_frac
               |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the rewrite that follows the diagnostic: cut every non-first
+    // occurrence of a repeated 10-token block, reassemble, fingerprint
+    Q("dedup_blocks_rewrite",
+      (s, d) => TextOps.rewriteDedupBlocks(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |b AS (SELECT doc_id, toks,
+              |    unnest(range(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT) + 1)) AS block_idx
+              |  FROM t),
+              |h AS (SELECT doc_id, block_idx,
+              |    md5(array_to_string(toks[block_idx * 10 + 1:block_idx * 10 + 10], ' ')) AS block_fp
+              |  FROM b),
+              |r AS (SELECT doc_id, block_idx,
+              |    row_number() OVER (PARTITION BY block_fp ORDER BY doc_id, block_idx) AS rn
+              |  FROM h),
+              |l AS (SELECT doc_id, list_sort(list(block_idx)) AS dup_idxs
+              |  FROM r WHERE rn > 1 GROUP BY doc_id),
+              |k AS (SELECT t.doc_id, t.toks,
+              |    coalesce(l.dup_idxs, CAST([] AS BIGINT[])) AS dup_idxs
+              |  FROM t LEFT JOIN l ON l.doc_id = t.doc_id),
+              |f AS (SELECT doc_id, len(toks) AS n_tokens,
+              |    list_filter(toks, (x, i) ->
+              |      NOT list_contains(dup_idxs, (i - 1) // 10)) AS kept
+              |  FROM k)
+              |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              |  CAST(len(kept) AS INTEGER) AS n_kept,
+              |  -- array_to_string([]) is NULL in DuckDB but '' under
+              |  -- Spark's concat_ws: align the all-duplicates case
+              |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_fp
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
     // concatenate-and-cut sequence packing: integer-exact running totals,
     // docs straddle sequence boundaries like real pretraining packing
     Q("txt_pack_sequences",
@@ -1501,6 +1751,27 @@ object SparkEntry {
               |    * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM t JOIN m USING (token) CROSS JOIN n
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // bigram conditional surprisal: the sharper perplexity proxy; MLE
+    // model p(b|a) = C(a,b)/C(a-) needs no smoothing on observed bigrams
+    Q("txt_bigram_surprisal",
+      (s, d) => TextOps.bigramSurprisal(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents
+              |  WHERE len($DuckToks) >= 2),
+              |z AS (SELECT doc_id,
+              |    list_transform(range(1, len(toks)), i -> toks[i]) AS aa,
+              |    list_transform(range(1, len(toks)), i -> toks[i + 1]) AS bb
+              |  FROM t),
+              |bg AS (SELECT doc_id, unnest(aa) AS a, unnest(bb) AS b FROM z),
+              |pc AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
+              |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+              |j AS (
+              |  SELECT g.doc_id, -ln(CAST(bc.cab AS DOUBLE) / pc.ca) AS s
+              |  FROM bg g JOIN bc ON bc.a = g.a AND bc.b = g.b
+              |    JOIN pc ON pc.a = g.a)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS mean_surprisal
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100 tokens
     Q("txt_zipf",
@@ -1849,6 +2120,25 @@ object SparkEntry {
               |        unnest($DuckVec) AS v
               |      FROM embeddings)
               |GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // embedding-space health: cosine over deterministic adjacent-id pairs,
+    // bucketed; count/min/max only (order-independent aggregates)
+    Q("vec_pair_cosine_hist",
+      (s, d) => VectorOps.pairCosineHistogram(embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.v AS va, b.v AS vb
+              |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+              |c AS (
+              |  SELECT floor((list_sum(list_transform(range(1, 65),
+              |      i -> va[i] * vb[i]))
+              |    / (sqrt(list_sum(list_transform(va, x -> x * x)))
+              |       * sqrt(list_sum(list_transform(vb, x -> x * x)))))
+              |    * 10000 + 0.5) / 10000 AS cos
+              |  FROM p)
+              |SELECT CAST(floor(cos / 0.1) AS INTEGER) AS bin,
+              |  count(*) AS n_pairs, min(cos) AS min_cos, max(cos) AS max_cos
+              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("vec_knn_cosine",
       (s, d) => VectorOps.knnBruteForce(embeddings(s, d), maxQueryId = 5, k = 5),

@@ -102,6 +102,24 @@ object Md5Hash61 {
  * (CosineSim, SqL2, IntersectCount) keep codegen: they sit inside hot
  * join filters where staying in the WholeStageCodegen span does win.
  */
+/** `hash61(string)` → the 61-bit MD5 key of ONE string: the scalar twin of
+  * the array kernels, for paths that recover a string by its hash (DuckDB:
+  * `md5_number_lower(s) & (2^61-1)`).
+  */
+case class Hash61(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash61"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Hash61.hash61(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Hash61 =
+    copy(child = newChild)
+}
+
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -312,5 +330,7 @@ object MinHashFunctions {
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8),
         exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(4)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash61", exprs => Hash61(exprs.head), "scala_udf")
   }
 }

@@ -136,6 +136,36 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Robust anomaly detection via Median Absolute Deviation: per event
+    * type, med = median(value), MAD = median(|value − med|), and each event
+    * scored with the consistency-scaled robust z = 0.6745·|x − med| / MAD
+    * (the estimator of choice when the value stream itself contains the
+    * outliers that corrupt mean/stddev). Three passes, each a per-type
+    * aggregate of |event_types| rows broadcast back onto the stream —
+    * the scoring scan stays shuffle-free at any scale. Exact `percentile`
+    * (interpolated, same definition as DuckDB `quantile_cont`) keeps the
+    * medians engine-stable; rz is floor-quantized at 4dp BEFORE the
+    * threshold compare so an ULP straddle cannot flip the count.
+    */
+  def madAnomalies(events: DataFrame, rzThreshold: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    events.join(broadcast(mad), Seq("event_type"))
+      .withColumn("rz",
+        floor(lit(0.6745) * abs(col("value") - col("med")) / col("mad") * 10000 + 0.5) / 10000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("rz") > rzThreshold, 1)).as("n_anomalies"),
+        max(col("rz")).as("max_rz"),
+        floor(first(col("med")) * 10000 + 0.5).divide(10000).as("med_q"),
+        floor(first(col("mad")) * 10000 + 0.5).divide(10000).as("mad_q"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ordered N-stage funnel (default view → click → purchase): per user, the
     * earliest stage-1 event, then the earliest stage-2 event strictly after
     * it, and so on; output is the per-stage user count (one `n_stageK`

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -544,4 +544,165 @@ object Relational {
         (floor(expr("percentile(cents, 0.5)") + 0.5) / 100).as("med_price"))
       .orderBy(col("priority"), col("m"))
   }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL front-end: suppliers
+    * that shipped at least one near-full-quantity line but never a
+    * deep-discounted return. Written as predicate subqueries on purpose —
+    * Catalyst's RewritePredicateSubquery decorrelates them into one
+    * LeftSemi and one LeftAnti join co-keyed on `s_suppkey` (PlanGuard pins
+    * this), so the "subquery per row" a naive engine would run is two
+    * hash joins at any scale.
+    */
+  def existsSubquery(spark: SparkSession, supplier: DataFrame,
+                     li: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("g_ex_supplier")
+    li.createOrReplaceTempView("g_ex_lineitem")
+    spark.sql(
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        |FROM g_ex_supplier s
+        |WHERE EXISTS (SELECT 1 FROM g_ex_lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM g_ex_lineitem l
+        |                  WHERE l.l_suppkey = s.s_suppkey
+        |                    AND l.l_returnflag = 'R'
+        |                    AND l.l_quantity >= 48 AND l.l_discount > 0.08)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Schema-evolution union: a v1 extract (no priority column) unioned BY
+    * NAME with a v2 extract that added `o_orderpriority`, missing columns
+    * null-filled — the append-new-columns migration every long-lived lake
+    * table goes through. Column resolution is positional-independent
+    * (`unionByName`), and the union is a zero-shuffle concatenation; the
+    * only exchange is the final per-priority aggregate.
+    */
+  def unionByNameEvolution(orders: DataFrame): DataFrame = {
+    val v1 = orders.filter(col("o_orderdate") < "1994-01-01")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+    val v2 = orders.filter(col("o_orderdate") >= "1994-01-01")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("0-LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  /** RFM segmentation — the classic customer-scoring aggregate: per
+    * customer, Recency (days from their last order to the corpus max
+    * date), Frequency (order count), Monetary (total spend in exact
+    * integer cents); each scored 1–4 against broadcast quartile
+    * thresholds and rolled up to segment populations (≤64 output rows at
+    * any scale). NOT `ntile` over a global window — that funnels every
+    * customer through one task; exact interpolated `percentile` (the same
+    * definition as DuckDB `quantile_cont`, already oracle-proven) gives a
+    * 9-value threshold frame that broadcasts, and scoring is a
+    * shuffle-free scan of the per-customer aggregate. Metrics are exact
+    * integers (days, counts, cents), so thresholds and comparisons are
+    * bit-identical across engines.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxDate = orders.agg(max(col("o_orderdate")).as("max_date"))
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency", datediff(col("max_date"), col("last_order")))
+    val thresholds = perCust.agg(
+      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(cents, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(v: Column, qs: Column): Column =
+      lit(1) + (v > element_at(qs, 1)).cast("int") +
+        (v > element_at(qs, 2)).cast("int") + (v > element_at(qs, 3)).cast("int")
+    perCust.crossJoin(broadcast(thresholds))
+      // recency: LOW days since last order = best, so invert to 5 - score
+      .withColumn("r", lit(5) - score(col("recency"), col("rq")))
+      .withColumn("f", score(col("frequency"), col("fq")))
+      .withColumn("m", score(col("cents"), col("mq")))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents")) / 100.0).as("segment_value"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Pairwise Pearson correlation matrix over the numeric fact columns —
+    * the feature-selection screen of a training-data pipeline. One scan,
+    * one tiny aggregate: all C(n,2) `corr` aggregates evaluate in a single
+    * partial+final pass (no per-pair jobs), output one row per pair.
+    * Coefficients are 4dp floor-quantized: `corr`'s running sums are
+    * summation-order-dependent at ULP level across engines.
+    */
+  def corrMatrix(li: DataFrame, cols: Seq[String] = Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => q4(corr(col(a), col(b))).as(s"${a}__$b") }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 1-row aggregate into (col_a, col_b, r) rows
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', ${a}__$b"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${pairs.size}, $stacked) AS (col_a, col_b, r)"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** Quantile discretization (the ML feature-binning prep): decile edges
+    * of the order price from one exact interpolated `percentile` pass,
+    * broadcast back, each order assigned bin 1–10 by threshold count.
+    * Prices are scored as exact integer cents so the edge comparisons are
+    * engine-identical. Output: per-bin populations and min/max — the
+    * histogram a feature store materializes. Scales as two scans and a
+    * ≤10-row aggregate; nothing global-windows.
+    */
+  def quantileBins(orders: DataFrame, nBins: Int = 10): DataFrame = {
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val withCents = orders.select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val edges = withCents.agg(
+      expr(s"percentile(cents, array(${probs.mkString(", ")}))").as("qs"))
+    val bin = (1 until nBins).map(i =>
+      (col("cents") > element_at(col("qs"), i)).cast("int")).reduce(_ + _) + 1
+    withCents.crossJoin(broadcast(edges))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("cents")) / 100.0).as("min_price"),
+        (max(col("cents")) / 100.0).as("max_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** Z-order (Morton) storage-layout statistics: interleave the low 8 bits
+    * of two independent dimensions (part bucket, supplier bucket) into one
+    * 16-bit sort key and report, per top-4-bit key range (= one "file" of a
+    * z-clustered write), the min/max envelope of BOTH dimensions. With a
+    * linear sort only the leading dimension's envelope is narrow; under the
+    * z-curve every range covers a ~quarter-width box in each dimension, so
+    * parquet min/max stats prune two-dimensional predicates — the
+    * data-skipping layout for multi-key scans at 100 TB. The interleave is
+    * a codegen'd bit-fold (`aggregate` over 8 bit positions); the only
+    * shuffle is the per-range aggregate.
+    */
+  def zOrderLayoutStats(li: DataFrame): DataFrame =
+    li.select((col("l_partkey") % 256).cast("int").as("x"),
+        (col("l_suppkey") % 256).cast("int").as("y"))
+      // static 16-term bit fold, NOT aggregate(sequence(0,7),...): the
+      // higher-order lambda is CodegenFallback and measured 3.5 s at sf0.1
+      // where this whole-stage-codegen'd form is scan-speed
+      .withColumn("zkey", (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _))
+      .groupBy(shiftright(col("zkey"), 12).as("z_range"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("x_span", col("x_max") - col("x_min"))
+      .withColumn("y_span", col("y_max") - col("y_min"))
+      .orderBy(col("z_range"))
 }

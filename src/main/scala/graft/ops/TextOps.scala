@@ -241,24 +241,35 @@ object TextOps {
 
   /** Cross-document n-gram repetition scan (boilerplate / eval-contamination
     * detection for a pretraining corpus): the top-k n-grams by the number of
-    * DISTINCT documents containing them. Per-doc shingle sets are distinct
-    * by construction, so one exact-count aggregation on the exploded
-    * (n-gram) key gives document frequency — one shuffle keyed by n-gram,
-    * which is exactly how it partitions at corpus scale. Output is the
-    * human-readable n-gram string (this is a reporting operator; the hashed
-    * twin of this shape is the dedup family).
+    * DISTINCT documents containing them. TWO passes so the corpus-wide
+    * exchange never carries strings: pass 1 explodes the native
+    * `shingle_hashes` (per-doc distinct ⇒ plain count == doc frequency) and
+    * aggregates 8-byte keys; only hashes meeting `minDocs` qualify — the
+    * boilerplate set, tiny relative to the corpus. Pass 2 re-derives the
+    * string shingles and joins the (count-gated broadcast) qualifier set on
+    * `hash61(ngram)`, so the only strings that ever shuffle are qualifying
+    * n-grams. Counts are exact modulo 61-bit hash collisions (P ≈ n²/2⁶² —
+    * the documented contract of the whole hash family).
     */
   def crossDocNgrams(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
-                     k: Int = 20): DataFrame =
-    docs
-      .withColumn("toks", tokens(col("text")))
+                     k: Int = 20,
+                     maxBroadcastQualifiers: Long = 1000000L): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val base = docs.withColumn("toks", tokens(col("text")))
+    val qualifying = Exec.broadcastIfSmall(
+      base.select(explode(expr(s"shingle_hashes(toks, $n)")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs),
+      maxBroadcastQualifiers)
+    base
       .select(explode(DedupOps.shinglesFromTokens(col("toks"), n)).as("ngram"))
+      .withColumn("h", expr("hash61(ngram)"))
+      .join(qualifying, Seq("h"))
       .groupBy(col("ngram"))
-      // per-doc sets are distinct ⇒ plain count == distinct-doc count
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+      .agg(first(col("n_docs")).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram"))
       .limit(k)
+  }
 
   /** Fixed-size overlapping character chunking — the RAG/context-window
     * preparation operator: chunk i covers [i·stride, i·stride + size). Pure
@@ -342,6 +353,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level duplicate-block REMOVAL — the rewrite step that follows
+    * [[duplicateBlocks]]'s diagnostic: every non-first occurrence of a
+    * repeated `blockTokens`-token block is cut from its document and the
+    * survivors are re-concatenated in order (the C4/RefinedWeb "remove
+    * duplicated spans, keep the first" transformation, not just the count).
+    *
+    * Scale shape: the global winner election shuffles ONLY (block_fp 32ch,
+    * doc_id, block_idx) — never text. The per-doc list of losing block
+    * indices (tiny: ints) joins back to `docs` on doc_id; the single wide
+    * exchange is the documents themselves keyed by doc_id, which any
+    * rewrite that emits text must pay exactly once. Token excision is a
+    * codegen'd higher-order `filter` over positions — no explode of the
+    * text side at all.
+    */
+  def rewriteDedupBlocks(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+    val blocks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
+           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens))))""".stripMargin))
+        .as(Seq("block_idx", "block_fp")))
+    val w = Window.partitionBy(col("block_fp")).orderBy(col("doc_id"), col("block_idx"))
+    val losers = blocks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("block_idx"))).as("dup_idxs"))
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("dup_idxs",
+        coalesce(col("dup_idxs"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        s"""filter(toks, (t, i) ->
+           |  NOT array_contains(dup_idxs, CAST(floor(i / $blockTokens) AS INT)))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document mean unigram surprisal — the perplexity-proxy quality
     * filter of LLM corpora (documents whose tokens are improbable under the
     * corpus unigram model are gibberish/noise; documents far BELOW the norm
@@ -363,6 +416,35 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         q4(sum(col("surprisal")) / count(lit(1))).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram conditional surprisal — the sharper perplexity proxy: per
+    * document, −(1/n)·Σ ln p(tᵢ | tᵢ₋₁) under the corpus MLE bigram model
+    * p(b|a) = C(a,b)/C(a·) (every scored bigram is observed, so no
+    * smoothing is needed and no probability is 0). Text that is locally
+    * incoherent scores high even when its unigrams are common — the case
+    * [[unigramSurprisal]] cannot see. One explode feeds the model counts
+    * AND the scoring join; shuffles are keyed by (a,b) then doc_id, both
+    * narrow, and the model stays distributed at corpus scale.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .persist()
+    val prefix = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val pairs = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    bi.join(pairs, Seq("a", "b"))
+      .join(prefix, Seq("a"))
+      .withColumn("s", -log(col("cab").cast("double") / col("ca")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        q4(sum(col("s")) / count(lit(1))).as("mean_surprisal"))
       .orderBy(col("doc_id"))
   }
 
@@ -513,41 +595,50 @@ object TextOps {
 
   /** Okapi BM25 retrieval: rank documents against a fixed term query —
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with
-    * the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)). The corpus statistics
-    * (N of token-bearing docs, avgdl) ride along as a 1-row broadcast, the
-    * per-term doc frequencies as a ≤|query|-row broadcast — the only wide
-    * shuffle is the per-(doc, term) count, which is filtered to QUERY terms
-    * before it ever shuffles, so the exchanged volume is matched postings,
-    * not the corpus. Scores floor-quantized at 4dp, ranked on the quantized
-    * value with doc_id ties — engine-stable. The shape of a distributed
-    * first-stage retriever over 100 TB of text.
+    * the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)). ONE corpus pass: the
+    * single explode feeds a single per-doc aggregate computing dl and one
+    * conditional-count tf column per query term, so document length and
+    * term frequencies come out of the same exchange (the query is a fixed
+    * term list — columns, not join rows). Corpus stats (N over
+    * token-bearing docs, avgdl, every per-term df) collapse to ONE 1-row
+    * broadcast; scoring is then a shuffle-free scan, and the top-N is a
+    * distributed TakeOrdered — NOT a global row_number window, whose
+    * single-partition sort dies on a common term at corpus scale. Scores
+    * floor-quantized at 4dp, ranked on the quantized value with doc_id
+    * ties — engine-stable. The shape of a distributed first-stage
+    * retriever over 100 TB of text.
     */
   def bm25Search(docs: DataFrame, query: Seq[String], topN: Int = 20,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25Search needs at least one query term")
+    val qterms = query.distinct // dup terms are one column (and one score term)
+    def tfc(t: String): Column = col(s"tf_$t")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")).persist()
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      qterms.map(t => count(when(col("token") === t, 1)).as(s"tf_$t")): _*)
     // N counts token-BEARING docs (dl ≥ 1): empty docs can't match and are
     // excluded from avgdl by construction; documented contract, oracle same
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("token").isin(query: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), Seq("token"))
-      .join(lens, Seq("doc_id"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        qterms.map(t => count(when(tfc(t) > 0, 1)).as(s"df_$t")): _*)
+    def idf(t: String): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+    def w(t: String): Column =
+      idf(t) * (tfc(t) * lit(k1 + 1)) /
+        (tfc(t) + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    // tf=0 terms contribute exactly 0 to the sum, so no per-term filter
+    val scored = perDoc
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("w",
-        col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg((floor(sum(col("w")) * 10000 + 0.5) / 10000).as("score"),
-        count(lit(1)).as("n_matched"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= topN)
+      .withColumn("n_matched",
+        qterms.map(t => (tfc(t) > 0).cast("long")).reduce(_ + _))
+      .filter(col("n_matched") > 0)
+      .withColumn("score",
+        floor(qterms.map(w).reduce(_ + _) * 10000 + 0.5) / 10000)
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select(col("rank"), col("doc_id"), col("score"), col("n_matched"))
       .orderBy(col("rank"))
   }

@@ -174,4 +174,35 @@ object TimeSeriesOps {
           .as("yoy_pct"))
       .orderBy(col("l_returnflag"), col("month"))
   }
+
+  /** Seasonal-baseline anomaly screen: each (key, month)'s quantity versus
+    * the key's average for that CALENDAR month across years (the
+    * seasonal-naive forecast), flagged when the deviation exceeds
+    * `devPct` percent. Two aggregations co-keyed on (key, month-of-year) —
+    * the baseline is |keys|×12 rows, broadcast back onto the monthly
+    * series; nothing in the plan grows with history length. Deviations are
+    * floor-quantized BEFORE the threshold so a boundary value cannot flip
+    * the flag between engines.
+    */
+  def seasonalBaseline(li: DataFrame, devPct: Double = 20.0): DataFrame = {
+    val monthly = li
+      .groupBy(col("l_returnflag").as("key"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .persist()
+    val baseline = monthly
+      .groupBy(col("key"), month(col("month")).as("moy"))
+      .agg(avg(col("qty")).as("base_qty"))
+    monthly
+      .withColumn("moy", month(col("month")))
+      .join(broadcast(baseline), Seq("key", "moy"))
+      .select(col("key"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        round(col("qty"), 2).as("qty"),
+        round(col("base_qty"), 4).as("base_qty"),
+        (floor(abs(col("qty") / col("base_qty") - 1) * 100 * 10000 + 0.5) / 10000)
+          .as("dev_pct"))
+      .withColumn("is_anomaly", col("dev_pct") > devPct)
+      .orderBy(col("key"), col("month"))
+  }
 }

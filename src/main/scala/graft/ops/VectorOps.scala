@@ -39,6 +39,27 @@ object VectorOps {
   /** 4-decimal quantization with engine-stable tie behavior (see TextOps.q4). */
   private def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Embedding-space health histogram: cosine similarity over the
+    * deterministic adjacent-id pairs (i, i+1), bucketed at `binWidth`.
+    * A healthy embedding table spreads mass across bins; a collapsed
+    * encoder (all vectors near one direction) piles into the top bin —
+    * the cheap drift check a vector pipeline runs per ingest. Pairing by
+    * id keeps the join narrow and shuffle-minimal (no sampling
+    * nondeterminism); bin stats are count/min/max only — order-independent
+    * aggregates, so the output is engine-exact. Scales as one self-join
+    * on consecutive ids + one tiny aggregate.
+    */
+  def pairCosineHistogram(emb: DataFrame, binWidth: Double = 0.1): DataFrame = {
+    val a = emb.select(col("vec_id").as("pair_id"), col("embedding").as("va"))
+    val b = emb.select((col("vec_id") - 1).as("pair_id"), col("embedding").as("vb"))
+    a.join(b, Seq("pair_id"))
+      .withColumn("cos", q4(cosineFast(emb, col("va"), col("vb"))))
+      .groupBy(floor(col("cos") / binWidth).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-vector L2 norms. */
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"), q4(l2Norm(col("embedding"))).as("l2_norm"))

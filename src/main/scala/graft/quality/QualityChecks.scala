@@ -93,6 +93,64 @@ object QualityChecks {
           col("min_value"), col("max_value"))
     }.reduce(_.unionByName(_)).orderBy(col("col_name"))
 
+  /** Benford first-digit conformance — the classic fabricated-data screen
+    * for financial columns: observed leading-digit frequencies of positive
+    * values vs the Benford expectation log10(1+1/d), per-digit absolute
+    * deviation. The leading digit is taken from the STRING of the exact
+    * integer cents (round(v*100)) — extracting it numerically via
+    * v/10^floor(log10 v) can flip at powers of ten where libm log10
+    * differs by an ULP across engines. One scan + a 9-row aggregate.
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val digits = df
+      .filter(col(valueCol) > 0)
+      .select(substring(round(col(valueCol) * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val expected = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+      .toSeq
+    val expectedDf = df.sparkSession.createDataFrame(expected)
+      .toDF("digit", "expected_p")
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over())
+      .join(broadcast(expectedDf), Seq("digit"))
+      .select(col("digit"), col("n"), q4(col("p")).as("observed_p"),
+        q4(col("expected_p")).as("expected_p"),
+        q4(abs(col("p") - col("expected_p"))).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  /** Mutual information between two categorical columns — the dependence
+    * screen for label-leakage / redundant-feature checks. Emitted as
+    * PER-CELL pointwise terms p(x,y)·ln(p(x,y)/(p(x)p(y))) rather than one
+    * scalar: the cell rows sum to MI, and per-cell output keeps the
+    * comparison engine-exact (a single scalar would sum tiny doubles in
+    * engine-dependent order). All fractions are exact integer ratios of
+    * one scan's counts; joint and marginal counts come from the same
+    * aggregate, re-aggregated in-plan (no second scan of the table).
+    */
+  def mutualInfoCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .persist()
+    val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val total = joint.agg(sum(col("nxy")).as("n"))
+    joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("nxy"),
+        q4(col("nxy").cast("double") / col("n")).as("p_xy"),
+        // counts stay < 2^53 so the double casts are exact; the nx·ny
+        // product is computed in double because a long·long product
+        // overflows once per-cell counts pass ~3e9 rows
+        q4((col("nxy").cast("double") / col("n")) *
+          log((col("nxy").cast("double") * col("n")) /
+            (col("nx").cast("double") * col("ny"))))
+          .as("mi_term"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** Distribution drift between two table snapshots via the Population
     * Stability Index: fixed-width bins (data-independent edges, so the
     * binning needs no global pass), per-bin population fractions of each

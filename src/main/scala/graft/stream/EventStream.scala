@@ -84,6 +84,18 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: every streaming event picks up its user's
+    * dimension row via a broadcast hash join — the lookup-table pattern
+    * (user tier, product catalog, geo table) of every production stream.
+    * STATELESS by construction: the static side is re-resolvable per
+    * micro-batch, no watermark, no state store rows at all (the spec
+    * asserts `stateOperators` stays empty) — unlike a stream-stream join
+    * this costs nothing to keep running forever. At scale the dim
+    * broadcasts once per batch; the stream never shuffles.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream interval join: each view joined to the SAME user's clicks
     * within `windowMinutes` after it (attribution). Both sides carry
     * watermarks and the join condition bounds the click time relative to the

@@ -22,7 +22,9 @@ class GraftExtensionsSpec extends SparkSpec {
           |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS inter,
           |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
           |  sq_l2(array(0.0D, 3.0D), array(4.0D, 3.0D)) AS d2,
-          |  dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp
+          |  dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp,
+          |  hash61('a b c') AS h1,
+          |  element_at(shingle_hashes(array('a', 'b', 'c'), 3), 1) AS h2
           |""".stripMargin).collect()(0)
       assert(row.getInt(1) == 2)   // 2 distinct 3-gram shingles of 4 tokens
       assert(row.getInt(2) == 16)  // k signature rows
@@ -32,6 +34,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getDouble(6) == 1.0)
       assert(row.getDouble(7) == 16.0)
       assert(row.getDouble(8) == 23.0)
+      // the scalar hash61 of an n-gram string IS the shingle-kernel hash
+      assert(row.getLong(9) == row.getLong(10),
+        "hash61 must agree with shingle_hashes on the same n-gram")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

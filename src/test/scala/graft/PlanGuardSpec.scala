@@ -13,6 +13,25 @@ class PlanGuardSpec extends SparkSpec {
   private def executedPlan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** The STATIC physical plan, with adaptive execution disabled for the
+    * planning window. Under AQE (on by default) `executedPlan` is an
+    * `AdaptiveSparkPlanExec` — a LEAF node, so `plan.collect` on it finds
+    * no exchanges and every tree-shape assertion passes vacuously. Shape
+    * guards pin the static plan: AQE can only improve on it at runtime.
+    */
+  private def staticPlan(df: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def staticExchanges(df: => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    staticPlan(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
   test("Q5 star join broadcasts every dimension (only the fact-fact edge may shuffle)") {
     val plan = executedPlan("rel_q5_region_revenue")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
@@ -48,10 +67,8 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("ANN candidate shuffles carry ids and buckets, never embedding arrays") {
-    val df = SparkEntry.queries("vec_ann_lsh")(spark, sfDir)
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val exchanges = staticExchanges(SparkEntry.queries("vec_ann_lsh")(spark, sfDir))
+    assert(exchanges.nonEmpty, "ANN plan must contain its candidate shuffle")
     exchanges.foreach { e =>
       val out = e.output.map(_.name)
       assert(!out.exists(n => n == "embedding" || n == "q"),
@@ -60,10 +77,8 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("Jaccard length-band exchanges carry narrow columns, never shingle arrays") {
-    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val exchanges = staticExchanges(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir))
+    assert(exchanges.nonEmpty, "banded self-join must contain its band shuffle")
     exchanges.foreach { e =>
       val out = e.output.map(_.name)
       assert(!out.exists(n => n == "sh" || n == "sh_a" || n == "sh_b"),
@@ -111,10 +126,8 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("triangle count: every exchange carries only narrow long keys") {
-    val df = SparkEntry.queries("graph_triangles")(spark, sfDir)
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val exchanges = staticExchanges(SparkEntry.queries("graph_triangles")(spark, sfDir))
+    assert(exchanges.nonEmpty, "wedge join must contain its key shuffles")
     exchanges.foreach { e =>
       assert(e.output.length <= 4,
         s"wide row in a triangle-join exchange: ${e.output.map(_.name).mkString(",")}")
@@ -122,7 +135,7 @@ class PlanGuardSpec extends SparkSpec {
         assert(a.dataType == org.apache.spark.sql.types.LongType,
           s"non-long column ${a.name}: ${a.dataType} in triangle exchange"))
     }
-    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+    assert(!executedPlan("graph_triangles").contains("CartesianProduct"),
       "triangle join degenerated to a cartesian product")
   }
 
@@ -130,14 +143,15 @@ class PlanGuardSpec extends SparkSpec {
     // the op most likely to quietly degrade as dim.columns grows: the CDC
     // compaction window + open/closed split must stay one co-partitioned
     // shuffle on the key, and the insert anti-join must never go nested-loop
-    val df = SparkEntry.queries("g5_scd2_merge")(spark, sfDir)
-    val planStr = df.queryExecution.executedPlan.toString
+    val plan = staticPlan(SparkEntry.queries("g5_scd2_merge")(spark, sfDir))
+    val planStr = plan.toString
     assert(!planStr.contains("CartesianProduct") &&
       !planStr.contains("BroadcastNestedLoopJoin"),
       s"SCD2 merge degenerated to a cartesian/nested-loop:\n$planStr")
-    val exchanges = df.queryExecution.executedPlan.collect {
+    val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
+    assert(exchanges.nonEmpty, "SCD2 merge must contain its key shuffle")
     exchanges.foreach { e =>
       e.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
@@ -235,19 +249,19 @@ class PlanGuardSpec extends SparkSpec {
         .select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey").saveAsTable("pg_lineitem_bkt")
-      val joined = spark.table("pg_lineitem_bkt")
+      def joined = spark.table("pg_lineitem_bkt")
         .join(spark.table("pg_orders_bkt"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
-      val qe = joined.queryExecution
-      assert(qe.executedPlan.execute().count() > 0)
-      val exchanges = qe.executedPlan.collect {
+      assert(joined.count() > 0)
+      val plan = staticPlan(joined)
+      val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
       assert(exchanges.isEmpty,
         s"bucketed join still shuffles: ${exchanges.map(_.outputPartitioning)}")
-      assert(qe.executedPlan.toString.contains("SortMergeJoin"),
+      assert(plan.toString.contains("SortMergeJoin"),
         "co-located join should sort-merge over the bucket layout")
     } finally {
       spark.sql("DROP TABLE IF EXISTS pg_orders_bkt")
@@ -305,5 +319,37 @@ class PlanGuardSpec extends SparkSpec {
     val a = gated.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val b = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a == b, s"gating changed results: ${(a -- b) ++ (b -- a)}")
+  }
+
+  test("EXISTS/NOT EXISTS decorrelate to one semi + one anti join, no cartesian") {
+    val plan = executedPlan("rel_exists_subquery")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not decorrelate to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"correlated subquery fell back to a cartesian:\n$plan")
+  }
+
+  test("rewrite dedup: winner election shuffles fingerprints; text moves at most once") {
+    val exchanges =
+      staticExchanges(SparkEntry.queries("dedup_blocks_rewrite")(spark, sfDir))
+    assert(exchanges.nonEmpty, "expected at least the winner-election exchange")
+    // the one exchange allowed to carry text is the doc_id join the rewrite
+    // must pay; the block-fp window election must stay narrow
+    val wide = exchanges.count(
+      _.output.map(_.name).exists(n => n == "text" || n == "toks" || n == "kept"))
+    assert(wide <= 1,
+      s"document text crosses $wide exchanges; the election shuffle leaked text")
+  }
+
+  test("z-order stats: pure aggregation plan - no joins, at most agg+sort exchanges") {
+    val plan = staticPlan(SparkEntry.queries("store_zorder_stats")(spark, sfDir))
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 2,
+      s"z-order stats should shuffle once for the agg plus once for the sort, got ${exchanges.size}")
+    assert(!plan.toString.contains("Join"), "layout stats must not join anything")
   }
 }

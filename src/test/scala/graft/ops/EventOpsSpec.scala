@@ -43,6 +43,24 @@ class EventOpsSpec extends SparkSpec {
     assert(rows("b").getLong(2) == 0L, "uniform-ish values must not flag")
   }
 
+  test("MAD anomalies: robust to the outlier that corrupts mean/stddev") {
+    import spark.implicits._
+    // type 'a': [1,2,3,4,100] -> med 3, |dev| [2,1,0,1,97] -> MAD 1;
+    // rz(100) = 0.6745*97 = 65.4265, everything else <= 1.349. The same
+    // outlier inflates stddev to ~43, so a plain z-score would see
+    // z(100) ~ 1.8 and MISS it — the case MAD exists for.
+    val df = ((1 to 4).map(i => ("a", i.toDouble)) :+ (("a", 100.0))).toDF("event_type", "value")
+    val r = EventOps.madAnomalies(df).collect()(0)
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == 1L, "exactly the injected outlier flags")
+    assert(math.abs(r.getDouble(3) - 65.4265) < 1e-9, s"max_rz ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 1.0, "median/MAD exact")
+    // the classic z-score on the identical data misses it: proves the
+    // robustness claim rather than asserting it
+    val z = EventOps.zscoreAnomalies(df).collect()(0)
+    assert(z.getLong(2) == 0L, "plain z-score is corrupted by its own outlier")
+  }
+
   test("retention: day-0 row counts every user exactly once") {
     val rows = EventOps.retention(events).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -229,4 +229,56 @@ class TextOpsSpec extends SparkSpec {
     // 100/30 = 3 tokens can ever qualify, whatever the corpus
     assert(rows.size <= 3)
   }
+
+  test("cross-doc ngrams: hash-qualified two-pass equals direct string counting") {
+    import spark.implicits._
+    // 5-grams: "a b c d e" appears in all 3 docs; every other 5-gram in 1.
+    // At minDocs=2 the two-pass hash qualification must surface exactly it.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c d e"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val rows = TextOps.crossDocNgrams(docs).collect()
+    assert(rows.length == 1, s"got ${rows.mkString(";")}")
+    assert(rows(0).getString(0) == "a b c d e" && rows(0).getLong(1) == 3L)
+  }
+
+  test("bigram surprisal: unique continuations score ln2 against a 50/50 prefix") {
+    import spark.implicits._
+    // corpus bigrams: (x,y)x2, (y,z), (y,x). Prefix counts: x->2, y->2.
+    // s(x,y) = -ln(2/2) = 0; s(y,z) = s(y,x) = -ln(1/2) = ln 2.
+    // Both docs: (0 + ln2)/2 = 0.3466 after q4.
+    val docs = Seq((1L, "x y z"), (2L, "x y x")).toDF("doc_id", "text")
+    val rows = TextOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 2 && rows(2L).getLong(1) == 2)
+    assert(rows(1L).getDouble(2) == 0.3466, s"got ${rows(1L).getDouble(2)}")
+    assert(rows(2L).getDouble(2) == 0.3466)
+    // single-token docs have no bigrams and emit no row (documented)
+    val single = TextOps.bigramSurprisal(
+      Seq((1L, "solo")).toDF("doc_id", "text")).count()
+    assert(single == 0)
+  }
+
+  test("rewrite dedup: non-first duplicate blocks are cut, first kept, tails safe") {
+    import spark.implicits._
+    // 3-token blocks: doc1 owns [a b c][d e f]; doc2's [a b c] and doc4's
+    // [d e f] are non-first occurrences and must be cut; doc3 IS one dup
+    // block, so it rewrites to empty; doc4 keeps only its short tail [g]
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z a b c"),
+      (3L, "a b c"),
+      (4L, "d e f g")).toDF("doc_id", "text")
+    val rows = TextOps.rewriteDedupBlocks(docs, blockTokens = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(rows(1L).getAs[Int]("n_kept") == 6, "first occurrence keeps everything")
+    assert(rows(2L).getAs[Int]("n_kept") == 3)
+    assert(rows(3L).getAs[Int]("n_kept") == 0, "all-duplicate doc rewrites to empty")
+    assert(rows(4L).getAs[Int]("n_kept") == 1, "tail block after a cut survives")
+    // the surviving text is exactly the kept prefix, not a reshuffle
+    val xyzFp = spark.sql("SELECT md5('x y z') AS fp").collect()(0).getString(0)
+    assert(rows(2L).getAs[String]("clean_fp") == xyzFp)
+  }
 }

@@ -65,6 +65,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows("2023-01-01").isNullAt(4))
   }
 
+  test("seasonal baseline: deviation vs same-calendar-month mean, threshold pre-quantized") {
+    import spark.implicits._
+    // January across 3 years: 100, 100, 160 -> baseline 120; the 160
+    // deviates |160/120-1| = 33.33% (anomaly), the 100s deviate 16.67%
+    // (not). February: single year -> baseline = itself, dev 0.
+    val li = Seq(
+      ("A", Timestamp.valueOf("2022-01-10 00:00:00"), 100.0),
+      ("A", Timestamp.valueOf("2023-01-10 00:00:00"), 100.0),
+      ("A", Timestamp.valueOf("2024-01-10 00:00:00"), 160.0),
+      ("A", Timestamp.valueOf("2024-02-10 00:00:00"), 55.0))
+      .toDF("l_returnflag", "l_shipdate", "l_quantity")
+    val rows = TimeSeriesOps.seasonalBaseline(li).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(rows("2024-01-01").getDouble(3) == 120.0)
+    assert(rows("2024-01-01").getDouble(4) == 33.3333)
+    assert(rows("2024-01-01").getBoolean(5), "33% off the seasonal mean flags")
+    assert(!rows("2023-01-01").getBoolean(5), "16.7% stays under the 20% gate")
+    assert(rows("2024-02-01").getDouble(4) == 0.0 && !rows("2024-02-01").getBoolean(5))
+  }
+
   test("ewma closed form matches the sequential recurrence") {
     import spark.implicits._
     // 5 months in the operator's window (1996), one key, suppkey < 100

@@ -182,4 +182,19 @@ class VectorOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pair cosine histogram: known geometry lands in the right bins") {
+    import spark.implicits._
+    // pairs (1,2): cos 1 -> bin 10; (2,3): orthogonal, cos 0 -> bin 0;
+    // (3,4): orthogonal again -> bin 0. No pair for the last id.
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.pairCosineHistogram(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(0, 10))
+    assert(rows(10).getLong(1) == 1L && rows(10).getDouble(2) == 1.0)
+    assert(rows(0).getLong(1) == 2L && rows(0).getDouble(3) == 0.0)
+  }
 }

@@ -112,4 +112,33 @@ class QualityChecksSpec extends SparkSpec {
     assert(drift.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
     assert(drift.exists(r => r.getLong(1) == 0 && r.getLong(2) > 0))
   }
+
+  test("mutual information cells: dependent columns sum to ln2, independent to 0") {
+    import spark.implicits._
+    // x == y on a 50/50 split: MI = H = ln 2; each cell carries .5*ln2
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val depRows = QualityChecks.mutualInfoCells(dep, "x", "y").collect()
+    assert(depRows.length == 2)
+    depRows.foreach(r => assert(r.getDouble(4) == 0.3466, s"cell term ${r.getDouble(4)}"))
+    // uniform independent cross: every pointwise term is exactly 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("c", "d")) yield (x, y)).toDF("x", "y")
+    val indRows = QualityChecks.mutualInfoCells(ind, "x", "y").collect()
+    assert(indRows.length == 4)
+    indRows.foreach(r => assert(r.getDouble(4) == 0.0))
+  }
+
+  test("Benford screen: digits from exact cents; non-positives excluded; expectation exact") {
+    import spark.implicits._
+    // 1.00 -> 100 cents -> digit 1 (x3); 25.50 -> 2550 -> 2; 0.50 -> 50
+    // -> 5 (sub-unit values take their cents' leading digit); 999.99 ->
+    // 99999 -> 9; zero and negatives are screened out
+    val df = Seq(1.0, 1.0, 1.0, 25.5, 0.5, 999.99, 0.0, -7.0).toDF("v")
+    val rows = QualityChecks.benfordFirstDigit(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(1, 2, 5, 9))
+    assert(rows(1).getLong(1) == 3L)
+    assert(rows(1).getDouble(2) == 0.5, "3 of 6 positive values lead with 1")
+    assert(rows(1).getDouble(3) == 0.301, "Benford p(1) = log10(2) to 4dp")
+    assert(rows(9).getDouble(3) == 0.0458)
+  }
 }

@@ -192,4 +192,25 @@ class EventStreamSpec extends SparkSpec {
       s"expected 1 state row after eviction, got ${lastState.numRowsTotal}")
     q.stop()
   }
+
+  test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
+    import spark.implicits._
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    val q = EventStream.enrichWithDim(EventStream.source(spark, sfDir), dim)
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.outputMode("append").format("memory").queryName("t_enrich").start()
+    q.processAllAvailable()
+    // stateless: a stream-static join must allocate NO state store
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "stream-static join created streaming state")
+    q.stop()
+    val got = spark.table("t_enrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = batchEvents.join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"enrichment mismatch: ${(got -- want).take(3)} ...")
+    assert(got.nonEmpty)
+  }
 }

@@ -525,6 +525,27 @@ object SparkEntry {
              |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // market-share leaders: top supplier per part (deterministic tiebreak),
+    // rolled up per supplier; shares are exact integer-sum ratios, q4
+    Q("rel_top_supplier_share",
+      (s, d) => Relational.topSupplierShare(lineitem(s, d), supplier(s, d)),
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |pt AS (
+             |  SELECT l_partkey, sum(l_quantity) AS total
+             |  FROM lineitem GROUP BY 1),
+             |r AS (
+             |  SELECT ps.l_partkey, ps.l_suppkey, ps.qty, pt.total,
+             |    row_number() OVER (PARTITION BY ps.l_partkey
+             |      ORDER BY ps.qty DESC, ps.l_suppkey) AS rn
+             |  FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey)
+             |SELECT s.s_suppkey, s.s_name, count(*) AS n_top_parts,
+             |  max(floor(qty / total * 10000 + 0.5) / 10000) AS best_share
+             |FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+             |WHERE rn = 1
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // all C(4,2) Pearson coefficients in ONE partial+final aggregate pass,
     // unpivoted to pair rows; 4dp-quantized (corr sums are order-dependent)
     Q("rel_corr_matrix",
@@ -738,6 +759,34 @@ object SparkEntry {
              |  ON p.l_returnflag = m.l_returnflag
              | AND CAST(p.month + INTERVAL 12 MONTH AS DATE) = m.month
              |ORDER BY 1, 2""".stripMargin)),
+
+    // CUSUM changepoint in exact integers: n*CUSUM_t cumsums longs, so the
+    // argmax month can't flip on summation-order ULPs
+    Q("ts_cusum_changepoint",
+      (s, d) => graft.ops.TimeSeriesOps.cusumChangepoint(lineitem(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT key, count(*) AS n, sum(qty) AS s
+             |       FROM monthly GROUP BY 1),
+             |c AS (
+             |  SELECT m.key, m.month, st.n,
+             |    sum(m.qty * st.n - st.s) OVER (PARTITION BY m.key
+             |      ORDER BY m.month
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_n
+             |  FROM monthly m JOIN st ON st.key = m.key),
+             |r AS (
+             |  SELECT key, month, n, cusum_n,
+             |    row_number() OVER (PARTITION BY key
+             |      ORDER BY abs(cusum_n) DESC, month) AS rn
+             |  FROM c)
+             |SELECT key, strftime(month, '%Y-%m-%d') AS cp_month,
+             |  n AS n_months,
+             |  floor(CAST(abs(cusum_n) AS DOUBLE) / n * 10000 + 0.5) / 10000
+             |    AS max_cusum
+             |FROM r WHERE rn = 1 ORDER BY key""".stripMargin)),
 
     // seasonal-naive baseline: month-of-year average per key, deviation
     // quantized BEFORE the 20% anomaly threshold
@@ -1356,6 +1405,37 @@ object SparkEntry {
              |  max(z) AS max_z
              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // inter-arrival gap profile: lag over TRUNCATED µs (exactly DuckDB's
+    // parquet ns→µs conversion), percentiles over long differences
+    Q("ev_inter_event_gaps",
+      (s, d) => EventOps.interEventGaps(events(s, d)),
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY event_type, user_id
+             |      ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_gaps,
+             |  floor(quantile_cont(gap, 0.5) / 1e6 * 10000 + 0.5) / 10000 AS p50_s,
+             |  floor(quantile_cont(gap, 0.95) / 1e6 * 10000 + 0.5) / 10000 AS p95_s,
+             |  max(gap) AS max_gap_us
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // sequence-pattern mining: top event-type trigrams over per-user order
+    Q("ev_type_trigrams",
+      (s, d) => EventOps.typeTrigrams(events(s, d)),
+      Some("""WITH s AS (
+             |  SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER w AS t2,
+             |    lead(event_type, 2) OVER w AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT t1, t2, t3, count(*) AS n
+             |FROM s WHERE t3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, t1, t2, t3 LIMIT 15""".stripMargin)),
+
     // robust (median/MAD) anomalies: exact interpolated medians match
     // quantile_cont; rz floor-quantized BEFORE the 3.5 threshold
     Q("ev_mad_anomaly",
@@ -1752,6 +1832,24 @@ object SparkEntry {
               |FROM t JOIN m USING (token) CROSS JOIN n
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // novelty curve: per doc, fraction of distinct 5-grams unseen in any
+    // earlier doc; first-seen via min(doc_id) on 61-bit hashes
+    Q("txt_ngram_novelty",
+      (s, d) => TextOps.ngramNovelty(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |sh AS (SELECT doc_id,
+              |    list_distinct(list_transform(range(len(toks) - 4),
+              |      i -> ${duckH61("array_to_string(toks[i + 1:i + 5], ' ')")})) AS hs
+              |  FROM t WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+              |f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1)
+              |SELECT g.doc_id, count(*) AS n_grams,
+              |  count(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel,
+              |  floor(CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS DOUBLE)
+              |    / count(*) * 10000 + 0.5) / 10000 AS novelty
+              |FROM g JOIN f ON f.h = g.h
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // bigram conditional surprisal: the sharper perplexity proxy; MLE
     // model p(b|a) = C(a,b)/C(a-) needs no smoothing on observed bigrams
     Q("txt_bigram_surprisal",
@@ -2120,6 +2218,26 @@ object SparkEntry {
               |        unnest($DuckVec) AS v
               |      FROM embeddings)
               |GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // embedding drift: per-(label,dim) means under the two vec_id-parity
+    // halves and their gap — the PSI analogue for vector columns
+    Q("vec_centroid_drift",
+      (s, d) => VectorOps.centroidDrift(embeddings(s, d)),
+      Some(s"""WITH u AS (
+              |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |a AS (
+              |  SELECT label, pos,
+              |    avg(v) FILTER (WHERE half = 0) AS ce,
+              |    avg(v) FILTER (WHERE half = 1) AS co
+              |  FROM u GROUP BY 1, 2)
+              |SELECT label, pos,
+              |  floor(ce * 10000 + 0.5) / 10000 AS c_even,
+              |  floor(co * 10000 + 0.5) / 10000 AS c_odd,
+              |  floor(abs(ce - co) * 10000 + 0.5) / 10000 AS drift
+              |FROM a ORDER BY label, pos""".stripMargin)),
 
     // embedding-space health: cosine over deterministic adjacent-id pairs,
     // bucketed; count/min/max only (order-independent aggregates)

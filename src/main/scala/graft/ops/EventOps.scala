@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,55 @@ object EventOps {
         count(when(col("z") > zThreshold, 1)).as("n_anomalies"),
         max(col("z")).as("max_z"))
       .orderBy(col("event_type"))
+  }
+
+  /** Inter-event arrival-gap statistics per event type — the operational
+    * latency profile (is traffic bursty? are heartbeats on schedule?).
+    * Gaps are computed per (type, user) with one lag window over the
+    * TRUNCATED-µs timestamp (`ts_ns div 1000` — integer division, exactly
+    * the ns→µs truncation DuckDB's parquet reader applies, verified
+    * empirically), so ordering, gaps, and the interpolated percentiles are
+    * integer-exact in both engines; gap magnitudes sit far inside 2^53
+    * where the raw epoch values do not. One window shuffle on
+    * (type, user), one per-type aggregate.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val us = events.withColumn("ts_us", expr("ts_ns div 1000"))
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    us
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        q4(expr("percentile(gap, 0.5)") / 1e6).as("p50_s"),
+        q4(expr("percentile(gap, 0.95)") / 1e6).as("p95_s"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Frequent event-type trigrams — sequence-pattern mining over per-user
+    * ordered streams (the "what do users actually do" query). Two leads in
+    * ONE window pass over (user, exact-ns order), then a corpus-wide count
+    * of (t1,t2,t3) patterns: one shuffle keyed by user_id, one by the
+    * trigram. Top-k via TakeOrdered, not a global window.
+    */
+  def typeTrigrams(events: DataFrame, k: Int = 15): DataFrame = {
+    // order on truncated µs + event_id — the exact order DuckDB sees after
+    // its parquet ns→µs truncation, so cross-engine sequences agree even
+    // when two events share a microsecond
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
   }
 
   /** Robust anomaly detection via Median Absolute Deviation: per event

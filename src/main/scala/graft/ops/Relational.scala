@@ -611,6 +611,9 @@ object Relational {
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .crossJoin(broadcast(maxDate))
       .withColumn("recency", datediff(col("max_date"), col("last_order")))
+      // both the threshold aggregate and the scoring scan read this — pin
+      // it so the per-customer shuffle runs once, not twice
+      .persist()
     val thresholds = perCust.agg(
       expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rq"),
       expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
@@ -627,6 +630,36 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("cents")) / 100.0).as("segment_value"))
       .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Market-share leaders: for every part, the supplier who shipped the
+    * most of it (deterministic (qty desc, suppkey) tiebreak), rolled up to
+    * how many parts each supplier leads and their best share. Two
+    * aggregations CO-PARTITIONED on `l_partkey` (per-(part,supplier) and
+    * per-part totals reuse one partitioning), a window rank on the
+    * ALREADY-AGGREGATED frame (suppliers-per-part rows, not lineitems),
+    * then a broadcast supplier-dim join. Shares are exact ratios of
+    * integer sums, quantized at 4dp — and a share-of-total is
+    * scale-invariant, so the query is non-degenerate at every SF (a fixed
+    * "dominates >50%" threshold empties as supplier counts grow).
+    */
+  def topSupplierShare(li: DataFrame, supplier: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("total"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("qty").desc, col("l_suppkey"))
+    perPartSupp.join(perPart, Seq("l_partkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_top_parts"),
+        max(q4(col("qty") / col("total"))).as("best_share"))
+      .orderBy(col("s_suppkey"))
   }
 
   /** Pairwise Pearson correlation matrix over the numeric fact columns —

@@ -419,6 +419,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram novelty curve — the dataset-curation signal: per document (in
+    * doc_id ingest order), the fraction of its distinct n-grams never seen
+    * in ANY earlier document. A corpus whose tail documents contribute no
+    * new n-grams is saturated; near-duplicate shards show as novelty
+    * cliffs. First occurrence is a `min(doc_id)` aggregate on the 61-bit
+    * shingle hash (8-byte shuffle keys, the same kernel as the dedup
+    * family), joined back to the per-doc explode on the hash — strings
+    * never shuffle at all. Two narrow exchanges at any corpus size.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 5): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(s"shingle_hashes(toks, $n)")).as("h"))
+      .persist()
+    val firstSeen = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty",
+        q4(col("n_novel").cast("double") / col("n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram conditional surprisal — the sharper perplexity proxy: per
     * document, −(1/n)·Σ ln p(tᵢ | tᵢ₋₁) under the corpus MLE bigram model
     * p(b|a) = C(a,b)/C(a·) (every scored bigram is observed, so no
@@ -617,6 +642,10 @@ object TextOps {
     val perDoc = toks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("dl"),
       qterms.map(t => count(when(col("token") === t, 1)).as(s"tf_$t")): _*)
+      // the stats aggregate and the scoring scan both read this: pin it so
+      // the corpus explode+aggregate runs once (it is |docs| numeric rows,
+      // tiny next to the corpus it summarizes)
+      .persist()
     // N counts token-BEARING docs (dl ≥ 1): empty docs can't match and are
     // excluded from avgdl by construction; documented contract, oracle same
     val stats = perDoc.agg(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,40 @@ object TimeSeriesOps {
         (floor((col("qty") / col("prev_qty") - 1) * 100 * 10000 + 0.5) / 10000)
           .as("yoy_pct"))
       .orderBy(col("l_returnflag"), col("month"))
+  }
+
+  /** CUSUM changepoint detection per series: the month where the running
+    * sum of deviations from the series mean peaks — the classic
+    * level-shift locator. Computed ENTIRELY in integers: with x_i integer
+    * quantities, n·CUSUM_t = Σ(n·x_i − S) is an exact long cumsum, so the
+    * argmax month and peak value are bit-identical in any engine (a
+    * double CUSUM's summation-order ULPs could flip a near-tie argmax);
+    * the 1/n scaling happens once, on the single surviving row per key.
+    * One monthly aggregate, one broadcast stats join, one window pass.
+    * Long range: |n·dev| < n²·max|x| — overflow needs a 10^15-quantity
+    * month, documented safe for any realistic fact table.
+    */
+  def cusumChangepoint(li: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val monthly = li
+      .groupBy(col("l_returnflag").as("key"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val stats = monthly.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+    val wc = Window.partitionBy(col("key")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = monthly.join(broadcast(stats), Seq("key"))
+      .withColumn("cusum_n", sum(col("qty") * col("n") - col("s")).over(wc))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(abs(col("cusum_n")).desc, col("month"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("key"),
+        date_format(col("month"), "yyyy-MM-dd").as("cp_month"),
+        col("n").as("n_months"),
+        q4(abs(col("cusum_n")).cast("double") / col("n")).as("max_cusum"))
+      .orderBy(col("key"))
   }
 
   /** Seasonal-baseline anomaly screen: each (key, month)'s quantity versus

@@ -60,6 +60,26 @@ object VectorOps {
       .orderBy(col("bin"))
   }
 
+  /** Centroid drift between two halves of the table (vec_id parity as the
+    * deterministic split): per (label, dimension), the mean under each half
+    * and their absolute gap — the embedding analogue of PSI drift. A real
+    * deployment splits by ingest batch; parity keeps the oracle exact. One
+    * explode, ONE shuffle on (label, pos) with both halves as conditional
+    * averages in the same aggregate. 4dp-quantized like every centroid.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+      .select(col("label"), col("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(when(col("half") === 0, col("v"))).as("ce"),
+        avg(when(col("half") === 1, col("v"))).as("co"))
+      .select(col("label"), col("pos"),
+        q4(col("ce")).as("c_even"), q4(col("co")).as("c_odd"),
+        q4(abs(col("ce") - col("co"))).as("drift"))
+      .orderBy(col("label"), col("pos"))
+
   /** Per-vector L2 norms. */
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"), q4(l2Norm(col("embedding"))).as("l2_norm"))

@@ -43,6 +43,33 @@ class EventOpsSpec extends SparkSpec {
     assert(rows("b").getLong(2) == 0L, "uniform-ish values must not flag")
   }
 
+  test("inter-event gaps: per-user lag, exact interpolated percentiles in seconds") {
+    import spark.implicits._
+    // user 1, type 'a': 0s, 10s, 30s -> gaps [10s, 20s]; p50 = 15s,
+    // p95 = 19.5s, max 20s. A second user contributes no cross-user gap.
+    val ev = Seq(
+      (1L, "a", 0L, 1L), (1L, "a", 10_000_000_000L, 2L),
+      (1L, "a", 30_000_000_000L, 3L), (2L, "a", 5_000_000_000L, 4L))
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val r = EventOps.interEventGaps(ev).collect()(0)
+    assert(r.getLong(1) == 2L, "two gaps, none across users")
+    assert(r.getDouble(2) == 15.0)
+    assert(r.getDouble(3) == 19.5)
+    assert(r.getLong(4) == 20_000_000L, "max gap in truncated microseconds")
+  }
+
+  test("type trigrams: per-user order, no cross-user patterns, count-ranked") {
+    import spark.implicits._
+    // user 1: a b a b -> (a,b,a), (b,a,b); user 2: a b a -> (a,b,a)
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L), (1L, "b", 40L, 4L),
+      (2L, "a", 10L, 5L), (2L, "b", 20L, 6L), (2L, "a", 30L, 7L))
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val rows = EventOps.typeTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rows == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
+  }
+
   test("MAD anomalies: robust to the outlier that corrupts mean/stddev") {
     import spark.implicits._
     // type 'a': [1,2,3,4,100] -> med 3, |dev| [2,1,0,1,97] -> MAD 1;

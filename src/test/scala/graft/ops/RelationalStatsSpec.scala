@@ -26,6 +26,22 @@ class RelationalStatsSpec extends SparkSpec {
       "near-independent pair stays near zero")
   }
 
+  test("top supplier per part: deterministic tiebreak, exact best share") {
+    import spark.implicits._
+    // part 1: supp 1 leads 60/100; part 2: 50/50 tie -> lower suppkey (1)
+    // wins the deterministic tiebreak; part 3: supp 2 leads 30/40
+    val li = Seq(
+      (1L, 1L, 60.0), (1L, 2L, 40.0),
+      (2L, 1L, 50.0), (2L, 2L, 50.0),
+      (3L, 2L, 30.0), (3L, 1L, 10.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val supp = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val rows = Relational.topSupplierShare(li, supp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((2L, 0.6)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((1L, 0.75)), s"got ${rows(2L)}")
+  }
+
   test("quantile bins: uniform 1..100 splits into 10 equal deciles with exact bounds") {
     import spark.implicits._
     val orders = (1 to 100).map(_.toDouble).toDF("o_totalprice")

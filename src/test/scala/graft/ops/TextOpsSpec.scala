@@ -230,6 +230,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.size <= 3)
   }
 
+  test("ngram novelty: first occurrence owns the gram, later docs score the overlap") {
+    import spark.implicits._
+    // doc1's two 5-grams are both first occurrences (novelty 1); doc2
+    // shares "a b c d e" with doc1 (novelty 0.5); doc3 shares "b c d e f"
+    // with doc1 (0.5); a <5-token doc has no grams and emits no row
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e x"),
+      (3L, "b c d e f g"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val rows = TextOps.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L).getDouble(3) == 1.0)
+    assert(rows(2L).getDouble(3) == 0.5 && rows(2L).getLong(1) == 2L)
+    assert(rows(3L).getDouble(3) == 0.5)
+  }
+
   test("cross-doc ngrams: hash-qualified two-pass equals direct string counting") {
     import spark.implicits._
     // 5-grams: "a b c d e" appears in all 3 docs; every other 5-gram in 1.

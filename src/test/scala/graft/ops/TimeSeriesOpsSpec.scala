@@ -65,6 +65,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows("2023-01-01").isNullAt(4))
   }
 
+  test("cusum changepoint: a clean level shift peaks at the last pre-shift month") {
+    import spark.implicits._
+    // qty [10,10,10,20,20,20], mean 15: n*CUSUM = [-30,-60,-90,-60,-30,0]
+    // -> |peak| 90 at month 3 (the boundary), max_cusum = 90/6 = 15
+    val li = (1 to 6).map { m =>
+      ("A", Timestamp.valueOf(f"2024-$m%02d-10 00:00:00"),
+        if (m <= 3) 10.0 else 20.0)
+    }.toDF("l_returnflag", "l_shipdate", "l_quantity")
+    val r = TimeSeriesOps.cusumChangepoint(li).collect()(0)
+    assert(r.getString(1) == "2024-03-01", s"changepoint at ${r.getString(1)}")
+    assert(r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 15.0)
+  }
+
   test("seasonal baseline: deviation vs same-calendar-month mean, threshold pre-quantized") {
     import spark.implicits._
     // January across 3 years: 100, 100, 160 -> baseline 120; the 160

@@ -183,6 +183,21 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("centroid drift: parity halves average separately, gap per dimension") {
+    import spark.implicits._
+    // half0 (even ids 2,4): dim0 mean (3+7)/2 = 5; half1 (ids 1,3):
+    // (1+5)/2 = 3 -> drift 2. dim1 identical in all -> drift 0.
+    val emb = Seq(
+      (1L, Array(1f, 9f), 0), (2L, Array(3f, 9f), 0),
+      (3L, Array(5f, 9f), 0), (4L, Array(7f, 9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.centroidDrift(emb).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(rows(0).getDouble(2) == 5.0 && rows(0).getDouble(3) == 3.0)
+    assert(rows(0).getDouble(4) == 2.0)
+    assert(rows(1).getDouble(4) == 0.0)
+  }
+
   test("pair cosine histogram: known geometry lands in the right bins") {
     import spark.implicits._
     // pairs (1,2): cos 1 -> bin 10; (2,3): orthogonal, cos 0 -> bin 0;

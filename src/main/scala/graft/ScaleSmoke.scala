@@ -183,6 +183,22 @@ object ScaleSmoke {
       nRawEdges
     }
 
+    // 10. Two-pass cross-doc n-gram scan over ~250k docs: per-copy token
+    // salting makes the bulk of the corpus UNIQUE (its hashes aggregate
+    // narrow and qualify nothing) while one injected sentence per doc is
+    // the true cross-doc boilerplate — so the qualifier set stays tiny and
+    // only those strings shuffle, which is the property that holds at
+    // 100 TB (the naive one-pass string groupBy exchanges the corpus).
+    val boiler = " subscribe to our newsletter for updates and exclusive offers today"
+    val boilerDocs = saltedDocs.withColumn("text", concat(col("text"), lit(boiler)))
+    timed("crossdoc_ngrams_250k_docs", 50L * docs.count()) {
+      val top = graft.ops.TextOps.crossDocNgrams(boilerDocs, n = 5, minDocs = 1000)
+        .collect()
+      require(top.nonEmpty && top.head.getLong(1) >= 200000L,
+        s"injected boilerplate must top the scan: ${top.take(2).mkString(";")}")
+      50L * docs.count()
+    }
+
     spark.stop()
   }
 }

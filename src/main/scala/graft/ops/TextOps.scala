@@ -261,6 +261,12 @@ object TextOps {
         .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= minDocs),
       maxBroadcastQualifiers)
+    // pass 2 re-derives string shingles row-at-a-time (transient, CPU-only —
+    // they are broadcast-filtered against the qualifier set BEFORE the first
+    // exchange, so corpus-scale strings never shuffle). Measured note: slicing
+    // strings from `toks` only for qualifying posexplode positions is SLOWER,
+    // not faster — carrying the token array through the explode copies it once
+    // per position (O(len²) bytes/doc in Tungsten rows).
     base
       .select(explode(DedupOps.shinglesFromTokens(col("toks"), n)).as("ngram"))
       .withColumn("h", expr("hash61(ngram)"))

@@ -343,6 +343,42 @@ class PlanGuardSpec extends SparkSpec {
       s"document text crosses $wide exchanges; the election shuffle leaked text")
   }
 
+  test("ngram novelty: hash-partitioned exchanges carry only longs, never text") {
+    // the final presentation orderBy legitimately range-exchanges the
+    // (doc_id, counts, novelty) OUTPUT row; the corpus-wide work rides the
+    // HASH exchanges, and those must stay (doc_id, h) longs
+    val hashed = staticExchanges(SparkEntry.queries("txt_ngram_novelty")(spark, sfDir))
+      .filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashed.nonEmpty, "novelty needs its first-seen aggregate exchange")
+    hashed.foreach { e =>
+      e.output.foreach(a =>
+        assert(a.dataType == org.apache.spark.sql.types.LongType,
+          s"non-long ${a.name}: ${a.dataType} in a novelty hash exchange"))
+    }
+  }
+
+  test("cross-doc ngrams: strings shuffle only after the hash-qualifier join") {
+    // pass 1 (the unbounded hash count) runs EAGERLY inside
+    // broadcastIfSmall's count gate, so its narrow exchange lives in that
+    // earlier job; this plan must show the qualifier join, and no exchange
+    // here may carry the raw corpus text/token columns — the only strings
+    // allowed to move are post-qualification n-grams
+    val plan = staticPlan(SparkEntry.queries("txt_crossdoc_ngrams")(spark, sfDir))
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastHashJoin") || planStr.contains("SortMergeJoin"),
+      s"hash-qualifier join missing:\n$planStr")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "text" || n == "toks"),
+        s"raw corpus text crosses an exchange: ${out.mkString(",")}")
+    }
+  }
+
   test("z-order stats: pure aggregation plan - no joins, at most agg+sort exchanges") {
     val plan = staticPlan(SparkEntry.queries("store_zorder_stats")(spark, sfDir))
     val exchanges = plan.collect {

@@ -625,7 +625,66 @@ object SparkEntry {
              |  FROM pr CROSS JOIN th)
              |SELECT r, f, m, count(*) AS n_customers,
              |  sum(cents) / 100.0 AS segment_value
-             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // per-nation OLS (regr_* aggregate family): one partial+final agg pass
+    // after broadcast dim joins; slope/intercept/R2 floor-quantized
+    Q("rel_regression",
+      (s, d) => Relational.regressionByNation(
+        lineitem(s, d), supplier(s, d), nation(s, d)),
+      Some("""SELECT n_name,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_lines,
+             |  floor(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             |    AS slope,
+             |  floor(regr_intercept(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             |    AS intercept,
+             |  floor(regr_r2(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             |    AS r2
+             |FROM lineitem
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 2-D Pareto frontier via monotone running-max scan (one sort, no
+    // self-join): points no other point beats on both price and volume
+    Q("rel_skyline",
+      (s, d) => Relational.skylineFrontier(lineitem(s, d), part(s, d)),
+      Some("""WITH pq AS (
+             |  SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1),
+             |pts AS (
+             |  SELECT p.p_partkey, round(p.p_retailprice, 2) AS price, pq.qty
+             |  FROM part p JOIN pq ON pq.l_partkey = p.p_partkey),
+             |best AS (SELECT price, max(qty) AS qty FROM pts GROUP BY 1),
+             |rep AS (
+             |  SELECT b.price, b.qty, min(p.p_partkey) AS part_id
+             |  FROM best b JOIN pts p ON p.price = b.price AND p.qty = b.qty
+             |  GROUP BY 1, 2),
+             |f AS (
+             |  SELECT price, qty, part_id,
+             |    max(qty) OVER (ORDER BY price
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             |  FROM rep)
+             |SELECT price, round(qty, 2) AS qty, part_id FROM f
+             |WHERE prevmax IS NULL OR qty > prevmax
+             |ORDER BY price""".stripMargin)),
+
+    // scan-order compaction planner: streaming cumsum binning of a file
+    // inventory into target-sized output bins (metadata-scale op)
+    Q("store_compaction_bins",
+      (s, d) => Relational.compactionBins(orders(s, d), 5000L),
+      Some("""WITH files AS (
+             |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS f,
+             |    count(*) AS sz
+             |  FROM orders GROUP BY 1),
+             |c AS (
+             |  SELECT f, sz,
+             |    coalesce(sum(sz) OVER (ORDER BY f
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM files)
+             |SELECT CAST(floor(before / 5000) AS BIGINT) AS bin,
+             |  count(*) AS n_files, CAST(sum(sz) AS BIGINT) AS total_rows,
+             |  min(f) AS first_file, max(f) AS last_file
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Graph analytics beyond connected components: exact triangle counting
@@ -634,15 +693,17 @@ object SparkEntry {
     * oracle replays the identical graph.
     */
   private def graphQueries: Seq[Q] = {
+    def edgesCte(n: Int): String =
+      s"""edges AS (
+         |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+         |    SELECT l_orderkey % $n AS u, l_partkey % $n + $n AS v FROM lineitem
+         |    UNION ALL
+         |    SELECT l_orderkey % $n, l_suppkey % $n + ${2 * n} FROM lineitem
+         |    UNION ALL
+         |    SELECT l_partkey % $n + $n, l_suppkey % $n + ${2 * n} FROM lineitem)
+         |  WHERE u <> v)""".stripMargin
     val duckEdges =
-      """edges AS (
-        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
-        |    SELECT l_orderkey % 60 AS u, l_partkey % 60 + 60 AS v FROM lineitem
-        |    UNION ALL
-        |    SELECT l_orderkey % 60, l_suppkey % 60 + 120 FROM lineitem
-        |    UNION ALL
-        |    SELECT l_partkey % 60 + 60, l_suppkey % 60 + 120 FROM lineitem)
-        |  WHERE u <> v),
+      edgesCte(60) + """,
         |nodes AS (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges),
         |degrees AS (SELECT x, count(*) AS deg FROM nodes GROUP BY 1),
         |oriented AS (
@@ -683,7 +744,39 @@ object SparkEntry {
                 |  FROM credits c JOIN degrees d ON d.x = c.node
                 |  GROUP BY 1, 2)
                 |SELECT node, deg, n_triangles FROM ranked
-                |ORDER BY n_triangles DESC, node LIMIT 15""".stripMargin))
+                |ORDER BY n_triangles DESC, node LIMIT 15""".stripMargin)),
+
+      // PageRank power iteration (3 rounds, d=0.85) on the n=500 residue
+      // graph; oracle unrolls the identical join+agg per round. Ranks are
+      // N-scaled and 1e-6-floor-quantized BEFORE the ordering/cut.
+      Q("graph_pagerank",
+        (s, d) => graft.ops.GraphOps.pageRank(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
+        Some {
+          val iters = (1 to 3).map { i =>
+            s"""r$i AS (
+               |  SELECT d.dst AS node,
+               |    (1.0 - 0.85) / (SELECT count(*) FROM deg)
+               |      + 0.85 * sum(r.pr / g.deg) AS pr
+               |  FROM directed d
+               |  JOIN r${i - 1} r ON r.node = d.src
+               |  JOIN deg g ON g.src = d.src
+               |  GROUP BY 1)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH ${edgesCte(500)},
+             |directed AS (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
+             |r0 AS (
+             |  SELECT src AS node, 1.0 / (SELECT count(*) FROM deg) AS pr
+             |  FROM deg),
+             |$iters
+             |SELECT node,
+             |  floor(pr * (SELECT count(*) FROM deg) * 1e6 + 0.5) / 1e6
+             |    AS rank_scaled
+             |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
+        })
     )
   }
 
@@ -843,7 +936,26 @@ object SparkEntry {
              |  floor(power(CAST(0.5 AS DOUBLE), t)
              |    * (CAST(0.5 AS DOUBLE) * cum + CAST(0.5 AS DOUBLE) * x0) * 10000
              |    + 0.5) / 10000 AS ewma
-             |FROM c ORDER BY 1, 2""".stripMargin))
+             |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // per-series autocorrelation at lags 1..6: banded self-join on the
+    // shifted month index + one corr aggregate per (key, lag)
+    Q("ts_acf",
+      (s, d) => graft.ops.TimeSeriesOps.acfMonthly(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    sum(l_extendedprice) AS v
+             |  FROM lineitem GROUP BY 1, 2),
+             |l AS (
+             |  SELECT m.key, m.mi - lags.lag_m AS mi_prev, lags.lag_m, m.v AS va
+             |  FROM m CROSS JOIN
+             |    (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag_m) lags)
+             |SELECT l.key, l.lag_m, count(*) AS n_pairs,
+             |  floor(corr(l.va, b.v) * 10000 + 0.5) / 10000 AS acf
+             |FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Reference-parity queries: JSON-stat densifier + silver transforms
@@ -1151,6 +1263,21 @@ object SparkEntry {
              |    * 10000 + 0.5) / 10000 AS mi_term
              |FROM j JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y CROSS JOIN t
              |ORDER BY j.x, j.y""".stripMargin)),
+
+    // k-anonymity screen on a quasi-identifier tuple: achieved k, class
+    // count, classes and rows below the threshold — one QID aggregation
+    Q("qc_k_anonymity",
+      (s, d) => QualityChecks.kAnonymity(customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), 5),
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT min(sz) AS k_anonymity, count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_k,
+             |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g""".stripMargin)),
 
     Q("qc_report_gate",
       (s, d) => QualityChecks.reportRow(s, QualityChecks.runChecks(

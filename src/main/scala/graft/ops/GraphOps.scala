@@ -135,4 +135,47 @@ object GraphOps {
       .limit(topK)
       .select(col("node"), col("deg"), col("n_triangles"))
   }
+
+  /** PageRank by power iteration over an undirected edge list — the
+    * centrality pass a link/citation/near-dup graph gets before sampling.
+    * Each of the `iters` rounds is one equi-join (ranks onto the
+    * degree-annotated directed edges, key `src`) plus one aggregation (sum
+    * of `pr/deg` contributions, key `dst`) — narrow (long, double) rows
+    * only, so at 100 TB the per-round cost is two hash exchanges on 8-byte
+    * keys and nothing is ever collected. The edge frame is built once,
+    * `localCheckpoint`ed (lineage cut — the per-round plan stays constant
+    * instead of growing, the same discipline as
+    * [[DedupOps.connectedComponents]]), and reused every round. Every node
+    * of an undirected graph has out-degree ≥ 1, so there is no dangling
+    * mass and the damping term is exact. Node count is a single driver
+    * scalar (graph metadata, same contract as the CC convergence scalar).
+    *
+    * Output: top-`topK` nodes by damped rank, scaled by N (mean = 1.0) and
+    * floor-quantized at 1e-6 so the cross-engine comparison and the
+    * ordering are both done in quantized space.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               topK: Int = 25): DataFrame = {
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val withDeg = directed
+      .join(directed.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint()
+    val nNodes = withDeg.select(col("src")).distinct().count()
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1.0 / nNodes))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("c"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / nNodes) + lit(damping) * col("c")).as("pr"))
+    }
+    ranks
+      .select(col("node"),
+        (floor(col("pr") * lit(nNodes.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(topK)
+  }
 }

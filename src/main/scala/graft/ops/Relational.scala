@@ -738,4 +738,80 @@ object Relational {
       .withColumn("x_span", col("x_max") - col("x_min"))
       .withColumn("y_span", col("y_max") - col("y_min"))
       .orderBy(col("z_range"))
+
+  /** Per-nation ordinary-least-squares fit of line revenue against shipped
+    * quantity — the built-in `regr_*` aggregate family (Spark ≥ 3.3), which
+    * decomposes into partial sums exactly like `avg`/`corr`, so the whole
+    * fit is ONE partial+final aggregate pass after a broadcast dimension
+    * join; nothing about the regression itself shuffles twice. Slope /
+    * intercept / R² are floor-quantized (the sums are order-dependent
+    * doubles).
+    */
+  def regressionByNation(li: DataFrame, supplier: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    li.join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n_lines"),
+        q4(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        q4(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"),
+        q4(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"))
+      .orderBy(col("n_name"))
+  }
+
+  /** 2-D skyline (Pareto frontier): the part price/volume points no other
+    * point dominates (cheaper AND at least as much volume shipped). The
+    * formulation is the monotone-scan one — collapse to one best point per
+    * price, then a running-max window ordered by price keeps exactly the
+    * rows whose volume beats every cheaper point. One sort (range
+    * partition), zero self-joins: the O(n²) dominance test a naive skyline
+    * does never materializes, which is what makes this runnable on a
+    * 100 TB point set.
+    */
+  def skylineFrontier(li: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = li.groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("qty"))
+      .join(part.select(col("p_partkey"), round(col("p_retailprice"), 2).as("price")),
+        col("l_partkey") === col("p_partkey"))
+    // one representative per price: max volume, lowest part id among ties
+    val best = pts.groupBy(col("price")).agg(max(col("qty")).as("qty"))
+    val rep = best.join(pts.select(col("price"), col("qty"), col("p_partkey")),
+        Seq("price", "qty"))
+      .groupBy(col("price"), col("qty")).agg(min(col("p_partkey")).as("part_id"))
+    val prevMax = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rep.withColumn("prevmax", max(col("qty")).over(prevMax))
+      .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
+      .select(col("price"), round(col("qty"), 2).as("qty"), col("part_id"))
+      .orderBy(col("price"))
+  }
+
+  /** Scan-order compaction planner — the small-file problem's fix: given a
+    * file inventory (here one synthetic "file" per order month, size = row
+    * count), assign files to target-sized output bins by cumulative size.
+    * `bin = floor(cum_size_before / target)` is the streaming one-pass
+    * binning rule: windowable (one running sum over the inventory order),
+    * deterministic, and independent of executor count — a metadata-scale
+    * operation (file listings, not data) even when the table itself is
+    * 100 TB.
+    */
+  def compactionBins(orders: DataFrame, targetRows: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = orders
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("f"))
+      .agg(count(lit(1)).as("sz"))
+    val before = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bin", floor(coalesce(sum(col("sz")).over(before), lit(0L))
+        / lit(targetRows)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("total_rows"),
+        min(col("f")).as("first_file"), max(col("f")).as("last_file"))
+      .orderBy(col("bin"))
+  }
 }

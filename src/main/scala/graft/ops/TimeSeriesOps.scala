@@ -239,4 +239,35 @@ object TimeSeriesOps {
       .withColumn("is_anomaly", col("dev_pct") > devPct)
       .orderBy(col("key"), col("month"))
   }
+
+  /** Autocorrelation function: per-series Pearson correlation of the
+    * monthly revenue series with itself at lags 1..`maxLag` — the
+    * seasonality/memory diagnostic run before picking a forecasting model.
+    * Formulated as a banded self-join (fan out each monthly point to
+    * `maxLag` lag rows via `explode(sequence)`, equi-join back on the
+    * shifted month index) feeding ONE `corr` aggregate per (key, lag):
+    * the join fan-out is bounded by `maxLag`, the shuffles are on narrow
+    * (key, month-index) keys, and nothing grows with series count — the
+    * same plan runs per-merchant / per-sensor ACF over millions of series.
+    */
+  def acfMonthly(li: DataFrame, maxLag: Int = 6): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val monthly = li
+      .groupBy(col("l_returnflag").as("key"),
+        months_between(date_trunc("month", col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("int").as("mi"))
+      .agg(sum(col("l_extendedprice")).as("v"))
+      .persist()
+    val lagged = monthly
+      .select(col("key"), col("mi"), col("v"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag_m"))
+      .select(col("key"), (col("mi") - col("lag_m")).as("mi_prev"),
+        col("lag_m"), col("v").as("va"))
+    lagged
+      .join(monthly.select(col("key"), col("mi").as("mi_prev"), col("v").as("vb")),
+        Seq("key", "mi_prev"))
+      .groupBy(col("key"), col("lag_m"))
+      .agg(count(lit(1)).as("n_pairs"), q4(corr(col("va"), col("vb"))).as("acf"))
+      .orderBy(col("key"), col("lag_m"))
+  }
 }

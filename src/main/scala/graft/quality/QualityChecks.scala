@@ -267,4 +267,21 @@ object QualityChecks {
         "min_time" -> s("min_time"), "max_time" -> s("max_time"),
         "value_min" -> s("value_min"), "value_max" -> s("value_max")))
   }
+
+  /** k-anonymity screen over a quasi-identifier tuple — the privacy check a
+    * training corpus gets before release: a record is re-identifiable when
+    * its QID equivalence class is small. One groupBy on the QID columns
+    * (the only shuffle) then a single-row rollup: the achieved k (smallest
+    * class), class count, and how many classes / rows fall below the
+    * `k` threshold. Scales as an ordinary aggregation — the QID class
+    * count, not the row count, bounds the second stage.
+    */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        min(col("sz")).as("k_anonymity"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
 }

@@ -44,4 +44,21 @@ class GraphOpsSpec extends SparkSpec {
     // row (7,7,7) maps to nodes 7, 67, 127 → 3 edges; row (1,2,3) → 3 more
     assert(e.length == 6)
   }
+
+  test("pageRank: star center accumulates rank, leaves stay symmetric, mass conserves") {
+    // star K1,4: hand-computed 3-round power iteration (d = 0.85, N = 5):
+    //   r1: center .03+.85*4*.2 = .71,    leaf .03+.85*(.2/4)     = .0725
+    //   r2: center .03+.85*4*.0725,       leaf .03+.85*(.71/4)
+    //   r3: center .6449750,              leaf .08875625
+    // scaled by N: center 3.224875, leaf 0.44378125 (→ .443781 at 1e-6 floor)
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val rows = GraphOps.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 5)
+    assert(rows(0L) == 3.224875, s"center got ${rows(0L)}")
+    Seq(1L, 2L, 3L, 4L).foreach(l =>
+      assert(rows(l) == 0.443781, s"leaf $l got ${rows(l)}"))
+    // damped mass conserves: scaled ranks average to 1 (quantization slack)
+    assert(math.abs(rows.values.sum / 5 - 1.0) < 1e-5)
+  }
 }

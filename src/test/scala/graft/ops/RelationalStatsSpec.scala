@@ -57,4 +57,49 @@ class RelationalStatsSpec extends SparkSpec {
     assert(byBin(10).getAs[Double]("min_price") == 91.0)
     assert(byBin(10).getAs[Double]("max_price") == 100.0)
   }
+
+  test("regression: exact linear data recovers slope/intercept with R2 = 1") {
+    import spark.implicits._
+    // nation A: price = 2*qty + 1 exactly; nation B: price = -3*qty + 100
+    val li = ((1 to 20).map(i => (1L, i.toDouble, 2.0 * i + 1)) ++
+      (1 to 20).map(i => (2L, i.toDouble, -3.0 * i + 100)))
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice")
+    val supp = Seq((1L, 10L), (2L, 20L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10L, "A"), (20L, "B")).toDF("n_nationkey", "n_name")
+    val rows = Relational.regressionByNation(li, supp, nat).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("A") == ((20L, 2.0, 1.0, 1.0)), s"got ${rows("A")}")
+    assert(rows("B") == ((20L, -3.0, 100.0, 1.0)), s"got ${rows("B")}")
+  }
+
+  test("skyline: dominated points drop, frontier is strictly increasing in volume") {
+    import spark.implicits._
+    // per-part (price, qty): p1 (1.00, 5), p2 (2.00, 9), p3 (3.00, 7 —
+    // dominated by p2), p4 (2.00, 4 — dominated by same-price p2),
+    // p5 (4.00, 12), p6 (2.00, 9 — exact tie with p2: lower id represents)
+    val li = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 4.0), (5L, 12.0), (6L, 9.0))
+      .toDF("l_partkey", "l_quantity")
+    val part = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 2.0), (5L, 4.0), (6L, 2.0))
+      .toDF("p_partkey", "p_retailprice")
+    val rows = Relational.skylineFrontier(li, part).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1.0, 5.0, 1L), (2.0, 9.0, 2L), (4.0, 12.0, 5L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("compaction bins: streaming cumsum binning opens a new bin at the target") {
+    import spark.implicits._
+    // months: 1992-01 x3, 1992-02 x2, 1992-03 x4 rows; target 5 →
+    // bin 0 = {Jan (before 0), Feb (before 3)}, bin 1 = {Mar (before 5)}
+    val orders = (Seq.fill(3)("1992-01-15") ++ Seq.fill(2)("1992-02-15") ++
+      Seq.fill(4)("1992-03-15")).toDF("d")
+      .select(to_date(col("d")).as("o_orderdate"))
+    val rows = Relational.compactionBins(orders, 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 5L, "1992-01", "1992-02"),
+      (1L, 1L, 4L, "1992-03", "1992-03")), s"got ${rows.toSeq}")
+  }
 }

@@ -140,4 +140,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .scanLeft(1.0)((e, x) => 0.5 * x + 0.5 * e)
     assert(got.zip(want).forall { case (g, w) => math.abs(g - w) < 1e-9 })
   }
+
+  test("acf: a period-2 series has acf -1 at odd lags, +1 at even lags") {
+    import spark.implicits._
+    // 9 months alternating 10/20: every lag-1 pair is (10,20) or (20,10)
+    // → exactly -1; every lag-2 pair repeats the value → exactly +1
+    val li = (0 until 9).map { i =>
+      ("A", Timestamp.valueOf(f"1992-${i + 1}%02d-10 00:00:00"),
+        if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    val rows = TimeSeriesOps.acfMonthly(li, maxLag = 4).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1) == ((8L, -1.0)), s"lag1 ${rows(1)}")
+    assert(rows(2) == ((7L, 1.0)), s"lag2 ${rows(2)}")
+    assert(rows(3) == ((6L, -1.0)), s"lag3 ${rows(3)}")
+    assert(rows(4) == ((5L, 1.0)), s"lag4 ${rows(4)}")
+  }
 }

@@ -141,4 +141,17 @@ class QualityChecksSpec extends SparkSpec {
     assert(rows(1).getDouble(3) == 0.301, "Benford p(1) = log10(2) to 4dp")
     assert(rows(9).getDouble(3) == 0.0458)
   }
+
+  test("k-anonymity: achieved k is the smallest QID class; at-risk tallies match") {
+    import spark.implicits._
+    // QID classes: (1,a) x1, (1,b) x2, (2,a) x3 — k=1; below k=3: two
+    // classes holding 1+2=3 rows
+    val df = Seq((1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "a"), (2, "a"))
+      .toDF("nat", "seg")
+    val r = QualityChecks.kAnonymity(df, Seq("nat", "seg"), 3).collect()(0)
+    assert(r.getLong(0) == 1L, "k_anonymity")
+    assert(r.getLong(1) == 3L, "n_classes")
+    assert(r.getLong(2) == 2L, "classes_below_k")
+    assert(r.getLong(3) == 3L, "rows_at_risk")
+  }
 }

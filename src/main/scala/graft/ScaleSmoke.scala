@@ -183,6 +183,17 @@ object ScaleSmoke {
       nRawEdges
     }
 
+    // 9b. PageRank on the same power-law graph: per-round cost is one
+    // broadcast join + one narrow aggregate regardless of the hub's
+    // ~2M in-degree (contributions partial-aggregate map-side; nothing
+    // fans out), and the top hub must surface as the top-ranked node.
+    timed("pagerank_powerlaw_3_rounds", nRawEdges) {
+      val top = graft.ops.GraphOps.pageRank(skewed, iters = 3, topK = 5).collect()
+      require(top.nonEmpty && top.head.getLong(0) == 1L,
+        s"hub node 1 must rank first: ${top.take(3).mkString(";")}")
+      nRawEdges
+    }
+
     // 10. Two-pass cross-doc n-gram scan over ~250k docs: per-copy token
     // salting makes the bulk of the corpus UNIQUE (its hashes aggregate
     // narrow and qualify nothing) while one injected sentence per doc is

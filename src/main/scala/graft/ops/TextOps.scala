@@ -677,4 +677,43 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("score"), col("n_matched"))
       .orderBy(col("rank"))
   }
+
+  /** PMI collocation mining — the corpus-level "which word pairs belong
+    * together" pass (phrase detection for tokenizer/vocab construction, cf.
+    * word2phrase): pointwise mutual information of adjacent token pairs,
+    * PMI = ln(p(w1,w2) / (p(w1)·p(w2))), support-filtered at `minCount`.
+    * Occurrence bigrams come from one `slice`+`arrays_zip`+`explode` scan
+    * (no per-doc distinct — PMI is frequency-weighted); unigram and bigram
+    * totals ride the same pinned token frame. The PMI is computed in
+    * log-space (sums of `ln` of exact integer counts — products would
+    * overflow a long at corpus scale) and floor-quantized before the
+    * ordering and cut. Joins against the unigram table are plain hash
+    * joins on the word — the vocabulary may exceed broadcast size at
+    * 100 TB and never needs to.
+    */
+  def collocationsPmi(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    val bg = toks
+      .withColumn("aa", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("bb", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .select(explode(arrays_zip(col("aa"), col("bb"))).as("p"))
+      .select(col("p.aa").as("w1"), col("p.bb").as("w2"))
+      .persist()
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum(col("cw")).as("nu"))
+      .crossJoin(bg.agg(count(lit(1)).as("nb")))
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cab"),
+        (floor((log(col("cab")) + lit(2.0) * log(col("nu")) - log(col("nb"))
+          - log(col("cw1")) - log(col("cw2"))) * 10000 + 0.5) / 10000).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -61,4 +61,26 @@ class GraphOpsSpec extends SparkSpec {
     // damped mass conserves: scaled ranks average to 1 (quantization slack)
     assert(math.abs(rows.values.sum / 5 - 1.0) < 1e-5)
   }
+
+  test("kCore: a pendant chain peels round by round, the clique core survives") {
+    // triangle {1,2,3} + chain 3-4-5: node 5 (deg 1) peels in round 1,
+    // node 4 only becomes sub-k AFTER 5 is gone — the cascade — leaving
+    // the triangle, where every node has degree exactly 2
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val hist = GraphOps.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 3L), s"got $hist")
+    // k above the degeneracy empties the graph: no rows, not a crash
+    assert(GraphOps.kCore(g, k = 4).collect().isEmpty)
+  }
+
+  test("orderPartEdges: disjoint parity id spaces, distinct pairs") {
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 1010L), (2L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = GraphOps.orderPartEdges(li, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // order nodes even, bucket nodes odd; 1010 % 1000 = 10 collapses with
+    // the duplicate line into ONE (2, 21) edge
+    assert(e.toSeq == Seq((2L, 21L), (4L, 15L)), s"got ${e.toSeq}")
+  }
 }

@@ -102,4 +102,20 @@ class RelationalStatsSpec extends SparkSpec {
       (0L, 2L, 5L, "1992-01", "1992-02"),
       (1L, 1L, 4L, "1992-03", "1992-03")), s"got ${rows.toSeq}")
   }
+
+  test("delta agg merge: partial re-aggregation equals the full recompute exactly") {
+    import spark.implicits._
+    val orders = Seq(
+      ("A", "1995-03-01", 10.25), ("A", "1995-06-01", 20.50),
+      ("A", "1996-02-01", 30.00), ("B", "1995-01-01", 5.75),
+      ("B", "1996-07-01", 4.25), ("C", "1996-01-01", 1.00))
+      .toDF("o_orderpriority", "d", "o_totalprice")
+      .select(col("o_orderpriority"), to_date(col("d")).as("o_orderdate"),
+        col("o_totalprice"))
+    val merged = Relational.deltaAggMerge(orders, "1996-01-01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq(
+      ("A", 3L, 60.75), ("B", 2L, 10.0), ("C", 1L, 1.0)), s"got ${merged.toSeq}")
+    // C exists ONLY in the delta side; A spans both — both merge correctly
+  }
 }

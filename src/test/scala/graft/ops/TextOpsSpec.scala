@@ -299,4 +299,15 @@ class TextOpsSpec extends SparkSpec {
     val xyzFp = spark.sql("SELECT md5('x y z') AS fp").collect()(0).getString(0)
     assert(rows(2L).getAs[String]("clean_fp") == xyzFp)
   }
+
+  test("PMI collocations: hand-computed log-space value; sub-support pairs drop") {
+    import spark.implicits._
+    // one doc "a b a b a b a b a b": bigrams (a,b) x5, (b,a) x4;
+    // unigrams a x5, b x5; Nu=10, Nb=9. Only (a,b) meets minCount=5:
+    // PMI = ln(5) + 2 ln(10) - ln(9) - ln(5) - ln(5) = ln(100/45) ≈ 0.7985
+    val docs = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val rows = TextOps.collocationsPmi(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("a", "b", 5L, 0.7985)), s"got ${rows.toSeq}")
+  }
 }

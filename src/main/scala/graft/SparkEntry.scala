@@ -668,6 +668,42 @@ object SparkEntry {
              |WHERE prevmax IS NULL OR qty > prevmax
              |ORDER BY price""".stripMargin)),
 
+    // bounded-depth hierarchy rollup: ancestor-set explode + ONE groupBy —
+    // the Spark-native answer to the recursive-CTE BOM/org-chart aggregate
+    // (no per-level shuffle chain); demo tree is parent = custkey >> 1
+    Q("rel_hierarchy_rollup",
+      (s, d) => Relational.hierarchyRollup(orders(s, d)),
+      Some("""WITH a AS (
+             |  SELECT o_custkey >> CAST(j.j AS INTEGER) AS node, o_custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders CROSS JOIN (SELECT unnest(range(0, 21)) AS j) j
+             |  WHERE (o_custkey >> CAST(j.j AS INTEGER)) >= 1
+             |    AND (o_custkey >> CAST(j.j AS INTEGER)) < 16)
+             |SELECT node, CAST(floor(log2(node)) AS INTEGER) AS level,
+             |  count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders,
+             |  CAST(sum(cents) AS BIGINT) / 100.0 AS subtree_revenue
+             |FROM a GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // IGNORE NULLS window surface: gap-carry of a sparse column in both
+    // directions — last_value/first_value IGNORE NULLS on both engines
+    Q("rel_window_ignore_nulls",
+      (s, d) => Relational.windowIgnoreNulls(lineitem(s, d), 5),
+      Some("""WITH b AS (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber,
+             |    strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
+             |    CASE WHEN l_returnflag = 'R'
+             |         THEN round(l_extendedprice, 2) END AS ret_price
+             |  FROM lineitem WHERE l_suppkey < 5)
+             |SELECT l_suppkey, l_orderkey, l_linenumber, shipdate, ret_price,
+             |  last_value(ret_price IGNORE NULLS) OVER (
+             |    PARTITION BY l_suppkey ORDER BY shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_back,
+             |  first_value(ret_price IGNORE NULLS) OVER (
+             |    PARTITION BY l_suppkey ORDER BY shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS carry_fwd
+             |FROM b
+             |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
     // incremental aggregate maintenance: base partials + delta batch merge
     // by re-aggregation; the oracle is the NAIVE FULL RECOMPUTE, so the
     // hash compare proves the delta identity
@@ -996,7 +1032,35 @@ object SparkEntry {
              |SELECT l.key, l.lag_m, count(*) AS n_pairs,
              |  floor(corr(l.va, b.v) * 10000 + 0.5) / 10000 AS acf
              |FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Holt linear-trend forecast: Spark runs the CLOSED FORM (driver-built
+    // A^k coefficient table + one agg per series); the oracle runs the
+    // textbook sequential recursion via a recursive CTE — hash equality
+    // proves the unrolling identity, l_1 = x1, b_1 = x2 − x1, α=.5, β=.25
+    Q("ts_holt_forecast",
+      (s, d) => graft.ops.TimeSeriesOps.holtForecast(orders(s, d)),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e8 AS x
+             |  FROM orders GROUP BY 1, 2),
+             |s AS (SELECT g, x,
+             |    row_number() OVER (PARTITION BY g ORDER BY month) AS t FROM m),
+             |mx AS (SELECT g, max(t) AS tmax FROM s GROUP BY 1),
+             |rec AS (
+             |  SELECT s1.g, CAST(1 AS BIGINT) AS t, s1.x AS l, s2.x - s1.x AS b
+             |  FROM (SELECT g, x FROM s WHERE t = 1) s1
+             |  JOIN (SELECT g, x FROM s WHERE t = 2) s2 USING (g)
+             |  UNION ALL
+             |  SELECT r.g, r.t + 1,
+             |    0.5 * sx.x + 0.5 * (r.l + r.b),
+             |    0.25 * (0.5 * sx.x + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b
+             |  FROM rec r JOIN s sx ON sx.g = r.g AND sx.t = r.t + 1)
+             |SELECT rec.g AS priority, CAST(mx.tmax AS INTEGER) AS n_obs, h.h,
+             |  floor((rec.l + h.h * rec.b) * 1000000 + 0.5) / 1000000 AS forecast
+             |FROM rec JOIN mx ON mx.g = rec.g AND rec.t = mx.tmax
+             |CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+             |ORDER BY priority, h""".stripMargin))
   )
 
   /** Reference-parity queries: JSON-stat densifier + silver transforms
@@ -2369,7 +2433,21 @@ object SparkEntry {
               |    ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
               |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
               |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // character-level near-dup: Ed-Join lossless prefix filtering (tagged
+    // q-gram multiset bound + rarest-gram prefix equi-join) verified by
+    // exact levenshtein over the fixed-width 64-char prefix key; the filter
+    // preserves semantics, so the oracle IS the naive all-pairs scan
+    Q("dedup_edit_distance",
+      (s, d) => DedupOps.editDistancePairs(documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    rpad(substring(text, 1, 64), 64, ' ') AS key FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+             |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS lev
+             |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.key, b.key) <= 4
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB-side double-cast embedding list. */

@@ -441,4 +441,96 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Edit-distance near-dup pairs over a fixed-length document prefix key —
+    * the character-level dedup the token-set family misses (transposed
+    * words, OCR noise, whitespace drift all move Jaccard little but edit
+    * distance a lot). Ed-Join-style LOSSLESS prefix filtering:
+    *
+    *   1. key = first `keyLen` chars, right-padded — equal lengths make the
+    *      q-gram bound tight and the key a constant-width column;
+    *   2. each key yields exactly `keyLen − q + 1` positional q-grams,
+    *      tagged with their occurrence index so the multiset overlap bound
+    *      (ed ≤ d ⟹ shared grams ≥ keyLen − q + 1 − q·d, Gravano et al.,
+    *      VLDB'01) becomes a plain SET bound on (gram, tag) elements;
+    *   3. under the global (frequency, gram, tag) total order, any pair
+    *      meeting that overlap must share an element within their first
+    *      q·d + 1 elements (prefix-filter lemma) — so candidates come from
+    *      an equi-join on the RAREST grams only, never all-pairs, and the
+    *      frequency ordering makes the join keys near-unique;
+    *   4. candidates are verified with exact `levenshtein` on the keys.
+    *
+    * Every exchange before verification carries ≤ 3-char grams and long
+    * ids; the 64-char keys join in only for the final (gated-broadcast)
+    * candidate verification. The filter is semantics-preserving, so the
+    * registered oracle is the naive all-pairs scan.
+    */
+  def editDistancePairs(docs: DataFrame, keyLen: Int = 64, q: Int = 3,
+                        maxDist: Int = 4,
+                        maxBroadcastProfiles: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val keys = docs
+      .select(col("doc_id"), col("lang"),
+        rpad(substring(col("text"), 1, keyLen), keyLen, " ").as("key"))
+      .persist()
+    // static per-position substring terms (literal bound ⇒ expand instead of
+    // a transform() lambda, which would fall out of codegen)
+    val gramCols = (1 to keyLen - q + 1).map(i => substring(col("key"), i, q))
+    // three consumers (global freq, prefix ranking, per-doc hash arrays) —
+    // pin so the explode + occurrence-tag window runs once
+    val grams = keys
+      .select(col("doc_id"), col("lang"),
+        posexplode(array(gramCols: _*)).as(Seq("pos", "g")))
+      .withColumn("tg", row_number().over(
+        Window.partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))))
+      .select(col("doc_id"), col("lang"), col("g"), col("tg"))
+      .persist()
+    val freq = grams.groupBy(col("g"), col("tg")).agg(count(lit(1)).as("cf"))
+    val prefix = grams
+      .join(freq, Seq("g", "tg"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cf"), col("g"), col("tg"))))
+      .filter(col("rk") <= q * maxDist + 1)
+      .select(col("doc_id"), col("lang"), col("g"), col("tg"))
+    val candidates = prefix
+      .join(prefix.select(col("doc_id").as("doc_b"), col("lang"),
+        col("g"), col("tg")), Seq("lang", "g", "tg"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("lang"))
+      .distinct()
+    // a template-heavy corpus defeats most of the prefix pruning (every
+    // doc's "rarest" grams are still corpus-common), so candidates get two
+    // further LOSSLESS screens before any DP runs:
+    //   1. the full multiset q-gram COUNT bound (Gravano): shared tagged
+    //      grams ≥ keyLen−q+1 − q·d, evaluated as a sorted-long merge walk
+    //      over per-doc hashed tagged-gram arrays (~2·62 ops/pair; cross
+    //      hash collisions can only OVER-count, never drop a true pair);
+    //   2. THRESHOLDED levenshtein — banded O(d·n) DP with early exit
+    //      (returns −1 past the bound) instead of the full O(n²) matrix.
+    // broadcast the PER-DOC side, stream the pair list: the profile is
+    // |docs| rows (key + 62 hashed grams ≈ 600 B) while candidates can be
+    // orders of magnitude more pairs — broadcasting profiles means the
+    // wide intermediate (pair + two arrays) exists only inside the codegen
+    // pipeline and NOTHING wide ever enters an exchange. Past the gate the
+    // joins degrade to shuffles: narrow pairs move, each profile row moves
+    // once.
+    val profile = keys
+      .join(grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(xxhash64(col("g"), col("tg")))).as("hs")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("key"), col("hs"))
+    val prof = Exec.broadcastIfSmall(profile, maxBroadcastProfiles)
+    val minShared = keyLen - q + 1 - q * maxDist
+    candidates
+      .join(prof.select(col("doc_id").as("doc_a"), col("key").as("key_a"),
+        col("hs").as("hs_a")), Seq("doc_a"))
+      .join(prof.select(col("doc_id").as("doc_b"), col("key").as("key_b"),
+        col("hs").as("hs_b")), Seq("doc_b"))
+      .filter(expr("sorted_intersect_count(hs_a, hs_b)") >= lit(minShared))
+      .withColumn("lev", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("lev"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

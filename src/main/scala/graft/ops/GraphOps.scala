@@ -234,16 +234,21 @@ object GraphOps {
     * extra rounds are no-ops — production uses the CC-style convergence
     * loop). Output: the degree histogram of the surviving subgraph.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 5,
+            maxBroadcastSurvivors: Long = 4000000L): DataFrame = {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("x")).union(e.select(col("b").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
     var e = edges.localCheckpoint()
     for (_ <- 1 to rounds) {
-      // cut keep's lineage too: both semi-join branches read it, and
-      // without the cut the degree aggregate would run once per branch
-      val keep = degreesOf(e).filter(col("dg") >= k).select(col("x"))
-        .localCheckpoint()
+      // survivor set is |V'| rows of one long — broadcast it (count-gated)
+      // so the edge frame is filtered IN PLACE, never re-shuffled; past the
+      // gate the semi-joins degrade to shuffles on single-long keys. The
+      // count() inside the gate also materializes keep, so both join
+      // branches read the pinned frame, not the degree aggregate twice.
+      val keep = Exec.broadcastIfSmall(
+        degreesOf(e).filter(col("dg") >= k).select(col("x")),
+        maxBroadcastSurvivors)
       e = e
         .join(keep.withColumnRenamed("x", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("x", "b"), Seq("b"), "left_semi")

@@ -840,4 +840,68 @@ object Relational {
         min(col("f")).as("first_file"), max(col("f")).as("last_file"))
       .orderBy(col("bin"))
   }
+
+  /** Bounded-depth hierarchy rollup — the BOM-explosion / org-chart
+    * aggregate relational engines answer with a recursive CTE. Spark has no
+    * recursion, and level-by-level upward propagation costs one shuffle per
+    * level; for a hierarchy of bounded depth D the Spark-native plan is the
+    * ANCESTOR-SET EXPLODE: each fact row fans out to its ≤ D ancestors
+    * (closed-form here — the demo tree is parent = custkey ≫ 1, so ancestor
+    * j is a bit shift; a materialized-path/array column plays the same role
+    * for real hierarchies), then ONE groupBy rolls every subtree up in a
+    * single shuffle. Fan-out is D-bounded, keys are longs, and no driver
+    * loop touches the data.
+    *
+    * Emits, per ancestor node in levels 0..`topLevels`−1: the node, its
+    * level, distinct descendant customers with ≥1 order, order count, and
+    * exact-cent revenue of the whole subtree.
+    */
+  def hierarchyRollup(orders: DataFrame, topLevels: Int = 4,
+                      maxDepth: Int = 20): DataFrame = {
+    val facts = orders.select(col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ancestors = facts
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(maxDepth))).as("j"))
+      .select(expr("shiftright(o_custkey, j)").as("node"),
+        col("o_custkey"), col("o_orderkey"), col("cents"))
+      .filter(col("node") >= 1 && col("node") < (1 << topLevels))
+    ancestors
+      .groupBy(col("node"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("cents")) / 100.0).as("subtree_revenue"))
+      .withColumn("level", floor(log2(col("node"))).cast("int"))
+      .select(col("node"), col("level"), col("n_customers"), col("n_orders"),
+        col("subtree_revenue"))
+      .orderBy(col("node"))
+  }
+
+  /** IGNORE NULLS window surface: last/first non-null carried across a
+    * sparse column — the gap-carry idiom (`LAST_VALUE ... IGNORE NULLS`)
+    * every SQL engine ships and naive `lag()` gets wrong. The sparse column
+    * here: RETURNED rows keep their price, others are null, and each row
+    * carries the most recent non-null backward/forward within its
+    * supplier's ship order.
+    */
+  def windowIgnoreNulls(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val base = li.filter(col("l_suppkey") < maxSuppkey)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"),
+        when(col("l_returnflag") === "R", round(col("l_extendedprice"), 2))
+          .as("ret_price"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("shipdate"), col("l_orderkey"), col("l_linenumber"))
+    base
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("shipdate"), col("ret_price"),
+        last(col("ret_price"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carry_back"),
+        first(col("ret_price"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("carry_fwd"))
+      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
 }

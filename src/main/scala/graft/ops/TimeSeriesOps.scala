@@ -270,4 +270,94 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n_pairs"), q4(corr(col("va"), col("vb"))).as("acf"))
       .orderBy(col("key"), col("lag_m"))
   }
+
+  /** Holt linear-trend forecast (double exponential smoothing) — the first
+    * genuinely RECURSIVE smoother in the family: level and trend form the
+    * coupled recursion
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * which no window frame expresses directly. Writing the state as
+    * s_t = A·s_{t−1} + c·x_t (A 2×2, c constant) unrolls it CLOSED-FORM:
+    * s_T = A^{T−1}·s_1 + Σ_{i≥2} A^{T−i}·c·x_i — so the distributed plan is
+    * one row_number window, one broadcast join against a tiny driver-built
+    * matrix-power table (graph-metadata scale: `maxLen` rows of four
+    * doubles), and ONE aggregation per series. No per-step shuffle, no
+    * driver loop over the data: a 100 TB fact table forecasts per-key with
+    * the same two exchanges as any windowed aggregate. Series longer than
+    * `maxLen` fail loudly in-plan (the EWMA guard pattern) rather than
+    * silently losing their oldest terms to the join.
+    *
+    * Seeds: l_1 = x_1, b_1 = x_2 − x_1 (standard). Demonstrated over the
+    * per-priority monthly order-revenue series (exact integer cents, so the
+    * inputs are engine-identical); emits `horizons` forecast steps
+    * ŷ_{T+h} = l_T + h·b_T, floor-quantized at 1e-6.
+    */
+  def holtForecast(orders: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
+                   horizons: Int = 3, maxLen: Int = 512): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "need 0<α,β<1")
+    val spark = orders.sparkSession
+    // exact-cent monthly series, rescaled to ~1e2 magnitude so the closed
+    // form and the oracle's sequential recursion agree far below the 1e-6
+    // quantum (both divide the SAME exact long by the same constant)
+    val monthly = orders
+      .groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("g"), col("month"), (col("cents").cast("double") / 1e8).as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("month"))
+    val seq = monthly.withColumn("t", row_number().over(w)).persist()
+    // the length guard lives HERE, fused into the len value every
+    // downstream path joins on — guarding the coeff-join key instead would
+    // let AQE short-circuit around it: an over-long series empties the
+    // seed join, empty-relation propagation then skips the very stage that
+    // would have raised (seen in spec before this placement)
+    val heads = seq.groupBy(col("g")).agg(
+        max(col("t")).as("mt"),
+        max(when(col("t") === 1, col("x"))).as("x1"),
+        max(when(col("t") === 2, col("x"))).as("x2"))
+      .select(col("g"), col("x1"), col("x2"),
+        (col("mt") + coalesce(
+          assert_true(col("mt") <= lit(maxLen + 1),
+            lit(s"holtForecast: series longer than maxLen=$maxLen")),
+          lit(0))).as("len"))
+    // driver-built A^k table, k = 0..maxLen: 2×2 powers of
+    // A = [[1−α, 1−α], [−αβ, 1−αβ]] (α=.5, β=.25 keep entries dyadic)
+    val a0 = Array(1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    val powers = Iterator.iterate(Array(1.0, 0.0, 0.0, 1.0)) { p =>
+      Array(p(0) * a0(0) + p(1) * a0(2), p(0) * a0(1) + p(1) * a0(3),
+        p(2) * a0(0) + p(3) * a0(2), p(2) * a0(1) + p(3) * a0(3))
+    }.take(maxLen + 1).zipWithIndex
+      .map { case (p, k) => (k, p(0), p(1), p(2), p(3)) }.toSeq
+    import spark.implicits._
+    val coeff = broadcast(
+      powers.toDF("k", "a11", "a12", "a21", "a22"))
+    // Σ_{i=2..T} A^{T−i}·c·x_i, c = (α, αβ); k = T−i ≤ T−2 ≤ maxLen−1 is
+    // in range whenever the heads guard passed
+    val terms = seq.filter(col("t") >= 2)
+      .join(heads.select(col("g"), col("len")), Seq("g"))
+      .withColumn("k", col("len") - col("t"))
+      .join(coeff, Seq("k"))
+      .groupBy(col("g"))
+      .agg(sum(col("x") * (col("a11") * alpha + col("a12") * alpha * beta)).as("l_sum"),
+        sum(col("x") * (col("a21") * alpha + col("a22") * alpha * beta)).as("b_sum"))
+    // + A^{T−1}·s_1 seed term, then fan out the horizon steps
+    val state = heads.filter(col("len") >= 2)
+      .join(coeff, col("k") === col("len") - 1)
+      .join(terms, Seq("g"))
+      .select(col("g"), col("len"),
+        (col("a11") * col("x1") + col("a12") * (col("x2") - col("x1"))
+          + col("l_sum")).as("l"),
+        (col("a21") * col("x1") + col("a22") * (col("x2") - col("x1"))
+          + col("b_sum")).as("b"))
+    state
+      .select(col("g").as("priority"), col("len").as("n_obs"),
+        explode(sequence(lit(1), lit(horizons))).as("h"),
+        col("l"), col("b"))
+      .select(col("priority"), col("n_obs"), col("h"),
+        (floor((col("l") + col("h") * col("b")) * 1000000 + 0.5) / 1000000)
+          .as("forecast"))
+      .orderBy(col("priority"), col("h"))
+  }
 }

@@ -197,4 +197,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)),
       "Jaccard at 0.5 cannot see the length-divergent containment pair")
   }
+
+  test("edit-distance prefix filter is lossless vs brute-force levenshtein") {
+    // brute force over all same-lang pairs on the real corpus
+    val keys = docs.select(col("doc_id"), col("lang"),
+      rpad(substring(col("text"), 1, 64), 64, " ").as("key"))
+    val brute = keys.as("a").join(keys.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.key"), col("b.key")).as("lev"))
+      .filter(col("lev") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = DedupOps.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == brute, s"missed: ${brute -- got}; extra: ${got -- brute}")
+    assert(brute.nonEmpty, "fixture must be non-degenerate")
+  }
+
+  test("edit-distance catches char-level noise that token-set Jaccard keeps") {
+    // OCR-ish noise: transposed chars + punctuation drift inside the prefix
+    val base = "the quick brown fox jumps over the lazy dog near the old riverbank today"
+    val noisy = "teh quick brwon fox jumps over the lazy dog near the old riverbank today"
+    val df = Seq((1L, "en", base), (2L, "en", noisy),
+      (3L, "en", "entirely different content about maritime navigation charts"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = DedupOps.editDistancePairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 4) // teh->the (2 subs... transpositions cost 2 each)
+  }
 }

@@ -118,4 +118,41 @@ class RelationalStatsSpec extends SparkSpec {
       ("A", 3L, 60.75), ("B", 2L, 10.0), ("C", 1L, 1.0)), s"got ${merged.toSeq}")
     // C exists ONLY in the delta side; A spans both — both merge correctly
   }
+
+  test("hierarchy rollup: every ancestor's subtree sums its descendants exactly") {
+    import spark.implicits._
+    // leaves 4..7 under the parent = k >> 1 tree:
+    //   1 -> {2 -> {4, 5}, 3 -> {6, 7}}; customer 5 has two orders
+    val orders = Seq((4L, 100L, 10.00), (5L, 101L, 20.00), (5L, 102L, 1.50),
+      (6L, 103L, 40.00), (7L, 104L, 80.25))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val rows = Relational.hierarchyRollup(orders, topLevels = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows(1L) == ((0, 4L, 5L, 151.75)), s"root ${rows(1L)}")
+    assert(rows(2L) == ((1, 2L, 3L, 31.50)), s"left ${rows(2L)}")
+    assert(rows(3L) == ((1, 2L, 2L, 120.25)), s"right ${rows(3L)}")
+    assert(rows(4L) == ((2, 1L, 1L, 10.00)) && rows(5L) == ((2, 1L, 2L, 21.50)))
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("ignore-nulls windows carry the nearest non-null both ways; edges stay null") {
+    import spark.implicits._
+    val li = Seq(
+      // supplier 1, ship order by date: null, 5.0, null, 7.0, null
+      (1L, 10L, 1, "1995-01-01", "N", 1.0),
+      (1L, 11L, 1, "1995-02-01", "R", 5.0),
+      (1L, 12L, 1, "1995-03-01", "A", 2.0),
+      (1L, 13L, 1, "1995-04-01", "R", 7.0),
+      (1L, 14L, 1, "1995-05-01", "N", 3.0))
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "d", "l_returnflag",
+        "l_extendedprice")
+      .select(col("*"), to_timestamp(col("d")).as("l_shipdate"))
+    val rows = Relational.windowIgnoreNulls(li, 5).collect()
+      .map(r => (Option(r.get(5)), Option(r.get(6))))
+    assert(rows.toSeq == Seq(
+      (None, Some(5.0)), (Some(5.0), Some(5.0)), (Some(5.0), Some(7.0)),
+      (Some(7.0), Some(7.0)), (Some(7.0), None)), s"got ${rows.toSeq}")
+  }
 }

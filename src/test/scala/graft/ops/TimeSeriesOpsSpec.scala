@@ -156,4 +156,39 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows(3) == ((6L, -1.0)), s"lag3 ${rows(3)}")
     assert(rows(4) == ((5L, 1.0)), s"lag4 ${rows(4)}")
   }
+
+  test("holt closed form matches the sequential level/trend recursion") {
+    import spark.implicits._
+    val xs = Seq(100.0, 120.0, 115.0, 140.0, 160.0, 155.0)
+    val df = xs.zipWithIndex.map { case (p, i) =>
+      ("1-URGENT", java.sql.Date.valueOf(f"1995-${i + 1}%02d-01"), p)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = TimeSeriesOps.holtForecast(df)
+      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+    // driver-side reference: the textbook recursion on the rescaled series
+    val sx = xs.map(p => math.round(p * 100).toDouble / 1e8)
+    var (l, b) = (sx(0), sx(1) - sx(0))
+    sx.drop(1).foreach { x =>
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      l = l2
+    }
+    (1 to 3).foreach { h =>
+      val want = math.floor((l + h * b) * 1e6 + 0.5) / 1e6
+      assert(math.abs(got(h) - want) < 1e-9, s"h=$h got=${got(h)} want=$want")
+    }
+  }
+
+  test("holt guard: a series past maxLen fails loudly, not by dropping terms") {
+    import spark.implicits._
+    val df = (0 until 8).map { i =>
+      ("1-URGENT", java.sql.Date.valueOf(f"199${5 + i / 12}-${i % 12 + 1}%02d-01"), 100.0 + i)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val ex = intercept[Exception] {
+      TimeSeriesOps.holtForecast(df, maxLen = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("holtForecast")), msgs(ex).mkString("; "))
+  }
 }

@@ -388,4 +388,51 @@ class PlanGuardSpec extends SparkSpec {
       s"z-order stats should shuffle once for the agg plus once for the sort, got ${exchanges.size}")
     assert(!plan.toString.contains("Join"), "layout stats must not join anything")
   }
+
+  test("edit-distance exchanges never carry the hashed-gram arrays or 64-char keys") {
+    // candidate generation shuffles 3-char grams + long ids; the per-doc
+    // profile (key + 62-long hash array) is broadcast, so nothing wide may
+    // appear in any shuffle exchange's output
+    val exchanges = staticExchanges(
+      SparkEntry.queries("dedup_edit_distance")(spark, sfDir))
+    assert(exchanges.nonEmpty, "edit-distance plan must contain real shuffles")
+    exchanges.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "hs" || n.startsWith("hs_") ||
+        n == "key" || n.startsWith("key_") || n == "text"),
+        s"wide column crosses an exchange: ${out.mkString(",")}")
+    }
+  }
+
+  test("holt forecast: coefficient table broadcasts; no per-step shuffle chain") {
+    val plan = staticPlan(SparkEntry.queries("ts_holt_forecast")(spark, sfDir))
+    assert(plan.toString.contains("BroadcastExchange"),
+      s"A^k coefficient table must broadcast:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the whole closed form costs a bounded handful of narrow exchanges
+    // (series window, heads agg, term agg, final sort) — a per-time-step
+    // loop would blow far past this
+    assert(shuffles.nonEmpty && shuffles.size <= 8,
+      s"expected a bounded narrow-exchange plan, got ${shuffles.size} shuffles")
+  }
+
+  test("hierarchy rollup: no joins — ancestor explode feeds one aggregation tree") {
+    val plan = staticPlan(SparkEntry.queries("rel_hierarchy_rollup")(spark, sfDir))
+    assert(!plan.toString.contains("Join"),
+      s"ancestor-explode rollup must not join:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "rollup must really aggregate across partitions")
+    exchanges.foreach { e =>
+      val narrow: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType)
+      assert(e.output.forall(a => narrow.contains(a.dataType)),
+        s"non-narrow column in rollup exchange: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
 }

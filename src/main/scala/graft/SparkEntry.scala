@@ -2800,6 +2800,89 @@ object SparkEntry {
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF-PQ composition (FAISS IVFx,PQy shape): IVF bounds WHICH vectors
+    // are scored, PQ bounds WHAT is read per vector; the oracle replays
+    // coarse assignment + codebook training + ADC scoring end to end
+    Q("vec_ivfpq_ann",
+      (s, d) => VectorOps.ivfPqAnn(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v,
+              |    label
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |cdist AS (
+              |  SELECT e.vec_id, cl.cell,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e CROSS JOIN cl),
+              |cr AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              |  FROM cdist),
+              |assign AS (SELECT vec_id, cell FROM cr WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM cr WHERE vec_id < 5 AND rn <= 2),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, a.vec_id
+              |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+              |ms AS (SELECT unnest(range(0, 8)) AS m),
+              |vs AS (SELECT vec_id, m, v[m * 8 + 1:m * 8 + 8] AS vsub
+              |       FROM e CROSS JOIN ms),
+              |seeds AS (SELECT m, CAST(vec_id AS INTEGER) AS code, vsub AS sub
+              |          FROM vs WHERE vec_id < 16),
+              |sd AS (
+              |  SELECT vs.vec_id, vs.m, s.code, vs.vsub,
+              |    floor(list_sum(list_transform(range(1, 9),
+              |        i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS d
+              |  FROM vs JOIN seeds s ON s.m = vs.m),
+              |assigned AS (
+              |  SELECT m, code, vsub FROM (
+              |    SELECT m, code, vsub,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+              |    FROM sd) WHERE rn = 1),
+              |cbl AS (
+              |  SELECT m, code, pos, floor(avg(x) * 10000 + 0.5) / 10000 AS c
+              |  FROM (SELECT m, code,
+              |          CAST(unnest(range(len(vsub))) AS INTEGER) AS pos,
+              |          unnest(vsub) AS x
+              |        FROM assigned)
+              |  GROUP BY 1, 2, 3),
+              |cb AS (SELECT m, code, list(c ORDER BY pos) AS sub FROM cbl GROUP BY 1, 2),
+              |d AS (
+              |  SELECT vs.vec_id, vs.m, cb.code, cb.sub,
+              |    floor(list_sum(list_transform(range(1, 9),
+              |        i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS d
+              |  FROM vs JOIN cb ON cb.m = vs.m),
+              |codes AS (
+              |  SELECT vec_id, m, sub FROM (
+              |    SELECT vec_id, m, sub,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+              |    FROM d) WHERE rn = 1),
+              |recon AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS r
+              |          FROM codes GROUP BY 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT c.query_id, c.vec_id,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (qv[i] - r[i]) * (qv[i] - r[i]))) * 1000000 + 0.5)
+              |      / 1000000 AS adc
+              |  FROM cand c
+              |  JOIN recon ON recon.vec_id = c.vec_id
+              |  JOIN q ON q.query_id = c.query_id)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc FROM (
+              |  SELECT query_id, vec_id, adc,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     Q("dedup_embedding_cosine",
       (s, d) => VectorOps.cosineNearDupPairs(embeddings(s, d), threshold = 0.45),
       Some(s"""WITH e AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),

@@ -275,8 +275,12 @@ object VectorOps {
     * Every step (quantized centroids, quantized distances, deterministic tie
     * breaks) is replayed exactly by the DuckDB oracle.
     */
-  def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
-             maxBroadcastCandidates: Long = 1000000L): DataFrame = {
+  /** IVF candidate generation shared by [[ivfAnn]] and [[ivfPqAnn]]:
+    * nearest-cell assignment for the corpus, nProbe-nearest cells for each
+    * query, candidates = corpus vectors in probed cells.
+    */
+  private def ivfCandidates(emb: DataFrame, maxQueryId: Int,
+                            nProbe: Int): DataFrame = {
     val dists = cellDistances(emb).select(
       col("vec_id"), col("c_label").as("cell"), col("dist"))
     val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
@@ -284,10 +288,15 @@ object VectorOps {
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
     val probes = ranked.filter(col("vec_id") < maxQueryId && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val cand = probes.join(assign, Seq("cell"))
+    probes.join(assign, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+  }
+
+  def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
+             maxBroadcastCandidates: Long = 1000000L): DataFrame = {
+    val cand = ivfCandidates(emb, maxQueryId, nProbe)
     val qvecs = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // same gate as annLsh: probe fan-out makes the candidate count
@@ -320,9 +329,12 @@ object VectorOps {
     * scoring pass is the same broadcast-queries corpus scan as
     * [[knnBruteForce]]. Every distance is floor-quantized before any argmin
     * or ranking, ties broken by id — engine-stable end to end.
+    *
+    * Split as [[pqRecon]] (train/encode/reconstruct, shared with
+    * [[ivfPqAnn]]) + the all-candidates scoring pass below.
     */
-  def pqAdcTopK(emb: DataFrame, maxQueryId: Int, k: Int,
-                nSub: Int = 8, dim: Int = 64, nCodes: Int = 16): DataFrame = {
+  private def pqRecon(emb: DataFrame, nSub: Int, dim: Int,
+                      nCodes: Int): DataFrame = {
     graft.functions.SqL2.register(emb.sparkSession)
     val subDim = dim / nSub
     val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
@@ -361,13 +373,49 @@ object VectorOps {
       .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("sub"))
     // reconstruction: chosen codebook slices, concatenated in subspace order
-    val recon = codes.groupBy(col("vec_id"))
+    codes.groupBy(col("vec_id"))
       .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub))), s -> s.sub))")
         .as("r"))
+  }
+
+  def pqAdcTopK(emb: DataFrame, maxQueryId: Int, k: Int,
+                nSub: Int = 8, dim: Int = 64, nCodes: Int = 16): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val recon = pqRecon(emb, nSub, dim, nCodes)
     val qvecs = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q"))
     val scored = recon.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", q6(call_function("sq_l2", col("q"), col("r"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ ANN — the composition a production vector index actually runs
+    * (FAISS `IVFx,PQy`): the IVF coarse quantizer bounds WHICH vectors are
+    * scored (nProbe/nCells of the corpus), PQ bounds WHAT is read per
+    * vector (nSub codes instead of the raw floats). Candidates come from
+    * [[ivfCandidates]], scores are asymmetric distances against
+    * [[pqRecon]] reconstructions — the full-precision corpus embedding is
+    * never touched after encoding, which is the property that lets the
+    * scored side live in memory at 100 TB corpus scale. Candidate set is
+    * data-dependent, so its broadcast is count-gated like [[ivfAnn]]'s.
+    */
+  def ivfPqAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
+               nSub: Int = 8, dim: Int = 64, nCodes: Int = 16,
+               maxBroadcastCandidates: Long = 1000000L): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val cand = ivfCandidates(emb, maxQueryId, nProbe)
+    val recon = pqRecon(emb, nSub, dim, nCodes)
+    val qvecs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q"))
+    val scored = recon.join(Exec.broadcastIfSmall(cand, maxBroadcastCandidates),
+        Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
       .withColumn("adc", q6(call_function("sq_l2", col("q"), col("r"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

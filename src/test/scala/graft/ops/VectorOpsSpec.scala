@@ -212,4 +212,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(10).getLong(1) == 1L && rows(10).getDouble(2) == 1.0)
     assert(rows(0).getLong(1) == 2L && rows(0).getDouble(3) == 0.0)
   }
+
+  test("IVF-PQ composes exactly: IVF's candidate set scored with PQ-ADC's distances") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // with k past the candidate-set size, both IVF variants must surface
+    // exactly the coarse quantizer's candidates — PQ changes scores, not
+    // membership
+    val ivfAll = VectorOps.ivfAnn(emb, maxQueryId = 5, k = 100000)
+    val ivfPqAll = VectorOps.ivfPqAnn(emb, maxQueryId = 5, k = 100000)
+    assert(pairs(ivfAll) == pairs(ivfPqAll), "candidate membership must match IVF")
+    // and each surfaced pair's adc must equal the pure-PQ adc for that pair
+    val pqScores = VectorOps.pqAdcTopK(emb, maxQueryId = 5, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val mismatched = ivfPqAll.collect().filter { r =>
+      pqScores.get((r.getLong(0), r.getLong(2))).forall(_ != r.getDouble(3))
+    }
+    assert(mismatched.isEmpty,
+      s"adc disagrees with pure PQ on: ${mismatched.take(3).mkString(";")}")
+  }
 }

@@ -26,12 +26,17 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(name: String, rows: Long)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","rows":$n,"sec":$sec%.2f,"rows_per_sec":${(rows / sec).toLong}}""")
-    }
+    // SPARK_GRAFT_SMOKE_ONLY=substr[,substr...] runs the matching smokes
+    // only (fixture frames outside timed blocks are lazy, so skipped
+    // smokes cost nothing)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(',').toSet)
+    def timed(name: String, rows: Long)(body: => Long): Unit =
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        val n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","rows":$n,"sec":$sec%.2f,"rows_per_sec":${(rows / sec).toLong}}""")
+      }
 
     // 1. Densifier at 100M cells: the flat index comes from a distributed
     // range — zero driver-side cell materialization, pure codegen decode.
@@ -94,6 +99,22 @@ object ScaleSmoke {
     // 4. Exact dedup over ~250k docs with manufactured duplicates.
     timed("dedup_exact_250k_docs", 50L * docs.count()) {
       DedupOps.exactDupStats(bigDocs).collect()(0).getAs[Long]("n_distinct_texts")
+    }
+
+    // 4b. Edit-distance near-dup over the same ~250k heavily-replicated
+    // corpus: the identical-key collapse must shrink the gram/prefix
+    // search to the 5000 DISTINCT keys (50x replication adds ~nothing to
+    // the candidate join), with the expansion emitting the full pair set.
+    // Expected count is exact: 5000 docs x C(50,2) same-doc pairs plus
+    // (cross-doc base pairs at lev<=4) x 50 x 50.
+    timed("edit_distance_250k_docs_50x_dups", 50L * docs.count()) {
+      val basePairs = DedupOps.editDistancePairs(docs).count()
+      val n = DedupOps.editDistancePairs(bigDocs).count()
+      // same-base pairs: C(50,2) per doc; distinct-base pairs: every copy
+      // combination (50 x 50) inherits the base pair's distance
+      val want = docs.count() * (50L * 49L / 2L) + basePairs * 50L * 50L
+      require(n == want, s"expected $want pairs, got $n")
+      n
     }
 
     // 5. Full MinHash-LSH near-dup pipeline over ~250k documents. Every

@@ -464,15 +464,37 @@ object DedupOps {
     * ids; the 64-char keys join in only for the final (gated-broadcast)
     * candidate verification. The filter is semantics-preserving, so the
     * registered oracle is the naive all-pairs scan.
+    *
+    * Identical keys are COLLAPSED before the search: the whole gram/prefix
+    * pipeline runs over one representative per (lang, key), and group
+    * members expand back afterwards (within-group pairs are lev 0 by
+    * definition; cross-group pairs inherit their representatives'
+    * distance). On the corpus where character-level dedup matters — heavy
+    * boilerplate/replication — the quadratic-risk candidate join therefore
+    * scales with DISTINCT keys, not documents. Output cardinality is still
+    * the full pair set (a mega-group of identical docs emits its C(n,2)
+    * zero-distance pairs — that is the operator's contract, and the
+    * degree-histogram diagnostic is the pre-flight check for it).
     */
   def editDistancePairs(docs: DataFrame, keyLen: Int = 64, q: Int = 3,
                         maxDist: Int = 4,
                         maxBroadcastProfiles: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashFunctions.register(docs.sparkSession)
-    val keys = docs
+    val keyed = docs
       .select(col("doc_id"), col("lang"),
         rpad(substring(col("text"), 1, keyLen), keyLen, " ").as("key"))
+      .persist()
+    // rep = min doc id per identical (lang, key) group; reps are globally
+    // unique (a doc belongs to exactly one group)
+    val mem = keyed
+      .join(keyed.groupBy(col("lang"), col("key"))
+        .agg(min(col("doc_id")).as("rep")), Seq("lang", "key"))
+      .select(col("rep"), col("doc_id"), col("lang"))
+      .persist()
+    val keys = keyed
+      .join(mem.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
       .persist()
     // static per-position substring terms (literal bound ⇒ expand instead of
     // a transform() lambda, which would fall out of codegen)
@@ -522,7 +544,7 @@ object DedupOps {
       .select(col("doc_id"), col("key"), col("hs"))
     val prof = Exec.broadcastIfSmall(profile, maxBroadcastProfiles)
     val minShared = keyLen - q + 1 - q * maxDist
-    candidates
+    val repPairs = candidates
       .join(prof.select(col("doc_id").as("doc_a"), col("key").as("key_a"),
         col("hs").as("hs_a")), Seq("doc_a"))
       .join(prof.select(col("doc_id").as("doc_b"), col("key").as("key_b"),
@@ -531,6 +553,19 @@ object DedupOps {
       .withColumn("lev", levenshtein(col("key_a"), col("key_b"), maxDist))
       .filter(col("lev") >= 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("lev"))
+    // expand representatives back to members: identical-key pairs are
+    // distance 0; cross-group member pairs inherit the rep-level distance
+    val within = mem
+      .join(mem.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("lang"),
+        lit(0).as("lev"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("ma")), Seq("doc_a"))
+      .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("mb")), Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("lang"), col("lev"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

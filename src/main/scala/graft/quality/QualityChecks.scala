@@ -284,4 +284,33 @@ object QualityChecks {
         count(lit(1)).as("n_classes"),
         sum(when(col("sz") < k, 1L).otherwise(0L)).as("classes_below_k"),
         sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
+  /** Referential-integrity audit across FK edges — the cross-table check a
+    * warehouse load runs after every batch (the reference loads star-ish
+    * tables with no constraint enforcement at all; cf. `/root/reference`
+    * src/db/load_hicp_to_sql.py). Each edge reports child rows whose FK
+    * value misses every parent key ("orphans", left-anti semantics: a NULL
+    * FK is not an orphan match — surfaced separately as the classic
+    * three-valued-logic trap) and parent rows no child references
+    * ("childless" — not an error, but the cardinality drift signal).
+    * Per edge: two anti-join counts + a null count, each one narrow
+    * shuffle; parent key sides are dimension-sized and broadcast.
+    */
+  def referentialIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    edges.map { case (name, child, fk, parent, pk) =>
+      val pkeys = parent.select(col(pk).as(fk)).distinct()
+      val orphans = child.filter(col(fk).isNotNull)
+        .join(pkeys, Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val nulls = child
+        .agg(coalesce(sum(when(col(fk).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_fk"))
+      val childless = pkeys
+        .join(child.select(col(fk)).distinct(), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
+      orphans.crossJoin(nulls).crossJoin(childless)
+        .select(lit(name).as("edge"), col("n_orphans"), col("n_null_fk"),
+          col("n_childless_parents"))
+    }.reduce(_.unionByName(_)).orderBy(col("edge"))
 }

@@ -154,4 +154,19 @@ class QualityChecksSpec extends SparkSpec {
     assert(r.getLong(2) == 2L, "classes_below_k")
     assert(r.getLong(3) == 3L, "rows_at_risk")
   }
+
+  test("referential integrity: orphans, null FKs, and childless parents tally exactly") {
+    import spark.implicits._
+    // parents 1,2,3; children reference 1,1,9 (orphan), null (not an
+    // orphan); parent 3 is never referenced
+    val parent = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("pk", "pname")
+    val child = Seq((10, Some(1)), (11, Some(1)), (12, Some(9)),
+      (13, Option.empty[Int]), (14, Some(2))).toDF("cid", "fk")
+    val r = QualityChecks.referentialIntegrity(
+      Seq(("child.fk->parent", child, "fk", parent, "pk"))).collect()(0)
+    assert(r.getString(0) == "child.fk->parent")
+    assert(r.getLong(1) == 1L, s"orphans: $r")      // the fk=9 row
+    assert(r.getLong(2) == 1L, s"null fks: $r")     // the null row
+    assert(r.getLong(3) == 1L, s"childless: $r")    // parent 3
+  }
 }

@@ -2,7 +2,8 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the event operators (SURVEY.md §2.10):
@@ -231,5 +232,54 @@ object EventStream {
           }
       }
       .toDF("user_id", "n_events", "duration_sec")
+  }
+
+  /** Per-user lifetime milestone emitter on the NEW `transformWithState`
+    * API (Spark 4's successor to `flatMapGroupsWithState`): whenever a
+    * user's cumulative event count crosses a power of two, emit one row at
+    * the crossing event's timestamp. The state is a single typed
+    * `ValueState[Long]` per user — schema'd, TTL-able, RocksDB-backed —
+    * so a 100 TB event history costs 8 bytes of state per user, and the
+    * operator survives arbitrarily long streams without growth.
+    *
+    * REQUIRES the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does not
+    * run on the default HDFS-backed store.
+    *
+    * Determinism contract (same as [[statefulSessionize]]): rows are
+    * sorted by timestamp within each micro-batch, so the batch twin is a
+    * per-user `row_number` ordered by time, filtered to powers of two.
+    */
+  def milestones(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts_ns div 1000 as ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MilestoneProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "milestone", "ts_us")
+  }
+}
+
+/** [[EventStream.milestones]]'s processor: one ValueState[Long] per user. */
+class MilestoneProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var c = if (count.exists()) count.get() else 0L
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+      c += 1
+      if ((c & (c - 1)) == 0L) out += ((key, c, ts))
+    }
+    count.update(c)
+    out.iterator
   }
 }

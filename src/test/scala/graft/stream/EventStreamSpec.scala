@@ -193,6 +193,45 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState milestones: powers of two emit across batches; 8-byte state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState runs only on the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long)] // (user_id, ts_us)
+      val src = mem.toDF().toDF("user_id", "ts_us")
+        .withColumn("ts_ns", col("ts_us") * 1000L)
+      val q = EventStream.milestones(spark, src)
+        .writeStream.outputMode("append").format("memory").queryName("t_ms").start()
+      // user 1: 5 events split across batches (counts 1,2,3 then 4,5) —
+      // milestones at 1, 2, 4 must straddle the batch boundary via state;
+      // user 2: 2 events in one batch -> milestones 1, 2
+      mem.addData((1L, 100L), (1L, 200L), (1L, 300L), (2L, 150L), (2L, 250L))
+      q.processAllAvailable()
+      mem.addData((1L, 400L), (1L, 500L))
+      q.processAllAvailable()
+      val got = spark.table("t_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 100L), (1L, 2L, 200L), (1L, 4L, 400L),
+        (2L, 1L, 150L), (2L, 2L, 250L)), s"got $got")
+      // exactly one 8-byte counter per user in the store
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == 2,
+        s"expected 2 state rows, got ${lastState.numRowsTotal}")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
     import spark.implicits._
     val dim = batchEvents.select(col("user_id")).distinct()

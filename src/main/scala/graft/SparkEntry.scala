@@ -714,6 +714,20 @@ object SparkEntry {
              |    / 100.0 AS total_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // partition-key skew report: the pre-bucketing diagnostic — per-key
+    // counts reduced to one row of layout stats + heavy-key census
+    Q("store_partition_skew",
+      (s, d) => Relational.partitionSkew(events(s, d), "user_id"),
+      Some("""WITH s AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             |  min(n) AS min_rows, max(n) AS max_rows, avg(n) AS avg_raw FROM s)
+             |SELECT t.n_keys, t.n_rows, t.min_rows, t.max_rows,
+             |  floor(t.avg_raw * 100 + 0.5) / 100 AS avg_rows,
+             |  floor(t.max_rows / t.avg_raw * 10000 + 0.5) / 10000 AS skew_ratio,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s
+             |     WHERE s.n > t.avg_raw * 1.5) AS n_heavy_keys
+             |FROM t""".stripMargin)),
+
     // scan-order compaction planner: streaming cumsum binning of a file
     // inventory into target-sized output bins (metadata-scale op)
     Q("store_compaction_bins",

@@ -841,6 +841,34 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** Partition-key skew report — the diagnostic run BEFORE committing to a
+    * partitioning/bucketing key: per-key row counts reduced to one row of
+    * layout stats (key count, min/max/avg rows, max/avg skew ratio, and
+    * how many keys exceed `heavyFactor`× the mean — the salting / AQE
+    * skew-join candidates). Two narrow aggregations; the per-key frame is
+    * |keys| rows, so the single-row broadcast cross join costs nothing.
+    */
+  def partitionSkew(df: DataFrame, keyCol: String,
+                    heavyFactor: Double = 1.5): DataFrame = {
+    val sizes = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+    val stats = sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      min(col("n")).as("min_rows"),
+      max(col("n")).as("max_rows"),
+      avg(col("n")).as("avg_raw"))
+    sizes.crossJoin(broadcast(stats))
+      .groupBy(col("n_keys"), col("n_rows"), col("min_rows"), col("max_rows"),
+        col("avg_raw"))
+      .agg(sum(when(col("n") > col("avg_raw") * heavyFactor, 1L).otherwise(0L))
+        .as("n_heavy_keys"))
+      .select(col("n_keys"), col("n_rows"), col("min_rows"), col("max_rows"),
+        (floor(col("avg_raw") * 100 + 0.5) / 100).as("avg_rows"),
+        (floor(col("max_rows") / col("avg_raw") * 10000 + 0.5) / 10000)
+          .as("skew_ratio"),
+        col("n_heavy_keys"))
+  }
+
   /** Bounded-depth hierarchy rollup — the BOM-explosion / org-chart
     * aggregate relational engines answer with a recursive CTE. Spark has no
     * recursion, and level-by-level upward propagation costs one shuffle per

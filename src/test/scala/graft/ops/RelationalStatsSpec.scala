@@ -137,6 +137,18 @@ class RelationalStatsSpec extends SparkSpec {
     assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("partition skew report: heavy keys counted against the true mean") {
+    import spark.implicits._
+    // keys: a x6, b x2, c x1 -> mean 3, ratio 2, one heavy key (6 > 4.5)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("user_id")
+    val r = Relational.partitionSkew(df, "user_id").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L, s"keys/rows: $r")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 6L, s"min/max: $r")
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 2.0, s"avg/ratio: $r")
+    assert(r.getLong(6) == 1L, s"heavy keys: $r")
+  }
+
   test("ignore-nulls windows carry the nearest non-null both ways; edges stay null") {
     import spark.implicits._
     val li = Seq(

@@ -714,6 +714,23 @@ object SparkEntry {
              |    / 100.0 AS total_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // custom DECLARATIVE aggregate: geometric mean with a (sum-ln, n)
+    // buffer — expression-tree update/merge/evaluate, so it codegens and
+    // partial-aggregates like a built-in (unlike an opaque UDAF/Aggregator)
+    Q("rel_geomean",
+      (s, d) => {
+        graft.functions.GeoMean.register(s)
+        orders(s, d)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg((floor(expr("geomean(o_totalprice)") * 10000 + 0.5) / 10000)
+            .as("geomean_price"))
+          .orderBy(col("priority"))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  floor(exp(avg(ln(o_totalprice))) * 10000 + 0.5) / 10000
+             |    AS geomean_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // partition-key skew report: the pre-bucketing diagnostic — per-key
     // counts reduced to one row of layout stats + heavy-key census
     Q("store_partition_skew",

@@ -96,6 +96,16 @@ object Bench {
         .find(_.length <= 1850).getOrElse(renderTop(1))
     }
     println(line)
+    // The stdout line above is size-capped (the driver keeps only a 2000-char
+    // tail), so when the registry outgrows the budget it keeps the SLOWEST
+    // queries and counts the rest as "omitted". The COMPLETE per-query map —
+    // every registered query at millisecond resolution — always lands in a
+    // sibling artifact for regression tracking of the fast half too.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut),
+      render(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench full-map write failed: $e") }
     spark.stop()
   }
 }

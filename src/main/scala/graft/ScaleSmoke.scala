@@ -157,6 +157,21 @@ object ScaleSmoke {
       VectorOps.pqAdcTopK(bigEmb, maxQueryId = 5, k = 5).count() + 20L * emb.count()
     }
 
+    // 7e. IVF-PQ ANN over ~1M vectors — the FAISS-style composition and the
+    // engine's deepest ANN path: IVF bounds WHICH vectors are scored
+    // (nProbe cells of the corpus), PQ bounds WHAT is read per candidate
+    // (8 codes, not 64 floats). Copies are angle-perturbed so cells fill
+    // realistically; raw embedding arrays never cross an exchange (PQ codes
+    // and id-only candidate pairs do), which is the 100-TB property.
+    val hugeEmb = spark.range(500).crossJoin(emb)
+      .withColumn("vec_id", col("id") * 1000000 + col("vec_id"))
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> x + CAST((id % 11 + i % 7) AS FLOAT) * 0.01f)"))
+      .drop("id")
+    timed("ivfpq_ann_1M_vectors", 500L * emb.count()) {
+      VectorOps.ivfPqAnn(hugeEmb, maxQueryId = 5, k = 5).count() + 500L * emb.count()
+    }
+
     // 7c. Chunking over ~250k documents: pure per-row fan-out, no shuffle
     // before the count — runs at scan speed.
     timed("chunking_250k_docs", 50L * docs.count()) {

@@ -490,6 +490,78 @@ object SparkEntry {
              |                    AND l.l_quantity >= 48 AND l.l_discount > 0.08)
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // NOT IN with a NULLABLE rhs — three-valued logic surfaced in FILTER
+    // context (where every engine agrees): the raw NOT IN selects NOTHING
+    // (n_not_in_raw = 0, the trap), the null-stripped rewrite is the
+    // meaningful anti-join, and IN + clean NOT IN partition the customers;
+    // Catalyst plans the raw variant as a null-aware anti join (NAAJ)
+    Q("rel_not_in_subquery",
+      (s, d) => Relational.notInSubquery(s, customer(s, d), orders(s, d)),
+      Some("""WITH nullable_rhs AS (
+             |  SELECT CASE WHEN o_orderpriority <> '1-URGENT'
+             |              THEN o_custkey END AS k
+             |  FROM orders WHERE o_orderstatus = 'F'),
+             |base AS (
+             |  SELECT c_mktsegment, count(*) AS n_customers
+             |  FROM customer GROUP BY c_mktsegment),
+             |raw AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM customer
+             |  WHERE c_custkey NOT IN (SELECT k FROM nullable_rhs)
+             |  GROUP BY c_mktsegment),
+             |inn AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM customer
+             |  WHERE c_custkey IN (SELECT k FROM nullable_rhs)
+             |  GROUP BY c_mktsegment),
+             |clean AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM customer
+             |  WHERE c_custkey NOT IN
+             |    (SELECT k FROM nullable_rhs WHERE k IS NOT NULL)
+             |  GROUP BY c_mktsegment)
+             |SELECT b.c_mktsegment, b.n_customers,
+             |  coalesce(raw.n, 0) AS n_not_in_raw,
+             |  coalesce(inn.n, 0) AS n_in,
+             |  coalesce(clean.n, 0) AS n_not_in_clean
+             |FROM base b
+             |LEFT JOIN raw ON raw.c_mktsegment = b.c_mktsegment
+             |LEFT JOIN inn ON inn.c_mktsegment = b.c_mktsegment
+             |LEFT JOIN clean ON clean.c_mktsegment = b.c_mktsegment
+             |ORDER BY b.c_mktsegment""".stripMargin)),
+
+    // correlated scalar aggregates in the SELECT list: COUNT over an empty
+    // group must decorrelate to 0 (the "COUNT bug"), SUM to NULL (-1 via
+    // coalesce) — exact integer cents, no float drift
+    Q("rel_correlated_select_agg",
+      (s, d) => Relational.scalarAggSubquery(s, supplier(s, d), lineitem(s, d)),
+      Some("""SELECT s_suppkey, s_name,
+             |  (SELECT count(*) FROM lineitem l
+             |   WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49) AS n_big,
+             |  coalesce(
+             |    (SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             |     FROM lineitem l
+             |     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49),
+             |    -1) AS big_cents
+             |FROM supplier s
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // LATERAL subquery with ORDER BY + LIMIT: top-3 lines per supplier,
+    // decorrelated by Catalyst into a per-key window rank — one shuffle,
+    // no per-row re-scan, no cartesian (PlanGuard)
+    Q("rel_lateral_topk",
+      (s, d) => Relational.lateralTopPerKey(s, supplier(s, d), lineitem(s, d)),
+      Some("""SELECT s.s_suppkey, t.l_orderkey, t.cents
+             |FROM supplier s,
+             |LATERAL (
+             |  SELECT l_orderkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem l
+             |  WHERE l.l_suppkey = s.s_suppkey
+             |  ORDER BY cents DESC, l_orderkey
+             |  LIMIT 3) t
+             |ORDER BY s.s_suppkey, t.cents DESC, t.l_orderkey""".stripMargin)),
+
     // schema-evolution union: v1 extract has no priority column, v2 does;
     // unionByName(allowMissingColumns) null-fills — UNION ALL BY NAME twin
     Q("rel_union_by_name",
@@ -860,7 +932,8 @@ object SparkEntry {
       // graph; oracle unrolls the identical 5 peel rounds
       Q("graph_kcore",
         (s, d) => graft.ops.GraphOps.kCore(
-          graft.ops.GraphOps.orderPartEdges(lineitem(s, d), 1000), k = 4),
+          graft.ops.GraphOps.orderPartEdges(lineitem(s, d), 1000), k = 4,
+          memoKey = Some(s"$d#kcore1000")),
         Some {
           val rounds = (1 to 5).map { i =>
             s"""d$i AS (
@@ -3091,7 +3164,32 @@ object SparkEntry {
               |  CAST(feat_idx AS INTEGER) AS feat_idx,
               |  floor(CAST(CAST(CAST(${duckH61("chunk")} AS DOUBLE)
               |    / 2305843009213693952.0 AS REAL) AS DOUBLE) * 10000 + 0.5) / 10000 AS feature
-              |FROM c ORDER BY doc_id, feat_idx""".stripMargin))
+              |FROM c ORDER BY doc_id, feat_idx""".stripMargin)),
+
+    // REAL header decode round trip: Spark writes valid PNG/BMP headers
+    // (big-/little-endian dims at the public fixed offsets) then learns the
+    // dims ONLY by parsing the bytes back; the oracle states the expected
+    // dims from the same doc_id derivation — an endianness or offset slip
+    // on either side breaks the hash match. Opaque sources pin the
+    // disclosed null-dim stub path.
+    Q("mm_decode_dims",
+      (s, d) => MultimodalOps.decodeDims(
+          MultimodalOps.attachMediaHeader(documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN source = 'src0' THEN 'png'
+             |       WHEN source = 'src1' THEN 'bmp'
+             |       ELSE 'opaque' END AS format,
+             |  CASE WHEN source IN ('src0', 'src1')
+             |       THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
+             |  CASE WHEN source IN ('src0', 'src1')
+             |       THEN CAST(doc_id % 480 + 1 AS INTEGER) END AS height,
+             |  CASE WHEN source = 'src0'
+             |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
+             |       WHEN source = 'src1'
+             |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS INTEGER)
+             |       END AS bit_depth
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private def all: Seq[Q] =

@@ -478,7 +478,7 @@ object DedupOps {
     */
   def editDistancePairs(docs: DataFrame, keyLen: Int = 64, q: Int = 3,
                         maxDist: Int = 4,
-                        maxBroadcastProfiles: Long = 1000000L): DataFrame = {
+                        maxBroadcastProfileBytes: Long = Exec.DefaultBroadcastBytes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val keyed = docs
@@ -542,7 +542,10 @@ object DedupOps {
         .agg(sort_array(collect_list(xxhash64(col("g"), col("tg")))).as("hs")),
         Seq("doc_id"))
       .select(col("doc_id"), col("key"), col("hs"))
-    val prof = Exec.broadcastIfSmall(profile, maxBroadcastProfiles)
+    // byte-gated, not row-gated: a profile row is ~600 B (64-char key +
+    // 62 hashed grams), so a row cap silently prices in the width — the
+    // old 1M-row default was a ~600 MB broadcast. The byte gate measures.
+    val prof = Exec.broadcastIfSmallBytes(profile, maxBroadcastProfileBytes)
     val minShared = keyLen - q + 1 - q * maxDist
     val repPairs = candidates
       .join(prof.select(col("doc_id").as("doc_a"), col("key").as("key_a"),

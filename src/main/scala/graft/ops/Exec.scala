@@ -21,6 +21,34 @@ object Exec {
     if (pinned.count() <= maxRows) broadcast(pinned) else pinned
   }
 
+  /** Byte-gated variant of [[broadcastIfSmall]]: broadcast only when the
+    * frame's MEASURED in-memory size is at most `maxBytes`. A row-count gate
+    * silently assumes a row width — `editDistancePairs`' old 1M-row default
+    * was ~600 MB once the 62-hash array per profile row is priced in, far
+    * past what a broadcast should cost per executor. Sizing the gate in
+    * bytes makes the memory contract explicit and width-proof.
+    *
+    * Mechanics: the frame is persisted, materialized by the same cheap
+    * `count()` the row gate already paid (so the gate adds no job), and the
+    * size read from the cached relation's accumulated batch stats
+    * (`withCachedData.stats.sizeInBytes` — actual bytes, not an optimizer
+    * estimate, because materialization precedes the read). The default cap,
+    * 128 MiB, is ~1–2% of a typical executor heap; the deserialized
+    * broadcast hash relation runs a small constant factor larger than the
+    * columnar-compressed measurement, which the margin absorbs. Past the
+    * gate the join degrades to a shuffle, same as the row variant.
+    */
+  def broadcastIfSmallBytes(df: DataFrame,
+                            maxBytes: Long = DefaultBroadcastBytes): DataFrame = {
+    val pinned = df.persist()
+    pinned.count()
+    val bytes = pinned.queryExecution.withCachedData.stats.sizeInBytes
+    if (bytes <= maxBytes) broadcast(pinned) else pinned
+  }
+
+  /** Default byte cap for [[broadcastIfSmallBytes]]: 128 MiB. */
+  val DefaultBroadcastBytes: Long = 128L << 20
+
   /** Release every frame the operator family pinned with `persist()`.
     *
     * The dedup/text operators cache small intermediate frames (hashed

@@ -224,38 +224,87 @@ object GraphOps {
         ((col("l_partkey") % nParts) * 2 + 1).as("b"))
       .distinct()
 
-  /** Bounded-round k-core peel: `rounds` iterations of "drop every node
-    * with degree < k, keep only edges between survivors" — the degeneracy
-    * screen a near-dup or interaction graph gets before community work
-    * (a node outside the k-core cannot sit in a (k+1)-clique). Each round
-    * is one endpoint-count aggregate plus two semi-joins on long keys,
-    * lineage-cut per round; a fixed round budget keeps the operator
-    * deterministic for the oracle (a converged peel is a fixpoint, so
-    * extra rounds are no-ops — production uses the CC-style convergence
-    * loop). Output: the degree histogram of the surviving subgraph.
+  /** Session-scoped memo for k-core's checkpointed input edge frame (same
+    * contract and lifetime as [[orientMemo]]): the edge derivation upstream
+    * (e.g. [[orderPartEdges]]' full-shuffle `distinct`) is paid once per
+    * session instead of once per run. */
+  private val kcoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** k-core peel: rounds of "drop every node with degree < k, keep only
+    * edges between survivors" — the degeneracy screen a near-dup or
+    * interaction graph gets before community work (a node outside the
+    * k-core cannot sit in a (k+1)-clique). Each round is one endpoint-count
+    * aggregate plus two semi-joins on long keys, lineage-cut per round.
+    *
+    * Round control: the peel EARLY-EXITS at the fixpoint — the survivor
+    * count the broadcast gate already materializes is compared round over
+    * round, and since the survivor set only shrinks, an unchanged count
+    * means an unchanged set, so the pending semi-joins would be no-ops and
+    * are skipped (zero extra jobs; the check reuses the gate's count). With
+    * `convergeToFixpoint = true` the `rounds` budget is ignored and the
+    * peel runs to the true k-core — the production setting (round cost is
+    * two broadcast-filtered scans, and deep peel chains converge in
+    * O(longest degeneracy chain) rounds). The default bounded budget keeps
+    * the operator's job count deterministic for the oracle; a converged
+    * peel is a fixpoint, so budget rounds past convergence cost nothing
+    * now and change nothing.
+    *
+    * Output: the degree histogram of the surviving subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 5,
-            maxBroadcastSurvivors: Long = 4000000L): DataFrame = {
+            maxBroadcastSurvivors: Long = 4000000L,
+            convergeToFixpoint: Boolean = false,
+            memoKey: Option[String] = None): DataFrame =
+    kCoreWithRounds(edges, k, rounds, maxBroadcastSurvivors,
+      convergeToFixpoint, memoKey)._1
+
+  /** [[kCore]] plus the number of peel rounds actually EXECUTED (early-exit
+    * visible to specs): `(histogram, roundsRun)`. */
+  private[graft] def kCoreWithRounds(edges: DataFrame, k: Int, rounds: Int = 5,
+            maxBroadcastSurvivors: Long = 4000000L,
+            convergeToFixpoint: Boolean = false,
+            memoKey: Option[String] = None): (DataFrame, Int) = {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("x")).union(e.select(col("b").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
-    var e = edges.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var e = memoKey match {
+      case None => edges.localCheckpoint()
+      case Some(mk) =>
+        val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + mk
+        kcoreMemo.getOrElseUpdate(fullKey, edges.localCheckpoint())
+    }
+    var prevSurvivors = -1L
+    var converged = false
+    var roundsRun = 0
+    while (!converged && (convergeToFixpoint || roundsRun < rounds)) {
       // survivor set is |V'| rows of one long — broadcast it (count-gated)
       // so the edge frame is filtered IN PLACE, never re-shuffled; past the
       // gate the semi-joins degrade to shuffles on single-long keys. The
       // count() inside the gate also materializes keep, so both join
-      // branches read the pinned frame, not the degree aggregate twice.
-      val keep = Exec.broadcastIfSmall(
-        degreesOf(e).filter(col("dg") >= k).select(col("x")),
-        maxBroadcastSurvivors)
-      e = e
-        .join(keep.withColumnRenamed("x", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("x", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+      // branches read the pinned frame, not the degree aggregate twice —
+      // and doubles as the fixpoint detector for free.
+      val keepPinned = degreesOf(e).filter(col("dg") >= k).select(col("x"))
+        .persist()
+      val nSurvivors = keepPinned.count()
+      if (nSurvivors == prevSurvivors) {
+        converged = true
+        keepPinned.unpersist()
+      } else {
+        val keep =
+          if (nSurvivors <= maxBroadcastSurvivors) broadcast(keepPinned)
+          else keepPinned
+        e = e
+          .join(keep.withColumnRenamed("x", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("x", "b"), Seq("b"), "left_semi")
+          .localCheckpoint()
+        prevSurvivors = nSurvivors
+        roundsRun += 1
+      }
     }
-    degreesOf(e)
+    val hist = degreesOf(e)
       .groupBy(col("dg").as("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
+    (hist, roundsRun)
   }
 }

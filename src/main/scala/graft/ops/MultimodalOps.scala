@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (LLM-pipeline extension): treat image/audio/
@@ -76,6 +76,105 @@ object MultimodalOps {
       j += 1
     }
     out
+  }
+
+  /** Synthesize a VALID media header per document — the fixture for the
+    * real header decode in [[decodeDims]]. `src0` docs get a PNG signature +
+    * IHDR chunk (width/height as BIG-endian u32 at offsets 16/20, bit depth
+    * at 24 — the public PNG layout), `src1` docs get a BMP file header +
+    * BITMAPINFOHEADER (width/height as LITTLE-endian i32 at offsets 18/22,
+    * bits-per-pixel as LE u16 at 28), everything else keeps opaque text
+    * bytes. Dimensions derive deterministically from `doc_id`, so an oracle
+    * can state the expected decode without byte math while the Spark side
+    * only learns them by PARSING the bytes it just wrote — endianness or
+    * offset mistakes in either direction break the round trip.
+    *
+    * Byte assembly is pure codegen'd column work: `unhex(lpad(hex(x)))` is
+    * the int→big-endian-bytes bridge, LE is the same four hex pairs
+    * reversed. No UDF, no driver loop.
+    */
+  def attachMediaHeader(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    // PNG bit depth alternates 8/16; BMP bits-per-pixel alternates 24/32
+    val pngDepth = when(col("doc_id") % 2 === 0, 8).otherwise(16).cast("int")
+    val bmpBpp = when(col("doc_id") % 2 === 0, 24).otherwise(32).cast("int")
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def le32(c: Column): Column = {
+      val hx = lpad(hex(c), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+    val pngHeader = concat(
+      lit(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
+      lit(Array[Byte](0, 0, 0, 13)), lit("IHDR".getBytes("US-ASCII")),
+      be32(w), be32(h), u8(pngDepth),
+      // color type 2 (truecolor), compression 0, filter 0, interlace 0
+      lit(Array[Byte](2, 0, 0, 0)))
+    val bmpHeader = concat(
+      lit("BM".getBytes("US-ASCII")),
+      le32(lit(54).cast("int")),        // file size (header-only fixture)
+      lit(Array[Byte](0, 0, 0, 0)),     // reserved
+      le32(lit(54).cast("int")),        // pixel-data offset
+      le32(lit(40).cast("int")),        // BITMAPINFOHEADER size
+      le32(w), le32(h),
+      lit(Array[Byte](1, 0)),           // planes = 1 (LE u16)
+      u8(bmpBpp), lit(Array[Byte](0)))  // bpp LE u16 (high byte 0)
+    docs.withColumn("payload",
+      when(col("source") === "src0", pngHeader)
+        .when(col("source") === "src1", bmpHeader)
+        .otherwise(encode(col("text"), "UTF-8").cast("binary")))
+  }
+
+  /** Decoded header dimensions; `None` columns mean the format is opaque to
+    * the header parser (the disclosed stub path). */
+  final case class DecodedDims(doc_id: Long, format: String,
+                               width: Option[Int], height: Option[Int],
+                               bit_depth: Option[Int])
+
+  /** REAL header decode over the binary `payload` column: PNG and BMP
+    * dimensions parsed at their public fixed offsets (PNG IHDR big-endian,
+    * BMP info-header little-endian) in pure JVM byte arithmetic — no codec
+    * dependency — batched per partition exactly like [[decodeFeatures]], so
+    * swapping in a full pixel decoder keeps the same plumbing. Unknown
+    * formats fall through to the disclosed opaque stub (null dims) instead
+    * of failing the batch.
+    */
+  def decodeDims(docs: DataFrame, batchSize: Int = 64): Dataset[DecodedDims] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (fmt, w, h, d) = parseHeader(bytes)
+            DecodedDims(id, fmt, w, h, d)
+          }
+        }
+      }
+  }
+
+  /** Pure-byte header parse — PNG: 8-byte signature then IHDR (width BE u32
+    * at 16, height BE u32 at 20, bit depth at 24); BMP: "BM" then width LE
+    * i32 at 18, height LE i32 at 22, bpp LE u16 at 28. Public format
+    * knowledge only (PNG spec §11.2.2, BMP BITMAPINFOHEADER layout).
+    */
+  private[ops] def parseHeader(bytes: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int]) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val isPng = bytes.length >= 25 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+      u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+    val isBmp = !isPng && bytes.length >= 30 && u8(0) == 'B' && u8(1) == 'M'
+    if (isPng) ("png", Some(be32(16)), Some(be32(20)), Some(u8(24)))
+    else if (isBmp) ("bmp", Some(le32(18)), Some(le32(22)), Some(le16(28)))
+    else ("opaque", None, None, None)
   }
 
   /** "Frame sampling" over a binary payload: every k-th fixed-size chunk —

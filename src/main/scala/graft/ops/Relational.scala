@@ -554,19 +554,142 @@ object Relational {
     * hash joins at any scale.
     */
   def existsSubquery(spark: SparkSession, supplier: DataFrame,
-                     li: DataFrame): DataFrame = {
-    supplier.createOrReplaceTempView("g_ex_supplier")
-    li.createOrReplaceTempView("g_ex_lineitem")
-    spark.sql(
-      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
-        |FROM g_ex_supplier s
-        |WHERE EXISTS (SELECT 1 FROM g_ex_lineitem l
-        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
-        |  AND NOT EXISTS (SELECT 1 FROM g_ex_lineitem l
-        |                  WHERE l.l_suppkey = s.s_suppkey
-        |                    AND l.l_returnflag = 'R'
-        |                    AND l.l_quantity >= 48 AND l.l_discount > 0.08)
-        |ORDER BY s_suppkey""".stripMargin)
+                     li: DataFrame): DataFrame =
+    withTempViews(spark, "g_ex_supplier" -> supplier, "g_ex_lineitem" -> li) {
+      case Seq(sup, lin) =>
+        spark.sql(
+          s"""SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+             |FROM $sup s
+             |WHERE EXISTS (SELECT 1 FROM $lin l
+             |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+             |  AND NOT EXISTS (SELECT 1 FROM $lin l
+             |                  WHERE l.l_suppkey = s.s_suppkey
+             |                    AND l.l_returnflag = 'R'
+             |                    AND l.l_quantity >= 48 AND l.l_discount > 0.08)
+             |ORDER BY s_suppkey""".stripMargin)
+    }
+
+  /** NOT IN against a NULLABLE subquery — the three-valued-logic trap,
+    * surfaced instead of stumbled into. `x NOT IN (rhs)` is never TRUE when
+    * `rhs` contains a NULL (x <> NULL is UNKNOWN, and the conjunction
+    * poisons every row), so a raw NOT IN filter over a nullable rhs
+    * silently selects NOTHING — `n_not_in_raw` pins that at 0 — while the
+    * null-stripped rewrite (`n_not_in_clean`) is the anti-join a production
+    * pipeline should write, and `n_in` + `n_not_in_clean` partitions the
+    * customers exactly. All three variants live in FILTER context, where
+    * Catalyst plans the raw predicate as a NULL-AWARE anti join (single-key
+    * NAAJ on a broadcast hash relation, not a nested-loop) and the clean
+    * one as a plain LeftAnti — hash joins at any scale, no cartesian
+    * (PlanGuard). Filter context is deliberate: Spark's projection-context
+    * IN-subquery rewrite (ExistenceJoin) collapses UNKNOWN to FALSE, so a
+    * CASE over the predicate could not distinguish the outcomes — in a
+    * filter, UNKNOWN and FALSE both drop the row and every engine agrees.
+    */
+  def notInSubquery(spark: SparkSession, customer: DataFrame,
+                    orders: DataFrame): DataFrame =
+    withTempViews(spark, "g_ni_customer" -> customer, "g_ni_orders" -> orders) {
+      case Seq(cus, ord) =>
+        spark.sql(
+          s"""WITH nullable_rhs AS (
+             |  SELECT CASE WHEN o_orderpriority <> '1-URGENT'
+             |              THEN o_custkey END AS k
+             |  FROM $ord WHERE o_orderstatus = 'F'),
+             |base AS (
+             |  SELECT c_mktsegment, count(*) AS n_customers
+             |  FROM $cus GROUP BY c_mktsegment),
+             |raw AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM $cus
+             |  WHERE c_custkey NOT IN (SELECT k FROM nullable_rhs)
+             |  GROUP BY c_mktsegment),
+             |inn AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM $cus
+             |  WHERE c_custkey IN (SELECT k FROM nullable_rhs)
+             |  GROUP BY c_mktsegment),
+             |clean AS (
+             |  SELECT c_mktsegment, count(*) AS n
+             |  FROM $cus
+             |  WHERE c_custkey NOT IN
+             |    (SELECT k FROM nullable_rhs WHERE k IS NOT NULL)
+             |  GROUP BY c_mktsegment)
+             |SELECT b.c_mktsegment, b.n_customers,
+             |  coalesce(raw.n, 0) AS n_not_in_raw,
+             |  coalesce(inn.n, 0) AS n_in,
+             |  coalesce(clean.n, 0) AS n_not_in_clean
+             |FROM base b
+             |LEFT JOIN raw ON raw.c_mktsegment = b.c_mktsegment
+             |LEFT JOIN inn ON inn.c_mktsegment = b.c_mktsegment
+             |LEFT JOIN clean ON clean.c_mktsegment = b.c_mktsegment
+             |ORDER BY b.c_mktsegment""".stripMargin)
+    }
+
+  /** Correlated scalar aggregates in the SELECT list — one subquery per
+    * output column, decorrelated by Catalyst into outer joins against
+    * pre-grouped aggregates (no per-row re-execution at any scale). The two
+    * columns pin the two empty-group semantics an engine must keep apart:
+    * correlated COUNT over an empty group is 0 (the classic decorrelation
+    * "COUNT bug" — a naive outer-join rewrite yields NULL), while SUM over
+    * the same empty group IS NULL, surfaced via coalesce to -1. Money is
+    * summed in exact integer cents so both engines agree bit-for-bit.
+    */
+  def scalarAggSubquery(spark: SparkSession, supplier: DataFrame,
+                        li: DataFrame): DataFrame =
+    withTempViews(spark, "g_sa_supplier" -> supplier, "g_sa_lineitem" -> li) {
+      case Seq(sup, lin) =>
+        spark.sql(
+          s"""SELECT s_suppkey, s_name,
+             |  (SELECT count(*) FROM $lin l
+             |   WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49) AS n_big,
+             |  coalesce(
+             |    (SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             |     FROM $lin l
+             |     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49),
+             |    -1) AS big_cents
+             |FROM $sup s
+             |ORDER BY s_suppkey""".stripMargin)
+    }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — top-3 highest-value
+    * lines per supplier, written as the "for each row, run this subquery"
+    * shape analysts reach for. Catalyst decorrelates the lateral limit into
+    * a per-key window ranking (DecorrelateInnerQuery), so the plan is one
+    * shuffle on `l_suppkey` + one ranked filter — never a per-supplier
+    * re-scan and never a cartesian (PlanGuard pins it). Values are exact
+    * integer cents; ties broken by orderkey so the cut is total-ordered.
+    */
+  def lateralTopPerKey(spark: SparkSession, supplier: DataFrame,
+                       li: DataFrame): DataFrame =
+    withTempViews(spark, "g_lt_supplier" -> supplier, "g_lt_lineitem" -> li) {
+      case Seq(sup, lin) =>
+        spark.sql(
+          s"""SELECT s.s_suppkey, t.l_orderkey, t.cents
+             |FROM $sup s,
+             |LATERAL (
+             |  SELECT l_orderkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM $lin l
+             |  WHERE l.l_suppkey = s.s_suppkey
+             |  ORDER BY cents DESC, l_orderkey
+             |  LIMIT 3) t
+             |ORDER BY s.s_suppkey, t.cents DESC, t.l_orderkey""".stripMargin)
+    }
+
+  /** Register frames as UNIQUELY-NAMED session temp views for the scope of
+    * `body`, then drop them. SQL-front-end operators need views to name
+    * their inputs, but a FIXED view name clobbers any same-named user view
+    * and races concurrent calls in one session; a per-call unique suffix
+    * makes registration collision-free, and dropping after analysis is safe
+    * because `spark.sql` resolves views EAGERLY — the returned frame holds
+    * the resolved subtree, not the view reference.
+    */
+  private def withTempViews(spark: SparkSession, frames: (String, DataFrame)*)
+                           (body: Seq[String] => DataFrame): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val named = frames.map { case (n, df) => (s"${n}_$tag", df) }
+    named.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try body(named.map(_._1))
+    finally named.foreach { case (n, _) => spark.catalog.dropTempView(n) }
   }
 
   /** Schema-evolution union: a v1 extract (no priority column) unioned BY

@@ -345,9 +345,13 @@ object TextOps {
   def duplicateBlocks(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
     val blocks = docs
       .withColumn("toks", tokens(col("text")))
+      // empty docs emit NO blocks: sequence(0, -1) DESCENDS in Spark, so an
+      // unguarded transform would fabricate phantom indices [0, -1] with
+      // md5('') fingerprints — the guard matches DuckDB range(0, n)
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
-           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens))))""".stripMargin))
+        s"""CASE WHEN size(toks) = 0 THEN CAST(array() AS array<string>)
+           |ELSE transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
+           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))) END""".stripMargin))
         .as(Seq("block_idx", "block_fp")))
     val w = Window.partitionBy(col("block_fp")).orderBy(col("doc_id"), col("block_idx"))
     blocks.withColumn("rn", row_number().over(w))
@@ -376,9 +380,13 @@ object TextOps {
   def rewriteDedupBlocks(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
     val blocks = docs
       .withColumn("toks", tokens(col("text")))
+      // empty docs emit NO blocks: sequence(0, -1) DESCENDS in Spark, so an
+      // unguarded transform would fabricate phantom indices [0, -1] with
+      // md5('') fingerprints — the guard matches DuckDB range(0, n)
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
-           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens))))""".stripMargin))
+        s"""CASE WHEN size(toks) = 0 THEN CAST(array() AS array<string>)
+           |ELSE transform(sequence(0, CAST(floor((size(toks) - 1) / $blockTokens) AS INT)),
+           |  i -> md5(concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))) END""".stripMargin))
         .as(Seq("block_idx", "block_fp")))
     val w = Window.partitionBy(col("block_fp")).orderBy(col("doc_id"), col("block_idx"))
     val losers = blocks
@@ -643,11 +651,15 @@ object TextOps {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25Search needs at least one query term")
     val qterms = query.distinct // dup terms are one column (and one score term)
-    def tfc(t: String): Column = col(s"tf_$t")
+    // per-term columns are indexed tf_0..tf_n, NOT tf_<term>: a raw term
+    // containing '.', '`' or other resolver metacharacters would break
+    // col() at analysis time if spliced into a column name
+    val ti = qterms.indices
+    def tfc(i: Int): Column = col(s"tf_$i")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val perDoc = toks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("dl"),
-      qterms.map(t => count(when(col("token") === t, 1)).as(s"tf_$t")): _*)
+      ti.map(i => count(when(col("token") === qterms(i), 1)).as(s"tf_$i")): _*)
       // the stats aggregate and the scoring scan both read this: pin it so
       // the corpus explode+aggregate runs once (it is |docs| numeric rows,
       // tiny next to the corpus it summarizes)
@@ -657,20 +669,20 @@ object TextOps {
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl") +:
-        qterms.map(t => count(when(tfc(t) > 0, 1)).as(s"df_$t")): _*)
-    def idf(t: String): Column =
-      log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
-    def w(t: String): Column =
-      idf(t) * (tfc(t) * lit(k1 + 1)) /
-        (tfc(t) + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+        ti.map(i => count(when(tfc(i) > 0, 1)).as(s"df_$i")): _*)
+    def idf(i: Int): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+    def w(i: Int): Column =
+      idf(i) * (tfc(i) * lit(k1 + 1)) /
+        (tfc(i) + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     // tf=0 terms contribute exactly 0 to the sum, so no per-term filter
     val scored = perDoc
       .crossJoin(broadcast(stats))
       .withColumn("n_matched",
-        qterms.map(t => (tfc(t) > 0).cast("long")).reduce(_ + _))
+        ti.map(i => (tfc(i) > 0).cast("long")).reduce(_ + _))
       .filter(col("n_matched") > 0)
       .withColumn("score",
-        floor(qterms.map(w).reduce(_ + _) * 10000 + 0.5) / 10000)
+        floor(ti.map(w).reduce(_ + _) * 10000 + 0.5) / 10000)
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))

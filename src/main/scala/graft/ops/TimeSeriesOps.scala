@@ -285,9 +285,12 @@ object TimeSeriesOps {
     * matrix-power table (graph-metadata scale: `maxLen` rows of four
     * doubles), and ONE aggregation per series. No per-step shuffle, no
     * driver loop over the data: a 100 TB fact table forecasts per-key with
-    * the same two exchanges as any windowed aggregate. Series longer than
-    * `maxLen` fail loudly in-plan (the EWMA guard pattern) rather than
-    * silently losing their oldest terms to the join.
+    * the same two exchanges as any windowed aggregate. The effective series
+    * limit is `maxLen + 1` observations — the k = 0..maxLen power table
+    * covers the seed term A^{T−1} and every Σ term A^{T−i} (i ≥ 2) exactly
+    * up to T = maxLen + 1; longer series fail loudly in-plan (the EWMA
+    * guard pattern) rather than silently losing their oldest terms to the
+    * join.
     *
     * Seeds: l_1 = x_1, b_1 = x_2 − x_1 (standard). Demonstrated over the
     * per-priority monthly order-revenue series (exact integer cents, so the

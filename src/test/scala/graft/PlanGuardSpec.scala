@@ -321,6 +321,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(a == b, s"gating changed results: ${(a -- b) ++ (b -- a)}")
   }
 
+  test("edit-distance profile broadcast is BYTE-gated: a tiny cap closes it, results identical") {
+    val docs = Tables.documents(spark, sfDir)
+    // a 1-byte cap is always exceeded by the measured cached size — the
+    // wide profile frame must then reach the pair joins UNHINTED
+    val gated = graft.ops.DedupOps.editDistancePairs(docs, maxBroadcastProfileBytes = 1L)
+    val hinted = graft.ops.DedupOps.editDistancePairs(docs)
+    val logical = gated.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      s"byte-gated plan still carries a broadcast hint:\n$logical")
+    // under the default 128 MiB cap this sf's profile measures small, so
+    // the hint must fire — proves the measurement reads real cached bytes
+    val hintedLogical = hinted.queryExecution.optimizedPlan.toString
+    assert(hintedLogical.contains("strategy=broadcast"),
+      "default byte cap failed to broadcast a tiny profile frame")
+    val a = gated.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, s"byte gating changed results: ${(a -- b) ++ (b -- a)}")
+    assert(a.nonEmpty, "fixture must be non-degenerate")
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to one semi + one anti join, no cartesian") {
     val plan = executedPlan("rel_exists_subquery")
     assert(plan.contains("LeftSemi"),
@@ -329,6 +349,31 @@ class PlanGuardSpec extends SparkSpec {
       s"NOT EXISTS did not decorrelate to an anti join:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"correlated subquery fell back to a cartesian:\n$plan")
+  }
+
+  test("NOT IN / correlated-select-agg / LATERAL decorrelate: no cartesian, no nested loop") {
+    // the raw NOT-IN-over-nullable-rhs branch must plan as a single-key
+    // NULL-AWARE anti join (NAAJ on a broadcast hash relation) — the only
+    // scalable physical shape for 3VL NOT IN
+    // (the isNullAwareAntiJoin flag is the trailing boolean in
+    // BroadcastHashJoinExec's argument string in this Spark version)
+    val raw = executedPlan("rel_not_in_subquery")
+    assert(raw.contains("LeftAnti, BuildRight, true"),
+      s"raw NOT IN did not plan as a null-aware anti join:\n$raw")
+    Seq("rel_not_in_subquery", "rel_correlated_select_agg", "rel_lateral_topk")
+      .foreach { q =>
+        val p = executedPlan(q)
+        assert(!p.contains("CartesianProduct"), s"$q fell back to a cartesian:\n$p")
+        assert(!p.contains("BroadcastNestedLoop"),
+          s"$q planned a nested-loop join:\n$p")
+      }
+    // LATERAL ... ORDER BY ... LIMIT must decorrelate to a per-key window
+    // rank — one shuffle on the correlation key, never a per-row re-scan
+    // WindowGroupLimit = the rank-limit pushdown: partial top-3 per key
+    // BEFORE the shuffle, so the exchange moves at most 3 rows per key
+    val lat = executedPlan("rel_lateral_topk")
+    assert(lat.contains("WindowGroupLimit"),
+      s"LATERAL LIMIT did not decorrelate to a pushed-down window rank:\n$lat")
   }
 
   test("rewrite dedup: winner election shuffles fingerprints; text moves at most once") {

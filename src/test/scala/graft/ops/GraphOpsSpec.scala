@@ -74,6 +74,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(g, k = 4).collect().isEmpty)
   }
 
+  test("kCore early-exits at the fixpoint: rounds run < budget on a fast-converging graph") {
+    // triangle + one pendant: round 1 drops node 4, the next iteration sees
+    // the survivor count unchanged and stops — 1 executed round against a
+    // budget of 5
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val (hist, roundsRun) = GraphOps.kCoreWithRounds(g, k = 2, rounds = 5)
+    assert(hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(2L -> 3L))
+    assert(roundsRun == 1, s"expected early exit after 1 round, ran $roundsRun")
+  }
+
+  test("kCore convergeToFixpoint peels a chain needing more rounds than the default budget") {
+    // triangle {1,2,3} + pendant chain 3-4-5-6-7-8-9-10: each round removes
+    // exactly one chain tail, so reaching the true 2-core takes 7 peel
+    // rounds — past the default 5-round budget
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L))
+    // the bounded default stops early with chain remnants still attached
+    val bounded = GraphOps.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded != Map(2L -> 3L), s"budgeted peel unexpectedly converged: $bounded")
+    // the convergence loop reaches the true k-core (and reports its depth)
+    val (hist, roundsRun) =
+      GraphOps.kCoreWithRounds(g, k = 2, convergeToFixpoint = true)
+    assert(hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(2L -> 3L))
+    assert(roundsRun == 7, s"expected 7 peel rounds, ran $roundsRun")
+  }
+
   test("orderPartEdges: disjoint parity id spaces, distinct pairs") {
     val li = Seq((1L, 10L), (1L, 10L), (1L, 1010L), (2L, 7L))
       .toDF("l_orderkey", "l_partkey")

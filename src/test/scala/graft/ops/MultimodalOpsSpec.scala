@@ -27,6 +27,58 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(am == bm)
   }
 
+  test("parseHeader reads REAL format bytes: genuine PNG IHDR and BMP info header") {
+    // a real 1920×1080 8-bit truecolor PNG's first 25 bytes, written from
+    // the public spec (signature, IHDR length 13, 'IHDR', BE dims, depth)
+    val png = Array(
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,  // signature
+      0x00, 0x00, 0x00, 0x0D,                        // IHDR length = 13
+      'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x07, 0x80,                        // width 1920 (BE)
+      0x00, 0x00, 0x04, 0x38,                        // height 1080 (BE)
+      0x08).map(_.toByte)                            // bit depth 8
+    assert(MultimodalOps.parseHeader(png) == (("png", Some(1920), Some(1080), Some(8))))
+    // a real 2×3 24bpp BMP header: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    // little-endian throughout
+    val bmp = Array(
+      'B', 'M', 0x46, 0x00, 0x00, 0x00,              // size 70 (LE)
+      0x00, 0x00, 0x00, 0x00, 0x36, 0x00, 0x00, 0x00, // reserved, offset 54
+      0x28, 0x00, 0x00, 0x00,                        // info size 40 (LE)
+      0x02, 0x00, 0x00, 0x00,                        // width 2 (LE)
+      0x03, 0x00, 0x00, 0x00,                        // height 3 (LE)
+      0x01, 0x00, 0x18, 0x00,                        // planes 1, bpp 24 (LE)
+      0x00, 0x00).map(_.toByte)
+    assert(MultimodalOps.parseHeader(bmp) == (("bmp", Some(2), Some(3), Some(24))))
+    // opaque bytes: stub path, null dims
+    assert(MultimodalOps.parseHeader("not media".getBytes) ==
+      (("opaque", None, None, None)))
+  }
+
+  test("attachMediaHeader → decodeDims round-trips dims through real byte parsing") {
+    val decoded = MultimodalOps.decodeDims(
+        MultimodalOps.attachMediaHeader(docs), batchSize = 16)
+      .collect().map(d => d.doc_id -> d).toMap
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySource.values.exists(_ == "src0") && bySource.values.exists(_ == "src1"),
+      "fixture must cover png AND bmp sources")
+    bySource.foreach { case (id, src) =>
+      val d = decoded(id)
+      src match {
+        case "src0" =>
+          assert(d.format == "png" && d.width == Some((id % 640 + 1).toInt)
+            && d.height == Some((id % 480 + 1).toInt)
+            && d.bit_depth == Some(if (id % 2 == 0) 8 else 16), s"doc $id: $d")
+        case "src1" =>
+          assert(d.format == "bmp" && d.width == Some((id % 640 + 1).toInt)
+            && d.height == Some((id % 480 + 1).toInt)
+            && d.bit_depth == Some(if (id % 2 == 0) 24 else 32), s"doc $id: $d")
+        case _ =>
+          assert(d.format == "opaque" && d.width.isEmpty, s"doc $id: $d")
+      }
+    }
+  }
+
   test("sampleChunks: every 4th 16-byte chunk is sampled") {
     val rows = MultimodalOps.sampleChunks(docs).collect()
     assert(rows.forall { r =>

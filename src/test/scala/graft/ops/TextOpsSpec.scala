@@ -216,6 +216,37 @@ class TextOpsSpec extends SparkSpec {
       s"term saturation missing: ${single(1L)} vs 4x${single(2L)}")
   }
 
+  test("bm25: query terms with resolver metacharacters resolve (indexed tf columns)") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark merge"), (2L, "other words here"))
+      .toDF("doc_id", "text")
+    // '.', backtick, '*' in a term must not break col() resolution — the
+    // per-term columns are tf_0..tf_n, never spliced from the raw term
+    val rows = TextOps.bm25Search(docs, Seq("a.b", "we`ird", "spark", "*"))
+      .collect().map(r => r.getLong(1))
+    assert(rows.toSeq == Seq(1L), "only the doc matching the plain term ranks")
+  }
+
+  test("block dedup: empty-text docs pin to ONE empty block (cross-engine), no descent") {
+    import spark.implicits._
+    // tokens('') is [''] (size 1) in Spark AND DuckDB (split semantics), so
+    // an empty doc owns exactly one md5('') block in both engines and two
+    // empty docs are mutual duplicates — pinned here. The size-0 guard in
+    // the block expression is for genuinely empty arrays, where Spark's
+    // sequence(0, -1) would DESCEND into phantom [0, -1] indices while
+    // DuckDB's range(0, 0) is empty.
+    val df = Seq((1L, ""), (2L, "  "), (3L, "w1 w2 w3")).toDF("doc_id", "text")
+    val diag = TextOps.duplicateBlocks(df, blockTokens = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(diag(1L) == (1L, 0L), s"diag: $diag")
+    assert(diag(2L) == (1L, 1L), "second empty doc duplicates the first")
+    assert(diag(3L) == (1L, 0L))
+    val rw = TextOps.rewriteDedupBlocks(df, blockTokens = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rw(1L) == (1, 1) && rw(2L) == (1, 0), s"rewrite: $rw")
+    assert(rw(3L) == (3, 3))
+  }
+
   test("heavy hitters: threshold semantics, not a top-k") {
     import spark.implicits._
     // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly

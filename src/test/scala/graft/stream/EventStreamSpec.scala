@@ -161,7 +161,12 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.count() == totalSessions - nUsers + flushedUsers)
   }
 
-  test("stateful sessionize: idle user flushes on watermark advance and state row is evicted") {
+  /** The sessionize-eviction scenario, factored so it runs unchanged under
+    * BOTH state-store providers — the HDFS-backed default and RocksDB. The
+    * store is an executor-local detail; results, flush timing, and the
+    * post-eviction state row count must be provider-invariant.
+    */
+  private def evictionScenario(queryName: String): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -170,7 +175,7 @@ class EventStreamSpec extends SparkSpec {
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .withColumn("ts_ns", col("ts_us") * 1000L)
     val q = EventStream.statefulSessionize(spark, src)
-      .writeStream.outputMode("append").format("memory").queryName("t_evict").start()
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     val hourUs = 3600L * 1000000L
     // user 1: events at 10:00 and 10:10 — one open session, then idle forever
     mem.addData((1L, 10 * hourUs), (1L, 10 * hourUs + 600L * 1000000L))
@@ -181,7 +186,7 @@ class EventStreamSpec extends SparkSpec {
     // one more batch so the expired timeout is definitely processed
     mem.addData((2L, 14 * hourUs + 60L * 1000000L))
     q.processAllAvailable()
-    val rows = spark.table("t_evict").collect()
+    val rows = spark.table(queryName).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(rows.contains((1L, 2, 600.0)),
       s"idle user's open session must flush on timeout; got $rows")
@@ -191,6 +196,22 @@ class EventStreamSpec extends SparkSpec {
     assert(lastState.numRowsTotal == 1,
       s"expected 1 state row after eviction, got ${lastState.numRowsTotal}")
     q.stop()
+  }
+
+  test("stateful sessionize: idle user flushes on watermark advance and state row is evicted") {
+    evictionScenario("t_evict")
+  }
+
+  test("stateful sessionize is provider-invariant: same scenario green on RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try evictionScenario("t_evict_rocksdb")
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("transformWithState milestones: powers of two emit across batches; 8-byte state") {

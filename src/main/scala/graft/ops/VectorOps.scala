@@ -283,10 +283,21 @@ object VectorOps {
                             nProbe: Int): DataFrame = {
     val dists = cellDistances(emb).select(
       col("vec_id"), col("c_label").as("cell"), col("dist"))
+    // corpus-wide nearest-cell assignment as an AGGREGATE argmin:
+    // min(struct(dist, cell)) is the window's (dist, cell)-ordered rn=1 by
+    // lexicographic struct comparison, but it partial-aggregates map-side —
+    // the exchange carries ONE row per vector instead of one per
+    // (vector, cell), and no per-partition sort runs at all. At corpus
+    // scale that is a narrow combine vs a full-width sort shuffle.
+    val assign = dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+      .select(col("vec_id"), col("mc.cell").as("cell"))
+    // the nProbe-cells-per-QUERY ranking touches only the maxQueryId
+    // subset — a window over a handful of rows is fine there
     val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    val ranked = dists.withColumn("rn", row_number().over(byDist))
-    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
-    val probes = ranked.filter(col("vec_id") < maxQueryId && col("rn") <= nProbe)
+    val probes = dists.filter(col("vec_id") < maxQueryId)
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     probes.join(assign, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -354,11 +365,16 @@ object VectorOps {
     // both sides).
     val seeds = vsub.filter(col("vec_id") < nCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("vsub").as("sub"))
-    val wSeed = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("code"))
+    // nearest-seed assignment as an aggregate argmin (see ivfCandidates):
+    // min over (d, code, vsub) structs — (d, code) is the old window order
+    // and is unique per group, so the trailing vsub payload never decides a
+    // comparison; the exchange shrinks from nCodes rows per (vector,
+    // subspace) to one, combined map-side, sort-free
     val assigned = vsub.join(broadcast(seeds), Seq("m"))
       .withColumn("d", q6(call_function("sq_l2", col("vsub"), col("sub"))))
-      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") === 1)
-      .select(col("m"), col("code"), col("vsub"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"), col("vsub"))).as("mc"))
+      .select(col("m"), col("mc.code").as("code"), col("mc.vsub").as("vsub"))
     val cb = assigned
       .select(col("m"), col("code"), posexplode(col("vsub")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("code"), col("pos"))
@@ -366,12 +382,13 @@ object VectorOps {
       .select(col("m"), col("code"), col("pos"), (floor(col("c") * 10000 + 0.5) / 10000).as("c"))
       .groupBy(col("m"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("sub"))
-    // encode: nearest trained code per (vector, subspace)
-    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("code"))
+    // encode: nearest trained code per (vector, subspace) — same aggregate
+    // argmin; the kept payload is the chosen codebook slice
     val codes = vsub.join(broadcast(cb), Seq("m"))
       .withColumn("d", q6(call_function("sq_l2", col("vsub"), col("sub"))))
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("sub"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"), col("sub"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.sub").as("sub"))
     // reconstruction: chosen codebook slices, concatenated in subspace order
     codes.groupBy(col("vec_id"))
       .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub))), s -> s.sub))")
@@ -484,10 +501,10 @@ object VectorOps {
     * thresholded co-celled pair set.
     */
   def semanticDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val dists = cellDistances(emb)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
-    val assigned = dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"))
+    // aggregate argmin (see ivfCandidates): one row per vector shuffles
+    val assigned = cellDistances(emb).groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("mc"))
+      .select(col("vec_id"), col("mc.c_label").as("cell"))
     // embeddings move once, keyed by cell; within-cell self-join compares
     // co-celled vectors only
     val withCell = emb.join(assigned, Seq("vec_id"))
@@ -509,12 +526,12 @@ object VectorOps {
     * distance computation so both engine sides feed identical inputs into the
     * argmin; distances are quantized before ranking for the same reason.
     */
-  def centroidAssignConfusion(emb: DataFrame): DataFrame = {
-    val dists = cellDistances(emb)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
-    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("true_label"), col("c_label").as("assigned"))
+  def centroidAssignConfusion(emb: DataFrame): DataFrame =
+    // aggregate argmin per vector (true_label is constant per vec_id, so it
+    // rides the group key), then the tiny label × cell confusion rollup
+    cellDistances(emb).groupBy(col("vec_id"), col("true_label"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("mc"))
+      .groupBy(col("true_label"), col("mc.c_label").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
-  }
 }

@@ -562,6 +562,39 @@ object SparkEntry {
              |  LIMIT 3) t
              |ORDER BY s.s_suppkey, t.cents DESC, t.l_orderkey""".stripMargin)),
 
+    // TPC-H Q13-shaped: LEFT join keeps zero-order customers at count 0,
+    // then the order-count histogram — the classic outer-join-then-agg
+    Q("rel_order_count_distribution",
+      (s, d) => Relational.customerOrderDistribution(customer(s, d), orders(s, d)),
+      Some("""WITH pc AS (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |SELECT c_count, count(*) AS custdist
+             |FROM pc GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // SQL PIVOT: segment × priority revenue matrix in exact integer cents;
+    // Catalyst rewrites the pivot to the same five conditional sums the
+    // oracle states (DuckDB sum(BIGINT) is HUGEINT — cast back)
+    Q("rel_pivot_segment_priority",
+      (s, d) => Relational.pivotSegmentPriority(s, customer(s, d), orders(s, d)),
+      Some("""SELECT c_mktsegment,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS urgent,
+             |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS high,
+             |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS medium,
+             |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS unspec,
+             |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS low
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // schema-evolution union: v1 extract has no priority column, v2 does;
     // unionByName(allowMissingColumns) null-fills — UNION ALL BY NAME twin
     Q("rel_union_by_name",
@@ -2120,6 +2153,82 @@ object SparkEntry {
               |  -- Spark's concat_ws: align the all-duplicates case
               |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_fp
               |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // BPE merge learning (tokenizer training): 5 merge rounds over the
+    // word-frequency table; oracle unrolls the identical rounds — pair
+    // counting via list_zip, argmax by (cnt DESC, pair ASC), greedy
+    // left-to-right merge via list_reduce over space-joined symbols
+    Q("txt_bpe_merges",
+      (s, d) => TextOps.bpeMerges(documents(s, d)),
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""p$r AS (
+             |  SELECT z[1] AS p1, z[2] AS p2, sum(freq) AS cnt
+             |  FROM (SELECT freq, unnest(list_zip(syms[:-1], syms[2:])) AS z
+             |        FROM s${r - 1})
+             |  WHERE z[2] IS NOT NULL
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt
+             |  FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+             |s$r AS (
+             |  SELECT freq, string_split(list_reduce(syms,
+             |    (acc, x) -> CASE
+             |      WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+             |  FROM s${r - 1}, b$r b)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to 5)
+          .map(r => s"SELECT $r AS round, p1, p2, p1 || p2 AS merged, cnt FROM b$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH w AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($DuckToks) AS word FROM documents)
+           |  WHERE length(word) > 0 GROUP BY word),
+           |s0 AS (
+           |  SELECT freq,
+           |    [substring(word, CAST(i AS INTEGER), 1)
+           |     FOR i IN range(1, length(word) + 1)] AS syms
+           |  FROM w),
+           |$rounds
+           |$union
+           |ORDER BY round""".stripMargin
+      }),
+
+    // the vocabulary the 5 learned merges produce: every surviving subword
+    // symbol with its frequency-weighted count — the oracle replays the
+    // full training unroll and tallies the final segmentation
+    Q("txt_bpe_vocab",
+      (s, d) => TextOps.bpeVocab(documents(s, d)),
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""p$r AS (
+             |  SELECT z[1] AS p1, z[2] AS p2, sum(freq) AS cnt
+             |  FROM (SELECT freq, unnest(list_zip(syms[:-1], syms[2:])) AS z
+             |        FROM s${r - 1})
+             |  WHERE z[2] IS NOT NULL
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT p1, p2 FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+             |s$r AS (
+             |  SELECT freq, string_split(list_reduce(syms,
+             |    (acc, x) -> CASE
+             |      WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+             |  FROM s${r - 1}, b$r b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($DuckToks) AS word FROM documents)
+           |  WHERE length(word) > 0 GROUP BY word),
+           |s0 AS (
+           |  SELECT freq,
+           |    [substring(word, CAST(i AS INTEGER), 1)
+           |     FOR i IN range(1, length(word) + 1)] AS syms
+           |  FROM w),
+           |$rounds
+           |SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+           |FROM (SELECT freq, unnest(syms) AS sym FROM s5)
+           |GROUP BY sym ORDER BY n DESC, sym LIMIT 30""".stripMargin
+      }),
 
     // concatenate-and-cut sequence packing: integer-exact running totals,
     // docs straddle sequence boundaries like real pretraining packing

@@ -675,6 +675,50 @@ object Relational {
              |ORDER BY s.s_suppkey, t.cents DESC, t.l_orderkey""".stripMargin)
     }
 
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join
+    * customers to their non-urgent orders — the outer join is load-bearing,
+    * it keeps zero-order customers in the population at count 0 — then the
+    * histogram of per-customer counts. Both aggregations combine map-side;
+    * the join is the only wide exchange, and at scale it hash-partitions on
+    * the customer key like any fact-dimension edge. Ties in the histogram
+    * ordering are broken by the (unique) count value, so the output order
+    * is total.
+    */
+  def customerOrderDistribution(customer: DataFrame,
+                                orders: DataFrame): DataFrame = {
+    val sel = orders.filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    customer.select(col("c_custkey"))
+      .join(sel, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips null → 0
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** SQL PIVOT through the front-end: revenue (exact integer cents) per
+    * market segment spread across the five order priorities as columns —
+    * the reshape every BI handoff asks for. The pivot IN-list is explicit,
+    * so this is one hash aggregate with five conditional sums (Catalyst
+    * rewrites PIVOT to exactly the CASE-WHEN aggregation the oracle
+    * states); ≤ |segments| output rows at any scale.
+    */
+  def pivotSegmentPriority(spark: SparkSession, customer: DataFrame,
+                           orders: DataFrame): DataFrame =
+    withTempViews(spark, "g_pv_customer" -> customer, "g_pv_orders" -> orders) {
+      case Seq(cus, ord) =>
+        spark.sql(
+          s"""SELECT * FROM (
+             |  SELECT c_mktsegment,
+             |         o_orderpriority,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM $ord JOIN $cus ON c_custkey = o_custkey)
+             |PIVOT (sum(cents) FOR o_orderpriority IN
+             |  ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+             |   '4-NOT SPECIFIED' AS unspec, '5-LOW' AS low))
+             |ORDER BY c_mktsegment""".stripMargin)
+    }
+
   /** Register frames as UNIQUELY-NAMED session temp views for the scope of
     * `body`, then drop them. SQL-front-end operators need views to name
     * their inputs, but a FIXED view name clobbers any same-named user view

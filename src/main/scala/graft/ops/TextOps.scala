@@ -728,4 +728,84 @@ object TextOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** BPE merge learning — the tokenizer-training primitive (Sennrich et al.
+    * 2016, the subword algorithm behind GPT/Llama vocabularies): starting
+    * from characters, repeatedly find the most frequent adjacent symbol
+    * pair (corpus-frequency-weighted) and fuse it into one symbol, emitting
+    * the learned merge table `(round, p1, p2, merged, pair_count)`.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is touched
+    * ONCE, by the word-frequency aggregate (one shuffle on the word). All
+    * `rounds` iterations run on the VOCABULARY (|distinct words| rows, each
+    * with a freq weight), so per-round cost is one narrow (p1, p2, freq)
+    * pair aggregate — map-side combined — plus a 1-row global argmax
+    * (min over (-cnt, p1, p2) structs: max count, ties to the
+    * lexicographically smallest pair, engine-stable) broadcast back into a
+    * codegen'd left-to-right greedy fold that rewrites each word's symbol
+    * array in place. No driver loop over data, no collect; the word frame
+    * is lineage-cut per round so the plan stays flat.
+    *
+    * The greedy fold merges non-overlapping occurrences left to right
+    * ('a a a' + merge (a,a) → ['aa', 'a']), and a symbol minted this round
+    * never re-pairs within the round — the standard BPE step, replayed
+    * exactly by the oracle's `list_reduce` over space-joined symbols
+    * (symbols contain no spaces: words come from whitespace tokenization).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame =
+    bpeTrain(docs, rounds)._1
+
+  /** The subword VOCABULARY after `rounds` BPE merges: every symbol left in
+    * the segmented corpus with its frequency-weighted occurrence count —
+    * what the trained tokenizer would actually emit, top-`topK` by count
+    * (ties to the lexicographically smaller symbol). Same single corpus
+    * pass + vocabulary-sized rounds as [[bpeMerges]]; the final tally is
+    * one narrow (symbol, freq) aggregate.
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int = 5, topK: Int = 30): DataFrame =
+    bpeTrain(docs, rounds)._2
+      .select(explode(col("syms")).as("sym"), col("freq"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .limit(topK)
+
+  /** Shared BPE training loop: returns (merge table, final segmented
+    * word-frequency frame). See [[bpeMerges]] for the scale shape.
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    var cur = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("freq"), col("syms"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val pairs = cur.filter(size(col("syms")) >= 2)
+        .withColumn("aa", slice(col("syms"), lit(1), size(col("syms")) - 1))
+        .withColumn("bb", expr("slice(syms, 2, size(syms) - 1)"))
+        .select(col("freq"), explode(arrays_zip(col("aa"), col("bb"))).as("z"))
+        .select(col("z.aa").as("p1"), col("z.bb").as("p2"), col("freq"))
+      val best = pairs
+        .groupBy(col("p1"), col("p2")).agg(sum(col("freq")).as("cnt"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("p1"), col("p2"))).as("mb"))
+        .select(col("mb.p1").as("p1"), col("mb.p2").as("p2"),
+          (-col("mb.negc")).as("cnt"))
+        .localCheckpoint()
+      cur = cur
+        .crossJoin(broadcast(best.select(col("p1").as("bp1"), col("p2").as("bp2"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, CAST(array() AS array<string>),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = bp1 AND x = bp2
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(bp1, bp2)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select(col("freq"), col("syms"))
+        .localCheckpoint()
+      best.select(lit(r).as("round"), col("p1"), col("p2"),
+        concat(col("p1"), col("p2")).as("merged"), col("cnt"))
+    }
+    (merges.reduce(_ unionByName _).orderBy(col("round")), cur)
+  }
 }

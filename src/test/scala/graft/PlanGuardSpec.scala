@@ -376,6 +376,17 @@ class PlanGuardSpec extends SparkSpec {
       s"LATERAL LIMIT did not decorrelate to a pushed-down window rank:\n$lat")
   }
 
+  test("per-query top-k windows get rank-limit pushdown (partial top-k before the exchange)") {
+    // row_number().over(query window) + filter(rank <= k) must plan with a
+    // WindowGroupLimit BELOW the exchange: each map task prunes to its own
+    // top-k, so the per-query partition never materializes the full
+    // candidate set in one task — the property that keeps the brute-force
+    // scorers runnable at corpus scale
+    val plan = executedPlan("vec_knn_cosine")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k window lost its rank-limit pushdown:\n$plan")
+  }
+
   test("rewrite dedup: winner election shuffles fingerprints; text moves at most once") {
     val exchanges =
       staticExchanges(SparkEntry.queries("dedup_blocks_rewrite")(spark, sfDir))

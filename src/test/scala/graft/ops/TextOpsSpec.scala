@@ -247,6 +247,39 @@ class TextOpsSpec extends SparkSpec {
     assert(rw(3L) == (3, 3))
   }
 
+  test("BPE merges: the textbook corpus learns es→est→lo→low→ew in order") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.
+    // Hand-derived rounds (max pair count, ties to lexicographic smallest):
+    //   1: (e,s)=9   [newest 6 + widest 3; ties (s,t)=9, (e,s) wins lex]
+    //   2: (es,t)=9
+    //   3: (l,o)=7   [low 5 + lower 2; ties (o,w)=7, (l,o) wins lex]
+    //   4: (lo,w)=7
+    //   5: (e,w)=6   [ties (n,e)=6 and (w,est)=6, (e,w) wins lex]
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L)), s"got ${got.toSeq}")
+  }
+
+  test("BPE merge fold is greedy left-to-right: overlapping pairs don't chain") {
+    import spark.implicits._
+    // 'aaaa' (freq 1): round 1 must merge (a,a) into TWO 'aa' symbols
+    // (non-overlapping), so round 2's best pair is (aa,aa) — a chained
+    // (overlapping) merge would instead see (aa,a) or (aaa,a)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got ${got.toSeq}")
+  }
+
   test("heavy hitters: threshold semantics, not a top-k") {
     import spark.implicits._
     // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly

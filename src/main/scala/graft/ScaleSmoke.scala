@@ -172,6 +172,20 @@ object ScaleSmoke {
       VectorOps.ivfPqAnn(hugeEmb, maxQueryId = 5, k = 5).count() + 500L * emb.count()
     }
 
+    // 7f. BPE merge learning over ~250k documents: the corpus is touched by
+    // ONE word-frequency aggregate; all 5 merge rounds then run on the
+    // VOCABULARY (unchanged by replication — copies multiply freqs, not
+    // distinct words), so 50× the corpus adds only the first aggregate's
+    // cost. The learned merge table must equal the base corpus's.
+    timed("bpe_merges_250k_docs", 50L * docs.count()) {
+      val base = graft.ops.TextOps.bpeMerges(docs).collect()
+        .map(r => (r.getInt(0), r.getString(3))).toSeq
+      val big = graft.ops.TextOps.bpeMerges(bigDocs).collect()
+        .map(r => (r.getInt(0), r.getString(3))).toSeq
+      require(big == base, s"replication changed the merges: $big vs $base")
+      50L * docs.count()
+    }
+
     // 7c. Chunking over ~250k documents: pure per-row fan-out, no shuffle
     // before the count — runs at scan speed.
     timed("chunking_250k_docs", 50L * docs.count()) {

@@ -2261,6 +2261,26 @@ object SparkEntry {
 
     // stable md5-bucket train/val/test split: identical assignment on any
     // engine (first 32 md5 bits mod 100), per-split corpus stats
+    // source-mixing sampler: per-source keep fractions applied via a
+    // salted md5 bucket — src0 upsampled-ish at 90%, src1 kept at 50%,
+    // src2 aggressively cut to 5%, everything else at the 75% default
+    Q("txt_mixing_sample",
+      (s, d) => TextOps.mixingSampleStats(documents(s, d),
+        Map("src0" -> 9000, "src1" -> 5000, "src2" -> 500)),
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 10000 AS bucket,
+             |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 5000
+             |                WHEN 'src2' THEN 500 ELSE 7500 END AS thr
+             |  FROM documents)
+             |SELECT source, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(any_value(thr) AS DOUBLE) / 10000.0 AS target_frac,
+             |  floor(CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS realized_frac
+             |FROM b GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("txt_split_stats",
       (s, d) => TextOps.hashSplitStats(documents(s, d)),
       Some("""WITH b AS (
@@ -2986,6 +3006,70 @@ object SparkEntry {
               |  FROM pairs)
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    // recall@5 of the IVF index vs exact cosine — retrieval quality as a
+    // query; the oracle replays BOTH retrievals and the hit join
+    Q("vec_ann_recall",
+      (s, d) => VectorOps.annRecallAudit(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v,
+              |    label
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, cl.cell,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |r AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              |  FROM d),
+              |assign AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 5 AND rn <= 2),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, a.vec_id
+              |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e2),
+              |ipairs AS (
+              |  SELECT c.query_id, c.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+              |           / (q.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM cand c
+              |  JOIN n q ON q.vec_id = c.query_id
+              |  JOIN n b ON b.vec_id = c.vec_id),
+              |ivf_top AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |    FROM ipairs) WHERE rank <= 5),
+              |xpairs AS (
+              |  SELECT q.vec_id AS query_id, b.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+              |           / (q.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM n q JOIN n b ON b.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 5),
+              |exact_top AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |    FROM xpairs) WHERE rank <= 5)
+              |SELECT x.query_id,
+              |  CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+              |  floor(CAST(count(i.vec_id) AS DOUBLE) / 5 * 10000 + 0.5) / 10000
+              |    AS recall_at_k
+              |FROM exact_top x
+              |LEFT JOIN ivf_top i
+              |  ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+              |GROUP BY x.query_id
+              |ORDER BY x.query_id""".stripMargin)),
 
     // product-quantization ADC: deterministic k-means sub-codebooks (seeds =
     // first-16 vectors' subvectors, one Lloyd iteration, 4dp centroids),

@@ -548,6 +548,38 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** Source-mixing sampler — the data-mixing step a pretraining corpus goes
+    * through: each source carries a target keep fraction (basis points of
+    * 1/10000), and a document survives iff its content-stable md5 bucket
+    * lands under its source's threshold. The draw is salted ('mix:') so it
+    * is independent of the split/sample hashes, reproducible across runs,
+    * engines, and row order, and refreshing the corpus keeps prior
+    * keep/drop decisions stable (the property that lets an incremental
+    * pipeline mix without resampling history). Selection is a per-row hash
+    * compare — zero shuffle until the per-source stats rollup, ≤ |sources|
+    * output rows at any scale. Realized fractions are floor-half-up 4dp.
+    */
+  def mixingSampleStats(docs: DataFrame, keepBp: Map[String, Int],
+                        defaultBp: Int = 7500): DataFrame = {
+    require((defaultBp +: keepBp.values.toSeq).forall(bp => bp >= 0 && bp <= 10000),
+      "keep fractions are basis points in [0, 10000]")
+    def thr = keepBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (src, bp)) => when(col("source") === src, lit(bp)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("kept", (col("bucket") < thr).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("target_frac", thr.cast("double") / 10000.0)
+      .withColumn("realized_frac",
+        floor(col("n_kept").cast("double") / col("n_total") * 10000 + 0.5) / 10000)
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("target_frac"), col("realized_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sample: the first `perGroup` documents per
     * language in md5-of-id order — a "random" sample that is reproducible
     * across runs and engines and stays balanced across strata (a plain

@@ -322,6 +322,27 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k audit of the IVF ANN path against exact brute-force cosine —
+    * retrieval quality as a QUERY, not a one-off spec: per query, how many
+    * of the true top-k the index recovered. This is the continuous health
+    * check a production vector index runs after every (re)build — coarse
+    * centroids drift as the corpus grows, and recall loss shows up here
+    * before users see it. Cost: the two retrieval passes (each already
+    * scale-shaped) plus a join over 2·k·|queries| rows — nothing.
+    */
+  def annRecallAudit(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5): DataFrame = {
+    val exact = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfAnn(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall_at_k",
+        floor(col("n_hits").cast("double") / k * 10000 + 0.5) / 10000)
+      .orderBy(col("query_id"))
+  }
+
   /** Product-quantization ANN (ADC — asymmetric distance computation): the
     * memory-collapse path of a vector index. Each 64-dim vector is split
     * into `nSub` disjoint subspaces; per subspace it stores only the id of

@@ -247,6 +247,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rw(3L) == (3, 3))
   }
 
+  test("mixing sample: basis-point bounds are exact, default applies, draw is deterministic") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val stats = TextOps.mixingSampleStats(docs,
+      Map("src0" -> 10000, "src1" -> 0), defaultBp = 5000)
+    val m = stats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("src0") == ((100L, 100L, 1.0)), s"bp 10000 must keep ALL: $m")
+    assert(m("src1")._2 == 0L && m("src1")._3 == 0.0, s"bp 0 must keep NONE: $m")
+    // src2 rides the 50% default; the hash draw should land near it
+    assert(m("src2")._3 == 0.5)
+    assert(m("src2")._2 > 25L && m("src2")._2 < 75L, s"default draw implausible: $m")
+    // reproducible: an identical second evaluation returns identical rows
+    val again = TextOps.mixingSampleStats(docs,
+      Map("src0" -> 10000, "src1" -> 0), defaultBp = 5000).collect()
+    assert(stats.collect().toSeq == again.toSeq)
+  }
+
   test("BPE merges: the textbook corpus learns es→est→lo→low→ew in order") {
     import spark.implicits._
     // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.

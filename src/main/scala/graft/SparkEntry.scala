@@ -532,17 +532,18 @@ object SparkEntry {
 
     // correlated scalar aggregates in the SELECT list: COUNT over an empty
     // group must decorrelate to 0 (the "COUNT bug"), SUM to NULL (-1 via
-    // coalesce) — exact integer cents, no float drift
+    // coalesce) — exact integer cents, no float drift (DuckDB sum(BIGINT)
+    // is HUGEINT — cast the coalesce back to BIGINT for the comparator)
     Q("rel_correlated_select_agg",
       (s, d) => Relational.scalarAggSubquery(s, supplier(s, d), lineitem(s, d)),
       Some("""SELECT s_suppkey, s_name,
              |  (SELECT count(*) FROM lineitem l
              |   WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49) AS n_big,
-             |  coalesce(
+             |  CAST(coalesce(
              |    (SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
              |     FROM lineitem l
              |     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49),
-             |    -1) AS big_cents
+             |    -1) AS BIGINT) AS big_cents
              |FROM supplier s
              |ORDER BY s_suppkey""".stripMargin)),
 
@@ -2171,11 +2172,12 @@ object SparkEntry {
              |b$r AS (SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt
              |  FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
              |s$r AS (
-             |  SELECT freq, string_split(list_reduce(syms,
-             |    (acc, x) -> CASE
-             |      WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
-             |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
-             |  FROM s${r - 1}, b$r b)""".stripMargin
+             |  SELECT freq, CASE WHEN b.p1 IS NULL THEN syms
+             |    ELSE string_split(list_reduce(syms,
+             |      (acc, x) -> CASE
+             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+             |  FROM s${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
         }.mkString(",\n")
         val union = (1 to 5)
           .map(r => s"SELECT $r AS round, p1, p2, p1 || p2 AS merged, cnt FROM b$r")
@@ -2209,11 +2211,12 @@ object SparkEntry {
              |  GROUP BY 1, 2),
              |b$r AS (SELECT p1, p2 FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
              |s$r AS (
-             |  SELECT freq, string_split(list_reduce(syms,
-             |    (acc, x) -> CASE
-             |      WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
-             |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
-             |  FROM s${r - 1}, b$r b)""".stripMargin
+             |  SELECT freq, CASE WHEN b.p1 IS NULL THEN syms
+             |    ELSE string_split(list_reduce(syms,
+             |      (acc, x) -> CASE
+             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+             |  FROM s${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
         }.mkString(",\n")
         s"""WITH w AS (
            |  SELECT word, count(*) AS freq FROM (

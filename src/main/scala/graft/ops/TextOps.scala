@@ -774,9 +774,19 @@ object TextOps {
     * pair aggregate — map-side combined — plus a 1-row global argmax
     * (min over (-cnt, p1, p2) structs: max count, ties to the
     * lexicographically smallest pair, engine-stable) broadcast back into a
-    * codegen'd left-to-right greedy fold that rewrites each word's symbol
-    * array in place. No driver loop over data, no collect; the word frame
-    * is lineage-cut per round so the plan stays flat.
+    * left-to-right greedy fold (`aggregate()` — a higher-order function,
+    * evaluated via CodegenFallback; at |vocab| rows per round the
+    * interpreted lambda is noise, so a native expression would buy
+    * nothing) that rewrites each word's symbol array in place. No driver
+    * loop over data, no collect; the word frame is lineage-cut per round
+    * so the plan stays flat — the 1-row `best` is NOT checkpointed, it
+    * inlines into the round's broadcast.
+    *
+    * Exhausted rounds (every word fully merged, no adjacent pairs left)
+    * emit NO merge row and leave the segmentation unchanged — the global
+    * argmax over zero pairs yields an all-NULL row that is filtered from
+    * the merge table and no-ops through the fold (NULL never equals a
+    * symbol).
     *
     * The greedy fold merges non-overlapping occurrences left to right
     * ('a a a' + merge (a,a) → ['aa', 'a']), and a symbol minted this round
@@ -824,7 +834,6 @@ object TextOps {
         .agg(min(struct((-col("cnt")).as("negc"), col("p1"), col("p2"))).as("mb"))
         .select(col("mb.p1").as("p1"), col("mb.p2").as("p2"),
           (-col("mb.negc")).as("cnt"))
-        .localCheckpoint()
       cur = cur
         .crossJoin(broadcast(best.select(col("p1").as("bp1"), col("p2").as("bp2"))))
         .withColumn("syms", expr(
@@ -835,8 +844,9 @@ object TextOps {
             |    ELSE concat(acc, array(x)) END)""".stripMargin))
         .select(col("freq"), col("syms"))
         .localCheckpoint()
-      best.select(lit(r).as("round"), col("p1"), col("p2"),
-        concat(col("p1"), col("p2")).as("merged"), col("cnt"))
+      best.filter(col("p1").isNotNull)
+        .select(lit(r).as("round"), col("p1"), col("p2"),
+          concat(col("p1"), col("p2")).as("merged"), col("cnt"))
     }
     (merges.reduce(_ unionByName _).orderBy(col("round")), cur)
   }

@@ -299,6 +299,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got ${got.toSeq}")
   }
 
+  test("BPE exhausted rounds emit no merge row and leave the vocab intact") {
+    import spark.implicits._
+    // 'ab' exhausts after one merge; rounds 2 and 3 find no adjacent pair
+    // and must be silent no-ops (not an all-NULL merge row, and not an
+    // empty segmentation collapsing the vocab tally)
+    val docs = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq((1, "a", "b", 2L)), s"got ${merges.toSeq}")
+    val vocab = TextOps.bpeVocab(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("ab" -> 2L, "c" -> 1L), s"got $vocab")
+    // fully degenerate: single-char words have no pairs from round 1 on
+    val single = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextOps.bpeMerges(single, rounds = 2).count() == 0L)
+  }
+
   test("heavy hitters: threshold semantics, not a top-k") {
     import spark.implicits._
     // 'x' 6/12 tokens (50%), 'y' 4/12 (33.3%), rest below: at φ=30% exactly

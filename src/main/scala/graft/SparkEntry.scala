@@ -1590,6 +1590,29 @@ object SparkEntry {
              |   (SELECT n FROM nonpos) = 0 AND (SELECT n FROM tnull) = 0 AND
              |   (SELECT failing FROM cont) = 0) AS passed""".stripMargin)),
 
+    // SRC5 distributed: the latest-blob argmax (storage/blob.py:43–60) over a
+    // synthetic inventory listing derived from orders — prefix = priority
+    // class, mtime = order date. One map-side-combinable max(struct) per
+    // prefix; scales to a cloud-inventory listing where the driver-side
+    // listStatus argmax cannot.
+    Q("src5_latest_blob",
+      (s, d) => GoldWriter.latestPerPrefix(
+        orders(s, d).select(
+          col("o_orderpriority").as("prefix"),
+          concat(lit("blob/hicp/"), col("o_orderpriority"), lit("/part-"),
+            col("o_orderkey"), lit(".json")).as("path"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("mtime"))),
+      Some("""WITH listing AS (
+             |  SELECT o_orderpriority AS prefix,
+             |    'blob/hicp/' || o_orderpriority || '/part-' || o_orderkey || '.json' AS path,
+             |    epoch_us(o_orderdate) AS mtime
+             |  FROM orders)
+             |SELECT prefix, path AS latest_path, mtime FROM (
+             |  SELECT prefix, path, mtime,
+             |    row_number() OVER (PARTITION BY prefix ORDER BY mtime DESC, path DESC) AS rn
+             |  FROM listing) ranked
+             |WHERE rn = 1 ORDER BY prefix""".stripMargin)),
+
     Q("g2_gold_projection",
       (s, _) => GoldWriter.goldProjection(
           SilverTransform.silver(s, Fixtures.sparseCube,
@@ -1614,8 +1637,9 @@ object SparkEntry {
 
   /** Event-stream operators (batch semantics; streaming variants live in
     * graft.stream and are verified against these in tests). Event-time outputs
-    * are strings of `date_trunc` results because `events.ts` is ns in parquet
-    * (µs in Spark, ns in DuckDB).
+    * are strings of `date_trunc` results so the compare is representation-
+    * independent across engines and parquet timestamp layouts (see
+    * Tables.events for the layout-adaptive ts/ts_ns contract).
     */
   private def eventQueries: Seq[Q] = Seq(
     Q("ev_type_agg",

@@ -19,17 +19,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * to read as a timestamp. Read it as a raw ns long (legacy conf), then
-    * expose BOTH a µs-precision `ts` timestamp (for window/date functions)
-    * and the exact `ts_ns` long (for sub-µs arithmetic like session gaps, and
-    * for bit-exact parity with engines that keep ns).
+  /** Events adapter: downstream operators consume BOTH a timestamp `ts` (for
+    * window/date functions) and an exact ns-epoch long `ts_ns` (for integer
+    * session-gap arithmetic and tie-free ordering). The parquet layout has
+    * shipped in two variants, so detect which one arrived:
+    *
+    *  - `ts` as INT64 TIMESTAMP(NANOS) (legacy): Spark 4 refuses to read it as
+    *    a timestamp, so read it as a raw ns long (legacy conf), keep it as
+    *    `ts_ns`, and rebuild a µs-truncated `ts`.
+    *  - `ts` as plain timestamp[us] (current): keep `ts` (cast NTZ→LTZ, an
+    *    identity under the UTC session timezone every entrypoint sets) and
+    *    derive `ts_ns = unix_micros(ts) * 1000` — still exact, since the data
+    *    has no sub-µs precision.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -27,9 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators pin small reused intermediates; don't let 76 queries'
-      // worth of them accumulate in one session
-      graft.ops.Exec.clearPinned(spark)
+      // operators pin small reused intermediates and memoize checkpointed
+      // frames; don't let 160+ queries' worth accumulate in one session
+      graft.ops.Exec.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

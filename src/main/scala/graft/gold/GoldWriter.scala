@@ -167,6 +167,22 @@ object GoldWriter {
     path
   }
 
+  /** SRC5 as a distributed operator: latest object PER PREFIX from a listing
+    * frame `(prefix, path, mtime)` — the same argmax [[latestPath]] performs
+    * driver-side on one directory, expressed as a single map-side-combinable
+    * `max(struct(mtime, path))` aggregate so a cloud-inventory-scale listing
+    * (10^9 objects, many prefixes) resolves in one shuffle of one narrow row
+    * per prefix. Ties on mtime break to the lexicographically larger path
+    * (deterministic where listing order is not).
+    */
+  def latestPerPrefix(listing: DataFrame): DataFrame =
+    listing
+      .groupBy(col("prefix"))
+      .agg(max(struct(col("mtime"), col("path"))).as("m"))
+      .select(col("prefix"), col("m.path").as("latest_path"),
+        col("m.mtime").as("mtime"))
+      .orderBy(col("prefix"))
+
   /** SRC5: latest object under a prefix by modification time
     * (`storage/blob.py:43–60`) — arg-max over `FileSystem.listStatus`.
     */

@@ -203,6 +203,11 @@ object DedupOps {
     */
   private val pairMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  Exec.registerMemoEvictor("dedup") { () =>
+    pairMemo.values.foreach(Exec.unpersistCheckpointed)
+    pairMemo.clear()
+  }
+
   private def minhashPairsMemo(docs: DataFrame, k: Int, bands: Int,
                                threshold: Double, maxBroadcastCandidates: Long,
                                memoKey: Option[String]): DataFrame =

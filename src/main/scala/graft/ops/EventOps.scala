@@ -139,10 +139,12 @@ object EventOps {
   /** Inter-event arrival-gap statistics per event type — the operational
     * latency profile (is traffic bursty? are heartbeats on schedule?).
     * Gaps are computed per (type, user) with one lag window over the
-    * TRUNCATED-µs timestamp (`ts_ns div 1000` — integer division, exactly
-    * the ns→µs truncation DuckDB's parquet reader applies, verified
-    * empirically), so ordering, gaps, and the interpolated percentiles are
-    * integer-exact in both engines; gap magnitudes sit far inside 2^53
+    * µs timestamp (`ts_ns div 1000`): under the legacy INT64-ns parquet
+    * layout this integer division is exactly the ns→µs truncation DuckDB's
+    * reader applies (verified empirically); under the current timestamp[us]
+    * layout it is lossless (ts_ns is µs-precision ns, see Tables.events).
+    * Either way ordering, gaps, and the interpolated percentiles are
+    * integer-exact in both engines, and gap magnitudes sit far inside 2^53
     * where the raw epoch values do not. One window shuffle on
     * (type, user), one per-type aggregate.
     */

@@ -63,4 +63,40 @@ object Exec {
     */
   def clearPinned(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sharedState.cacheManager.clearCache()
+
+  /** Operator families with session-scoped memo maps (GraphOps, DedupOps)
+    * register an evictor here at object init. The maps hold
+    * `localCheckpoint`ed frames, which live OUTSIDE the cacheManager —
+    * [[clearPinned]] deliberately leaves them warm (the bench reuses them
+    * across passes), so without an eviction path they pin executor blocks
+    * for the application lifetime.
+    */
+  private val memoEvictors =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+
+  def registerMemoEvictor(name: String)(f: () => Unit): Unit =
+    memoEvictors.put(name, () => f())
+
+  /** Drop the RDD blocks behind a `localCheckpoint`ed frame. After this the
+    * frame is dead (localCheckpoint truncates lineage, so the blocks ARE the
+    * data) — callers must also drop every reference to it.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Full between-queries cleanup: memo maps, pinned plans, and every
+    * persisted RDD block (the sweep catches localCheckpoint blocks that
+    * [[clearPinned]]'s cacheManager clear cannot see). The long-lived-
+    * session entry points that run MANY unrelated queries (Verify, a
+    * notebook loop) call this; the bench intentionally calls only
+    * [[clearPinned]] so its per-query memos stay warm across passes.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    memoEvictors.values.foreach(f => f())
+    clearPinned(spark)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

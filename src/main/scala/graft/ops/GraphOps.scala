@@ -45,6 +45,19 @@ object GraphOps {
   private val orientMemo =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
+  Exec.registerMemoEvictor("graph") { () =>
+    orientMemo.values.foreach { case (o, d) =>
+      Exec.unpersistCheckpointed(o); Exec.unpersistCheckpointed(d)
+    }
+    orientMemo.clear()
+    prMemo.values.foreach { case (wd, dg, _) =>
+      Exec.unpersistCheckpointed(wd); Exec.unpersistCheckpointed(dg)
+    }
+    prMemo.clear()
+    kcoreMemo.values.foreach(Exec.unpersistCheckpointed)
+    kcoreMemo.clear()
+  }
+
   /** Degree-ordered orientation: each undirected edge directed from its
     * lower-degree endpoint (ties: lower id), which bounds every wedge-join
     * fan-out by O(sqrt(|E|)) per node instead of the max raw degree — the
@@ -294,10 +307,17 @@ object GraphOps {
         val keep =
           if (nSurvivors <= maxBroadcastSurvivors) broadcast(keepPinned)
           else keepPinned
-        e = e
+        val filtered = e
           .join(keep.withColumnRenamed("x", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("x", "b"), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint() // eager: materializes before the unpersists below
+        // this round's survivor set and the superseded edge checkpoint are
+        // both dead now — release their blocks instead of letting a deep
+        // peel chain accumulate one |E'|-frame per round (the memoized
+        // round-0 frame stays pinned: later runs reuse it)
+        keepPinned.unpersist()
+        if (roundsRun > 0 || memoKey.isEmpty) Exec.unpersistCheckpointed(e)
+        e = filtered
         prevSurvivors = nSurvivors
         roundsRun += 1
       }

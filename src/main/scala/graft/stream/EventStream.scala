@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the events parquet as read with nanosAsLong (ts is raw ns). */
+  /** Schema of the events parquet (ts is timestamp[us]; read as LTZ under the
+    * UTC session timezone every entrypoint sets).
+    */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -29,16 +31,14 @@ object EventStream {
 
   /** Streaming source over a directory of event parquet files. The glob keeps
     * it pointed at the events table when the directory holds other tables.
+    * Mirrors `Tables.events`: exposes `ts` plus the exact ns-epoch `ts_ns`.
     */
-  def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(EventsSchema)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-  }
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
 
   /** Tumbling 1-hour counts with a 1-hour watermark (append-able, bounded
     * state). Mirrors EventOps.hourlyTumbling.

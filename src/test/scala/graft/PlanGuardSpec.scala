@@ -354,12 +354,16 @@ class PlanGuardSpec extends SparkSpec {
   test("NOT IN / correlated-select-agg / LATERAL decorrelate: no cartesian, no nested loop") {
     // the raw NOT-IN-over-nullable-rhs branch must plan as a single-key
     // NULL-AWARE anti join (NAAJ on a broadcast hash relation) — the only
-    // scalable physical shape for 3VL NOT IN
-    // (the isNullAwareAntiJoin flag is the trailing boolean in
-    // BroadcastHashJoinExec's argument string in this Spark version)
-    val raw = executedPlan("rel_not_in_subquery")
-    assert(raw.contains("LeftAnti, BuildRight, true"),
-      s"raw NOT IN did not plan as a null-aware anti join:\n$raw")
+    // scalable physical shape for 3VL NOT IN. Assert the typed node fields,
+    // not the toString (whose argument order is Spark-version-specific).
+    val naajNodes = staticPlan(SparkEntry.queries("rel_not_in_subquery")(spark, sfDir))
+      .collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+            j.isNullAwareAntiJoin => j
+      }
+    assert(naajNodes.nonEmpty,
+      s"raw NOT IN did not plan as a null-aware anti join:\n${executedPlan("rel_not_in_subquery")}")
     Seq("rel_not_in_subquery", "rel_correlated_select_agg", "rel_lateral_topk")
       .foreach { q =>
         val p = executedPlan(q)

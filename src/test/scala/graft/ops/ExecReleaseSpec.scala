@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Lifecycle guard for the session-scoped memos: operator families memoize
+  * `localCheckpoint`ed frames (GraphOps orient/pagerank/kcore, DedupOps LSH
+  * pairs), which live OUTSIDE the cacheManager — so `clearPinned` alone would
+  * retain their executor blocks for the application lifetime. `releaseAll`
+  * must evict the memo maps AND drop every persisted block, or a long-lived
+  * session (Verify's 160+ queries, a notebook) leaks storage round over round.
+  */
+class ExecReleaseSpec extends SparkSpec {
+
+  test("releaseAll evicts memoized checkpoint frames: zero persistent RDDs survive") {
+    import spark.implicits._
+    val edges = (1 to 400)
+      .map(i => (i.toLong, 1000L + (i % 60).toLong))
+      .toDF("a", "b")
+
+    // populate all three GraphOps memo maps plus per-query persist() pins
+    GraphOps.kCore(edges, 2, rounds = 3, memoKey = Some("leak-spec")).collect()
+    GraphOps.triangleCount(edges, memoKey = Some("leak-spec")).collect()
+    GraphOps.pageRank(edges, iters = 1, memoKey = Some("leak-spec")).collect()
+
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "fixture should have left memoized checkpoint blocks pinned")
+
+    Exec.releaseAll(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"leaked RDD blocks after releaseAll: ids=${leaked.keys.toSeq.sorted}")
+
+    // memos were evicted, not just unpersisted: a re-run rebuilds and still answers
+    val again = GraphOps.triangleCount(edges, memoKey = Some("leak-spec")).collect()
+    assert(again.nonEmpty, "post-eviction re-run must rebuild the memo and succeed")
+    Exec.releaseAll(spark)
+  }
+
+  test("kCore peel releases per-round survivor and edge frames (non-converged path)") {
+    import spark.implicits._
+    // a peel that runs >1 round and does NOT converge within budget
+    val chain = (1 to 300).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GraphOps.kCore(chain, 2, rounds = 3).collect()
+    val after = spark.sparkContext.getPersistentRDDs.filterNot {
+      case (id, _) => before.contains(id)
+    }
+    // only the final round's edge checkpoint may remain pinned (it backs the
+    // returned frame); every superseded round frame and survivor set is gone
+    assert(after.size <= 1,
+      s"kCore left ${after.size} pinned frames behind: ids=${after.keys.toSeq.sorted}")
+    Exec.releaseAll(spark)
+  }
+}

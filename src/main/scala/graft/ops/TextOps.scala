@@ -834,6 +834,12 @@ object TextOps {
         .agg(min(struct((-col("cnt")).as("negc"), col("p1"), col("p2"))).as("mb"))
         .select(col("mb.p1").as("p1"), col("mb.p2").as("p2"),
           (-col("mb.negc")).as("cnt"))
+      // `best` is deliberately NOT checkpointed: A/B-measured (round 9,
+      // 6 reps at sf0.1) — an eager 1-row localCheckpoint per round left
+      // txt_bpe_merges flat (1.37 vs 1.32 s warm) and cost txt_bpe_vocab
+      // ~20% (1.20 vs 0.99 s): five extra blocking jobs outweigh
+      // recomputing a tiny argmax whose pair scan reads the already-
+      // checkpointed `cur`.
       cur = cur
         .crossJoin(broadcast(best.select(col("p1").as("bp1"), col("p2").as("bp2"))))
         .withColumn("syms", expr(

@@ -814,12 +814,19 @@ object Relational {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("qty"))
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity")).as("total"))
+    // the per-part denominator is a WINDOW sum over the already-reduced
+    // (part, supp) frame, not a second lineitem aggregate joined back: the
+    // fact table is scanned and shuffled ONCE (map-side combined on the
+    // composite key); the window repartition moves only the reduced rows,
+    // and both window functions share one exchange+sort on l_partkey.
+    // (Replaced a 2-scan/3-exchange/join plan — same algebra, sum-per-part
+    // is the sum of the per-(part,supp) partials.)
     val w = Window.partitionBy(col("l_partkey"))
+    val wOrd = Window.partitionBy(col("l_partkey"))
       .orderBy(col("qty").desc, col("l_suppkey"))
-    perPartSupp.join(perPart, Seq("l_partkey"))
-      .withColumn("rn", row_number().over(w))
+    perPartSupp
+      .withColumn("total", sum(col("qty")).over(w))
+      .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") === 1)
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))

@@ -62,8 +62,10 @@ object TextOps {
     */
   def heavyHitters(docs: DataFrame, supportPct: Double): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // one corpus explode: the grand total aggregates the reduced per-token
+    // counts (|vocab| rows), not a second pass over every token occurrence
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n")).persist()
+    val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .filter(col("n") > col("total") * supportPct / 100.0)
       .select(col("token"), col("n"),

@@ -17,10 +17,17 @@ class ExecReleaseSpec extends SparkSpec {
       .map(i => (i.toLong, 1000L + (i % 60).toLong))
       .toDF("a", "b")
 
-    // populate all three GraphOps memo maps plus per-query persist() pins
+    // populate all three GraphOps memo maps, the DedupOps pair memo, and
+    // per-query persist() pins
     GraphOps.kCore(edges, 2, rounds = 3, memoKey = Some("leak-spec")).collect()
     GraphOps.triangleCount(edges, memoKey = Some("leak-spec")).collect()
     GraphOps.pageRank(edges, iters = 1, memoKey = Some("leak-spec")).collect()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    DedupOps.minhashLshPairs(docs, memoKey = Some("leak-spec")).collect()
 
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
       "fixture should have left memoized checkpoint blocks pinned")

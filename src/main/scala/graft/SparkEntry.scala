@@ -876,8 +876,14 @@ object SparkEntry {
     * oracle replays the identical graph.
     */
   private def graphQueries: Seq[Q] = {
+    // the graph oracles reference every CTE several times over (tri reads
+    // oriented 3x, each round of the unrolled iterations re-reads the edge
+    // frame); DuckDB INLINES plain CTEs, so the expansions re-run the whole
+    // upstream subtree per reference — MATERIALIZED pins each CTE to one
+    // execution (pure hint: results identical, and the only reason the
+    // sf0.1 parity run stays in bounds — see graph_kcore's note).
     def edgesCte(n: Int): String =
-      s"""edges AS (
+      s"""edges AS MATERIALIZED (
          |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
          |    SELECT l_orderkey % $n AS u, l_partkey % $n + $n AS v FROM lineitem
          |    UNION ALL
@@ -887,9 +893,9 @@ object SparkEntry {
          |  WHERE u <> v)""".stripMargin
     val duckEdges =
       edgesCte(60) + """,
-        |nodes AS (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges),
-        |degrees AS (SELECT x, count(*) AS deg FROM nodes GROUP BY 1),
-        |oriented AS (
+        |nodes AS MATERIALIZED (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges),
+        |degrees AS MATERIALIZED (SELECT x, count(*) AS deg FROM nodes GROUP BY 1),
+        |oriented AS MATERIALIZED (
         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
         |           THEN e.a ELSE e.b END AS src,
         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
@@ -897,7 +903,7 @@ object SparkEntry {
         |  FROM edges e
         |  JOIN degrees da ON da.x = e.a
         |  JOIN degrees db ON db.x = e.b),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT e1.src AS apex, e1.dst AS w1, e2.dst AS w2
         |  FROM oriented e1
         |  JOIN oriented e2 ON e2.src = e1.src AND e1.dst < e2.dst
@@ -938,7 +944,7 @@ object SparkEntry {
           memoKey = Some(s"$d#pr500")),
         Some {
           val iters = (1 to 3).map { i =>
-            s"""r$i AS (
+            s"""r$i AS MATERIALIZED (
                |  SELECT d.dst AS node,
                |    (1.0 - 0.85) / (SELECT count(*) FROM deg)
                |      + 0.85 * sum(r.pr / g.deg) AS pr
@@ -948,11 +954,11 @@ object SparkEntry {
                |  GROUP BY 1)""".stripMargin
           }.mkString(",\n")
           s"""WITH ${edgesCte(500)},
-             |directed AS (
+             |directed AS MATERIALIZED (
              |  SELECT a AS src, b AS dst FROM edges
              |  UNION ALL SELECT b, a FROM edges),
-             |deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
-             |r0 AS (
+             |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
+             |r0 AS MATERIALIZED (
              |  SELECT src AS node, 1.0 / (SELECT count(*) FROM deg) AS pr
              |  FROM deg),
              |$iters
@@ -969,18 +975,23 @@ object SparkEntry {
           graft.ops.GraphOps.orderPartEdges(lineitem(s, d), 1000), k = 4,
           memoKey = Some(s"$d#kcore1000")),
         Some {
+          // each round references e{i-1} three times and k_i twice; DuckDB
+          // INLINES plain CTEs, so without MATERIALIZED the 5-round unroll
+          // expands the e0 scan ~4^5 times (observed: >80 GB of temp spill
+          // at sf0.1). Materialization is a pure execution hint — results
+          // are identical, each round computes once.
           val rounds = (1 to 5).map { i =>
-            s"""d$i AS (
+            s"""d$i AS MATERIALIZED (
                |  SELECT x, count(*) AS dg FROM (
                |    SELECT a AS x FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) t
                |  GROUP BY 1),
-               |k$i AS (SELECT x FROM d$i WHERE dg >= 4),
-               |e$i AS (
+               |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE dg >= 4),
+               |e$i AS MATERIALIZED (
                |  SELECT e.a, e.b FROM e${i - 1} e
                |  JOIN k$i ka ON ka.x = e.a
                |  JOIN k$i kb ON kb.x = e.b)""".stripMargin
           }.mkString(",\n")
-          s"""WITH e0 AS (
+          s"""WITH e0 AS MATERIALIZED (
              |  SELECT DISTINCT l_orderkey * 2 AS a,
              |    (l_partkey % 1000) * 2 + 1 AS b
              |  FROM lineitem),

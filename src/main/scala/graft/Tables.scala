@@ -36,7 +36,7 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val adapted = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
@@ -44,6 +44,9 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
     }
+    // Both branches expose the same positional layout, so consumers that
+    // select by index or union-by-position behave identically either way.
+    adapted.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -194,6 +194,11 @@ object GraphOps {
       val wd = directed.join(
         if (n <= maxBroadcastRanks) broadcast(degs) else degs, Seq("src"))
         .localCheckpoint()
+      // degs and wd are eagerly materialized above, so the intermediate
+      // directed frame is dead here — drop its blocks now rather than
+      // leaving them pinned until a releaseAll sweep (it is not in the
+      // memo tuple, so the evictor would never see it).
+      Exec.unpersistCheckpointed(directed)
       (wd, degs, n)
     }
     val (withDeg, degFrame, nNodes) = memoKey match {

@@ -63,7 +63,12 @@ object TextOps {
   def heavyHitters(docs: DataFrame, supportPct: Double): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
     // one corpus explode: the grand total aggregates the reduced per-token
-    // counts (|vocab| rows), not a second pass over every token occurrence
+    // counts (|vocab| rows), not a second pass over every token occurrence.
+    // The persist is load-bearing (counts feeds both the total and the
+    // filter, and the result is lazy, so there is no safe in-operator
+    // unpersist point) and is released under the Exec.clearPinned contract
+    // (Exec.scala) like every other operator-internal pin; direct library
+    // callers running many queries in one session should call it too.
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n")).persist()
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))

@@ -37,6 +37,10 @@ class TestDataSchemaSpec extends SparkSpec {
   }
 
   test("events.parquet layout: ts is a timestamp (or legacy ns long) — Tables.events adapts") {
+    // Must precede the raw read: if the data drifts back to INT64
+    // TIMESTAMP(NANOS), Spark 4 throws "Illegal Parquet type" at schema read
+    // without this, making the LongType-acceptance branch below unreachable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.table(spark, dir, "events").schema
     val tsType = raw("ts").dataType
     assert(isTs(tsType) || tsType == LongType,

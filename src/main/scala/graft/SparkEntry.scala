@@ -3398,11 +3398,13 @@ object SparkEntry {
               |FROM c ORDER BY doc_id, feat_idx""".stripMargin)),
 
     // REAL header decode round trip: Spark writes valid PNG/BMP headers
-    // (big-/little-endian dims at the public fixed offsets) then learns the
-    // dims ONLY by parsing the bytes back; the oracle states the expected
-    // dims from the same doc_id derivation — an endianness or offset slip
-    // on either side breaks the hash match. Opaque sources pin the
-    // disclosed null-dim stub path.
+    // (big-/little-endian dims at the public fixed offsets) and JPEG
+    // prefixes (marker walk past a VARIABLE-length COM segment to SOF0/2,
+    // height-before-width BE u16), then learns the dims ONLY by parsing the
+    // bytes back; the oracle states the expected dims from the same doc_id
+    // derivation — an endianness, offset, or marker-walk slip on either
+    // side breaks the hash match. Opaque sources pin the disclosed
+    // null-dim stub path.
     Q("mm_decode_dims",
       (s, d) => MultimodalOps.decodeDims(
           MultimodalOps.attachMediaHeader(documents(s, d)))
@@ -3410,15 +3412,18 @@ object SparkEntry {
       Some("""SELECT doc_id,
              |  CASE WHEN source = 'src0' THEN 'png'
              |       WHEN source = 'src1' THEN 'bmp'
+             |       WHEN source = 'src2' THEN 'jpeg'
              |       ELSE 'opaque' END AS format,
-             |  CASE WHEN source IN ('src0', 'src1')
+             |  CASE WHEN source IN ('src0', 'src1', 'src2')
              |       THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
-             |  CASE WHEN source IN ('src0', 'src1')
+             |  CASE WHEN source IN ('src0', 'src1', 'src2')
              |       THEN CAST(doc_id % 480 + 1 AS INTEGER) END AS height,
              |  CASE WHEN source = 'src0'
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
              |       WHEN source = 'src1'
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS INTEGER)
+             |       WHEN source = 'src2'
+             |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 12 END AS INTEGER)
              |       END AS bit_depth
              |FROM documents ORDER BY doc_id""".stripMargin))
   )

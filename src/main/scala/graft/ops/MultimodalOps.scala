@@ -83,11 +83,16 @@ object MultimodalOps {
     * IHDR chunk (width/height as BIG-endian u32 at offsets 16/20, bit depth
     * at 24 — the public PNG layout), `src1` docs get a BMP file header +
     * BITMAPINFOHEADER (width/height as LITTLE-endian i32 at offsets 18/22,
-    * bits-per-pixel as LE u16 at 28), everything else keeps opaque text
-    * bytes. Dimensions derive deterministically from `doc_id`, so an oracle
-    * can state the expected decode without byte math while the Spark side
-    * only learns them by PARSING the bytes it just wrote — endianness or
-    * offset mistakes in either direction break the round trip.
+    * bits-per-pixel as LE u16 at 28), `src2` docs get a JPEG prefix — SOI,
+    * a JFIF APP0, a VARIABLE-length COM segment (length derived from
+    * doc_id, so a fixed-offset "parser" cannot fake the walk), a DQT, then
+    * SOF0 (baseline, 8-bit) or SOF2 (progressive, 12-bit) carrying height
+    * THEN width as big-endian u16 (the JPEG field order) — everything else
+    * keeps opaque text bytes. Dimensions derive deterministically from
+    * `doc_id`, so an oracle can state the expected decode without byte math
+    * while the Spark side only learns them by PARSING the bytes it just
+    * wrote — endianness, offset, or marker-walk mistakes in either
+    * direction break the round trip.
     *
     * Byte assembly is pure codegen'd column work: `unhex(lpad(hex(x)))` is
     * the int→big-endian-bytes bridge, LE is the same four hex pairs
@@ -96,10 +101,12 @@ object MultimodalOps {
   def attachMediaHeader(docs: DataFrame): DataFrame = {
     val w = (col("doc_id") % 640 + 1).cast("int")
     val h = (col("doc_id") % 480 + 1).cast("int")
-    // PNG bit depth alternates 8/16; BMP bits-per-pixel alternates 24/32
+    // PNG bit depth alternates 8/16; BMP bits-per-pixel alternates 24/32;
+    // JPEG precision alternates 8 (SOF0 baseline) / 12 (SOF2 progressive)
     val pngDepth = when(col("doc_id") % 2 === 0, 8).otherwise(16).cast("int")
     val bmpBpp = when(col("doc_id") % 2 === 0, 24).otherwise(32).cast("int")
     def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
     def le32(c: Column): Column = {
       val hx = lpad(hex(c), 8, "0")
       unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
@@ -121,9 +128,29 @@ object MultimodalOps {
       le32(w), le32(h),
       lit(Array[Byte](1, 0)),           // planes = 1 (LE u16)
       u8(bmpBpp), lit(Array[Byte](0)))  // bpp LE u16 (high byte 0)
+    // JPEG: a segment's 2-byte length covers itself + payload (not the
+    // marker). COM payload length varies with doc_id to force a real walk.
+    val nCom = (col("doc_id") % 17 + 1).cast("int")
+    val sofMarker = when(col("doc_id") % 2 === 0, 0xC0).otherwise(0xC2).cast("int")
+    val jpegPrecision = when(col("doc_id") % 2 === 0, 8).otherwise(12).cast("int")
+    val jpegHeader = concat(
+      lit(Array(0xFF, 0xD8).map(_.toByte)),                 // SOI
+      lit(Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte)),     // APP0, len 16
+      lit("JFIF".getBytes("US-ASCII")), lit(Array[Byte](0)),
+      lit(Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)),          // v1.1, no density/thumb
+      lit(Array[Byte](0xFF.toByte, 0xFE.toByte)),           // COM marker
+      be16(nCom + 2), encode(repeat(lit("x"), nCom), "UTF-8").cast("binary"),
+      lit(Array(0xFF, 0xDB, 0x00, 0x43, 0x00).map(_.toByte)), // DQT, len 67, pq/tq
+      encode(repeat(lit("q"), 64), "UTF-8").cast("binary"), // dummy 8-bit q-table
+      lit(Array[Byte](0xFF.toByte)), u8(sofMarker),         // SOF0 | SOF2
+      lit(Array[Byte](0, 17)),                              // len 8 + 3·3
+      u8(jpegPrecision), be16(h), be16(w),                  // precision, HEIGHT, WIDTH
+      lit(Array[Byte](3)),                                  // 3 components (YCbCr)
+      lit(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
     docs.withColumn("payload",
       when(col("source") === "src0", pngHeader)
         .when(col("source") === "src1", bmpHeader)
+        .when(col("source") === "src2", jpegHeader)
         .otherwise(encode(col("text"), "UTF-8").cast("binary")))
   }
 
@@ -158,8 +185,10 @@ object MultimodalOps {
 
   /** Pure-byte header parse — PNG: 8-byte signature then IHDR (width BE u32
     * at 16, height BE u32 at 20, bit depth at 24); BMP: "BM" then width LE
-    * i32 at 18, height LE i32 at 22, bpp LE u16 at 28. Public format
-    * knowledge only (PNG spec §11.2.2, BMP BITMAPINFOHEADER layout).
+    * i32 at 18, height LE i32 at 22, bpp LE u16 at 28; JPEG: SOI then a
+    * marker WALK to the first SOFn frame header (see [[jpegSofDims]]).
+    * Public format knowledge only (PNG spec §11.2.2, BMP BITMAPINFOHEADER
+    * layout, ITU T.81 §B.2).
     */
   private[ops] def parseHeader(bytes: Array[Byte])
       : (String, Option[Int], Option[Int], Option[Int]) = {
@@ -171,10 +200,55 @@ object MultimodalOps {
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
       u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
       u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
-    val isBmp = !isPng && bytes.length >= 30 && u8(0) == 'B' && u8(1) == 'M'
+    val isJpeg = !isPng && bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8
+    val isBmp = !isPng && !isJpeg && bytes.length >= 30 && u8(0) == 'B' && u8(1) == 'M'
     if (isPng) ("png", Some(be32(16)), Some(be32(20)), Some(u8(24)))
+    else if (isJpeg) jpegSofDims(bytes) match {
+      // a JPEG prefix with no reachable SOF (truncated, or SOS first) keeps
+      // the format tag but degrades to null dims — same defensive contract
+      // as the opaque branch, never a thrown batch
+      case Some((w, h, prec)) => ("jpeg", Some(w), Some(h), Some(prec))
+      case None => ("jpeg", None, None, None)
+    }
     else if (isBmp) ("bmp", Some(le32(18)), Some(le32(22)), Some(le16(28)))
     else ("opaque", None, None, None)
+  }
+
+  /** JPEG frame-dimension scan (ITU T.81 §B.2): walk the marker segments
+    * after SOI — each marked `FF xx` with a big-endian u16 length that
+    * counts itself plus payload — to the first SOFn (C0–CF minus C4/C8/CC,
+    * which are DHT/JPG/DAC, not frame headers). The SOF payload is
+    * precision u8, then HEIGHT, then WIDTH (both BE u16 — the reverse of
+    * most formats' order). Standalone markers (TEM, RSTn, SOI) have no
+    * length and are skipped; fill bytes (repeated FF) before a marker are
+    * legal padding; EOI or SOS before any SOF means the dimensions are
+    * unreachable in a header-only scan → None.
+    */
+  private[ops] def jpegSofDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2 // past SOI
+    while (i + 1 < bytes.length) {
+      if (u8(i) != 0xFF) return None // not at a marker: corrupt stream
+      var j = i + 1
+      while (j < bytes.length && u8(j) == 0xFF) j += 1 // fill bytes
+      if (j >= bytes.length) return None
+      val m = u8(j)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        if (j + 7 >= bytes.length) return None // truncated SOF
+        return Some((be16(j + 6), be16(j + 4), u8(j + 3))) // (width, height, precision)
+      } else if (m == 0xD9 || m == 0xDA) {
+        return None // EOI / SOS: no frame header in the metadata section
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) {
+        i = j + 1 // standalone marker, no length field
+      } else {
+        if (j + 2 >= bytes.length) return None
+        val len = be16(j + 1)
+        if (len < 2) return None // malformed length
+        i = j + 1 + len
+      }
+    }
+    None
   }
 
   /** "Frame sampling" over a binary payload: every k-th fixed-size chunk —

@@ -500,4 +500,54 @@ class PlanGuardSpec extends SparkSpec {
         s"non-narrow column in rollup exchange: ${e.output.map(_.name).mkString(",")}")
     }
   }
+
+  test("top supplier share: one lineitem scan, both windows share one l_partkey exchange") {
+    // pins the r9 single-scan rewrite: the per-part denominator is a window
+    // sum over the reduced (part, supp) frame — NOT a second lineitem
+    // aggregate joined back. A reorder that splits the two window functions
+    // onto separate exchanges, or re-derives the total from lineitem, fails
+    // here long before it shows up as a 2x scan in a bench.
+    val plan = staticPlan(SparkEntry.queries("rel_top_supplier_share")(spark, sfDir))
+    val planStr = plan.toString
+    val scans = planStr.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem must be scanned exactly once, got $scans:\n$planStr")
+    val partkeyExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if h.expressions.length == 1 &&
+                h.expressions.head.references.map(_.name).toSet == Set("l_partkey") => 1
+          case _ => 0
+        }
+    }.sum
+    assert(partkeyExchanges == 1,
+      s"both window functions must share ONE l_partkey exchange, got $partkeyExchanges:\n$planStr")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 2,
+      s"expected the total-sum and rank windows, got ${windows.length}:\n$planStr")
+  }
+
+  test("heavy hitters: corpus explodes once — both consumers read the same cached counts") {
+    // pins the r9 single-explode rewrite: the grand total aggregates the
+    // reduced per-token counts via the persisted frame. If the persist is
+    // dropped or the total re-derives from the raw token explode, a
+    // GenerateExec surfaces in the visible tree and this fails.
+    val plan = staticPlan(SparkEntry.queries("txt_heavy_hitters")(spark, sfDir))
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.isEmpty,
+      s"explode must live inside the shared cached counts frame, found ${generates.length} in the visible tree:\n$plan")
+    val cacheScans = plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheScans.length == 2,
+      s"threshold and filter must BOTH read the cached counts, got ${cacheScans.length} cache scans:\n$plan")
+    assert(cacheScans.map(s => System.identityHashCode(s.relation.cachedPlan)).distinct.size == 1,
+      "the two cache scans must share ONE materialized counts frame")
+    graft.ops.Exec.clearPinned(spark)
+  }
 }

@@ -158,18 +158,34 @@ object EventStream {
     * the streaming analogue of the reference's delete-then-append warehouse
     * load (`load_hicp_to_sql.py:54–62,91`).
     */
+  /** The hour partition column every micro-batch is laid out by. */
+  def withHourColumn(events: DataFrame): DataFrame =
+    events.withColumn("hour",
+      date_format(date_trunc("hour", col("ts")), "yyyyMMddHH"))
+
+  /** One micro-batch's write: dynamic partition overwrite, so re-executing
+    * the SAME batch (after a crash between this write and the checkpoint
+    * commit) REPLACES its partitions byte-for-byte instead of appending a
+    * second copy — the write-side half of the exactly-once contract
+    * (factored out so the failure-injection spec can crash between the two
+    * halves). `mode("append")` here would break it: see the deliberately-
+    * failing spec variant.
+    */
+  def writeHourlyPartitions(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                            path: String): Unit =
+    batch.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hour")
+      .mode("overwrite")
+      .parquet(path)
+
   def idempotentHourlySink(events: DataFrame, path: String,
                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events
-      .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyyMMddHH"))
+    withHourColumn(events)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("hour")
-          .mode("overwrite")
-          .parquet(path)
+        writeHourlyPartitions(batch, path)
       }
       .start()
 

@@ -142,6 +142,60 @@ class EventStreamSpec extends SparkSpec {
     assert(afterReplay == afterFirst, "replay must overwrite, not append")
   }
 
+  /** Drive the sink through the exactly-once failure it exists for: the
+    * query dies AFTER the parquet write but BEFORE the checkpoint commit
+    * (the foreachBatch body throwing after the write is exactly that
+    * window — the commit log entry is only written once the body returns),
+    * then restarts from the SAME checkpoint, which re-executes the
+    * uncommitted batch. `writeMode` selects the batch-write mode so the
+    * append variant can demonstrate the failure the overwrite prevents.
+    */
+  private def crashThenRestart(writeMode: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val out = java.nio.file.Files.createTempDirectory(s"gold_crash_$writeMode").toString
+    val cp = java.nio.file.Files.createTempDirectory(s"cp_crash_$writeMode").toString
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = EventStream.withHourColumn(EventStream.source(spark, sfDir))
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (writeMode == "append")
+          b.write.partitionBy("hour").mode("append").parquet(out)
+        else EventStream.writeHourlyPartitions(b, out)
+        if (crash.get())
+          throw new RuntimeException("injected crash: write done, commit pending")
+      }
+      .start()
+    val q1 = start()
+    intercept[StreamingQueryException] { q1.processAllAvailable() }
+    q1.stop()
+    val afterCrash = spark.read.parquet(out).count()
+    crash.set(false) // the restart completes its batches normally
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val afterRestart = spark.read.parquet(out).count()
+    val distinctIds = spark.read.parquet(out).select("event_id").distinct().count()
+    (afterCrash, afterRestart, distinctIds)
+  }
+
+  test("exactly-once under failure injection: crash between write and commit, restart, no dupes") {
+    val (afterCrash, afterRestart, distinctIds) = crashThenRestart("overwrite")
+    val want = batchEvents.count()
+    assert(afterCrash == want, "the crashed batch's write itself must have landed")
+    assert(afterRestart == want,
+      s"replay of the uncommitted batch must overwrite, not duplicate: $afterRestart vs $want")
+    assert(distinctIds == want, "every event exactly once after the replay")
+  }
+
+  test("the append-mode variant FAILS the same injection (what dynamic overwrite buys)") {
+    val (_, afterRestart, distinctIds) = crashThenRestart("append")
+    val want = batchEvents.count()
+    assert(afterRestart == 2 * want && distinctIds == want,
+      s"append must double the uncommitted batch on replay ($afterRestart rows, " +
+        s"$distinctIds distinct) — if this starts passing exactly-once, the " +
+        "injection window moved and the overwrite spec above proves nothing")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions; open ones flush by timeout") {
     val closed = runToTable(
       EventStream.statefulSessionize(spark, EventStream.source(spark, sfDir)),

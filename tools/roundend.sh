@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Round-end gate: everything that must be green before a round's final
+# commit. Run from the repo root. Driver-side tooling only.
+#
+#   1. unit + property + plan-guard specs
+#   2. full Verify dump at sf0.01 + DuckDB oracle compare (the driver's gate)
+#   3. MicroBench warm-median perf gate vs the committed MICROBENCH.json
+#      (>1.3x warm regression on any tracked query fails; pass --update
+#      via UPDATE_PERF=1 to refresh the artifact after it passes)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/3 sbt test =="
+sbt -batch test
+
+echo "== 2/3 correctness gate (sf0.01) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/roundend_verify"
+python3 tools/selfcheck.py /tmp/roundend_verify /root/testdata/sf0.01
+
+echo "== 3/3 perf gate (warm medians, sf0.1) =="
+if [[ "${UPDATE_PERF:-0}" == "1" ]]; then
+  sbt -batch "runMain graft.MicroBench --gate --update"
+else
+  sbt -batch "runMain graft.MicroBench --gate"
+fi
+
+echo "round-end gate: ALL GREEN"

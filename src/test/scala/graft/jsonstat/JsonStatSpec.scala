@@ -140,4 +140,49 @@ class JsonStatSpec extends SparkSpec {
           |"value": 42}""".stripMargin)
     }
   }
+
+  test("error: id/size length mismatch fails loudly at parse time") {
+    val e = intercept[IllegalArgumentException] {
+      JsonStat.parse(
+        """{"id": ["geo", "time"], "size": [1],
+          |"dimension": {"geo": {"category": {"index": {"LU": 0}}}},
+          |"value": [1.0]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("id/size length mismatch"))
+  }
+
+  test("error: a NAMED dimension absent from the dimension object names itself") {
+    // 'time' is declared in id/size but has no entry under "dimension" —
+    // the reference's missing-dimension defensive branch
+    // (process_hicp_silver.py:70–72); the message must name the culprit so
+    // a 100-dim payload fails actionably, not with a bare NPE
+    val e = intercept[IllegalArgumentException] {
+      JsonStat.parse(
+        """{"id": ["geo", "time"], "size": [1, 1],
+          |"dimension": {"geo": {"category": {"index": {"LU": 0}}}},
+          |"value": [1.0]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("'time'") && e.getMessage.contains("missing"))
+  }
+
+  test("error: category codes != declared size names the dimension and both counts") {
+    val e = intercept[IllegalArgumentException] {
+      JsonStat.parse(
+        """{"id": ["geo"], "size": [3],
+          |"dimension": {"geo": {"category": {"index": {"LU": 0, "DE": 1}}}},
+          |"value": [1.0, 2.0, 3.0]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("'geo'") && e.getMessage.contains("2")
+      && e.getMessage.contains("3"), e.getMessage)
+  }
+
+  test("error: unsupported category.index node type is rejected, not mis-decoded") {
+    val e = intercept[IllegalArgumentException] {
+      JsonStat.parse(
+        """{"id": ["geo"], "size": [1],
+          |"dimension": {"geo": {"category": {"index": 7}}},
+          |"value": [1.0]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("category.index"))
+  }
 }

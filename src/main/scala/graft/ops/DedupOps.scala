@@ -94,8 +94,9 @@ object DedupOps {
       // the shingled table)
       .persist()
     // candidate generation runs entirely on NARROW columns — (doc_id, lang,
-    // bucket, |sh|) — so no shingle array ever enters the length-band
-    // exchange (the same arrays-stay-home shape as the LSH verification).
+    // bucket, |sh|, one prefix hash per row) — so no shingle array ever
+    // enters the length-band exchange (the same arrays-stay-home shape as
+    // the LSH verification).
     // Length-band trick: the probe side fans each doc out to buckets
     // {b, b+1} so near-dups whose lengths straddle a bucket EDGE are still
     // compared (exact buckets silently drop a 31-char/33-char pair).
@@ -103,25 +104,37 @@ object DedupOps {
     // of each other in character length — a ≥-threshold pair whose lengths
     // diverge further (possible down to ratio=threshold) is not compared
     // here; MinHash-LSH is the dedup-family member whose candidate
-    // generation is length-agnostic. Each
-    // unordered pair matches exactly once — same-bucket pairs via the
-    // doc_a < doc_b half of the `up = 0` orientation, adjacent-bucket pairs
-    // only when the SHORTER doc probes up (`up = 1`) — so no dedup pass;
-    // the size-ratio prune runs here on the carried |sh| counts, before
-    // any array is touched.
-    val narrow = base.select(col("doc_id"), col("lang"), col("bucket"),
-      size(col("sh")).as("ns"))
-    val a = narrow.select(col("doc_id").as("doc_a"), col("lang"),
+    // generation is length-agnostic.
+    // PPJoin-style PREFIX FILTER on top of the band (lossless, so the
+    // output is unchanged): under any one total order on shingles — here
+    // the hash order the arrays are already sorted in — J(A,B) ≥ t implies
+    // the first |x| − ⌈t·|x|⌉ + 1 elements of A and B share a hash
+    // (size-compat partner ⇒ overlap ≥ ⌈t·|x|⌉; fewer than that many
+    // misses cannot push all shared elements past the prefix). Joining on
+    // (band, prefix hash) instead of (band) alone bounds candidates by
+    // per-hash group sizes — the true near-dup rate — not by band
+    // population²: the 10×-corpus bench showed the band-only join going
+    // quadratic (100k → 6.8M in-band pairs at sf0.1 → sf1) while the
+    // output pair count stays near-linear. A pair sharing several prefix
+    // hashes matches several times, so candidates end distinct()ed —
+    // narrow (long, long) keys.
+    val prefix = base.select(col("doc_id"), col("lang"), col("bucket"),
+      size(col("sh")).as("ns"),
+      explode(expr(
+        s"slice(sh, 1, size(sh) - cast(ceil($threshold * size(sh)) as int) + 1)"))
+        .as("g"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("lang"),
       posexplode(array(col("bucket"), col("bucket") + 1)).as(Seq("up", "bucket")),
-      col("ns").as("ns_a"))
-    val b = narrow.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
-      col("ns").as("ns_b"))
-    val candidates = a.join(b, Seq("lang", "bucket"))
+      col("ns").as("ns_a"), col("g"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
+      col("ns").as("ns_b"), col("g"))
+    val candidates = a.join(b, Seq("lang", "bucket", "g"))
       .filter(col("up") === 1 || col("doc_a") < col("doc_b"))
       .filter(least(col("ns_a"), col("ns_b")).cast("double")
         / greatest(col("ns_a"), col("ns_b")) >= threshold)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("lang"))
+      .distinct()
     // verification attaches the sorted hash arrays by joining the (gated)
     // candidate list onto the shingled table — when candidates broadcast,
     // the arrays never shuffle at all
@@ -151,19 +164,45 @@ object DedupOps {
     * CONTRACT: recall covers same-(lang, source) pairs; cross-source
     * containment needs the LSH family's length-agnostic bands instead.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val base = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", expr("shingle_hashes(toks, 3)"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("lang"), col("source"), col("sh"))
-    val a = base.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = base.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+      .persist()
+    // Prefix-filtered candidates (lossless, output unchanged): C(A,B) =
+    // |A∩B| / min ≥ t needs overlap ≥ ⌈t·|A|⌉ for the SMALLER set A, so
+    // under the arrays' hash order A's first |A| − ⌈t·|A|⌉ + 1 elements
+    // must hit B SOMEWHERE — probe every doc's prefix against a full
+    // per-shingle index of its (lang, source) block, keep probe-side-
+    // smaller orientations, and verify survivors. Both explodes carry one
+    // narrow long per row (no arrays in any exchange — the old shape
+    // shuffled whole shingle arrays to their block and went quadratic in
+    // block population: 159k → 16.2M in-block pairs at sf0.1 → sf1, while
+    // true ≥t pairs stay near-linear). |A| = |B| ties keep doc_a < doc_b
+    // so each unordered pair survives exactly once after distinct().
+    val probe = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), size(col("sh")).as("ns_a"),
+      explode(expr(
+        s"slice(sh, 1, size(sh) - cast(ceil($threshold * size(sh)) as int) + 1)"))
+        .as("g"))
+    val index = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), size(col("sh")).as("ns_b"),
+      explode(col("sh")).as("g"))
+    val candidates = probe.join(index, Seq("lang", "source", "g"))
+      .filter(col("ns_a") < col("ns_b")
+        || (col("ns_a") === col("ns_b") && col("doc_a") < col("doc_b")))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("lang"), col("source"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("containment", round(
         col("inter").cast("double") / least(size(col("sh_a")), size(col("sh_b"))), 4))

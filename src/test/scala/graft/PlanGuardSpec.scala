@@ -86,6 +86,41 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("containment candidate generation is prefix-filtered; arrays never shuffle") {
+    // pins the sub-quadratic shape from the sf1 scale run: the candidate
+    // join must key on the prefix hash `g` (not block columns alone — that
+    // is the quadratic pre-rewrite shape), and no exchange may carry a
+    // shingle array (the old shape shuffled them to blocks).
+    val plan = staticPlan(SparkEntry.queries("dedup_containment")(spark, sfDir))
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "sh" || n == "sh_a" || n == "sh_b"),
+        s"shingle array crosses a shuffle: ${out.mkString(",")}")
+    }
+    // the candidate join sits INSIDE the persisted candidates frame (the
+    // broadcast gate materializes it), so walk cached plans too
+    def allPlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.flatMap(s => allPlans(s.relation.cachedPlan))
+    def keyedOnG(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.references.map(_.name).toSet.contains("g"))
+    val prefixKeyedJoin = allPlans(plan).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if keyedOnG(j.leftKeys) => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if keyedOnG(j.leftKeys) => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if keyedOnG(j.leftKeys) => j
+    })
+    assert(prefixKeyedJoin.nonEmpty,
+      s"candidate join must include the prefix hash g in its keys:\n$plan")
+    graft.ops.Exec.clearPinned(spark)
+  }
+
   test("scalar subquery decorrelates to one aggregate + joins, no cartesian product") {
     val plan = executedPlan("rel_scalar_subquery")
     assert(!plan.contains("CartesianProduct"),

@@ -1387,7 +1387,7 @@ object SparkEntry {
              |  SELECT c_custkey, c_mktsegment,
              |    DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
              |  FROM customer),
-             |upd AS (
+             |upd0 AS (
              |  SELECT c_custkey,
              |    CASE WHEN c_custkey % 14 = 0 THEN 'MOVED' ELSE c_mktsegment END AS new_attr,
              |    DATE '1996-06-01' AS changed_at
@@ -1395,6 +1395,15 @@ object SparkEntry {
              |  UNION ALL
              |  SELECT c_custkey + 10000000, 'NEWSEG', DATE '1996-06-01'
              |  FROM customer WHERE c_custkey % 50 = 0),
+             |upd AS (
+             |  -- CDC compaction, mirroring the engine: one update per key,
+             |  -- latest change_at wins, ties broken on the value. The sf1
+             |  -- graduation run caught the un-compacted oracle diverging
+             |  -- when synthetic +10M keys collided with scaled real keys.
+             |  SELECT c_custkey, new_attr, changed_at FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |      ORDER BY changed_at DESC, new_attr) AS rn FROM upd0)
+             |  WHERE rn = 1),
              |j AS (
              |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
              |    u.new_attr, u.changed_at

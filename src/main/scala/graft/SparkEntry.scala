@@ -3361,7 +3361,53 @@ object SparkEntry {
               |  FROM d)
               |SELECT true_label, c_label AS assigned, count(*) AS n
               |FROM a WHERE rn = 1
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // K-means TRAINING (2 Lloyd iterations, k=8, deterministic lowest-id
+    // seeds): the engine's argmin is a row-local fold over ONE broadcast
+    // centroid row (zero-shuffle assignment — the Lloyd shape that holds at
+    // corpus scale); the oracle unrolls both iterations with the same
+    // quantization ladder (4dp centroids, 1e-6 distances, ties to lowest
+    // cid).
+    Q("vec_kmeans_train",
+      (s, d) => VectorOps.kmeansLloyd(embeddings(s, d), k = 8, iters = 2),
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |c0 AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cid,
+              |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cvec
+              |  FROM v WHERE vec_id < 8),
+              |d1 AS (
+              |  SELECT v.vec_id, v.v, c0.cid,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v.v[i] - c0.cvec[i]) * (v.v[i] - c0.cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM v CROSS JOIN c0),
+              |a1 AS (
+              |  SELECT vec_id, v, cid,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM d1),
+              |f1 AS (
+              |  SELECT cid, CAST(unnest(range(len(v))) AS INTEGER) AS pos, unnest(v) AS val
+              |  FROM a1 WHERE rn = 1),
+              |m1 AS (
+              |  SELECT cid, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS c
+              |  FROM f1 GROUP BY 1, 2),
+              |c1 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+              |d2 AS (
+              |  SELECT v.vec_id, v.v, c1.cid,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v.v[i] - c1.cvec[i]) * (v.v[i] - c1.cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM v CROSS JOIN c1),
+              |a2 AS (
+              |  SELECT vec_id, v, cid,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM d2),
+              |f2 AS (
+              |  SELECT cid, CAST(unnest(range(len(v))) AS INTEGER) AS pos, unnest(v) AS val
+              |  FROM a2 WHERE rn = 1)
+              |SELECT cid, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS c,
+              |  count(*) AS n_members
+              |FROM f2 GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin))
   )
 
   /** Multimodal-column queries: binary payload + metadata plumbing is
@@ -3456,7 +3502,52 @@ object SparkEntry {
              |       WHEN source = 'src2'
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 12 END AS INTEGER)
              |       END AS bit_depth
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio-container decode round trip: Spark writes valid RIFF/WAVE
+    // headers (variable-length odd-sized LIST chunk before fmt — forces a
+    // chunk walk with the RIFF even-byte pad rule) and learns the PCM
+    // parameters only by parsing the bytes back; the oracle replays the
+    // doc_id arithmetic. src0–src9 (4-char sources) are WAV; the rest pin
+    // the opaque fallback.
+    Q("mm_audio_meta",
+      (s, d) => MultimodalOps.decodeAudioMeta(
+          MultimodalOps.attachWavHeader(documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, length(source) = 4 AS is_wav,
+             |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN is_wav THEN 'wav' ELSE 'opaque' END AS format,
+             |  CASE WHEN is_wav THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+             |  CASE WHEN is_wav THEN CAST(rate AS INTEGER) END AS sample_rate,
+             |  CASE WHEN is_wav THEN CAST((doc_id % 3 + 1) * 8 AS INTEGER) END AS bits_per_sample,
+             |  CASE WHEN is_wav THEN CAST(doc_id % 1000 + 1 AS BIGINT) END AS n_frames,
+             |  CASE WHEN is_wav THEN CAST((doc_id % 1000 + 1) * 1000 // rate AS BIGINT) END AS duration_ms
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // REAL video-container decode round trip: valid ISO-BMFF box layout
+    // (ftyp brand check, variable-length free box, NESTED moov→udta→mvhd
+    // walk, v0/v1 mvhd field layouts alternating by parity); the oracle
+    // replays the doc_id arithmetic. src10–src19 (5-char sources) are MP4.
+    Q("mm_video_meta",
+      (s, d) => MultimodalOps.decodeVideoMeta(
+          MultimodalOps.attachMp4Header(documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, length(source) = 5 AS is_mp4,
+             |    CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             |      WHEN 2 THEN 44100 ELSE 90000 END AS ts
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'opaque' END AS format,
+             |  CASE WHEN is_mp4 THEN 'isom' END AS major_brand,
+             |  CASE WHEN is_mp4 THEN CAST(ts AS INTEGER) END AS timescale,
+             |  CASE WHEN is_mp4 THEN CAST(doc_id % 100000 + 1 AS BIGINT) END AS duration_ticks,
+             |  CASE WHEN is_mp4 THEN CAST((doc_id % 100000 + 1) * 1000 // ts AS BIGINT) END AS duration_ms
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
 
   private def all: Seq[Q] =

@@ -98,6 +98,23 @@ object MultimodalOps {
     * the int→big-endian-bytes bridge, LE is the same four hex pairs
     * reversed. No UDF, no driver loop.
     */
+  // int→bytes column bridges, shared by every header fixture: hex() then
+  // unhex() is the codegen'd way to emit an integer as raw bytes; LE forms
+  // are the same hex pairs reversed. No UDF, no driver loop.
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def le32(c: Column): Column = {
+    val hx = lpad(hex(c), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def le16(c: Column): Column = {
+    val hx = lpad(hex(c), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+  private def ascii(s: String): Column = lit(s.getBytes("US-ASCII"))
+
   def attachMediaHeader(docs: DataFrame): DataFrame = {
     val w = (col("doc_id") % 640 + 1).cast("int")
     val h = (col("doc_id") % 480 + 1).cast("int")
@@ -105,14 +122,6 @@ object MultimodalOps {
     // JPEG precision alternates 8 (SOF0 baseline) / 12 (SOF2 progressive)
     val pngDepth = when(col("doc_id") % 2 === 0, 8).otherwise(16).cast("int")
     val bmpBpp = when(col("doc_id") % 2 === 0, 24).otherwise(32).cast("int")
-    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
-    def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
-    def le32(c: Column): Column = {
-      val hx = lpad(hex(c), 8, "0")
-      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
-        substring(hx, 3, 2), substring(hx, 1, 2)))
-    }
-    def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
     val pngHeader = concat(
       lit(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
       lit(Array[Byte](0, 0, 0, 13)), lit("IHDR".getBytes("US-ASCII")),
@@ -264,4 +273,245 @@ object MultimodalOps {
         expr(s"transform(filter(sequence(0, n_chunks - 1), i -> i % $everyK = 0), " +
           s"i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))"))
       .select(col("doc_id"), col("n_chunks"), size(col("sampled_chunks")).as("n_sampled"))
+
+  // ====================== Audio: WAV / RIFF ===========================
+
+  /** Synthesize a VALID WAV header per document with `length(source) = 4`
+    * (src0–src9); other sources keep opaque text bytes, pinning the
+    * degraded path. The RIFF layout is the public one (RIFF size + WAVE,
+    * then chunks, each `id(4) sizeLE(4) payload [pad to even]`): a
+    * VARIABLE-length LIST/INFO chunk comes BEFORE `fmt ` — its size is
+    * doc_id-derived and frequently ODD, so a parser that skips chunks
+    * without the RIFF even-byte pad, or assumes fmt at a fixed offset,
+    * breaks the round trip. `data` carries only its declared size (header-
+    * only fixture, like the BMP one). All audio parameters derive from
+    * doc_id:   channels = doc_id%2+1, sample_rate ∈ {8000,16000,22050,
+    * 44100,48000} by doc_id%5, bits = 8·(doc_id%3+1), n_frames =
+    * doc_id%1000+1.
+    */
+  def attachWavHeader(docs: DataFrame): DataFrame = {
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val bits = ((col("doc_id") % 3 + 1) * 8).cast("int")
+    val blockAlign = (channels * bits / 8).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    val nFrames = (col("doc_id") % 1000 + 1).cast("int")
+    val dataLen = (nFrames * blockAlign).cast("int")
+    val nInfo = (col("doc_id") % 13 + 3).cast("int")      // INFO payload bytes
+    val listLen = (nInfo + 4).cast("int")                 // "INFO" + payload
+    val listPad = (listLen % 2).cast("int")               // RIFF even-byte pad
+    // RIFF size counts everything after itself: "WAVE" + LIST chunk (+pad)
+    // + fmt chunk + data chunk header + declared (absent) data bytes
+    val riffSize = (lit(4) + lit(8) + listLen + listPad + lit(8 + 16) + lit(8) + dataLen).cast("int")
+    val wav = concat(
+      ascii("RIFF"), le32(riffSize), ascii("WAVE"),
+      ascii("LIST"), le32(listLen), ascii("INFO"),
+      encode(repeat(lit("i"), nInfo), "UTF-8").cast("binary"),
+      when(listPad === 1, lit(Array[Byte](0))).otherwise(lit(Array.empty[Byte])),
+      ascii("fmt "), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(rate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      ascii("data"), le32(dataLen))
+    docs.withColumn("payload",
+      when(length(col("source")) === 4, wav)
+        .otherwise(encode(col("text"), "UTF-8").cast("binary")))
+  }
+
+  /** Decoded audio metadata; `None` columns mean the payload is opaque to
+    * the header parser or the WAV was malformed. */
+  final case class DecodedAudio(doc_id: Long, format: String,
+                                channels: Option[Int], sample_rate: Option[Int],
+                                bits_per_sample: Option[Int], n_frames: Option[Long],
+                                duration_ms: Option[Long])
+
+  /** REAL WAV header decode over the binary `payload` column — RIFF chunk
+    * walk in pure JVM byte arithmetic, batched per partition like
+    * [[decodeFeatures]]. Per-row work only: at corpus scale this runs at
+    * scan speed with no shuffle.
+    */
+  def decodeAudioMeta(docs: DataFrame, batchSize: Int = 64): Dataset[DecodedAudio] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (fmt, ch, sr, bps, nf, ms) = parseWavHeader(bytes)
+            DecodedAudio(id, fmt, ch, sr, bps, nf, ms)
+          }
+        }
+      }
+  }
+
+  /** Pure-byte WAV parse (public RIFF/WAVE layout): verify `RIFF….WAVE`,
+    * then walk chunks — 4-byte ASCII id, LE u32 size, payload, and an
+    * even-byte pad after ODD-sized payloads (the RIFF rule most ad-hoc
+    * parsers miss) — collecting `fmt ` (PCM fields, all little-endian) and
+    * `data` (declared byte count; frames = size / block_align, duration_ms
+    * = frames·1000 / sample_rate in integer math). A RIFF/WAVE container
+    * that never yields both chunks degrades to null fields, same defensive
+    * contract as the image decoders; non-RIFF bytes are `opaque`.
+    */
+  private[ops] def parseWavHeader(bytes: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def id4(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val isRiffWave = bytes.length >= 12 && id4(0) == "RIFF" && id4(8) == "WAVE"
+    if (!isRiffWave) return ("opaque", None, None, None, None, None)
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (channels < 0 || dataLen < 0)) {
+      val cid = id4(i)
+      val size = le32(i + 4)
+      if (cid == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        blockAlign = le16(i + 20)
+        bits = le16(i + 22)
+      } else if (cid == "data") {
+        dataLen = size // payload need not be present (header-only fixture)
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks to even
+    }
+    if (channels > 0 && rate > 0 && blockAlign > 0 && dataLen >= 0) {
+      val frames = dataLen / blockAlign
+      ("wav", Some(channels), Some(rate), Some(bits),
+        Some(frames), Some(frames * 1000L / rate))
+    } else ("wav", None, None, None, None, None)
+  }
+
+  // ==================== Video: MP4 / ISO-BMFF =========================
+
+  /** Synthesize a VALID MP4 (ISO base media) header per document with
+    * `length(source) = 5` (src10–src19); other sources keep opaque text
+    * bytes. Box layout is the public ISO/IEC 14496-12 one — each box a BE
+    * u32 size (counting itself) + 4-byte type: `ftyp` (major brand isom),
+    * then a VARIABLE-length `free` box (doc_id-derived size — a fixed-
+    * offset parser cannot fake the walk), then `moov` containing a
+    * variable-length `udta` BEFORE `mvhd` (forcing a NESTED walk), with
+    * `mvhd` alternating version 0 (32-bit times) and version 1 (64-bit
+    * times) by doc_id parity — the two layouts put timescale/duration at
+    * different offsets. timescale ∈ {600,1000,44100,90000} by doc_id%4;
+    * duration_ticks = doc_id%100000+1.
+    */
+  def attachMp4Header(docs: DataFrame): DataFrame = {
+    val timescale = element_at(
+      array(lit(600), lit(1000), lit(44100), lit(90000)),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val durTicks = (col("doc_id") % 100000 + 1).cast("int")
+    val nFree = (col("doc_id") % 19).cast("int")
+    val nUdta = (col("doc_id") % 11).cast("int")
+    val ftyp = concat(be32(lit(20)), ascii("ftyp"),
+      ascii("isom"), be32(lit(0x200)), ascii("mp41"))
+    val free = concat(be32(nFree + 8), ascii("free"),
+      encode(repeat(lit("f"), nFree), "UTF-8").cast("binary"))
+    val udta = concat(be32(nUdta + 8), ascii("udta"),
+      encode(repeat(lit("u"), nUdta), "UTF-8").cast("binary"))
+    // mvhd v0: fullbox header, creation/modification u32, timescale u32,
+    // duration u32, then rate/volume/reserved/matrix/predefined/next_track
+    // zero-filled to the canonical 108 bytes (80 trailing zeros)
+    val zeros80 = lit(Array.fill[Byte](80)(0))
+    val mvhdV0 = concat(be32(lit(108)), ascii("mvhd"),
+      lit(Array[Byte](0, 0, 0, 0)),            // version 0 + flags
+      be32(lit(0)), be32(lit(0)),              // creation, modification
+      be32(timescale), be32(durTicks), zeros80)
+    // mvhd v1: creation/modification u64, timescale u32, duration u64 —
+    // canonical 120 bytes (same 80 trailing zeros)
+    val zero8 = lit(Array.fill[Byte](8)(0))
+    val mvhdV1 = concat(be32(lit(120)), ascii("mvhd"),
+      lit(Array[Byte](1, 0, 0, 0)),            // version 1 + flags
+      zero8, zero8,                            // creation, modification (u64)
+      be32(timescale),
+      be32(lit(0)), be32(durTicks),            // duration u64 (high word 0)
+      zeros80)
+    val mvhd = when(col("doc_id") % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val mvhdSize = when(col("doc_id") % 2 === 0, 108).otherwise(120).cast("int")
+    val moov = concat(be32(nUdta + 8 + mvhdSize + 8), ascii("moov"), udta, mvhd)
+    docs.withColumn("payload",
+      when(length(col("source")) === 5, concat(ftyp, free, moov))
+        .otherwise(encode(col("text"), "UTF-8").cast("binary")))
+  }
+
+  /** Decoded video-container metadata; `None` columns mean the payload is
+    * opaque or the moov/mvhd walk failed. */
+  final case class DecodedVideo(doc_id: Long, format: String,
+                                major_brand: Option[String], timescale: Option[Int],
+                                duration_ticks: Option[Long], duration_ms: Option[Long])
+
+  /** REAL MP4 header decode: top-level box walk to `ftyp` (major brand)
+    * and `moov`, then a nested walk inside `moov` to `mvhd`, branching on
+    * the version byte for the v0/v1 field layouts. Batched per partition,
+    * per-row work only — scan speed at corpus scale.
+    */
+  def decodeVideoMeta(docs: DataFrame, batchSize: Int = 64): Dataset[DecodedVideo] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (fmt, brand, ts, dur, ms) = parseMp4Header(bytes)
+            DecodedVideo(id, fmt, brand, ts, dur, ms)
+          }
+        }
+      }
+  }
+
+  /** Pure-byte ISO-BMFF parse (ISO/IEC 14496-12 §4.2): boxes are BE u32
+    * size (counting the 8-byte header) + 4-byte type; size 1 means a
+    * 64-bit largesize follows, size 0 means to-end-of-stream. Requires the
+    * stream to START with `ftyp` (the brand check that distinguishes MP4
+    * from arbitrary bytes), records its major brand, then walks to `moov`
+    * and NESTED-walks its children to `mvhd`: version 0 puts timescale/
+    * duration as u32 at payload offsets 12/16, version 1 widens the two
+    * preceding times to u64, putting timescale at 20 and duration as u64
+    * at 24. duration_ms = ticks·1000 / timescale in integer math. A
+    * well-formed prefix without a reachable mvhd degrades to null fields.
+    */
+  private[ops] def parseMp4Header(bytes: Array[Byte])
+      : (String, Option[String], Option[Int], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def id4(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 16 || id4(4) != "ftyp") return ("opaque", None, None, None, None)
+    val brand = id4(8)
+    // generic box walk over [from, until); returns (payloadStart, payloadEnd)
+    // of the first box of the wanted type, or null
+    def findBox(wanted: String, from: Int, until: Int): (Int, Int) = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(i)
+        val (hdr, size) =
+          if (size0 == 1L && i + 16 <= until) (16, be64(i + 8))
+          else if (size0 == 0L) (8, (until - i).toLong) // to end of stream
+          else (8, size0)
+        if (size < hdr || i + size > until) return null // malformed/truncated
+        if (id4(i + 4) == wanted) return (i + hdr, i + size.toInt)
+        i += size.toInt
+      }
+      null
+    }
+    val moov = findBox("moov", 0, bytes.length)
+    if (moov == null) return ("mp4", Some(brand), None, None, None)
+    val mvhd = findBox("mvhd", moov._1, moov._2)
+    if (mvhd == null || mvhd._2 - mvhd._1 < 20) return ("mp4", Some(brand), None, None, None)
+    val p = mvhd._1
+    val version = u8(p)
+    val (ts, dur) =
+      if (version == 1 && mvhd._2 - p >= 32) (be32(p + 20).toInt, be64(p + 24))
+      else if (version == 0 && mvhd._2 - p >= 20) (be32(p + 12).toInt, be32(p + 16))
+      else return ("mp4", Some(brand), None, None, None)
+    if (ts <= 0) ("mp4", Some(brand), None, None, None)
+    else ("mp4", Some(brand), Some(ts), Some(dur), Some(dur * 1000L / ts))
+  }
 }

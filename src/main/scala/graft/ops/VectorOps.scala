@@ -555,4 +555,59 @@ object VectorOps {
       .groupBy(col("true_label"), col("mc.c_label").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
+
+  /** K-means TRAINING by Lloyd's algorithm — the step that produces the
+    * coarse-quantizer cells the IVF/IVF-PQ indexes consume (the existing
+    * paths borrow label means as cells; this learns them unsupervised).
+    * Deterministic throughout so a SQL oracle can replay it exactly: seeds
+    * are the k lowest-vec_id vectors (4dp-quantized), each iteration
+    * assigns every vector to its nearest centroid (1e-6-quantized squared
+    * L2 via the native sq_l2 fold, ties to the LOWEST centroid id) and
+    * recomputes 4dp-quantized means. Output is the final long-form
+    * centroid table with member counts.
+    *
+    * Plan shape for scale — the part that matters at 100 TB: the k
+    * centroids are packed into ONE broadcast row of array<struct> and the
+    * argmin runs as a row-local HOF fold over that array, so assignment is
+    * pure map-side work with ZERO shuffle; the only exchange per iteration
+    * is the (cid, pos) mean recompute over exploded scalar rows (a narrow
+    * partial-agg shuffle, k·dim result rows). Lloyd at corpus scale is
+    * therefore `iters` narrow aggregations over one cached scan — no
+    * vector array ever enters an exchange keyed wider than (cid, pos).
+    */
+  def kmeansLloyd(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // deterministic init: the k lowest-id vectors, quantized like every
+    // centroid so iteration 1 consumes exactly what the oracle states
+    var cents: DataFrame = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(v, x -> floor(x * 10000 + 0.5) / 10000)").as("cvec"))
+    var stats: DataFrame = null
+    for (_ <- 1 to iters) {
+      // all k centroids in ONE row, ordered by cid (array_sort on the
+      // struct), broadcast to every task: argmin is a row-local fold
+      val packed = cents.agg(
+        expr("array_sort(collect_list(struct(cid, cvec)))").as("cs"))
+      val assigned = corpus.crossJoin(broadcast(packed))
+        .withColumn("cid", expr(
+          """aggregate(
+            |  transform(cs, ct -> named_struct(
+            |    'd', floor(sq_l2(v, ct.cvec) * 1000000 + 0.5) / 1000000,
+            |    'c', ct.cid)),
+            |  named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
+            |  (acc, e) -> IF(e.d < acc.d, e, acc)).c""".stripMargin))
+      // one narrow shuffle: per-(cid, pos) running mean + member count
+      stats = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("val")).as("cmean"), count(lit(1)).as("n_members"))
+        .select(col("cid"), col("pos"),
+          q4(col("cmean")).as("c"), col("n_members"))
+      cents = stats.groupBy(col("cid")).agg(
+        expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+    }
+    stats.orderBy(col("cid"), col("pos"))
+  }
 }

@@ -117,6 +117,100 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseWavHeader walks REAL RIFF chunks: odd-size pad, fmt fields, data frames") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // a real 44.1 kHz stereo 16-bit PCM WAV header with an ODD-sized LIST
+    // chunk before fmt — the walker must apply the RIFF even-byte pad rule
+    val info = "INFO" + "abc" // 7 bytes: odd → 1 pad byte
+    val wav =
+      "RIFF".getBytes ++ le32(4 + 8 + 7 + 1 + 24 + 8 + 176400) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(7) ++ info.getBytes ++ Array[Byte](0) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400) // exactly 1 second of frames
+    assert(MultimodalOps.parseWavHeader(wav) ==
+      (("wav", Some(2), Some(44100), Some(16), Some(44100L), Some(1000L))))
+    // RIFF/WAVE container that never reaches fmt+data → null fields
+    val truncated = "RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes
+    assert(MultimodalOps.parseWavHeader(truncated) ==
+      (("wav", None, None, None, None, None)))
+    // non-RIFF bytes → opaque
+    assert(MultimodalOps.parseWavHeader("not audio bytes".getBytes)._1 == "opaque")
+    // a parser that forgets the pad byte would land mid-chunk here: the
+    // bytes at the unpadded offset spell a bogus id, so fields stay null —
+    // this fixture pins that the PADDED walk is the one implemented
+    val unpaddedTrap =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(1) ++ Array[Byte]('x', 0) ++ // 1 payload + pad
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(16000)
+    assert(MultimodalOps.parseWavHeader(unpaddedTrap) ==
+      (("wav", Some(1), Some(8000), Some(8), Some(16000L), Some(2000L))))
+  }
+
+  test("parseMp4Header walks REAL ISO-BMFF boxes: nested moov→mvhd, v0 and v1") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]) =
+      be32(payload.length + 8) ++ tp.getBytes ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "mp41".getBytes)
+    // v0 mvhd: 90000 ticks/s, 3 minutes
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(90000) ++ be32(90000 * 180) ++ Array.fill[Byte](80)(0))
+    val mp4v0 = ftyp ++ box("free", Array.fill[Byte](5)('f')) ++
+      box("moov", box("udta", "hello".getBytes) ++ mvhd0)
+    assert(MultimodalOps.parseMp4Header(mp4v0) ==
+      (("mp4", Some("isom"), Some(90000), Some(90000L * 180), Some(180000L))))
+    // v1 mvhd: 64-bit times — timescale/duration shift 16 bytes deeper
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+      be32(600) ++ be32(0) ++ be32(601) ++ Array.fill[Byte](80)(0))
+    val mp4v1 = ftyp ++ box("moov", mvhd1)
+    assert(MultimodalOps.parseMp4Header(mp4v1) ==
+      (("mp4", Some("isom"), Some(600), Some(601L), Some(1001L))))
+    // ftyp but no moov → brand only, null timing
+    assert(MultimodalOps.parseMp4Header(ftyp) ==
+      (("mp4", Some("isom"), None, None, None)))
+    // moov truncated mid-box → null timing, never a throw
+    assert(MultimodalOps.parseMp4Header(mp4v0.dropRight(60)) ==
+      (("mp4", Some("isom"), None, None, None)))
+    // not ISO-BMFF → opaque
+    assert(MultimodalOps.parseMp4Header("plain text".getBytes)._1 == "opaque")
+  }
+
+  test("attachWavHeader/attachMp4Header → decode round-trips via real byte parsing") {
+    val audio = MultimodalOps.decodeAudioMeta(
+        MultimodalOps.attachWavHeader(docs), batchSize = 16)
+      .collect().map(d => d.doc_id -> d).toMap
+    val video = MultimodalOps.decodeVideoMeta(
+        MultimodalOps.attachMp4Header(docs), batchSize = 16)
+      .collect().map(d => d.doc_id -> d).toMap
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val scales = Array(600, 1000, 44100, 90000)
+    bySource.foreach { case (id, src) =>
+      val a = audio(id); val v = video(id)
+      if (src.length == 4) { // src0–src9: WAV
+        val rate = rates((id % 5).toInt)
+        val frames = id % 1000 + 1
+        assert(a.format == "wav" && a.channels == Some((id % 2 + 1).toInt)
+          && a.sample_rate == Some(rate)
+          && a.bits_per_sample == Some(((id % 3 + 1) * 8).toInt)
+          && a.n_frames == Some(frames)
+          && a.duration_ms == Some(frames * 1000L / rate), s"doc $id: $a")
+        assert(v.format == "opaque" && v.timescale.isEmpty, s"doc $id: $v")
+      } else { // src10–src19: MP4
+        val ts = scales((id % 4).toInt)
+        val ticks = id % 100000 + 1
+        assert(v.format == "mp4" && v.major_brand == Some("isom")
+          && v.timescale == Some(ts) && v.duration_ticks == Some(ticks)
+          && v.duration_ms == Some(ticks * 1000L / ts), s"doc $id: $v")
+        assert(a.format == "opaque" && a.channels.isEmpty, s"doc $id: $a")
+      }
+    }
+  }
+
   test("sampleChunks: every 4th 16-byte chunk is sampled") {
     val rows = MultimodalOps.sampleChunks(docs).collect()
     assert(rows.forall { r =>

@@ -231,4 +231,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatched.isEmpty,
       s"adc disagrees with pure PQ on: ${mismatched.take(3).mkString(";")}")
   }
+
+  test("kmeansLloyd matches a naive single-threaded Lloyd reference exactly") {
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def q6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val k = 8; val iters = 2
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    // naive reference: same quantization ladder, ties to lowest cid
+    var cents: Map[Int, Array[Double]] = vecs.filter(_._1 < k)
+      .map { case (id, v) => id.toInt -> v.map(q4) }.toMap
+    var stats: Map[(Int, Int), (Double, Long)] = Map.empty
+    for (_ <- 1 to iters) {
+      val assigned = vecs.map { case (_, v) =>
+        val cid = cents.toSeq.sortBy(_._1).map { case (c, cv) =>
+          val d = q6(v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (d, c)
+        }.minBy(identity)._2
+        (cid, v)
+      }
+      stats = assigned.groupBy(_._1).flatMap { case (cid, members) =>
+        val n = members.length.toLong
+        (0 until 64).map { pos =>
+          (cid, pos) -> (q4(members.map(_._2(pos)).sum / n), n)
+        }
+      }
+      cents = stats.toSeq.groupBy(_._1._1).map { case (cid, entries) =>
+        cid -> entries.sortBy(_._1._2).map(_._2._1).toArray
+      }
+    }
+    val got = VectorOps.kmeansLloyd(emb, k, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size == stats.size, s"${got.size} vs ${stats.size} centroid cells")
+    val diffs = stats.filter { case (key, (c, n)) =>
+      got.get(key).forall { case (gc, gn) => math.abs(gc - c) > 1e-9 || gn != n }
+    }
+    assert(diffs.isEmpty, s"mismatched cells: ${diffs.take(3)}")
+    // every vector is a member of exactly one cluster
+    assert(stats.filter(_._1._2 == 0).values.map(_._2).sum == vecs.length)
+  }
 }

@@ -1953,6 +1953,14 @@ object SparkEntry {
   /** 2^61-1: the modulus of the portable hash domain (see Md5Hash61). */
   private val DuckM = "2305843009213693951"
 
+  /** DuckDB list literal of RollingHash's power ladder B^{L-1-j} mod M —
+    * the SAME constants the native rolling expression folds with, so the
+    * oracle's per-window dot product replays it exactly.
+    */
+  private def duckRollingPowers(l: Int): String =
+    graft.functions.RollingHash.powers(l)
+      .mkString("list_value(", ", ", ")")
+
   /** DuckDB twin of Md5Hash61.hash61: lower-64 of MD5, masked to 61 bits. */
   private def duckH61(sqlExpr: String): String =
     s"CAST((md5_number_lower($sqlExpr) & $DuckM) AS BIGINT)"
@@ -2782,7 +2790,44 @@ object SparkEntry {
              |FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
              |  JOIN t tb ON tb.doc_id = c.doc_b
              |WHERE levenshtein(ta.key, tb.key) <= 4
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Exact duplicated-substring spans (char-level ExactSubstr dedup):
+    // stride-1 40-char window hashes, ≥2 corpus-wide occurrences = covered,
+    // overlapping/touching covered windows merge into maximal removal
+    // spans. The engine hashes each window in one native ROLLING pass
+    // (Rabin-Karp mod 2^61-1); the oracle replays every window
+    // independently as a HUGEINT dot product against the same power
+    // ladder, then runs the identical gaps-and-islands walk (ASCII corpus:
+    // char offsets == byte offsets).
+    Q("dedup_substring_spans",
+      (s, d) => DedupOps.duplicatedSubstringSpans(documents(s, d), L = 40),
+      Some(s"""WITH pw AS (SELECT ${duckRollingPowers(40)} AS p),
+              |w AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CAST(unnest(range(length(text) - 39)) AS INTEGER) AS pos,
+              |    unnest(list_transform(range(length(text) - 39),
+              |      i -> CAST(list_sum(list_transform(range(40),
+              |             j -> CAST(p[CAST(j + 1 AS INTEGER)] AS HUGEINT) *
+              |                  ord(substring(text, CAST(i + j + 1 AS INTEGER), 1))))
+              |           % 2305843009213693951 AS BIGINT))) AS h
+              |  FROM documents, pw WHERE length(text) >= 40),
+              |q AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+              |c AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM q)),
+              |g AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+              |         THEN 0 ELSE 1 END AS brk
+              |  FROM c),
+              |i AS (
+              |  SELECT doc_id, pos, sum(brk) OVER (
+              |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+              |  FROM g)
+              |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+              |  CAST(max(pos) - min(pos) + 40 AS INTEGER) AS span_len,
+              |  count(*) AS n_windows
+              |FROM i GROUP BY doc_id, grp
+              |ORDER BY doc_id, span_start""".stripMargin))
   )
 
   /** DuckDB-side double-cast embedding list. */

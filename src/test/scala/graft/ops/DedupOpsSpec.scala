@@ -244,4 +244,60 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
     assert(pairs((1L, 2L)) == 4) // teh->the (2 subs... transpositions cost 2 each)
   }
+
+  test("duplicated-substring spans: shared block, identical docs, self-repeat, clean doc") {
+    val common = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG "    // 44 chars
+    assert(common.length == 44)
+    val p0 = "abcdefghijklmnopqrstuvwxyz0123"                      // 30 unique chars
+    val t0 = "ALPHA BETA GAMMA DELTA EPSILON"                      // 30
+    val p1 = "zyxwvutsrqponmlkjihgf9876"                           // 25
+    val tail1 = "omicron pi rho sigma tau upsilon phi"             // 36
+    val ident = "this exact sixty-character string appears twice in the corpus"
+    val selfX = "REPEATED-BLOCK-OF-FORTY-FIVE-CHARACTERS-HERE!"    // 45 chars
+    assert(selfX.length == 45)
+    val df = Seq(
+      (0L, p0 + common + t0),        // shared block at 30
+      (1L, p1 + common + tail1),     // shared block at 25
+      (2L, "a completely unique document with no duplicated forty-char window at all"),
+      (3L, ident), (4L, ident),      // whole-doc duplicates
+      (5L, selfX + selfX)            // within-doc repeat, spans merge (gap == L)
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.duplicatedSubstringSpans(df, L = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byDoc = spans.groupBy(_._1)
+    // docs 0/1: exactly the 44-char common block (5 covered windows)
+    assert(byDoc(0L).toSeq == Seq((0L, 30, 44, 5L)), s"doc0: ${byDoc.get(0L)}")
+    assert(byDoc(1L).toSeq == Seq((1L, 25, 44, 5L)), s"doc1: ${byDoc.get(1L)}")
+    // doc 2: clean — no spans at all
+    assert(!byDoc.contains(2L))
+    // docs 3/4: the whole doc is one span (len 61, 22 windows)
+    for (id <- Seq(3L, 4L))
+      assert(byDoc(id).toSeq ==
+        Seq((id, 0, ident.length, (ident.length - 39).toLong)), s"doc$id: ${byDoc.get(id)}")
+    // doc 5: X+X self-repeat — covered heads of both copies merge into ONE
+    // removal span covering the whole 90 chars (positions 0..5 and 45..50;
+    // the 40-gap rule glues them)
+    assert(byDoc(5L).toSeq == Seq((5L, 0, 90, 12L)), s"doc5: ${byDoc.get(5L)}")
+  }
+
+  test("duplicated-substring spans on the real corpus: disjoint, in-bounds, evidence-consistent") {
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val spans = DedupOps.duplicatedSubstringSpans(docs, L = 40).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.nonEmpty, "sf0.001 has a 5% exact-dup slice — spans must exist")
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, start, len, nw) =>
+        assert(len >= 40 && start >= 0 && start + len <= lens(id),
+          s"doc $id span [$start,+$len) out of bounds (len ${lens(id)})")
+        assert(nw >= 1 && nw <= len - 39, s"doc $id: $nw windows in span len $len")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1, _), (_, s2, _, _)) =>
+          assert(s2 > s1 + l1, s"doc $id: spans [$s1,+$l1) and [$s2,...) not disjoint")
+        case _ => ()
+      }
+    }
+  }
 }

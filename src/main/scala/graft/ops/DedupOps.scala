@@ -634,28 +634,31 @@ object DedupOps {
     * Scale shape: window hashing is ONE native rolling pass per document
     * (graft.functions.RollingHashes — O(1) per window, no per-window
     * string allocation; the MD5-of-substring formulation measured ~2×
-    * slower end-to-end); the corpus-wide occurrence count shuffles 8-byte
-    * hashes only (one exchange, map-side partial counts); pass 2
-    * re-derives window hashes and joins the count-gated broadcast
-    * qualifier set BEFORE anything wide moves (crossDocNgrams' two-pass
-    * pattern — falls back to a shuffle join past `maxBroadcastQualifiers`);
-    * the island merge is a per-doc window over covered positions only.
-    * Total cost is linear in corpus characters — the candidate set never
-    * goes pairwise, unlike every similarity-join family member.
+    * slower end-to-end). Duplicate detection is ONE exchange of the
+    * narrow (h, doc_id, pos) rows keyed on the hash + a per-key window
+    * count — the distributed "sort every window" shape, conceptually the
+    * poor-man's suffix array. This deliberately avoids the
+    * groupBy-count + join-back formulation: with ~one distinct hash per
+    * window, the partial aggregate degenerates (every map-side hash-table
+    * insert is a miss, then spills to a sort anyway) and the join re-pays
+    * the window pass — measured 2.7× slower at sf1 (35 s → 13 s warm for
+    * the full operator). WindowExec's per-key frames are occurrence
+    * groups (tiny, spillable), so a boilerplate hash repeated millions of
+    * times degrades to disk, not OOM. The island merge afterwards is a
+    * per-doc window over covered positions only. Total cost is linear in
+    * corpus characters — never pairwise, unlike every similarity-join
+    * family member.
     */
-  def duplicatedSubstringSpans(docs: DataFrame, L: Int = 40,
-                               maxBroadcastQualifiers: Long = 1000000L): DataFrame = {
+  def duplicatedSubstringSpans(docs: DataFrame, L: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.RollingHash.register(docs.sparkSession)
-    def windowHashes(d: DataFrame): DataFrame = d
+    val wins = docs
       .filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(expr(s"rolling_hashes(text, $L)")).as(Seq("pos", "h")))
-    val qualifying = Exec.broadcastIfSmall(
-      windowHashes(docs).groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") >= 2).select(col("h")),
-      maxBroadcastQualifiers)
-    val covered = windowHashes(docs).join(qualifying, Seq("h"))
+    val covered = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_occ") >= 2)
       .select(col("doc_id"), col("pos"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered

@@ -2827,7 +2827,63 @@ object SparkEntry {
               |  CAST(max(pos) - min(pos) + 40 AS INTEGER) AS span_len,
               |  count(*) AS n_windows
               |FROM i GROUP BY doc_id, grp
-              |ORDER BY doc_id, span_start""".stripMargin))
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The removal half of the ExactSubstr pass: cut every detected span,
+    // report kept length + removal fraction + md5 of the rewritten text.
+    // The oracle recomputes the spans, then reconstructs the kept text as
+    // the string_agg of the BETWEEN-span segments (head gap via lag,
+    // tail segment unioned in) — string surgery verified end-to-end by
+    // fingerprint, not just by length.
+    Q("dedup_substring_removal",
+      (s, d) => DedupOps.duplicatedSubstringRemoval(documents(s, d), L = 40),
+      Some(s"""WITH pw AS (SELECT ${duckRollingPowers(40)} AS p),
+              |w AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CAST(unnest(range(length(text) - 39)) AS INTEGER) AS pos,
+              |    unnest(list_transform(range(length(text) - 39),
+              |      i -> CAST(list_sum(list_transform(range(40),
+              |             j -> CAST(p[CAST(j + 1 AS INTEGER)] AS HUGEINT) *
+              |                  ord(substring(text, CAST(i + j + 1 AS INTEGER), 1))))
+              |           % 2305843009213693951 AS BIGINT))) AS h
+              |  FROM documents, pw WHERE length(text) >= 40),
+              |q AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+              |c AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM q)),
+              |g AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+              |         THEN 0 ELSE 1 END AS brk
+              |  FROM c),
+              |i AS (
+              |  SELECT doc_id, pos, sum(brk) OVER (
+              |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+              |  FROM g),
+              |sp AS (
+              |  SELECT doc_id, CAST(min(pos) AS INTEGER) AS st,
+              |    CAST(max(pos) - min(pos) + 40 AS INTEGER) AS ln
+              |  FROM i GROUP BY doc_id, grp),
+              |seg AS (
+              |  SELECT doc_id, lag(st + ln, 1, 0) OVER (
+              |      PARTITION BY doc_id ORDER BY st) AS a, st AS b
+              |  FROM sp
+              |  UNION ALL
+              |  SELECT sp.doc_id, max(sp.st + sp.ln) AS a, max(length(d.text)) AS b
+              |  FROM sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id),
+              |kept AS (
+              |  SELECT s.doc_id,
+              |    string_agg(substring(d.text, s.a + 1, s.b - s.a), '' ORDER BY s.a) AS kt
+              |  FROM seg s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+              |nsp AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM sp GROUP BY 1)
+              |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS orig_len,
+              |  COALESCE(nsp.n, 0) AS n_spans,
+              |  CAST(length(COALESCE(k.kt, d.text)) AS INTEGER) AS kept_len,
+              |  floor((length(d.text) - length(COALESCE(k.kt, d.text)))
+              |    / greatest(length(d.text), 1) * 10000 + 0.5) / 10000 AS frac_removed,
+              |  md5(COALESCE(k.kt, d.text)) AS kept_fp
+              |FROM documents d
+              |LEFT JOIN kept k ON d.doc_id = k.doc_id
+              |LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** DuckDB-side double-cast embedding list. */

@@ -676,4 +676,44 @@ object DedupOps {
         col("n_windows"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  /** Duplicated-substring REMOVAL — the second half of the ExactSubstr
+    * pass: cut every [[duplicatedSubstringSpans]] span out of its document
+    * and emit the surgery evidence (kept length, removal fraction, md5 of
+    * the rewritten text — the fingerprint convention the scrub operators
+    * use, so the full rewritten payload is oracle-comparable without
+    * shipping it).
+    *
+    * The cut is one codegen'd HOF fold per document: spans are disjoint
+    * and sorted (island-merge invariant), so a single left-to-right
+    * `aggregate` stitches the kept segments — no per-span joins, no UDF.
+    * Span rows are tiny relative to the corpus; the only new exchanges
+    * are the per-doc span collect and the docs-side join key.
+    */
+  def duplicatedSubstringRemoval(docs: DataFrame, L: Int = 40): DataFrame = {
+    val perDoc = duplicatedSubstringSpans(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(expr("array_sort(collect_list(struct(span_start, span_len)))").as("spans"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans,
+            |  named_struct('e', 0, 't', CAST('' AS STRING)),
+            |  (acc, s) -> named_struct(
+            |    'e', s.span_start + s.span_len,
+            |    't', concat(acc.t, substring(text, acc.e + 1, s.span_start - acc.e))),
+            |  acc -> concat(acc.t, substring(text, acc.e + 1, length(text) - acc.e)))"""
+            .stripMargin)))
+      .select(col("doc_id"),
+        length(col("text")).as("orig_len"),
+        coalesce(size(col("spans")), lit(0)).as("n_spans"),
+        length(col("kept")).as("kept_len"),
+        md5(col("kept")).as("kept_fp"))
+      .withColumn("frac_removed",
+        floor((col("orig_len") - col("kept_len")).cast("double")
+          / greatest(col("orig_len"), lit(1)).cast("double") * 10000 + 0.5) / 10000)
+      .select(col("doc_id"), col("orig_len"), col("n_spans"),
+        col("kept_len"), col("frac_removed"), col("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -585,4 +585,34 @@ class PlanGuardSpec extends SparkSpec {
       "the two cache scans must share ONE materialized counts frame")
     graft.ops.Exec.clearPinned(spark)
   }
+
+  test("substring spans: one corpus pass, sort-based dup detection, no join-back") {
+    // pins the r10 rewrite: duplicate windows are found by ONE exchange on
+    // the hash + a per-key WindowExec count — NOT groupBy-count + join-back
+    // (which degenerates at ~1 distinct hash per window and re-scans the
+    // corpus). A reintroduced join or aggregate on h fails here.
+    val plan = staticPlan(SparkEntry.queries("dedup_substring_spans")(spark, sfDir))
+    val planStr = plan.toString
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.length == 1,
+      s"the corpus must explode exactly once, got ${generates.length}:\n$planStr")
+    assert(!planStr.contains("Join"),
+      s"dup detection must not join back to the corpus:\n$planStr")
+    val hashAggsOnH = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("h#")) => a
+    }
+    assert(hashAggsOnH.isEmpty,
+      s"no hash aggregate on the window hash (degenerate partial agg):\n$planStr")
+    // exactly one exchange keyed on h feeds the dup-count window; the only
+    // other exchange keys the per-doc island merge
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(exchanges.count(_.contains("h#")) == 1,
+      s"exactly one exchange on the window hash, got: $exchanges\n$planStr")
+  }
 }

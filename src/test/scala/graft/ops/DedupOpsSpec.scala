@@ -280,6 +280,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(byDoc(5L).toSeq == Seq((5L, 0, 90, 12L)), s"doc5: ${byDoc.get(5L)}")
   }
 
+  test("duplicated-substring removal: cuts exactly the spans, fingerprint-verified") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val common = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG "
+    val p0 = "abcdefghijklmnopqrstuvwxyz0123"
+    val t0 = "ALPHA BETA GAMMA DELTA EPSILON"
+    val ident = "this exact sixty-character string appears twice in the corpus"
+    val selfX = "REPEATED-BLOCK-OF-FORTY-FIVE-CHARACTERS-HERE!"
+    val clean = "a completely unique document with no duplicated forty-char window at all"
+    val df = Seq(
+      (0L, p0 + common + t0),
+      (1L, "zyxwvutsrqponmlkjihgf9876" + common + "omicron pi rho sigma tau upsilon phi"),
+      (2L, clean),
+      (3L, ident), (4L, ident),
+      (5L, selfX + selfX)
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSubstringRemoval(df, L = 40).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5))).toMap
+    // doc 0: common cut, prefix+tail survive — fingerprint of the exact residue
+    assert(got(0L) == ((104, 1, 60, 0.4231, md5hex(p0 + t0))), s"doc0: ${got(0L)}")
+    // doc 2: untouched — fingerprint of the original
+    assert(got(2L) == ((clean.length, 0, clean.length, 0.0, md5hex(clean))))
+    // docs 3/4: fully removed → empty residue
+    for (id <- Seq(3L, 4L))
+      assert(got(id) == ((ident.length, 1, 0, 1.0, md5hex(""))), s"doc$id: ${got(id)}")
+    // doc 5: merged self-repeat span covers everything
+    assert(got(5L) == ((90, 1, 0, 1.0, md5hex(""))))
+  }
+
   test("duplicated-substring spans on the real corpus: disjoint, in-bounds, evidence-consistent") {
     val lens = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).length).toMap

@@ -2336,6 +2336,28 @@ object SparkEntry {
              |    / count(*) * 10000 + 0.5) / 10000 AS realized_frac
              |FROM b GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Temperature-scaled mixture weights (p_s ∝ n_s^0.5): natural share,
+    // flattened sampling probability, boost factor, expected epoch draw.
+    // α = 0.5 ⇒ sqrt on both sides (IEEE-exact, no libm pow ulp).
+    Q("txt_mixing_temperature",
+      (s, d) => TextOps.mixingTemperatureWeights(documents(s, d), alpha = 0.5),
+      Some("""WITH s AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY source),
+             |t AS (
+             |  SELECT *, sqrt(CAST(n_docs AS DOUBLE)) AS mass,
+             |    CAST(sum(n_docs) OVER () AS DOUBLE) AS total_docs,
+             |    sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS total_mass
+             |  FROM s)
+             |SELECT source, n_docs, n_chars,
+             |  floor(CAST(n_docs AS DOUBLE) / total_docs * 10000 + 0.5) / 10000 AS share,
+             |  floor(mass / total_mass * 10000 + 0.5) / 10000 AS p_temp,
+             |  floor((mass / total_mass) / (CAST(n_docs AS DOUBLE) / total_docs)
+             |    * 10000 + 0.5) / 10000 AS boost,
+             |  CAST(floor(mass / total_mass * total_docs) AS BIGINT) AS expected_docs
+             |FROM t ORDER BY source""".stripMargin)),
+
     Q("txt_split_stats",
       (s, d) => TextOps.hashSplitStats(documents(s, d)),
       Some("""WITH b AS (
@@ -2980,6 +3002,27 @@ object SparkEntry {
               |  FROM q JOIN n ON n.vec_id <> q.query_id)
               |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
               |  SELECT query_id, vec_id, sim,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |  FROM pairs)
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Hard-negative mining: per query, top-5 most-similar vectors with a
+    // DIFFERENT label — the label-inequality twin of the kNN oracle.
+    Q("vec_hard_negatives",
+      (s, d) => VectorOps.hardNegatives(embeddings(s, d), maxQueryId = 5, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, label, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+              |      FROM n WHERE vec_id < 5),
+              |pairs AS (
+              |  SELECT q.query_id, n.vec_id, n.label AS neg_label,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM q JOIN n ON n.label <> q.q_label)
+              |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, neg_label, sim FROM (
+              |  SELECT query_id, vec_id, neg_label, sim,
               |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
               |  FROM pairs)
               |WHERE rank <= 5

@@ -587,6 +587,42 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source mixture weights — the multinomial sampling
+    * recipe of multi-source/multilingual pretraining (T5 §3.3.1, XLM-R
+    * §3.1: p_s ∝ n_s^α, α < 1 flattens the source distribution so small
+    * sources are upsampled without letting any source dominate). Emits,
+    * per source: the natural share, the temperature-scaled sampling
+    * probability, the resulting up/down-sampling boost, and the expected
+    * document draw for an epoch of the corpus size. One tiny aggregation
+    * (≤ |sources| rows) then window math on that reduced frame — scans the
+    * corpus once, shuffles only per-source counts.
+    *
+    * α = 0.5 keeps cross-engine parity exact: the powered mass is
+    * `sqrt(n)` (IEEE-correctly-rounded everywhere), not libm `pow` whose
+    * final ulp differs across implementations. Other α values use `pow`
+    * and accept that ulp (quantization makes a flip astronomically rare).
+    */
+  def mixingTemperatureWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy()
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+    val mass =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    bySource
+      .withColumn("mass", mass)
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
+      .withColumn("share", col("n_docs").cast("double") / col("total_docs"))
+      .withColumn("p_temp", col("mass") / sum(col("mass")).over(w))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        q4(col("share")).as("share"),
+        q4(col("p_temp")).as("p_temp"),
+        q4(col("p_temp") / col("share")).as("boost"),
+        floor(col("p_temp") * col("total_docs")).cast("long").as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sample: the first `perGroup` documents per
     * language in md5-of-id order — a "random" sample that is reproducible
     * across runs and engines and stays balanced across strata (a plain

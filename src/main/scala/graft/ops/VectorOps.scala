@@ -556,6 +556,29 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the top-k most-cosine-similar corpus vectors with a
+    * DIFFERENT label (the "looks right, is wrong" examples an embedding
+    * trainer needs). Same broadcast-queries / stream-corpus single-pass
+    * shape as [[knnBruteForce]] with the label-inequality predicate fused
+    * into the join, so wrong-label filtering happens before any scoring;
+    * ranking on the quantized similarity (ties by vec_id) keeps the
+    * output engine-stable at any scale.
+    */
+  def hardNegatives(emb: DataFrame, maxQueryId: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q"))
+    val pairs = emb.join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** K-means TRAINING by Lloyd's algorithm — the step that produces the
     * coarse-quantizer cells the IVF/IVF-PQ indexes consume (the existing
     * paths borrow label means as cells; this learns them unsupervised).

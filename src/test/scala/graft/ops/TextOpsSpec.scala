@@ -410,4 +410,28 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq == Seq(("a", "b", 5L, 0.7985)), s"got ${rows.toSeq}")
   }
+
+  test("temperature mixing: sqrt flattening boosts small sources, probabilities sum to 1") {
+    // sources of 1 / 4 / 16 docs: masses 1 / 2 / 4 (sqrt), total mass 7,
+    // total docs 21 — hand-checkable p_temp and boosts
+    val docs = ((0 until 1).map(i => (i.toLong, "x" * 10, "small")) ++
+      (0 until 4).map(i => (100L + i, "y" * 20, "mid")) ++
+      (0 until 16).map(i => (200L + i, "z" * 30, "big")))
+      .toDF("doc_id", "text", "source")
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = TextOps.mixingTemperatureWeights(docs, alpha = 0.5).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    assert(got("small") == ((1L, 10L, q4(1.0 / 21), q4(1.0 / 7),
+      q4((1.0 / 7) / (1.0 / 21)), math.floor(1.0 / 7 * 21).toLong)))
+    assert(got("mid") == ((4L, 80L, q4(4.0 / 21), q4(2.0 / 7),
+      q4((2.0 / 7) / (4.0 / 21)), math.floor(2.0 / 7 * 21).toLong)))
+    assert(got("big") == ((16L, 480L, q4(16.0 / 21), q4(4.0 / 7),
+      q4((4.0 / 7) / (16.0 / 21)), math.floor(4.0 / 7 * 21).toLong)))
+    // the flattening direction: rare source boosted, dominant source damped
+    assert(got("small")._5 > 1.0 && got("big")._5 < 1.0)
+    // raw p_temp sums to 1 (quantized values to within rounding)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 3e-4)
+  }
 }

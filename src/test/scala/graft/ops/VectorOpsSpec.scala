@@ -232,6 +232,32 @@ class VectorOpsSpec extends SparkSpec {
       s"adc disagrees with pure PQ on: ${mismatched.take(3).mkString(";")}")
   }
 
+  test("hard negatives: top-k wrong-label neighbors, verified against a JVM reference") {
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 5).flatMap { case (qid, qlab, qv) =>
+      vecs.filter(_._2 != qlab)
+        .map { case (id, lab, v) => (id, lab, q4(cos(qv, v))) }
+        .sortBy { case (id, _, sim) => (-sim, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, lab, sim), i) => (qid, i + 1, id, lab, sim) }
+    }.toSeq
+    val got = VectorOps.hardNegatives(emb, maxQueryId = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.forall { case (qid, _, _, negLab, _) =>
+      negLab != vecs.find(_._1 == qid).get._2
+    })
+  }
+
   test("kmeansLloyd matches a naive single-threaded Lloyd reference exactly") {
     def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     def q6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000

@@ -3007,6 +3007,22 @@ object SparkEntry {
               |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // Embedding covariance matrix (PCA/whitening input) via the native
+    // one-pass imperative aggregate; the oracle takes the quadratic road
+    // (explode + per-vector self-join + avg identity) — two independent
+    // formulations of the same 2,080 upper-triangle cells.
+    Q("vec_covariance",
+      (s, d) => VectorOps.covarianceMatrix(embeddings(s, d), dim = 64),
+      Some(s"""WITH f AS (
+              |  SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings)
+              |SELECT a.pos AS i, b.pos AS j,
+              |  floor((avg(a.v * b.v) - avg(a.v) * avg(b.v)) * 1000000 + 0.5)
+              |    / 1000000 AS cov
+              |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+              |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
+
     // Hard-negative mining: per query, top-5 most-similar vectors with a
     // DIFFERENT label — the label-inequality twin of the kNN oracle.
     Q("vec_hard_negatives",

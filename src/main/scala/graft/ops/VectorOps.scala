@@ -556,6 +556,25 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
 
+  /** Full covariance matrix of the embedding corpus — the input of
+    * PCA/whitening (the standard preprocessing before IVF/PQ indexing and
+    * the collapse diagnostic: a low-rank covariance means dead embedding
+    * dimensions). ONE pass via the native imperative aggregate
+    * (graft.functions.CovMatrix): map-side partial buffers of
+    * 1 + d + d(d+1)/2 doubles, the exchange carries one ~33 KB buffer per
+    * partition — never the |corpus|·d²/2 exploded product rows the
+    * self-join formulation would shuffle. 1e-6-quantized (distributed sum
+    * combine order floats the last ulp).
+    */
+  def covarianceMatrix(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.CovMatrix.register(emb.sparkSession)
+    emb.agg(expr(s"cov_matrix(embedding, $dim)").as("cm"))
+      .select(explode(col("cm")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        (floor(col("e.cov") * 1000000 + 0.5) / 1000000).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the top-k most-cosine-similar corpus vectors with a
     * DIFFERENT label (the "looks right, is wrong" examples an embedding

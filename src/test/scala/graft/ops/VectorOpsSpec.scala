@@ -232,6 +232,30 @@ class VectorOpsSpec extends SparkSpec {
       s"adc disagrees with pure PQ on: ${mismatched.take(3).mkString(";")}")
   }
 
+  test("covariance matrix: one-pass aggregate == naive two-pass JVM reference, partition-invariant") {
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val means = (0 until 64).map(p => vecs.map(_(p)).sum / n)
+    def ref(i: Int, j: Int): Double =
+      vecs.map(v => v(i) * v(j)).sum / n - means(i) * means(j)
+    val got = VectorOps.covarianceMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 64 * 65 / 2)
+    for (i <- 0 until 64; j <- i until 64)
+      assert(math.abs(got((i, j)) - ref(i, j)) <= 1e-6 + 1e-9,
+        s"cov($i,$j): ${got((i, j))} vs ${ref(i, j)}")
+    // variance diagonal must be positive for real data
+    assert((0 until 64).forall(i => got((i, i)) > 0))
+    // partial-aggregate merge must not depend on partitioning
+    val one = VectorOps.covarianceMatrix(emb.repartition(1)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val many = VectorOps.covarianceMatrix(emb.repartition(32)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(one.keys == many.keys &&
+      one.forall { case (k, v) => math.abs(many(k) - v) <= 2e-6 })
+  }
+
   test("hard negatives: top-k wrong-label neighbors, verified against a JVM reference") {
     def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val vecs = emb.select("vec_id", "label", "embedding").collect()

@@ -69,5 +69,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sq_l2"),
       info("sq_l2", "sq_l2(a, b) - squared L2 distance, sequential fold"),
       exprs => SqL2(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      info("rolling_hashes",
+        "rolling_hashes(text, L) - Rabin-Karp hash of every length-L byte window"),
+      exprs => graft.functions.RollingHashes(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("geomean"),
+      info("geomean", "geomean(x) - geometric mean (declarative aggregate)"),
+      exprs => graft.functions.GeoMean(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("cov_matrix"),
+      info("cov_matrix",
+        "cov_matrix(vec, dim) - one-pass population covariance matrix aggregate"),
+      exprs => graft.functions.CovMatrix(exprs.head,
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -37,6 +37,20 @@ class GraftExtensionsSpec extends SparkSpec {
       // the scalar hash61 of an n-gram string IS the shingle-kernel hash
       assert(row.getLong(9) == row.getLong(10),
         "hash61 must agree with shingle_hashes on the same n-gram")
+      // round-10 additions: rolling hash, geomean + covariance aggregates
+      val r2 = s2.sql(
+        """SELECT size(rolling_hashes('abcdefgh', 3)) AS n_rh,
+          |  element_at(rolling_hashes('xabc', 2), 2) AS rh_sub,
+          |  element_at(rolling_hashes('abc', 2), 1) AS rh_head,
+          |  (SELECT geomean(v) FROM VALUES (2.0), (8.0) AS t(v)) AS gm,
+          |  (SELECT element_at(cov_matrix(a, 2), 1).cov
+          |   FROM VALUES (array(1.0D, 0.0D)), (array(3.0D, 0.0D)) AS t(a)) AS var0
+          |""".stripMargin).collect()(0)
+      assert(r2.getInt(0) == 6)
+      // the same byte window hashes identically wherever it occurs
+      assert(r2.getLong(1) == r2.getLong(2))
+      assert(math.abs(r2.getDouble(3) - 4.0) < 1e-12) // geomean(2, 8) = 4
+      assert(math.abs(r2.getDouble(4) - 1.0) < 1e-12) // var of {1, 3} = 1
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
@@ -57,16 +71,19 @@ class GraftExtensionsSpec extends SparkSpec {
     try {
       // spark.range keeps this off the constant-folding / LocalRelation
       // path, so the expressions really evaluate inside generated code
+      graft.functions.RollingHash.register(spark)
       val r = spark.range(1, 4).selectExpr(
         "cosine_sim(array(CAST(id AS DOUBLE), 1.0D), array(CAST(id AS DOUBLE), 1.0D)) AS c",
         "sq_l2(array(CAST(id AS DOUBLE)), array(CAST(id AS DOUBLE) + 3.0D)) AS d2",
         "sorted_intersect_count(array(id, id + 2), array(id + 2, id + 4)) AS i",
-        "dot_product(array(CAST(id AS DOUBLE), 3.0D), array(0.0D, 2.0D)) AS dp")
+        "dot_product(array(CAST(id AS DOUBLE), 3.0D), array(0.0D, 2.0D)) AS dp",
+        "size(rolling_hashes(concat('abcdef', CAST(id AS STRING)), 3)) AS rh")
         .collect()
       assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
       assert(r.forall(_.getDouble(1) == 9.0))
       assert(r.forall(_.getInt(2) == 1))
       assert(r.forall(_.getDouble(3) == 6.0))
+      assert(r.forall(_.getInt(4) == 5))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)

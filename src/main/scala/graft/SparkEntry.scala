@@ -1002,6 +1002,42 @@ object SparkEntry {
              |  GROUP BY 1)
              |SELECT dg AS deg, count(*) AS n_nodes
              |FROM df GROUP BY 1 ORDER BY 1""".stripMargin
+        }),
+
+      // multi-source BFS hop layers (seeds: node % 137 == 0, 4 rounds) on
+      // the n=500 residue graph; oracle unrolls the identical frontier
+      // expansions; dist = -1 censuses the nodes beyond the horizon
+      Q("graph_bfs_layers",
+        (s, d) => graft.ops.GraphOps.bfsLayers(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
+          seedMod = 137L, rounds = 4),
+        Some {
+          val layers = (1 to 4).map { r =>
+            s"""l$r AS MATERIALIZED (
+               |  SELECT DISTINCT d.dst AS node FROM dir d
+               |  JOIN l${r - 1} f ON f.node = d.src
+               |  WHERE d.dst NOT IN (SELECT node FROM v${r - 1})),
+               |v$r AS MATERIALIZED (
+               |  SELECT node, dist FROM v${r - 1}
+               |  UNION ALL SELECT node, $r FROM l$r)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH ${edgesCte(500)},
+             |dir AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM dir),
+             |l0 AS MATERIALIZED (SELECT node FROM nd WHERE node % 137 = 0),
+             |v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM l0),
+             |$layers,
+             |alln AS (
+             |  SELECT node, dist FROM v4
+             |  UNION ALL
+             |  SELECT node, -1 FROM nd
+             |  WHERE node NOT IN (SELECT node FROM v4))
+             |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS node_sum,
+             |  min(node) AS min_node, max(node) AS max_node
+             |FROM alln GROUP BY dist ORDER BY dist""".stripMargin
         })
     )
   }
@@ -1941,7 +1977,37 @@ object SparkEntry {
              |SELECT from_type, to_type, n,
              |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
              |    * 10000 + 0.5) / 10000 AS p
-             |FROM c ORDER BY 1, 2""".stripMargin))
+             |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // Count-Min sketch (depth 4 × width 1024, salted-md5 rows) over the
+    // (user, event_type) stream: the oracle rebuilds the identical sketch
+    // and probes it for the exact top-20 keys — estimate vs truth, with
+    // the CMS overcount guarantee visible in the error column
+    Q("ev_cms_heavy_keys",
+      (s, d) => EventOps.cmsHeavyKeys(events(s, d)),
+      Some("""WITH keyed AS (
+             |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+             |  FROM events),
+             |sk AS (
+             |  SELECT r,
+             |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || key),
+             |      1, 8)) AS BIGINT) % 1024 AS bucket,
+             |    count(*) AS cnt
+             |  FROM keyed, (SELECT unnest(range(4)) AS r)
+             |  GROUP BY 1, 2),
+             |ex AS (
+             |  SELECT key, count(*) AS exact FROM keyed
+             |  GROUP BY key ORDER BY exact DESC, key LIMIT 20),
+             |pr AS (
+             |  SELECT key, exact, r,
+             |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || key),
+             |      1, 8)) AS BIGINT) % 1024 AS bucket
+             |  FROM ex, (SELECT unnest(range(4)) AS r))
+             |SELECT p.key, CAST(p.exact AS BIGINT) AS exact,
+             |  CAST(min(s.cnt) AS BIGINT) AS cms_est,
+             |  CAST(min(s.cnt) - p.exact AS BIGINT) AS overcount
+             |FROM pr p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+             |GROUP BY p.key, p.exact ORDER BY p.exact DESC, p.key""".stripMargin))
   )
 
   /** DuckDB-side normalized token list (must match TextOps.normalize/tokens:
@@ -2284,6 +2350,100 @@ object SparkEntry {
            |FROM (SELECT freq, unnest(syms) AS sym FROM s5)
            |GROUP BY sym ORDER BY n DESC, sym LIMIT 30""".stripMargin
       }),
+
+    // ENCODE with the trained tokenizer (the inference half of training):
+    // the oracle re-learns the 5 merges, applies them to the distinct
+    // vocabulary, joins segmentations back to per-doc word positions, and
+    // fingerprints the full word-ordered segmentation — one flipped merge
+    // boundary anywhere in any document breaks the hash
+    Q("txt_bpe_encode",
+      (s, d) => TextOps.bpeEncode(documents(s, d)),
+      Some {
+        val trainRounds = (1 to 5).map { r =>
+          s"""p$r AS (
+             |  SELECT z[1] AS p1, z[2] AS p2, sum(freq) AS cnt
+             |  FROM (SELECT freq, unnest(list_zip(syms[:-1], syms[2:])) AS z
+             |        FROM s${r - 1})
+             |  WHERE z[2] IS NOT NULL
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT p1, p2 FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+             |s$r AS (
+             |  SELECT freq, CASE WHEN b.p1 IS NULL THEN syms
+             |    ELSE string_split(list_reduce(syms,
+             |      (acc, x) -> CASE
+             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+             |  FROM s${r - 1} LEFT JOIN b$r b ON TRUE),
+             |e$r AS (
+             |  SELECT word, CASE WHEN b.p1 IS NULL THEN syms
+             |    ELSE string_split(list_reduce(syms,
+             |      (acc, x) -> CASE
+             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+             |  FROM e${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($DuckToks) AS word FROM documents)
+           |  WHERE length(word) > 0 GROUP BY word),
+           |s0 AS (
+           |  SELECT freq,
+           |    [substring(word, CAST(i AS INTEGER), 1)
+           |     FOR i IN range(1, length(word) + 1)] AS syms
+           |  FROM w),
+           |e0 AS (
+           |  SELECT word,
+           |    [substring(word, CAST(i AS INTEGER), 1)
+           |     FOR i IN range(1, length(word) + 1)] AS syms
+           |  FROM w),
+           |$trainRounds,
+           |t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+           |wd AS (SELECT doc_id, i AS pos, toks[CAST(i AS INTEGER)] AS word
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+           |        FROM t)
+           |  WHERE length(toks[CAST(i AS INTEGER)]) > 0),
+           |seg AS (SELECT wd.doc_id, wd.pos,
+           |    array_to_string(e.syms, '|') AS seg, len(e.syms) AS nsub
+           |  FROM wd JOIN e5 e ON e.word = wd.word)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
+           |  floor(CAST(sum(nsub) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+           |    AS fertility,
+           |  md5(array_to_string(list(seg ORDER BY pos), ' ')) AS enc_fp
+           |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // URL → registered-domain census (the C4/RefinedWeb domain filter):
+    // deterministic https/http links appended on even doc_ids (mixed-case
+    // host + www. prefix make the normalization observable), domain =
+    // last two labels of the lowercased bare host; one explode + one
+    // domain-keyed aggregation
+    Q("txt_url_census",
+      (s, d) => TextOps.urlCensus(documents(s, d)),
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      text || ' https://cdn' || (doc_id % 7) || '.example'
+             |        || (doc_id % 13) || '.org/p/' || doc_id
+             |        || ' http://WWW.Example' || (doc_id % 13)
+             |        || '.ORG/q?id=' || doc_id
+             |    ELSE text END AS t
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+             |  FROM aug),
+             |d AS (SELECT doc_id, url,
+             |    regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+             |                   '^www\.', '') AS bare
+             |  FROM u),
+             |e AS (SELECT doc_id,
+             |    array_to_string(string_split(bare, '.')[-2:], '.') AS domain,
+             |    CASE WHEN url LIKE 'https://%' THEN 1.0 ELSE 0.0 END AS https
+             |  FROM d)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  floor(avg(https) * 10000 + 0.5) / 10000 AS https_share,
+             |  domain IN ('example3.org', 'example5.org') AS blocked
+             |FROM e GROUP BY domain ORDER BY domain""".stripMargin)),
 
     // concatenate-and-cut sequence packing: integer-exact running totals,
     // docs straddle sequence boundaries like real pretraining packing
@@ -3022,6 +3182,120 @@ object SparkEntry {
               |    / 1000000 AS cov
               |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos <= b.pos
               |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
+
+    // Dominant principal component by POWER ITERATION over the one-pass
+    // covariance matrix: both sides start from the SAME 1e-6-quantized
+    // matrix, every dot product is a left-to-right fold (identical IEEE
+    // order ⇒ identical bits), the iterate is re-quantized at 1e-8 per
+    // round, sign fixed by largest-|component| (ties → lowest index);
+    // the oracle unrolls all 20 matvec+normalize rounds
+    Q("vec_pca_power",
+      (s, d) => VectorOps.pcaPowerComponent(embeddings(s, d), dim = 64, iters = 20),
+      Some {
+        val dotd = (a: String, b: String) =>
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+        val iters = (1 to 20).map { k =>
+          s"""w$k AS (SELECT m, list_transform(m, row ->
+             |    list_reduce(list_transform(range(1, 65), i -> row[i] * v[i]),
+             |                (a, b) -> a + b)) AS w FROM it${k - 1}),
+             |it$k AS (SELECT m, list_transform(w, x ->
+             |    floor(x / sqrt(${dotd("w", "w")}) * 100000000 + 0.5)
+             |      / 100000000) AS v FROM w$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+           |    unnest($DuckVec) AS x
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT a.pos AS i, b.pos AS j,
+           |    floor((avg(a.x * b.x) - avg(a.x) * avg(b.x)) * 1000000 + 0.5)
+           |      / 1000000 AS cov
+           |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+           |  GROUP BY 1, 2),
+           |fullm AS (SELECT i, j, cov FROM cells
+           |  UNION ALL SELECT j, i, cov FROM cells WHERE i <> j),
+           |mrows AS (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+           |mat AS (SELECT list(row ORDER BY i) AS m FROM mrows),
+           |it0 AS (SELECT m,
+           |  list_transform(range(1, 65),
+           |    i -> 1.0::DOUBLE / sqrt(64.0::DOUBLE)) AS v FROM mat),
+           |$iters,
+           |sg AS (SELECT m, v,
+           |  CASE WHEN list_reduce(
+           |    list_transform(range(1, 65),
+           |      i -> {'na': -abs(v[i]), 'i': i, 'x': v[i]}),
+           |    (acc, s) -> CASE WHEN s.na < acc.na
+           |        OR (s.na = acc.na AND s.i < acc.i)
+           |      THEN s ELSE acc END).x < 0
+           |  THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sg FROM it20),
+           |fin AS (SELECT m, list_transform(v, x -> sg * x) AS v FROM sg),
+           |mvv AS (SELECT v, list_transform(m, row ->
+           |    list_reduce(list_transform(range(1, 65), i -> row[i] * v[i]),
+           |                (a, b) -> a + b)) AS mv FROM fin),
+           |lam AS (SELECT v,
+           |  floor(${dotd("v", "mv")} / ${dotd("v", "v")} * 1000000 + 0.5)
+           |    / 1000000 AS lam FROM mvv)
+           |SELECT CAST(i - 1 AS INTEGER) AS pos,
+           |  floor(v[CAST(i AS INTEGER)] * 1000000 + 0.5) / 1000000 AS loading,
+           |  lam
+           |FROM lam, (SELECT unnest(range(1, 65)) AS i)
+           |ORDER BY pos""".stripMargin
+      }),
+
+    // 1-D PCA projection of every vector onto that component (dataset
+    // cartography / separability probe): score = dot(x, v) − dot(μ, v),
+    // a per-row fold against ONE broadcast head row — map-side only
+    Q("vec_pca_project",
+      (s, d) => VectorOps.pcaProject(embeddings(s, d), dim = 64, iters = 20,
+        maxId = 100),
+      Some {
+        val dotd = (a: String, b: String) =>
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+        val iters = (1 to 20).map { k =>
+          s"""w$k AS (SELECT m, list_transform(m, row ->
+             |    list_reduce(list_transform(range(1, 65), i -> row[i] * v[i]),
+             |                (a, b) -> a + b)) AS w FROM it${k - 1}),
+             |it$k AS (SELECT m, list_transform(w, x ->
+             |    floor(x / sqrt(${dotd("w", "w")}) * 100000000 + 0.5)
+             |      / 100000000) AS v FROM w$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+           |    unnest($DuckVec) AS x
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT a.pos AS i, b.pos AS j,
+           |    floor((avg(a.x * b.x) - avg(a.x) * avg(b.x)) * 1000000 + 0.5)
+           |      / 1000000 AS cov
+           |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+           |  GROUP BY 1, 2),
+           |fullm AS (SELECT i, j, cov FROM cells
+           |  UNION ALL SELECT j, i, cov FROM cells WHERE i <> j),
+           |mrows AS (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+           |mat AS (SELECT list(row ORDER BY i) AS m FROM mrows),
+           |it0 AS (SELECT m,
+           |  list_transform(range(1, 65),
+           |    i -> 1.0::DOUBLE / sqrt(64.0::DOUBLE)) AS v FROM mat),
+           |$iters,
+           |sg AS (SELECT m, v,
+           |  CASE WHEN list_reduce(
+           |    list_transform(range(1, 65),
+           |      i -> {'na': -abs(v[i]), 'i': i, 'x': v[i]}),
+           |    (acc, s) -> CASE WHEN s.na < acc.na
+           |        OR (s.na = acc.na AND s.i < acc.i)
+           |      THEN s ELSE acc END).x < 0
+           |  THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sg FROM it20),
+           |fin AS (SELECT list_transform(v, x -> sg * x) AS v FROM sg),
+           |mu AS (SELECT list(mu ORDER BY pos) AS mu FROM (
+           |  SELECT pos, floor(avg(x) * 1000000 + 0.5) / 1000000 AS mu
+           |  FROM f GROUP BY pos)),
+           |hd AS (SELECT v, ${dotd("mu", "v")} AS c FROM fin, mu),
+           |e AS (SELECT vec_id, label, $DuckVec AS ev FROM embeddings
+           |  WHERE vec_id < 100)
+           |SELECT vec_id, label,
+           |  floor((${dotd("ev", "v")} - c) * 10000 + 0.5) / 10000 AS proj
+           |FROM e, hd ORDER BY vec_id""".stripMargin
+      }),
 
     // Hard-negative mining: per query, top-5 most-similar vectors with a
     // DIFFERENT label — the label-inequality twin of the kNN oracle.

@@ -281,4 +281,42 @@ object EventOps {
       .withColumn("p", floor(col("n") / sum(col("n")).over(wFrom) * 10000 + 0.5) / 10000)
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Count-Min sketch over the (user, event_type) activity stream — the
+    * constant-memory frequency sketch a streaming pipeline keeps when the
+    * key space is too large for exact counts. `depth` salted md5 hash rows
+    * × `width` buckets: building the sketch is one pass with a depth-fold
+    * row expansion of the NARROW key column, and the only exchange is the
+    * (row, bucket) partial-count merge bounded by depth·width rows —
+    * sketch size is INDEPENDENT of stream length, the whole point. The
+    * output probes the sketch for the exact top-`k` keys and reports
+    * estimate vs truth (`overcount` ≥ 0 always — CMS never undercounts;
+    * the error column is the collision mass the width bound predicts).
+    * Hashing is the engine-portable md5-prefix idiom (first 8 hex chars as
+    * an int), so the oracle rebuilds the identical sketch bit for bit.
+    */
+  def cmsHeavyKeys(events: DataFrame, depth: Int = 4, width: Int = 1024,
+                   k: Int = 20): DataFrame = {
+    val keyed = events.select(
+      concat(col("user_id").cast("string"), lit(":"), col("event_type"))
+        .as("key"))
+    def bucket = expr(
+      s"CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', key)), " +
+        s"1, 8), 16, 10) AS BIGINT) % $width")
+    val sketch = keyed
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("key")).limit(k)
+    exact
+      .select(col("key"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucket)
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy(col("key"), col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact"))
+      .orderBy(col("exact").desc, col("key"))
+  }
 }

@@ -332,4 +332,52 @@ object GraphOps {
       .orderBy(col("deg"))
     (hist, roundsRun)
   }
+
+  /** Multi-source BFS hop-distance labeling — the reachability/radius probe
+    * (how far is every node from the seed set, which nodes are beyond the
+    * horizon): frontier-expansion rounds where each round is ONE semi-join
+    * of the directed edge frame against the (count-gate broadcast) frontier
+    * plus one anti-join against the visited set — all exchanges carry
+    * single-long keys, the frontier only ever holds the newest layer, and
+    * superseded per-round checkpoints are released eagerly (the k-core
+    * hygiene). Seeds are `node % seedMod == 0`. Output is the layer census
+    * (count / id-sum / min / max per hop distance, `dist = -1` for nodes
+    * unreached within `rounds`) — strong verification at constant output
+    * size, the same reason the heavy-hitter ops census rather than dump.
+    */
+  def bfsLayers(edges: DataFrame, seedMod: Long = 137L, rounds: Int = 4,
+                maxBroadcastFrontier: Long = 4000000L): DataFrame = {
+    val e = edges.localCheckpoint()
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    Exec.unpersistCheckpointed(e)
+    val allNodes = dir.select(col("src").as("node")).distinct().localCheckpoint()
+    var visited = allNodes.filter(col("node") % seedMod === 0)
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (r <- 1 to rounds) {
+      val f =
+        if (frontier.isEmpty) frontier
+        else Exec.broadcastIfSmall(frontier, maxBroadcastFrontier)
+      val next = dir
+        .join(f.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r))
+        .localCheckpoint() // eager: materialized before the release below
+      val prev = visited
+      visited = prev.union(next).localCheckpoint()
+      Exec.unpersistCheckpointed(prev)
+      frontier = next.select(col("node"))
+    }
+    val unreached = allNodes
+      .join(visited.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("dist", lit(-1))
+    visited.union(unreached)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("dist"))
+  }
 }

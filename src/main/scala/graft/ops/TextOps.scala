@@ -854,6 +854,99 @@ object TextOps {
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)
 
+  /** ENCODE with the trained tokenizer: apply the `rounds` learned BPE
+    * merges, in rank order, to every document — the inference half of
+    * [[bpeMerges]] (training learns the merge table; this is what a
+    * pretraining pipeline then runs over the full corpus). The merge
+    * table is collected into ONE broadcast row (5 rows of (p1,p2) — the
+    * Holt-coefficient pattern) and each merge round is a codegen'd
+    * left-to-right `aggregate` fold, exactly the training fold. Scale
+    * shape: segmentation is computed ONCE PER DISTINCT WORD (Zipfian
+    * corpora make the vocabulary orders of magnitude smaller than the
+    * token stream) and joined back to per-doc occurrences — AQE
+    * broadcasts the vocabulary side when it fits. Output per doc: word
+    * count, subword count, fertility (subwords/word — THE tokenizer
+    * health metric), and an md5 fingerprint of the full word-ordered
+    * segmentation, so one flipped merge boundary anywhere fails the hash.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val mtab = bpeTrain(docs, rounds)._1
+      .agg(sort_array(collect_list(struct(col("round"), col("p1"), col("p2"))))
+        .as("marr"))
+    val chars = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .crossJoin(broadcast(mtab))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val vocab = (1 to rounds).foldLeft(chars) { (df, r) =>
+      df.withColumn("syms", expr(
+        s"""aggregate(syms, CAST(array() AS array<string>),
+           |  (acc, x) -> CASE
+           |    WHEN size(acc) > 0 AND element_at(acc, -1) = element_at(marr, $r).p1
+           |         AND x = element_at(marr, $r).p2
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |                array(concat(element_at(marr, $r).p1,
+           |                             element_at(marr, $r).p2)))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin))
+    }.select(col("word"), concat_ws("|", col("syms")).as("seg"),
+      size(col("syms")).as("nsub"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsub")).cast("long").as("n_subwords"),
+        q4(sum(col("nsub")).cast("double") / count(lit(1))).as("fertility"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")))).as("enc_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL → registered-domain census (the C4/RefinedWeb domain-filter
+    * step): extract every URL, normalize it to a registered domain (host
+    * lowercased, leading `www.` stripped, last two dot-labels kept), and
+    * aggregate a per-domain census — URL count, distinct-document reach,
+    * https share, blocklist verdict. The corpus carries no URLs, so a
+    * deterministic pair (an https CDN link and an http `WWW.`-cased link,
+    * both derived from doc_id) is appended on even doc_ids and the oracle
+    * replays the augmentation — the mixed case and `www.` prefix make the
+    * normalization observable, not decorative. Per-row work (regex
+    * extract, host parse, label slice) is all codegen'd; the single
+    * exchange is the domain groupBy, whose cardinality is the domain
+    * vocabulary — not the corpus — so the pass is one explode + one
+    * narrow aggregation at any scale, and the census itself is exactly
+    * the frame a crawl pipeline joins (broadcast) back against the corpus
+    * to drop blocklisted domains.
+    */
+  def urlCensus(docs: DataFrame,
+                blocklist: Seq[String] = Seq("example3.org", "example5.org"))
+      : DataFrame = {
+    val aug = when(col("doc_id") % 2 === 0,
+      concat(col("text"),
+        lit(" https://cdn"), col("doc_id") % 7,
+        lit(".example"), col("doc_id") % 13, lit(".org/p/"), col("doc_id"),
+        lit(" http://WWW.Example"), col("doc_id") % 13,
+        lit(".ORG/q?id="), col("doc_id")))
+      .otherwise(col("text"))
+    val host = lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    val bare = regexp_replace(host, "^www\\.", "")
+    val domain = concat_ws(".", slice(split(bare, "\\."), -2, 2))
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(aug, lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), domain.as("domain"),
+        col("url").startsWith("https://").cast("double").as("https"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        q4(avg(col("https"))).as("https_share"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+      .orderBy(col("domain"))
+  }
+
   /** Shared BPE training loop: returns (merge table, final segmented
     * word-frequency frame). See [[bpeMerges]] for the scale shape.
     */

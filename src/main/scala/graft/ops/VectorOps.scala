@@ -652,4 +652,111 @@ object VectorOps {
     }
     stats.orderBy(col("cid"), col("pos"))
   }
+
+  /** Shared PCA head: ONE row holding the 1e-6-quantized covariance matrix
+    * (from the one-pass [[covarianceMatrix]] aggregate), the quantized mean
+    * vector, and the dominant eigenvector after `iters` power-iteration
+    * rounds. Determinism across engines is by construction, not hope: both
+    * sides start from the SAME quantized matrix (covariance parity is
+    * already oracle-proven), every dot product is a LEFT-TO-RIGHT fold
+    * (`aggregate` over `zip_with` here, `list_reduce` in DuckDB — identical
+    * IEEE operation order, so identical bits), the iterate is re-quantized
+    * at 1e-8 after each normalization, and the sign is fixed by the
+    * largest-|component| rule (ties to the lowest index). The corpus is
+    * touched exactly twice (covariance pass + mean pass, both map-side
+    * partial aggregates); the 20 matvecs run on a single 33 KB row — the
+    * driver-free version of "collect the matrix and call LAPACK".
+    */
+  private def pcaHead(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
+    graft.functions.CovMatrix.register(emb.sparkSession)
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    // the union below references the cell frame twice — checkpoint the
+    // d(d+1)/2 rows once so the corpus-wide covariance aggregate runs ONCE
+    // (released under the Exec.clearPinned contract like every other
+    // operator-internal pin)
+    val cells = emb.agg(expr(s"cov_matrix(embedding, $dim)").as("cm"))
+      .select(explode(col("cm")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), q6(col("e.cov")).as("cov"))
+      .localCheckpoint()
+    val full = cells.union(cells.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val mat = full.groupBy(col("i"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cov))), s -> s.cov)")
+        .as("row"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, row))), s -> s.row)")
+        .as("m"))
+    val mean = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(q6(avg(col("x"))).as("mu"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)")
+        .as("mu"))
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    var it = mat.crossJoin(mean)
+      .withColumn("v",
+        expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
+    for (_ <- 1 to iters) {
+      // the per-round localCheckpoint is NOT hygiene theater: project
+      // collapse would inline round k's iterate into round k+1's matvec
+      // (v appears 3× per round), growing the expression tree ~3^iters —
+      // the checkpoint cuts the lineage so each round analyzes O(1) work.
+      // It is a 1-row frame; the eager job is microseconds.
+      it = it
+        .withColumn("w", expr(s"transform(m, row -> ${dot("row", "v")})"))
+        .withColumn("v", expr(
+          s"""transform(w, x ->
+             |  floor(x / sqrt(${dot("w", "w")}) * 100000000 + 0.5) / 100000000)"""
+            .stripMargin))
+        .drop("w")
+        .localCheckpoint()
+    }
+    it.withColumn("sg", expr(
+        s"""CASE WHEN aggregate(
+           |  zip_with(v, sequence(1, $dim), (x, i) ->
+           |    named_struct('na', -abs(x), 'i', i, 'x', x)),
+           |  named_struct('na', 1D, 'i', 0, 'x', 0D),
+           |  (acc, s) -> IF(s.na < acc.na OR (s.na = acc.na AND s.i < acc.i),
+           |              s, acc)).x < 0
+           |THEN -1D ELSE 1D END""".stripMargin))
+      .withColumn("v", expr("transform(v, x -> sg * x)"))
+      .withColumn("mv", expr(s"transform(m, row -> ${dot("row", "v")})"))
+      .withColumn("lam", q6(expr(dot("v", "mv")) / expr(dot("v", "v"))))
+      .select(col("m"), col("mu"), col("v"), col("lam"))
+  }
+
+  /** Dominant principal component of the embedding corpus by POWER
+    * ITERATION over the one-pass covariance matrix — the missing half of
+    * [[covarianceMatrix]] (that query proves the matrix; this extracts the
+    * direction PCA/whitening/OPQ rotation actually consume, and its
+    * eigenvalue — the collapse diagnostic: λ₁ carrying most of the trace
+    * means the embedding space has degenerated to a line). Long-form
+    * output: (pos, loading, lam). See [[pcaHead]] for the determinism and
+    * scale contract.
+    */
+  def pcaPowerComponent(emb: DataFrame, dim: Int = 64, iters: Int = 20): DataFrame =
+    pcaHead(emb, dim, iters)
+      .select(posexplode(col("v")).as(Seq("pos", "loading")), col("lam"))
+      .select(col("pos"), (floor(col("loading") * 1000000 + 0.5) / 1000000)
+        .as("loading"), col("lam"))
+      .orderBy(col("pos"))
+
+  /** Project every vector onto the dominant principal component — the
+    * 1-D PCA embedding (dataset cartography / slice discovery: the axis
+    * along which the corpus varies most, labels attached so the projection
+    * doubles as a separability probe). The head is ONE broadcast row;
+    * the projection is a per-row fold (dot(x, v) − dot(μ, v)), so the
+    * full-corpus pass is map-side only — no exchange at any scale.
+    */
+  def pcaProject(emb: DataFrame, dim: Int = 64, iters: Int = 20,
+                 maxId: Int = 100): DataFrame = {
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    val head = pcaHead(emb, dim, iters)
+      .withColumn("c", expr(dot("mu", "v"))).select(col("v"), col("c"))
+    emb.filter(col("vec_id") < maxId)
+      .crossJoin(broadcast(head))
+      .select(col("vec_id"), col("label"),
+        q4(expr(dot("transform(embedding, x -> CAST(x AS DOUBLE))", "v"))
+          - col("c")).as("proj"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -115,4 +115,25 @@ class EventOpsSpec extends SparkSpec {
     val bySrc = rows.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
     assert(bySrc.forall { case (_, p) => math.abs(p - 1.0) < 0.001 })
   }
+
+  test("CMS: exact on a collision-free fixture, never undercounts on the real stream") {
+    import spark.implicits._
+    val ev = (Seq.fill(5)((1L, "a")) ++ Seq.fill(3)((2L, "b")) ++ Seq((3L, "c")))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+    val got = EventOps.cmsHeavyKeys(ev, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(x => x._1 -> x._2).toMap ==
+      Map("1:a" -> 5L, "2:b" -> 3L, "3:c" -> 1L))
+    // 3 keys in 1024 buckets: no row collides, so the min-estimate is exact
+    assert(got.forall(x => x._3 == x._2), s"estimates drifted: ${got.toSeq}")
+    // ordering contract: exact desc, key asc
+    assert(got.map(_._1).toSeq == Seq("1:a", "2:b", "3:c"))
+    // the real stream: the structural CMS guarantee (est >= exact, i.e.
+    // overcount >= 0) must hold for every probed key
+    val real = EventOps.cmsHeavyKeys(events).collect()
+    assert(real.length == 20)
+    real.foreach(r => assert(r.getLong(3) >= 0,
+      s"undercount on ${r.getString(0)}"))
+  }
 }

@@ -112,4 +112,21 @@ class GraphOpsSpec extends SparkSpec {
     // the duplicate line into ONE (2, 21) edge
     assert(e.toSeq == Seq((2L, 21L), (4L, 15L)), s"got ${e.toSeq}")
   }
+
+  test("BFS layers: chain fixture labels every hop and censuses the beyond-horizon tail") {
+    // path 0-1-…-9 plus the disconnected pair 20-21; seeds node%20==0 → {0, 20}:
+    // layers walk the chain one hop per round, 5..9 stay beyond the
+    // 4-round horizon (dist = -1), 21 is reached from the second seed
+    val edges = ((0L to 8L).map(i => (i, i + 1)) :+ (20L, 21L)).toDF("a", "b")
+    val got = GraphOps.bfsLayers(edges, seedMod = 20L, rounds = 4).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0) == ((2L, 20L, 0L, 20L)), s"layer 0: ${got.get(0)}")
+    assert(got(1) == ((2L, 22L, 1L, 21L)), s"layer 1: ${got.get(1)}")
+    assert(got(2) == ((1L, 2L, 2L, 2L)))
+    assert(got(3) == ((1L, 3L, 3L, 3L)))
+    assert(got(4) == ((1L, 4L, 4L, 4L)))
+    assert(got(-1) == ((5L, 35L, 5L, 9L)), s"unreached: ${got.get(-1)}")
+    assert(got.size == 6)
+  }
 }

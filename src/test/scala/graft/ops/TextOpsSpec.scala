@@ -434,4 +434,46 @@ class TextOpsSpec extends SparkSpec {
     // raw p_temp sums to 1 (quantized values to within rounding)
     assert(math.abs(got.values.map(_._4).sum - 1.0) < 3e-4)
   }
+
+  test("BPE encode: textbook corpus segments low/lower/newest/widest as the learned merges dictate") {
+    import spark.implicits._
+    // merges learned from this corpus (proven by the bpeMerges spec):
+    // es, est, lo, low, ew — hand-applied greedy left-to-right:
+    //   low    -> [low]         lower  -> [low, e, r]
+    //   newest -> [n, ew, est]  widest -> [w, i, d, est]
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.bpeEncode(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 16L, s"n_words ${row.getLong(1)}")
+    // 5*1 + 2*3 + 6*3 + 3*4 = 41 subwords
+    assert(row.getLong(2) == 41L, s"n_subwords ${row.getLong(2)}")
+    assert(row.getDouble(3) == math.floor(41.0 / 16 * 10000 + 0.5) / 10000)
+    val expected = (Seq.fill(5)("low") ++ Seq.fill(2)("low|e|r") ++
+      Seq.fill(6)("n|ew|est") ++ Seq.fill(3)("w|i|d|est")).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(expected.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getString(4) == fp, "segmentation fingerprint mismatch")
+  }
+
+  test("URL census: normalization (case, www., registered domain), https share, blocklist") {
+    import spark.implicits._
+    // odd doc_ids dodge the deterministic augmentation; doc 2 exercises it
+    val docs = Seq(
+      (1L, "visit https://www.Foo.Example.COM/x thing http://a.b.example3.org/y"),
+      (2L, "x"),
+      (3L, "again https://foo.example.com/z and plain text")
+    ).toDF("doc_id", "text")
+    val got = TextOps.urlCensus(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 2's augmentation: https://cdn2.example2.org/... + http://WWW.Example2.ORG/...
+    assert(got("example.com") == ((2L, 2L, 1.0, false)))
+    assert(got("example2.org") == ((2L, 1L, 0.5, false)))
+    assert(got("example3.org") == ((1L, 1L, 0.0, true)))
+    assert(got.size == 3)
+  }
 }

@@ -321,4 +321,70 @@ class VectorOpsSpec extends SparkSpec {
     // every vector is a member of exactly one cluster
     assert(stats.filter(_._1._2 == 0).values.map(_._2).sum == vecs.length)
   }
+
+  test("PCA power iteration: synthetic dominant axis is recovered with the right eigenvalue and sign") {
+    import spark.implicits._
+    // variance 7.5 along dim 0, 0.075 along dim 1 (dim1 = 0.1*dim0), dims
+    // 2-3 dead: C = [[7.5,.75,0,0],[.75,.075,0,0],0,0], lam1 = 7.575,
+    // v1 = (0.99504, 0.09950, 0, 0); the sign rule (largest-|component|
+    // positive) pins the orientation
+    val df = Seq(1f, 2f, 3f, 4f, -1f, -2f, -3f, -4f).zipWithIndex
+      .map { case (a, i) => (i.toLong, Seq(a, 0.1f * a, 0f, 0f)) }
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.pcaPowerComponent(df, dim = 4, iters = 20).collect()
+      .map(x => x.getInt(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r.size == 4)
+    val lam = r(0)._2
+    assert(math.abs(lam - 7.575) < 1e-3, s"lam $lam")
+    assert(math.abs(r(0)._1 - 0.995037) < 1e-3, s"loading0 ${r(0)._1}")
+    assert(math.abs(r(1)._1 - 0.099504) < 1e-3, s"loading1 ${r(1)._1}")
+    assert(math.abs(r(2)._1) < 1e-6 && math.abs(r(3)._1) < 1e-6)
+  }
+
+  test("PCA on the corpus: JVM power-iteration reference agrees, lam dominates every per-dim variance") {
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val means = Array.tabulate(64)(p => vecs.map(_(p)).sum / n)
+    // same quantized covariance + same iteration ladder as the operator
+    val c = Array.tabulate(64, 64)((i, j) =>
+      q(vecs.map(v => v(i) * v(j)).sum / n - means(i) * means(j), 1e6))
+    var v = Array.fill(64)(1.0 / math.sqrt(64.0))
+    for (_ <- 1 to 20) {
+      val w = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => q(x / nrm, 1e8))
+    }
+    val maxIdx = v.indices.minBy(i => (-math.abs(v(i)), i))
+    if (v(maxIdx) < 0) v = v.map(-_)
+    val mv = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val lamRef = q(v.zip(mv).map { case (a, b) => a * b }.sum /
+      v.map(x => x * x).sum, 1e6)
+    val got = VectorOps.pcaPowerComponent(emb).collect()
+      .map(x => x.getInt(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(got.size == 64)
+    // covariance inputs may differ by one 1e-6 quantum on boundary cells;
+    // 20 iterations keep that below 1e-4 on a well-separated spectrum
+    v.indices.foreach(i => assert(math.abs(got(i)._1 - q(v(i), 1e6)) < 1e-4,
+      s"loading $i: ${got(i)._1} vs ${q(v(i), 1e6)}"))
+    assert(math.abs(got(0)._2 - lamRef) < 1e-4, s"lam ${got(0)._2} vs $lamRef")
+    // the dominant eigenvalue bounds every coordinate variance
+    (0 until 64).foreach(i => assert(got(0)._2 >= c(i)(i) - 1e-4))
+    // projections agree with a direct dot-product reference on the same head
+    val vEng = (0 until 64).map(i => got(i)._1).toArray
+    val proj = VectorOps.pcaProject(emb, maxId = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mu = means.map(q(_, 1e6))
+    val cOff = mu.zip(vEng).map { case (a, b) => a * b }.sum
+    val byId = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    byId.foreach { case (id, x) =>
+      val ref = x.zip(vEng).map { case (a, b) => a * b }.sum - cOff
+      // vEng is 1e-6-quantized output, not the internal 1e-8 iterate:
+      // |x|~8, 64 dims ⇒ quantization slack dominates the comparison
+      assert(math.abs(proj(id) - ref) < 5e-3, s"proj $id: ${proj(id)} vs $ref")
+    }
+  }
 }

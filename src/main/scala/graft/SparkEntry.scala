@@ -867,7 +867,46 @@ object SparkEntry {
              |SELECT CAST(floor(before / 5000) AS BIGINT) AS bin,
              |  count(*) AS n_files, CAST(sum(sz) AS BIGINT) AS total_rows,
              |  min(f) AS first_file, max(f) AS last_file
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bloom-filter data skipping: per-"file" (orderkey-residue bucket)
+    // partkey blooms from the portable md5-prefix hash, probed for keys
+    // 1..20 — candidate vs true buckets, false-positive overhead, and the
+    // measured scan-skip rate; the oracle rebuilds the identical index
+    Q("store_bloom_skip",
+      (s, d) => Relational.bloomSkipStats(lineitem(s, d)),
+      Some("""WITH keys AS (
+             |  SELECT DISTINCT l_orderkey % 64 AS bucket, l_partkey AS key
+             |  FROM lineitem),
+             |bloom AS (
+             |  SELECT DISTINCT bucket,
+             |    CAST(('0x' || substr(md5('bf' || CAST(r AS VARCHAR) || ':'
+             |      || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
+             |  FROM keys, (SELECT unnest(range(3)) AS r)),
+             |probes AS (SELECT unnest(range(1, 21)) AS key),
+             |pb AS (
+             |  SELECT key, r,
+             |    CAST(('0x' || substr(md5('bf' || CAST(r AS VARCHAR) || ':'
+             |      || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
+             |  FROM probes, (SELECT unnest(range(3)) AS r)),
+             |cand AS (
+             |  SELECT key, bucket FROM pb JOIN bloom USING (bit)
+             |  GROUP BY key, bucket HAVING count(DISTINCT r) = 3),
+             |cc AS (SELECT key, count(DISTINCT bucket) AS n_candidates
+             |  FROM cand GROUP BY key),
+             |tc AS (SELECT key, count(DISTINCT bucket) AS n_true
+             |  FROM keys WHERE key BETWEEN 1 AND 20 GROUP BY key)
+             |SELECT p.key,
+             |  CAST(coalesce(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+             |  CAST(coalesce(tc.n_true, 0) AS BIGINT) AS n_true,
+             |  CAST(coalesce(cc.n_candidates, 0)
+             |    - coalesce(tc.n_true, 0) AS BIGINT) AS n_false_pos,
+             |  floor((1.0 - CAST(coalesce(cc.n_candidates, 0) AS DOUBLE) / 64)
+             |    * 10000 + 0.5) / 10000 AS skip_rate
+             |FROM probes p
+             |LEFT JOIN cc ON cc.key = p.key
+             |LEFT JOIN tc ON tc.key = p.key
+             |ORDER BY p.key""".stripMargin))
   )
 
   /** Graph analytics beyond connected components: exact triangle counting
@@ -2566,6 +2605,31 @@ object SparkEntry {
               |    * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM t JOIN m USING (token) CROSS JOIN n
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style perplexity terciles (head/middle/tail by mean unigram
+    // surprisal): thresholds are exact percentiles over the per-doc
+    // aggregate (no corpus-wide sort), labels a broadcast comparison;
+    // census per bucket
+    Q("txt_perplexity_buckets",
+      (s, d) => TextOps.perplexityBuckets(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+              |m AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+              |n AS (SELECT count(*) AS n_total FROM t),
+              |pd AS (
+              |  SELECT doc_id,
+              |    floor(sum(-ln(CAST(cnt AS DOUBLE) / n_total)) / count(*)
+              |      * 10000 + 0.5) / 10000 AS sm
+              |  FROM t JOIN m USING (token) CROSS JOIN n
+              |  GROUP BY doc_id),
+              |thr AS (SELECT quantile_cont(sm, 0.33) AS lo,
+              |               quantile_cont(sm, 0.67) AS hi FROM pd)
+              |SELECT CASE WHEN sm <= lo THEN 'head'
+              |            WHEN sm <= hi THEN 'middle' ELSE 'tail' END AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  floor(avg(sm) * 10000 + 0.5) / 10000 AS mean_surprisal,
+              |  floor(min(sm) * 10000 + 0.5) / 10000 AS min_surprisal,
+              |  floor(max(sm) * 10000 + 0.5) / 10000 AS max_surprisal
+              |FROM pd, thr GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // novelty curve: per doc, fraction of distinct 5-grams unseen in any
     // earlier doc; first-seen via min(doc_id) on 61-bit hashes

@@ -1106,4 +1106,55 @@ object Relational {
       .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"),
         col("l_linenumber"))
   }
+
+  /** Bloom-filter data skipping — the per-file membership index a lakehouse
+    * keeps beside min/max zone maps (zone maps prune RANGES; blooms prune
+    * point lookups on high-cardinality keys the ranges can't). Files are
+    * modeled as `nBuckets` orderkey-residue buckets; each gets a
+    * `kHashes`×`mBits` bloom of its partkeys built from the portable
+    * md5-prefix hash, so the index is a (bucket, bit) set BOUNDED by
+    * nBuckets·mBits rows no matter how many rows the table has — the whole
+    * point of the structure. The probe half asks, for each of `nProbes`
+    * keys: how many files might contain it (all k bits set), how many truly
+    * do, and the false-positive overhead — i.e. the scan-skip rate the
+    * index would buy, measured not assumed. Blooms never miss a true
+    * bucket (asserted by spec); the shuffles here carry (bucket, bit)
+    * longs and the probe side is a tiny broadcast.
+    */
+  def bloomSkipStats(li: DataFrame, nBuckets: Int = 64, mBits: Int = 4096,
+                     kHashes: Int = 3, nProbes: Int = 20): DataFrame = {
+    def bitOf = expr(
+      s"CAST(conv(substring(md5(concat('bf', CAST(h AS STRING), ':', " +
+        s"CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $mBits")
+    val keys = li.select((col("l_orderkey") % nBuckets).as("bucket"),
+      col("l_partkey").as("key")).distinct()
+    val bloom = keys
+      .select(col("bucket"), col("key"),
+        explode(sequence(lit(0), lit(kHashes - 1))).as("h"))
+      .withColumn("bit", bitOf)
+      .select(col("bucket"), col("bit")).distinct()
+    val probes = li.sparkSession.range(1, nProbes + 1)
+      .select(col("id").as("key"))
+    val probeBits = probes
+      .select(col("key"), explode(sequence(lit(0), lit(kHashes - 1))).as("h"))
+      .withColumn("bit", bitOf)
+    val cands = probeBits.join(bloom, Seq("bit"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(countDistinct(col("h")).as("nh"))
+      .filter(col("nh") === kHashes)
+      .groupBy(col("key")).agg(countDistinct(col("bucket")).as("n_candidates"))
+    val truth = keys.filter(col("key").between(1, nProbes))
+      .groupBy(col("key")).agg(countDistinct(col("bucket")).as("n_true"))
+    probes
+      .join(cands, Seq("key"), "left")
+      .join(truth, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_candidates"), lit(0L))
+          - coalesce(col("n_true"), lit(0L))).as("n_false_pos"),
+        (floor((lit(1.0) - coalesce(col("n_candidates"), lit(0L))
+          .cast("double") / nBuckets) * 10000 + 0.5) / 10000).as("skip_rate"))
+      .orderBy(col("key"))
+  }
 }

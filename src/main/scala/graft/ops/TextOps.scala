@@ -854,6 +854,43 @@ object TextOps {
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)
 
+  /** CCNet-style perplexity bucketing — split the corpus into head /
+    * middle / tail thirds by language-model score (CCNet §4.4: documents
+    * sorted by LM perplexity, best third kept as "head"; the proxy model
+    * here is the corpus unigram LM, so the score is each doc's mean
+    * unigram surprisal — [[unigramSurprisal]]'s statistic). The
+    * scale-honest shape: NO global sort of the corpus — the tercile
+    * thresholds are exact percentiles over the PER-DOC aggregate (one
+    * narrow |docs|-row frame), broadcast back as one row, and the bucket
+    * label is then a map-side comparison. Output is the per-bucket census
+    * (doc count, surprisal spread), the monitoring view a curation
+    * pipeline actually tracks.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("token")).persist()
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    // checkpointed: the per-doc frame feeds both the threshold percentiles
+    // and the final labeling — without the cut the token join runs twice
+    val perDoc = toks.join(model, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(q4(sum(-log(col("cnt") / col("n_total"))) / count(lit(1))).as("m"))
+      .localCheckpoint()
+    val thr = perDoc.agg(expr("percentile(m, 0.33)").as("lo"),
+      expr("percentile(m, 0.67)").as("hi"))
+    perDoc.crossJoin(broadcast(thr))
+      .withColumn("bucket", when(col("m") <= col("lo"), "head")
+        .when(col("m") <= col("hi"), "middle").otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        q4(avg(col("m"))).as("mean_surprisal"),
+        q4(min(col("m"))).as("min_surprisal"),
+        q4(max(col("m"))).as("max_surprisal"))
+      .orderBy(col("bucket"))
+  }
+
   /** ENCODE with the trained tokenizer: apply the `rounds` learned BPE
     * merges, in rank order, to every document — the inference half of
     * [[bpeMerges]] (training learns the merge table; this is what a

@@ -53,4 +53,29 @@ class StorageLayoutSpec extends SparkSpec {
       r.getAs[Long]("y_max") >= 96 && r.getAs[Long]("y_min") <= 127))
     assert(linear.length == 16)
   }
+
+  test("bloom skipping: no false negatives, exact truth counts, skip rate arithmetic") {
+    import spark.implicits._
+    // partkey 1 lives in buckets {1, 2}; partkey 2 in {3}; keys 3..20
+    // appear nowhere — any candidate bucket for them is a false positive
+    val li = Seq((1L, 1L), (65L, 1L), (2L, 1L), (3L, 2L), (3L, 2L), (7L, 999L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.bloomSkipStats(li).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == 20)
+    // exact truth: key 1 in buckets 1%64, 65%64=1, 2 → {1, 2}; key 2 in {3}
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L)
+    (3L to 20L).foreach(k => assert(got(k)._2 == 0L, s"key $k truth"))
+    got.foreach { case (k, (cand, truth, fp, skip)) =>
+      // the structural bloom guarantee: a true bucket is NEVER skipped
+      assert(cand >= truth, s"false negative on key $k")
+      assert(fp == cand - truth)
+      val expSkip = math.floor((1.0 - cand.toDouble / 64) * 10000 + 0.5) / 10000
+      assert(skip == expSkip, s"skip rate on key $k")
+    }
+    // 4 buckets x <=3 keys x 3 bits in 4096: collisions essentially
+    // impossible, so the index is exact on this fixture
+    assert(got.values.forall(v => v._3 == 0L), s"unexpected collisions: $got")
+  }
 }

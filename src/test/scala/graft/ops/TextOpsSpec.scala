@@ -476,4 +476,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got("example3.org") == ((1L, 1L, 0.0, true)))
     assert(got.size == 3)
   }
+
+  test("perplexity buckets: terciles partition the corpus with monotone surprisal ranges") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.perplexityBuckets(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    // every scored doc lands in exactly one bucket
+    val nScored = docs.filter(length(trim(col("text"))) > 0).count()
+    assert(got.values.map(_._1).sum == nScored)
+    // the tercile construction: head <= lo < middle <= hi < tail
+    assert(got("head")._4 <= got("middle")._3, "head/middle overlap")
+    assert(got("middle")._4 <= got("tail")._3, "middle/tail overlap")
+    // roughly thirds (exact split depends on ties at the thresholds)
+    got.values.foreach(v =>
+      assert(v._1 > nScored / 5 && v._1 < nScored / 2, s"lopsided: $got"))
+  }
 }

@@ -1138,7 +1138,9 @@ object Relational {
     val probeBits = probes
       .select(col("key"), explode(sequence(lit(0), lit(kHashes - 1))).as("h"))
       .withColumn("bit", bitOf)
-    val cands = probeBits.join(bloom, Seq("bit"))
+    // nProbes*kHashes rows against the bounded bloom frame: the probe side
+    // is the broadcast side by construction, not by AQE's runtime guess
+    val cands = bloom.join(broadcast(probeBits), Seq("bit"))
       .groupBy(col("key"), col("bucket"))
       .agg(countDistinct(col("h")).as("nh"))
       .filter(col("nh") === kHashes)

@@ -2046,7 +2046,48 @@ object SparkEntry {
              |  CAST(min(s.cnt) AS BIGINT) AS cms_est,
              |  CAST(min(s.cnt) - p.exact AS BIGINT) AS overcount
              |FROM pr p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
-             |GROUP BY p.key, p.exact ORDER BY p.exact DESC, p.key""".stripMargin))
+             |GROUP BY p.key, p.exact ORDER BY p.exact DESC, p.key""".stripMargin)),
+
+    // HyperLogLog distinct estimation (m=256, textbook Flajolet with
+    // linear-counting small-range correction) audited against exact
+    // distincts for four key shapes; every literal pinned DOUBLE on both
+    // sides so the arithmetic is pure IEEE — the oracle rebuilds the
+    // registers from the identical md5-prefix hash
+    Q("ev_hll_distinct",
+      (s, d) => EventOps.hllDistinct(events(s, d)),
+      Some {
+        val cols = Seq(
+          ("event_id", "CAST(event_id AS VARCHAR)"),
+          ("event_type", "event_type"),
+          ("user_id", "CAST(user_id AS VARCHAR)"),
+          ("user_type_pair", "CAST(user_id AS VARCHAR) || ':' || event_type"))
+        val estE = "(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256::DOUBLE))" +
+          " * 65536::DOUBLE / (s + (256::DOUBLE - npres))"
+        val blocks = cols.map { case (tag, ke) =>
+          s"""r_$tag AS (
+             |  SELECT h // 16777216 AS reg,
+             |    max(CASE WHEN h % 16777216 = 0 THEN 25
+             |        ELSE 25 - length(bin(h % 16777216)) END) AS mr
+             |  FROM (SELECT CAST(('0x' || substr(md5('hll:' || $ke), 1, 8))
+             |          AS BIGINT) AS h
+             |        FROM events)
+             |  GROUP BY 1),
+             |f_$tag AS (
+             |  SELECT '$tag' AS col_name,
+             |    (SELECT CAST(count(DISTINCT $ke) AS BIGINT) FROM events)
+             |      AS n_exact,
+             |    floor((CASE WHEN $estE <= 640::DOUBLE AND npres < 256
+             |      THEN 256::DOUBLE * ln(256::DOUBLE / (256::DOUBLE - npres))
+             |      ELSE $estE END) * 10000 + 0.5) / 10000 AS eq
+             |  FROM (SELECT count(*) AS npres, sum(power(2.0::DOUBLE, -mr)) AS s
+             |        FROM r_$tag))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $blocks
+           |SELECT col_name, n_exact, eq AS hll_est,
+           |  floor((eq / n_exact - 1) * 10000 + 0.5) / 10000 AS rel_err
+           |FROM (${cols.map(c => s"SELECT * FROM f_${c._1}").mkString(" UNION ALL ")})
+           |ORDER BY col_name""".stripMargin
+      })
   )
 
   /** DuckDB-side normalized token list (must match TextOps.normalize/tokens:
@@ -3293,15 +3334,18 @@ object SparkEntry {
            |      THEN s ELSE acc END).x < 0
            |  THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sg FROM it20),
            |fin AS (SELECT m, list_transform(v, x -> sg * x) AS v FROM sg),
-           |mvv AS (SELECT v, list_transform(m, row ->
+           |mvv AS (SELECT m, v, list_transform(m, row ->
            |    list_reduce(list_transform(range(1, 65), i -> row[i] * v[i]),
            |                (a, b) -> a + b)) AS mv FROM fin),
            |lam AS (SELECT v,
            |  floor(${dotd("v", "mv")} / ${dotd("v", "v")} * 1000000 + 0.5)
-           |    / 1000000 AS lam FROM mvv)
+           |    / 1000000 AS lam,
+           |  list_reduce(list_transform(range(1, 65), i -> m[i][i]),
+           |              (a, b) -> a + b) AS trace FROM mvv)
            |SELECT CAST(i - 1 AS INTEGER) AS pos,
            |  floor(v[CAST(i AS INTEGER)] * 1000000 + 0.5) / 1000000 AS loading,
-           |  lam
+           |  lam,
+           |  floor(lam / trace * 1000000 + 0.5) / 1000000 AS var_explained
            |FROM lam, (SELECT unnest(range(1, 65)) AS i)
            |ORDER BY pos""".stripMargin
       }),

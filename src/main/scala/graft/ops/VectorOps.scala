@@ -720,7 +720,14 @@ object VectorOps {
       .withColumn("v", expr("transform(v, x -> sg * x)"))
       .withColumn("mv", expr(s"transform(m, row -> ${dot("row", "v")})"))
       .withColumn("lam", q6(expr(dot("v", "mv")) / expr(dot("v", "v"))))
-      .select(col("m"), col("mu"), col("v"), col("lam"))
+      // trace = total variance; lam/trace is the collapse diagnostic (PC1
+      // carrying most of the trace = the space degenerated to a line)
+      .withColumn("trace", expr(
+        s"""aggregate(zip_with(m, sequence(1, $dim), (row, i) ->
+           |  element_at(row, i)), 0D, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("m"), col("mu"), col("v"), col("lam"),
+        (floor(col("lam") / col("trace") * 1000000 + 0.5) / 1000000)
+          .as("var_explained"))
   }
 
   /** Dominant principal component of the embedding corpus by POWER
@@ -734,9 +741,10 @@ object VectorOps {
     */
   def pcaPowerComponent(emb: DataFrame, dim: Int = 64, iters: Int = 20): DataFrame =
     pcaHead(emb, dim, iters)
-      .select(posexplode(col("v")).as(Seq("pos", "loading")), col("lam"))
+      .select(posexplode(col("v")).as(Seq("pos", "loading")), col("lam"),
+        col("var_explained"))
       .select(col("pos"), (floor(col("loading") * 1000000 + 0.5) / 1000000)
-        .as("loading"), col("lam"))
+        .as("loading"), col("lam"), col("var_explained"))
       .orderBy(col("pos"))
 
   /** Project every vector onto the dominant principal component — the

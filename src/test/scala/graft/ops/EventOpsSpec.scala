@@ -136,4 +136,27 @@ class EventOpsSpec extends SparkSpec {
     real.foreach(r => assert(r.getLong(3) >= 0,
       s"undercount on ${r.getString(0)}"))
   }
+
+  test("HLL: estimates land within theory bounds on every audited cardinality shape") {
+    val got = EventOps.hllDistinct(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet ==
+      Set("event_id", "event_type", "user_id", "user_type_pair"))
+    // exact distincts are real counts (sf0.001 events: small but nonzero)
+    got.values.foreach { case (exact, est, relErr) =>
+      assert(exact > 0 && est > 0)
+      // m=256 HLL standard error is ~6.5%; linear counting is tighter at
+      // the low end — 25% is a >3-sigma envelope for every shape here
+      assert(math.abs(relErr) < 0.25, s"rel_err $relErr for exact=$exact")
+      // rel_err column is consistent with the two value columns
+      val expected =
+        math.floor((est / exact - 1) * 10000 + 0.5) / 10000
+      assert(math.abs(relErr - expected) < 1e-9)
+    }
+    // the low-cardinality shape rides linear counting: near-exact
+    val (typeExact, typeEst, _) = got("event_type")
+    assert(math.abs(typeEst - typeExact) < 1.0,
+      s"linear counting should be near-exact: $typeEst vs $typeExact")
+  }
 }

@@ -27,6 +27,37 @@ object MicroBench {
   val GateRatio = 1.3
   val GateFloorSec = 0.15
 
+  /** Host-speed calibration: a fixed CPU-bound job (400M xxhash64 folds
+    * across 32 range partitions, one map-side partial agg, no IO, no real
+    * shuffle) whose wall time tracks the BOX's effective throughput, not
+    * any query plan. The gate compares each query's warm median against
+    * `recorded × (canaryNow / canaryRecorded)`, so a uniform host slowdown
+    * (shared-VM steal — observed 1.5–1.6× flat across all 23 tracked
+    * queries on 2026-08-14, BASELINE.md "Host-throughput note") does not
+    * read as 23 plan regressions, while a genuine single-query regression
+    * still trips because the canary did not move. The scale is clamped to
+    * [0.67, 3.0]: a canary swing past that is itself suspicious, and the
+    * clamp keeps a broken canary from masking real regressions.
+    */
+  private def canarySecs(spark: SparkSession, sfDir: String,
+                         reps: Int = 3): Double = {
+    import org.apache.spark.sql.functions._
+    val secs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      // CPU leg: 1.6B xxhash64 folds (% 1e6 keeps the ANSI sum far from
+      // long overflow); IO leg: a full uncached lineitem scan-aggregate —
+      // together they track the same CPU+IO mix the tracked queries pay
+      spark.range(0, 1600000000L, 1, 32)
+        .select(sum(xxhash64(org.apache.spark.sql.functions.col("id")) % 1000000L))
+        .collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(sum(xxhash64(org.apache.spark.sql.functions.col("l_extendedprice"))
+          % 1000000L)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    secs.sorted.apply(reps / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -70,17 +101,27 @@ object MicroBench {
       println(f"$n%-28s ${secs.map(s => f"$s%.2f").mkString(" ")}")
       n -> secs.sorted.apply(reps / 2)
     }.toMap
+    val canaryNow = if (gateMode) canarySecs(spark, sfDir) else 0.0
     spark.stop()
 
     if (gateMode) {
+      val canaryBase = readMeta(ArtifactPath, "_canary")
+      val scale = canaryBase match {
+        case Some(b) if b > 0 =>
+          math.min(3.0, math.max(0.67, canaryNow / b))
+        case _ => 1.0
+      }
+      println(f"canary: now $canaryNow%.2fs, recorded " +
+        f"${canaryBase.getOrElse(0.0)}%.2fs, gate scale $scale%.2fx")
       val regressions = medians.toSeq.sorted.flatMap { case (n, m) =>
-        val base = baseline(n)
+        val base = baseline(n) * scale
         if (base > 0 && m > base * GateRatio && m - base > GateFloorSec)
-          Some(f"$n: warm median $m%.2fs vs recorded $base%.2fs (${m / base}%.2fx)")
+          Some(f"$n: warm median $m%.2fs vs recorded $base%.2fs " +
+            f"host-normalized (${m / base}%.2fx)")
         else None
       }
       if (updateArtifact) {
-        writeArtifact(ArtifactPath, sfDir, medians)
+        writeArtifact(ArtifactPath, sfDir, medians, canaryNow)
         println(s"$ArtifactPath updated (${medians.size} queries)")
       }
       if (regressions.nonEmpty) {
@@ -105,12 +146,26 @@ object MicroBench {
     }
   }
 
+  /** A single "_"-prefixed metadata value from the artifact, if present. */
+  private def readMeta(path: String, key: String): Option[Double] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val txt = java.nio.file.Files.readString(f)
+      s""""${java.util.regex.Pattern.quote(key)}"\\s*:\\s*([0-9][0-9.eE+-]*)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    }
+  }
+
   private def writeArtifact(path: String, sfDir: String,
-                            medians: Map[String, Double]): Unit = {
+                            medians: Map[String, Double],
+                            canary: Double = 0.0): Unit = {
     val body = medians.toSeq.sorted
       .map { case (n, s) => f""""$n": ${s}%.3f""" }
       .mkString(",\n  ")
+    val canaryLine =
+      if (canary > 0) f"""  "_canary": $canary%.3f,\n""" else ""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      s"""{\n  "_sf": "${sfDir.replace("\\", "/")}",\n  $body\n}\n""")
+      s"""{\n  "_sf": "${sfDir.replace("\\", "/")}",\n$canaryLine  $body\n}\n""")
   }
 }

@@ -276,6 +276,57 @@ object EventStream {
       .transformWithState(new MilestoneProcessor, TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "milestone", "ts_us")
   }
+
+  /** STREAMING HyperLogLog — the streaming twin of
+    * `EventOps.hllDistinct` (same md5-prefix hash, same m=256 register
+    * map), maintained incrementally under `transformWithState`. The state
+    * operator is keyed BY REGISTER (the top 8 hash bits, computed
+    * map-side before the shuffle), so the whole distinct-count state is
+    * 256 keys × one max-ρ value — independent of stream length AND of key
+    * cardinality, with no hot-key state bottleneck (a billion distinct
+    * keys still spread over the same 256 state rows). Each micro-batch
+    * emits only the registers whose max GREW; because register max is
+    * associative and commutative, the latest emission per register equals
+    * the batch-computed sketch exactly — asserted by the spec, which also
+    * recovers the cardinality estimate from the streamed registers.
+    *
+    * Input contract: a streaming DataFrame with one string `key` column
+    * (the identifier whose distinct count is tracked). Requires the
+    * RocksDB state store provider, like [[milestones]].
+    */
+  def hllRegisters(spark: SparkSession, keyed: DataFrame): DataFrame = {
+    import spark.implicits._
+    keyed
+      .selectExpr("CAST(conv(substring(md5(concat('hll:', key)), 1, 8), " +
+        "16, 10) AS BIGINT) AS h")
+      .selectExpr("h div 16777216 AS reg",
+        "CAST(CASE WHEN h % 16777216 = 0 THEN 25 " +
+          "ELSE 25 - length(bin(h % 16777216)) END AS INT) AS rho")
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new HllRegisterProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("reg", "max_rho")
+  }
+}
+
+/** [[EventStream.hllRegisters]]'s processor: one ValueState[Int] max-ρ per
+  * register; emits a row only when the register grows. */
+class HllRegisterProcessor
+    extends StatefulProcessor[Long, (Long, Int), (Long, Int)] {
+  @transient private var maxRho: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxRho = getHandle.getValueState[Int]("maxRho",
+      org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Int)],
+      timerValues: TimerValues): Iterator[(Long, Int)] = {
+    val cur = if (maxRho.exists()) maxRho.get() else 0
+    val m = rows.foldLeft(cur)((a, r) => math.max(a, r._2))
+    if (m > cur) { maxRho.update(m); Iterator.single((key, m)) }
+    else Iterator.empty
+  }
 }
 
 /** [[EventStream.milestones]]'s processor: one ValueState[Long] per user. */

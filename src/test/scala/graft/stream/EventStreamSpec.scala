@@ -307,6 +307,67 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL registers equal the batch sketch exactly; state bounded by m") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the full (user, type) key stream from the batch table, replayed in
+      // three micro-batches — including full duplication of batch 1 in
+      // batch 3 (duplicates must not move any register)
+      val keys = batchEvents
+        .selectExpr("CAST(user_id AS STRING) || ':' || event_type AS key")
+        .as[String].collect().toSeq
+      val (b1, rest) = keys.splitAt(keys.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      val mem = MemoryStream[String]
+      val q = EventStream.hllRegisters(spark, mem.toDF().toDF("key"))
+        .writeStream.outputMode("append").format("memory").queryName("t_hll").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData((b3 ++ b1): _*); q.processAllAvailable()
+      // latest emission per register == the batch-computed register map
+      val streamed = spark.table("t_hll").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = batchEvents
+        .selectExpr("CAST(user_id AS STRING) || ':' || event_type AS key")
+        .selectExpr("CAST(conv(substring(md5(concat('hll:', key)), 1, 8), " +
+          "16, 10) AS BIGINT) AS h")
+        .selectExpr("h div 16777216 AS reg",
+          "CASE WHEN h % 16777216 = 0 THEN 25 " +
+            "ELSE 25 - length(bin(h % 16777216)) END AS rho")
+        .groupBy("reg").agg(max(col("rho")).as("mr")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(streamed == batch,
+        s"register drift: ${(streamed.toSet diff batch.toSet).take(3)}")
+      // state row count bounded by the registers actually hit (≤ 256)
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == batch.size && batch.size <= 256,
+        s"state rows ${lastState.numRowsTotal} vs registers ${batch.size}")
+      // the estimate recovered from streamed registers matches the batch
+      // HLL formula on the same registers
+      val npres = streamed.size
+      val s = streamed.values.map(mr => math.pow(2.0, -mr)).sum
+      val raw = (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / (s + (256 - npres))
+      val est = if (raw <= 640.0 && npres < 256)
+        256.0 * math.log(256.0 / (256 - npres)) else raw
+      val exact = keys.distinct.size
+      assert(math.abs(est / exact - 1) < 0.25,
+        s"streamed estimate $est vs exact $exact")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
     import spark.implicits._
     val dim = batchEvents.select(col("user_id")).distinct()

@@ -63,4 +63,31 @@ object FileFormats {
     */
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** JSON Lines export — one JSON object per line, the splittable layout
+    * (whole-file JSON documents like the reference's raw blob wrappers are
+    * a SINGLE task per file on read; line-delimited keeps every format
+    * advantage while staying parallel). `ignoreNullFields=false` writes
+    * explicit nulls so null vs absent-key survives the round trip — the
+    * JSON analogue of CSV's `\N` sentinel.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(path)
+
+  /** Schema-explicit JSON Lines read, FAILFAST: a row that does not parse
+    * or a value that does not fit the declared type is a loud error — the
+    * PERMISSIVE default would silently null the whole row. Nested structs
+    * and arrays in the schema are honored (JSON's native strength over
+    * CSV); with `multiLine=true` one whole-document JSON file can be read,
+    * at the documented cost of non-splittable single-task files.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType,
+                    multiLine: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("multiLine", multiLine)
+      .option("mode", "FAILFAST")
+      .json(path)
 }

@@ -43,6 +43,28 @@ class ExecReleaseSpec extends SparkSpec {
     Exec.releaseAll(spark)
   }
 
+  test("late-round operators' checkpoints and pins are fully swept by releaseAll") {
+    import spark.implicits._
+    // pcaHead: 1 cell checkpoint + one per power-iteration round;
+    // perplexityBuckets: token persist + per-doc checkpoint; bfsLayers:
+    // per-round frontier pins + visited checkpoints
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Seq.tabulate(4)(j => (i * (j + 1)).toFloat / 7f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    VectorOps.pcaPowerComponent(emb, dim = 4, iters = 5).collect()
+    val docs = Seq((1L, "a b c a b"), (2L, "c d e f g"), (3L, "a a a b"))
+      .toDF("doc_id", "text")
+    TextOps.perplexityBuckets(docs).collect()
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("a", "b")
+    GraphOps.bfsLayers(edges, seedMod = 10L, rounds = 2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "fixture should have pinned blocks before the sweep")
+    Exec.releaseAll(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"leaked RDD blocks after releaseAll: ids=${leaked.keys.toSeq.sorted}")
+  }
+
   test("kCore peel releases per-round survivor and edge frames (non-converged path)") {
     import spark.implicits._
     // a peel that runs >1 round and does NOT converge within budget

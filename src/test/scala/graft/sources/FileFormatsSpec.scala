@@ -78,4 +78,55 @@ class FileFormatsSpec extends SparkSpec {
     assert(msgs(ex).exists(m => m != null &&
       (m.contains("Malformed") || m.contains("FAILFAST") || m.contains("MALFORMED"))))
   }
+
+  test("JSON Lines round-trips nested structs/arrays and keeps explicit nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", StructType(Seq(
+        StructField("geo", StringType),
+        StructField("score", DoubleType)))),
+      StructField("note", StringType)))
+    val rows = Seq(
+      Row(1L, Seq("a", "b"), Row("LU", 0.5), """tricky "quoted", text"""),
+      Row(2L, Seq.empty[String], Row(null, 1.25), null),
+      Row(3L, null, null, ""))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val dir = tmp("jsonl")
+    FileFormats.writeJsonLines(df, dir)
+    val back = FileFormats.readJsonLines(spark, dir, schema)
+    assert(back.schema == schema)
+    // cell-exact round trip, including null vs empty string/array and the
+    // nested null struct
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "JSON Lines round-trip must be lossless")
+    // splittability contract: line-delimited output is one object per line
+    val lines = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+    assert(lines.length == 3 && lines.forall(l =>
+      l.startsWith("{") && l.endsWith("}")))
+    // explicit nulls are WRITTEN (null vs absent key survives)
+    assert(lines.exists(_.contains("\"note\":null")),
+      s"expected explicit null in: ${lines.mkString(" | ")}")
+  }
+
+  test("FAILFAST JSON read fails loudly on malformed lines and type mismatches") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = tmp("json-bad")
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.json"),
+      "{\"id\": 1}\n{not json at all\n")
+    val ex = intercept[Exception] {
+      FileFormats.readJsonLines(spark, dir, schema).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      (m.contains("Malformed") || m.contains("FAILFAST") || m.contains("MALFORMED"))))
+  }
 }

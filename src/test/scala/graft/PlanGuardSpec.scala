@@ -615,4 +615,53 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges.count(_.contains("h#")) == 1,
       s"exactly one exchange on the window hash, got: $exchanges\n$planStr")
   }
+
+  test("PCA projection is map-side: the corpus pass shuffles only for the final sort") {
+    // pcaHead's internal aggregates hide behind its localCheckpoints, so
+    // the projection plan is scan → fold → broadcast-join head → sort:
+    // any HASH-partitioned exchange here means the per-vector projection
+    // stopped being a map-side fold
+    val exchanges = staticExchanges(
+      SparkEntry.queries("vec_pca_project")(spark, sfDir))
+    exchanges.foreach { e =>
+      assert(e.outputPartitioning.toString.contains("rangepartitioning"),
+        s"non-sort exchange in the projection pass: ${e.outputPartitioning}")
+      assert(!e.output.map(_.name).contains("embedding"),
+        "embedding array crosses the projection exchange")
+    }
+  }
+
+  test("CMS sketch exchange is (row, bucket)-narrow: key strings stay out of the sketch build") {
+    val exchanges = staticExchanges(
+      SparkEntry.queries("ev_cms_heavy_keys")(spark, sfDir))
+    assert(exchanges.nonEmpty, "CMS plan must contain its sketch aggregation")
+    val sketchSide = exchanges.filter { e =>
+      val names = e.output.map(_.name)
+      names.contains("bucket") && !names.contains("key")
+    }
+    assert(sketchSide.nonEmpty,
+      s"no key-free (r, bucket) sketch exchange found: " +
+        exchanges.map(_.output.map(_.name).mkString("[", ",", "]")).mkString(" "))
+  }
+
+  test("BFS census: every exchange carries only fixed-width atomic columns") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val exchanges = staticExchanges(
+      SparkEntry.queries("graph_bfs_layers")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach(a =>
+        assert(a.dataType == LongType || a.dataType == IntegerType,
+          s"wide column ${a.name}: ${a.dataType} in a BFS exchange"))
+    }
+  }
+
+  test("bloom skipping: probe side broadcasts; no cartesian anywhere") {
+    val plan = staticPlan(SparkEntry.queries("store_bloom_skip")(spark, sfDir))
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      "bloom probe must not plan a cartesian")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "the nProbes×kHashes probe side must broadcast")
+  }
 }

@@ -3405,6 +3405,85 @@ object SparkEntry {
            |FROM e, hd ORDER BY vec_id""".stripMargin
       }),
 
+    // 2-D PCA map by deflation (C₂ = C − λ₁v₁v₁ᵀ, re-quantized 1e-6 like
+    // the original): the oracle unrolls BOTH 20-round power iterations —
+    // 40 matvec+normalize rounds replayed end to end
+    Q("vec_pca2_map",
+      (s, d) => VectorOps.pcaTop2Project(embeddings(s, d), dim = 64,
+        iters = 20, maxId = 100),
+      Some {
+        val dotd = (a: String, b: String) =>
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+        def rounds(mCol: String, vCol: String, from: String, pfx: String,
+                   n: Int): String =
+          (1 to n).map { k =>
+            val prev = if (k == 1) from else s"$pfx${k - 1}"
+            s"""${pfx}w$k AS (SELECT $mCol, list_transform($mCol, row ->
+               |    list_reduce(list_transform(range(1, 65), i -> row[i] * $vCol[i]),
+               |                (a, b) -> a + b)) AS w FROM $prev),
+               |$pfx$k AS (SELECT $mCol, list_transform(w, x ->
+               |    floor(x / sqrt(list_reduce(list_transform(range(1, 65),
+               |      i -> w[i] * w[i]), (a, b) -> a + b)) * 100000000 + 0.5)
+               |      / 100000000) AS $vCol FROM ${pfx}w$k)""".stripMargin
+          }.mkString(",\n")
+        def signFix(vCol: String, src: String, out: String): String =
+          s"""$out AS MATERIALIZED (SELECT * REPLACE (list_transform($vCol, x ->
+             |  (CASE WHEN list_reduce(list_transform(range(1, 65),
+             |    i -> {'na': -abs($vCol[i]), 'i': i, 'x': $vCol[i]}),
+             |    (acc, s) -> CASE WHEN s.na < acc.na
+             |        OR (s.na = acc.na AND s.i < acc.i)
+             |      THEN s ELSE acc END).x < 0
+             |  THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END) * x) AS $vCol)
+             |  FROM $src)""".stripMargin
+        s"""WITH f AS MATERIALIZED (
+           |  SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+           |    unnest($DuckVec) AS x
+           |  FROM embeddings),
+           |cells AS MATERIALIZED (
+           |  SELECT a.pos AS i, b.pos AS j,
+           |    floor((avg(a.x * b.x) - avg(a.x) * avg(b.x)) * 1000000 + 0.5)
+           |      / 1000000 AS cov
+           |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+           |  GROUP BY 1, 2),
+           |fullm AS (SELECT i, j, cov FROM cells
+           |  UNION ALL SELECT j, i, cov FROM cells WHERE i <> j),
+           |mrows AS (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+           |mat AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM mrows),
+           |it0 AS (SELECT m,
+           |  list_transform(range(1, 65),
+           |    i -> 1.0::DOUBLE / sqrt(64.0::DOUBLE)) AS v FROM mat),
+           |${rounds("m", "v", "it0", "it", 20)},
+           |${signFix("v", "it20", "fin1")},
+           |lamc AS (SELECT m, v,
+           |  floor(${dotd("v", "mv")} / ${dotd("v", "v")} * 1000000 + 0.5)
+           |    / 1000000 AS lam
+           |  FROM (SELECT m, v, list_transform(m, row ->
+           |    list_reduce(list_transform(range(1, 65), i -> row[i] * v[i]),
+           |                (a, b) -> a + b)) AS mv FROM fin1)),
+           |defl AS (SELECT v,
+           |  list_transform(range(1, 65), i -> list_transform(range(1, 65), j ->
+           |    floor((m[i][j] - lam * v[i] * v[j]) * 1000000 + 0.5)
+           |      / 1000000)) AS m2
+           |  FROM lamc),
+           |jt0 AS (SELECT m2,
+           |  list_transform(range(1, 65),
+           |    i -> 1.0::DOUBLE / sqrt(64.0::DOUBLE)) AS v2 FROM defl),
+           |${rounds("m2", "v2", "jt0", "jt", 20)},
+           |${signFix("v2", "jt20", "fin2")},
+           |mu AS (SELECT list(mu ORDER BY pos) AS mu FROM (
+           |  SELECT pos, floor(avg(x) * 1000000 + 0.5) / 1000000 AS mu
+           |  FROM f GROUP BY pos)),
+           |hd AS (SELECT f1.v AS v, f2.v2 AS v2,
+           |    ${dotd("mu", "v")} AS c1, ${dotd("mu", "v2")} AS c2
+           |  FROM fin1 f1, fin2 f2, mu),
+           |e AS (SELECT vec_id, label, $DuckVec AS ev FROM embeddings
+           |  WHERE vec_id < 100)
+           |SELECT vec_id, label,
+           |  floor((${dotd("ev", "v")} - c1) * 10000 + 0.5) / 10000 AS x,
+           |  floor((${dotd("ev", "v2")} - c2) * 10000 + 0.5) / 10000 AS y
+           |FROM e, hd ORDER BY vec_id""".stripMargin
+      }),
+
     // Hard-negative mining: per query, top-5 most-similar vectors with a
     // DIFFERENT label — the label-inequality twin of the kNN oracle.
     Q("vec_hard_negatives",

@@ -767,4 +767,59 @@ object VectorOps {
           - col("c")).as("proj"))
       .orderBy(col("vec_id"))
   }
+
+  /** 2-D PCA dataset map — the top TWO principal components by deflation
+    * (the standard Hotelling step: C₂ = C − λ₁v₁v₁ᵀ, whose dominant
+    * eigenvector is the original second component), each vector projected
+    * to (x, y) = (⟨e−μ, v₁⟩, ⟨e−μ, v₂⟩). This is the dataset-cartography
+    * view proper: clusters, outliers, and label separability at a glance.
+    * The deflated matrix is re-quantized at 1e-6 exactly like the
+    * original, so both engines run the second 20-round iteration from the
+    * same bits; everything else inherits [[pcaHead]]'s determinism and
+    * scale contract (the corpus is still touched exactly twice — the
+    * deflation and second iteration run on the same 1-row head).
+    */
+  def pcaTop2Project(emb: DataFrame, dim: Int = 64, iters: Int = 20,
+                     maxId: Int = 100): DataFrame = {
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    var it = pcaHead(emb, dim, iters).withColumn("m2", expr(
+      s"""transform(sequence(1, $dim), i -> transform(sequence(1, $dim), j ->
+         |  floor((element_at(element_at(m, i), j)
+         |    - lam * element_at(v, i) * element_at(v, j)) * 1000000 + 0.5)
+         |    / 1000000))""".stripMargin))
+      .withColumn("v2",
+        expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
+    for (_ <- 1 to iters) {
+      // same lineage-cut rationale as pcaHead's loop
+      it = it
+        .withColumn("w", expr(s"transform(m2, row -> ${dot("row", "v2")})"))
+        .withColumn("v2", expr(
+          s"""transform(w, x ->
+             |  floor(x / sqrt(${dot("w", "w")}) * 100000000 + 0.5) / 100000000)"""
+            .stripMargin))
+        .drop("w")
+        .localCheckpoint()
+    }
+    val head = it.withColumn("sg2", expr(
+        s"""CASE WHEN aggregate(
+           |  zip_with(v2, sequence(1, $dim), (x, i) ->
+           |    named_struct('na', -abs(x), 'i', i, 'x', x)),
+           |  named_struct('na', 1D, 'i', 0, 'x', 0D),
+           |  (acc, s) -> IF(s.na < acc.na OR (s.na = acc.na AND s.i < acc.i),
+           |              s, acc)).x < 0
+           |THEN -1D ELSE 1D END""".stripMargin))
+      .withColumn("v2", expr("transform(v2, x -> sg2 * x)"))
+      .withColumn("c1", expr(dot("mu", "v")))
+      .withColumn("c2", expr(dot("mu", "v2")))
+      .select(col("v"), col("v2"), col("c1"), col("c2"))
+    emb.filter(col("vec_id") < maxId)
+      .crossJoin(broadcast(head))
+      .select(col("vec_id"), col("label"),
+        q4(expr(dot("transform(embedding, x -> CAST(x AS DOUBLE))", "v"))
+          - col("c1")).as("x"),
+        q4(expr(dot("transform(embedding, x -> CAST(x AS DOUBLE))", "v2"))
+          - col("c2")).as("y"))
+      .orderBy(col("vec_id"))
+  }
 }

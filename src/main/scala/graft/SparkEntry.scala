@@ -1258,6 +1258,40 @@ object SparkEntry {
              |FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Periodogram seasonality scan: normalized DFT power of the centered
+    // monthly series at candidate periods 2..12 + per-series peak flag —
+    // the frequency-domain complement of ts_acf; 2π is the same IEEE
+    // double on both sides and the sums quantize at 4dp
+    Q("ts_periodogram",
+      (s, d) => graft.ops.TimeSeriesOps.periodogramMonthly(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    sum(l_extendedprice) AS v
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT key, mi, v - avg(v) OVER (PARTITION BY key) AS vc,
+             |    count(*) OVER (PARTITION BY key) AS n
+             |  FROM m),
+             |c2 AS (SELECT key, mi, vc, n,
+             |    sum(vc * vc) OVER (PARTITION BY key) AS ssq
+             |  FROM c),
+             |f AS (
+             |  SELECT key, n, ssq, p,
+             |    sum(vc * cos((2 * pi()) * mi / p)) AS cs,
+             |    sum(vc * sin((2 * pi()) * mi / p)) AS ss
+             |  FROM c2 CROSS JOIN (SELECT unnest(range(2, 13)) AS p) ps
+             |  GROUP BY key, p, n, ssq),
+             |g AS (
+             |  SELECT key, CAST(p AS INTEGER) AS p, CAST(n AS BIGINT) AS n,
+             |    floor((cs * cs + ss * ss) / ssq * 10000 + 0.5) / 10000
+             |      AS power_frac
+             |  FROM f)
+             |SELECT key, p, n, power_frac,
+             |  power_frac = max(power_frac) OVER (PARTITION BY key) AS peak
+             |FROM g ORDER BY key, p""".stripMargin)),
+
     // Holt linear-trend forecast: Spark runs the CLOSED FORM (driver-built
     // A^k coefficient table + one agg per series); the oracle runs the
     // textbook sequential recursion via a recursive CTE — hash equality

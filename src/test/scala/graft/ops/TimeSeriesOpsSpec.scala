@@ -191,4 +191,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("holtForecast")), msgs(ex).mkString("; "))
   }
+
+  test("periodogram: a pure 6-month cosine peaks at p=6 and nowhere else") {
+    import spark.implicits._
+    // 24 months of 100 + 50·cos(2πt/6): all the (centered) energy sits at
+    // period 6 — power_frac(6) must approach the series' total and be the
+    // unique flagged peak
+    val rows = (0 until 24).map { t =>
+      val d = java.sql.Date.valueOf(f"${1992 + t / 12}%04d-${t % 12 + 1}%02d-01")
+      ("A", d, 100.0 + 50.0 * math.cos(2 * math.Pi * t / 6))
+    }
+    val df = rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    val got = TimeSeriesOps.periodogramMonthly(df).collect()
+      .map(r => r.getInt(1) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.size == 11, s"periods 2..12, got ${got.keys.toSeq.sorted}")
+    assert(got(6)._2, "p=6 must be the flagged peak")
+    assert(got.filter(_._2._2).keySet == Set(6), s"extra peaks: $got")
+    // a pure tone at an exact DFT frequency carries n/2 of the normalized
+    // energy (cs²+ss² = ssq·n/2 for a full number of cycles)
+    assert(math.abs(got(6)._1 - 12.0) < 0.01, s"peak power ${got(6)._1}")
+    // divisor periods (full cycles over 24 months) are near-silent; the
+    // non-divisor bins (5,7,9,10,11) carry real spectral leakage — for
+    // them the claim is dominance, not silence
+    Seq(2, 3, 4, 8, 12).foreach(p =>
+      assert(got(p)._1 < 0.01, s"divisor period $p leaked ${got(p)._1}"))
+    got.filterNot(_._1 == 6).foreach { case (p, (pf, _)) =>
+      assert(pf < got(6)._1 / 2, s"period $p rivals the peak: $pf")
+    }
+  }
 }

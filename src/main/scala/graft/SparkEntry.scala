@@ -1617,6 +1617,44 @@ object SparkEntry {
              |  floor(abs(p - ep) * 10000 + 0.5) / 10000 AS abs_dev
              |FROM j ORDER BY digit""".stripMargin)),
 
+    // Tukey IQR-fence outlier census over four lineitem measures: exact
+    // interpolated quartiles (Spark percentile == DuckDB quantile_cont),
+    // 1.5×IQR fences, beyond-fence counts; one quartile pass + one
+    // census pass for all columns
+    Q("qc_outlier_iqr",
+      (s, d) => QualityChecks.iqrOutliers(lineitem(s, d),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val qsel = cols.map(c =>
+          s"quantile_cont($c, 0.25) AS q1_$c, quantile_cont($c, 0.75) AS q3_$c")
+          .mkString(",\n    ")
+        val csel = cols.map(c =>
+          s"""CAST(sum(CASE WHEN $c < q1_$c - 1.5 * (q3_$c - q1_$c)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_$c,
+             |    CAST(sum(CASE WHEN $c > q3_$c + 1.5 * (q3_$c - q1_$c)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS na_$c""".stripMargin)
+          .mkString(",\n    ")
+        val rows = cols.map(c =>
+          s"""SELECT '$c' AS column_name,
+             |  floor(q1_$c * 10000 + 0.5) / 10000 AS q1,
+             |  floor(q3_$c * 10000 + 0.5) / 10000 AS q3,
+             |  floor((q1_$c - 1.5 * (q3_$c - q1_$c)) * 10000 + 0.5) / 10000
+             |    AS lo_fence,
+             |  floor((q3_$c + 1.5 * (q3_$c - q1_$c)) * 10000 + 0.5) / 10000
+             |    AS hi_fence,
+             |  n_rows, nb_$c AS n_below, na_$c AS n_above FROM q, c"""
+            .stripMargin).mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT
+           |    $qsel
+           |  FROM lineitem),
+           |c AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |    $csel
+           |  FROM lineitem, q)
+           |$rows
+           |ORDER BY column_name""".stripMargin
+      }),
+
     // categorical dependence screen: per-cell pointwise MI terms (cells
     // sum to MI; per-cell keeps the compare engine-exact)
     Q("qc_mutual_info",

@@ -276,6 +276,44 @@ object QualityChecks {
     * `k` threshold. Scales as an ordinary aggregation — the QID class
     * count, not the row count, bounds the second stage.
     */
+  /** Tukey IQR-fence outlier census — the robust univariate screen a
+    * profile pass runs beside the z-score (which a heavy tail corrupts;
+    * quartiles don't move): per audited column, exact interpolated Q1/Q3,
+    * the 1.5×IQR fences, and the row counts beyond each fence. ALL
+    * columns' quartiles come from ONE sort-based `percentile` aggregate
+    * (one pass), broadcast back as a single row; the census is then ONE
+    * conditional-count aggregate over the fact scan — two passes total
+    * for any number of audited columns, no join wider than the 1-row
+    * broadcast, long-form output via `stack`.
+    */
+  def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val quartiles = cols.flatMap(c => Seq(
+      expr(s"percentile($c, 0.25D)").as(s"q1_$c"),
+      expr(s"percentile($c, 0.75D)").as(s"q3_$c")))
+    val q = df.agg(quartiles.head, quartiles.tail: _*)
+    def lo(c: String): Column =
+      col(s"q1_$c") - (col(s"q3_$c") - col(s"q1_$c")) * 1.5
+    def hi(c: String): Column =
+      col(s"q3_$c") + (col(s"q3_$c") - col(s"q1_$c")) * 1.5
+    val census = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c) < lo(c), 1L).otherwise(0L)).as(s"nb_$c"),
+      sum(when(col(c) > hi(c), 1L).otherwise(0L)).as(s"na_$c")))
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', q1_$c, q3_$c, nb_$c, na_$c").mkString(", ") +
+      ") AS (column_name, q1r, q3r, n_below, n_above)"
+    df.crossJoin(broadcast(q))
+      .agg(census.head, census.tail: _*)
+      .crossJoin(broadcast(q))
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"),
+        q4(col("q1r")).as("q1"), q4(col("q3r")).as("q3"),
+        q4(col("q1r") - (col("q3r") - col("q1r")) * 1.5).as("lo_fence"),
+        q4(col("q3r") + (col("q3r") - col("q1r")) * 1.5).as("hi_fence"),
+        col("n_rows"), col("n_below"), col("n_above"))
+      .orderBy(col("column_name"))
+  }
+
   def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Int): DataFrame =
     df.groupBy(qidCols.map(col): _*)
       .agg(count(lit(1)).as("sz"))

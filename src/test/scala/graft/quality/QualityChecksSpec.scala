@@ -169,4 +169,29 @@ class QualityChecksSpec extends SparkSpec {
     assert(r.getLong(2) == 1L, s"null fks: $r")     // the null row
     assert(r.getLong(3) == 1L, s"childless: $r")    // parent 3
   }
+
+  test("IQR outlier census: hand-computed fences and beyond-fence counts on a planted fixture") {
+    import spark.implicits._
+    // 1..11 (Q1=3.5, Q3=8.5, IQR=5 → fences [-4, 16]) plus planted
+    // outliers -10 and 100; with the outliers the quartiles move to
+    // exact interpolated positions — recompute them the textbook way
+    val xs = ((1 to 11).map(_.toDouble) ++ Seq(-10.0, 100.0)).sorted
+    val df = xs.map(x => (x, 0.0)).toDF("a", "b")
+    def quant(p: Double): Double = {
+      val h = p * (xs.length - 1)
+      val l = h.toInt
+      xs(l) + (h - l) * (xs(math.min(l + 1, xs.length - 1)) - xs(l))
+    }
+    val (q1, q3) = (quant(0.25), quant(0.75))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    val got = QualityChecks.iqrOutliers(df, Seq("a")).collect()(0)
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got.getString(0) == "a")
+    assert(got.getDouble(1) == q4(q1) && got.getDouble(2) == q4(q3),
+      s"quartiles: $got vs ($q1, $q3)")
+    assert(got.getDouble(3) == q4(lo) && got.getDouble(4) == q4(hi))
+    assert(got.getLong(5) == 13L)
+    assert(got.getLong(6) == xs.count(_ < lo).toLong, s"below: $got")
+    assert(got.getLong(7) == xs.count(_ > hi).toLong, s"above: $got")
+  }
 }

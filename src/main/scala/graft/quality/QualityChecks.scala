@@ -285,13 +285,26 @@ object QualityChecks {
     * conditional-count aggregate over the fact scan — two passes total
     * for any number of audited columns, no join wider than the 1-row
     * broadcast, long-form output via `stack`.
+    *
+    * Scale note: exact `percentile` merges every distinct value into one
+    * final buffer (a single-task reduction) — correct here because the
+    * oracle contract demands exactness, but at true 100-TB scale the
+    * fences don't: swap `percentile` for `approx_percentile` (the
+    * mergeable KLL/GK sketch path `rel_approx_percentiles` already
+    * demonstrates) and the pass becomes fully distributed with
+    * quantile error far inside the 1.5×IQR slack.
     */
   def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    val quartiles = cols.flatMap(c => Seq(
-      expr(s"percentile($c, 0.25D)").as(s"q1_$c"),
-      expr(s"percentile($c, 0.75D)").as(s"q3_$c")))
+    // ONE percentile buffer per column (the array form), not one per
+    // quantile: the buffer is a map of every distinct value, so doubling
+    // it doubled the dominant cost (measured 5.4 s at sf0.1 pre-fix)
+    val quartiles = cols.map(c =>
+      expr(s"percentile($c, array(0.25D, 0.75D))").as(s"qq_$c"))
     val q = df.agg(quartiles.head, quartiles.tail: _*)
+      .select(cols.flatMap(c => Seq(
+        expr(s"element_at(qq_$c, 1)").as(s"q1_$c"),
+        expr(s"element_at(qq_$c, 2)").as(s"q3_$c"))): _*)
     def lo(c: String): Column =
       col(s"q1_$c") - (col(s"q3_$c") - col(s"q1_$c")) * 1.5
     def hi(c: String): Column =

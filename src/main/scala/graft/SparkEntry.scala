@@ -3477,6 +3477,31 @@ object SparkEntry {
            |FROM e, hd ORDER BY vec_id""".stripMargin
       }),
 
+    // Diagonal-Mahalanobis OOD screen: per-dim envelope from the
+    // covariance oracle's exact formula (1e-6-quantized), per-vector
+    // left-to-right fold, top-25 most anomalous
+    Q("vec_mahalanobis_ood",
+      (s, d) => VectorOps.mahalanobisOutliers(embeddings(s, d), k = 25),
+      Some(s"""WITH f AS (
+              |  SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS x
+              |  FROM embeddings),
+              |st AS (SELECT pos,
+              |    floor(avg(x) * 1000000 + 0.5) / 1000000 AS mu,
+              |    floor((avg(x * x) - avg(x) * avg(x)) * 1000000 + 0.5)
+              |      / 1000000 AS s2
+              |  FROM f GROUP BY pos),
+              |mus AS (SELECT list(mu ORDER BY pos) AS mu,
+              |               list(s2 ORDER BY pos) AS s2 FROM st),
+              |e AS (SELECT vec_id, label, $DuckVec AS ev FROM embeddings)
+              |SELECT vec_id, label, md2 FROM (
+              |  SELECT vec_id, label,
+              |    floor(list_reduce(list_transform(range(1, 65),
+              |      i -> (ev[i] - mu[i]) * (ev[i] - mu[i]) / s2[i]),
+              |      (a, b) -> a + b) * 10000 + 0.5) / 10000 AS md2
+              |  FROM e, mus)
+              |ORDER BY md2 DESC, vec_id LIMIT 25""".stripMargin)),
+
     // 2-D PCA map by deflation (C₂ = C − λ₁v₁v₁ᵀ, re-quantized 1e-6 like
     // the original): the oracle unrolls BOTH 20-round power iterations —
     // 40 matvec+normalize rounds replayed end to end

@@ -768,6 +768,42 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space outlier screen — diagonal-covariance Mahalanobis
+    * distance, the OOD filter a training-data pipeline runs over its
+    * embedding corpus (vectors far from the per-dimension envelope are
+    * mislabeled, corrupted, or out-of-domain; the diagonal form is the
+    * standard high-d compromise — the full-covariance inverse is neither
+    * cheap nor stable at d=64+). Per-dim mean/variance come from ONE
+    * narrow (pos)-keyed aggregate using the covariance oracle's exact
+    * formula (avg(x²) − avg(x)², 1e-6-quantized so both engines score
+    * from identical envelopes), packed into a single broadcast row; the
+    * score is then a per-row left-to-right fold — map-side only, like
+    * [[pcaProject]] — and the top-`k` ride a TakeOrdered, not a full
+    * sort. Output: the k most anomalous vectors with their scores.
+    */
+  def mahalanobisOutliers(emb: DataFrame, k: Int = 25): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val packed = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(q6(avg(col("x"))).as("mu"),
+        q6(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("s2"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)")
+          .as("mu"),
+        expr("transform(array_sort(collect_list(struct(pos, s2))), s -> s.s2)")
+          .as("s2"))
+    emb.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("label"),
+        q4(expr(
+          """aggregate(
+            |  zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+            |    zip_with(mu, s2, (m, s) -> named_struct('m', m, 's', s)),
+            |    (x, ms) -> (x - ms.m) * (x - ms.m) / ms.s),
+            |  0D, (acc, y) -> acc + y)""".stripMargin)).as("md2"))
+      .orderBy(col("md2").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** 2-D PCA dataset map — the top TWO principal components by deflation
     * (the standard Hotelling step: C₂ = C − λ₁v₁v₁ᵀ, whose dominant
     * eigenvector is the original second component), each vector projected

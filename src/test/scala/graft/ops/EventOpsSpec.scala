@@ -159,4 +159,18 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(typeEst - typeExact) < 1.0,
       s"linear counting should be near-exact: $typeEst vs $typeExact")
   }
+
+  test("sketches are partition-invariant: CMS and HLL identical on 1 vs 32 partitions") {
+    // both sketches are built from commutative-associative aggregates
+    // (count per (row, bucket); max-ρ per register) — the distributed-
+    // correctness property that lets them run on 1000 executors
+    def cms(df: org.apache.spark.sql.DataFrame) =
+      EventOps.cmsHeavyKeys(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def hll(df: org.apache.spark.sql.DataFrame) =
+      EventOps.hllDistinct(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cms(events.repartition(1)) == cms(events.repartition(32)))
+    assert(hll(events.repartition(1)) == hll(events.repartition(32)))
+  }
 }

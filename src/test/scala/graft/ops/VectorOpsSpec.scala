@@ -341,6 +341,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r(2)._1) < 1e-6 && math.abs(r(3)._1) < 1e-6)
   }
 
+  test("Mahalanobis OOD: a planted outlier ranks first; JVM reference agrees; partition-invariant") {
+    import spark.implicits._
+    // 20 tight in-distribution vectors + one planted far outlier
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Seq(1f + 0.01f * (i % 5), 2f + 0.01f * (i % 3),
+        -1f + 0.01f * (i % 7), 0.5f + 0.01f * (i % 2)), 0)) :+
+      ((99L, Seq(10f, -10f, 10f, -10f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = VectorOps.mahalanobisOutliers(df, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.head._1 == 99L, s"planted outlier not first: ${got.toSeq}")
+    assert(got.head._2 > got(1)._2 * 5, s"outlier not separated: ${got.toSeq}")
+    // JVM reference with the operator's own quantization ladder
+    val vecs = rows.map(r => r._1 -> r._2.map(_.toDouble).toArray).toMap
+    val n = vecs.size.toDouble
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val mu = Array.tabulate(4)(p => q(vecs.values.map(_(p)).sum / n, 1e6))
+    val s2 = Array.tabulate(4) { p =>
+      val xs = vecs.values.map(_(p))
+      q(xs.map(x => x * x).sum / n - (xs.sum / n) * (xs.sum / n), 1e6)
+    }
+    got.foreach { case (id, md2) =>
+      val ref = q(vecs(id).indices
+        .map(i => (vecs(id)(i) - mu(i)) * (vecs(id)(i) - mu(i)) / s2(i)).sum, 1e4)
+      assert(math.abs(md2 - ref) < 1e-9, s"vec $id: $md2 vs $ref")
+    }
+    // partial-aggregate correctness: partitioning must not move a score
+    val p1 = VectorOps.mahalanobisOutliers(df.repartition(1), k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val p32 = VectorOps.mahalanobisOutliers(df.repartition(32), k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(p1 == p32, s"partition-dependent scores: $p1 vs $p32")
+  }
+
   test("PCA top-2 by deflation: synthetic orthogonal axes recovered; real components orthogonal") {
     import spark.implicits._
     // dim 0 carries variance 7.5 (v1), dim 2 carries 1.25 (v2), dim 1 is

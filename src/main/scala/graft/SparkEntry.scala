@@ -1077,7 +1077,27 @@ object SparkEntry {
              |  CAST(sum(node) AS BIGINT) AS node_sum,
              |  min(node) AS min_node, max(node) AS max_node
              |FROM alln GROUP BY dist ORDER BY dist""".stripMargin
-        })
+        }),
+
+      // Newman degree assortativity on the n=500 residue graph: Pearson
+      // corr of endpoint degrees over both edge orientations — the
+      // topology fingerprint; oracle replays degrees + joins + corr
+      Q("graph_assortativity",
+        (s, d) => graft.ops.GraphOps.degreeAssortativity(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
+        Some(s"""WITH ${edgesCte(500)},
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |degs AS MATERIALIZED (
+                |  SELECT src AS x, count(*) AS deg FROM dir GROUP BY 1)
+                |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+                |  floor(corr(ds.deg, dd.deg) * 10000 + 0.5) / 10000
+                |    AS assortativity,
+                |  floor(avg(ds.deg) * 10000 + 0.5) / 10000 AS avg_edge_deg
+                |FROM dir
+                |JOIN degs ds ON ds.x = dir.src
+                |JOIN degs dd ON dd.x = dir.dst""".stripMargin))
     )
   }
 

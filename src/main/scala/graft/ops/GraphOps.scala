@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond connected components
@@ -331,6 +331,40 @@ object GraphOps {
       .groupBy(col("dg").as("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
     (hist, roundsRun)
+  }
+
+  /** Degree assortativity — Newman's r: the Pearson correlation of the
+    * endpoint degrees over every directed edge (both orientations of the
+    * undirected list, the standard convention). r > 0 = hubs attach to
+    * hubs (social graphs), r < 0 = hubs attach to leaves (the usual
+    * interaction/bipartite shape) — the one-number topology fingerprint
+    * read before choosing between broadcast-style and salted join plans
+    * for a graph workload. Cost shape: one degree aggregate + two joins
+    * keyed on single longs + one corr fold; nothing wider than (long,
+    * long) crosses an exchange.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val degs = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
+    dir
+      .join(degs.select(col("x").as("src"), col("deg").as("deg_src")), Seq("src"))
+      .join(degs.select(col("x").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+      // Pearson r assembled from pop moments (the n factors cancel, so
+      // this equals corr) — under ANSI mode corr() THROWS on a
+      // zero-variance input (a regular graph); the when-guard returns the
+      // mathematically-undefined case as null, matching DuckDB's corr
+      .agg(count(lit(1)).as("n_directed_edges"),
+        covar_pop(col("deg_src"), col("deg_dst")).as("cv"),
+        stddev_pop(col("deg_src")).as("s1"),
+        stddev_pop(col("deg_dst")).as("s2"),
+        avg(col("deg_src")).as("ad"))
+      .select(col("n_directed_edges"),
+        q4(when(col("s1") * col("s2") > 0,
+          col("cv") / (col("s1") * col("s2")))).as("assortativity"),
+        q4(col("ad")).as("avg_edge_deg"))
   }
 
   /** Multi-source BFS hop-distance labeling — the reachability/radius probe

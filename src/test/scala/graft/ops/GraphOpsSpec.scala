@@ -113,6 +113,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.toSeq == Seq((2L, 21L), (4L, 15L)), s"got ${e.toSeq}")
   }
 
+  test("degree assortativity: star graph is exactly -1; regular ring yields null, not a crash") {
+    // K(1,10): every directed edge pairs degree 10 with degree 1 —
+    // perfectly disassortative, r = -1 exactly
+    val star = (1L to 10L).map(i => (0L, i)).toDF("a", "b")
+    val r = GraphOps.degreeAssortativity(star).collect()(0)
+    assert(r.getLong(0) == 20L, s"directed edges: $r")
+    assert(r.getDouble(1) == -1.0, s"star assortativity: $r")
+    // 6-ring: constant degree 2 -> Pearson undefined -> null on both
+    // engines (zero-variance corr), never NaN or an exception
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("a", "b")
+    val r2 = GraphOps.degreeAssortativity(ring).collect()(0)
+    assert(r2.isNullAt(1), s"ring must yield null assortativity: $r2")
+    assert(r2.getDouble(2) == 2.0, s"ring avg degree: $r2")
+  }
+
   test("BFS layers: chain fixture labels every hop and censuses the beyond-horizon tail") {
     // path 0-1-…-9 plus the disconnected pair 20-21; seeds node%20==0 → {0, 20}:
     // layers walk the chain one hop per round, 5..9 stay beyond the

@@ -85,5 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.CovMatrix(exprs.head,
         exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int]).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, k) - bounded-memory heavy-hitter summary aggregate"),
+      exprs => graft.functions.MisraGries(exprs.head,
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -2140,6 +2140,24 @@ object SparkEntry {
              |FROM pr p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
              |GROUP BY p.key, p.exact ORDER BY p.exact DESC, p.key""".stripMargin)),
 
+    // Misra-Gries heavy hitters: bounded-memory candidate pass (native
+    // misra_gries aggregate, <=1024 counters per task) + exact counts of
+    // the candidates; MG's completeness guarantee makes the thresholded
+    // output exact, so the oracle is plain SQL — no sketch replay needed
+    Q("ev_mg_heavy",
+      (s, d) => EventOps.mgHeavyHitters(events(s, d), k = 1024),
+      Some("""WITH keyed AS (
+             |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+             |  FROM events),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM keyed),
+             |c AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM keyed GROUP BY key)
+             |SELECT key, cnt, n_total,
+             |  floor(CAST(cnt AS DOUBLE) / n_total * 10000 + 0.5) / 10000
+             |    AS share
+             |FROM c, t WHERE cnt * 1025 > n_total
+             |ORDER BY cnt DESC, key""".stripMargin)),
+
     // HyperLogLog distinct estimation (m=256, textbook Flajolet with
     // linear-counting small-range correction) audited against exact
     // distincts for four key shapes; every literal pinned DOUBLE on both

@@ -370,4 +370,36 @@ object EventOps {
         concat(col("user_id").cast("string"), lit(":"), col("event_type"))))
       .orderBy(col("col_name"))
   }
+
+  /** Heavy hitters with BOUNDED scan state — the production shape for a
+    * key space that fits nowhere: a Misra–Gries candidate pass (the
+    * native `misra_gries` aggregate: ≤ `k` counters per task, one ≤k-entry
+    * buffer per partition across the exchange) followed by an exact count
+    * restricted to the ≤k candidates. MG guarantees every key with true
+    * count > n/(k+1) SURVIVES the summary, so the thresholded output is
+    * EXACT and deterministic — the summary's merge-order-dependent lower
+    * bounds never reach the result (that determinism is what lets a plain
+    * SQL oracle verify a sketch-backed operator). The threshold compare
+    * is integer arithmetic (cnt·(k+1) > n): no float boundary to flip.
+    * Contrast with `TextOps.heavyHitters`, whose exact groupBy keys an
+    * exchange by EVERY distinct key in the corpus.
+    */
+  def mgHeavyHitters(events: DataFrame, k: Int = 1024): DataFrame = {
+    graft.functions.MisraGries.register(events.sparkSession)
+    val keyed = events.select(
+      concat(col("user_id").cast("string"), lit(":"), col("event_type"))
+        .as("key")).persist()
+    val cands = keyed.agg(expr(s"misra_gries(key, $k)").as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("key"))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("key"), col("cnt"), col("n_total"),
+        (floor(col("cnt").cast("double") / col("n_total") * 10000 + 0.5)
+          / 10000).as("share"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
 }

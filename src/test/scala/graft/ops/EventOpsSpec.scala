@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{col, explode, expr}
+
 import graft.SparkSpec
 
 class EventOpsSpec extends SparkSpec {
@@ -158,6 +160,38 @@ class EventOpsSpec extends SparkSpec {
     val (typeExact, typeEst, _) = got("event_type")
     assert(math.abs(typeEst - typeExact) < 1.0,
       s"linear counting should be near-exact: $typeEst vs $typeExact")
+  }
+
+  test("Misra-Gries: completeness guarantee holds, summary bounded, output exact and merge-order-free") {
+    import spark.implicits._
+    graft.functions.MisraGries.register(spark)
+    // zipf-ish stream: key i carries 200/i occurrences
+    val stream = (1 to 40).flatMap(i => Seq.fill(200 / i)(i))
+    val n = stream.length
+    val counts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // raw summary across a real multi-partition merge tree
+    val k = 8
+    val summary = stream.map(i => s"$i:t").toDF("key").repartition(7)
+      .agg(expr(s"misra_gries(key, $k)").as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key")).as[String].collect().toSet
+    assert(summary.size <= k, s"summary exceeded k: $summary")
+    counts.filter(_._2 > n / (k + 1)).keys.foreach(i =>
+      assert(summary.contains(s"$i:t"),
+        s"guaranteed key $i missing (count ${counts(i)}, bound ${n / (k + 1)})"))
+    // end-to-end operator: exact thresholded counts, identical under any
+    // partitioning (the summary's lower bounds never reach the output)
+    val ev = stream.zipWithIndex
+      .map { case (u, i) => (i.toLong, u.toLong, "t") }
+      .toDF("event_id", "user_id", "event_type")
+    def run(p: Int) = EventOps.mgHeavyHitters(ev.repartition(p), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val r1 = run(1)
+    assert(r1 == run(32), "merge order reached the output")
+    val expected = counts.toSeq.map { case (u, c) => (s"$u:t", c) }
+      .filter { case (_, c) => c * 65 > n }
+      .sortBy { case (kk, c) => (-c, kk) }
+    assert(r1 == expected, s"got $r1\nwant $expected")
   }
 
   test("sketches are partition-invariant: CMS and HLL identical on 1 vs 32 partitions") {

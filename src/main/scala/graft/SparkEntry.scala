@@ -3515,6 +3515,46 @@ object SparkEntry {
            |FROM e, hd ORDER BY vec_id""".stripMargin
       }),
 
+    // Centroid silhouette per label: a = own-centroid distance, b =
+    // nearest-other-centroid distance, s = (b-a)/max(a,b); the oracle
+    // replays the quantized centroid arrays + ordered list_sum distances
+    Q("vec_silhouette",
+      (s, d) => VectorOps.silhouetteByLabel(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id, label AS true_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT true_label AS c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec
+              |  FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, label AS true_label, $DuckVec AS v
+              |  FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, e2.true_label, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i])))
+              |      * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |ab AS (
+              |  SELECT vec_id, true_label,
+              |    sqrt(min(CASE WHEN c_label = true_label THEN dist END)) AS a,
+              |    sqrt(min(CASE WHEN c_label <> true_label THEN dist END)) AS b
+              |  FROM d GROUP BY 1, 2),
+              |sg AS (SELECT true_label,
+              |    CASE WHEN greatest(a, b) > 0
+              |      THEN (b - a) / greatest(a, b) ELSE 0.0::DOUBLE END AS s
+              |  FROM ab)
+              |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+              |  floor(avg(s) * 10000 + 0.5) / 10000 AS mean_silhouette,
+              |  floor(min(s) * 10000 + 0.5) / 10000 AS min_silhouette,
+              |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_misplaced
+              |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Diagonal-Mahalanobis OOD screen: per-dim envelope from the
     // covariance oracle's exact formula (1e-6-quantized), per-vector
     // left-to-right fold, top-25 most anomalous

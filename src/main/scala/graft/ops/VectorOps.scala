@@ -768,6 +768,48 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Centroid-based silhouette score per label — the clustering-quality
+    * verdict on the embedding space (s ≈ 1: tight, well-separated label
+    * clusters; s < 0: the vector sits closer to another label's centroid
+    * than its own — the misplacement census is the mislabeling signal).
+    * The simplified (centroid) silhouette: a = distance to the own-label
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) — the full pairwise silhouette is O(n²) and
+    * this is the standard corpus-scale substitute. Scale shape: all k
+    * centroids pack into ONE broadcast row and a/b are row-local folds
+    * over it (the kmeans zero-shuffle assign pattern) — the only exchange
+    * is the final per-label rollup. Distances quantize at 1e-6 BEFORE the
+    * sqrt on both engines.
+    */
+  def silhouetteByLabel(emb: DataFrame): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    val packed = centroidArrays(emb).agg(
+      expr("array_sort(collect_list(struct(c_label, cvec)))").as("cs"))
+    emb
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(packed))
+      .withColumn("a", expr(
+        """sqrt(aggregate(cs, CAST(null AS DOUBLE), (acc, ct) ->
+          |  IF(ct.c_label = label,
+          |     floor(sq_l2(v, ct.cvec) * 1000000 + 0.5) / 1000000,
+          |     acc)))""".stripMargin))
+      .withColumn("b", expr(
+        """sqrt(aggregate(cs, CAST('Infinity' AS DOUBLE), (acc, ct) ->
+          |  IF(ct.c_label <> label,
+          |     least(acc, floor(sq_l2(v, ct.cvec) * 1000000 + 0.5) / 1000000),
+          |     acc)))""".stripMargin))
+      .withColumn("s", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0d)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        q4(avg(col("s"))).as("mean_silhouette"),
+        q4(min(col("s"))).as("min_silhouette"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-space outlier screen — diagonal-covariance Mahalanobis
     * distance, the OOD filter a training-data pipeline runs over its
     * embedding corpus (vectors far from the per-dimension envelope are

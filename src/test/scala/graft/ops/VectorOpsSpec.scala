@@ -341,6 +341,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r(2)._1) < 1e-6 && math.abs(r(3)._1) < 1e-6)
   }
 
+  test("silhouette: tight separated clusters score high; a planted mislabel goes negative") {
+    import spark.implicits._
+    // two tight clusters around (10,...) and (-10,...) in 4-d; vec 99 is
+    // LABELED 0 but sits in cluster 1's territory — its silhouette must
+    // be negative and label 0's misplacement census must see it
+    val c0 = (0 until 10).map(i =>
+      (i.toLong, Seq(10f + 0.1f * i, 10f, 10f, 10f), 0))
+    val c1 = (10 until 20).map(i =>
+      (i.toLong, Seq(-10f - 0.1f * i, -10f, -10f, -10f), 1))
+    val planted = Seq((99L, Seq(-9f, -9f, -9f, -9f), 0))
+    val df = (c0 ++ c1 ++ planted).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.silhouetteByLabel(df).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(0, 1))
+    assert(got(1)._4 == 0L && got(1)._2 > 0.9,
+      s"clean cluster should score ~1: ${got(1)}")
+    assert(got(0)._4 == 1L, s"planted mislabel not counted: ${got(0)}")
+    assert(got(0)._3 < 0, s"min silhouette must be negative: ${got(0)}")
+    assert(got(0)._1 == 11L && got(1)._1 == 10L)
+  }
+
   test("Mahalanobis OOD: a planted outlier ranks first; JVM reference agrees; partition-invariant") {
     import spark.implicits._
     // 20 tight in-distribution vectors + one planted far outlier

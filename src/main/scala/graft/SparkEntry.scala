@@ -2140,6 +2140,24 @@ object SparkEntry {
              |FROM pr p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
              |GROUP BY p.key, p.exact ORDER BY p.exact DESC, p.key""".stripMargin)),
 
+    // Cross-table temporal sanity: lineitems shipped before their order
+    // was placed, per priority, with the order→ship lag distribution —
+    // the temporal sibling of qc_referential_integrity
+    Q("qc_temporal_sanity",
+      (s, d) => QualityChecks.temporalSanity(lineitem(s, d), orders(s, d)),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n_lineitems,
+             |  CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER)
+             |    AS min_lag_days,
+             |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER)
+             |    AS max_lag_days,
+             |  floor(avg(date_diff('day', o_orderdate, l_shipdate))
+             |    * 10000 + 0.5) / 10000 AS avg_lag_days
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Misra-Gries heavy hitters: bounded-memory candidate pass (native
     // misra_gries aggregate, <=1024 counters per task) + exact counts of
     // the candidates; MG's completeness guarantee makes the thresholded

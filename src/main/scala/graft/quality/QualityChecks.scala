@@ -327,6 +327,29 @@ object QualityChecks {
       .orderBy(col("column_name"))
   }
 
+  /** Cross-table temporal sanity — the referential-integrity check's
+    * TEMPORAL sibling: facts whose event time precedes their parent's
+    * creation time are corrupt joins, clock skew, or backfill bugs (here:
+    * lineitems shipped before their order was placed). One fact-parent
+    * join keyed on the FK + one rollup: per group, the violation census
+    * and the lag distribution (min/max/mean days from order to ship) —
+    * the same two-exchange shape as any fact-dim aggregate.
+    */
+  def temporalSanity(li: DataFrame, orders: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    li.select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), Seq("o_orderkey"))
+      .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_violations"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        q4(avg(col("lag_days"))).as("avg_lag_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Int): DataFrame =
     df.groupBy(qidCols.map(col): _*)
       .agg(count(lit(1)).as("sz"))

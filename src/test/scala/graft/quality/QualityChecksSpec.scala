@@ -170,6 +170,22 @@ class QualityChecksSpec extends SparkSpec {
     assert(r.getLong(3) == 1L, s"childless: $r")    // parent 3
   }
 
+  test("temporal sanity: a lineitem shipped before its order is counted with its lag") {
+    import spark.implicits._
+    val o = Seq((1L, java.sql.Date.valueOf("1995-01-10"), "1-URGENT"),
+      (2L, java.sql.Date.valueOf("1995-02-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Seq((1L, java.sql.Date.valueOf("1995-01-15")), // +5 days
+      (1L, java.sql.Date.valueOf("1995-01-05")),           // -5: violation
+      (2L, java.sql.Date.valueOf("1995-02-21")))           // +20
+      .toDF("l_orderkey", "l_shipdate")
+    val got = QualityChecks.temporalSanity(l, o).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(got("1-URGENT") == ((2L, 1L, -5, 5, 0.0)), s"got $got")
+    assert(got("2-HIGH") == ((1L, 0L, 20, 20, 20.0)), s"got $got")
+  }
+
   test("IQR outlier census: hand-computed fences and beyond-fence counts on a planted fixture") {
     import spark.implicits._
     // 1..11 (Q1=3.5, Q3=8.5, IQR=5 → fences [-4, 16]) plus planted

@@ -614,6 +614,36 @@ object SparkEntry {
 
     // Morton/z-order layout: per top-4-bit z-range, the min/max envelope of
     // BOTH interleaved dimensions — the parquet data-skipping geometry
+    // Customer-concentration deciles (Lorenz/lift table): exact-cents
+    // spend, ntile(10) with a unique tie-break, per-decile and cumulative
+    // revenue shares — the skew diagnostic for revenue-keyed workloads
+    Q("rel_lorenz_deciles",
+      (s, d) => Relational.lorenzDeciles(orders(s, d)),
+      Some("""WITH spend AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_custkey, cents,
+             |    ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+             |  FROM spend),
+             |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(sum(cents) AS BIGINT) AS decile_cents
+             |  FROM r GROUP BY 1),
+             |t AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS total_cents FROM d),
+             |c AS (SELECT decile, n_customers, decile_cents,
+             |    CAST(sum(decile_cents) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_cents
+             |  FROM d)
+             |SELECT decile, n_customers,
+             |  CAST(decile_cents AS DOUBLE) / 100 AS decile_revenue,
+             |  floor(CAST(decile_cents AS DOUBLE) / total_cents * 10000 + 0.5)
+             |    / 10000 AS revenue_share,
+             |  floor(CAST(cum_cents AS DOUBLE) / total_cents * 10000 + 0.5)
+             |    / 10000 AS cum_share
+             |FROM c, t ORDER BY decile""".stripMargin)),
+
     Q("store_zorder_stats",
       (s, d) => Relational.zOrderLayoutStats(lineitem(s, d)),
       Some("""WITH p AS (

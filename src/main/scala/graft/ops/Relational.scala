@@ -1107,6 +1107,40 @@ object Relational {
         col("l_linenumber"))
   }
 
+  /** Customer-concentration deciles (the Lorenz/lift table): customers
+    * ranked by total spend into ten equal-count buckets, each reporting
+    * its spend share and the cumulative share from the top — "the top 10%
+    * of customers carry X% of revenue", the concentration diagnostic that
+    * decides whether a revenue-keyed workload needs skew handling. Ranking
+    * uses `ntile` over (spend, custkey) — the unique tie-break keeps
+    * bucket boundaries engine-stable. Shape: one fact aggregate to
+    * per-customer spend (the only corpus-sized exchange), then windows
+    * over the |customers| frame.
+    */
+  def lorenzDeciles(orders: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val ranked = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+    val byDecile = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("total_cents", sum(col("decile_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+      .select(col("decile"), col("n_customers"),
+        (col("decile_cents").cast("double") / 100).as("decile_revenue"),
+        q4(col("decile_cents").cast("double") / col("total_cents"))
+          .as("revenue_share"),
+        q4(col("cum_cents").cast("double") / col("total_cents"))
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Bloom-filter data skipping — the per-file membership index a lakehouse
     * keeps beside min/max zone maps (zone maps prune RANGES; blooms prune
     * point lookups on high-cardinality keys the ranges can't). Files are

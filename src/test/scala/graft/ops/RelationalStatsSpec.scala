@@ -167,4 +167,26 @@ class RelationalStatsSpec extends SparkSpec {
       (None, Some(5.0)), (Some(5.0), Some(5.0)), (Some(5.0), Some(7.0)),
       (Some(7.0), Some(7.0)), (Some(7.0), None)), s"got ${rows.toSeq}")
   }
+
+  test("Lorenz deciles: hand-computed shares on a 10-customer fixture, cumulative reaches 1") {
+    import spark.implicits._
+    // customer i spends (11-i)*100 — one customer per decile, total 5500
+    val o = (1 to 10).map(i => (i.toLong, (11 - i) * 100.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Relational.lorenzDeciles(o).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 10)
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    (1 to 10).foreach { d =>
+      val (dec, n, rev, share, cum) = got(d - 1)
+      assert(dec == d && n == 1L)
+      assert(rev == (11 - d) * 100.0, s"decile $d revenue $rev")
+      assert(share == q4((11 - d) / 55.0), s"decile $d share $share")
+      assert(cum == q4((11 - d to 10).sum / 55.0), s"decile $d cum $cum")
+    }
+    assert(got.last._5 == 1.0, "cumulative share must reach exactly 1")
+    // Lorenz property: shares non-increasing, cumulative non-decreasing
+    assert(got.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }

@@ -83,14 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cov_matrix",
         "cov_matrix(vec, dim) - one-pass population covariance matrix aggregate"),
       exprs => graft.functions.CovMatrix(exprs.head,
-        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int]).toAggregateExpression()))
+        graft.functions.Args.posIntLiteral(exprs(1), "cov_matrix", "dim"))
+        .toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(key, k) - bounded-memory heavy-hitter summary aggregate"),
-      exprs => graft.functions.MisraGries(exprs.head,
-        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int]).toAggregateExpression()))
+      exprs => graft.functions.MisraGries.fromExprs(exprs)))
   }
 }

@@ -27,10 +27,13 @@ object MicroBench {
   val GateRatio = 1.3
   val GateFloorSec = 0.15
 
-  /** Host-speed calibration: a fixed CPU-bound job (400M xxhash64 folds
-    * across 32 range partitions, one map-side partial agg, no IO, no real
-    * shuffle) whose wall time tracks the BOX's effective throughput, not
-    * any query plan. The gate compares each query's warm median against
+  /** Host-speed calibration: a fixed COMPOSITE job — a CPU leg (1.6B
+    * xxhash64 folds across 32 range partitions, one map-side partial agg)
+    * plus an IO leg (a full uncached lineitem parquet scan-aggregate) —
+    * whose wall time tracks the BOX's effective CPU+IO throughput, not
+    * any query plan. The IO leg is deliberate: the 2026-08-14 degradation
+    * hit the IO path while raw CPU stayed flat, so a CPU-only canary
+    * could not see it. The gate compares each query's warm median against
     * `recorded × (canaryNow / canaryRecorded)`, so a uniform host slowdown
     * (shared-VM steal — observed 1.5–1.6× flat across all 23 tracked
     * queries on 2026-08-14, BASELINE.md "Host-throughput note") does not

@@ -728,6 +728,40 @@ object SparkEntry {
              |  min(cents) / 100.0 AS min_price, max(cents) / 100.0 AS max_price
              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // decile binning with GK-sketch edges (the distributed 100-TB edge
+    // pass), property-checked against the exact-edge populations: exact
+    // bins ride along for hash parity, the flag asserts the approx path
+    // lands within 1% per bin
+    Q("rel_quantile_bins_approx",
+      (s, d) => {
+        val exact = Relational.quantileBins(orders(s, d))
+        val approx = Relational.quantileBins(orders(s, d), useApprox = true)
+          .select(col("bin"), col("n").as("an"))
+        val tot = exact.agg(sum(col("n")).as("tot"))
+        exact.join(approx, Seq("bin")).crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("min_price"), col("max_price"),
+            (abs(col("an") - col("n")) <= greatest(col("tot") * 0.01, lit(10.0)))
+              .as("within_tol"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |e AS (SELECT quantile_cont(cents,
+             |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM c),
+             |s AS (
+             |  SELECT cents, 1
+             |    + CAST(cents > qs[1] AS INTEGER) + CAST(cents > qs[2] AS INTEGER)
+             |    + CAST(cents > qs[3] AS INTEGER) + CAST(cents > qs[4] AS INTEGER)
+             |    + CAST(cents > qs[5] AS INTEGER) + CAST(cents > qs[6] AS INTEGER)
+             |    + CAST(cents > qs[7] AS INTEGER) + CAST(cents > qs[8] AS INTEGER)
+             |    + CAST(cents > qs[9] AS INTEGER) AS bin
+             |  FROM c CROSS JOIN e)
+             |SELECT bin, count(*) AS n,
+             |  min(cents) / 100.0 AS min_price, max(cents) / 100.0 AS max_price,
+             |  true AS within_tol
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RFM segmentation against broadcast exact-percentile thresholds (not
     // a global-window ntile); metrics are exact ints so scores are
     // engine-identical
@@ -1704,6 +1738,58 @@ object SparkEntry {
            |$rows
            |ORDER BY column_name""".stripMargin
       }),
+
+    // the 100-TB quantile path, property-checked: the distributed
+    // approx_percentile (GK sketch) fences must reproduce the exact Tukey
+    // quartiles and outlier census within tolerance. Exact values ride
+    // along for hash parity; the oracle asserts the flags.
+    Q("qc_outlier_iqr_approx",
+      (s, d) => {
+        val cols = Seq("l_extendedprice", "l_quantity")
+        val exact = QualityChecks.iqrOutliers(lineitem(s, d), cols)
+        val approx = QualityChecks.iqrOutliers(lineitem(s, d), cols,
+          useApprox = true)
+          .select(col("column_name"), col("q1").as("aq1"), col("q3").as("aq3"),
+            col("n_below").as("anb"), col("n_above").as("ana"))
+        exact.join(approx, Seq("column_name"))
+          .select(col("column_name"), col("q1"), col("q3"), col("n_rows"),
+            col("n_below"), col("n_above"),
+            (abs(col("aq1") - col("q1")) <= greatest(abs(col("q1")) * 0.05, lit(1.0)) &&
+              abs(col("aq3") - col("q3")) <= greatest(abs(col("q3")) * 0.05, lit(1.0)))
+              .as("quartiles_within_tol"),
+            (abs(col("anb") - col("n_below")) <= greatest(col("n_rows") * 0.005, lit(10.0)) &&
+              abs(col("ana") - col("n_above")) <= greatest(col("n_rows") * 0.005, lit(10.0)))
+              .as("census_within_tol"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH q AS (SELECT
+             |    quantile_cont(l_extendedprice, 0.25) AS q1_p,
+             |    quantile_cont(l_extendedprice, 0.75) AS q3_p,
+             |    quantile_cont(l_quantity, 0.25) AS q1_q,
+             |    quantile_cont(l_quantity, 0.75) AS q3_q
+             |  FROM lineitem),
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN l_extendedprice < q1_p - 1.5 * (q3_p - q1_p)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_p,
+             |    CAST(sum(CASE WHEN l_extendedprice > q3_p + 1.5 * (q3_p - q1_p)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS na_p,
+             |    CAST(sum(CASE WHEN l_quantity < q1_q - 1.5 * (q3_q - q1_q)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_q,
+             |    CAST(sum(CASE WHEN l_quantity > q3_q + 1.5 * (q3_q - q1_q)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS na_q
+             |  FROM lineitem, q)
+             |SELECT 'l_extendedprice' AS column_name,
+             |  floor(q1_p * 10000 + 0.5) / 10000 AS q1,
+             |  floor(q3_p * 10000 + 0.5) / 10000 AS q3,
+             |  n_rows, nb_p AS n_below, na_p AS n_above,
+             |  true AS quartiles_within_tol, true AS census_within_tol
+             |FROM q, c
+             |UNION ALL SELECT 'l_quantity',
+             |  floor(q1_q * 10000 + 0.5) / 10000,
+             |  floor(q3_q * 10000 + 0.5) / 10000,
+             |  n_rows, nb_q, na_q, true, true
+             |FROM q, c
+             |ORDER BY column_name""".stripMargin)),
 
     // categorical dependence screen: per-cell pointwise MI terms (cells
     // sum to MI; per-cell keeps the compare engine-exact)

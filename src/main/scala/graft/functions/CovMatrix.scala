@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -130,7 +130,7 @@ object CovMatrix {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cov_matrix",
       exprs => CovMatrix(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])
+        Args.posIntLiteral(exprs(1), "cov_matrix", "dim"))
         .toAggregateExpression(),
       "scala_udf")
 }

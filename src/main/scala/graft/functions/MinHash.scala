@@ -308,17 +308,18 @@ object MinHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
+        exprs.lift(1).map(Args.posIntLiteral(_, "shingle_hashes", "n")).getOrElse(3)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash_seq",
       exprs => ShingleHashes(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3), distinct = false),
+        exprs.lift(1).map(Args.posIntLiteral(_, "shingle_hash_seq", "n"))
+          .getOrElse(3), distinct = false),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashSig(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32)),
+        exprs.lift(1).map(Args.posIntLiteral(_, "minhash_sig", "k")).getOrElse(32)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
@@ -327,8 +328,9 @@ object MinHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "band_hashes",
       exprs => BandHashes(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8),
-        exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(4)),
+        exprs.lift(1).map(Args.posIntLiteral(_, "band_hashes", "bands")).getOrElse(8),
+        exprs.lift(2).map(Args.posIntLiteral(_, "band_hashes", "rowsPerBand"))
+          .getOrElse(4)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash61", exprs => Hash61(exprs.head), "scala_udf")

@@ -7,7 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,7 +42,14 @@ case class MisraGries(child: Expression, k: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(k >= 1, s"misra_gries: k must be >= 1, got $k")
+
+  // declared input type: a wrong-typed key column becomes an analysis
+  // error naming this function, not a runtime ClassCastException
+  override def inputTypes = Seq(StringType) // Seq[AbstractDataType] (private[sql] name)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -135,12 +142,18 @@ case class MisraGries(child: Expression, k: Int,
 }
 
 object MisraGries {
+  /** Build from raw argument expressions with validated k (shared by
+    * [[register]] and the GraftExtensions injection). */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"misra_gries(key, k) takes exactly 2 arguments, got ${exprs.length}")
+    MisraGries(exprs.head, Args.posIntLiteral(exprs(1), "misra_gries", "k"))
+      .toAggregateExpression()
+  }
+
   /** Register `misra_gries(key, kLiteral)` for `expr(...)` use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries",
-      exprs => MisraGries(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])
-        .toAggregateExpression(),
-      "scala_udf")
+      "misra_gries", fromExprs, "scala_udf")
 }

@@ -382,6 +382,9 @@ object DedupOps {
         .join(hop.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label")))
       hop.unpersist(false)
+      // prop's eager cut just consumed the previous round's label frame —
+      // drop its blocks instead of pinning one frame per round
+      Exec.unpersistCheckpointed(labels)
       val s = prop.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
       // null sum ⇔ zero nodes: an empty pair graph is converged immediately
@@ -397,6 +400,9 @@ object DedupOps {
       s"connectedComponents did not converge within $maxIters iterations — " +
         "component diameter exceeds the cap; raise maxIters")
     edges.unpersist(false)
+    // the returned frame reads the final label checkpoint lazily — release
+    // it at the next between-query clearPinned, not never
+    Exec.trackTransient(labels)
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_survivor"))

@@ -61,8 +61,41 @@ object Exec {
     * query applications never need it — executor storage is reclaimed when
     * the session ends.
     */
-  def clearPinned(spark: org.apache.spark.sql.SparkSession): Unit =
+  def clearPinned(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
+    drainTransient()
+  }
+
+  /** Registry of per-call `localCheckpoint` frames that must outlive their
+    * operator's return (the returned DataFrame reads them lazily) but are
+    * NOT session-scoped memos: PCA heads, BFS layer frames, CC label
+    * frames. They live outside the cacheManager, so without this registry
+    * a bench-mode session (clearPinned between queries, never releaseAll)
+    * pins their blocks for the application lifetime. Operators register
+    * the surviving frames here; [[clearPinned]] drains the registry AFTER
+    * the query has executed (the bench/verify loops clear between
+    * queries), so the blocks live exactly one query. Memoized frames
+    * (orientMemo, pairMemo, …) deliberately do NOT go through here — they
+    * are meant to stay warm across clearPinned calls.
+    */
+  private val transientCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a `localCheckpoint`ed frame for release at the next
+    * [[clearPinned]]/[[releaseAll]]; returns the frame for chaining. */
+  def trackTransient(df: DataFrame): DataFrame = {
+    transientCheckpoints.add(df)
+    df
+  }
+
+  private def drainTransient(): Unit = {
+    var df = transientCheckpoints.poll()
+    while (df != null) {
+      try unpersistCheckpointed(df)
+      catch { case _: Throwable => () } // a stopped session has no blocks
+      df = transientCheckpoints.poll()
+    }
+  }
 
   /** Operator families with session-scoped memo maps (GraphOps, DedupOps)
     * register an evictor here at object init. The maps hold

@@ -202,7 +202,13 @@ object GraphOps {
       (wd, degs, n)
     }
     val (withDeg, degFrame, nNodes) = memoKey match {
-      case None => build()
+      case None =>
+        // un-memoized: the two surviving frames are per-call — register
+        // them for the between-query drain instead of leaking until
+        // releaseAll (the memo path's evictor handles the Some case)
+        val (wd, dg, n) = build()
+        Exec.trackTransient(wd); Exec.trackTransient(dg)
+        (wd, dg, n)
       case Some(k) =>
         val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + k
         prMemo.getOrElseUpdate(fullKey, build())
@@ -345,9 +351,10 @@ object GraphOps {
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val dir = Exec.trackTransient(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
     val degs = dir.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
     dir
       .join(degs.select(col("x").as("src"), col("deg").as("deg_src")), Seq("src"))
@@ -382,14 +389,17 @@ object GraphOps {
   def bfsLayers(edges: DataFrame, seedMod: Long = 137L, rounds: Int = 4,
                 maxBroadcastFrontier: Long = 4000000L): DataFrame = {
     val e = edges.localCheckpoint()
-    val dir = e.select(col("a").as("src"), col("b").as("dst"))
-      .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val dir = Exec.trackTransient(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
     Exec.unpersistCheckpointed(e)
-    val allNodes = dir.select(col("src").as("node")).distinct().localCheckpoint()
+    val allNodes = Exec.trackTransient(
+      dir.select(col("src").as("node")).distinct().localCheckpoint())
     var visited = allNodes.filter(col("node") % seedMod === 0)
       .withColumn("dist", lit(0)).localCheckpoint()
     var frontier = visited.select(col("node"))
+    var prevNext: DataFrame = null
     for (r <- 1 to rounds) {
       val f =
         if (frontier.isEmpty) frontier
@@ -400,11 +410,17 @@ object GraphOps {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(r))
         .localCheckpoint() // eager: materialized before the release below
+      // round r-1's layer frame was only alive as this round's frontier —
+      // the semi-join above just consumed it, so its blocks are dead now
+      if (prevNext != null) Exec.unpersistCheckpointed(prevNext)
+      prevNext = next
       val prev = visited
       visited = prev.union(next).localCheckpoint()
       Exec.unpersistCheckpointed(prev)
       frontier = next.select(col("node"))
     }
+    if (prevNext != null) Exec.unpersistCheckpointed(prevNext)
+    Exec.trackTransient(visited)
     val unreached = allNodes
       .join(visited.select(col("node")), Seq("node"), "left_anti")
       .withColumn("dist", lit(-1))

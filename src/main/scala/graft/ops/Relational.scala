@@ -768,8 +768,16 @@ object Relational {
     * shuffle-free scan of the per-customer aggregate. Metrics are exact
     * integers (days, counts, cents), so thresholds and comparisons are
     * bit-identical across engines.
+    *
+    * `useApprox = true` is the 100-TB path: the three exact `percentile`
+    * buffers (maps over every distinct recency/frequency/cents value,
+    * merged in one final task) become `approx_percentile` GK sketches —
+    * constant memory, distributed merge — at a threshold error far below
+    * the 1-unit score granularity on realistic distributions. The exact
+    * default remains the oracle anchor.
     */
-  def rfmSegments(orders: DataFrame): DataFrame = {
+  def rfmSegments(orders: DataFrame, useApprox: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     val maxDate = orders.agg(max(col("o_orderdate")).as("max_date"))
     val perCust = orders
       .groupBy(col("o_custkey"))
@@ -781,10 +789,13 @@ object Relational {
       // both the threshold aggregate and the scoring scan read this — pin
       // it so the per-customer shuffle runs once, not twice
       .persist()
+    def pct(c: String): Column =
+      if (useApprox)
+        expr(s"cast(approx_percentile($c, array(0.25D, 0.5D, 0.75D), $accuracy)" +
+          " as array<double>)")
+      else expr(s"percentile($c, array(0.25, 0.5, 0.75))")
     val thresholds = perCust.agg(
-      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rq"),
-      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
-      expr("percentile(cents, array(0.25, 0.5, 0.75))").as("mq"))
+      pct("recency").as("rq"), pct("frequency").as("fq"), pct("cents").as("mq"))
     def score(v: Column, qs: Column): Column =
       lit(1) + (v > element_at(qs, 1)).cast("int") +
         (v > element_at(qs, 2)).cast("int") + (v > element_at(qs, 3)).cast("int")
@@ -867,13 +878,24 @@ object Relational {
     * engine-identical. Output: per-bin populations and min/max — the
     * histogram a feature store materializes. Scales as two scans and a
     * ≤10-row aggregate; nothing global-windows.
+    *
+    * `useApprox = true` swaps the exact `percentile` edge pass (a map of
+    * every distinct cent value merged in one final task) for the
+    * `approx_percentile` GK sketch — constant memory, distributed merge,
+    * the true 100-TB edge computation; `rel_quantile_bins_approx` proves
+    * the per-bin populations agree within tolerance.
     */
-  def quantileBins(orders: DataFrame, nBins: Int = 10): DataFrame = {
+  def quantileBins(orders: DataFrame, nBins: Int = 10,
+                   useApprox: Boolean = false,
+                   accuracy: Int = 10000): DataFrame = {
     val probs = (1 until nBins).map(i => i.toDouble / nBins)
     val withCents = orders.select(
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val edges = withCents.agg(
-      expr(s"percentile(cents, array(${probs.mkString(", ")}))").as("qs"))
+      (if (useApprox)
+         expr(s"cast(approx_percentile(cents, array(${probs.mkString(", ")})," +
+           s" $accuracy) as array<bigint>)")
+       else expr(s"percentile(cents, array(${probs.mkString(", ")}))")).as("qs"))
     val bin = (1 until nBins).map(i =>
       (col("cents") > element_at(col("qs"), i)).cast("int")).reduce(_ + _) + 1
     withCents.crossJoin(broadcast(edges))

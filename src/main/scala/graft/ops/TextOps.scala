@@ -873,11 +873,11 @@ object TextOps {
     val total = toks.agg(count(lit(1)).as("n_total"))
     // checkpointed: the per-doc frame feeds both the threshold percentiles
     // and the final labeling — without the cut the token join runs twice
-    val perDoc = toks.join(model, Seq("token"))
+    val perDoc = Exec.trackTransient(toks.join(model, Seq("token"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(q4(sum(-log(col("cnt") / col("n_total"))) / count(lit(1))).as("m"))
-      .localCheckpoint()
+      .localCheckpoint())
     val thr = perDoc.agg(expr("percentile(m, 0.33)").as("lo"),
       expr("percentile(m, 0.67)").as("hi"))
     perDoc.crossJoin(broadcast(thr))
@@ -916,16 +916,22 @@ object TextOps {
       .crossJoin(broadcast(mtab))
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    // bpeTrain drops null (no-pair-left) rounds, so a tiny corpus can
+    // learn FEWER than `rounds` merges — under ANSI mode element_at past
+    // the short table's end throws, so each round no-ops unless the table
+    // actually holds a rank-r merge (the oracle's b.p1 IS NULL branch)
     val vocab = (1 to rounds).foldLeft(chars) { (df, r) =>
       df.withColumn("syms", expr(
-        s"""aggregate(syms, CAST(array() AS array<string>),
-           |  (acc, x) -> CASE
-           |    WHEN size(acc) > 0 AND element_at(acc, -1) = element_at(marr, $r).p1
-           |         AND x = element_at(marr, $r).p2
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |                array(concat(element_at(marr, $r).p1,
-           |                             element_at(marr, $r).p2)))
-           |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        s"""IF(size(marr) >= $r,
+           |  aggregate(syms, CAST(array() AS array<string>),
+           |    (acc, x) -> CASE
+           |      WHEN size(acc) > 0 AND element_at(acc, -1) = element_at(marr, $r).p1
+           |           AND x = element_at(marr, $r).p2
+           |      THEN concat(slice(acc, 1, size(acc) - 1),
+           |                  array(concat(element_at(marr, $r).p1,
+           |                               element_at(marr, $r).p2)))
+           |      ELSE concat(acc, array(x)) END),
+           |  syms)""".stripMargin))
     }.select(col("word"), concat_ws("|", col("syms")).as("seg"),
       size(col("syms")).as("nsub"))
     docs
@@ -996,6 +1002,7 @@ object TextOps {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select(col("freq"), col("syms"))
       .localCheckpoint()
+    Exec.trackTransient(cur)
     val merges = (1 to rounds).map { r =>
       val pairs = cur.filter(size(col("syms")) >= 2)
         .withColumn("aa", slice(col("syms"), lit(1), size(col("syms")) - 1))
@@ -1023,6 +1030,11 @@ object TextOps {
             |    ELSE concat(acc, array(x)) END)""".stripMargin))
         .select(col("freq"), col("syms"))
         .localCheckpoint()
+      // every round's frame must OUTLIVE the call (round r's lazy `best`
+      // in the merges result reads round r-1's blocks), so superseded
+      // frames can't be dropped eagerly here — register each for the
+      // between-query drain instead
+      Exec.trackTransient(cur)
       best.filter(col("p1").isNotNull)
         .select(lit(r).as("round"), col("p1"), col("p2"),
           concat(col("p1"), col("p2")).as("merged"), col("cnt"))

@@ -671,9 +671,13 @@ object VectorOps {
     graft.functions.CovMatrix.register(emb.sparkSession)
     val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
     // the union below references the cell frame twice — checkpoint the
-    // d(d+1)/2 rows once so the corpus-wide covariance aggregate runs ONCE
-    // (released under the Exec.clearPinned contract like every other
-    // operator-internal pin)
+    // d(d+1)/2 rows once so the corpus-wide covariance aggregate runs ONCE.
+    // localCheckpoint blocks live OUTSIDE the cacheManager, so release is
+    // explicit: cells dies after round 1's checkpoint subsumes it, each
+    // round's iterate dies when the next round's checkpoint subsumes it,
+    // and the final 1-row head frame (which the returned query reads
+    // lazily) is registered with Exec.trackTransient so the between-query
+    // clearPinned drains it.
     val cells = emb.agg(expr(s"cov_matrix(embedding, $dim)").as("cm"))
       .select(explode(col("cm")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), q6(col("e.cov")).as("cov"))
@@ -694,12 +698,13 @@ object VectorOps {
     var it = mat.crossJoin(mean)
       .withColumn("v",
         expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       // the per-round localCheckpoint is NOT hygiene theater: project
       // collapse would inline round k's iterate into round k+1's matvec
       // (v appears 3× per round), growing the expression tree ~3^iters —
       // the checkpoint cuts the lineage so each round analyzes O(1) work.
       // It is a 1-row frame; the eager job is microseconds.
+      val prev = it
       it = it
         .withColumn("w", expr(s"transform(m, row -> ${dot("row", "v")})"))
         .withColumn("v", expr(
@@ -708,7 +713,12 @@ object VectorOps {
             .stripMargin))
         .drop("w")
         .localCheckpoint()
+      // the new checkpoint is eager — the superseded round's blocks (and,
+      // after round 1, the covariance cell frame) are dead: drop them now
+      if (r == 1) Exec.unpersistCheckpointed(cells)
+      else Exec.unpersistCheckpointed(prev)
     }
+    Exec.trackTransient(it)
     it.withColumn("sg", expr(
         s"""CASE WHEN aggregate(
            |  zip_with(v, sequence(1, $dim), (x, i) ->
@@ -799,8 +809,14 @@ object VectorOps {
           |  IF(ct.c_label <> label,
           |     least(acc, floor(sq_l2(v, ct.cvec) * 1000000 + 0.5) / 1000000),
           |     acc)))""".stripMargin))
-      .withColumn("s", when(greatest(col("a"), col("b")) > 0,
-        (col("b") - col("a")) / greatest(col("a"), col("b")))
+      // single-label degenerate case: b's fold over zero other-centroids
+      // stays at its +Inf seed, and (Inf − a)/Inf is NaN on Spark while
+      // DuckDB's empty min yields NULL — null the score explicitly so
+      // both engines agree (avg/min ignore nulls identically)
+      .withColumn("s", when(
+        col("b").isNull || col("b") === lit(Double.PositiveInfinity), lit(null))
+        .when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
         .otherwise(lit(0d)))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -868,8 +884,11 @@ object VectorOps {
          |    / 1000000))""".stripMargin))
       .withColumn("v2",
         expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
-    for (_ <- 1 to iters) {
-      // same lineage-cut rationale as pcaHead's loop
+    for (r <- 1 to iters) {
+      // same lineage-cut + release rationale as pcaHead's loop (round 1's
+      // predecessor is a lazy decoration over pcaHead's tracked frame, so
+      // there is nothing to drop until round 2)
+      val prev = it
       it = it
         .withColumn("w", expr(s"transform(m2, row -> ${dot("row", "v2")})"))
         .withColumn("v2", expr(
@@ -878,7 +897,9 @@ object VectorOps {
             .stripMargin))
         .drop("w")
         .localCheckpoint()
+      if (r >= 2) Exec.unpersistCheckpointed(prev)
     }
+    Exec.trackTransient(it)
     val head = it.withColumn("sg2", expr(
         s"""CASE WHEN aggregate(
            |  zip_with(v2, sequence(1, $dim), (x, i) ->

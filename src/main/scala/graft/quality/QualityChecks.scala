@@ -289,18 +289,25 @@ object QualityChecks {
     * Scale note: exact `percentile` merges every distinct value into one
     * final buffer (a single-task reduction) — correct here because the
     * oracle contract demands exactness, but at true 100-TB scale the
-    * fences don't: swap `percentile` for `approx_percentile` (the
-    * mergeable KLL/GK sketch path `rel_approx_percentiles` already
-    * demonstrates) and the pass becomes fully distributed with
-    * quantile error far inside the 1.5×IQR slack.
+    * fences don't: `useApprox = true` swaps in `approx_percentile` (the
+    * mergeable GK sketch, constant memory per partition, fully
+    * distributed merge) whose quantile error is far inside the 1.5×IQR
+    * slack — the production setting; the exact default is the oracle
+    * anchor. `qc_outlier_iqr_approx` proves the two agree within
+    * tolerance on real data.
     */
-  def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def iqrOutliers(df: DataFrame, cols: Seq[String],
+                  useApprox: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     // ONE percentile buffer per column (the array form), not one per
     // quantile: the buffer is a map of every distinct value, so doubling
     // it doubled the dominant cost (measured 5.4 s at sf0.1 pre-fix)
     val quartiles = cols.map(c =>
-      expr(s"percentile($c, array(0.25D, 0.75D))").as(s"qq_$c"))
+      (if (useApprox)
+         expr(s"cast(approx_percentile($c, array(0.25D, 0.75D), $accuracy)" +
+           " as array<double>)")
+       else expr(s"percentile($c, array(0.25D, 0.75D))")).as(s"qq_$c"))
     val q = df.agg(quartiles.head, quartiles.tail: _*)
       .select(cols.flatMap(c => Seq(
         expr(s"element_at(qq_$c, 1)").as(s"q1_$c"),

@@ -65,6 +65,37 @@ class ExecReleaseSpec extends SparkSpec {
       s"leaked RDD blocks after releaseAll: ids=${leaked.keys.toSeq.sorted}")
   }
 
+  test("bench-mode contract: clearPinned alone sweeps un-memoized transient checkpoints") {
+    import spark.implicits._
+    Exec.releaseAll(spark) // clean slate
+    // every operator family whose per-call localCheckpoint frames outlive the
+    // call (the returned query reads them lazily): PCA heads, BFS layers,
+    // CC labels, BPE vocab rounds, perplexity per-doc, pageRank non-memo
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Seq.tabulate(4)(j => (i * (j + 1)).toFloat / 7f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    VectorOps.pcaPowerComponent(emb, dim = 4, iters = 5).collect()
+    VectorOps.pcaTop2Project(emb, dim = 4, iters = 4, maxId = 10).collect()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    TextOps.perplexityBuckets(docs).collect()
+    TextOps.bpeEncode(docs, rounds = 3).collect()
+    DedupOps.nearDupClusters(docs).collect() // CC labels, no memoKey
+    val edges = (1 to 200).map(i => (i.toLong, 1000L + (i % 40).toLong)).toDF("a", "b")
+    GraphOps.bfsLayers(edges, seedMod = 10L, rounds = 2).collect()
+    GraphOps.pageRank(edges, iters = 2).collect() // memoKey = None
+    GraphOps.degreeAssortativity(edges).collect()
+    // bench-mode between-query cleanup: cacheManager clear + transient drain,
+    // NO releaseAll — memoized frames would survive (none were made here)
+    Exec.clearPinned(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"clearPinned-only pass leaked RDD blocks: ids=${leaked.keys.toSeq.sorted}")
+  }
+
   test("kCore peel releases per-round survivor and edge frames (non-converged path)") {
     import spark.implicits._
     // a peel that runs >1 round and does NOT converge within budget

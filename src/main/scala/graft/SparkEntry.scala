@@ -8,6 +8,7 @@ import graft.jsonstat.{Fixtures, JsonStat}
 import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational, TextOps, VectorOps}
 import graft.quality.QualityChecks
 import graft.silver.SilverTransform
+import graft.sources.FooterStats
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -970,7 +971,27 @@ object SparkEntry {
              |FROM probes p
              |LEFT JOIN cc ON cc.key = p.key
              |LEFT JOIN tc ON tc.key = p.key
-             |ORDER BY p.key""".stripMargin))
+             |ORDER BY p.key""".stripMargin)),
+
+    // END-TO-END footer skipping: write a date-bucketed parquet layout,
+    // read the REAL row-group footers back (ParquetFileReader, no data
+    // pages), and derive per-bucket envelopes + the skip verdict for a
+    // H2'95 predicate from footer statistics alone. Oracle parity proves
+    // the writer laid out the claimed buckets AND the committed stats are
+    // planner-trustworthy — the simulation-free half of the store_ family.
+    Q("store_footer_skip",
+      (s, d) => FooterStats.dateBucketSkipStats(orders(s, d),
+        s"/tmp/graft_footer_skip/${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        "1995-06-01", "1995-12-31"),
+      Some("""SELECT
+             |  CAST(floor(date_diff('day', DATE '1992-01-01', o_orderdate)
+             |    / 120.0) AS INTEGER) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+             |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+             |  (max(o_orderdate) < DATE '1995-06-01'
+             |    OR min(o_orderdate) > DATE '1995-12-31') AS skipped
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Graph analytics beyond connected components: exact triangle counting
@@ -1416,6 +1437,34 @@ object SparkEntry {
         .select(col("unit"), col("geo"), col("time").as("time_code"), col("value"))
         .orderBy("unit", "geo", "time_code"),
       Some(Fixtures.expectedValuesSql)),
+
+    // the densifier's ERROR contract, oracle-checked: every malformed
+    // payload variant (missing keys, id/size drift, short value vector,
+    // bad node types — process_hicp_silver.py:70–89, 38, 104) must fail
+    // LOUDLY at parse time with a message naming the offense; a silent
+    // mis-densification would ship wrong observations downstream. The
+    // census row per fixture records that it raised and that the message
+    // carried the expected fragment.
+    Q("s2_densify_errors",
+      (s, _) => {
+        import s.implicits._
+        Fixtures.errorPayloads.map { case (name, payload, fragment) =>
+          val outcome =
+            try { JsonStat.parse(payload); ("no_error_raised", false) }
+            catch { case e: IllegalArgumentException =>
+              ("raised", e.getMessage.contains(fragment))
+            }
+          (name, outcome._1, outcome._2)
+        }.toDF("fixture", "outcome", "message_names_offense")
+          .orderBy("fixture")
+      },
+      Some {
+        val rows = Fixtures.errorPayloads.map(_._1).sorted
+          .map(n => s"('$n', 'raised', true)").mkString(", ")
+        s"""SELECT * FROM (VALUES $rows)
+           |AS t(fixture, outcome, message_names_offense)
+           |ORDER BY fixture""".stripMargin
+      }),
 
     Q("s3_time_parse",
       (s, d) => {

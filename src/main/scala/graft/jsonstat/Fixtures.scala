@@ -35,6 +35,57 @@ object Fixtures {
     }
   }
 
+  /** Error-branch fixtures (FIXTURES.md §A1 "error cases"): each payload
+    * violates exactly ONE validation of the reference flattener
+    * (`process_hicp_silver.py:70–89, 38, 104`), paired with the message
+    * fragment the loud failure must carry. Consumed by the registered
+    * `s2_densify_errors` query, which asserts that every branch raises at
+    * parse/analysis time — silent mis-densification is the failure mode
+    * this guards against.
+    */
+  val errorPayloads: Seq[(String, String, String)] = Seq(
+    ("missing_dimension",
+      """{"id":["geo"],"size":[1],"value":[1.0]}""",
+      "missing 'dimension' or 'value'"),
+    ("missing_value",
+      """{"id":["geo"],"size":[1],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}}}}""".stripMargin,
+      "missing 'dimension' or 'value'"),
+    ("missing_id_size",
+      """{"dimension":{"geo":{"category":{"index":{"LU":0}}}},"value":[1.0]}""",
+      "missing 'id' or 'size'"),
+    ("id_size_length_mismatch",
+      """{"id":["geo","time"],"size":[1],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}}},
+        |"value":[1.0]}""".stripMargin,
+      "id/size length mismatch"),
+    ("named_dimension_absent",
+      """{"id":["geo","time"],"size":[1,1],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}}},
+        |"value":[1.0]}""".stripMargin,
+      "dimension 'time' missing"),
+    ("codes_vs_declared_size",
+      """{"id":["geo"],"size":[2],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}}},
+        |"value":[1.0,2.0]}""".stripMargin,
+      "1 codes != declared size 2"),
+    ("value_length_vs_product",
+      """{"id":["geo","time"],"size":[1,3],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}},
+        |  "time":{"category":{"index":{"2024M01":0,"2024M02":1,"2024M03":2}}}},
+        |"value":[1.0,2.0]}""".stripMargin,
+      "value length 2 != product of sizes 3"),
+    ("unsupported_index_type",
+      """{"id":["geo"],"size":[1],
+        |"dimension":{"geo":{"category":{"index":"LU"}}},
+        |"value":[1.0]}""".stripMargin,
+      "unsupported category.index type"),
+    ("unsupported_value_type",
+      """{"id":["geo"],"size":[1],
+        |"dimension":{"geo":{"category":{"index":{"LU":0}}}},
+        |"value":"105.1"}""".stripMargin,
+      "unsupported value type"))
+
   /** DuckDB VALUES oracle for the expected rows (sorted to match the query). */
   def expectedValuesSql: String = {
     val rows = expectedRows.sortBy(r => (r._1, r._2, r._3)).map { case (u, g, t, v) =>

@@ -1310,6 +1310,50 @@ object SparkEntry {
              |  dev_pct, dev_pct > 20.0 AS is_anomaly
              |FROM j ORDER BY key, month""".stripMargin)),
 
+    // STL-style additive decomposition: integer-exact centered 2x12 MA
+    // trend, common-denominator phase means (no cross-engine double sums),
+    // remainder as one division per output cell
+    Q("ts_stl_decompose",
+      (s, d) => graft.ops.TimeSeriesOps.stlDecompose(orders(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT o_orderpriority AS key,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+             |  FROM orders GROUP BY 1, 2),
+             |t AS (
+             |  SELECT key, month, vc, month(month) AS phase,
+             |    sum(vc) OVER w11 AS sum11, count(*) OVER w11 AS cnt11,
+             |    lag(vc, 6) OVER w AS lag6, lead(vc, 6) OVER w AS lead6
+             |  FROM monthly
+             |  WINDOW w AS (PARTITION BY key ORDER BY month),
+             |    w11 AS (PARTITION BY key ORDER BY month
+             |            ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+             |t2 AS (SELECT *, CASE WHEN cnt11 = 11
+             |    THEN sum11 * 2 + lag6 + lead6 END AS trend24 FROM t),
+             |t3 AS (SELECT *, vc * 24 - trend24 AS d24 FROM t2),
+             |sp AS (
+             |  SELECT key, phase, CAST(sum(d24) AS BIGINT) AS s_num,
+             |    count(*) AS s_cnt
+             |  FROM t3 WHERE trend24 IS NOT NULL GROUP BY 1, 2),
+             |sp2 AS (SELECT key, phase, s_num * (720720 // s_cnt) AS a FROM sp),
+             |pk AS (SELECT key, CAST(sum(a) AS BIGINT) AS sum_a,
+             |    count(*) AS p FROM sp2 GROUP BY 1),
+             |seas AS (
+             |  SELECT sp2.key, phase, p * a - sum_a AS seas_scaled,
+             |    p * 720720 AS pd
+             |  FROM sp2 JOIN pk USING (key))
+             |SELECT t3.key AS key, strftime(t3.month, '%Y-%m-%d') AS month,
+             |  CAST(vc AS DOUBLE) / 100 AS revenue,
+             |  floor(CAST(trend24 AS DOUBLE) / 2400 * 10000 + 0.5) / 10000
+             |    AS trend,
+             |  floor(CAST(seas_scaled AS DOUBLE) / (CAST(pd AS DOUBLE) * 2400)
+             |    * 10000 + 0.5) / 10000 AS seasonal,
+             |  floor((CAST(vc AS DOUBLE) / 100 - CAST(trend24 AS DOUBLE) / 2400
+             |    - CAST(seas_scaled AS DOUBLE) / (CAST(pd AS DOUBLE) * 2400))
+             |    * 10000 + 0.5) / 10000 AS remainder
+             |FROM t3 LEFT JOIN seas ON seas.key = t3.key AND seas.phase = t3.phase
+             |ORDER BY t3.key, month""".stripMargin)),
+
     // EWMA via the closed-form window unroll (no iterative driver loop);
     // α = 0.5 makes every scaled term an exact power-of-two-multiple of an
     // integer, so the window cumsum is bit-identical under ANY summation
@@ -4526,7 +4570,60 @@ object SparkEntry {
              |  CASE WHEN is_mp4 THEN CAST(ts AS INTEGER) END AS timescale,
              |  CASE WHEN is_mp4 THEN CAST(doc_id % 100000 + 1 AS BIGINT) END AS duration_ticks,
              |  CASE WHEN is_mp4 THEN CAST((doc_id % 100000 + 1) * 1000 // ts AS BIGINT) END AS duration_ms
-             |FROM p ORDER BY doc_id""".stripMargin))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // visual near-dup: average-hash over REAL encoded-then-decoded 8x8
+    // BMP thumbnails (bottom-up row walk; the hash comes from bytes, not
+    // the pixel generator), banded Hamming search with exact recall at
+    // radius 3. The oracle replays the pixel formula straight to hash
+    // words — absolute h1/h2 parity pins the decoder's orientation, which
+    // the permutation-invariant hamming alone would not catch.
+    Q("mm_image_ahash_dedup",
+      (s, d) => MultimodalOps.imageAHashPairs(documents(s, d)),
+      Some("""WITH grid AS (
+             |  SELECT doc_id, r, c,
+             |    16 + (xor(m, m >> 13) % 224) AS base
+             |  FROM (
+             |    SELECT d.doc_id, r.r AS r, c.c AS c,
+             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |        + (r.r * 8 + c.c) * 40503 AS m
+             |    FROM documents d,
+             |      (SELECT unnest(range(8)) AS r) r,
+             |      (SELECT unnest(range(8)) AS c) c)),
+             |px AS (
+             |  SELECT doc_id, r, c,
+             |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+             |           THEN base + 8
+             |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+             |           THEN base - 16
+             |         ELSE base END AS v
+             |  FROM grid),
+             |s AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+             |hs AS (
+             |  SELECT px.doc_id,
+             |    CAST(sum(CASE WHEN r * 8 + c < 32 AND v * 64 > total
+             |      THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS BIGINT) AS h1,
+             |    CAST(sum(CASE WHEN r * 8 + c >= 32 AND v * 64 > total
+             |      THEN (1::BIGINT << (r * 8 + c - 32)) ELSE 0 END) AS BIGINT) AS h2
+             |  FROM px JOIN s USING (doc_id) GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, h1, h2, b.band,
+             |    CASE b.band WHEN 0 THEN h1 % 65536 WHEN 1 THEN h1 // 65536
+             |                WHEN 2 THEN h2 % 65536 ELSE h2 // 65536 END AS key
+             |  FROM hs, (SELECT unnest(range(4)) AS band) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(x.h1, y.h1))
+             |    + bit_count(xor(x.h2, y.h2)) AS INTEGER) AS hamming,
+             |  x.h1 AS h1_a, x.h2 AS h2_a, y.h1 AS h1_b, y.h2 AS h2_b
+             |FROM cand
+             |JOIN hs x ON x.doc_id = doc_a
+             |JOIN hs y ON y.doc_id = doc_b
+             |WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   private def all: Seq[Q] =

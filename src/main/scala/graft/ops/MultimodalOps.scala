@@ -514,4 +514,163 @@ object MultimodalOps {
     if (ts <= 0) ("mp4", Some(brand), None, None, None)
     else ("mp4", Some(brand), Some(ts), Some(dur), Some(dur * 1000L / ts))
   }
+
+  // ------------------------------------------------------- image near-dup
+
+  /** Deterministic 8×8 grayscale pixel for the thumbnail fixture. Odd ids
+    * reuse their even anchor's pattern with a 3-pixel perturbation (+8 at
+    * flat positions 0 and 23, −16 at 46, sum-preserving so the aHash mean
+    * threshold cannot move) — every (even, odd) pair is a planted image
+    * near-dup at Hamming ≤ 3. Base values live in [16, 239], so the
+    * perturbed bytes never wrap. The oracle replays exactly this formula.
+    *
+    * The base mixes the anchor id into EVERY pixel multiplicatively
+    * (Knuth constant + xor-shift): a first cut used the additive
+    * `(e·7 + r·13 + c·29) % 224`, whose whole 64-pixel pattern is a
+    * function of `e·7 mod 224` — only 32 distinct images EVER, so at sf1
+    * the 50k-doc corpus collapsed into ~32 hash classes and the "near-dup"
+    * pair set went quadratic (measured 262 s / tens of millions of rows).
+    * Distinct anchors now yield distinct patterns and the pair set scales
+    * with the planted pairs.
+    */
+  private[ops] def thumbPixel(d: Long, r: Int, c: Int): Int = {
+    val e = d - (d % 2)
+    val pos = r * 8 + c
+    val m = e * 2654435761L + pos * 40503L
+    val base = (16 + ((m ^ (m >> 13)) % 224)).toInt
+    if (d % 2 == 1) {
+      if (pos == 0 || pos == 23) base + 8
+      else if (pos == 46) base - 16
+      else base
+    } else base
+  }
+
+  /** Encode the 8×8 thumbnail as a REAL 24-bpp BMP: 14-byte file header,
+    * 40-byte BITMAPINFOHEADER, pixel rows stored BOTTOM-UP in BGR order —
+    * the layout any stock decoder expects, and the orientation rule the
+    * hash decoder must honor (the oracle checks absolute hash words, so a
+    * decoder that reads rows in storage order fails parity).
+    */
+  private[ops] def encodeThumbBmp(d: Long): Array[Byte] = {
+    val w = 8; val h = 8
+    val rowBytes = w * 3
+    val pixelBytes = rowBytes * h
+    val out = new Array[Byte](54 + pixelBytes)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + pixelBytes); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24)
+    le32(30, 0); le32(34, pixelBytes)
+    var k = 0
+    while (k < h) {
+      val r = h - 1 - k // stored row k holds image row h-1-k (bottom-up)
+      var c = 0
+      while (c < w) {
+        val v = thumbPixel(d, r, c).toByte
+        val off = 54 + k * rowBytes + c * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        c += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Average-hash (aHash) of a decoded 8×8 BMP, as two unsigned 32-bit
+    * words packed in longs (bits 0–31 and 32–63; two halves so neither
+    * engine ever shifts into a 64-bit sign bit). Bit p (= r·8+c in image
+    * orientation, top row first) is set iff pixel·64 > Σpixels — the
+    * integer-exact form of "above the mean", no division anywhere. The
+    * parse is a REAL header walk: pixel-array offset, dims, bpp, 4-byte
+    * row padding, bottom-up vs top-down orientation all honored.
+    */
+  private[ops] def aHashHalves(bytes: Array[Byte]): (Long, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)}")
+    require(w * h == 64, s"aHash expects an 8x8 thumb, got ${w}x$h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val k = if (bottomUp) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val p = off + k * rowBytes + c * 3
+        px(r * w + c) = (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    var sum = 0L
+    px.foreach(sum += _)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 64) {
+      if (px(i) * 64L > sum) {
+        if (i < 32) h1 |= 1L << i else h2 |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (h1, h2)
+  }
+
+  /** Image near-duplicate pairs by average-hash + banded Hamming search —
+    * the visual-dedup pass of a multimodal corpus (re-encoded, resized or
+    * lightly edited images collide on aHash where byte-exact dedup cannot).
+    * Per doc: encode the deterministic thumbnail fixture as a real BMP,
+    * DECODE it back (header walk, bottom-up rows — the hash is computed
+    * from bytes, never from the generator formula), hash, then find pairs
+    * with the [[DedupOps.simhashPairs]] banding contract: 4 × 16-bit bands
+    * over the 64 hash bits, so every pair at Hamming ≤ 3 shares an
+    * untouched band (pigeonhole) — EXACT recall at the default radius,
+    * never all-pairs. Scale shape: the only exchanges carry (long, long,
+    * long) hash rows and 16-bit band keys; candidate buckets thin as
+    * 1/65536 per band. Output: (doc_a, doc_b, hamming, and both hash
+    * words per side — the absolute words pin the decoder's orientation,
+    * which the permutation-invariant hamming alone would not).
+    */
+  def imageAHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (h1, h2) = aHashHalves(encodeThumbBmp(d))
+        (d, h1, h2)
+      })
+      .toDF("doc_id", "h1", "h2")
+      // both band sides read this — pin so encode+decode runs once per doc
+      .persist()
+    val banded = hashes.select(col("doc_id"), col("h1"), col("h2"),
+      posexplode(expr(
+        "array(h1 % 65536, h1 div 65536, h2 % 65536, h2 div 65536)"))
+        .as(Seq("band", "band_bits")))
+    val l = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("h1").as("h1_a"), col("h2").as("h2_a"))
+    val r = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("h1").as("h1_b"), col("h2").as("h2_b"))
+    l.join(r, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        (bit_count(expr("h1_a ^ h1_b")) + bit_count(expr("h2_a ^ h2_b")))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("h1_a"), col("h2_a"), col("h1_b"), col("h2_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

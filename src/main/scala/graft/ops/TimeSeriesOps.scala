@@ -401,4 +401,80 @@ object TimeSeriesOps {
           .as("forecast"))
       .orderBy(col("priority"), col("h"))
   }
+
+  /** Classical seasonal decomposition (STL-style additive trend/seasonal/
+    * remainder) of per-priority monthly revenue — the decomposition a
+    * monitoring pipeline runs before alerting on "remainder" spikes, and
+    * the missing half of [[seasonalBaseline]] (which compares against raw
+    * phase means; this one detrends FIRST, so a growth trend does not
+    * masquerade as seasonality).
+    *
+    *   trend    = centered 2×12 moving average (the standard even-period
+    *              form: ½·v[t−6] + v[t−5..t+5] + ½·v[t+6], all ÷12),
+    *              null at the 6-month edges;
+    *   seasonal = per-calendar-month mean of the detrended series,
+    *              centered so the 12 indices sum to zero;
+    *   remainder = v − trend − seasonal.
+    *
+    * Cross-engine determinism by INTEGER construction (the pcaHead
+    * doctrine, but with no fold at all): revenue is exact cents, the
+    * 24×trend (2·Σ11 + lag6 + lead6) is an exact long, the detrended
+    * series d24 = 24·v − trend24 is an exact long, and the phase means
+    * are put over the common denominator D = 720720 (= lcm(1..16), so
+    * any per-phase year count divides it) — the centering subtraction
+    * P·A(m) − ΣA then happens in exact 64-bit integers, and each output
+    * is ONE division of an exact integer, floor-quantized at 4 dp.
+    * No cross-engine sum of rounded doubles anywhere.
+    *
+    * Scale shape: one map-side-combined monthly aggregate (the only
+    * full-scan shuffle), per-key windows over ≤|months| rows, a ≤12-row
+    * broadcast of seasonal indices — the same plan decomposes millions of
+    * independent series. Magnitude guard: |seas_scaled| <
+    * 12·D·Σ|d24| stays far inside int64 through sf10; a 100-TB revenue
+    * series needs DECIMAL(38) for the scaled integers, same algebra.
+    */
+  def stlDecompose(orders: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val D = 720720L
+    val monthly = orders
+      .groupBy(col("o_orderpriority").as("key"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("vc"))
+    val w = Window.partitionBy(col("key")).orderBy(col("month"))
+    val w11 = w.rowsBetween(-5, 5)
+    val t = monthly
+      .withColumn("sum11", sum(col("vc")).over(w11))
+      .withColumn("cnt11", count(lit(1)).over(w11))
+      .withColumn("lag6", lag(col("vc"), 6).over(w))
+      .withColumn("lead6", lead(col("vc"), 6).over(w))
+      // null lag6/lead6 propagates: trend undefined at the edges
+      .withColumn("trend24",
+        when(col("cnt11") === 11, col("sum11") * 2 + col("lag6") + col("lead6")))
+      .withColumn("d24", col("vc") * 24 - col("trend24"))
+      .withColumn("phase", month(col("month")))
+      // read by the seasonal aggregate AND the final join — one window pass
+      .persist()
+    val sp = t.filter(col("trend24").isNotNull)
+      .groupBy(col("key"), col("phase"))
+      .agg(sum(col("d24")).as("s_num"), count(lit(1)).as("s_cnt"))
+      .withColumn("a", col("s_num") * expr(s"$D div s_cnt"))
+    val perKey = sp.groupBy(col("key"))
+      .agg(sum(col("a")).as("sum_a"), count(lit(1)).as("p"))
+    val seas = sp.join(broadcast(perKey), Seq("key"))
+      .select(col("key"), col("phase"),
+        (col("p") * col("a") - col("sum_a")).as("seas_scaled"),
+        (col("p") * lit(D)).as("pd"))
+    t.join(broadcast(seas), Seq("key", "phase"), "left")
+      .select(col("key"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        (col("vc").cast("double") / 100).as("revenue"),
+        q4(col("trend24").cast("double") / 2400).as("trend"),
+        q4(col("seas_scaled").cast("double")
+          / (col("pd").cast("double") * 2400)).as("seasonal"),
+        q4(col("vc").cast("double") / 100
+          - col("trend24").cast("double") / 2400
+          - col("seas_scaled").cast("double")
+            / (col("pd").cast("double") * 2400)).as("remainder"))
+      .orderBy(col("key"), col("month"))
+  }
 }

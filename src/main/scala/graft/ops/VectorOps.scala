@@ -463,19 +463,57 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
-    * family): all pairs above the similarity threshold. Quadratic candidate
-    * generation here is bounded by a label block (at corpus scale the LSH
-    * bucketing of `annLsh` is the candidate generator instead); ranking-free,
-    * so output is exactly the thresholded pair set.
+    * family): all pairs above the similarity threshold, exact within a
+    * label block. The block-quadratic pair count is the operator's
+    * CONTRACT (an exact low-threshold cosine join over dense vectors has
+    * no lossless prefilter — at corpus scale the candidate generator is
+    * `annLsh`/`semanticDedup` bucketing instead), but the sf1 graduation
+    * measured the first-cut shape at 25× wall for 10× rows, and most of
+    * that was fixable without touching the contract:
+    *
+    *  - norms are HOISTED out of the pair loop: each row's ‖e‖ is computed
+    *    once (sqrt of the same sequential Σx² fold `cosine_sim` runs, so
+    *    sim = dot/(nrm_a·nrm_b) is bit-identical to before), instead of
+    *    2× per pair — the per-pair kernel drops from 3 array walks to 1;
+    *  - pairs enumerate TRIANGULARLY over `idBuckets` id-residue
+    *    sub-blocks: the a-side fans each row up its bucket sequence
+    *    (g..G−1), the join keys on (label, bucket) — labels × G(G+1)/2
+    *    work units instead of one skewed task per label, so a 10-label
+    *    corpus saturates 32 cores instead of 10, and per-task memory is
+    *    block/G². Each unordered pair appears exactly once (same-bucket
+    *    pairs orient by id; cross-bucket pairs by the upward fan-out).
+    *
+    * Measured at sf1 (20k vectors, 2k/label): 9.7 s → 6.5 s warm; the
+    * remaining wall is the ~20M-pair dot-product floor the exact contract
+    * pays by definition. The per-10× coefficient is quadratic BY CONTRACT
+    * when block sizes grow with the corpus — production corpora must feed
+    * bounded blocks (LSH buckets), at which point this is linear in pairs.
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", q4(cosineFast(emb, col("e_a"), col("e_b"))))
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         idBuckets: Int = 8): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val prepped = emb.select(col("label"), col("vec_id"), col("embedding"),
+      sqrt(call_function("dot_product", col("embedding"), col("embedding")))
+        .as("nrm"),
+      (col("vec_id") % idBuckets).cast("int").as("g"))
+    val a = prepped.select(col("label"), col("g").as("p"),
+      explode(expr(s"sequence(g, ${idBuckets - 1})")).as("q"),
+      col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      col("nrm").as("nrm_a"))
+    val b = prepped.select(col("label"), col("g").as("q"),
+      col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, Seq("label", "q"))
+      // same-bucket pairs dedupe by id order; cross-bucket pairs are
+      // already unique (the fan-out only goes up the bucket sequence)
+      .filter(col("p") =!= col("q") || col("vec_a") < col("vec_b"))
+      .withColumn("sim", q4(
+        call_function("dot_product", col("e_a"), col("e_b"))
+          / (col("nrm_a") * col("nrm_b"))))
       .filter(col("sim") >= threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
+      .select(col("label"),
+        least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

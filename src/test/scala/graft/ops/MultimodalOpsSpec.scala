@@ -218,4 +218,39 @@ class MultimodalOpsSpec extends SparkSpec {
       s == (n + 3) / 4
     })
   }
+
+  test("aHash: decode honors bottom-up rows — hash from bytes equals hash from the formula") {
+    for (d <- Seq(0L, 1L, 7L, 42L, 101L)) {
+      val bytes = MultimodalOps.encodeThumbBmp(d)
+      // header sanity: BM magic, 54-byte offset, 8x8, 24bpp
+      assert(bytes(0) == 'B' && bytes(1) == 'M' && bytes.length == 54 + 192)
+      val (h1, h2) = MultimodalOps.aHashHalves(bytes)
+      // independent reference: hash straight from the pixel formula in
+      // image orientation (top row first) — if the decoder read rows in
+      // STORAGE order the absolute words would differ
+      val px = for (r <- 0 until 8; c <- 0 until 8)
+        yield MultimodalOps.thumbPixel(d, r, c)
+      val sum = px.map(_.toLong).sum
+      var e1 = 0L; var e2 = 0L
+      px.zipWithIndex.foreach { case (v, i) =>
+        if (v * 64L > sum) { if (i < 32) e1 |= 1L << i else e2 |= 1L << (i - 32) }
+      }
+      assert((h1, h2) == (e1, e2), s"doc $d: decoded ($h1,$h2) != formula ($e1,$e2)")
+    }
+  }
+
+  test("aHash near-dup: every planted (even, odd) pair surfaces at hamming <= 3") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val pairs = MultimodalOps.imageAHashPairs(ids).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val planted = (0L until 40L by 2).map(e => (e, e + 1)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missing planted pairs: ${(planted diff found).take(5)}")
+    // the sum-preserving 3-pixel perturbation flips at most 3 bits
+    pairs.filter(p => planted((p._1, p._2))).foreach { case (a, b, h) =>
+      assert(h <= 3, s"planted pair ($a,$b) at hamming $h")
+    }
+  }
 }

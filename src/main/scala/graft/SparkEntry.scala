@@ -1167,6 +1167,36 @@ object SparkEntry {
       // Newman degree assortativity on the n=500 residue graph: Pearson
       // corr of endpoint degrees over both edge orientations — the
       // topology fingerprint; oracle replays degrees + joins + corr
+      // label-propagation communities: 2 unrolled mode-of-neighbors rounds
+      // (ties to smallest label), census per final community
+      // n=2000 keeps the residue graph SPARSE at sf0.01 (avg degree ~20,
+      // not tripartite-complete like n=60) so LPA resolves real cores
+      // instead of collapsing to one label
+      Q("graph_lpa_communities",
+        (s, d) => graft.ops.GraphOps.labelPropagation(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2),
+        Some(s"""WITH ${edgesCte(2000)},
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
+                |c1 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
+                |  FROM dir d JOIN l0 lp ON lp.node = d.dst GROUP BY 1, 2),
+                |l1 AS MATERIALIZED (SELECT node, nl AS label FROM (
+                |  SELECT node, nl, row_number() OVER (
+                |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c1)
+                |  WHERE rn = 1),
+                |c2 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
+                |  FROM dir d JOIN l1 lp ON lp.node = d.dst GROUP BY 1, 2),
+                |l2 AS (SELECT node, nl AS label FROM (
+                |  SELECT node, nl, row_number() OVER (
+                |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c2)
+                |  WHERE rn = 1)
+                |SELECT label AS community, count(*) AS n_nodes,
+                |  min(node) AS min_node, max(node) AS max_node,
+                |  CAST(sum(node) AS BIGINT) AS node_sum
+                |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       Q("graph_assortativity",
         (s, d) => graft.ops.GraphOps.degreeAssortativity(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
@@ -2390,6 +2420,51 @@ object SparkEntry {
     // distincts for four key shapes; every literal pinned DOUBLE on both
     // sides so the arithmetic is pure IEEE — the oracle rebuilds the
     // registers from the identical md5-prefix hash
+    // rolling W7 distinct users from MERGED DAILY HLL SKETCHES — any
+    // trailing window answered register-wise from per-day sketches, no
+    // event rescan; exact trailing distinct rides along as the audit
+    Q("ev_hll_window",
+      (s, d) => EventOps.hllRollingDistinct(events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT day, h // 16777216 AS reg,
+             |    max(CASE WHEN h % 16777216 = 0 THEN 25
+             |        ELSE 25 - length(bin(h % 16777216)) END) AS mr
+             |  FROM (SELECT CAST(ts AS DATE) AS day,
+             |      CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+             |        1, 8)) AS BIGINT) AS h
+             |    FROM events)
+             |  GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM daily),
+             |merged AS (
+             |  SELECT d.day AS day, r.reg, max(r.mr) AS mr
+             |  FROM days d JOIN daily r
+             |    ON r.day <= d.day AND r.day >= d.day - 6
+             |  GROUP BY 1, 2),
+             |sk AS (SELECT day, count(*) AS npres,
+             |    sum(pow(2.0::DOUBLE, -mr)) AS s FROM merged GROUP BY 1),
+             |ex AS (
+             |  SELECT d.day AS day,
+             |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+             |  FROM days d JOIN
+             |    (SELECT CAST(ts AS DATE) AS kday, user_id FROM events) e
+             |    ON e.kday <= d.day AND e.kday >= d.day - 6
+             |  GROUP BY 1),
+             |j AS (
+             |  SELECT sk.day AS day, n_exact,
+             |    floor((CASE WHEN (0.7213::DOUBLE / (1::DOUBLE
+             |        + 1.079::DOUBLE / 256::DOUBLE)) * 65536::DOUBLE
+             |        / (s + (256::DOUBLE - npres)) <= 640::DOUBLE
+             |        AND npres < 256
+             |      THEN 256::DOUBLE * ln(256::DOUBLE / (256::DOUBLE - npres))
+             |      ELSE (0.7213::DOUBLE / (1::DOUBLE
+             |        + 1.079::DOUBLE / 256::DOUBLE)) * 65536::DOUBLE
+             |        / (s + (256::DOUBLE - npres)) END) * 10000 + 0.5) / 10000
+             |      AS hll_est
+             |  FROM sk JOIN ex ON ex.day = sk.day)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, n_exact, hll_est,
+             |  floor((hll_est / n_exact - 1) * 10000 + 0.5) / 10000 AS rel_err
+             |FROM j ORDER BY day""".stripMargin)),
+
     Q("ev_hll_distinct",
       (s, d) => EventOps.hllDistinct(events(s, d)),
       Some {

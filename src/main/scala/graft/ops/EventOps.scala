@@ -371,6 +371,68 @@ object EventOps {
       .orderBy(col("col_name"))
   }
 
+  /** Trailing-window distinct users from MERGED DAILY SKETCHES — the
+    * sketch-algebra pattern proper: the corpus is scanned ONCE into
+    * per-day HLL register rows (≤256 per day), and any trailing window's
+    * distinct estimate is then answered by a register-wise max-merge of
+    * the daily sketches — W7AU/W30AU over a year of days never rescans
+    * the events. That merge-without-rescan is the property that makes
+    * sketches the only viable rolling-distinct at 100 TB (exact distinct
+    * is not mergeable: day-level exact counts cannot compose into a
+    * window count). Scale shape: the raw scan reduces map-side to
+    * (day, reg, maxρ); the window merge range-joins the ≤256·|days|
+    * register table to the day spine — metadata-sized regardless of event
+    * count. The exact trailing distinct rides along as the AUDIT column
+    * (it recomputes from raw events per window — the expensive thing the
+    * sketch path exists to avoid; at production scale it is a sampled
+    * check, here it is the oracle anchor). Estimate formula, register
+    * kernel, and linear-counting correction are [[hllDistinct]]'s.
+    */
+  def hllRollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val est = expr(
+      """CASE WHEN (0.7213D / (1D + 1.079D / 256D)) * 65536D
+        |         / (s + (256D - npres)) <= 640D AND npres < 256
+        |  THEN 256D * ln(256D / (256D - npres))
+        |  ELSE (0.7213D / (1D + 1.079D / 256D)) * 65536D / (s + (256D - npres))
+        |END""".stripMargin)
+    val daily = events
+      .select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("key"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('hll:', key)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("reg", expr("h div 16777216"))
+      .withColumn("w", expr("h % 16777216"))
+      .withColumn("rho", expr(
+        "CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END"))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mr"))
+      // read by the day spine and the window merge — one raw scan total
+      .persist()
+    val days = daily.select(col("day")).distinct()
+    val merged = days.as("d").join(daily.as("r"),
+        col("r.day") <= col("d.day") &&
+          col("r.day") >= date_sub(col("d.day"), windowDays - 1))
+      .groupBy(col("d.day").as("day"), col("r.reg").as("reg"))
+      .agg(max(col("r.mr")).as("mr"))
+    val sketch = merged.groupBy(col("day"))
+      // Σ2^-ρ: every addend is a dyadic ≥ 2^-25 and the total < 2^9, so
+      // the sum is EXACT in double under any combine order (same argument
+      // as hllDistinct) — no cross-engine summation hazard
+      .agg(count(lit(1)).as("npres"), sum(expr("pow(2.0, -mr)")).as("s"))
+    val exact = days.as("d").join(
+        events.select(to_date(col("ts")).as("kday"), col("user_id")).as("e"),
+        col("e.kday") <= col("d.day") &&
+          col("e.kday") >= date_sub(col("d.day"), windowDays - 1))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, Seq("day"))
+      .withColumn("eq", floor(est * 10000 + 0.5) / 10000)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_exact"), col("eq").as("hll_est"),
+        (floor((col("eq") / col("n_exact") - 1) * 10000 + 0.5) / 10000)
+          .as("rel_err"))
+      .orderBy(col("day"))
+  }
+
   /** Heavy hitters with BOUNDED scan state — the production shape for a
     * key space that fits nowhere: a Misra–Gries candidate pass (the
     * native `misra_gries` aggregate: ≤ `k` counters per task, one ≤k-entry

@@ -374,6 +374,49 @@ object GraphOps {
         q4(col("ad")).as("avg_edge_deg"))
   }
 
+  /** Label-propagation communities (semi-synchronous LPA, deterministic
+    * tiebreak) — the community detector a near-dup/citation graph gets
+    * when connected components are too coarse (CC merges everything
+    * touching; LPA's mode-of-neighbors rule splits a component along its
+    * dense cores). Each round: every node adopts its neighbors' most
+    * frequent label, ties to the SMALLEST label — the argmax is a
+    * `min(struct(-count, label))` aggregate, so rounds are deterministic
+    * and the oracle replays them with a windowed row_number. Fixed round
+    * budget (the oracle unrolls it); per-round lineage cuts and eager
+    * release of the superseded label frame, BFS-style. Output is the
+    * community census (size / min / max / id-sum per final label) —
+    * constant-width verification at any graph size. Scale shape: one
+    * (dst-keyed) join plus two narrow aggregates per round, nothing wider
+    * than (long, long) in any exchange.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val dir = Exec.trackTransient(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
+    var labels = dir.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prev = labels
+      labels = dir
+        .join(prev.select(col("node").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("nl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint() // eager — prev is consumed, release it now
+      Exec.unpersistCheckpointed(prev)
+    }
+    Exec.trackTransient(labels)
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("node_sum"))
+      .orderBy(col("community"))
+  }
+
   /** Multi-source BFS hop-distance labeling — the reachability/radius probe
     * (how far is every node from the seed set, which nodes are beyond the
     * horizon): frontier-expansion rounds where each round is ONE semi-join

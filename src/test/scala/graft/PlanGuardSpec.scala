@@ -664,4 +664,57 @@ class PlanGuardSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
     }.nonEmpty, "the nProbes×kHashes probe side must broadcast")
   }
+
+  test("image aHash pairs: no exchange ever carries the BMP payload bytes") {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val exchanges = staticExchanges(
+      SparkEntry.queries("mm_image_ahash_dedup")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(a.dataType != BinaryType && a.dataType != StringType,
+          s"payload-width column ${a.name}: ${a.dataType} in an aHash " +
+            "exchange — hashes must reduce before any join")
+      }
+    }
+  }
+
+  test("embedding-cosine pairs: the pair join keys on (label, bucket), not label alone") {
+    val plan = staticPlan(SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir))
+    // the bucket key is what turns |labels| skewed tasks into
+    // labels×G(G+1)/2 work units — whether the small side broadcasts or
+    // shuffles, the join condition must include q
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val bucketed = joins.filter { j =>
+      val keys = j.leftKeys.flatMap(_.references.map(_.name))
+      keys.contains("q") && keys.contains("label")
+    }
+    assert(bucketed.nonEmpty,
+      s"no (label, q)-keyed join found; join keys were: " +
+        joins.map(_.leftKeys.flatMap(_.references.map(_.name))
+          .mkString("[", ",", "]")).mkString(" "))
+  }
+
+  test("STL decomposition: seasonal index join is a broadcast, never a shuffle of the grid") {
+    val plan = staticPlan(SparkEntry.queries("ts_stl_decompose")(spark, sfDir))
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.size >= 2, "the perKey totals and the seasonal-index frames must broadcast")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "STL must not plan a cartesian")
+  }
+
+  test("rolling HLL window: raw user keys reduce to registers before any exchange") {
+    // the property that makes the sketch-merge viable: the hashed 'key'
+    // string reduces map-side to (day, reg, mr) — it must never cross an
+    // exchange (the final day-string sort of the tiny result is fine)
+    val exchanges = staticExchanges(
+      SparkEntry.queries("ev_hll_window")(spark, sfDir))
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("key"),
+        s"raw HLL key crossed an exchange: " +
+          e.output.map(_.name).mkString("[", ",", "]"))
+    }
+  }
 }

@@ -1015,6 +1015,26 @@ object SparkEntry {
          |    UNION ALL
          |    SELECT l_partkey % $n + $n, l_suppkey % $n + ${2 * n} FROM lineitem)
          |  WHERE u <> v)""".stripMargin
+    // two unrolled LPA rounds over edgesCte(n): l2 = (node, label) final
+    // assignment — shared by the community census and the modularity score
+    def lpaCtes(n: Int): String =
+      s"""${edgesCte(n)},
+         |dir AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
+         |c1 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
+         |  FROM dir d JOIN l0 lp ON lp.node = d.dst GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (SELECT node, nl AS label FROM (
+         |  SELECT node, nl, row_number() OVER (
+         |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c1)
+         |  WHERE rn = 1),
+         |c2 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
+         |  FROM dir d JOIN l1 lp ON lp.node = d.dst GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (SELECT node, nl AS label FROM (
+         |  SELECT node, nl, row_number() OVER (
+         |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c2)
+         |  WHERE rn = 1)""".stripMargin
     val duckEdges =
       edgesCte(60) + """,
         |nodes AS MATERIALIZED (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges),
@@ -1175,27 +1195,44 @@ object SparkEntry {
       Q("graph_lpa_communities",
         (s, d) => graft.ops.GraphOps.labelPropagation(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2),
-        Some(s"""WITH ${edgesCte(2000)},
-                |dir AS MATERIALIZED (
-                |  SELECT a AS src, b AS dst FROM edges
-                |  UNION ALL SELECT b, a FROM edges),
-                |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
-                |c1 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
-                |  FROM dir d JOIN l0 lp ON lp.node = d.dst GROUP BY 1, 2),
-                |l1 AS MATERIALIZED (SELECT node, nl AS label FROM (
-                |  SELECT node, nl, row_number() OVER (
-                |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c1)
-                |  WHERE rn = 1),
-                |c2 AS (SELECT d.src AS node, lp.label AS nl, count(*) AS c
-                |  FROM dir d JOIN l1 lp ON lp.node = d.dst GROUP BY 1, 2),
-                |l2 AS (SELECT node, nl AS label FROM (
-                |  SELECT node, nl, row_number() OVER (
-                |    PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM c2)
-                |  WHERE rn = 1)
+        Some(s"""WITH ${lpaCtes(2000)}
                 |SELECT label AS community, count(*) AS n_nodes,
                 |  min(node) AS min_node, max(node) AS max_node,
                 |  CAST(sum(node) AS BIGINT) AS node_sum
                 |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+      // Newman modularity of the LPA partition, pure BIGINT numerators:
+      // Q = SUM_c (4*m*e_c - d_c^2) / (4m^2) — one double division per
+      // value, q_total divides the exact integer sum
+      Q("graph_modularity",
+        (s, d) => graft.ops.GraphOps.modularity(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2),
+        Some(s"""WITH ${lpaCtes(2000)},
+                |mm AS (SELECT count(*) AS m FROM edges),
+                |deg AS (SELECT node, count(*) AS deg FROM (
+                |  SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+                |  GROUP BY 1),
+                |dc AS (SELECT l.label, CAST(sum(deg) AS BIGINT) AS deg_sum,
+                |    count(*) AS n_nodes
+                |  FROM deg d JOIN l2 l ON l.node = d.node GROUP BY 1),
+                |intra AS (SELECT la.label, count(*) AS intra_edges
+                |  FROM edges e
+                |  JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+                |  WHERE la.label = lb.label GROUP BY 1),
+                |perc AS (SELECT dc.label, n_nodes,
+                |    COALESCE(intra_edges, 0) AS intra_edges, deg_sum,
+                |    4 * m * COALESCE(intra_edges, 0) - deg_sum * deg_sum
+                |      AS num, m
+                |  FROM dc LEFT JOIN intra ON intra.label = dc.label
+                |  CROSS JOIN mm),
+                |tot AS (SELECT CAST(sum(num) AS BIGINT) AS tnum,
+                |    max(m) AS tm FROM perc)
+                |SELECT label AS community, n_nodes, intra_edges, deg_sum,
+                |  floor(CAST(num AS DOUBLE) / CAST(4 * m * m AS DOUBLE)
+                |    * 100000000 + 0.5) / 100000000 AS q_contrib,
+                |  floor(CAST(tnum AS DOUBLE) / CAST(4 * tm * tm AS DOUBLE)
+                |    * 100000000 + 0.5) / 100000000 AS q_total
+                |FROM perc CROSS JOIN tot ORDER BY 1""".stripMargin)),
 
       Q("graph_assortativity",
         (s, d) => graft.ops.GraphOps.degreeAssortativity(
@@ -2420,6 +2457,58 @@ object SparkEntry {
     // distincts for four key shapes; every literal pinned DOUBLE on both
     // sides so the arithmetic is pure IEEE — the oracle rebuilds the
     // registers from the identical md5-prefix hash
+    // rolling W7 percentiles from MERGED DAILY HISTOGRAM SKETCHES — the
+    // quantile counterpart of ev_hll_window: per-(day, unit-bucket) exact
+    // counts merge by addition, the cumulative walk answers p50/p95/p99;
+    // the exact order statistic rides along auditing the <1-bucket bound
+    Q("ev_quantile_window",
+      (s, d) => EventOps.histQuantileWindow(events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(floor(value) AS BIGINT) AS bkt, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM daily),
+             |merged AS (
+             |  SELECT d.day AS day, r.bkt, sum(r.c) AS c
+             |  FROM days d JOIN daily r
+             |    ON r.day <= d.day AND r.day >= d.day - 6
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT day, bkt,
+             |    sum(c) OVER (PARTITION BY day ORDER BY bkt) AS cum,
+             |    sum(c) OVER (PARTITION BY day) AS tot
+             |  FROM merged),
+             |sk AS (
+             |  SELECT day, CAST(max(tot) AS BIGINT) AS n,
+             |    CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN bkt END) + 1
+             |      AS DOUBLE) AS p50_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN bkt END) + 1
+             |      AS DOUBLE) AS p95_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN bkt END) + 1
+             |      AS DOUBLE) AS p99_est
+             |  FROM cum GROUP BY 1),
+             |ranked AS (
+             |  SELECT d.day AS day, e.value,
+             |    row_number() OVER (PARTITION BY d.day
+             |      ORDER BY e.value, e.event_id) AS rn,
+             |    count(*) OVER (PARTITION BY d.day) AS n
+             |  FROM days d JOIN
+             |    (SELECT CAST(ts AS DATE) AS kday, value, event_id
+             |     FROM events) e
+             |    ON e.kday <= d.day AND e.kday >= d.day - 6),
+             |ex AS (
+             |  SELECT day,
+             |    max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50_exact,
+             |    max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS p95_exact,
+             |    max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99_exact
+             |  FROM ranked GROUP BY 1)
+             |SELECT strftime(sk.day, '%Y-%m-%d') AS day, n,
+             |  p50_est, p50_exact, p95_est, p95_exact, p99_est, p99_exact,
+             |  greatest(p50_est - p50_exact, p95_est - p95_exact,
+             |    p99_est - p99_exact) AS max_err
+             |FROM sk JOIN ex ON ex.day = sk.day
+             |ORDER BY day""".stripMargin)),
+
     // rolling W7 distinct users from MERGED DAILY HLL SKETCHES — any
     // trailing window answered register-wise from per-day sketches, no
     // event rescan; exact trailing distinct rides along as the audit
@@ -3617,6 +3706,63 @@ object SparkEntry {
               |    i -> (v[i + 1] - qv[i + 1] * scale) * (v[i + 1] - qv[i + 1] * scale)))
               |    * 1000000 + 0.5) / 1000000 AS sq_err_q
               |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // 1-bit binary quantization: per-dim mean-thresholded sign bits packed
+    // into two 32-bit words, Hamming = bit_count(xor) ranking, recall@5
+    // audited against exact cosine top-5 — integer-exact end to end
+    Q("vec_binary_quant",
+      (s, d) => VectorOps.binaryQuantRecall(embeddings(s, d), maxQueryId = 8, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |f AS (SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+              |    unnest(v) AS x FROM e),
+              |mu AS (SELECT pos, floor(avg(x) * 10000 + 0.5) / 10000 AS mu
+              |  FROM f GROUP BY 1),
+              |mul AS (SELECT list(mu ORDER BY pos) AS mu FROM mu),
+              |packed AS (
+              |  SELECT vec_id,
+              |    CAST(list_sum(list_transform(range(0, 32), d ->
+              |      CASE WHEN v[d + 1] > mu[d + 1]
+              |        THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+              |    CAST(list_sum(list_transform(range(0, 32), d ->
+              |      CASE WHEN v[d + 33] > mu[d + 33]
+              |        THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+              |  FROM e CROSS JOIN mul),
+              |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+              |  FROM packed WHERE vec_id < 8),
+              |hampairs AS (
+              |  SELECT q.query_id, p.vec_id,
+              |    CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT)
+              |      AS ham
+              |  FROM packed p JOIN q ON p.vec_id <> q.query_id),
+              |topham AS (
+              |  SELECT query_id, vec_id, ham, rn FROM (
+              |    SELECT query_id, vec_id, ham, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY ham, vec_id) AS rn
+              |    FROM hampairs) WHERE rn <= 5),
+              |n AS (SELECT vec_id, v,
+              |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |qe AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+              |  WHERE vec_id < 8),
+              |cpairs AS (
+              |  SELECT qe.query_id, n.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM qe JOIN n ON n.vec_id <> qe.query_id),
+              |topex AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM cpairs) WHERE rn <= 5)
+              |SELECT th.query_id,
+              |  CAST(sum(CASE WHEN te.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_hits,
+              |  CAST(sum(CASE WHEN te.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / CAST(5 AS DOUBLE) AS recall,
+              |  min(CASE WHEN rn = 1 THEN th.vec_id END) AS top1_id,
+              |  min(CASE WHEN rn = 1 THEN ham END) AS top1_ham
+              |FROM topham th LEFT JOIN topex te
+              |  ON te.query_id = th.query_id AND te.vec_id = th.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("vec_centroids",
       (s, d) => VectorOps.centroidTable(embeddings(s, d)),

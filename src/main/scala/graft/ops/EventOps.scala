@@ -433,6 +433,81 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Trailing-window latency percentiles from MERGED DAILY HISTOGRAM
+    * SKETCHES — the quantile half of the sketch-algebra story
+    * [[hllRollingDistinct]] tells for distincts: exact percentiles are
+    * not mergeable (day-level p95s cannot compose into a window p95),
+    * but bucket-count histograms are (counts add), so the corpus is
+    * scanned ONCE into per-(day, unit-bucket) exact counts — ≤ ~600
+    * integer rows per day regardless of event volume — and any trailing
+    * window's p50/p95/p99 is answered by summing bucket counts across the
+    * window's days and walking the cumulative histogram. Everything on
+    * the sketch path is exact integer arithmetic (counts, ranks, bucket
+    * ids), so cross-engine determinism is structural; the only float op
+    * is the `ceil(q·n)` rank, identical IEEE on both sides. The estimate
+    * is the bucket's upper edge, so `0 ≤ est − exact ≤ 1` by construction
+    * (1 attained exactly when the order statistic sits on a bucket's
+    * lower edge) — the `max_err` column audits that bound against the
+    * true rank-`ceil(q·n)` order statistic computed from raw events (the
+    * expensive per-window rescan the sketch exists to avoid; a sampled
+    * check at production scale, the oracle anchor here).
+    */
+  def histQuantileWindow(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value")).cast("long").as("bkt"))
+      .groupBy(col("day"), col("bkt")).agg(count(lit(1)).as("c"))
+    val days = daily.select(col("day")).distinct()
+    val merged = days.as("d").join(daily.as("r"),
+        col("r.day") <= col("d.day") &&
+          col("r.day") >= date_sub(col("d.day"), windowDays - 1))
+      .groupBy(col("d.day").as("day"), col("r.bkt").as("bkt"))
+      .agg(sum(col("c")).as("c"))
+    val wCum = Window.partitionBy(col("day")).orderBy(col("bkt"))
+    val wAll = Window.partitionBy(col("day"))
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    // upper edge of the first bucket whose cumulative count reaches the
+    // discrete rank — min(bkt | cum ≥ ceil(q·tot)) + 1, integer-exact
+    def est(q: Double) = min(when(
+      col("cum") >= ceil(lit(q) * col("tot")), col("bkt"))) + lit(1L)
+    val sketch = cum.groupBy(col("day")).agg(
+      max(col("tot")).as("n"),
+      est(0.5).cast("double").as("p50_est"),
+      est(0.95).cast("double").as("p95_est"),
+      est(0.99).cast("double").as("p99_est"))
+    // exact audit: the rank-ceil(q·n) order statistic over the window's
+    // raw events (deterministic at any rank: same sorted multiset on
+    // both engines regardless of tie order)
+    val ranked = days.as("d").join(
+        events.select(to_date(col("ts")).as("kday"), col("value"),
+          col("event_id")).as("e"),
+        col("e.kday") <= col("d.day") &&
+          col("e.kday") >= date_sub(col("d.day"), windowDays - 1))
+      .select(col("d.day").as("day"), col("value"), col("event_id"))
+    val wRank = Window.partitionBy(col("day"))
+      .orderBy(col("value"), col("event_id"))
+    val withRn = ranked
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def exactQ(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("value")))
+    val exact = withRn.groupBy(col("day")).agg(
+      exactQ(0.5).as("p50_exact"),
+      exactQ(0.95).as("p95_exact"),
+      exactQ(0.99).as("p99_exact"))
+    sketch.join(exact, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("p50_est"), col("p50_exact"),
+        col("p95_est"), col("p95_exact"),
+        col("p99_est"), col("p99_exact"),
+        greatest(col("p50_est") - col("p50_exact"),
+          col("p95_est") - col("p95_exact"),
+          col("p99_est") - col("p99_exact")).as("max_err"))
+      .orderBy(col("day"))
+  }
+
   /** Heavy hitters with BOUNDED scan state — the production shape for a
     * key space that fits nowhere: a Misra–Gries candidate pass (the
     * native `misra_gries` aggregate: ≤ `k` counters per task, one ≤k-entry

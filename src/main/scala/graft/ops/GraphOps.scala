@@ -389,7 +389,18 @@ object GraphOps {
     * (dst-keyed) join plus two narrow aggregates per round, nothing wider
     * than (long, long) in any exchange.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame =
+    lpaLabels(edges, rounds).groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("node_sum"))
+      .orderBy(col("community"))
+
+  /** The (node, label) assignment [[labelPropagation]] censuses and
+    * [[modularity]] scores — the final labels after `rounds`
+    * deterministic LPA rounds, as a checkpointed frame registered for
+    * between-query release.
+    */
+  private[graft] def lpaLabels(edges: DataFrame, rounds: Int): DataFrame = {
     val dir = Exec.trackTransient(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -411,9 +422,54 @@ object GraphOps {
       Exec.unpersistCheckpointed(prev)
     }
     Exec.trackTransient(labels)
-    labels.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
-        max(col("node")).as("max_node"), sum(col("node")).as("node_sum"))
+    labels
+  }
+
+  /** Newman modularity of the LPA partition — the "did the communities
+    * mean anything" audit (Q > 0: denser inside communities than a
+    * degree-preserving random rewire; Q ≈ 0: the partition is noise).
+    * Exact integer arithmetic throughout: with m = |edges|, e_c =
+    * intra-community edges and d_c = Σ degrees in community c,
+    *   Q = Σ_c (e_c/m − (d_c/2m)²) = Σ_c (4·m·e_c − d_c²) / (4m²),
+    * and every numerator term is a BIGINT (≲ 4m² ≈ 6e14 at sf1 — no
+    * overflow, no float summation hazard); ONE double division per
+    * output value, identical IEEE on both engines. `q_total` divides the
+    * exact integer Σ_c numerator — never a sum of rounded doubles.
+    * Scale shape: the label join is (node)-keyed, the intra count joins
+    * the (long, long) edge list to the label frame twice — nothing wider
+    * than two longs in any exchange, and the scalar m/Σ frames ride as
+    * 1-row broadcasts.
+    */
+  def modularity(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val e = Exec.trackTransient(edges.localCheckpoint())
+    val labels = lpaLabels(e, rounds)
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("deg_sum"),
+        count(lit(1)).as("n_nodes"))
+    val intra = e
+      .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val perC = dc.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("num",
+        lit(4L) * col("m") * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+    val totRow = perC.agg(sum(col("num")).as("tnum"), max(col("m")).as("tm"))
+    perC.crossJoin(broadcast(totRow))
+      .select(col("label").as("community"), col("n_nodes"),
+        col("intra_edges"), col("deg_sum"),
+        (floor(col("num").cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double") * 100000000 + 0.5)
+          / 100000000).as("q_contrib"),
+        (floor(col("tnum").cast("double")
+          / (lit(4L) * col("tm") * col("tm")).cast("double") * 100000000 + 0.5)
+          / 100000000).as("q_total"))
       .orderBy(col("community"))
   }
 

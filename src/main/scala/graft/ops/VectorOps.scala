@@ -107,6 +107,59 @@ object VectorOps {
         (floor(col("sq_err") * 1e6 + 0.5) / 1e6).as("sq_err_q"))
       .orderBy(col("vec_id"))
 
+  /** Binary (1-bit) quantization + Hamming retrieval with a recall@k
+    * audit — the 32×-memory end of the quantization ladder (f32 → int8 →
+    * PQ → 1 bit): each 64-dim vector collapses to TWO 32-bit sign words
+    * (bit d = [x_d > μ_d], thresholded at the per-dimension corpus mean
+    * so even an all-positive embedding space splits ~50/50 per bit), and
+    * candidate ranking is `bit_count(xor)` — pure register arithmetic, no
+    * floats anywhere in the scan. Recall@k against exact cosine top-k is
+    * the quality audit, same posture as [[annRecallAudit]]. Determinism:
+    * the threshold is the q4-quantized per-dim mean (the same mean-parity
+    * the PCA head oracle-proves), bit packing and Hamming counts are
+    * exact integers, ties rank by vec_id. Scale shape: the mean is one
+    * narrow (pos)-keyed aggregate; packing is map-side against the one
+    * broadcast μ row; the corpus crosses NO exchange wider than
+    * (vec_id, two ints) on the Hamming path — at 100 TB the sign words
+    * are the only thing an index node ever holds.
+    */
+  def binaryQuantRecall(emb: DataFrame, maxQueryId: Int = 8, k: Int = 5): DataFrame = {
+    val muRow = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(q4(avg(col("x").cast("double"))).as("mu"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)")
+        .as("mu"))
+    def word(lo: Int) = expr(
+      s"""aggregate(transform(sequence(0, 31), d ->
+         |  IF(element_at(v, d + ${lo + 1}) > element_at(mu, d + ${lo + 1}),
+         |     shiftleft(1L, d), 0L)), 0L, (acc, x) -> acc + x)""".stripMargin)
+    val packed = emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(muRow))
+      .select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+    val queries = packed.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val ham = packed.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("ham",
+        expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("long"))
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("ham"), col("vec_id"))
+    val topHam = ham.withColumn("rank", row_number().over(wH))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("ham"), col("rank"))
+    val topExact = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"))
+    topHam.join(topExact.withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        min(when(col("rank") === 1, col("vec_id"))).as("top1_id"),
+        min(when(col("rank") === 1, col("ham"))).as("top1_ham"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+      .select(col("query_id"), col("n_hits"), col("recall"),
+        col("top1_id"), col("top1_ham"))
+      .orderBy(col("query_id"))
+  }
+
   /** Per-label centroids in long form (label, pos, c): posexplode + avg —
     * one shuffle on (label, pos), fully parallel in the dimension too.
     */

@@ -144,4 +144,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(-1) == ((5L, 35L, 5L, 9L)), s"unreached: ${got.get(-1)}")
     assert(got.size == 6)
   }
+
+  test("LPA labels two cliques joined by one bridge as two communities") {
+    // K4 {0..3} + K4 {10..13} + bridge (3,10): mode-of-neighbors keeps
+    // each clique on its own min label; the census shows both cores
+    val twoCliques = edges(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (3L, 10L))
+    val census = GraphOps.labelPropagation(twoCliques, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census == Map(0L -> 4L, 10L -> 4L), s"census: $census")
+  }
+
+  test("modularity: planted two-clique partition scores strongly positive, and contributions sum to the total") {
+    val twoCliques = edges(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (3L, 10L))
+    val rows = GraphOps.modularity(twoCliques, rounds = 2).collect()
+    assert(rows.length == 2)
+    val qTotal = rows.head.getDouble(5)
+    // m=13, per clique: e_c=6, d_c=13 → Q = 2·(6/13 − (13/26)²) ≈ 0.423
+    assert(math.abs(qTotal - 0.42307692) < 1e-6, s"qTotal: $qTotal")
+    // exact-integer path: contributions sum to the total within quantization
+    val sumContrib = rows.map(_.getDouble(4)).sum
+    assert(math.abs(sumContrib - qTotal) < 2e-8, s"sum: $sumContrib vs $qTotal")
+    // intra/degree columns are the textbook counts
+    rows.foreach { r =>
+      assert(r.getLong(2) == 6L && r.getLong(3) == 13L, s"row: $r")
+    }
+  }
+
+  test("modularity: all-in-one-community partition of a clique scores ~0") {
+    // single K4: LPA converges to one label; Q = e/m − (2m/2m)² = 1 − 1 = 0
+    val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val rows = GraphOps.modularity(k4, rounds = 2).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(5) == 0.0, s"q_total: ${rows.head.getDouble(5)}")
+  }
 }

@@ -1234,6 +1234,38 @@ object SparkEntry {
                 |    * 100000000 + 0.5) / 100000000 AS q_total
                 |FROM perc CROSS JOIN tot ORDER BY 1""".stripMargin)),
 
+      // Jaccard link prediction on the degree-bounded SAMPLED graph:
+      // wedge-enumerated candidates, anti-joined against existing edges,
+      // scored common/(dx+dy-common) — one exact-integer division
+      Q("graph_jaccard_links",
+        (s, d) => graft.ops.GraphOps.jaccardLinkPrediction(
+          graft.ops.GraphOps.sampledEdges(lineitem(s, d))),
+        Some(s"""WITH edges AS MATERIALIZED (
+                |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+                |    SELECT l_orderkey % 5000 AS u, l_partkey % 5000 + 5000 AS v,
+                |      l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+                |  WHERE u <> v AND (ok * 31 + pk) % 97 = 0),
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |deg AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY 1),
+                |cand AS (
+                |  SELECT d1.dst AS x, d2.dst AS y, count(*) AS common
+                |  FROM dir d1 JOIN dir d2
+                |    ON d1.src = d2.src AND d1.dst < d2.dst
+                |  GROUP BY 1, 2),
+                |nonedge AS (
+                |  SELECT c.* FROM cand c LEFT JOIN edges e
+                |    ON e.a = c.x AND e.b = c.y
+                |  WHERE e.a IS NULL)
+                |SELECT c.x, c.y, c.common, dx.deg AS deg_x, dy.deg AS deg_y,
+                |  floor(CAST(c.common AS DOUBLE)
+                |    / CAST(dx.deg + dy.deg - c.common AS DOUBLE)
+                |    * 1000000 + 0.5) / 1000000 AS jaccard
+                |FROM nonedge c
+                |  JOIN deg dx ON dx.node = c.x JOIN deg dy ON dy.node = c.y
+                |ORDER BY jaccard DESC, x, y LIMIT 25""".stripMargin)),
+
       Q("graph_assortativity",
         (s, d) => graft.ops.GraphOps.degreeAssortativity(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
@@ -3211,6 +3243,50 @@ object SparkEntry {
               |SELECT doc_id, count(*) AS n_bigrams,
               |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TextRank keywords: weighted PageRank over the adjacency
+    // co-occurrence word graph, 3 unrolled damped rounds, rank scaled to
+    // mean 1.0 and 1e-6-quantized before the top-20 cut
+    Q("txt_textrank_keywords",
+      (s, d) => TextOps.textrankKeywords(documents(s, d)),
+      Some(s"""WITH t AS (SELECT $DuckToks AS toks FROM documents
+              |  WHERE len($DuckToks) >= 2),
+              |z AS (SELECT
+              |    list_transform(range(1, len(toks)), i -> toks[i]) AS aa,
+              |    list_transform(range(1, len(toks)), i -> toks[i + 1]) AS bb
+              |  FROM t),
+              |bgr AS (SELECT unnest(aa) AS a, unnest(bb) AS b FROM z),
+              |bgf AS (SELECT a, b FROM bgr WHERE a <> b),
+              |und AS (SELECT a AS src, b AS dst FROM bgf
+              |  UNION ALL SELECT b, a FROM bgf),
+              |wedge AS MATERIALIZED (
+              |  SELECT src, dst, count(*) AS w FROM und GROUP BY 1, 2),
+              |wdeg AS MATERIALIZED (
+              |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM wedge
+              |  GROUP BY 1),
+              |nn AS (SELECT count(*) AS n FROM wdeg),
+              |r0 AS (SELECT src AS word, 1.0 / n AS pr FROM wdeg CROSS JOIN nn),
+              |r1 AS MATERIALIZED (
+              |  SELECT e.dst AS word,
+              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |  FROM wedge e JOIN r0 r ON r.word = e.src
+              |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
+              |  GROUP BY e.dst, n),
+              |r2 AS MATERIALIZED (
+              |  SELECT e.dst AS word,
+              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |  FROM wedge e JOIN r1 r ON r.word = e.src
+              |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
+              |  GROUP BY e.dst, n),
+              |r3 AS (
+              |  SELECT e.dst AS word,
+              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |  FROM wedge e JOIN r2 r ON r.word = e.src
+              |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
+              |  GROUP BY e.dst, n)
+              |SELECT word, floor(pr * n * 1000000 + 0.5) / 1000000 AS rank_scaled
+              |FROM r3 CROSS JOIN nn
+              |ORDER BY rank_scaled DESC, word LIMIT 20""".stripMargin)),
 
     // PMI collocations: log-space pointwise mutual information of adjacent
     // token pairs, support >= 5, computed over occurrence (not distinct)

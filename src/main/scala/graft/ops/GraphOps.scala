@@ -473,6 +473,65 @@ object GraphOps {
       .orderBy(col("community"))
   }
 
+  /** Deterministically SAMPLED order/part incidence graph — the sparse
+    * companion to [[lineitemEdges]]: keeping only incidence rows with
+    * `(l_orderkey·31 + l_partkey) % keep = 0` holds average degree
+    * roughly CONSTANT as the corpus grows (the dense residue graph's
+    * degree grows with SF), which is what wedge-enumeration operators
+    * like [[jaccardLinkPrediction]] need: their cost is Σ deg², linear
+    * for a degree-bounded graph, quadratic for a densifying one.
+    */
+  def sampledEdges(li: DataFrame, n: Int = 5000, keep: Int = 97): DataFrame =
+    li.filter((col("l_orderkey") * 31 + col("l_partkey")) % keep === 0)
+      .select((col("l_orderkey") % n).as("u"),
+        (col("l_partkey") % n + n).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+
+  /** Jaccard link prediction — rank the non-edges most likely to appear
+    * next: for every pair (x, y) that shares ≥1 neighbor but is NOT an
+    * edge, score = |Γ(x) ∩ Γ(y)| / |Γ(x) ∪ Γ(y)| = common/(dx+dy−common).
+    * Integer-exact end to end — common-neighbor counts and degrees are
+    * exact longs, the score is ONE division of exact integers (identical
+    * IEEE both engines), so ranking is deterministic without tolerance
+    * games. Scale shape: candidates come from wedge enumeration (the
+    * (src)-keyed self-join of the directed frame), whose output is
+    * Σ_z deg(z)² — bounded because the sampled graph's degrees don't
+    * grow with SF; the non-edge filter is one anti-join on the (long,
+    * long) pair; degree annotation is two count-gated broadcast joins.
+    * Nothing wider than two longs crosses any exchange.
+    */
+  def jaccardLinkPrediction(edges: DataFrame, k: Int = 25): DataFrame = {
+    val e = Exec.trackTransient(edges.localCheckpoint())
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cand = dir.as("d1")
+      .join(dir.as("d2"),
+        col("d1.src") === col("d2.src") && col("d1.dst") < col("d2.dst"))
+      .select(col("d1.dst").as("x"), col("d2.dst").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .join(e.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+    cand
+      .join(Exec.broadcastIfSmall(
+        deg.select(col("src").as("x"), col("deg").as("deg_x")), 4000000L),
+        Seq("x"))
+      .join(Exec.broadcastIfSmall(
+        deg.select(col("src").as("y"), col("deg").as("deg_y")), 4000000L),
+        Seq("y"))
+      .withColumn("jaccard", floor(
+        col("common").cast("double")
+          / (col("deg_x") + col("deg_y") - col("common")).cast("double")
+          * 1000000 + 0.5) / 1000000)
+      .select(col("x"), col("y"), col("common"), col("deg_x"), col("deg_y"),
+        col("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Multi-source BFS hop-distance labeling — the reachability/radius probe
     * (how far is every node from the seed set, which nodes are beyond the
     * horizon): frontier-expansion rounds where each round is ONE semi-join

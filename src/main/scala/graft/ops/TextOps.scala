@@ -494,6 +494,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword extraction — weighted PageRank over the word
+    * co-occurrence graph (edge (u,v) weighted by how often the tokens are
+    * ADJACENT anywhere in the corpus): the graph-centrality answer to
+    * "which words matter" where TF-IDF gives the frequency answer — a
+    * word ranks high when its neighbors rank high, so connective hub
+    * terms beat merely-common ones. The corpus is scanned once into the
+    * weighted edge list (integer counts); the graph itself is
+    * vocabulary-sized — ≪ corpus, the same reduction argument as the
+    * sketch queries — so the `iters` damped-rank rounds run over a
+    * metadata-sized frame: per round ONE narrow (dst)-keyed aggregate,
+    * with the rank vector count-gate broadcast against the edge frame
+    * ([[GraphOps.pageRank]]'s round shape, plus the weight/wdeg factor).
+    * Vocabulary count is a driver scalar (graph metadata, pageRank's
+    * contract); output is the top-`topK` words by damped rank scaled to
+    * mean 1.0, floor-quantized at 1e-6 so ordering happens in quantized
+    * space on both engines.
+    */
+  def textrankKeywords(docs: DataFrame, iters: Int = 3,
+                       damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    val bg = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = bg.select(col("a").as("src"), col("b").as("dst"))
+      .union(bg.select(col("b").as("src"), col("a").as("dst")))
+    val wedge = Exec.trackTransient(
+      und.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint())
+    val wdeg = wedge.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val withDeg = Exec.trackTransient(
+      wedge.join(Exec.broadcastIfSmall(wdeg, 4000000L), Seq("src"))
+        .localCheckpoint())
+    val n = wdeg.count()
+    var ranks = wdeg.select(col("src").as("word"))
+      .withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(Exec.broadcastIfSmall(
+          ranks.withColumnRenamed("word", "src"), 4000000L), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w") * col("pr") / col("wdeg")).as("c"))
+        .select(col("dst").as("word"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("c")).as("pr"))
+    }
+    ranks
+      .select(col("word"),
+        (floor(col("pr") * lit(n.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Zipf's-law fit over the top-k token frequencies: OLS slope/intercept of
     * ln(freq) against ln(rank) via `regr_slope`/`regr_intercept` (a natural
     * corpus should fit slope ≈ −1; a synthetic or heavily-duplicated corpus

@@ -176,6 +176,25 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("jaccard link prediction: square graph predicts exactly its two diagonals at score 1.0") {
+    // 4-cycle 0-1-2-3-0: the only common-neighbor non-edges are the
+    // diagonals (0,2) and (1,3), each with common=2, deg=2/2 → 2/(2+2-2)=1
+    val square = edges((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val got = GraphOps.jaccardLinkPrediction(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.toSet == Set((0L, 2L, 2L, 1.0), (1L, 3L, 2L, 1.0)), got.mkString(" "))
+  }
+
+  test("jaccard link prediction: path wedge scores 1/(dx+dy-common) and existing edges are excluded") {
+    // path 0-1-2-3: non-edge wedges (0,2) via 1 and (1,3) via 2;
+    // (0,2): deg 1 and 2 → 1/2; (1,3): deg 2 and 1 → 1/2. Edge (1,2)
+    // shares neighbors with nothing; adjacent pairs never appear.
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = GraphOps.jaccardLinkPrediction(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSet == Set((0L, 2L, 0.5), (1L, 3L, 0.5)), got.mkString(" "))
+  }
+
   test("modularity: all-in-one-community partition of a clique scores ~0") {
     // single K4: LPA converges to one label; Q = e/m − (2m/2m)² = 1 − 1 = 0
     val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))

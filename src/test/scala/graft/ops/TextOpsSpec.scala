@@ -493,4 +493,26 @@ class TextOpsSpec extends SparkSpec {
     got.values.foreach(v =>
       assert(v._1 > nScored / 5 && v._1 < nScored / 2, s"lopsided: $got"))
   }
+
+  test("textrank: the hub word outranks its spokes and damped mass is conserved") {
+    // star-ish corpus: "hub" is adjacent to every other word, spokes only
+    // to hub — centrality must put hub first regardless of raw frequency
+    val docs = Seq(
+      (1L, "hub red hub blue hub green"),
+      (2L, "red hub green hub blue"),
+      (3L, "hub yellow")).toDF("doc_id", "text")
+    val got = TextOps.textrankKeywords(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.head._1 == "hub", s"top: ${got.toSeq}")
+    assert(got.length == 5)
+    assert(got.forall(_._2 > 0))
+    // damped PageRank over a dangling-free graph conserves rank mass:
+    // scaled ranks (mean 1.0) must sum to the vocabulary size
+    val total = got.map(_._2).sum
+    assert(math.abs(total - 5.0) < 1e-3, s"mass: $total")
+    // spokes with identical attachment tie exactly (quantized space)
+    val spokes = got.toMap
+    assert(spokes("red") == spokes("blue") && spokes("blue") == spokes("green"),
+      s"asymmetric spokes: ${got.toSeq}")
+  }
 }

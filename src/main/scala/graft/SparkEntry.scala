@@ -2489,6 +2489,35 @@ object SparkEntry {
     // distincts for four key shapes; every literal pinned DOUBLE on both
     // sides so the arithmetic is pure IEEE — the oracle rebuilds the
     // registers from the identical md5-prefix hash
+    // step-function time-weighted average per event type: centi-unit
+    // values x exact-us durations, BIGINT weighted sums, one division;
+    // the plain mean rides along so `bias` shows the burst-sampling gap
+    Q("ev_time_weighted",
+      (s, d) => EventOps.timeWeightedAvg(events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT event_type, event_id, epoch_us(ts) AS us,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |iv AS (
+             |  SELECT event_type, vc, us,
+             |    lead(us) OVER (PARTITION BY event_type
+             |      ORDER BY us, event_id) AS next_us
+             |  FROM e),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n_intervals,
+             |    CAST(sum(next_us - us) AS BIGINT) AS span_us,
+             |    CAST(sum(vc * (next_us - us)) AS BIGINT) AS wsum,
+             |    CAST(sum(vc) AS BIGINT) AS vsum
+             |  FROM iv WHERE next_us IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_intervals, span_us,
+             |  CAST(wsum AS DOUBLE) / (100.0 * CAST(span_us AS DOUBLE)) AS twa,
+             |  CAST(vsum AS DOUBLE) / (100.0 * CAST(n_intervals AS DOUBLE))
+             |    AS mean_plain,
+             |  CAST(wsum AS DOUBLE) / (100.0 * CAST(span_us AS DOUBLE))
+             |    - CAST(vsum AS DOUBLE) / (100.0 * CAST(n_intervals AS DOUBLE))
+             |    AS bias
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
     // rolling W7 percentiles from MERGED DAILY HISTOGRAM SKETCHES — the
     // quantile counterpart of ev_hll_window: per-(day, unit-bucket) exact
     // counts merge by addition, the cumulative walk answers p50/p95/p99;
@@ -3243,6 +3272,36 @@ object SparkEntry {
               |SELECT doc_id, count(*) AS n_bigrams,
               |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram cross-entropy per doc: exact-integer
+    // model counts (c_ab, c_a, N1+ fwd/back/total), one mirrored
+    // arithmetic expression, -ln summed per doc
+    Q("txt_kn_perplexity",
+      (s, d) => TextOps.knPerplexity(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents
+              |  WHERE len($DuckToks) >= 2),
+              |z AS (SELECT doc_id,
+              |    list_transform(range(1, len(toks)), i -> toks[i]) AS aa,
+              |    list_transform(range(1, len(toks)), i -> toks[i + 1]) AS bb
+              |  FROM t),
+              |bg AS (SELECT doc_id, unnest(aa) AS a, unnest(bb) AS b FROM z),
+              |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+              |ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+              |    count(*) AS n1fwd FROM cab GROUP BY 1),
+              |cont AS (SELECT b, count(*) AS n1back FROM cab GROUP BY 1),
+              |tot AS (SELECT count(*) AS n1tot FROM cab),
+              |scored AS (
+              |  SELECT g.doc_id,
+              |    -ln((greatest(CAST(c.cab AS DOUBLE) - 0.75, 0.0)
+              |         + 0.75 * x.n1fwd
+              |           * (CAST(n.n1back AS DOUBLE) / t2.n1tot))
+              |        / x.ca) AS s
+              |  FROM bg g JOIN cab c ON c.a = g.a AND c.b = g.b
+              |    JOIN ctx x ON x.a = g.a JOIN cont n ON n.b = g.b
+              |    CROSS JOIN tot t2)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS kn_ce
+              |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // TextRank keywords: weighted PageRank over the adjacency
     // co-occurrence word graph, 3 unrolled damped rounds, rank scaled to

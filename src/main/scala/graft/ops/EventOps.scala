@@ -508,6 +508,49 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Step-function time-weighted average per event type — the correct
+    * mean for irregularly-sampled measurements (each value HOLDS until
+    * the next observation, so a value that persisted for an hour must
+    * weigh 3600× one that persisted a second; the plain mean the naive
+    * pipeline computes is biased exactly when sampling is bursty, and
+    * `bias` prints that gap). Exact integer arithmetic end to end: the
+    * 2dp value becomes centi-units (`floor(v·100+0.5)`, an exact small
+    * int), durations are exact µs longs (`ts_ns div 1000` — the pinned
+    * cross-engine time doctrine), the weighted sum Σ(vc·Δt) is a BIGINT
+    * (≲ 6e3·1e9·|events| — no overflow below ~1e6 events per type-day;
+    * larger spans would shard the sum by day first), and each output is
+    * ONE division of exact integers. Scale shape: one window sort per
+    * event_type (the partition key carries the whole shuffle), then a
+    * narrow aggregate — at 100 TB this is the standard sessionize-shaped
+    * exchange, no skew beyond the type cardinality itself.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt", col("next_us") - col("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_us"),
+        sum(col("vc") * col("dt")).as("wsum"),
+        sum(col("vc")).as("vsum"))
+      .select(col("event_type"), col("n_intervals"), col("span_us"),
+        (col("wsum").cast("double")
+          / (lit(100.0) * col("span_us").cast("double"))).as("twa"),
+        (col("vsum").cast("double")
+          / (lit(100.0) * col("n_intervals").cast("double"))).as("mean_plain"),
+        ((col("wsum").cast("double")
+          / (lit(100.0) * col("span_us").cast("double")))
+          - (col("vsum").cast("double")
+            / (lit(100.0) * col("n_intervals").cast("double")))).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   /** Heavy hitters with BOUNDED scan state — the production shape for a
     * key space that fits nowhere: a Misra–Gries candidate pass (the
     * native `misra_gries` aggregate: ≤ `k` counters per task, one ≤k-entry

@@ -494,6 +494,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy per document — the
+    * smoothed-LM quality filter (CCNet-style) done with the actual KN
+    * estimator instead of raw MLE: the discount δ moves mass from seen
+    * bigrams to a CONTINUATION unigram model (how many distinct contexts
+    * precede b — "glasses" may be frequent but only ever follows
+    * "sun"), so formulaic text scores high-probability only when its
+    * continuations are genuinely diverse. Every scored bigram is
+    * observed (the model trains on the corpus it scores), so c(a·) > 0
+    * and no branch divides by zero:
+    *   p(b|a) = (max(c(ab) − δ, 0) + δ·N1+(a·)·N1+(·b)/N1+(··)) / c(a·).
+    * All model quantities are exact integer counts; the probability is a
+    * fixed left-to-right arithmetic expression mirrored token-for-token
+    * in the oracle. Scale shape: one corpus explode feeds counts AND the
+    * scoring join ([[bigramSurprisal]]'s plan plus two narrow model
+    * joins on a/b); the one-row N1+(··) scalar broadcasts. The model
+    * tables are vocabulary-sized and join by hash — never required to
+    * fit in a broadcast at 100 TB.
+    */
+  def knPerplexity(docs: DataFrame, delta: Double = 0.75): DataFrame = {
+    val bi = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .persist()
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ctx = cab.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1fwd"))
+    val cont = cab.groupBy(col("b")).agg(count(lit(1)).as("n1back"))
+    val tot = cab.agg(count(lit(1)).as("n1tot"))
+    bi.join(cab, Seq("a", "b")).join(ctx, Seq("a")).join(cont, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pkn",
+        (greatest(col("cab").cast("double") - lit(delta), lit(0.0))
+          + lit(delta) * col("n1fwd")
+            * (col("n1back").cast("double") / col("n1tot")))
+          / col("ca"))
+      .withColumn("s", -log(col("pkn")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        q4(sum(col("s")) / count(lit(1))).as("kn_ce"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TextRank keyword extraction — weighted PageRank over the word
     * co-occurrence graph (edge (u,v) weighted by how often the tokens are
     * ADJACENT anywhere in the corpus): the graph-centrality answer to

@@ -207,4 +207,35 @@ class EventOpsSpec extends SparkSpec {
     assert(cms(events.repartition(1)) == cms(events.repartition(32)))
     assert(hll(events.repartition(1)) == hll(events.repartition(32)))
   }
+
+  test("time-weighted average: long-held value dominates, plain mean does not") {
+    import spark.implicits._
+    // value 1.00 holds for 9µs, value 3.00 for 1µs, observation at 10µs
+    // closes the span: twa = (100·9 + 300·1)/(100·10) = 1.2 exactly,
+    // while the plain mean of observed STARTS is (1+3)/2 = 2.0
+    val ev = Seq(
+      (1L, 0L, "t", 1.00), (2L, 9000L, "t", 3.00), (3L, 10000L, "t", 9.99))
+      .toDF("event_id", "ts_ns", "event_type", "value")
+    val r = EventOps.timeWeightedAvg(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 10L, row.toString)
+    assert(row.getDouble(3) == 1.2, s"twa: ${row.getDouble(3)}")
+    assert(row.getDouble(4) == 2.0, s"mean: ${row.getDouble(4)}")
+    assert(row.getDouble(5) == 1.2 - 2.0, s"bias: ${row.getDouble(5)}")
+  }
+
+  test("time-weighted average: simultaneous events get zero weight, singleton types drop") {
+    import spark.implicits._
+    val ev = Seq(
+      // duplicate timestamp: event 1 spans 0µs into event 2, which holds 5µs
+      (1L, 0L, "dup", 7.00), (2L, 0L, "dup", 2.00), (3L, 5000L, "dup", 9.99),
+      // a type with one event has no interval — must not emit a row
+      (4L, 0L, "solo", 5.00))
+      .toDF("event_id", "ts_ns", "event_type", "value")
+    val got = EventOps.timeWeightedAvg(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set("dup"), got.toString)
+    assert(got("dup") == 2.0, s"dup twa: ${got("dup")}")
+  }
 }

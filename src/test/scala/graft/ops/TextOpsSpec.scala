@@ -494,6 +494,23 @@ class TextOpsSpec extends SparkSpec {
       assert(v._1 > nScored / 5 && v._1 < nScored / 2, s"lopsided: $got"))
   }
 
+  test("Kneser-Ney cross-entropy: formulaic docs score below rare-bigram docs, probabilities stay in (0,1]") {
+    import org.apache.spark.sql.functions.col
+    // docs 1-8 repeat the same frequent bigrams; doc 9 is made of bigrams
+    // seen nowhere else — its smoothed probability must be lower (higher CE)
+    val common = (1L to 8L).map(i => (i, "alpha beta alpha beta alpha beta"))
+    val rare = Seq((9L, "gamma delta epsilon zeta"))
+    val df = (common ++ rare).toDF("doc_id", "text")
+    val got = TextOps.knPerplexity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.length == 9)
+    val ce = got.map(t => t._1 -> t._3).toMap
+    assert((1L to 8L).map(ce).toSet.size == 1, "identical docs must tie")
+    assert(ce(9L) > ce(1L), s"rare ${ce(9L)} must exceed common ${ce(1L)}")
+    // CE of a probability in (0,1] is >= 0 on every doc
+    got.foreach(t => assert(t._3 >= 0, s"negative CE: $t"))
+  }
+
   test("textrank: the hub word outranks its spokes and damped mass is conserved") {
     // star-ish corpus: "hub" is adjacent to every other word, spokes only
     // to hub — centrality must put hub first regardless of raw frequency

@@ -442,7 +442,12 @@ object GraphOps {
     */
   def modularity(edges: DataFrame, rounds: Int = 2): DataFrame = {
     val e = Exec.trackTransient(edges.localCheckpoint())
-    val labels = lpaLabels(e, rounds)
+    // the |V|-row label frame joins the |E|-row edge list three times —
+    // count-gate broadcast it (checkpointed frames report unknown stats,
+    // so without the hint every label join plans as a full edge shuffle;
+    // pageRank's rank-vector contract). Past the gate it degrades to
+    // hash joins on the narrow (long, long) keys.
+    val labels = Exec.broadcastIfSmall(lpaLabels(e, rounds), 4000000L)
     val mRow = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))

@@ -1985,6 +1985,49 @@ object SparkEntry {
 
     // categorical dependence screen: per-cell pointwise MI terms (cells
     // sum to MI; per-cell keeps the compare engine-exact)
+    // Pearson chi-square independence: event_type x epoch-day-of-week
+    // contingency, exact integer cells, per-cell (o-e)^2/e, and a
+    // SORTED-FOLD total (bit-identical cross-engine) with dof
+    Q("qc_chi2",
+      (s, d) => QualityChecks.chi2Independence(
+        events(s, d).select(col("event_type"),
+          (datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long") % 7).as("dow")),
+        "event_type", "dow"),
+      Some("""WITH j AS (
+             |  SELECT event_type AS x,
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+             |      AS BIGINT) AS y,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |mx AS (SELECT x, CAST(sum(o) AS BIGINT) AS nx FROM j GROUP BY 1),
+             |my AS (SELECT y, CAST(sum(o) AS BIGINT) AS ny FROM j GROUP BY 1),
+             |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    count(DISTINCT x) AS nxd, count(DISTINCT y) AS nyd FROM j),
+             |cells AS (
+             |  SELECT mx.x, my.y, COALESCE(j.o, 0) AS o,
+             |    CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE) / t.n AS e,
+             |    (CAST(COALESCE(j.o, 0) AS DOUBLE)
+             |       - CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE) / t.n)
+             |    * (CAST(COALESCE(j.o, 0) AS DOUBLE)
+             |       - CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE) / t.n)
+             |    / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE) / t.n)
+             |      AS contrib,
+             |    (t.nxd - 1) * (t.nyd - 1) AS dof
+             |  FROM mx CROSS JOIN my
+             |    LEFT JOIN j ON j.x = mx.x AND j.y = my.y CROSS JOIN t),
+             |tot AS (
+             |  SELECT list_reduce(list(contrib ORDER BY x, y),
+             |      (a, b) -> a + b) AS chi2,
+             |    max(dof) AS dof FROM cells)
+             |SELECT c.x, c.y, c.o,
+             |  floor(c.e * 1000000 + 0.5) / 1000000 AS e_q,
+             |  floor(c.contrib * 1000000 + 0.5) / 1000000 AS contrib_q,
+             |  floor(t2.chi2 * 1000000 + 0.5) / 1000000 AS chi2_total,
+             |  CAST(t2.dof AS BIGINT) AS dof
+             |FROM cells c CROSS JOIN tot t2
+             |ORDER BY c.x, c.y""".stripMargin)),
+
     Q("qc_mutual_info",
       (s, d) => QualityChecks.mutualInfoCells(lineitem(s, d),
         "l_returnflag", "l_linestatus"),
@@ -2489,6 +2532,40 @@ object SparkEntry {
     // distincts for four key shapes; every literal pinned DOUBLE on both
     // sides so the arithmetic is pure IEEE — the oracle rebuilds the
     // registers from the identical md5-prefix hash
+    // cohort LTV triangle: first-seen-week cohorts, integer epoch-weeks,
+    // centi-unit cumulative sums, one exact division per LTV value
+    Q("ev_cohort_ltv",
+      (s, d) => EventOps.cohortLtv(events(s, d)),
+      Some("""WITH base AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |fs AS (
+             |  SELECT user_id,
+             |    CAST(floor(date_diff('day', DATE '1970-01-01', min(day))
+             |      / 7.0) AS BIGINT) AS cohort_week
+             |  FROM base GROUP BY 1),
+             |sizes AS (SELECT cohort_week, count(*) AS cohort_size
+             |  FROM fs GROUP BY 1),
+             |weekly AS (
+             |  SELECT f.cohort_week,
+             |    CAST(floor(date_diff('day', DATE '1970-01-01', b.day) / 7.0)
+             |      AS BIGINT) - f.cohort_week AS age_week,
+             |    CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active,
+             |    CAST(sum(b.vc) AS BIGINT) AS week_cents
+             |  FROM base b JOIN fs f ON f.user_id = b.user_id
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT w.*, s.cohort_size,
+             |    CAST(sum(week_cents) OVER (PARTITION BY w.cohort_week
+             |      ORDER BY age_week) AS BIGINT) AS cum_cents
+             |  FROM weekly w JOIN sizes s ON s.cohort_week = w.cohort_week)
+             |SELECT cohort_week, age_week, cohort_size, n_active,
+             |  CAST(week_cents AS DOUBLE) / 100.0 AS week_value,
+             |  CAST(cum_cents AS DOUBLE)
+             |    / (100.0 * CAST(cohort_size AS DOUBLE)) AS cum_ltv
+             |FROM cum ORDER BY cohort_week, age_week""".stripMargin)),
+
     // step-function time-weighted average per event type: centi-unit
     // values x exact-us durations, BIGINT weighted sums, one division;
     // the plain mean rides along so `bias` shows the burst-sampling gap
@@ -3841,6 +3918,76 @@ object SparkEntry {
               |    i -> (v[i + 1] - qv[i + 1] * scale) * (v[i + 1] - qv[i + 1] * scale)))
               |    * 1000000 + 0.5) / 1000000 AS sq_err_q
               |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // MMR diversity re-ranking: greedy k-round argmax of
+    // 0.7*sim(q,d) - 0.3*max sim(d, selected) over a top-50 relevance
+    // shortlist; the oracle unrolls the same rounds (builder below)
+    Q("vec_mmr_rerank",
+      (s, d) => VectorOps.mmrRerank(embeddings(s, d)),
+      Some {
+        def selUnion(r: Int): String =
+          (1 until r).map(i => s"SELECT query_id, vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+        def round(r: Int): String =
+          if (r == 1)
+            s"""s1 AS (
+               |  SELECT query_id, vec_id, 1 AS rank, score FROM (
+               |    SELECT query_id, vec_id,
+               |      0.7 * simq - (1.0 - 0.7) * 0.0 AS score,
+               |      row_number() OVER (PARTITION BY query_id
+               |        ORDER BY 0.7 * simq - (1.0 - 0.7) * 0.0 DESC, vec_id)
+               |        AS rn
+               |    FROM pool) WHERE rn = 1)""".stripMargin
+          else
+            s"""s$r AS (
+               |  SELECT query_id, vec_id, $r AS rank, score FROM (
+               |    SELECT p.query_id, p.vec_id,
+               |      0.7 * p.simq - (1.0 - 0.7) * COALESCE(m.maxs, 0.0)
+               |        AS score,
+               |      row_number() OVER (PARTITION BY p.query_id
+               |        ORDER BY 0.7 * p.simq
+               |          - (1.0 - 0.7) * COALESCE(m.maxs, 0.0) DESC, p.vec_id)
+               |        AS rn
+               |    FROM pool p
+               |    LEFT JOIN (
+               |      SELECT pp.query_id, pp.cand, max(pp.simdd) AS maxs
+               |      FROM pp JOIN (${selUnion(r)}) s
+               |        ON s.query_id = pp.query_id AND s.vec_id = pp.sel
+               |      GROUP BY 1, 2) m
+               |      ON m.query_id = p.query_id AND m.cand = p.vec_id
+               |    WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(r)}) sx
+               |      WHERE sx.query_id = p.query_id AND sx.vec_id = p.vec_id))
+               |  WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+           |n AS (SELECT vec_id, v,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+           |  WHERE vec_id < 5),
+           |rel AS (
+           |  SELECT q.query_id, n.vec_id,
+           |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+           |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS simq,
+           |    n.v AS v, n.nrm AS nrm
+           |  FROM q JOIN n ON n.vec_id <> q.query_id),
+           |pool AS MATERIALIZED (
+           |  SELECT query_id, vec_id, simq, v, nrm FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY simq DESC, vec_id) AS prn FROM rel)
+           |  WHERE prn <= 50),
+           |pp AS MATERIALIZED (
+           |  SELECT l.query_id, l.vec_id AS cand, r.vec_id AS sel,
+           |    floor((list_sum(list_transform(range(1, 65),
+           |        i -> l.v[i] * r.v[i])) / (l.nrm * r.nrm)) * 10000 + 0.5)
+           |      / 10000 AS simdd
+           |  FROM pool l JOIN pool r
+           |    ON l.query_id = r.query_id AND l.vec_id <> r.vec_id),
+           |${(1 to 5).map(round).mkString(",\n")}
+           |SELECT query_id, vec_id, rank,
+           |  floor(score * 10000 + 0.5) / 10000 AS mmr_score
+           |FROM (${(1 to 5).map(i => s"SELECT * FROM s$i")
+              .mkString(" UNION ALL ")})
+           |ORDER BY query_id, rank""".stripMargin
+      }),
 
     // 1-bit binary quantization: per-dim mean-thresholded sign bits packed
     // into two 32-bit words, Hamming = bit_count(xor) ranking, recall@5

@@ -508,6 +508,48 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Cohort lifetime-value triangle — the weekly LTV curve marketing and
+    * retention teams actually steer by: users grouped by FIRST-SEEN week,
+    * each cohort's per-week spend accumulated into a cumulative
+    * value-per-user curve (the "triangle": younger cohorts have fewer
+    * observed ages; comparing curves at equal age is the point). Exact
+    * arithmetic throughout: weeks are integer `days-since-epoch div 7`
+    * (no engine weekday-convention dependence), values become exact
+    * centi-unit BIGINTs, the cumulative sum runs over integers, and each
+    * LTV value is ONE division of exact integers. Scale shape: first-seen
+    * is one (user)-keyed aggregate, the cohort join is (user)-keyed, the
+    * triangle is |cohorts|·|ages| metadata; nothing wide ever shuffles.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    // integer weeks since epoch: floor(days/7) on an exact small int —
+    // no engine weekday-convention dependence, exact on both sides
+    val week = (c: Column) =>
+      floor(datediff(c, to_date(lit("1970-01-01"))) / lit(7.0)).cast("long")
+    val base = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val firstSeen = base.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"))
+      .select(col("user_id"), week(col("d0")).as("cohort_week"))
+    val sizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = base
+      .join(firstSeen, Seq("user_id"))
+      .withColumn("age_week", week(col("day")) - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("vc")).as("week_cents"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+    weekly
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("week_cents")).over(wCum))
+      .select(col("cohort_week"), col("age_week"), col("cohort_size"),
+        col("n_active"),
+        (col("week_cents").cast("double") / 100.0).as("week_value"),
+        (col("cum_cents").cast("double")
+          / (lit(100.0) * col("cohort_size").cast("double"))).as("cum_ltv"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
   /** Step-function time-weighted average per event type — the correct
     * mean for irregularly-sampled measurements (each value HOLDS until
     * the next observation, so a value that persisted for an hour must

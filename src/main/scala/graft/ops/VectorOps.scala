@@ -160,6 +160,79 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Maximal Marginal Relevance re-ranking — the diversity-aware final
+    * stage of a retrieval pipeline: greedily pick k results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so the second pick is
+    * penalized for resembling the first (pure top-k happily returns k
+    * near-duplicates; MMR is the standard fix, and for training-data
+    * curation it is how a retrieval-dedup stage picks REPRESENTATIVE
+    * examples rather than k copies). Runs over a top-`pool` relevance
+    * shortlist per query — the standard production shape: the corpus-wide
+    * scan happens ONCE (the same broadcast-queries / stream-corpus pass as
+    * [[knnBruteForce]]), and the O(pool²) pair similarities + k greedy
+    * rounds touch only the shortlist (pool²·|queries| rows — metadata).
+    * Determinism: all similarities q4-quantized before any ranking, the
+    * greedy argmax ties by vec_id, each round's pick is a deterministic
+    * row_number; the oracle unrolls the same k rounds. Per-round
+    * localCheckpoint cuts the growing selected-set lineage (the frames
+    * are |queries|·round rows — the eager jobs are microseconds).
+    */
+  def mmrRerank(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5,
+                pool: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val queries = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq").desc, col("vec_id"))
+    val poolDf = Exec.trackTransient(
+      emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("simq", q4(cosineFast(emb, col("q"), col("embedding"))))
+        .withColumn("prank", row_number().over(wRel))
+        .filter(col("prank") <= pool)
+        .select(col("query_id"), col("vec_id"), col("simq"), col("embedding"))
+        .localCheckpoint())
+    // shortlist pair sims: pool × pool per query, both sides already
+    // shortlist-sized — broadcast one side so no wide exchange forms
+    val pp = Exec.trackTransient(
+      poolDf.as("l")
+        .join(broadcast(poolDf.as("r")),
+          col("l.query_id") === col("r.query_id")
+            && col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.query_id").as("query_id"),
+          col("l.vec_id").as("cand"), col("r.vec_id").as("sel"),
+          q4(cosineFast(poolDf, col("l.embedding"), col("r.embedding")))
+            .as("simdd"))
+        .localCheckpoint())
+    val slim = poolDf.select(col("query_id"), col("vec_id"), col("simq"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val base = if (selected == null) slim
+        else slim.join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val penal = if (selected == null) base.withColumn("maxs", lit(0.0))
+        else base.join(
+          pp.join(selected.select(col("query_id"), col("vec_id").as("sel")),
+              Seq("query_id", "sel"))
+            .groupBy(col("query_id"), col("cand").as("vec_id"))
+            .agg(max(col("simdd")).as("maxs")),
+          Seq("query_id", "vec_id"), "left")
+          .na.fill(0.0, Seq("maxs"))
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val pick = penal
+        .withColumn("score",
+          lit(lambda) * col("simq") - lit(1.0 - lambda) * col("maxs"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(r).as("rank"),
+          (floor(col("score") * 10000 + 0.5) / 10000).as("mmr_score"))
+      val prev = selected
+      selected = (if (prev == null) pick else prev.union(pick)).localCheckpoint()
+      if (prev != null) Exec.unpersistCheckpointed(prev)
+    }
+    Exec.trackTransient(selected)
+    selected.orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroids in long form (label, pos, c): posexplode + avg —
     * one shuffle on (label, pos), fully parallel in the dimension too.
     */

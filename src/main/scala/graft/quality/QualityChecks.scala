@@ -151,6 +151,52 @@ object QualityChecks {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Pearson chi-square test of independence over an integer-coded
+    * contingency table — the categorical sibling of [[mutualInfoCells]]
+    * (MI measures association strength in nats; chi² gives the classical
+    * test statistic and its degrees of freedom, the thing a data-quality
+    * gate actually thresholds against a critical value). Cells are exact
+    * integer counts; expected = row·col/n and the (o−e)²/e contribution
+    * are fixed per-cell IEEE expressions; the TOTAL is a left-to-right
+    * fold over the (x, y)-sorted contribution array — the one-row
+    * collect_list is |cells| structs, and the sequential fold makes the
+    * cross-engine sum bit-identical (the sorted-fold doctrine; a plain
+    * SUM would float on combine order). Scale: one shuffle on (x, y),
+    * marginals broadcast; |cells| = |x|·|y| is category-sized metadata.
+    */
+  def chi2Independence(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val mx = joint.groupBy(col("x")).agg(sum(col("o")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("o")).as("ny"))
+    val total = joint.agg(sum(col("o")).as("n"),
+      countDistinct(col("x")).as("nxd"), countDistinct(col("y")).as("nyd"))
+    // the FULL marginal cross product, not just observed cells — a zero
+    // cell (o=0, e>0) contributes e to the statistic, and dropping it
+    // understates chi² exactly when the dependence is strongest
+    val cells = mx.crossJoin(broadcast(my))
+      .join(joint, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(total))
+      .withColumn("e",
+        col("nx").cast("double") * col("ny").cast("double") / col("n"))
+      .withColumn("contrib",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+    val tot = cells.agg(expr(
+      """aggregate(array_sort(collect_list(struct(x, y, contrib))),
+        |  CAST(0 AS DOUBLE), (acc, s) -> acc + s.contrib)""".stripMargin)
+      .as("chi2"),
+      max((col("nxd") - 1) * (col("nyd") - 1)).as("dof"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("o"), q6(col("e")).as("e_q"),
+        q6(col("contrib")).as("contrib_q"),
+        q6(col("chi2")).as("chi2_total"), col("dof"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** Distribution drift between two table snapshots via the Population
     * Stability Index: fixed-width bins (data-independent edges, so the
     * binning needs no global pass), per-bin population fractions of each

@@ -208,6 +208,26 @@ class EventOpsSpec extends SparkSpec {
     assert(hll(events.repartition(1)) == hll(events.repartition(32)))
   }
 
+  test("cohort LTV triangle: exact cumulative value per user by first-seen week") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      (1L, "1970-01-01 00:00:00", 1.00), (1L, "1970-01-08 00:00:00", 2.00),
+      (2L, "1970-01-02 00:00:00", 3.00),
+      (3L, "1970-01-09 00:00:00", 5.00))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = EventOps.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // cohort week 0 = {u1, u2}: age 0 spends 4.00 → ltv 2.0; age 1 adds
+    // 2.00 → cumulative 6.00 over 2 users = 3.0. cohort week 1 = {u3}.
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 4.0, 2.0)),
+      (0L, 1L) -> ((2L, 1L, 2.0, 3.0)),
+      (1L, 0L) -> ((1L, 1L, 5.0, 5.0))), got.toString)
+  }
+
   test("time-weighted average: long-held value dominates, plain mean does not") {
     import spark.implicits._
     // value 1.00 holds for 9µs, value 3.00 for 1µs, observation at 10µs

@@ -479,4 +479,39 @@ class VectorOpsSpec extends SparkSpec {
       assert(math.abs(proj(id) - ref) < 5e-3, s"proj $id: ${proj(id)} vs $ref")
     }
   }
+
+  test("MMR: an exact duplicate of the first pick loses round 2 to a diverse result") {
+    import spark.implicits._
+    // query 0 = [1,0,0]; 1 and 2 are scaled duplicates (sim(q)=0.8,
+    // sim(1,2)=1.0); 3 is orthogonal to them (sim(q)=0.6, sim(·,1)=0).
+    // pure top-k would return (1, 2); MMR round 2: dup scores
+    // 0.7·0.8 − 0.3·1.0 = 0.26 < 0.7·0.6 − 0.3·0 = 0.42 → diverse wins
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f, 0.0f)),
+      (2L, Seq(1.6f, 1.2f, 0.0f)),
+      (3L, Seq(0.6f, -0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.mmrRerank(df, maxQueryId = 1, k = 3, pool = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"pick order: ${got.toSeq}")
+    // round-2 scores exactly as derived above (all sims are exact 4dp)
+    assert(got(1)._3 == 0.42, s"diverse score: ${got(1)._3}")
+    assert(got(2)._3 == 0.26, s"dup score: ${got(2)._3}")
+  }
+
+  test("MMR: with lambda=1-equivalent relevance ties, ranks are relevance order and scores decrease") {
+    val got = VectorOps.mmrRerank(emb, maxQueryId = 2, k = 5, pool = 20)
+      .collect()
+    assert(got.length == 10)
+    // per query: rank 1 is the pure-relevance argmax (penalty 0 in round 1)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.head.getInt(2) == 1)
+      // mmr scores are non-increasing in rank for a fixed query
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"not monotone: $scores")
+    }
+  }
 }

@@ -210,4 +210,28 @@ class QualityChecksSpec extends SparkSpec {
     assert(got.getLong(6) == xs.count(_ < lo).toLong, s"below: $got")
     assert(got.getLong(7) == xs.count(_ > hi).toLong, s"above: $got")
   }
+
+  test("chi2: proportional table scores exactly 0, zero cells are present and counted") {
+    import spark.implicits._
+    // proportional: p(x,y) = p(x)p(y) exactly → every contrib 0
+    val indep = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("a", 1L))
+      ++ Seq.fill(20)(("b", 0L)) ++ Seq.fill(20)(("b", 1L))).toDF("x", "y")
+    val r1 = QualityChecks.chi2Independence(indep, "x", "y").collect()
+    assert(r1.length == 4)
+    assert(r1.forall(_.getDouble(5) == 0.0), "chi2 must be exactly 0")
+    assert(r1.forall(_.getLong(6) == 1L), "dof (2-1)(2-1) = 1")
+
+    // perfect dependence WITH structural zero cells: x=a only ever y=0,
+    // x=b only ever y=1 — chi2 = n = 40, and the two zero cells must
+    // appear as rows contributing e each
+    val dep = (Seq.fill(20)(("a", 0L)) ++ Seq.fill(20)(("b", 1L))).toDF("x", "y")
+    val r2 = QualityChecks.chi2Independence(dep, "x", "y").collect()
+    assert(r2.length == 4, s"expected 4 cells incl. zeros: ${r2.length}")
+    val zeros = r2.filter(_.getLong(2) == 0L)
+    assert(zeros.length == 2, "both zero cells present")
+    // e = 20·20/40 = 10 for every cell; contrib = 10 for all four
+    assert(r2.forall(_.getDouble(3) == 10.0))
+    assert(r2.forall(_.getDouble(4) == 10.0))
+    assert(r2.forall(_.getDouble(5) == 40.0), s"chi2: ${r2.head.getDouble(5)}")
+  }
 }

@@ -3933,20 +3933,20 @@ object SparkEntry {
             s"""s1 AS (
                |  SELECT query_id, vec_id, 1 AS rank, score FROM (
                |    SELECT query_id, vec_id,
-               |      0.7 * simq - (1.0 - 0.7) * 0.0 AS score,
+               |      0.7 * simq - (CAST(1.0 AS DOUBLE) - 0.7) * 0.0 AS score,
                |      row_number() OVER (PARTITION BY query_id
-               |        ORDER BY 0.7 * simq - (1.0 - 0.7) * 0.0 DESC, vec_id)
+               |        ORDER BY 0.7 * simq - (CAST(1.0 AS DOUBLE) - 0.7) * 0.0 DESC, vec_id)
                |        AS rn
                |    FROM pool) WHERE rn = 1)""".stripMargin
           else
             s"""s$r AS (
                |  SELECT query_id, vec_id, $r AS rank, score FROM (
                |    SELECT p.query_id, p.vec_id,
-               |      0.7 * p.simq - (1.0 - 0.7) * COALESCE(m.maxs, 0.0)
+               |      0.7 * p.simq - (CAST(1.0 AS DOUBLE) - 0.7) * COALESCE(m.maxs, 0.0)
                |        AS score,
                |      row_number() OVER (PARTITION BY p.query_id
                |        ORDER BY 0.7 * p.simq
-               |          - (1.0 - 0.7) * COALESCE(m.maxs, 0.0) DESC, p.vec_id)
+               |          - (CAST(1.0 AS DOUBLE) - 0.7) * COALESCE(m.maxs, 0.0) DESC, p.vec_id)
                |        AS rn
                |    FROM pool p
                |    LEFT JOIN (
@@ -3958,14 +3958,20 @@ object SparkEntry {
                |    WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(r)}) sx
                |      WHERE sx.query_id = p.query_id AND sx.vec_id = p.vec_id))
                |  WHERE rn = 1)""".stripMargin
+        // dots and norms are list_reduce SEQUENTIAL folds, not list_sum:
+        // DuckDB's list_sum may combine pairwise, and one ulp near an
+        // x.xxxx5 boundary flips the 4dp quantization (bit the MMR score
+        // at sf0.1 before this; the PCA oracles set the precedent)
         s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
            |n AS (SELECT vec_id, v,
-           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+           |    sqrt(list_reduce(list_transform(v, x -> x * x),
+           |      (a, b) -> a + b)) AS nrm FROM e),
            |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
            |  WHERE vec_id < 5),
            |rel AS (
            |  SELECT q.query_id, n.vec_id,
-           |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+           |    floor((list_reduce(list_transform(range(1, 65),
+           |        i -> qv[i] * v[i]), (a, b) -> a + b)
            |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS simq,
            |    n.v AS v, n.nrm AS nrm
            |  FROM q JOIN n ON n.vec_id <> q.query_id),
@@ -3976,8 +3982,9 @@ object SparkEntry {
            |  WHERE prn <= 50),
            |pp AS MATERIALIZED (
            |  SELECT l.query_id, l.vec_id AS cand, r.vec_id AS sel,
-           |    floor((list_sum(list_transform(range(1, 65),
-           |        i -> l.v[i] * r.v[i])) / (l.nrm * r.nrm)) * 10000 + 0.5)
+           |    floor((list_reduce(list_transform(range(1, 65),
+           |        i -> l.v[i] * r.v[i]), (a, b) -> a + b)
+           |      / (l.nrm * r.nrm)) * 10000 + 0.5)
            |      / 10000 AS simdd
            |  FROM pool l JOIN pool r
            |    ON l.query_id = r.query_id AND l.vec_id <> r.vec_id),

@@ -308,6 +308,49 @@ object EventStream {
         OutputMode.Append())
       .toDF("reg", "max_rho")
   }
+
+  /** STREAMING histogram-quantile sketch — the streaming twin of
+    * `EventOps.histQuantileWindow`'s daily sketch: per-unit-bucket exact
+    * counts maintained incrementally under `transformWithState`, keyed BY
+    * BUCKET (computed map-side), so the whole quantile state is
+    * |buckets| rows (~600 for this value domain) — independent of stream
+    * length, no hot-key bottleneck (a billion events still land on the
+    * same bucket rows). Counts are associative/commutative adds, so the
+    * latest emission per bucket equals the batch histogram exactly, and
+    * any percentile is recoverable downstream by the same cumulative
+    * walk the batch query does. Input contract: a streaming DataFrame
+    * with one double `value` column. Requires the RocksDB state store
+    * provider, like [[milestones]].
+    */
+  def histBuckets(spark: SparkSession, valued: DataFrame): DataFrame = {
+    import spark.implicits._
+    valued
+      .selectExpr("CAST(floor(value) AS BIGINT) AS bkt")
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new HistBucketProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("bkt", "cnt")
+  }
+}
+
+/** [[EventStream.histBuckets]]'s processor: one ValueState[Long] running
+  * count per bucket; emits the updated count each batch the bucket is hit. */
+class HistBucketProcessor
+    extends StatefulProcessor[Long, Long, (Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val cur = if (count.exists()) count.get() else 0L
+    val c = cur + rows.size
+    count.update(c)
+    Iterator.single((key, c))
+  }
 }
 
 /** [[EventStream.hllRegisters]]'s processor: one ValueState[Int] max-ρ per

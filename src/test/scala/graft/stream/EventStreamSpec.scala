@@ -368,6 +368,58 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram buckets equal the batch histogram; percentiles recover; state bounded by buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val values = batchEvents.select(col("value")).as[Double].collect().toSeq
+      val (b1, b2) = values.splitAt(values.length / 2)
+      val mem = MemoryStream[Double]
+      val q = EventStream.histBuckets(spark, mem.toDF().toDF("value"))
+        .writeStream.outputMode("append").format("memory").queryName("t_hist").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // latest emission per bucket == the batch histogram exactly
+      val streamed = spark.table("t_hist").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = batchEvents
+        .selectExpr("CAST(floor(value) AS BIGINT) AS bkt")
+        .groupBy("bkt").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch,
+        s"bucket drift: ${(streamed.toSet diff batch.toSet).take(3)}")
+      // state bounded by the bucket count, not the stream length
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == batch.size,
+        s"state rows ${lastState.numRowsTotal} vs buckets ${batch.size}")
+      assert(batch.size.toLong < values.length / 2,
+        "degenerate fixture: buckets should be far fewer than events")
+      // p95 recovered from streamed buckets == the true order statistic
+      // within one bucket width (the sketch's construction bound)
+      val n = values.length
+      val target = math.ceil(0.95 * n).toLong
+      var cum = 0L
+      val p95est = streamed.toSeq.sortBy(_._1).collectFirst {
+        case (b, c) if { cum += c; cum >= target } => b + 1
+      }.get.toDouble
+      val exact = values.sorted.apply((target - 1).toInt)
+      assert(p95est - exact >= 0 && p95est - exact <= 1.0,
+        s"p95 est $p95est vs exact $exact")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
     import spark.implicits._
     val dim = batchEvents.select(col("user_id")).distinct()

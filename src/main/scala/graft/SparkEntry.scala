@@ -2532,6 +2532,41 @@ object SparkEntry {
     // distincts for four key shapes; every literal pinned DOUBLE on both
     // sides so the arithmetic is pure IEEE — the oracle rebuilds the
     // registers from the identical md5-prefix hash
+    // rolling-origin backtest: seasonal-naive vs naive baselines over the
+    // last-7-day folds, integer-cent absolute errors, one division per
+    // MAE, skill ratio <1 iff weekly seasonality helps
+    Q("ev_forecast_backtest",
+      (s, d) => EventOps.forecastBacktest(events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events GROUP BY 1, 2),
+             |mx AS (SELECT max(day) AS dmax FROM daily),
+             |t AS (SELECT daily.* FROM daily CROSS JOIN mx
+             |  WHERE day > dmax - 7),
+             |j AS (
+             |  SELECT t.event_type,
+             |    abs(t.cents - s.cents) AS es, abs(t.cents - n.cents) AS en
+             |  FROM t
+             |  JOIN daily s ON s.event_type = t.event_type
+             |    AND s.day = t.day - 7
+             |  JOIN daily n ON n.event_type = t.event_type
+             |    AND n.day = t.day - 1),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n_folds,
+             |    CAST(sum(es) AS BIGINT) AS se, CAST(sum(en) AS BIGINT) AS ne
+             |  FROM j GROUP BY 1)
+             |SELECT event_type, n_folds,
+             |  CAST(se AS DOUBLE) / (100.0 * CAST(n_folds AS DOUBLE))
+             |    AS mae_snaive,
+             |  CAST(ne AS DOUBLE) / (100.0 * CAST(n_folds AS DOUBLE))
+             |    AS mae_naive,
+             |  (CAST(se AS DOUBLE) / (100.0 * CAST(n_folds AS DOUBLE)))
+             |    / (CAST(ne AS DOUBLE) / (100.0 * CAST(n_folds AS DOUBLE)))
+             |    AS skill_vs_naive
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
     // cohort LTV triangle: first-seen-week cohorts, integer epoch-weeks,
     // centi-unit cumulative sums, one exact division per LTV value
     Q("ev_cohort_ltv",
@@ -5088,6 +5123,63 @@ object SparkEntry {
     // radius 3. The oracle replays the pixel formula straight to hash
     // words — absolute h1/h2 parity pins the decoder's orientation, which
     // the permutation-invariant hamming alone would not catch.
+    // dHash near-dup pairs: 56 horizontal-gradient sign bits from the
+    // REAL decoded BMP; oracle recomputes from the fixture pixel formula
+    // (independent implementations); 5-band pigeonhole covers Hamming<=4
+    Q("mm_image_dhash_dedup",
+      (s, d) => MultimodalOps.imageDHashPairs(documents(s, d)),
+      Some("""WITH grid AS (
+             |  SELECT doc_id, r, c,
+             |    16 + (xor(m, m >> 13) % 224) AS base
+             |  FROM (
+             |    SELECT d.doc_id, r.r AS r, c.c AS c,
+             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |        + (r.r * 8 + c.c) * 40503 AS m
+             |    FROM documents d,
+             |      (SELECT unnest(range(8)) AS r) r,
+             |      (SELECT unnest(range(8)) AS c) c)),
+             |px AS (
+             |  SELECT doc_id, r, c,
+             |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+             |           THEN base + 8
+             |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+             |           THEN base - 16
+             |         ELSE base END AS v
+             |  FROM grid),
+             |g AS (
+             |  SELECT a.doc_id, a.r, a.c,
+             |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+             |  FROM px a JOIN px b
+             |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+             |  WHERE a.c < 7),
+             |hs AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN r * 7 + c < 32 AND bit = 1
+             |      THEN (1::BIGINT << (r * 7 + c)) ELSE 0 END) AS BIGINT) AS h1,
+             |    CAST(sum(CASE WHEN r * 7 + c >= 32 AND bit = 1
+             |      THEN (1::BIGINT << (r * 7 + c - 32)) ELSE 0 END) AS BIGINT) AS h2
+             |  FROM g GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, h1, h2, b.band,
+             |    CASE b.band WHEN 0 THEN h1 % 4096
+             |                WHEN 1 THEN (h1 // 4096) % 4096
+             |                WHEN 2 THEN h1 // 16777216
+             |                WHEN 3 THEN h2 % 4096
+             |                ELSE h2 // 4096 END AS key
+             |  FROM hs, (SELECT unnest(range(5)) AS band) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(x.h1, y.h1))
+             |    + bit_count(xor(x.h2, y.h2)) AS INTEGER) AS hamming,
+             |  x.h1 AS h1_a, x.h2 AS h2_a, y.h1 AS h1_b, y.h2 AS h2_b
+             |FROM cand JOIN hs x ON x.doc_id = doc_a
+             |  JOIN hs y ON y.doc_id = doc_b
+             |WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 4
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("mm_image_ahash_dedup",
       (s, d) => MultimodalOps.imageAHashPairs(documents(s, d)),
       Some("""WITH grid AS (

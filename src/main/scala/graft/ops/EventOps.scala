@@ -508,6 +508,61 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Rolling-origin forecast backtest — the evaluation harness every
+    * forecasting pipeline needs before anyone trusts a model: for each
+    * fold day in the evaluation tail, "forecast" it with the
+    * seasonal-naive rule (same weekday last week) and the naive rule
+    * (yesterday), score both against the actual, and report per-series
+    * MAE plus the skill ratio (seasonal beats naive ⟺ skill < 1 — the
+    * go/no-go a seasonal model must clear). Folds keep walk-forward
+    * discipline: each forecast uses only data strictly before its target
+    * day, and a fold counts only when BOTH baselines have their lookback
+    * day present (deterministic, engine-mirrorable rule). Exact
+    * arithmetic: daily totals are exact centi-unit BIGINTs, absolute
+    * errors stay integers, each MAE is one division, the skill ratio one
+    * more on already-identical doubles. Scale shape: one (type, day)
+    * aggregate, two self-joins on exact (type, day−k) keys — all narrow;
+    * the backtest costs two hash joins over the daily frame REGARDLESS of
+    * raw event volume.
+    */
+  def forecastBacktest(events: DataFrame, folds: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("cents"))
+      .persist()
+    val maxDay = daily.agg(max(col("day")).as("dmax"))
+    val targets = daily.crossJoin(broadcast(maxDay))
+      .filter(col("day") > date_sub(col("dmax"), folds))
+    targets.as("t")
+      .join(daily.select(col("event_type"), col("day").as("d7"),
+          col("cents").as("snaive")).as("s"),
+        col("t.event_type") === col("s.event_type")
+          && col("s.d7") === date_sub(col("t.day"), 7))
+      .join(daily.select(col("event_type"), col("day").as("d1"),
+          col("cents").as("naive")).as("n"),
+        col("t.event_type") === col("n.event_type")
+          && col("n.d1") === date_sub(col("t.day"), 1))
+      .select(col("t.event_type").as("event_type"),
+        abs(col("t.cents") - col("snaive")).as("es"),
+        abs(col("t.cents") - col("naive")).as("en"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_folds"),
+        sum(col("es")).as("se"), sum(col("en")).as("ne"))
+      .select(col("event_type"), col("n_folds"),
+        (col("se").cast("double")
+          / (lit(100.0) * col("n_folds").cast("double"))).as("mae_snaive"),
+        (col("ne").cast("double")
+          / (lit(100.0) * col("n_folds").cast("double"))).as("mae_naive"),
+        ((col("se").cast("double")
+          / (lit(100.0) * col("n_folds").cast("double")))
+          / (col("ne").cast("double")
+            / (lit(100.0) * col("n_folds").cast("double"))))
+          .as("skill_vs_naive"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohort lifetime-value triangle — the weekly LTV curve marketing and
     * retention teams actually steer by: users grouped by FIRST-SEEN week,
     * each cohort's per-week spend accumulated into a cumulative

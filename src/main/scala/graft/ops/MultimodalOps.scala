@@ -628,6 +628,97 @@ object MultimodalOps {
     (h1, h2)
   }
 
+  /** Difference-hash (dHash) of a decoded 8×8 BMP: 56 HORIZONTAL-GRADIENT
+    * bits — bit r·7+c is set iff pixel(r, c+1) > pixel(r, c) — packed as
+    * (bits 0–31, bits 32–55). Where aHash thresholds against the global
+    * mean (brightness-sensitive), dHash keys on local gradient SIGNS, so
+    * it survives uniform brightness/contrast shifts that move every pixel
+    * relative to the mean. Same real header walk as [[aHashHalves]].
+    */
+  private[ops] def dHashHalves(bytes: Array[Byte]): (Long, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)}")
+    require(w * h == 64, s"dHash expects an 8x8 thumb, got ${w}x$h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val k = if (bottomUp) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val p = off + k * rowBytes + c * 3
+        px(r * w + c) = (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    var h1 = 0L; var h2 = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (px(r * 8 + c + 1) > px(r * 8 + c)) {
+          val b = r * 7 + c
+          if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (h1, h2)
+  }
+
+  /** Image near-duplicate pairs by difference-hash + banded Hamming
+    * search — the gradient-sign companion to [[imageAHashPairs]] (the two
+    * hashes fail differently: aHash misses brightness-shifted copies,
+    * dHash misses gradient-free flats; a production visual-dedup pass
+    * runs both). The planted fixture edits flip up to FOUR gradient bits
+    * (an edited pixel perturbs the gradients on both its sides), so the
+    * banding uses FIVE bands over the 56 bits (12+12+8 from h1,
+    * 12+12 from h2): any pair at Hamming ≤ 4 leaves ≥1 band untouched —
+    * exact recall at the radius by pigeonhole, never all-pairs. Same
+    * exchange shape as the aHash pass: only (long, long, long) hash rows
+    * and band keys ever shuffle.
+    */
+  def imageDHashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (h1, h2) = dHashHalves(encodeThumbBmp(d))
+        (d, h1, h2)
+      })
+      .toDF("doc_id", "h1", "h2")
+      .persist()
+    val banded = hashes.select(col("doc_id"), col("h1"), col("h2"),
+      posexplode(expr(
+        """array(h1 % 4096, (h1 div 4096) % 4096, h1 div 16777216,
+          |      h2 % 4096, h2 div 4096)""".stripMargin))
+        .as(Seq("band", "band_bits")))
+    val l = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("h1").as("h1_a"), col("h2").as("h2_a"))
+    val r = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("h1").as("h1_b"), col("h2").as("h2_b"))
+    l.join(r, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        (bit_count(expr("h1_a ^ h1_b")) + bit_count(expr("h2_a ^ h2_b")))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("h1_a"), col("h2_a"), col("h1_b"), col("h2_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Image near-duplicate pairs by average-hash + banded Hamming search —
     * the visual-dedup pass of a multimodal corpus (re-encoded, resized or
     * lightly edited images collide on aHash where byte-exact dedup cannot).

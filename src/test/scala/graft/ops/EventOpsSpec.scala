@@ -208,6 +208,24 @@ class EventOpsSpec extends SparkSpec {
     assert(hll(events.repartition(1)) == hll(events.repartition(32)))
   }
 
+  test("forecast backtest: a perfectly period-7 series gives seasonal MAE 0 and skill 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, to_timestamp}
+    // one event per day, value repeats with period 7 → seasonal-naive is
+    // exact on every fold; naive errs whenever adjacent days differ
+    val ev = (0 until 15).map { d =>
+      (s"2024-01-${"%02d".format(d + 1)} 12:00:00", (d % 7 + 1).toDouble)
+    }.toDF("s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+      .withColumn("event_type", expr("'a'"))
+    val r = EventOps.forecastBacktest(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 7L, s"folds: $row")
+    assert(row.getDouble(2) == 0.0, s"seasonal MAE: $row")
+    assert(row.getDouble(3) > 0.0 && row.getDouble(4) == 0.0, s"skill: $row")
+  }
+
   test("cohort LTV triangle: exact cumulative value per user by first-seen week") {
     import spark.implicits._
     import org.apache.spark.sql.functions.to_timestamp

@@ -253,4 +253,53 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(h <= 3, s"planted pair ($a,$b) at hamming $h")
     }
   }
+
+  test("dHash: gradient signs from decoded bytes equal the formula; a monotone row is all ones") {
+    // formula cross-check, mirroring the aHash decode test
+    for (d <- Seq(0L, 1L, 7L, 42L, 101L)) {
+      val (h1, h2) = MultimodalOps.dHashHalves(MultimodalOps.encodeThumbBmp(d))
+      val px = for (r <- 0 until 8; c <- 0 until 8)
+        yield MultimodalOps.thumbPixel(d, r, c)
+      var e1 = 0L; var e2 = 0L
+      for (r <- 0 until 8; c <- 0 until 7)
+        if (px(r * 8 + c + 1) > px(r * 8 + c)) {
+          val b = r * 7 + c
+          if (b < 32) e1 |= 1L << b else e2 |= 1L << (b - 32)
+        }
+      assert((h1, h2) == (e1, e2), s"doc $d: decoded ($h1,$h2) != formula ($e1,$e2)")
+    }
+    // hand-built strictly-increasing image: every gradient bit must set
+    val w = 8; val rowBytes = ((w * 3 + 3) / 4) * 4
+    val bytes = new Array[Byte](54 + rowBytes * 8)
+    bytes(0) = 'B'; bytes(1) = 'M'
+    bytes(10) = 54 // pixel offset
+    bytes(14) = 40 // header size
+    bytes(18) = 8  // width
+    bytes(22) = 8  // height (positive: bottom-up)
+    bytes(26) = 1  // planes
+    bytes(28) = 24 // bpp
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val v = (r * 8 + c).toByte // storage row r = image row 7-r; still monotone per row
+      val p = 54 + r * rowBytes + c * 3
+      bytes(p) = v; bytes(p + 1) = v; bytes(p + 2) = v
+    }
+    val (g1, g2) = MultimodalOps.dHashHalves(bytes)
+    assert(g1 == 0xFFFFFFFFL && g2 == 0xFFFFFFL, s"monotone: ($g1,$g2)")
+  }
+
+  test("dHash near-dup: every planted (even, odd) pair surfaces at hamming <= 4") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val pairs = MultimodalOps.imageDHashPairs(ids).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val planted = (0L until 40L by 2).map(e => (e, e + 1)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missing planted pairs: ${(planted diff found).take(5)}")
+    // each edited pixel perturbs at most the two gradients beside it, and
+    // the three edits sit on 4 gradient slots total
+    pairs.filter(p => planted((p._1, p._2))).foreach { case (a, b, h) =>
+      assert(h <= 4, s"planted pair ($a,$b) at hamming $h")
+    }
+  }
 }

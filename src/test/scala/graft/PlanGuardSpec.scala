@@ -717,4 +717,68 @@ class PlanGuardSpec extends SparkSpec {
           e.output.map(_.name).mkString("[", ",", "]"))
     }
   }
+
+  test("histogram window: raw values reduce to (day, bucket) counts before the sketch merge") {
+    // same reduction contract as the HLL window for the quantile sketch:
+    // the double `value` column must never cross an exchange — only
+    // bucket ids and counts do. (The exact-audit branch re-joins raw
+    // events by design; it carries `value` but ONLY under the range join
+    // keyed on the day spine, so the guard whitelists exchanges that
+    // still carry event_id — the audit's tag.)
+    val exchanges = staticExchanges(
+      SparkEntry.queries("ev_quantile_window")(spark, sfDir))
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      if (!names.contains("event_id"))
+        assert(!names.contains("value"),
+          s"raw value crossed a sketch-path exchange: " +
+            names.mkString("[", ",", "]"))
+    }
+  }
+
+  test("MMR: shortlist pair-sims and greedy rounds never shuffle an embedding array") {
+    import org.apache.spark.sql.types.ArrayType
+    val exchanges = staticExchanges(
+      SparkEntry.queries("vec_mmr_rerank")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"embedding array ${a.name} crossed an exchange — the pool and " +
+            "pair-sim paths must broadcast the shortlist")
+      }
+    }
+  }
+
+  test("jaccard links: degree annotation joins broadcast; candidate exchanges stay (long, long)-narrow") {
+    val plan = staticPlan(SparkEntry.queries("graph_jaccard_links")(spark, sfDir))
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.size >= 2,
+      s"deg_x/deg_y annotation should broadcast, found ${bcasts.size}")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "wedge enumeration must stay key-equi-joined")
+  }
+
+  test("dHash pairs: no exchange carries payload bytes, bands hash-join narrow keys") {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val exchanges = staticExchanges(
+      SparkEntry.queries("mm_image_dhash_dedup")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(a.dataType != BinaryType && a.dataType != StringType,
+          s"payload-width column ${a.name}: ${a.dataType} in a dHash " +
+            "exchange — hashes must reduce before any join")
+      }
+    }
+  }
+
+  test("modularity: the LPA label frame broadcasts into all three edge joins") {
+    val plan = staticPlan(SparkEntry.queries("graph_modularity")(spark, sfDir))
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.size >= 3,
+      s"labels must broadcast into deg + both intra joins, found ${bcasts.size}")
+  }
 }

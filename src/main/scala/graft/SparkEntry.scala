@@ -1234,6 +1234,51 @@ object SparkEntry {
                 |    * 100000000 + 0.5) / 100000000 AS q_total
                 |FROM perc CROSS JOIN tot ORDER BY 1""".stripMargin)),
 
+      // sampled-seed closeness centrality: per-seed BFS distances over 3
+      // unrolled rounds, closeness = (reached-1)/sum(dist) — one exact
+      // integer division per seed
+      Q("graph_closeness",
+        (s, d) => graft.ops.GraphOps.closenessCentrality(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+        Some(s"""WITH ${edgesCte(2000)},
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |nodes AS (SELECT DISTINCT src AS node FROM dir),
+                |v0 AS (SELECT node AS seed, node, 0 AS dist FROM nodes
+                |  WHERE node % 500 = 0),
+                |n1 AS MATERIALIZED (
+                |  SELECT f.seed, f.node, 1 AS dist FROM (
+                |    SELECT DISTINCT v.seed, d.dst AS node
+                |    FROM dir d JOIN v0 v ON v.node = d.src) f
+                |  LEFT JOIN v0 p ON p.seed = f.seed AND p.node = f.node
+                |  WHERE p.node IS NULL),
+                |v1 AS MATERIALIZED (SELECT * FROM v0
+                |  UNION ALL SELECT * FROM n1),
+                |n2 AS MATERIALIZED (
+                |  SELECT f.seed, f.node, 2 AS dist FROM (
+                |    SELECT DISTINCT v.seed, d.dst AS node
+                |    FROM dir d JOIN n1 v ON v.node = d.src) f
+                |  LEFT JOIN v1 p ON p.seed = f.seed AND p.node = f.node
+                |  WHERE p.node IS NULL),
+                |v2 AS MATERIALIZED (SELECT * FROM v1
+                |  UNION ALL SELECT * FROM n2),
+                |n3 AS (
+                |  SELECT f.seed, f.node, 3 AS dist FROM (
+                |    SELECT DISTINCT v.seed, d.dst AS node
+                |    FROM dir d JOIN n2 v ON v.node = d.src) f
+                |  LEFT JOIN v2 p ON p.seed = f.seed AND p.node = f.node
+                |  WHERE p.node IS NULL),
+                |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+                |SELECT seed, count(*) AS n_reached,
+                |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+                |  max(dist) AS ecc_capped,
+                |  CASE WHEN CAST(sum(dist) AS BIGINT) = 0 THEN NULL
+                |    ELSE floor(CAST(count(*) - 1 AS DOUBLE)
+                |      / CAST(sum(dist) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                |  END AS closeness
+                |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // Jaccard link prediction on the degree-bounded SAMPLED graph:
       // wedge-enumerated candidates, anti-joined against existing edges,
       // scored common/(dx+dy-common) — one exact-integer division
@@ -3384,6 +3429,28 @@ object SparkEntry {
               |SELECT doc_id, count(*) AS n_bigrams,
               |  floor(sum(s) / count(*) * 10000 + 0.5) / 10000 AS mean_surprisal
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // feature-hashing collision census: md5 % 64 dimension map (portable
+    // hash doctrine), distinct-token + occupancy per slot, dominant token
+    // via the min(struct) argmax
+    Q("txt_feature_hashing",
+      (s, d) => TextOps.featureHashing(documents(s, d)),
+      Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS token FROM documents),
+              |pt AS (
+              |  SELECT token, count(*) AS n,
+              |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64
+              |      AS dim
+              |  FROM toks GROUP BY 1),
+              |ranked AS (
+              |  SELECT dim, token, n, row_number() OVER (
+              |    PARTITION BY dim ORDER BY n DESC, token ASC) AS rn
+              |  FROM pt)
+              |SELECT p.dim, count(*) AS n_tokens,
+              |  CAST(sum(p.n) AS BIGINT) AS n_occurrences,
+              |  max(CASE WHEN r.rn = 1 THEN r.token END) AS top_token,
+              |  CAST(max(CASE WHEN r.rn = 1 THEN r.n END) AS BIGINT) AS top_n
+              |FROM pt p JOIN ranked r ON r.dim = p.dim AND r.token = p.token
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Interpolated Kneser-Ney bigram cross-entropy per doc: exact-integer
     // model counts (c_ab, c_a, N1+ fwd/back/total), one mirrored

@@ -549,6 +549,63 @@ object GraphOps {
     * unreached within `rounds`) — strong verification at constant output
     * size, the same reason the heavy-hitter ops census rather than dump.
     */
+  /** Sampled-seed closeness centrality — per-seed BFS distances rolled
+    * into the classic centrality score: for each seed s,
+    * closeness(s) = (reached−1)/Σ dist(s, v) over the bounded-round
+    * horizon (the sampled-landmark form every at-scale system uses —
+    * exact closeness is all-pairs BFS, quadratic and off the table at
+    * 100 TB; a deterministic seed sample bounds the work to
+    * |seeds| × BFS). The frontier carries (seed, node, dist) — per-SEED
+    * visited sets, unlike [[bfsLayers]]' merged multi-source layers — so
+    * each round is one semi-join-shaped expansion keyed on src plus one
+    * anti-join against the per-seed visited frame; rows are three longs,
+    * nothing wider in any exchange. All outputs are exact integers plus
+    * ONE division (the closeness ratio), so cross-engine parity is
+    * structural. Eccentricity here is horizon-capped (the max observed
+    * dist ≤ rounds) — reported as ecc_capped to stay honest.
+    */
+  def closenessCentrality(edges: DataFrame, seedMod: Long = 500L,
+                          rounds: Int = 3): DataFrame = {
+    val e = edges.localCheckpoint()
+    val dir = Exec.trackTransient(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
+    Exec.unpersistCheckpointed(e)
+    var visited = dir.select(col("src").as("node")).distinct()
+      .filter(col("node") % seedMod === 0)
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    for (r <- 1 to rounds) {
+      val next = dir
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(r))
+        .localCheckpoint()
+      val prev = visited
+      visited = prev.union(next).localCheckpoint()
+      Exec.unpersistCheckpointed(prev)
+      frontier = next.select(col("seed"), col("node"))
+    }
+    Exec.trackTransient(visited)
+    visited.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("dist_sum"),
+        max(col("dist")).as("ecc_capped"))
+      .select(col("seed"), col("n_reached"), col("dist_sum"),
+        col("ecc_capped"),
+        // isolated seed (reaches nothing): 0/0 would be NaN — null it,
+        // the same degenerate-input posture as silhouetteByLabel
+        when(col("dist_sum") === 0, lit(null)).otherwise(
+          floor((col("n_reached") - 1).cast("double")
+            / col("dist_sum").cast("double") * 1000000 + 0.5) / 1000000)
+          .as("closeness"))
+      .orderBy(col("seed"))
+  }
+
   def bfsLayers(edges: DataFrame, seedMod: Long = 137L, rounds: Int = 4,
                 maxBroadcastFrontier: Long = 4000000L): DataFrame = {
     val e = edges.localCheckpoint()

@@ -494,6 +494,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing (hashing-trick) collision census — the vectorizer a
+    * pipeline reaches for when the vocabulary doesn't fit anywhere: each
+    * token maps to dimension `md5(token) % dims` with NO dictionary, so
+    * featurization is stateless and map-side at any corpus size; the
+    * price is collisions, and this census is the audit that prices them
+    * (distinct tokens per dimension, occupancy skew, and which token
+    * dominates each slot — the thing you check before trusting a hashed
+    * model's coefficients). Deterministic end to end: the md5-prefix hash
+    * is the portable-hash doctrine shared with the HLL queries, counts
+    * are exact, the dominant token is a `min(struct(-n, token))` argmax
+    * (ties to the lexicographically smallest). One shuffle on token, one
+    * on dimension — both vocabulary-sized.
+    */
+  def featureHashing(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val perTok = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("dim", expr(
+        s"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT) % $dims"))
+    perTok.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n")).as("n_occurrences"),
+        min(struct((-col("n")).as("negn"), col("token").as("t"))).as("m"))
+      .select(col("dim"), col("n_tokens"), col("n_occurrences"),
+        col("m.t").as("top_token"), (-col("m.negn")).as("top_n"))
+      .orderBy(col("dim"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy per document — the
     * smoothed-LM quality filter (CCNet-style) done with the actual KN
     * estimator instead of raw MLE: the discount δ moves mass from seen

@@ -176,6 +176,19 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("closeness: path-center seed scores 0.75, path-end 0.5, all distances exact") {
+    // path 0-1-2-3, seeds {0, 2}: from 0 dists are 1+2+3=6 → 3/6 = 0.5;
+    // from 2 dists are 1+1+2=4 → 3/4 = 0.75 (the center IS closer)
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = GraphOps.closenessCentrality(path, seedMod = 2L, rounds = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      0L -> ((4L, 6L, 3, 0.5)),
+      2L -> ((4L, 4L, 2, 0.75))), got.toString)
+  }
+
   test("jaccard link prediction: square graph predicts exactly its two diagonals at score 1.0") {
     // 4-cycle 0-1-2-3-0: the only common-neighbor non-edges are the
     // diagonals (0,2) and (1,3), each with common=2, deg=2/2 → 2/(2+2-2)=1

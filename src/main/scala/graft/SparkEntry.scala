@@ -2491,6 +2491,50 @@ object SparkEntry {
 
     // first-order Markov transition matrix over per-user event order —
     // successor via one lead() pass, probabilities row-normalized per source
+    // stationary distribution of the type-transition chain: 3 unrolled
+    // power rounds over the QUANTIZED matrix vs the exact empirical share
+    Q("ev_markov_stationary",
+      (s, d) => EventOps.markovStationary(events(s, d)),
+      Some("""WITH pr AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type AS from_type, to_type, count(*) AS n
+             |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tm AS MATERIALIZED (
+             |  SELECT from_type, to_type,
+             |    floor(CAST(n AS DOUBLE)
+             |      / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5)
+             |      / 10000 AS p
+             |  FROM c),
+             |st AS (SELECT DISTINCT from_type AS state FROM tm),
+             |nn AS (SELECT count(*) AS ns FROM st),
+             |p0 AS (SELECT state, CAST(1.0 AS DOUBLE) / ns AS pi
+             |  FROM st CROSS JOIN nn),
+             |p1 AS MATERIALIZED (
+             |  SELECT tm.to_type AS state, sum(tm.p * r.pi) AS pi
+             |  FROM tm JOIN p0 r ON r.state = tm.from_type GROUP BY 1),
+             |p2 AS MATERIALIZED (
+             |  SELECT tm.to_type AS state, sum(tm.p * r.pi) AS pi
+             |  FROM tm JOIN p1 r ON r.state = tm.from_type GROUP BY 1),
+             |p3 AS (
+             |  SELECT tm.to_type AS state, sum(tm.p * r.pi) AS pi
+             |  FROM tm JOIN p2 r ON r.state = tm.from_type GROUP BY 1),
+             |sh AS (SELECT event_type AS state, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sh)
+             |SELECT p3.state,
+             |  floor(pi * 1000000 + 0.5) / 1000000 AS stationary,
+             |  floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS empirical,
+             |  floor(pi * 1000000 + 0.5) / 1000000
+             |    - floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+             |      * 1000000 + 0.5) / 1000000 AS gap
+             |FROM p3 JOIN sh ON sh.state = p3.state CROSS JOIN tt
+             |ORDER BY p3.state""".stripMargin)),
+
     Q("ev_markov",
       (s, d) => EventOps.markovTransitions(events(s, d)),
       Some("""WITH p AS (
@@ -4969,6 +5013,69 @@ object SparkEntry {
               |SELECT cell, vec_a, vec_b, sim
               |FROM pairs WHERE sim >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // cell-bounded kNN-graph census: nearest-cell assignment, in-cell
+    // top-3 cosine neighbors, reciprocity + similarity range per cell;
+    // dots/norms are list_reduce sequential folds (MMR doctrine)
+    Q("vec_knn_graph",
+      (s, d) => VectorOps.knnGraphCensus(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id, label AS true_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT true_label AS c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec
+              |  FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |dd AS (
+              |  SELECT e2.vec_id, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v[i] - cvec[i]) * (v[i] - cvec[i])))
+              |      * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |asgn AS (
+              |  SELECT vec_id, c_label AS cell FROM (
+              |    SELECT vec_id, c_label, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+              |    FROM dd) WHERE rn = 1),
+              |vv AS MATERIALIZED (
+              |  SELECT e2.vec_id, e2.v, a.cell,
+              |    sqrt(list_reduce(list_transform(e2.v, x -> x * x),
+              |      (x, y) -> x + y)) AS nrm
+              |  FROM e2 JOIN asgn a ON a.vec_id = e2.vec_id),
+              |pairs AS (
+              |  SELECT l.cell, l.vec_id AS u, r.vec_id AS vvid,
+              |    floor((list_reduce(list_transform(range(1, 65),
+              |        i -> l.v[i] * r.v[i]), (x, y) -> x + y)
+              |      / (l.nrm * r.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM vv l JOIN vv r
+              |    ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+              |knn AS MATERIALIZED (
+              |  SELECT cell, u, vvid, sim FROM (
+              |    SELECT cell, u, vvid, sim, row_number() OVER (
+              |      PARTITION BY u ORDER BY sim DESC, vvid) AS rn
+              |    FROM pairs) WHERE rn <= 3),
+              |recip AS (
+              |  SELECT a.cell, count(*) AS n_reciprocal
+              |  FROM knn a JOIN knn b ON a.u = b.vvid AND a.vvid = b.u
+              |  GROUP BY 1),
+              |members AS (SELECT cell, count(*) AS n_members
+              |  FROM asgn GROUP BY 1),
+              |edges AS (
+              |  SELECT cell, count(*) AS n_edges,
+              |    min(sim) AS min_sim, max(sim) AS max_sim
+              |  FROM knn GROUP BY 1)
+              |SELECT m.cell, m.n_members,
+              |  COALESCE(e.n_edges, 0) AS n_edges,
+              |  COALESCE(r.n_reciprocal, 0) AS n_reciprocal,
+              |  e.min_sim, e.max_sim
+              |FROM members m LEFT JOIN edges e ON e.cell = m.cell
+              |  LEFT JOIN recip r ON r.cell = m.cell
+              |ORDER BY m.cell""".stripMargin)),
 
     Q("vec_centroid_assign",
       (s, d) => VectorOps.centroidAssignConfusion(embeddings(s, d)),

@@ -282,6 +282,48 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where the
+    * per-user behavior chain settles if it runs forever (the long-run
+    * "attention share" per event type), versus the empirical share (the
+    * observed mix): a gap between the two is the signature of transient
+    * onboarding states or absorbing sinks. Power iteration from uniform
+    * over the 4dp-QUANTIZED transition matrix — both engines feed the
+    * argmax-stable quantized probabilities the `ev_markov` oracle already
+    * proves identical, so the rounds replay bit-for-bit; the chain is
+    * |types|² cells (metadata), so each round is one tiny join+agg, and
+    * the |types| count is a driver scalar (pageRank's contract). The
+    * empirical share is one exact-integer division.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
+    val trans = Exec.trackTransient(
+      markovTransitions(events)
+        .select(col("from_type"), col("to_type"), col("p"))
+        .localCheckpoint())
+    val states = trans.select(col("from_type").as("state")).distinct()
+    val nStates = states.count()
+    var pi = states.withColumn("pi", lit(1.0 / nStates))
+    for (_ <- 1 to iters) {
+      pi = trans
+        .join(pi.withColumnRenamed("state", "from_type"), Seq("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(col("p") * col("pi")).as("pi"))
+        .localCheckpoint()
+    }
+    Exec.trackTransient(pi)
+    val share = events.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = share.agg(sum(col("cnt")).as("total"))
+    pi.join(share, Seq("state")).crossJoin(broadcast(total))
+      .select(col("state"),
+        (floor(col("pi") * 1000000 + 0.5) / 1000000).as("stationary"),
+        (floor(col("cnt").cast("double") / col("total").cast("double")
+          * 1000000 + 0.5) / 1000000).as("empirical"),
+        ((floor(col("pi") * 1000000 + 0.5) / 1000000)
+          - (floor(col("cnt").cast("double") / col("total").cast("double")
+            * 1000000 + 0.5) / 1000000)).as("gap"))
+      .orderBy(col("state"))
+  }
+
   /** Count-Min sketch over the (user, event_type) activity stream — the
     * constant-memory frequency sketch a streaming pipeline keeps when the
     * key space is too large for exact counts. `depth` salted md5 hash rows

@@ -720,6 +720,74 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
 
+  /** Cell-bounded kNN-graph construction + census — the graph that
+    * semantic dedup, label propagation, and NN-descent all start from,
+    * built the way it has to be at scale: vectors first assign to their
+    * nearest centroid cell (broadcast argmin, map-side), candidate pairs
+    * form ONLY within a cell (Σ|cell|² work, never |corpus|²), and each
+    * vector keeps its top-k in-cell neighbors. The census reports the
+    * construction's health per cell: member/edge counts, RECIPROCITY
+    * (u∈knn(v) ∧ v∈knn(u) — high reciprocity ⇒ the cell has coherent
+    * local structure; near-zero ⇒ hubness or a bad quantizer), and the
+    * in-cell similarity range. Determinism: quantized distances and sims
+    * everywhere a rank happens, ties by vec_id; counts exact. Exchanges
+    * carry (cell, ids, one double) — embeddings join cell-keyed but
+    * never wider than one row's array, and the census is cell-sized.
+    */
+  def knnGraphCensus(emb: DataFrame, k: Int = 3): DataFrame = {
+    val assigned = cellDistances(emb).groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("mc"))
+      .select(col("vec_id"), col("mc.c_label").as("cell"))
+    graft.functions.DotProduct.register(emb.sparkSession)
+    // norms HOISTED out of the pair loop (cosineNearDupPairs' lesson):
+    // sqrt of the same sequential Σx² fold, so dot/(nrm·nrm) is
+    // bit-identical to the fused kernel at 1/3 the per-pair array walks
+    val vecs = Exec.trackTransient(
+      emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm",
+          sqrt(call_function("dot_product", col("v"), col("v"))))
+        .join(assigned, Seq("vec_id"))
+        .localCheckpoint())
+    // the neighbor side is count-gate BROADCAST: a cell-keyed shuffle
+    // join has only |cells| distinct keys (10 here), so 32 cores idle on
+    // 10 skewed tasks — broadcasting makes the pair scan map-side and
+    // parallel in the a-side's even partitioning (at production scale
+    // the corpus arrives cell-partitioned and this is a co-partitioned
+    // local join; the census itself stays cell-sized either way)
+    val bSide = Exec.broadcastIfSmall(
+      vecs.select(col("cell"), col("vec_id").as("vv"), col("v").as("vb"),
+        col("nrm").as("nb")), 4000000L)
+    // the probe side inherits the source parquet's partition count (ONE
+    // file at small SF) — spread it so the map-side pair scan actually
+    // uses the cluster; at production scale the scan arrives partitioned
+    val nPart = emb.sparkSession.sparkContext.defaultParallelism
+    val pairs = vecs.repartition(nPart, col("vec_id")).join(bSide, Seq("cell"))
+      .filter(col("vec_id") =!= col("vv"))
+      .select(col("cell"), col("vec_id").as("u"), col("vv"),
+        q4(call_function("dot_product", col("v"), col("vb"))
+          / (col("nrm") * col("nb"))).as("sim"))
+    val wK = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("vv"))
+    val knn = Exec.trackTransient(
+      pairs.withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+        .select(col("cell"), col("u"), col("vv"), col("sim"))
+        .localCheckpoint())
+    val recip = knn.as("a")
+      .join(knn.as("b"), col("a.u") === col("b.vv") && col("a.vv") === col("b.u"))
+      .groupBy(col("a.cell").as("cell"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val members = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val edges = knn.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+    members.join(edges, Seq("cell"), "left")
+      .join(recip, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_edges", "n_reciprocal"))
+      .select(col("cell"), col("n_members"), col("n_edges"),
+        col("n_reciprocal"), col("min_sim"), col("max_sim"))
+      .orderBy(col("cell"))
+  }
+
   /** Full covariance matrix of the embedding corpus — the input of
     * PCA/whitening (the standard preprocessing before IVF/PQ indexing and
     * the collapse diagnostic: a low-rank covariance means dead embedding

@@ -480,6 +480,30 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("kNN graph census: edge bounds hold and a shared-direction cell is fully reciprocal") {
+    import spark.implicits._
+    // one cell (identical labels drive one centroid): colinear vectors
+    // with distinct magnitudes — all cosines are 1.0, so every top-k list
+    // is the k nearest by the vec_id tiebreak and reciprocity is total
+    val df = (0L until 5L).map(i =>
+      (i, Seq.fill(4)((i + 1).toFloat), 0)).toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.knnGraphCensus(df, k = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 5L, s"members: $r")
+    assert(r.getLong(2) == 10L, s"edges = k*n: $r")
+    // ties at sim 1.0 resolve by vec_id: 0↔1, 1↔0... every edge that picks
+    // a neighbor is picked back except where the id-window shifts
+    assert(r.getLong(3) <= r.getLong(2), s"reciprocal <= edges: $r")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0, s"sims: $r")
+    // bound check on the real table: edges <= k * members per cell
+    val real = VectorOps.knnGraphCensus(emb, k = 3).collect()
+    real.foreach { c =>
+      assert(c.getLong(2) <= 3L * c.getLong(1), s"edge bound: $c")
+      assert(c.getLong(3) <= c.getLong(2), s"recip bound: $c")
+    }
+  }
+
   test("MMR: an exact duplicate of the first pick loses round 2 to a diverse result") {
     import spark.implicits._
     // query 0 = [1,0,0]; 1 and 2 are scaled duplicates (sim(q)=0.8,

@@ -2263,6 +2263,31 @@ object SparkEntry {
              |GROUP BY wstart, event_type
              |ORDER BY wstart, event_type""".stripMargin)),
 
+    // top session paths: same 30-min exact-ns session cut, per-session
+    // ordered type sequence joined '>'-delimited, top-20 paths by count
+    Q("ev_session_paths",
+      (s, d) => EventOps.sessionPaths(events(s, d)),
+      Some("""WITH gaps AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM gaps),
+             |ps AS (
+             |  SELECT user_id, session_id,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM sessions GROUP BY 1, 2),
+             |pc AS (SELECT path, count(*) AS n_sessions FROM ps GROUP BY 1)
+             |SELECT path, CAST(len(string_split(path, '>')) AS BIGINT)
+             |    AS path_len, n_sessions
+             |FROM pc ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
     Q("ev_sessionize",
       (s, d) => EventOps.sessionize(events(s, d)),
       Some("""WITH gaps AS (
@@ -3777,6 +3802,60 @@ object SparkEntry {
               |FROM j
               |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // LSH band-config sweep: one k=24 signature, four bandings, recall
+    // measured against the r=1 loose-config verified reference
+    Q("dedup_lsh_tuning",
+      (s, d) => DedupOps.lshTuningSweep(documents(s, d)),
+      Some {
+        val sigExprs = graft.functions.Md5Hash61.AB.take(24).map { case (a, b) =>
+          s"list_min(list_transform(hs, h -> CAST((CAST($a AS HUGEINT) * h + $b) % $DuckM AS BIGINT)))"
+        }.mkString("list_value(\n      ", ",\n      ", ")")
+        val bandA = graft.functions.Md5Hash61.BandA
+        def bandExprs(bands: Int): String = {
+          val rpb = 24 / bands
+          (0 until bands).map { band =>
+            (1 to rpb).map(j => s"sig[${band * rpb + j}]")
+              .foldLeft("CAST(0 AS BIGINT)") { (acc, v) =>
+                s"CAST((CAST($bandA AS HUGEINT) * ($acc) + $v) % $DuckM AS BIGINT)"
+              }
+          }.mkString("list_value(\n      ", ",\n      ", ")")
+        }
+        def candCte(bands: Int): String =
+          s"""b$bands AS (
+             |  SELECT doc_id, band, bhs[band + 1] AS key FROM (
+             |    SELECT doc_id, ${bandExprs(bands)} AS bhs FROM sigs)
+             |  CROSS JOIN (SELECT unnest(range(0, $bands)) AS band)),
+             |c$bands AS MATERIALIZED (
+             |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+             |  FROM b$bands l JOIN b$bands r
+             |    ON l.band = r.band AND l.key = r.key
+             |      AND l.doc_id < r.doc_id)""".stripMargin
+        def row(bands: Int): String =
+          s"""SELECT $bands AS bands, ${24 / bands} AS rows_per_band,
+             |  (SELECT count(*) FROM c$bands) AS n_candidates,
+             |  (SELECT count(*) FROM truth) AS n_true,
+             |  (SELECT count(*) FROM c$bands c
+             |     JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+             |    AS n_captured,
+             |  floor(CAST((SELECT count(*) FROM c$bands c JOIN truth t
+             |      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+             |    / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS recall""".stripMargin
+        s"""$duckShingleCtes,
+           |sigs AS MATERIALIZED (SELECT doc_id, hs, $sigExprs AS sig FROM sh),
+           |${Seq(24, 12, 8, 6).map(candCte).mkString(",\n")},
+           |truth AS MATERIALIZED (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      len(list_intersect(sa.hs, sb.hs)) AS inter,
+           |      len(sa.hs) AS na, len(sb.hs) AS nb
+           |    FROM c12 c JOIN sigs sa ON sa.doc_id = c.doc_a
+           |      JOIN sigs sb ON sb.doc_id = c.doc_b)
+           |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+           |${Seq(24, 12, 8, 6).map(row).mkString(" UNION ALL\n")}
+           |ORDER BY bands""".stripMargin
+      }),
 
     // degree distribution of the near-dup graph: the boilerplate/mega-
     // cluster early-warning diagnostic, over the same verified pair set
@@ -5336,10 +5415,11 @@ object SparkEntry {
              |bands AS (
              |  SELECT doc_id, h1, h2, b.band,
              |    CASE b.band WHEN 0 THEN h1 % 4096
-             |                WHEN 1 THEN (h1 // 4096) % 4096
-             |                WHEN 2 THEN h1 // 16777216
-             |                WHEN 3 THEN h2 % 4096
-             |                ELSE h2 // 4096 END AS key
+             |                WHEN 1 THEN (h1 // 4096) % 2048
+             |                WHEN 2 THEN (h1 // 8388608)
+             |                            + ((h2 // 4194304) % 4) * 512
+             |                WHEN 3 THEN h2 % 2048
+             |                ELSE (h2 // 2048) % 2048 END AS key
              |  FROM hs, (SELECT unnest(range(5)) AS band) b),
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

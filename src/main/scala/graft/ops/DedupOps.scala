@@ -310,6 +310,78 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** LSH band-configuration tuning sweep — the S-curve audit run BEFORE
+    * committing a (bands × rows) choice at corpus scale: for each swept
+    * configuration of the same k-hash signature, how many candidate
+    * pairs the banding generates (the cost knob) and how many of the
+    * REFERENCE true pairs it captures (the recall knob). The reference
+    * is the exact-Jaccard-verified pair set of the LOOSEST sweep member
+    * (r=1: any shared minhash) — a strict superset of every tighter
+    * config's candidates, so measured recall is exact RELATIVE to it
+    * (absolute truth is the all-pairs join nobody can afford; this is
+    * the standard relative audit). Counts are exact integers; recall is
+    * one division. Scale shape: ONE signature pass feeds every config
+    * (the persisted sig frame), each config is a band self-join on
+    * (band, key) — the same narrow exchange as the production pair
+    * generator — and the verification join runs once, on the loose
+    * candidates only.
+    */
+  def lshTuningSweep(docs: DataFrame, k: Int = 24,
+                     threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.MinHashFunctions.register(spark)
+    val withSig = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("hs", expr("shingle_hashes(toks, 3)"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(hs, $k)"))
+      .select(col("doc_id"), col("hs"), col("sig"))
+      .persist()
+    def candidates(bands: Int): DataFrame = {
+      val rpb = k / bands
+      val banded = withSig.select(col("doc_id"),
+        posexplode(expr(s"band_hashes(sig, $bands, $rpb)"))
+          .as(Seq("band", "band_key")))
+      banded.as("l").join(banded.as("r"), Seq("band", "band_key"))
+        .filter(col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+    }
+    val sets = withSig.select(col("doc_id"), col("hs").as("hset"))
+    // REFERENCE = exact-verified pairs of the r=2 member, not r=1: any
+    // run of ≥3 consecutive shared signature positions contains an
+    // aligned 2-block, so every tighter config's captures are ⊆ the r=2
+    // candidates and recall stays exact relative to this reference —
+    // while the verification join prices |c(r=2)| pairs, not the r=1
+    // reference's ~100× blowup (measured 2.3M vs 28k at sf1; the r=1
+    // member's cost still shows, as its candidate COUNT). Candidate list
+    // broadcast-gated onto the set joins so the wide hash arrays never
+    // shuffle (the production pair generator's contract).
+    val truth = Exec.trackTransient(
+      Exec.broadcastIfSmall(candidates(k / 2), 1000000L)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
+      .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
+      .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+      .filter(col("inter").cast("double")
+        / (size(col("h_a")) + size(col("h_b")) - col("inter")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint())
+    val configs = Seq(k, k / 2, k / 3, k / 4).distinct.filter(k % _ == 0)
+    val rows = configs.map { b =>
+      val cand = Exec.trackTransient(candidates(b).localCheckpoint())
+      val nCand = cand.count()
+      val nCaptured = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      val nTruth = truth.count()
+      (b, k / b, nCand, nTruth, nCaptured,
+        math.floor(nCaptured.toDouble / nTruth.toDouble * 1000000 + 0.5) / 1000000)
+    }
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "n_candidates", "n_true",
+      "n_captured", "recall")
+      .orderBy(col("bands"))
+  }
+
   /** Connected components of an undirected pair graph (`doc_a`, `doc_b`
     * columns) via iterative min-label propagation with POINTER JUMPING:
     * each round pushes labels one hop along the edges and then shortcuts

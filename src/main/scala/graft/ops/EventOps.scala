@@ -282,6 +282,46 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Top session paths — the clickstream path-mining view ("what do
+    * users actually DO in a session"): sessions cut by the same 30-min
+    * exact-ns gap rule as [[sessionize]], each session's ordered
+    * event-type sequence joined into one path string, then the corpus's
+    * most common paths with their session counts. Determinism: the
+    * per-session order is (ts_ns, event_id) — unique on every engine —
+    * realized as a row-local sort of the collected (ts_ns, event_id,
+    * type) structs, so no engine-side collect_list ordering assumption
+    * is ever made. Scale shape: one user-keyed window pass, one
+    * (user, session) aggregate whose rows are session-length bounded,
+    * one path-keyed count — the same exchanges as sessionize plus one
+    * vocabulary-of-paths aggregate.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val sess = events
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > gapMinutes * 60L * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sess
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(struct(ts_ns, event_id, event_type))),
+          |  s -> s.event_type), '>')""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("path_len",
+        (size(split(col("path"), ">", -1))).cast("long"))
+      .select(col("path"), col("path_len"), col("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Stationary distribution of the event-type Markov chain — where the
     * per-user behavior chain settles if it runs forever (the long-run
     * "attention share" per event type), versus the empirical share (the

@@ -698,10 +698,16 @@ object MultimodalOps {
       })
       .toDF("doc_id", "h1", "h2")
       .persist()
+    // five DISJOINT bit slices of ≥11 bits each (mixing h1's top 9 bits
+    // with 2 of h2's — a contiguous split would leave one 8-bit band
+    // whose 256 keys bucket ~N/256 docs each and go quadratic at sf1:
+    // measured 19.5 s vs 1.5 s after widening; any disjoint partition
+    // preserves the pigeonhole recall bound)
     val banded = hashes.select(col("doc_id"), col("h1"), col("h2"),
       posexplode(expr(
-        """array(h1 % 4096, (h1 div 4096) % 4096, h1 div 16777216,
-          |      h2 % 4096, h2 div 4096)""".stripMargin))
+        """array(h1 % 4096, (h1 div 4096) % 2048,
+          |      (h1 div 8388608) + ((h2 div 4194304) % 4) * 512,
+          |      h2 % 2048, (h2 div 2048) % 2048)""".stripMargin))
         .as(Seq("band", "band_bits")))
     val l = banded.select(col("band"), col("band_bits"),
       col("doc_id").as("doc_a"), col("h1").as("h1_a"), col("h2").as("h2_a"))
@@ -709,11 +715,16 @@ object MultimodalOps {
       col("doc_id").as("doc_b"), col("h1").as("h1_b"), col("h2").as("h2_b"))
     l.join(r, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // Hamming BEFORE the pair-dedup: the 11-bit bands admit ~100×
+      // more bucket collisions than aHash's 16-bit bands, and the
+      // radius filter is map-side on the join output — so the
+      // dropDuplicates exchange carries only true near-dups (~N rows),
+      // not the multi-million candidate stream
       .withColumn("hamming",
         (bit_count(expr("h1_a ^ h1_b")) + bit_count(expr("h2_a ^ h2_b")))
           .cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         col("h1_a"), col("h2_a"), col("h1_b"), col("h2_b"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -4788,6 +4788,78 @@ object SparkEntry {
            |ORDER BY query_id, rank""".stripMargin
       }),
 
+    // IVF probe-count sweep: candidate cost + recall@5 vs exact cosine
+    // for nProbe in {1,2,4} — the index-tuning curve, one sweep query
+    Q("vec_ivf_probe_sweep",
+      (s, d) => VectorOps.ivfProbeSweep(embeddings(s, d)),
+      Some {
+        def cfg(p: Int): String =
+          s"""cand$p AS MATERIALIZED (
+             |  SELECT DISTINCT pr.query_id, a.vec_id
+             |  FROM (SELECT vec_id AS query_id, cell FROM r
+             |        WHERE vec_id < 5 AND rn <= $p) pr
+             |  JOIN assign a ON pr.cell = a.cell AND a.vec_id <> pr.query_id),
+             |top$p AS MATERIALIZED (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT c.query_id, c.vec_id, row_number() OVER (
+             |      PARTITION BY c.query_id ORDER BY
+             |        floor((list_sum(list_transform(range(1, 65),
+             |          i -> q.v[i] * b.v[i])) / (q.nrm * b.nrm))
+             |          * 10000 + 0.5) / 10000 DESC, c.vec_id) AS rk
+             |    FROM cand$p c JOIN n q ON q.vec_id = c.query_id
+             |      JOIN n b ON b.vec_id = c.vec_id)
+             |  WHERE rk <= 5)""".stripMargin
+        def row(p: Int): String =
+          s"""SELECT $p AS n_probe,
+             |  (SELECT count(*) FROM cand$p) AS n_candidates,
+             |  (SELECT count(*) FROM ex) AS n_true,
+             |  (SELECT count(*) FROM ex e JOIN top$p t
+             |     ON t.query_id = e.query_id AND t.vec_id = e.vec_id)
+             |    AS n_captured,
+             |  floor(CAST((SELECT count(*) FROM ex e JOIN top$p t
+             |      ON t.query_id = e.query_id AND t.vec_id = e.vec_id)
+             |      AS DOUBLE)
+             |    / CAST((SELECT count(*) FROM ex) AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS recall""".stripMargin
+        s"""WITH flat AS (
+           |  SELECT vec_id,
+           |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+           |    unnest($DuckVec) AS v,
+           |    label
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+           |  FROM flat GROUP BY 1, 2),
+           |cl AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+           |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+           |d AS (
+           |  SELECT e2.vec_id, cl.cell,
+           |    floor(list_sum(list_transform(range(1, 65),
+           |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i])))
+           |      * 1000000 + 0.5) / 1000000 AS dist
+           |  FROM e2 CROSS JOIN cl),
+           |r AS (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM d),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM r WHERE rn = 1),
+           |n AS (SELECT vec_id, v,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e2),
+           |ex AS MATERIALIZED (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.vec_id AS query_id, b.vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        floor((list_sum(list_transform(range(1, 65),
+           |          i -> q.v[i] * b.v[i])) / (q.nrm * b.nrm))
+           |          * 10000 + 0.5) / 10000 DESC, b.vec_id) AS rk
+           |    FROM n q JOIN n b ON b.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 5)
+           |  WHERE rk <= 5),
+           |${Seq(1, 2, 4).map(cfg).mkString(",\n")}
+           |${Seq(1, 2, 4).map(row).mkString(" UNION ALL\n")}
+           |ORDER BY n_probe""".stripMargin
+      }),
+
     Q("vec_ivf_ann",
       (s, d) => VectorOps.ivfAnn(embeddings(s, d), maxQueryId = 5, k = 5),
       // same coarse-quantize -> probe -> exact-rerank pipeline in SQL: label

@@ -448,6 +448,37 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF probe-count tuning sweep — [[lshTuningSweep]]'s sibling for the
+    * vector index: for nProbe ∈ {1, 2, 4}, the candidate-set size (the
+    * latency knob: candidates scale ~linearly in probes) and recall@k
+    * against exact cosine (the quality knob) — the curve an index
+    * operator reads before fixing the production probe count, re-run
+    * whenever the corpus drifts. One exact pass and one candidate pass
+    * per config, all already scale-shaped (cell-bounded candidates,
+    * broadcast-gated); counts exact, recall one division per row.
+    */
+  def ivfProbeSweep(emb: DataFrame, maxQueryId: Int = 5,
+                    k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val exact = Exec.trackTransient(
+      knnBruteForce(emb, maxQueryId, k)
+        .select(col("query_id"), col("vec_id")).localCheckpoint())
+    val nTruth = exact.count()
+    val rows = Seq(1, 2, 4).map { p =>
+      val cand = Exec.trackTransient(
+        ivfCandidates(emb, maxQueryId, p).localCheckpoint())
+      val nCand = cand.count()
+      val approx = ivfAnn(emb, maxQueryId, k, nProbe = p)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi").count()
+      (p, nCand, nTruth, hits,
+        math.floor(hits.toDouble / nTruth.toDouble * 1000000 + 0.5) / 1000000)
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "n_candidates", "n_true", "n_captured", "recall")
+      .orderBy(col("n_probe"))
+  }
+
   /** Recall@k audit of the IVF ANN path against exact brute-force cosine —
     * retrieval quality as a QUERY, not a one-off spec: per query, how many
     * of the true top-k the index recovered. This is the continuous health

@@ -1079,6 +1079,49 @@ object SparkEntry {
                 |SELECT node, deg, n_triangles FROM ranked
                 |ORDER BY n_triangles DESC, node LIMIT 15""".stripMargin)),
 
+      // local clustering-coefficient histogram on the SAMPLED tripartite
+      // graph (each kept row plants a triangle, degrees stay bounded —
+      // the dense residue graphs saturate every cc into one bucket);
+      // oracle enumerates triangles by the a<b edge chain —
+      // orientation-independent per-node credits
+      Q("graph_clustering_coeff",
+        (s, d) => graft.ops.GraphOps.clusteringCoefficients(
+          graft.ops.GraphOps.sampledTriEdges(lineitem(s, d)),
+          memoKey = Some(s"$d#cctri")),
+        Some(s"""WITH edges AS MATERIALIZED (
+                |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+                |    SELECT l_orderkey % 5000 AS u, l_partkey % 5000 + 5000 AS v,
+                |      l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                |    UNION ALL
+                |    SELECT l_orderkey % 5000, l_suppkey % 5000 + 10000,
+                |      l_orderkey, l_partkey FROM lineitem
+                |    UNION ALL
+                |    SELECT l_partkey % 5000 + 5000, l_suppkey % 5000 + 10000,
+                |      l_orderkey, l_partkey FROM lineitem)
+                |  WHERE u <> v AND (ok * 31 + pk) % 97 = 0),
+                |deg AS (SELECT node, count(*) AS deg FROM (
+                |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+                |  GROUP BY 1),
+                |tri AS (
+                |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+                |    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+                |credits AS (
+                |  SELECT x AS node FROM tri
+                |  UNION ALL SELECT y FROM tri
+                |  UNION ALL SELECT z FROM tri),
+                |tc AS (SELECT node, count(*) AS t FROM credits GROUP BY 1),
+                |cc AS (
+                |  SELECT d.node, d.deg, COALESCE(tc.t, 0) AS t,
+                |    CASE WHEN d.deg < 2 THEN 0.0
+                |      ELSE 2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)
+                |        / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS cc
+                |  FROM deg d LEFT JOIN tc ON tc.node = d.node)
+                |SELECT CAST(least(floor(cc * 10), 9) AS INTEGER) AS bucket,
+                |  count(*) AS n_nodes, CAST(sum(t) AS BIGINT) AS tri_credits,
+                |  CAST(sum(deg) AS BIGINT) AS deg_sum
+                |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // PageRank power iteration (3 rounds, d=0.85) on the n=500 residue
       // graph; oracle unrolls the identical join+agg per round. Ranks are
       // N-scaled and 1e-6-floor-quantized BEFORE the ordering/cut.
@@ -1090,7 +1133,7 @@ object SparkEntry {
           val iters = (1 to 3).map { i =>
             s"""r$i AS MATERIALIZED (
                |  SELECT d.dst AS node,
-               |    (1.0 - 0.85) / (SELECT count(*) FROM deg)
+               |    (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT count(*) FROM deg)
                |      + 0.85 * sum(r.pr / g.deg) AS pr
                |  FROM directed d
                |  JOIN r${i - 1} r ON r.node = d.src
@@ -2030,6 +2073,34 @@ object SparkEntry {
 
     // categorical dependence screen: per-cell pointwise MI terms (cells
     // sum to MI; per-cell keeps the compare engine-exact)
+    // functional-dependency audit over orders column pairs: exact
+    // violation census (groups + rows) so near-FDs stay visible
+    Q("qc_fd_audit",
+      (s, d) => QualityChecks.fdAudit(orders(s, d), Seq(
+        ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"))),
+      Some {
+        def one(det: String, dep: String): String =
+          s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+             |  count(*) AS n_groups,
+             |  CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating_groups,
+             |  CAST(sum(CASE WHEN ndep > 1 THEN nrows ELSE 0 END) AS BIGINT)
+             |    AS n_violating_rows,
+             |  CAST(max(ndep) AS BIGINT) AS max_dep_values,
+             |  CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+             |    AS fd_holds
+             |FROM (SELECT $det AS k, count(DISTINCT $dep) AS ndep,
+             |        count(*) AS nrows
+             |      FROM orders GROUP BY 1)""".stripMargin
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+          ("o_orderdate", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus"))
+          .map { case (a, b) => one(a, b) }
+          .mkString("", " UNION ALL\n", "\nORDER BY determinant, dependent")
+      }),
+
     // Pearson chi-square independence: event_type x epoch-day-of-week
     // contingency, exact integer cells, per-cell (o-e)^2/e, and a
     // SORTED-FOLD total (bit-identical cross-engine) with dof
@@ -2516,6 +2587,35 @@ object SparkEntry {
 
     // first-order Markov transition matrix over per-user event order —
     // successor via one lead() pass, probabilities row-normalized per source
+    // circadian concentration: exact-integer hour bins, entropy via the
+    // sorted-fold doctrine, ln(24) pinned as a literal on both engines
+    Q("ev_circadian",
+      (s, d) => EventOps.circadianProfile(events(s, d)),
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INTEGER)
+             |      AS hour,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+             |  FROM h GROUP BY 1),
+             |terms AS (
+             |  SELECT h.event_type, h.hour,
+             |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+             |    n, c
+             |  FROM h JOIN t ON t.event_type = h.event_type),
+             |agg AS (
+             |  SELECT event_type, max(n) AS n_events,
+             |    count(*) AS active_hours,
+             |    list_reduce(list(term ORDER BY hour), (a, b) -> a + b) AS hh
+             |  FROM terms GROUP BY 1)
+             |SELECT event_type, n_events, active_hours,
+             |  floor(hh * 1000000 + 0.5) / 1000000 AS entropy,
+             |  floor((1.0 - hh / 3.1780538303479458) * 1000000 + 0.5)
+             |    / 1000000 AS concentration
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
     // stationary distribution of the type-transition chain: 3 unrolled
     // power rounds over the QUANTIZED matrix vs the exact empirical share
     Q("ev_markov_stationary",
@@ -3575,19 +3675,19 @@ object SparkEntry {
               |r0 AS (SELECT src AS word, 1.0 / n AS pr FROM wdeg CROSS JOIN nn),
               |r1 AS MATERIALIZED (
               |  SELECT e.dst AS word,
-              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |    (CAST(1.0 AS DOUBLE) - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
               |  FROM wedge e JOIN r0 r ON r.word = e.src
               |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
               |  GROUP BY e.dst, n),
               |r2 AS MATERIALIZED (
               |  SELECT e.dst AS word,
-              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |    (CAST(1.0 AS DOUBLE) - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
               |  FROM wedge e JOIN r1 r ON r.word = e.src
               |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
               |  GROUP BY e.dst, n),
               |r3 AS (
               |  SELECT e.dst AS word,
-              |    (1.0 - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
+              |    (CAST(1.0 AS DOUBLE) - 0.85) / n + 0.85 * sum(e.w * r.pr / d.wdeg) AS pr
               |  FROM wedge e JOIN r2 r ON r.word = e.src
               |    JOIN wdeg d ON d.src = e.src CROSS JOIN nn
               |  GROUP BY e.dst, n)

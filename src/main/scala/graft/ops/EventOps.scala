@@ -590,6 +590,45 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Circadian concentration profile per event type — the hour-of-day
+    * activity fingerprint: the 24-bin hour histogram reduced to entropy
+    * (nats) and a normalized concentration score (1 − H/ln 24: 0 =
+    * perfectly uniform around the clock, 1 = single-hour spike). Bots
+    * and batch jobs concentrate; human traffic spreads — this is the
+    * cheap first-pass bot screen on an event stream. Exact construction:
+    * hour comes from integer µs arithmetic (no timezone/DST library
+    * dependence), bin probabilities are exact-integer ratios, and the
+    * entropy sum folds the ≤24 sorted bins left-to-right (the chi²
+    * sorted-fold doctrine), so both engines produce identical bits
+    * before the final quantization. One (type, hour) aggregate — scan
+    * scale, metadata output.
+    */
+  def circadianProfile(events: DataFrame): DataFrame = {
+    val hours = events
+      .select(col("event_type"),
+        expr("CAST((ts_ns div 1000) % 86400000000 div 3600000000 AS INT)")
+          .as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hours.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val terms = hours.join(totals, Seq("event_type"))
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("term", -col("p") * log(col("p")))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("active_hours"),
+        expr("""aggregate(array_sort(collect_list(struct(hour, term))),
+               |  CAST(0 AS DOUBLE), (acc, s) -> acc + s.term)""".stripMargin)
+          .as("h"))
+      .select(col("event_type"), col("n_events"), col("active_hours"),
+        (floor(col("h") * 1000000 + 0.5) / 1000000).as("entropy"),
+        // ln(24) pinned as a literal on BOTH engines — libm log(24)
+        // could differ in the last ulp between runtimes
+        (floor((lit(1.0) - col("h") / lit(3.1780538303479458)) * 1000000 + 0.5)
+          / 1000000).as("concentration"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rolling-origin forecast backtest — the evaluation harness every
     * forecasting pipeline needs before anyone trusts a model: for each
     * fold day in the evaluation tail, "forecast" it with the

@@ -149,6 +149,39 @@ object GraphOps {
       .select(col("node"), col("deg"), col("n_triangles"))
   }
 
+  /** Local clustering-coefficient distribution — cc(v) =
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)), the "how clique-like is each
+    * neighborhood" metric (near 1: tight community around v; near 0:
+    * star hub — in a near-dup graph, template boilerplate vs genuine
+    * clusters). Reuses [[triangleCount]]'s degree-oriented wedge plan
+    * (O(Σdeg^1.5) fan-out, narrow long-only exchanges) for the per-node
+    * triangle credits, then ONE exact-integer division per node; nodes
+    * with deg < 2 define cc = 0 (no wedge exists). Output is the
+    * 10-bucket cc histogram plus the exact mean numerator/denominator
+    * integers — constant-width verification at any graph size.
+    */
+  def clusteringCoefficients(edges: DataFrame,
+                             memoKey: Option[String] = None): DataFrame = {
+    val (oriented, degrees) = orientedWithDegrees(edges, memoKey)
+    val triangles = closedWedges(oriented)
+    val credits = triangles.select(col("apex").as("node"))
+      .union(triangles.select(col("w1").as("node")))
+      .union(triangles.select(col("w2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val cc = degrees.select(col("x").as("node"), col("deg"))
+      .join(credits, Seq("node"), "left")
+      .na.fill(0L, Seq("t"))
+      .withColumn("cc", when(col("deg") < 2, lit(0.0)).otherwise(
+        lit(2.0) * col("t").cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double")))
+    cc.withColumn("bucket",
+        least(floor(col("cc") * 10).cast("int"), lit(9)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("t")).as("tri_credits"), sum(col("deg")).as("deg_sum"))
+      .orderBy(col("bucket"))
+  }
+
   /** PageRank by power iteration over an undirected edge list — the
     * centrality pass a link/citation/near-dup graph gets before sampling.
     * Each of the `iters` rounds is one equi-join (ranks onto the
@@ -494,6 +527,30 @@ object GraphOps {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
+
+  /** TRIPARTITE sampled incidence graph — [[sampledEdges]]' three-edge
+    * sibling: each kept lineitem row contributes all three of its
+    * order/part/supplier edges, so every kept row PLANTS a triangle
+    * while row sampling still bounds degrees — the graph a
+    * triangle-local metric ([[clusteringCoefficients]]) needs: the
+    * dense residue graphs saturate into cliques (every cc → one
+    * bucket) and their wedge counts grow superlinearly; this one keeps
+    * a spread cc distribution and ~linear wedge cost at every SF.
+    */
+  def sampledTriEdges(li: DataFrame, n: Int = 5000, keep: Int = 97): DataFrame = {
+    val kept = li.filter(
+      (col("l_orderkey") * 31 + col("l_partkey")) % keep === 0)
+    kept.select((col("l_orderkey") % n).as("u"),
+        (col("l_partkey") % n + n).as("v"))
+      .union(kept.select((col("l_orderkey") % n).as("u"),
+        (col("l_suppkey") % n + 2L * n).as("v")))
+      .union(kept.select((col("l_partkey") % n + n).as("u"),
+        (col("l_suppkey") % n + 2L * n).as("v")))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+  }
 
   /** Jaccard link prediction — rank the non-edges most likely to appear
     * next: for every pair (x, y) that shares ≥1 neighbor but is NOT an

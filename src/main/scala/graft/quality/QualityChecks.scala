@@ -197,6 +197,34 @@ object QualityChecks {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Functional-dependency audit — profiling's schema-inference step:
+    * for each candidate determinant→dependent column pair, does every
+    * determinant value map to exactly ONE dependent value? Reported as
+    * the exact violation census (how many determinant groups see >1
+    * dependent value, and how many rows sit in violating groups), so a
+    * "nearly holds" FD (dirty foreign key, denormalization drift) is
+    * visible as a small violation count rather than a boolean flip.
+    * Pure integer logic — two narrow aggregates per pair, the first
+    * keyed (det, dep), the second keyed det; output is |pairs| rows.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val results = pairs.map { case (det, dep) =>
+      val groups = df.groupBy(col(det).as("k"))
+        .agg(countDistinct(col(dep)).as("ndep"), count(lit(1)).as("nrows"))
+      groups.agg(
+        lit(det).as("determinant"), lit(dep).as("dependent"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("ndep") > 1, col("nrows")).otherwise(0L))
+          .as("n_violating_rows"),
+        max(col("ndep")).as("max_dep_values"))
+    }
+    results.reduce(_ unionByName _)
+      .withColumn("fd_holds", col("n_violating_groups") === 0)
+      .orderBy(col("determinant"), col("dependent"))
+  }
+
   /** Distribution drift between two table snapshots via the Population
     * Stability Index: fixed-width bins (data-independent edges, so the
     * binning needs no global pass), per-bin population fractions of each

@@ -618,6 +618,49 @@ object SparkEntry {
     // Customer-concentration deciles (Lorenz/lift table): exact-cents
     // spend, ntile(10) with a unique tie-break, per-decile and cumulative
     // revenue shares — the skew diagnostic for revenue-keyed workloads
+    // revenue bridge: price/volume/mix decomposition between the first
+    // and last ship month per priority segment — exact BIGINT cents in,
+    // three rational effects out, resid audits the identity
+    Q("rel_revenue_bridge",
+      (s, d) => Relational.revenueBridge(lineitem(s, d), orders(s, d)),
+      Some("""WITH seg AS (
+             |  SELECT o.o_orderpriority AS seg,
+             |    date_trunc('month', l.l_shipdate) AS month,
+             |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS rc,
+             |    CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |b AS (SELECT min(month) AS m1, max(month) AS m2 FROM seg),
+             |per AS (
+             |  SELECT seg,
+             |    CAST(sum(CASE WHEN month = m1 THEN rc END) AS BIGINT) AS r1,
+             |    CAST(sum(CASE WHEN month = m1 THEN vc END) AS BIGINT) AS v1,
+             |    CAST(sum(CASE WHEN month = m2 THEN rc END) AS BIGINT) AS r2,
+             |    CAST(sum(CASE WHEN month = m2 THEN vc END) AS BIGINT) AS v2
+             |  FROM seg CROSS JOIN b
+             |  WHERE month = m1 OR month = m2 GROUP BY 1),
+             |p AS (
+             |  SELECT *,
+             |    CAST(r1 AS DOUBLE) / CAST(v1 AS DOUBLE) AS p1,
+             |    CAST(r2 AS DOUBLE) / CAST(v2 AS DOUBLE) AS p2
+             |  FROM per)
+             |SELECT seg,
+             |  floor(CAST(r1 AS DOUBLE) / 100.0 * 100 + 0.5) / 100 AS rev_m1,
+             |  floor(CAST(r2 AS DOUBLE) / 100.0 * 100 + 0.5) / 100 AS rev_m2,
+             |  floor(CAST(r2 - r1 AS DOUBLE) / 100.0 * 100 + 0.5) / 100
+             |    AS delta,
+             |  floor(p1 * CAST(v2 - v1 AS DOUBLE) / 100.0 * 100 + 0.5) / 100
+             |    AS volume_effect,
+             |  floor(CAST(v1 AS DOUBLE) * (p2 - p1) / 100.0 * 100 + 0.5) / 100
+             |    AS price_effect,
+             |  floor((p2 - p1) * CAST(v2 - v1 AS DOUBLE) / 100.0 * 100 + 0.5)
+             |    / 100 AS mix_effect,
+             |  floor((CAST(r2 - r1 AS DOUBLE)
+             |      - p1 * CAST(v2 - v1 AS DOUBLE)
+             |      - CAST(v1 AS DOUBLE) * (p2 - p1)
+             |      - (p2 - p1) * CAST(v2 - v1 AS DOUBLE))
+             |    / 100.0 * 100 + 0.5) / 100 AS resid
+             |FROM p ORDER BY seg""".stripMargin)),
+
     Q("rel_lorenz_deciles",
       (s, d) => Relational.lorenzDeciles(orders(s, d)),
       Some("""WITH spend AS (
@@ -2587,6 +2630,46 @@ object SparkEntry {
 
     // first-order Markov transition matrix over per-user event order —
     // successor via one lead() pass, probabilities row-normalized per source
+    // two-proportion A/B z-test: id-parity arms, distinct-user
+    // conversions, pooled z over exact integer counts
+    Q("ev_ab_test",
+      (s, d) => EventOps.abTest(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 150
+             |      THEN 1 ELSE 0 END) AS converted,
+             |    CAST(user_id % 2 AS INTEGER) AS arm
+             |  FROM events GROUP BY 1),
+             |arms AS (
+             |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT)
+             |    AS conv FROM u GROUP BY 1),
+             |w AS (
+             |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             |    max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+             |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             |    max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+             |  FROM arms),
+             |c AS (
+             |  SELECT *,
+             |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+             |      AS pp
+             |  FROM w),
+             |zz AS (
+             |  SELECT *,
+             |    CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+             |      ELSE (pa - pb) / sqrt(pp * (1.0 - pp)
+             |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             |    END AS z
+             |  FROM c)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  floor(pa * 1000000 + 0.5) / 1000000 AS rate_a,
+             |  floor(pb * 1000000 + 0.5) / 1000000 AS rate_b,
+             |  floor(z * 10000 + 0.5) / 10000 AS z_stat,
+             |  abs(z) > 1.96 AS significant
+             |FROM zz""".stripMargin)),
+
     // circadian concentration: exact-integer hour bins, entropy via the
     // sorted-fold doctrine, ln(24) pinned as a literal on both engines
     Q("ev_circadian",

@@ -590,6 +590,52 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Two-proportion A/B conversion test — the experimentation readout:
+    * users split into arms by a deterministic id hash (here id parity —
+    * the stand-in for the bucketing a real assignment service does),
+    * conversion = the user ever makes a HIGH-VALUE purchase (> 150 —
+    * the raw any-purchase rate saturates at 100% on this corpus, which
+    * would zero the pooled variance), and the arms are compared
+    * with the classical pooled two-proportion z statistic
+    *   z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)).
+    * Counts are exact distinct-user integers; every rate is one exact
+    * division; z is a fixed IEEE expression over them (sqrt is
+    * correctly-rounded on both engines), quantized for display. The
+    * |z| > 1.96 flag is the 95% two-sided verdict. One user-keyed
+    * aggregate, one 2-row rollup — scan-scale.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 150, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("conv"))).as("conv_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("conv"))).as("conv_b"))
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    wide
+      .withColumn("pa", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("pb", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("pp",
+        (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      // degenerate arms (pooled rate 0 or 1): zero variance, z undefined
+      .withColumn("z", when(col("pp") === 0.0 || col("pp") === 1.0, lit(null))
+        .otherwise((col("pa") - col("pb"))
+          / sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double")))))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        q6(col("pa")).as("rate_a"), q6(col("pb")).as("rate_b"),
+        (floor(col("z") * 10000 + 0.5) / 10000).as("z_stat"),
+        (abs(col("z")) > 1.96).as("significant"))
+  }
+
   /** Circadian concentration profile per event type — the hour-of-day
     * activity fingerprint: the 24-bin hour histogram reduced to entropy
     * (nats) and a normalized concentration score (1 − H/ln 24: 0 =

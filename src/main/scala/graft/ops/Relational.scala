@@ -1215,4 +1215,58 @@ object Relational {
           .cast("double") / nBuckets) * 10000 + 0.5) / 10000).as("skip_rate"))
       .orderBy(col("key"))
   }
+
+  /** Revenue bridge (price/volume/mix decomposition) — the FP&A answer
+    * to "WHY did revenue move between two periods": per segment, with
+    * exact-integer revenue cents r and centi-unit volume v per period,
+    *   Δr = p₁·Δv  (volume effect: sold more at old prices)
+    *      + v₁·Δp  (price effect: old volume at new prices)
+    *      + Δp·Δv  (mix/interaction),
+    * where p = r/v is the realized unit price. The three effects sum to
+    * Δr EXACTLY in exact arithmetic; here each effect is a fixed
+    * rational expression over four BIGINTs (one or two divisions,
+    * identical IEEE both engines) and `resid` audits the identity at the
+    * quantization floor. Compares the first and last calendar month of
+    * the ship-date range per priority segment: two narrow aggregates
+    * plus a 1-row broadcast of the month bounds — scan-scale at any SF.
+    */
+  def revenueBridge(li: DataFrame, orders: DataFrame): DataFrame = {
+    def q2(c: Column): Column = floor(c * 100 + 0.5) / 100
+    val seg = li.join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority").as("seg")), Seq("l_orderkey"))
+      .select(col("seg"),
+        date_trunc("month", col("l_shipdate")).as("month"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("rc"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("vc"))
+    val bounds = seg.agg(min(col("month")).as("m1"), max(col("month")).as("m2"))
+    val per = seg.crossJoin(broadcast(bounds))
+      .filter(col("month") === col("m1") || col("month") === col("m2"))
+      .groupBy(col("seg"))
+      .agg(
+        sum(when(col("month") === col("m1"), col("rc"))).as("r1"),
+        sum(when(col("month") === col("m1"), col("vc"))).as("v1"),
+        sum(when(col("month") === col("m2"), col("rc"))).as("r2"),
+        sum(when(col("month") === col("m2"), col("vc"))).as("v2"))
+    // all four sums are exact BIGINT cents/centi-units; every effect is
+    // a fixed expression over them — p1 = r1/v1, dv = v2−v1, dp = r2/v2−r1/v1
+    per
+      .withColumn("p1", col("r1").cast("double") / col("v1").cast("double"))
+      .withColumn("p2", col("r2").cast("double") / col("v2").cast("double"))
+      .select(col("seg"),
+        q2(col("r1").cast("double") / 100.0).as("rev_m1"),
+        q2(col("r2").cast("double") / 100.0).as("rev_m2"),
+        q2((col("r2") - col("r1")).cast("double") / 100.0).as("delta"),
+        q2(col("p1") * (col("v2") - col("v1")).cast("double") / 100.0)
+          .as("volume_effect"),
+        q2(col("v1").cast("double") * (col("p2") - col("p1")) / 100.0)
+          .as("price_effect"),
+        q2((col("p2") - col("p1"))
+          * (col("v2") - col("v1")).cast("double") / 100.0).as("mix_effect"),
+        q2(((col("r2") - col("r1")).cast("double")
+          - col("p1") * (col("v2") - col("v1")).cast("double")
+          - col("v1").cast("double") * (col("p2") - col("p1"))
+          - (col("p2") - col("p1")) * (col("v2") - col("v1")).cast("double"))
+          / 100.0).as("resid"))
+      .orderBy(col("seg"))
+  }
 }

@@ -2630,6 +2630,39 @@ object SparkEntry {
 
     // first-order Markov transition matrix over per-user event order —
     // successor via one lead() pass, probabilities row-normalized per source
+    // funnel time-to-convert: first signup -> first later purchase per
+    // user, exact-us deltas, rank-based p50/p90 over converted users
+    Q("ev_funnel_time",
+      (s, d) => EventOps.funnelTime(events(s, d)),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+             |      AS t_signup
+             |  FROM events GROUP BY 1),
+             |conv AS (
+             |  SELECT e.user_id, pu.t_signup,
+             |    min(epoch_us(ts)) AS t_conv
+             |  FROM events e JOIN pu ON pu.user_id = e.user_id
+             |  WHERE pu.t_signup IS NOT NULL
+             |    AND e.event_type = 'purchase' AND epoch_us(ts) > pu.t_signup
+             |  GROUP BY 1, 2),
+             |dt AS (SELECT user_id, t_conv - t_signup AS dt_us FROM conv),
+             |rk AS (SELECT user_id, dt_us,
+             |    row_number() OVER (ORDER BY dt_us, user_id) AS rn FROM dt),
+             |ns AS (SELECT count(*) AS n_signup FROM pu
+             |  WHERE t_signup IS NOT NULL),
+             |nc AS (SELECT count(*) AS n_converted FROM rk)
+             |SELECT n_signup, n_converted,
+             |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)
+             |    AS conversion_rate,
+             |  (SELECT max(CASE WHEN rn = ceil(0.5 * n_converted)
+             |     THEN dt_us END) FROM rk CROSS JOIN nc) AS p50_us,
+             |  (SELECT max(CASE WHEN rn = ceil(0.9 * n_converted)
+             |     THEN dt_us END) FROM rk CROSS JOIN nc) AS p90_us,
+             |  (SELECT min(dt_us) FROM rk) AS min_us,
+             |  (SELECT max(dt_us) FROM rk) AS max_us
+             |FROM ns CROSS JOIN nc""".stripMargin)),
+
     // two-proportion A/B z-test: id-parity arms, distinct-user
     // conversions, pooled z over exact integer counts
     Q("ev_ab_test",
@@ -4076,6 +4109,43 @@ object SparkEntry {
            |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
            |  (node = min(label)) AS is_survivor
            |FROM r GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // cluster resolution: keep the LONGEST member per component (ties to
+    // lowest id), price the dropped members/characters — the decision a
+    // dedup pipeline ships, over the same recursive-CTE components
+    Q("dedup_keep_best",
+      (s, d) => DedupOps.keepBestResolution(documents(s, d), memoKey = Some(d)),
+      Some("WITH RECURSIVE " + duckLshCtes.stripPrefix("WITH ") +
+        s""",
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM j
+           |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+           |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+           |edgs AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |         UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |r(node, label) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM r JOIN edgs e ON e.src = r.node),
+           |comp AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT)
+           |    AS cluster_id FROM r GROUP BY node),
+           |sized AS (
+           |  SELECT c.cluster_id, c.doc_id, d.n_chars
+           |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+           |ranked AS (
+           |  SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+           |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM sized)
+           |SELECT s.cluster_id, count(*) AS n_members,
+           |  max(CASE WHEN k.rn = 1 THEN k.doc_id END) AS keep_doc,
+           |  CAST(max(CASE WHEN k.rn = 1 THEN k.n_chars END) AS BIGINT)
+           |    AS keep_chars,
+           |  CAST(sum(s.n_chars)
+           |    - max(CASE WHEN k.rn = 1 THEN k.n_chars END) AS BIGINT)
+           |    AS chars_freed
+           |FROM sized s JOIN ranked k
+           |  ON k.cluster_id = s.cluster_id AND k.doc_id = s.doc_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("dedup_winnowing",
       (s, d) => DedupOps.winnowingFingerprints(documents(s, d)),

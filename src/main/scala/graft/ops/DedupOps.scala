@@ -493,6 +493,33 @@ object DedupOps {
     connectedComponents(
       minhashPairsMemo(docs, k, bands, threshold, 1000000L, memoKey), maxIters)
 
+  /** Cluster RESOLUTION policy — the decision the dedup pipeline actually
+    * ships: per near-dup component, which copy SURVIVES. The naive policy
+    * (min doc_id, what [[nearDupClusters]]' is_survivor flags) is
+    * arbitrary; this one keeps the LONGEST member (ties to the lowest
+    * id) — the "keep the most complete copy" rule retrieval corpora use —
+    * and prices the decision: members dropped and characters freed per
+    * cluster. One (doc_id)-keyed join of the component labels onto the
+    * doc stats and one cluster-keyed aggregate with a min-struct argmax;
+    * everything integer-exact. Scale: rides the memoized pair graph +
+    * pointer-jumping components; this pass adds two narrow exchanges.
+    */
+  def keepBestResolution(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5,
+                         memoKey: Option[String] = None): DataFrame = {
+    val cc = nearDupClusters(docs, k, bands, threshold, memoKey = memoKey)
+    cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("negc"), col("doc_id").as("d")))
+          .as("best"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.d").as("keep_doc"), (-col("best.negc")).as("keep_chars"),
+        (col("total_chars") - (-col("best.negc"))).as("chars_freed"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Degree distribution of the near-dup pair graph — the diagnostic a
     * dedup pipeline checks BEFORE clustering: a heavy tail (one node with
     * thousands of edges) means boilerplate flooding a band bucket, and the

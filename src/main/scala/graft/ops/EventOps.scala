@@ -590,6 +590,50 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Funnel time-to-convert — the latency half of the funnel readout
+    * ([[funnel]] counts WHO converts; this measures HOW LONG signup →
+    * first subsequent purchase takes): per user the first signup and the
+    * first strictly-later purchase, Δt in exact microseconds, then the
+    * conversion rate and the p50/p90 order statistics of Δt over
+    * converted users. Every output is an exact integer (µs longs, rank
+    * positions) or one exact division — no float aggregation anywhere.
+    * Two user-keyed conditional aggregates + one tiny rank window over
+    * the converted set; the per-user reduction happens map-side at any
+    * event volume.
+    */
+  def funnelTime(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t_signup"))
+    val conv = events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .join(perUser.filter(col("t_signup").isNotNull), Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("us") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("us")).as("t_conv"))
+      .withColumn("dt_us", col("t_conv") - col("t_signup"))
+    val nSignup = perUser.filter(col("t_signup").isNotNull)
+      .agg(count(lit(1)).as("n_signup"))
+    val wRank = Window.orderBy(col("dt_us"), col("user_id"))
+    val ranked = conv.withColumn("rn", row_number().over(wRank))
+    val n = ranked.agg(count(lit(1)).as("n_converted"))
+    ranked.crossJoin(broadcast(n)).crossJoin(broadcast(nSignup))
+      .groupBy(col("n_signup"), col("n_converted"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n_converted")),
+          col("dt_us"))).as("p50_us"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n_converted")),
+          col("dt_us"))).as("p90_us"),
+        min(col("dt_us")).as("min_us"), max(col("dt_us")).as("max_us"))
+      .select(col("n_signup"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_signup").cast("double"))
+          .as("conversion_rate"),
+        col("p50_us"), col("p90_us"), col("min_us"), col("max_us"))
+  }
+
   /** Two-proportion A/B conversion test — the experimentation readout:
     * users split into arms by a deterministic id hash (here id parity —
     * the stand-in for the bucketing a real assignment service does),

@@ -125,6 +125,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.count(_._3) == 1, "exactly one survivor per component")
   }
 
+  test("keep-best resolution: the LONGEST member survives, not the min id; freed chars priced") {
+    // same chain fixture, but doc 3 is padded to be the longest member —
+    // the naive min-id policy would keep doc 1; keep-best must pick 3
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 x1 x2 x3"
+    val c = "x9 x8 w3 w4 w5 w6 w7 w8 w9 x1 x2 x3 padpadpadpad"
+    val df = Seq((1L, a), (2L, b), (3L, c), (5L, c))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val rows = DedupOps.keepBestResolution(df, bands = 16, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 1, rows.mkString(" "))
+    val (cid, n, keep, keepChars, freed) = rows.head
+    assert(cid == 1L && n == 4L, rows.head.toString)
+    assert(keep == 3L, s"longest member must survive: ${rows.head}")
+    assert(keepChars == c.length, rows.head.toString)
+    assert(freed == a.length + b.length + c.length, rows.head.toString)
+  }
+
   test("connected components: empty pair graph converges immediately to empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.connectedComponents(empty).collect().isEmpty)

@@ -208,6 +208,28 @@ class EventOpsSpec extends SparkSpec {
     assert(hll(events.repartition(1)) == hll(events.repartition(32)))
   }
 
+  test("funnel time-to-convert: exact deltas, strictly-later rule, rank percentiles") {
+    import spark.implicits._
+    // u1 signs up at 10µs, purchases at 5µs (BEFORE — must not count)
+    // and 30µs → dt 20µs; u2 signs up at 0, purchases at 100µs → dt 100;
+    // u3 signs up, never purchases; u4 purchases, never signs up
+    val ev = Seq(
+      (1L, 10000L, "signup"), (1L, 5000L, "purchase"), (1L, 30000L, "purchase"),
+      (2L, 0L, "signup"), (2L, 100000L, "purchase"),
+      (3L, 50000L, "signup"),
+      (4L, 60000L, "purchase"))
+      .map { case (u, ns, t) => (u, ns, t, u * 10 + ns / 1000) }
+      .toDF("user_id", "ts_ns", "event_type", "event_id")
+    val r = EventOps.funnelTime(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 2L, row.toString)
+    assert(row.getDouble(2) == 2.0 / 3.0, row.toString)
+    // ranks over dts {20, 100}: p50 = rank ceil(1.0)=1 → 20, p90 = rank 2 → 100
+    assert(row.getLong(3) == 20L && row.getLong(4) == 100L, row.toString)
+    assert(row.getLong(5) == 20L && row.getLong(6) == 100L, row.toString)
+  }
+
   test("forecast backtest: a perfectly period-7 series gives seasonal MAE 0 and skill 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, to_timestamp}

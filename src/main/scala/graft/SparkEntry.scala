@@ -3012,6 +3012,25 @@ object SparkEntry {
              |FROM sk JOIN ex ON ex.day = sk.day
              |ORDER BY day""".stripMargin)),
 
+    // DAU/WAU stickiness: exact distinct counts over the day spine, one
+    // integer division per day — the exact twin of the HLL window path
+    Q("ev_stickiness",
+      (s, d) => EventOps.stickiness(events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+             |wau AS (
+             |  SELECT d.day AS day,
+             |    CAST(count(DISTINCT r.user_id) AS BIGINT) AS wau
+             |  FROM dau d JOIN daily r
+             |    ON r.day <= d.day AND r.day >= d.day - 6
+             |  GROUP BY 1)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+             |  floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS stickiness
+             |FROM dau JOIN wau ON wau.day = dau.day
+             |ORDER BY day""".stripMargin)),
+
     // rolling W7 distinct users from MERGED DAILY HLL SKETCHES — any
     // trailing window answered register-wise from per-day sketches, no
     // event rescan; exact trailing distinct rides along as the audit

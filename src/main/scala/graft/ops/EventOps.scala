@@ -453,6 +453,35 @@ object EventOps {
       .orderBy(col("col_name"))
   }
 
+  /** DAU/WAU stickiness — the engagement ratio product analytics tracks
+    * daily ("of the users active this week, what fraction showed up
+    * today"; 1/7 ≈ casual, → 1 = daily habit). Exact counts: DAU is one
+    * (day)-keyed distinct, WAU rides the same day-spine range join the
+    * window-sketch audits use, and the ratio is ONE division of exact
+    * integers. At 100 TB the exact WAU is the expensive leg by design —
+    * [[hllRollingDistinct]] is the sketch path that replaces it; this
+    * query is the exact twin a pipeline runs on sampled days to audit
+    * that sketch.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .persist()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = dau.select(col("day")).as("d")
+      .join(daily.as("r"),
+        col("r.day") <= col("d.day") &&
+          col("r.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("r.user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (floor(col("dau").cast("double") / col("wau").cast("double")
+          * 1000000 + 0.5) / 1000000).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Trailing-window distinct users from MERGED DAILY SKETCHES — the
     * sketch-algebra pattern proper: the corpus is scanned ONCE into
     * per-day HLL register rows (≤256 per day), and any trailing window's

@@ -4038,6 +4038,27 @@ object SparkEntry {
               |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // incremental (delta) dedup: the daily-ingest shape — batch docs
+    // (doc_id % 10 = 0) probe the corpus band index; oracle proves the
+    // delta identity by running the FULL LSH recompute over the union and
+    // filtering to batch-touching pairs
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        DedupOps.incrementalMinhashPairs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+      },
+      Some(s"""$duckLshCtes
+              |SELECT doc_a, doc_b,
+              |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'new_new'
+              |       ELSE 'new_corpus' END AS pair_kind,
+              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+              |FROM j
+              |WHERE (doc_a % 10 = 0 OR doc_b % 10 = 0)
+              |  AND round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // LSH band-config sweep: one k=24 signature, four bandings, recall
     // measured against the r=1 loose-config verified reference
     Q("dedup_lsh_tuning",

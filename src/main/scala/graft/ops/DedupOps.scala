@@ -315,12 +315,17 @@ object DedupOps {
     * configuration of the same k-hash signature, how many candidate
     * pairs the banding generates (the cost knob) and how many of the
     * REFERENCE true pairs it captures (the recall knob). The reference
-    * is the exact-Jaccard-verified pair set of the LOOSEST sweep member
-    * (r=1: any shared minhash) — a strict superset of every tighter
-    * config's candidates, so measured recall is exact RELATIVE to it
+    * is the exact-Jaccard-verified pair set of the r=2 sweep member
+    * (bands = k/2, two rows per band) — NOT the loosest r=1 member:
+    * any run of ≥3 consecutive shared signature positions contains an
+    * aligned 2-block, so every tighter config's candidates are a subset
+    * of the r=2 candidates and measured recall is still exact RELATIVE
+    * to this reference, while the expensive verification join prices
+    * |candidates(r=2)| pairs instead of the r=1 member's ~100× blowup
     * (absolute truth is the all-pairs join nobody can afford; this is
-    * the standard relative audit). Counts are exact integers; recall is
-    * one division. Scale shape: ONE signature pass feeds every config
+    * the standard relative audit — the r=1 member's cost still shows in
+    * the sweep as its candidate COUNT). Counts are exact integers;
+    * recall is one division. Scale shape: ONE signature pass feeds every config
     * (the persisted sig frame), each config is a band self-join on
     * (band, key) — the same narrow exchange as the production pair
     * generator — and the verification join runs once, on the loose
@@ -380,6 +385,79 @@ object DedupOps {
     rows.toDF("bands", "rows_per_band", "n_candidates", "n_true",
       "n_captured", "recall")
       .orderBy(col("bands"))
+  }
+
+  /** Incremental (delta) MinHash-LSH dedup — the daily-ingest shape: a NEW
+    * batch of documents probes the standing band index of the EXISTING
+    * corpus, emitting only new-vs-corpus and new-vs-new verified pairs.
+    * The corpus is never re-paired against itself: candidate generation is
+    * `batch_bands ⋈ all_bands` with the batch side build/broadcast-gated,
+    * so pairing cost scales with |batch| · bucket-occupancy, not |corpus|²
+    * — the corpus-side work is the one-time linear index build (signature
+    * + band explode, which a production pipeline persists between runs).
+    *
+    * DELTA IDENTITY (the correctness contract, same proof shape as
+    * rel_delta_agg_merge): because a document's signature and band keys
+    * depend only on its own text, the incremental pair set equals the full
+    * recompute over corpus ∪ batch filtered to pairs touching the batch —
+    * the DuckDB oracle computes exactly that full+filter form, and
+    * IncrementalDedupSpec pins the identity against [[minhashLshPairs]] on
+    * the union. Output pairs are orientation-normalized (doc_a < doc_b, as
+    * the full recompute emits them) and labeled `pair_kind`
+    * ('new_new' | 'new_corpus') so downstream resolution can treat
+    * corpus-side survivors as already-canonical.
+    */
+  def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
+                              k: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.5,
+                              maxBroadcastCandidates: Long = 1000000L,
+                              maxBroadcastBatchBands: Long = 4000000L): DataFrame = {
+    val rowsPerBand = k / bands
+    graft.functions.MinHashFunctions.register(corpus.sparkSession)
+    def sigs(docs: DataFrame, isNew: Boolean): DataFrame = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("hs", expr("shingle_hashes(toks, 3)"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(hs, $k)"))
+      .select(col("doc_id"), col("hs"), col("sig"), lit(isNew).as("is_new"))
+    // one signature pass per side; both read twice (bands + verification)
+    val withSig = sigs(corpus, isNew = false).union(sigs(batch, isNew = true))
+      .persist()
+    def banded(side: DataFrame): DataFrame = side.select(
+      col("doc_id"), col("is_new"),
+      posexplode(expr(s"band_hashes(sig, $bands, $rowsPerBand)"))
+        .as(Seq("band", "band_key")))
+    // PROBE: batch bands against the full index. The batch side is the
+    // small one — broadcast-gate it so the standing index never shuffles
+    // (the production shape: index stays partitioned where it lives).
+    // new-new pairs arrive in both orientations; normalize + distinct.
+    val batchBands = banded(withSig.filter(col("is_new")))
+    val candidates = Exec.broadcastIfSmall(batchBands, maxBroadcastBatchBands)
+      .as("l")
+      .join(banded(withSig).as("r"), Seq("band", "band_key"))
+      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"),
+        (col("l.is_new") && col("r.is_new")).as("both_new"))
+      .dropDuplicates("doc_a", "doc_b")
+    // verification: exact Jaccard on the hashed shingle sets, candidate
+    // list broadcast-gated onto both set joins (the minhashLshPairs
+    // contract — wide hash arrays never cross an exchange)
+    val sets = withSig.select(col("doc_id"), col("hs").as("hset"))
+    Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
+      .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
+      .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (size(col("h_a")) + size(col("h_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("both_new"), lit("new_new")).otherwise(lit("new_corpus"))
+          .as("pair_kind"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components of an undirected pair graph (`doc_a`, `doc_b`

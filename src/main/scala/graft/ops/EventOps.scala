@@ -342,12 +342,16 @@ object EventOps {
     val states = trans.select(col("from_type").as("state")).distinct()
     val nStates = states.count()
     var pi = states.withColumn("pi", lit(1.0 / nStates))
+    var prevPi: DataFrame = null
     for (_ <- 1 to iters) {
-      pi = trans
+      val next = trans
         .join(pi.withColumnRenamed("state", "from_type"), Seq("from_type"))
         .groupBy(col("to_type").as("state"))
         .agg(sum(col("p") * col("pi")).as("pi"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: prior round's frame is dead once this lands
+      if (prevPi != null) Exec.unpersistCheckpointed(prevPi)
+      prevPi = next
+      pi = next
     }
     Exec.trackTransient(pi)
     val share = events.groupBy(col("event_type").as("state"))

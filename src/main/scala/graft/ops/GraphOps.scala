@@ -634,6 +634,7 @@ object GraphOps {
       .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = visited.select(col("seed"), col("node"))
+    var prevNext: DataFrame = null
     for (r <- 1 to rounds) {
       val next = dir
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
@@ -641,12 +642,17 @@ object GraphOps {
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(r))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the release below
+      // round r-1's layer frame was only alive as this round's frontier —
+      // the expansion above just consumed it (the bfsLayers hygiene)
+      if (prevNext != null) Exec.unpersistCheckpointed(prevNext)
+      prevNext = next
       val prev = visited
       visited = prev.union(next).localCheckpoint()
       Exec.unpersistCheckpointed(prev)
       frontier = next.select(col("seed"), col("node"))
     }
+    if (prevNext != null) Exec.unpersistCheckpointed(prevNext)
     Exec.trackTransient(visited)
     visited.groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),

@@ -429,9 +429,12 @@ object TimeSeriesOps {
     * Scale shape: one map-side-combined monthly aggregate (the only
     * full-scan shuffle), per-key windows over ≤|months| rows, a ≤12-row
     * broadcast of seasonal indices — the same plan decomposes millions of
-    * independent series. Magnitude guard: |seas_scaled| <
-    * 12·D·Σ|d24| stays far inside int64 through sf10; a 100-TB revenue
-    * series needs DECIMAL(38) for the scaled integers, same algebra.
+    * independent series. Magnitude guard: |seas_scaled| is bounded by
+    * 12·D·Σ|d24|, which can exceed int64 for adversarial detrended
+    * amplitudes — so the scaled seasonal integers (a, Σa, P·A−ΣA) are
+    * computed in DECIMAL(38,0): exact through 38 digits, no silent
+    * wraparound on the non-ANSI path, identical values where int64
+    * would have sufficed (the final step is still ONE division).
     */
   def stlDecompose(orders: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
@@ -457,7 +460,10 @@ object TimeSeriesOps {
     val sp = t.filter(col("trend24").isNotNull)
       .groupBy(col("key"), col("phase"))
       .agg(sum(col("d24")).as("s_num"), count(lit(1)).as("s_cnt"))
-      .withColumn("a", col("s_num") * expr(s"$D div s_cnt"))
+      // decimal(38,0): exact integer algebra with 38-digit headroom — the
+      // int64 bound 12·D·Σ|d24| is too thin for worst-case amplitudes
+      .withColumn("a",
+        col("s_num").cast("decimal(38,0)") * expr(s"$D div s_cnt"))
     val perKey = sp.groupBy(col("key"))
       .agg(sum(col("a")).as("sum_a"), count(lit(1)).as("p"))
     val seas = sp.join(broadcast(perKey), Seq("key"))

@@ -352,4 +352,45 @@ class DedupOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental dedup: delta identity vs full recompute over the union") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inc = DedupOps.incrementalMinhashPairs(corpus, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    // the contract: incremental == full LSH over corpus ∪ batch, filtered
+    // to pairs touching the batch (a doc's signature/bands depend only on
+    // its own text, so membership of other docs cannot change a pair)
+    val full = DedupOps.minhashLshPairs(docs)
+      .collect()
+      .filter(r => r.getLong(0) % 10 == 0 || r.getLong(1) % 10 == 0)
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val kind = if (a % 10 == 0 && b % 10 == 0) "new_new" else "new_corpus"
+        (a, b, kind, r.getDouble(2))
+      }.toSet
+    assert(inc == full,
+      s"delta identity broken: only-inc=${inc -- full} only-full=${full -- inc}")
+  }
+
+  test("incremental dedup: batch docs hit their exact corpus twins at 1.0") {
+    // batch docs duplicated INTO the corpus: every batch doc must pair with
+    // its corpus twin as new_corpus at jaccard 1.0
+    val batch = docs.filter(col("doc_id") % 10 === 0).limit(5)
+    val twins = batch.withColumn("doc_id", col("doc_id") + 1000000L)
+    val got = DedupOps.incrementalMinhashPairs(
+      docs.filter(col("doc_id") % 10 =!= 0).unionByName(twins), batch)
+      .filter(col("doc_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0))
+    // every batch doc must hit its identical corpus twin at jaccard 1.0
+    // (other ≥0.5 hits against twins of exact-dup siblings may also appear)
+    batchIds.foreach { a =>
+      assert(got.contains((a, a + 1000000L, "new_corpus", 1.0)),
+        s"missing twin pair for $a in $got")
+    }
+  }
 }

@@ -5799,6 +5799,76 @@ object SparkEntry {
              |WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("mm_image_phash_dedup",
+      (s, d) => MultimodalOps.imagePHashPairs(documents(s, d)),
+      Some {
+        // the fixed-point DCT basis as SQL literals — the SAME hardcoded
+        // table the native hash folds (MultimodalOps.DctC)
+        val ctRows = (for {
+          k <- 0 until 8; n <- 0 until 8
+        } yield s"(${k}, ${n}, ${MultimodalOps.DctC(k)(n)})").mkString(", ")
+        s"""WITH grid AS (
+           |  SELECT doc_id, r, c,
+           |    16 + (xor(m, m >> 13) % 224) AS base
+           |  FROM (
+           |    SELECT d.doc_id, r.r AS r, c.c AS c,
+           |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+           |        + (r.r * 8 + c.c) * 40503 AS m
+           |    FROM documents d,
+           |      (SELECT unnest(range(8)) AS r) r,
+           |      (SELECT unnest(range(8)) AS c) c)),
+           |px AS (
+           |  SELECT doc_id, r, c,
+           |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+           |           THEN base + 8
+           |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+           |           THEN base - 16
+           |         ELSE base END AS v
+           |  FROM grid),
+           |ct(k, n, cc) AS (VALUES $ctRows),
+           |uu AS (
+           |  SELECT px.doc_id, ct.k AS u, px.c,
+           |    CAST(sum(CAST(px.v AS BIGINT) * ct.cc) AS BIGINT) AS uv
+           |  FROM px JOIN ct ON ct.n = px.r GROUP BY 1, 2, 3),
+           |tt AS (
+           |  SELECT uu.doc_id, uu.u, ct.k AS v,
+           |    CAST(sum(uv * ct.cc) AS BIGINT) AS tv
+           |  FROM uu JOIN ct ON ct.n = uu.c GROUP BY 1, 2, 3),
+           |st AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE tv END)
+           |      AS BIGINT) AS ac_sum
+           |  FROM tt GROUP BY 1),
+           |hs AS (
+           |  SELECT tt.doc_id,
+           |    CAST(sum(CASE WHEN u * 8 + v BETWEEN 1 AND 31
+           |        AND tv * 63 > ac_sum
+           |      THEN (1::BIGINT << (u * 8 + v)) ELSE 0 END) AS BIGINT) AS h1,
+           |    CAST(sum(CASE WHEN u * 8 + v >= 32 AND tv * 63 > ac_sum
+           |      THEN (1::BIGINT << (u * 8 + v - 32)) ELSE 0 END) AS BIGINT) AS h2
+           |  FROM tt JOIN st USING (doc_id) GROUP BY 1),
+           |bands AS (
+           |  SELECT doc_id, h1, h2, b.band,
+           |    CASE b.band WHEN 0 THEN h1 % 8192
+           |                WHEN 1 THEN (h1 // 8192) % 8192
+           |                WHEN 2 THEN (h1 // 67108864) + (h2 % 128) * 64
+           |                WHEN 3 THEN (h2 // 128) % 8192
+           |                ELSE h2 // 1048576 END AS key
+           |  FROM hs, (SELECT unnest(range(5)) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(x.h1, y.h1))
+           |    + bit_count(xor(x.h2, y.h2)) AS INTEGER) AS hamming,
+           |  x.h1 AS h1_a, x.h2 AS h2_a, y.h1 AS h1_b, y.h2 AS h2_b
+           |FROM cand JOIN hs x ON x.doc_id = doc_a
+           |  JOIN hs y ON y.doc_id = doc_b
+           |WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 4
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     Q("mm_image_ahash_dedup",
       (s, d) => MultimodalOps.imageAHashPairs(documents(s, d)),
       Some("""WITH grid AS (

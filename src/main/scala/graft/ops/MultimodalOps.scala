@@ -730,6 +730,245 @@ object MultimodalOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Fixed-point DCT-II basis, C(k)(n) = round(4096·cos(π(2n+1)k/16)) —
+    * the 8×8 perceptual-hash transform in exact integer form. Hardcoded
+    * (not computed) so both engines fold the IDENTICAL constants: the
+    * oracle re-emits this table as SQL literals, and every downstream
+    * comparison is exact int64 arithmetic — no floating cosines anywhere.
+    * The orthonormal α(u)α(v) scaling is deliberately dropped: it is a
+    * positive per-coefficient factor, and pHash only consumes coefficient
+    * ORDER vs a mean threshold, so any fixed positive scaling defines an
+    * equally valid (and here exactly replayable) hash.
+    */
+  val DctC: Array[Array[Long]] = Array(
+    Array(4096L, 4096L, 4096L, 4096L, 4096L, 4096L, 4096L, 4096L),
+    Array(4017L, 3406L, 2276L, 799L, -799L, -2276L, -3406L, -4017L),
+    Array(3784L, 1567L, -1567L, -3784L, -3784L, -1567L, 1567L, 3784L),
+    Array(3406L, -799L, -4017L, -2276L, 2276L, 4017L, 799L, -3406L),
+    Array(2896L, -2896L, -2896L, 2896L, 2896L, -2896L, -2896L, 2896L),
+    Array(2276L, -4017L, 799L, 3406L, -3406L, -799L, 4017L, -2276L),
+    Array(1567L, -3784L, 3784L, -1567L, -1567L, 3784L, -3784L, 1567L),
+    Array(799L, -2276L, 3406L, -4017L, 4017L, -3406L, 2276L, -799L))
+
+  /** Perceptual hash (pHash) of a decoded square BMP whose side is a
+    * multiple of 8: SUM-pool to 8×8 (the fixed-size downsample that makes
+    * the hash survive rescaling — pooling by sum instead of average keeps
+    * the math integer-exact, and any positive uniform scale cancels in
+    * the threshold), 2D integer DCT with [[DctC]], then bit i (= u·8+v,
+    * i ≥ 1) set iff T(i)·63 > Σ(non-DC coefficients) — "above the mean of
+    * the AC coefficients", division-free. Bit 0 (the DC term, pure
+    * brightness) is always 0. Unlike [[aHashHalves]] (pixel vs global
+    * mean) the bits key on LOW-FREQUENCY STRUCTURE: blur/rescale
+    * artifacts that perturb individual pixels barely move the DCT
+    * signs, which is exactly the failure mode aHash cannot survive.
+    * Same real header walk as the other hashes; packed as two unsigned
+    * 32-bit words so neither engine shifts into a sign bit.
+    */
+  private[ops] def pHashHalves(bytes: Array[Byte]): (Long, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)}")
+    require(w == h && w % 8 == 0 && w > 0, s"pHash expects square 8m×8m, got ${w}x$h")
+    val m = w / 8
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    // sum-pool m×m blocks straight off the pixel array
+    val px = new Array[Long](64)
+    var r = 0
+    while (r < h) {
+      val k = if (bottomUp) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val p = off + k * rowBytes + c * 3
+        px((r / m) * 8 + (c / m)) += (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    // separable integer DCT: U(u)(c) = Σ_r px(r)(c)·C(u)(r), then
+    // T(u)(v) = Σ_c U(u)(c)·C(v)(c); |T| ≤ 64·(m²·255)·4096² — int64-safe
+    // through m = 256 (a 2048-pixel side), far past any thumbnail
+    val dctU = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 8) {
+        var s = 0L; var rr = 0
+        while (rr < 8) { s += px(rr * 8 + c) * DctC(u)(rr); rr += 1 }
+        dctU(u)(c) = s
+        c += 1
+      }
+      u += 1
+    }
+    val t = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var cc = 0
+        while (cc < 8) { s += dctU(u)(cc) * DctC(v)(cc); cc += 1 }
+        t(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var acSum = 0L
+    var i = 1
+    while (i < 64) { acSum += t(i); i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 1
+    while (i < 64) {
+      if (t(i) * 63 > acSum) {
+        if (i < 32) h1 |= 1L << i else h2 |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (h1, h2)
+  }
+
+  /** The 16×16 "rescaled re-encode" of a thumbnail: 2× pixel replication
+    * followed by a 3×3 box blur (clamped edges, floor ÷9) — the integer
+    * stand-in for what a real resize-and-recompress round trip does to
+    * pixels (resampling = low-pass filtering). Paired with the 8×8
+    * original in MultimodalOpsSpec: pHash survives it (low-frequency DCT
+    * signs barely move under low-pass), aHash does not (near-mean pixels
+    * flip). Encoded as a real BMP so both hash paths exercise the decoder.
+    */
+  private[ops] def encodeRescaledThumbBmp16(d: Long): Array[Byte] = {
+    val rep = Array.tabulate(16, 16)((r, c) => thumbPixel(d, r / 2, c / 2))
+    val px = Array.tabulate(16, 16) { (r, c) =>
+      var s = 0
+      var dr = -1
+      while (dr <= 1) {
+        var dc = -1
+        while (dc <= 1) {
+          s += rep(math.min(15, math.max(0, r + dr)))(math.min(15, math.max(0, c + dc)))
+          dc += 1
+        }
+        dr += 1
+      }
+      s / 9
+    }
+    encodeGrayBmp(px)
+  }
+
+  /** 2×2 average-pool of a decoded 16×16 BMP back to an 8×8 BMP — the
+    * "decoder resize" an aHash pipeline must run before hashing a
+    * rescaled image (aHash is defined on 8×8 only). Floor average.
+    */
+  private[ops] def pooledTo8Bmp(bytes: Array[Byte]): Array[Byte] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val h = math.abs(le32(22))
+    val bottomUp = le32(22) > 0
+    require(w == 16 && h == 16, s"expected 16x16, got ${w}x$h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    def gray(r: Int, c: Int): Int = {
+      val k = if (bottomUp) h - 1 - r else r
+      val p = off + k * rowBytes + c * 3
+      (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+    }
+    encodeGrayBmp(Array.tabulate(8, 8)((r, c) =>
+      (gray(2 * r, 2 * c) + gray(2 * r, 2 * c + 1)
+        + gray(2 * r + 1, 2 * c) + gray(2 * r + 1, 2 * c + 1)) / 4))
+  }
+
+  /** Grayscale pixel grid → real 24-bpp BMP (bottom-up rows, 4-byte row
+    * padding) — the general-size sibling of [[encodeThumbBmp]].
+    */
+  private[ops] def encodeGrayBmp(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val pixelBytes = rowBytes * h
+    val out = new Array[Byte](54 + pixelBytes)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + pixelBytes); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24)
+    le32(30, 0); le32(34, pixelBytes)
+    var k = 0
+    while (k < h) {
+      val r = h - 1 - k
+      var c = 0
+      while (c < w) {
+        val v = px(r)(c).toByte
+        val off = 54 + k * rowBytes + c * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        c += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Image near-duplicate pairs by perceptual (DCT) hash + banded Hamming
+    * search — the family member that survives RESCALING: aHash/dHash key
+    * on per-pixel comparisons, so a resize-and-re-encode round trip (=
+    * low-pass resampling) scrambles them, while pHash keys on the signs
+    * of the pooled image's low-frequency DCT coefficients, which a
+    * low-pass filter preserves by construction (MultimodalOpsSpec pins a
+    * rescaled duplicate that aHash misses and pHash catches). Radius 4
+    * with FIVE disjoint bands over the 64 hash bits (h1 low/mid 13+13,
+    * h1 high 6 + h2 low 7, h2 mid 13, h2 high 12): any pair at Hamming ≤ 4 shares an
+    * untouched band — exact recall by pigeonhole, never all-pairs. The
+    * DCT spreads a single-pixel edit across ALL coefficients, so a few
+    * planted 3-pixel-edit fixture pairs land just past the radius — by
+    * design: pixel-edit robustness is aHash/dHash's job, rescale
+    * robustness is this one's. Hamming filter BEFORE the pair-dedup
+    * exchange (the dHash lesson: 13-bit buckets admit collisions, so the
+    * dedup must see only true near-dups). Exchange rows are (long, long,
+    * long) — hashes and band keys only.
+    */
+  def imagePHashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (h1, h2) = pHashHalves(encodeThumbBmp(d))
+        (d, h1, h2)
+      })
+      .toDF("doc_id", "h1", "h2")
+      .persist()
+    // five DISJOINT slices: h1 bits 0–12 / 13–25 / 26–31 ⊕ h2 bits 0–6,
+    // then h2 bits 7–19 / 20–31 (13·4 + 12 = 64); disjointness preserves
+    // the pigeonhole bound, ≥12 bits per band keeps buckets thin
+    val banded = hashes.select(col("doc_id"), col("h1"), col("h2"),
+      posexplode(expr(
+        """array(h1 % 8192, (h1 div 8192) % 8192,
+          |      (h1 div 67108864) + (h2 % 128) * 64,
+          |      (h2 div 128) % 8192, h2 div 1048576)""".stripMargin))
+        .as(Seq("band", "band_bits")))
+    val l = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("h1").as("h1_a"), col("h2").as("h2_a"))
+    val r = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("h1").as("h1_b"), col("h2").as("h2_b"))
+    l.join(r, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        (bit_count(expr("h1_a ^ h1_b")) + bit_count(expr("h2_a ^ h2_b")))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("h1_a"), col("h2_a"), col("h1_b"), col("h2_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Image near-duplicate pairs by average-hash + banded Hamming search —
     * the visual-dedup pass of a multimodal corpus (re-encoded, resized or
     * lightly edited images collide on aHash where byte-exact dedup cannot).

@@ -302,4 +302,67 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(h <= 4, s"planted pair ($a,$b) at hamming $h")
     }
   }
+
+  test("pHash: integer DCT from decoded bytes is deterministic and brightness-blind") {
+    // DC bit is always 0; a uniform brightness shift leaves every AC
+    // coefficient unchanged (the +k image only moves the DC term), so the
+    // hash must be bit-identical — the aHash property, preserved here
+    val base = Array.tabulate(8, 8)((r, c) => MultimodalOps.thumbPixel(42L, r, c))
+    val brighter = base.map(_.map(v => math.min(255, v + 10)))
+    val h0 = MultimodalOps.pHashHalves(MultimodalOps.encodeGrayBmp(base))
+    val hB = MultimodalOps.pHashHalves(MultimodalOps.encodeGrayBmp(brighter))
+    assert((h0._1 & 1L) == 0L, "DC bit must be 0")
+    // clamping at 255 can touch at most a few pixels; require near-identity
+    val ham = java.lang.Long.bitCount(h0._1 ^ hB._1) +
+      java.lang.Long.bitCount(h0._2 ^ hB._2)
+    assert(ham <= 1, s"brightness shift moved pHash by $ham bits")
+    // and the fixture decode path equals hashing via the BMP round trip
+    val viaThumb = MultimodalOps.pHashHalves(MultimodalOps.encodeThumbBmp(42L))
+    assert(viaThumb == h0)
+  }
+
+  test("pHash catches the rescaled duplicate that aHash misses") {
+    // the judge case for the DCT member of the family: a 2×-rescaled,
+    // low-pass-filtered re-encode of each image. pHash pools back to 8×8
+    // and keys on low-frequency DCT signs (which a low-pass filter
+    // preserves); aHash keys on per-pixel vs-mean bits (which the blur
+    // scrambles). Measured over a 200-doc window.
+    val ids = 0L until 200L
+    var pCaught = 0; var aCaught = 0; var strictWin = 0
+    ids.foreach { d =>
+      val orig = MultimodalOps.encodeThumbBmp(d)
+      val resc = MultimodalOps.encodeRescaledThumbBmp16(d)
+      val (p1, p2) = MultimodalOps.pHashHalves(orig)
+      val (q1, q2) = MultimodalOps.pHashHalves(resc) // pools 16×16 internally
+      val pHam = java.lang.Long.bitCount(p1 ^ q1) + java.lang.Long.bitCount(p2 ^ q2)
+      val (a1, a2) = MultimodalOps.aHashHalves(orig)
+      val (b1, b2) = MultimodalOps.aHashHalves(MultimodalOps.pooledTo8Bmp(resc))
+      val aHam = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if (pHam <= 4) pCaught += 1
+      if (aHam <= 3) aCaught += 1
+      if (pHam <= 4 && aHam > 3) strictWin += 1
+    }
+    assert(pCaught >= 140, s"pHash caught only $pCaught/200 rescaled duplicates")
+    assert(aCaught <= 50, s"aHash 'caught' $aCaught/200 — blur should scramble it")
+    assert(strictWin >= 100, s"only $strictWin/200 strict catch-vs-miss cases")
+  }
+
+  test("pHash near-dup pairs: exact pigeonhole recall at hamming <= 4") {
+    import spark.implicits._
+    val ids = (0L until 60L).toDF("doc_id")
+    val pairs = MultimodalOps.imagePHashPairs(ids).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    // brute-force truth at the radius over the same window
+    val hs = (0L until 60L).map(d =>
+      d -> MultimodalOps.pHashHalves(MultimodalOps.encodeThumbBmp(d))).toMap
+    val brute = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      h = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if h <= 4
+    } yield (a, b, h)).toSet
+    assert(pairs.toSet == brute,
+      s"banded != brute: only-banded=${pairs.toSet -- brute} missed=${brute -- pairs.toSet}")
+    assert(brute.nonEmpty, "fixture window must contain planted near-dups")
+  }
 }

@@ -4248,6 +4248,52 @@ object SparkEntry {
               |SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason
               |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // COMPOSED end-to-end training-data pipeline: filter → exact dedup →
+    // decontaminate (5-gram vs the doc_id%97 eval slice) → mix → pack.
+    // The oracle chains the five per-stage oracle idioms verbatim, so a
+    // stage-interface drift anywhere in the chain breaks the hash here
+    // even while every per-stage query stays green.
+    Q("txt_pipeline_e2e",
+      (s, d) => TextOps.pipelineE2E(documents(s, d)),
+      Some(s"""$duckRepetitionCtes,
+              |keep1 AS (SELECT doc_id FROM m
+              |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+              |    AND distinct_ratio >= 0.3 AND top_bigram_frac <= 0.3),
+              |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+              |surv AS (SELECT min(doc_id) AS doc_id FROM (
+              |    SELECT doc_id,
+              |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              |    FROM d1)
+              |  GROUP BY fp),
+              |d2 AS (SELECT d1.* FROM d1 JOIN surv USING (doc_id)),
+              |tk AS (SELECT doc_id, $DuckToks AS toks FROM d2),
+              |shp AS (SELECT doc_id,
+              |    list_distinct(list_transform(range(len(toks) - 4),
+              |      i -> ${duckH61("array_to_string(toks[i + 1:i + 5], ' ')")})) AS hs
+              |  FROM tk WHERE len(toks) >= 5),
+              |evh AS (SELECT DISTINCT unnest(hs) AS h FROM shp WHERE doc_id % 97 = 0),
+              |cont AS (SELECT DISTINCT e.doc_id FROM (
+              |    SELECT doc_id, unnest(hs) AS h FROM shp WHERE doc_id % 97 <> 0) e
+              |  JOIN evh USING (h)),
+              |d3 AS (SELECT * FROM d2
+              |  WHERE doc_id % 97 <> 0
+              |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+              |d4 AS (SELECT * FROM d3
+              |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              |      AS BIGINT) % 10000
+              |    < CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 5000
+              |                  WHEN 'src2' THEN 500 ELSE 7500 END),
+              |tp AS (SELECT doc_id, len($DuckToks) AS n_tokens FROM d4),
+              |cp AS (SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM tp)
+              |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              |  (cum - n_tokens) // 512 AS first_seq,
+              |  (cum - 1) // 512 AS last_seq,
+              |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs_spanned
+              |FROM cp ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_simhash",
       (s, d) => DedupOps.simhashPairs(documents(s, d)),
       // 61-bit Charikar simhash over per-token hashes: bit b of the signature

@@ -55,6 +55,17 @@ object DedupOps {
       coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L)).as("n_dup_rows"))
   }
 
+  /** Exact-dedup SURVIVOR ids (keep-first = min doc_id per content
+    * fingerprint) — the row-level twin of [[exactDupStats]]' census, for
+    * pipelines that need the surviving documents, not the counts. One
+    * shuffle on the 16-byte digest; text never moves.
+    */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -1168,4 +1168,68 @@ object TextOps {
     }
     (merges.reduce(_ unionByName _).orderBy(col("round")), cur)
   }
+
+  /** The COMPOSED training-data pipeline, end to end in one plan:
+    * quality filter → exact dedup → eval-decontamination → source mixing
+    * → sequence packing. Every stage is the registered per-stage operator
+    * (filterDecisions, [[DedupOps.exactSurvivors]], the
+    * decontaminationScan probe shape, the mixingSampleStats bucket draw,
+    * packSequences), chained on document IDs so the stage INTERFACES are
+    * exercised together — the drift a per-stage spec cannot catch (e.g. a
+    * stage renaming doc_id, changing its keep semantics, or reordering
+    * rows ahead of the order-sensitive packer). Semantics:
+    *
+    *   1. keep docs whose filterDecisions verdict is ok;
+    *   2. keep the min-doc_id survivor per exact content fingerprint;
+    *   3. hold out docs with doc_id % `evalMod` == 0 as the eval slice
+    *      and drop any TRAIN doc sharing a 5-gram shingle hash with it
+    *      (the eval slice itself leaves the training corpus too);
+    *   4. keep docs whose salted 'mix:' md5 bucket lands under their
+    *      source's basis-point threshold (same draw as txt_mixing_sample);
+    *   5. pack the survivors into `budget`-token sequences in doc_id
+    *      order (same math as txt_pack_sequences).
+    *
+    * Scale shape: stages 1–4 are semi/anti-joins on bare doc_id (text
+    * never re-shuffles); the only wide exchange is the 5-gram hash probe,
+    * keyed by the 61-bit shingle hash exactly as decontaminationScan
+    * partitions it. The final global-order window is the packer's
+    * documented contract (per-shard at 100 TB).
+    */
+  def pipelineE2E(docs: DataFrame,
+                  keepBp: Map[String, Int] =
+                    Map("src0" -> 9000, "src1" -> 5000, "src2" -> 500),
+                  defaultBp: Int = 7500,
+                  evalMod: Long = 97L, n: Int = 5,
+                  budget: Int = 512): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    // 1. quality filter (C4/Gopher rule stack verdict)
+    val d1 = docs.join(
+      filterDecisions(docs).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // 2. exact dedup survivors
+    val d2 = d1.join(DedupOps.exactSurvivors(d1), Seq("doc_id"), "left_semi")
+      .persist() // read by the shingle probe AND the stage-4 filter
+    // 3. decontamination against the held-out eval slice
+    val withSh = d2
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", expr(s"shingle_hashes(toks, $n)"))
+      .select(col("doc_id"), col("sh"))
+    val evalHashes = withSh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val contaminated = withSh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(evalHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val d3 = d2.filter(col("doc_id") % evalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. source mixing (salted stable draw, same as mixingSampleStats)
+    val thr = keepBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (src, bp)) => when(col("source") === src, lit(bp)).otherwise(acc)
+    }
+    val d4 = d3.filter(expr(
+      "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000")
+      < thr)
+    // 5. sequence packing over the surviving corpus
+    packSequences(d4, budget)
+  }
 }

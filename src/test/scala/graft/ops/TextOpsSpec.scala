@@ -532,4 +532,28 @@ class TextOpsSpec extends SparkSpec {
     assert(spokes("red") == spokes("blue") && spokes("blue") == spokes("green"),
       s"asymmetric spokes: ${got.toSeq}")
   }
+
+  test("pipeline e2e: stage invariants hold on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.pipelineE2E(docs)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "pipeline must keep something at sf0.001")
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    // stage 3: the eval slice never reaches the training output
+    assert(ids.forall(_ % 97 != 0), "eval docs leaked into the output")
+    // stage 1+2: survivors passed the filter and are fingerprint-unique
+    val kept = TextOps.filterDecisions(docs).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(kept), "a filtered-out doc survived the pipeline")
+    val fps = docs.filter(col("doc_id").isin(ids: _*))
+      .select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps.distinct.length == fps.length, "duplicate fingerprints survived")
+    // stage 5: the packer's running cut is self-consistent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seqs_spanned") ==
+        r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1)
+    }
+    // and strictly fewer docs than the raw corpus went through
+    assert(rows.length < docs.count())
+  }
 }

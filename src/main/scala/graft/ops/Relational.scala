@@ -884,6 +884,13 @@ object Relational {
     * `approx_percentile` GK sketch — constant memory, distributed merge,
     * the true 100-TB edge computation; `rel_quantile_bins_approx` proves
     * the per-bin populations agree within tolerance.
+    *
+    * Plan evidence (r12 explain audit): with useApprox the edge pass is
+    * `partial_approx_percentile → approx_percentile` (mergeable sketch
+    * buffers, no exact-percentile buffer in that branch); the registered
+    * `rel_quantile_bins_approx` query additionally re-runs the exact
+    * pass because it IS the exact-vs-approx agreement audit — its bench
+    * cost is exact + approx by construction.
     */
   def quantileBins(orders: DataFrame, nBins: Int = 10,
                    useApprox: Boolean = false,

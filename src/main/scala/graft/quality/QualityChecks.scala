@@ -369,6 +369,14 @@ object QualityChecks {
     * slack — the production setting; the exact default is the oracle
     * anchor. `qc_outlier_iqr_approx` proves the two agree within
     * tolerance on real data.
+    *
+    * Plan evidence (r12 explain audit): with useApprox the quartile
+    * subtree is `partial_approx_percentile → approx_percentile`
+    * (ObjectHashAggregate, mergeable sketch buffers — no exact
+    * percentile buffer anywhere in that branch); the registered
+    * `qc_outlier_iqr_approx` query still *also* runs the exact subtree
+    * because it IS the exact-vs-approx agreement audit, which is why its
+    * bench cost ≈ exact + approx, not approx alone.
     */
   def iqrOutliers(df: DataFrame, cols: Seq[String],
                   useApprox: Boolean = false,

@@ -1169,6 +1169,170 @@ object TextOps {
     (merges.reduce(_ unionByName _).orderBy(col("round")), cur)
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+    * tokenizer-training family beside BPE ([[bpeMerges]] is the greedy
+    * bottom-up merger; this is the top-down probabilistic pruner): start
+    * from a substring candidate vocabulary, estimate piece probabilities,
+    * re-segment the corpus under them, re-estimate — bounded hard-EM
+    * (Viterbi E-step) rounds over a vocabulary-sized candidate table.
+    *
+    * Determinism doctrine (cross-engine exact): piece scores are the
+    * INTEGER-QUANTIZED logs floor(ln(c/T)·1e6) — after quantization the
+    * whole Viterbi DP is exact int64 arithmetic. The DP key packs
+    * (score_sum, piece_count) as `64·score − k` (k ≤ maxWordLen < 64), so
+    * the comparison is lexicographic (max score, then fewest pieces), and
+    * the backtrack resolves any residual tie by the SMALLEST split point
+    * (longest final piece) via an explicit min — three deterministic
+    * rules both engines replay bit-for-bit. The only float is ln itself,
+    * which both engines evaluate correctly-rounded on the same rational
+    * c/T (the txt_surprisal precedent); a flip would need the product to
+    * land within one ulp of an integer multiple of 1e-6.
+    *
+    * Algorithm, per EM round r ∈ {1, 2}:
+    *   scores = floor(ln(c_{r−1}+1) − ln(T_{r−1})) · 1e6 (add-one
+    *   smoothing keeps pruned-to-zero and never-chosen pieces finite);
+    *   E: per word, the max-score segmentation over vocab pieces (DP
+    *   over ≤ maxWordLen positions, edges = vocab substrings);
+    *   M: c_r(p) = Σ_words freq(w) · (occurrences of p in w's Viterbi
+    *   segmentation); round 2 prunes c_1 = 0 pieces except single chars
+    *   (coverage guarantee — every position must stay reachable).
+    *
+    * Scale shape: everything downstream of the one corpus scan (the
+    * word-frequency aggregate) is VOCABULARY-sized — the word table,
+    * the ≤ |words|·maxWordLen·maxPieceLen occurrence/edge frames, and
+    * 2·maxWordLen tiny DP/backtrack joins per EM round, all on narrow
+    * (word, pos, long) rows. At 100 TB the corpus scan dominates and
+    * the EM loop is unchanged — the same posture as [[bpeMerges]].
+    * Words longer than `maxWordLen` chars are excluded from training
+    * (documented contract; bounds the DP depth statically). The word
+    * and count frames ride `dpPartitions` partitions (default 1 —
+    * vocabulary-sized; a 100-TB word table raises the knob, the plan is
+    * unchanged).
+    *
+    * Output: top `topK` pieces by final count — (piece, c0 substring
+    * count, c1 round-1 Viterbi count, c2 round-2 Viterbi count), all
+    * exact integers, ordered (c2 desc, piece).
+    */
+  def unigramLmPieces(docs: DataFrame, vocabSize: Int = 40,
+                      maxPieceLen: Int = 6, maxWordLen: Int = 12,
+                      topK: Int = 50, dpPartitions: Int = 1): DataFrame = {
+    // word-frequency table: the only corpus-wide aggregate (map-side
+    // combined; the coalesce touches only the post-shuffle merge)
+    val words = Exec.trackTransient(docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .coalesce(dpPartitions)
+      .localCheckpoint())
+    // every substring occurrence (word, start i, end j, piece) — feeds
+    // candidate counting AND the DP edge lists; (word, i, j) is unique
+    val occ = Exec.trackTransient(words.select(col("word"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1),
+             |  i -> transform(sequence(1, least($maxPieceLen, length(word) - i)),
+             |    l -> struct(i AS i, i + l AS j,
+             |                substring(word, i + 1, l) AS piece))))""".stripMargin))
+          .as("o"))
+      .select(col("word"), col("freq"),
+        col("o.i").as("i"), col("o.j").as("j"), col("o.piece").as("piece"))
+      .coalesce(dpPartitions)
+      .localCheckpoint())
+    val c0 = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    // initial vocab: top-V candidates by substring mass, plus ALL single
+    // chars (coverage: every position must have an outgoing edge)
+    val vocab0 = Exec.trackTransient(
+      c0.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+        .unionByName(c0.filter(length(col("piece")) === 1))
+        .dropDuplicates("piece")
+        .localCheckpoint())
+
+    /** One hard-EM round: score the given (piece, cnt) vocab with
+      * add-one-smoothed quantized logs, Viterbi-segment every word,
+      * return per-piece Viterbi counts (pieces absent from every best
+      * segmentation get no row).
+      *
+      * The Viterbi DP is a ROW-LOCAL higher-order fold, not a round of
+      * joins: each word's lattice depends only on its own (i, j, score)
+      * edge list, so the per-word edges are collected into an array
+      * sorted by (j, i) and the whole DP + backtrack runs inside two
+      * codegen'd `aggregate` folds — ONE distributed job per EM round
+      * regardless of word length (a first cut orchestrated 2·maxWordLen
+      * tiny DP/backtrack JOINS per round: ~50 jobs of pure scheduler
+      * overhead, 16.8 s at sf1 for a 31-word table; this shape is ~6×
+      * faster and is how the DP scales to a 10M-word table — per-row
+      * parallelism, no driver round loop).
+      *
+      * DP state: dp[p] (1-based element p+1) = best packed key reaching
+      * position p, init dp[0] = 0 and −2⁶² elsewhere (an effective −∞
+      * that survives adding an edge cost without overflow). Edges sorted
+      * by (j, i): every dp[i] is final before any edge targeting j > i
+      * folds in. Backtrack state: the CUT-POSITION list, head = current
+      * position, prepending the SMALLEST i whose dp value explains the
+      * head's — the explicit min makes residual score ties deterministic;
+      * pieces are then the substrings between consecutive cuts.
+      */
+    def viterbiCounts(vocab: DataFrame): DataFrame = {
+      // T rides along via a 1-row broadcast (no driver collect)
+      val total = vocab.agg(sum(col("cnt") + 1).as("t"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .select(col("piece"),
+          floor((log(col("cnt") + 1) - log(col("t"))) * 1e6)
+            .cast("long").as("skey"))
+      val edges = occ.join(broadcast(scored), Seq("piece"))
+        .groupBy(col("word"), col("freq"))
+        .agg(array_sort(collect_list(
+          struct(col("j"), col("i"), col("skey")))).as("es"))
+      val out = edges
+        .withColumn("dp", expr(
+          """aggregate(es,
+            |  concat(array(CAST(0 AS BIGINT)),
+            |    transform(sequence(1, length(word)),
+            |      x -> CAST(-4611686018427387904 AS BIGINT))),
+            |  (acc, e) -> transform(acc, (v, p) ->
+            |    IF(p = e.j,
+            |       greatest(v, element_at(acc, e.i + 1) + e.skey * 64 - 1),
+            |       v)))""".stripMargin))
+        .withColumn("cuts", expr(
+          """aggregate(sequence(1, length(word)),
+            |  array(length(word)),
+            |  (ps, x) -> IF(element_at(ps, 1) <= 0, ps,
+            |    concat(array(array_min(transform(filter(es,
+            |        e -> e.j = element_at(ps, 1)
+            |          AND element_at(dp, e.i + 1) + e.skey * 64 - 1
+            |            = element_at(dp, element_at(ps, 1) + 1)),
+            |      e -> e.i))), ps)))""".stripMargin))
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(cuts) - 1),
+            |  k -> substring(word, element_at(cuts, k) + 1,
+            |    element_at(cuts, k + 1) - element_at(cuts, k)))""".stripMargin))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .coalesce(dpPartitions)
+        .localCheckpoint()
+      Exec.trackTransient(out)
+      out
+    }
+
+    val c1 = viterbiCounts(vocab0)
+    // prune never-chosen multi-char pieces; single chars stay (coverage)
+    val vocab1 = Exec.trackTransient(
+      vocab0.select(col("piece"))
+        .join(c1, Seq("piece"), "left")
+        .filter(col("cnt").isNotNull || length(col("piece")) === 1)
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .localCheckpoint())
+    val c2 = viterbiCounts(vocab1)
+    vocab0.select(col("piece"))
+      .join(c0.withColumnRenamed("cnt", "c0"), Seq("piece"))
+      .join(c1.withColumnRenamed("cnt", "c1"), Seq("piece"), "left")
+      .join(c2.withColumnRenamed("cnt", "c2"), Seq("piece"), "left")
+      .select(col("piece"), col("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .orderBy(col("c2").desc, col("piece"))
+      .limit(topK)
+  }
+
   /** The COMPOSED training-data pipeline, end to end in one plan:
     * quality filter → exact dedup → eval-decontamination → source mixing
     * → sequence packing. Every stage is the registered per-stage operator

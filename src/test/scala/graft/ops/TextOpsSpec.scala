@@ -533,6 +533,49 @@ class TextOpsSpec extends SparkSpec {
       s"asymmetric spokes: ${got.toSeq}")
   }
 
+  test("unigram LM: textbook corpus — char coverage, whole-word dominance") {
+    // 50× "hello world" + 10× the fragmented variant: frequent whole words
+    // must survive as single pieces; every char of every word occurrence
+    // must be covered by exactly one Viterbi piece (the Σ c·len invariant)
+    val df = Seq.tabulate(60) { i =>
+      (i.toLong, if (i < 50) "hello world" else "hell low orld")
+    }.toDF("doc_id", "text")
+    // 30 candidate slots: the corpus has 29 distinct substrings ≤6 chars
+    // (single chars included — they out-rank rare whole words at smaller
+    // budgets and "hello" would rightly segment as hell+o)
+    val out = TextOps.unigramLmPieces(df, vocabSize = 30).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total chars across word occurrences:
+    // 50·(5+5) + 10·(4+3+4) = 610, covered exactly once per EM round
+    val totalChars = 610L
+    assert(out.map { case (p, _, _, c1) => c1 * p.length }.sum == totalChars,
+      s"round-1 coverage broken: $out")
+    assert(out.map { case (p, _, _, _) => p }.distinct.length == out.length)
+    val c2 = out.map { case (p, _, _, _) => p }
+      .zip(out.map(_._4)).toMap
+    assert(c2.getOrElse("hello", 0L) >= 50L, s"hello not dominant: $out")
+    assert(c2.getOrElse("world", 0L) >= 50L, s"world not dominant: $out")
+    // the round-2 coverage invariant holds too
+    assert(out.map { case (p, _, _, _) => p }
+      .zip(out.map(_._4)).map { case (p, c) => c * p.length }.sum == totalChars)
+  }
+
+  test("unigram LM: real corpus — nonempty, coverage invariant at both rounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // topK wide open: the tiling invariant needs EVERY vocab row
+    val out = TextOps.unigramLmPieces(docs, topK = 1000).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val totalChars = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, 12))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(out.map { case (p, c1, _) => c1 * p.length }.sum == totalChars,
+      "round-1 Viterbi pieces must tile every word exactly")
+    assert(out.map { case (p, _, c2) => c2 * p.length }.sum == totalChars,
+      "round-2 Viterbi pieces must tile every word exactly")
+  }
+
   test("pipeline e2e: stage invariants hold on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.pipelineE2E(docs)

@@ -4475,6 +4475,44 @@ object SparkEntry {
               |FROM i GROUP BY doc_id, grp
               |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Incremental ExactSubstr: the doc_id%10=0 batch probes the corpus
+    // window-hash index; oracle = the FULL-union span recompute filtered
+    // to batch docs (coverage counted over everything — delta identity)
+    Q("dedup_incremental_substr",
+      (s, d) => {
+        val docs = documents(s, d)
+        DedupOps.incrementalSubstringSpans(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), L = 40)
+      },
+      Some(s"""WITH pw AS (SELECT ${duckRollingPowers(40)} AS p),
+              |w AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CAST(unnest(range(length(text) - 39)) AS INTEGER) AS pos,
+              |    unnest(list_transform(range(length(text) - 39),
+              |      i -> CAST(list_sum(list_transform(range(40),
+              |             j -> CAST(p[CAST(j + 1 AS INTEGER)] AS HUGEINT) *
+              |                  ord(substring(text, CAST(i + j + 1 AS INTEGER), 1))))
+              |           % 2305843009213693951 AS BIGINT))) AS h
+              |  FROM documents, pw WHERE length(text) >= 40),
+              |q AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+              |c AS (SELECT doc_id, pos FROM w
+              |  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM q)),
+              |g AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+              |         THEN 0 ELSE 1 END AS brk
+              |  FROM c),
+              |i AS (
+              |  SELECT doc_id, pos, sum(brk) OVER (
+              |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+              |  FROM g)
+              |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+              |  CAST(max(pos) - min(pos) + 40 AS INTEGER) AS span_len,
+              |  count(*) AS n_windows
+              |FROM i GROUP BY doc_id, grp
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The removal half of the ExactSubstr pass: cut every detected span,
     // report kept length + removal fraction + md5 of the rewritten text.
     // The oracle recomputes the spans, then reconstructs the kept text as

@@ -854,6 +854,15 @@ object DedupOps {
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("n_occ") >= 2)
       .select(col("doc_id"), col("pos"))
+    mergeIslands(covered, L)
+  }
+
+  /** Gaps-and-islands merge of covered window starts into maximal spans —
+    * the shared back half of the ExactSubstr family (batch and
+    * incremental front halves differ only in how "covered" is decided).
+    */
+  private def mergeIslands(covered: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       // island break: this window's span [pos, pos+L) neither overlaps nor
@@ -869,6 +878,43 @@ object DedupOps {
         (col("last") - col("start") + L).cast("int").as("span_len"),
         col("n_windows"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Incremental (delta) ExactSubstr dedup — the daily-ingest twin of
+    * [[duplicatedSubstringSpans]] and the character-level companion of
+    * [[incrementalMinhashPairs]]: NEW batch documents probe the STANDING
+    * window-hash index of the corpus, emitting duplicated-substring spans
+    * in batch docs only. A batch window is covered iff its hash occurs
+    * anywhere else in corpus ∪ batch — i.e. corpus_count(h) +
+    * batch_count(h) ≥ 2 — which makes the result EXACTLY the full
+    * recompute over the union restricted to batch docs (the delta
+    * identity, proven by the DuckDB oracle and pinned against the batch
+    * operator in DedupOpsSpec).
+    *
+    * Scale shape: the corpus contributes ONE linear index build (per-hash
+    * occurrence counts — in production written once and reused every
+    * ingest; its groupBy output is already hash-partitioned by `h`, so
+    * the probe join re-uses that partitioning and only the BATCH windows
+    * shuffle). Batch-internal duplicates ride a window count over the
+    * batch's own hashes. Cost per ingest ∝ batch chars + matched index
+    * rows, never corpus².
+    */
+  def incrementalSubstringSpans(corpus: DataFrame, batch: DataFrame,
+                                L: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.RollingHash.register(corpus.sparkSession)
+    def wins(docs: DataFrame): DataFrame = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_hashes(text, $L)")).as(Seq("pos", "h")))
+    // the standing index: hash → corpus occurrence count (linear build)
+    val index = wins(corpus).groupBy(col("h")).agg(count(lit(1)).as("n_corpus"))
+    val covered = wins(batch)
+      .withColumn("n_batch", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(index, Seq("h"), "left")
+      .filter(coalesce(col("n_corpus"), lit(0L)) + col("n_batch") >= 2)
+      .select(col("doc_id"), col("pos"))
+    mergeIslands(covered, L)
   }
 
   /** Duplicated-substring REMOVAL — the second half of the ExactSubstr

@@ -375,6 +375,45 @@ class DedupOpsSpec extends SparkSpec {
       s"delta identity broken: only-inc=${inc -- full} only-full=${full -- inc}")
   }
 
+  test("incremental substring spans: delta identity vs full recompute") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inc = DedupOps.incrementalSubstringSpans(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // coverage counts over corpus ∪ batch, so the incremental result must
+    // equal the full-union span computation restricted to batch docs
+    val full = DedupOps.duplicatedSubstringSpans(docs)
+      .filter(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(inc == full,
+      s"delta identity broken: only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "the 5% exact-dup slice must produce batch spans")
+  }
+
+  test("incremental substring spans: corpus-only duplicates never surface; batch-internal do") {
+    // two fresh batch docs sharing a 60-char block with each other but with
+    // nothing in the corpus → covered purely batch-internally; a third doc
+    // duplicating corpus text → covered via the index; a clean doc → nothing
+    val block = "Z" * 60
+    val corpusText = docs.orderBy("doc_id").limit(1)
+      .collect()(0).getAs[String]("text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = Seq(
+      (2000001L, s"alpha $block omega one"),
+      (2000002L, s"start $block finish two"),
+      (2000003L, corpusText + " trailing novelty"),
+      (2000004L, "entirely novel text with no duplicated block at all here"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.incrementalSubstringSpans(corpus, batch)
+      .filter(col("doc_id") >= 2000000L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got.contains(2000001L) && got.contains(2000002L),
+      s"batch-internal duplicate block missed: $got")
+    if (corpusText.length >= 40)
+      assert(got.contains(2000003L), s"corpus-duplicating doc missed: $got")
+    assert(!got.contains(2000004L), s"clean doc flagged: $got")
+  }
+
   test("incremental dedup: batch docs hit their exact corpus twins at 1.0") {
     // batch docs duplicated INTO the corpus: every batch doc must pair with
     // its corpus twin as new_corpus at jaccard 1.0

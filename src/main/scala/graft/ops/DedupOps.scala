@@ -77,7 +77,7 @@ object DedupOps {
     * O(|A|+|B|) intersection. Semantics-preserving for any thresholded
     * Jaccard query.
     */
-  private def sizeCompatible(a: Column, b: Column, threshold: Double): Column =
+  private[graft] def sizeCompatible(a: Column, b: Column, threshold: Double): Column =
     least(size(a), size(b)).cast("double") / greatest(size(a), size(b)) >= threshold
 
   /** Exact n-gram Jaccard near-dup pairs within (lang, n_chars bucket)

@@ -781,4 +781,71 @@ class PlanGuardSpec extends SparkSpec {
     assert(bcasts.size >= 3,
       s"labels must broadcast into deg + both intra joins, found ${bcasts.size}")
   }
+
+  test("incremental dedup: no shingle-hash array ever crosses an exchange") {
+    import org.apache.spark.sql.types.ArrayType
+    // the probe and verification joins are broadcast-gated — the standing
+    // index's wide hash sets must stay where they live
+    val exchanges = staticExchanges(
+      SparkEntry.queries("dedup_incremental")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"hash array ${a.name} crossed an exchange — batch bands and " +
+            "candidates must broadcast onto the index/set sides")
+      }
+    }
+  }
+
+  test("incremental substring spans: exchanges carry only (hash, id, pos)-narrow rows") {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    // the index probe is keyed on the 61-bit window hash; document text
+    // must never shuffle (the batch operator's contract, inherited)
+    val exchanges = staticExchanges(
+      SparkEntry.queries("dedup_incremental_substr")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(a.dataType != BinaryType && a.dataType != StringType,
+          s"payload-width column ${a.name}: ${a.dataType} in an " +
+            "ExactSubstr exchange — only hashes and positions may shuffle")
+      }
+    }
+  }
+
+  test("unigram LM: one corpus scan; EM folds shuffle only vocabulary-sized rows") {
+    val plan = staticPlan(SparkEntry.queries("txt_unigram_lm")(spark, sfDir))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 1,
+      s"unigram training must scan the corpus once, found ${scans.size} scans")
+  }
+
+  test("pipeline e2e: the packer sees bare ids — document text joins semi/anti only") {
+    import org.apache.spark.sql.types.ArrayType
+    // stages 1–4 filter by doc_id; the only wide exchange is the 5-gram
+    // hash probe, and no exchange may carry a shingle array
+    val exchanges = staticExchanges(
+      SparkEntry.queries("txt_pipeline_e2e")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"array column ${a.name} crossed a pipeline exchange — shingles " +
+            "must explode to scalar hashes before the decontamination probe")
+      }
+    }
+  }
+
+  test("pHash pairs: no exchange carries payload bytes, bands hash-join narrow keys") {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val exchanges = staticExchanges(
+      SparkEntry.queries("mm_image_phash_dedup")(spark, sfDir))
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(a.dataType != BinaryType && a.dataType != StringType,
+          s"payload-width column ${a.name}: ${a.dataType} in a pHash " +
+            "exchange — hashes must reduce before any join")
+      }
+    }
+  }
 }

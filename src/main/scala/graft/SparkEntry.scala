@@ -4680,6 +4680,99 @@ object SparkEntry {
            |ORDER BY query_id, rank""".stripMargin
       }),
 
+    // COMPOSED retrieval pipeline: exact cosine dedup → connected-component
+    // survivors → MMR retrieval over the deduped index (queries from the
+    // raw set). Oracle chains the three per-stage idioms: the
+    // dedup_embedding_cosine pair join, the recursive-CTE components, and
+    // the vec_mmr_rerank round unroll over the survivor pool.
+    Q("vec_pipeline_e2e",
+      (s, d) => VectorOps.vecPipelineE2E(embeddings(s, d)),
+      Some {
+        def selUnion(r: Int): String =
+          (1 until r).map(i => s"SELECT query_id, vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+        def round(r: Int): String =
+          if (r == 1)
+            s"""s1 AS (
+               |  SELECT query_id, vec_id, 1 AS rank, score FROM (
+               |    SELECT query_id, vec_id,
+               |      0.7 * simq - (CAST(1.0 AS DOUBLE) - 0.7) * 0.0 AS score,
+               |      row_number() OVER (PARTITION BY query_id
+               |        ORDER BY 0.7 * simq - (CAST(1.0 AS DOUBLE) - 0.7) * 0.0 DESC, vec_id)
+               |        AS rn
+               |    FROM pool) WHERE rn = 1)""".stripMargin
+          else
+            s"""s$r AS (
+               |  SELECT query_id, vec_id, $r AS rank, score FROM (
+               |    SELECT p.query_id, p.vec_id,
+               |      0.7 * p.simq - (CAST(1.0 AS DOUBLE) - 0.7) * COALESCE(m.maxs, 0.0)
+               |        AS score,
+               |      row_number() OVER (PARTITION BY p.query_id
+               |        ORDER BY 0.7 * p.simq
+               |          - (CAST(1.0 AS DOUBLE) - 0.7) * COALESCE(m.maxs, 0.0) DESC, p.vec_id)
+               |        AS rn
+               |    FROM pool p
+               |    LEFT JOIN (
+               |      SELECT pp.query_id, pp.cand, max(pp.simdd) AS maxs
+               |      FROM pp JOIN (${selUnion(r)}) s
+               |        ON s.query_id = pp.query_id AND s.vec_id = pp.sel
+               |      GROUP BY 1, 2) m
+               |      ON m.query_id = p.query_id AND m.cand = p.vec_id
+               |    WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(r)}) sx
+               |      WHERE sx.query_id = p.query_id AND sx.vec_id = p.vec_id))
+               |  WHERE rn = 1)""".stripMargin
+        s"""WITH RECURSIVE el AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),
+           |n0 AS (SELECT vec_id, label, v,
+           |    sqrt(list_reduce(list_transform(v, x -> x * x),
+           |      (a, b) -> a + b)) AS nrm FROM el),
+           |prs AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM n0 a JOIN n0 b ON a.label = b.label AND a.vec_id < b.vec_id
+           |  WHERE floor((list_sum(list_transform(range(1, 65),
+           |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 10000 + 0.5)
+           |    / 10000 >= 0.45),
+           |nodes AS (SELECT src AS node FROM prs UNION SELECT dst FROM prs),
+           |edges2 AS (SELECT src, dst FROM prs
+           |           UNION ALL SELECT dst, src FROM prs),
+           |rr(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e2.dst, rr.lbl FROM rr JOIN edges2 e2 ON e2.src = rr.node),
+           |dropped AS MATERIALIZED (
+           |  SELECT node FROM (SELECT node, min(lbl) AS lbl FROM rr GROUP BY node)
+           |  WHERE node <> lbl),
+           |n AS (SELECT vec_id, v, nrm FROM n0
+           |  WHERE vec_id NOT IN (SELECT node FROM dropped)),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n0
+           |  WHERE vec_id < 5),
+           |rel AS (
+           |  SELECT q.query_id, n.vec_id,
+           |    floor((list_reduce(list_transform(range(1, 65),
+           |        i -> qv[i] * v[i]), (a, b) -> a + b)
+           |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS simq,
+           |    n.v AS v, n.nrm AS nrm
+           |  FROM q JOIN n ON n.vec_id <> q.query_id),
+           |pool AS MATERIALIZED (
+           |  SELECT query_id, vec_id, simq, v, nrm FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY simq DESC, vec_id) AS prn FROM rel)
+           |  WHERE prn <= 50),
+           |pp AS MATERIALIZED (
+           |  SELECT l.query_id, l.vec_id AS cand, r.vec_id AS sel,
+           |    floor((list_reduce(list_transform(range(1, 65),
+           |        i -> l.v[i] * r.v[i]), (a, b) -> a + b)
+           |      / (l.nrm * r.nrm)) * 10000 + 0.5)
+           |      / 10000 AS simdd
+           |  FROM pool l JOIN pool r
+           |    ON l.query_id = r.query_id AND l.vec_id <> r.vec_id),
+           |${(1 to 5).map(round).mkString(",\n")}
+           |SELECT query_id, vec_id, rank,
+           |  floor(score * 10000 + 0.5) / 10000 AS mmr_score
+           |FROM (${(1 to 5).map(i => s"SELECT * FROM s$i")
+                .mkString(" UNION ALL ")})
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
     // 1-bit binary quantization: per-dim mean-thresholded sign bits packed
     // into two 32-bit words, Hamming = bit_count(xor) ranking, recall@5
     // audited against exact cosine top-5 — integer-exact end to end

@@ -178,8 +178,13 @@ object VectorOps {
     * are |queries|·round rows — the eager jobs are microseconds).
     */
   def mmrRerank(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5,
-                pool: Int = 50, lambda: Double = 0.7): DataFrame = {
-    val queries = emb.filter(col("vec_id") < maxQueryId)
+                pool: Int = 50, lambda: Double = 0.7,
+                queryEmb: Option[DataFrame] = None): DataFrame = {
+    // queryEmb: draw the query vectors from a DIFFERENT frame than the
+    // retrieval pool (the composed pipeline retrieves over the DEDUPED
+    // index with queries from the raw set — a query must not disappear
+    // because dedup dropped its vector from the index)
+    val queries = queryEmb.getOrElse(emb).filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("simq").desc, col("vec_id"))
@@ -1183,5 +1188,36 @@ object VectorOps {
         q4(expr(dot("transform(embedding, x -> CAST(x AS DOUBLE))", "v2"))
           - col("c2")).as("y"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The COMPOSED retrieval pipeline, end to end in one chain — the vector
+    * twin of TextOps.pipelineE2E and the RAG ingest-and-serve shape:
+    *
+    *   1. INDEX dedup: [[cosineNearDupPairs]] (exact, label-blocked) feeds
+    *      [[DedupOps.connectedComponents]]; only each component's min-id
+    *      representative stays in the index (near-duplicate vectors make a
+    *      retriever return k copies of one document — dedup-at-ingest is
+    *      the standard fix, and MMR then diversifies what remains);
+    *   2. RETRIEVE + RERANK: [[mmrRerank]] over the DEDUPED index with the
+    *      query vectors drawn from the RAW set (queries are external — a
+    *      query must not vanish because ingest dropped its duplicate).
+    *
+    * Stage interfaces are the registered per-stage operators, so drift in
+    * any of them breaks this query's oracle hash while the per-stage
+    * queries stay green (the txt_pipeline_e2e rationale). Scale shape is
+    * inherited: the dedup join is (label, norm-bucket)-blocked, components
+    * converge by pointer-jumping, and the MMR rounds touch only
+    * shortlist-sized frames.
+    */
+  def vecPipelineE2E(emb: DataFrame, threshold: Double = 0.45,
+                     maxQueryId: Int = 5, k: Int = 5,
+                     pool: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val pairs = cosineNearDupPairs(emb, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val dropped = DedupOps.connectedComponents(pairs)
+      .filter(!col("is_survivor"))
+      .select(col("doc_id").as("vec_id"))
+    val survivors = emb.join(dropped, Seq("vec_id"), "left_anti")
+    mmrRerank(survivors, maxQueryId, k, pool, lambda, queryEmb = Some(emb))
   }
 }

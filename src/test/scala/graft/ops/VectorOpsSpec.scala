@@ -538,4 +538,23 @@ class VectorOpsSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse, s"not monotone: $scores")
     }
   }
+
+  test("vec pipeline e2e: planted duplicate vectors are deduped out of retrieval") {
+    // exact copies (cosine 1.0, same label) under fresh larger ids: the
+    // dedup stage must drop every twin (component min = the original), so
+    // the pipeline over the augmented set equals the pipeline over the raw
+    // set row for row — and no twin id may ever surface in the output
+    val twins = emb.filter(col("vec_id").between(10, 14))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val out = VectorOps.vecPipelineE2E(emb.unionByName(twins)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.forall(_._2 < 100000L), s"a planted twin survived: ${out.filter(_._2 >= 100000L).take(3).toSeq}")
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 5 && byQ.values.forall(_.map(_._2).distinct.length == 5),
+      s"expected 5 queries x 5 distinct results: ${byQ.view.mapValues(_.length).toMap}")
+    val base = VectorOps.vecPipelineE2E(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSet == base.toSet,
+      "twins changed the retrieval output — dedup should have erased them")
+  }
 }

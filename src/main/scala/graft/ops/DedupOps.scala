@@ -891,13 +891,18 @@ object DedupOps {
     * identity, proven by the DuckDB oracle and pinned against the batch
     * operator in DedupOpsSpec).
     *
-    * Scale shape: the corpus contributes ONE linear index build (per-hash
-    * occurrence counts — in production written once and reused every
-    * ingest; its groupBy output is already hash-partitioned by `h`, so
-    * the probe join re-uses that partitioning and only the BATCH windows
-    * shuffle). Batch-internal duplicates ride a window count over the
-    * batch's own hashes. Cost per ingest ∝ batch chars + matched index
-    * rows, never corpus².
+    * Scale shape: the corpus contributes ONE linear scan, and its windows
+    * NEVER shuffle — the batch's distinct hash set (byte-gated broadcast)
+    * semi-join-filters the corpus window stream map-side, so only hashes
+    * the batch can actually match reach the occurrence-count exchange (a
+    * first cut aggregated ALL corpus hashes and paid a corpus-wide
+    * shuffle: 18.4 s at sf1, MORE than the full batch recompute; the
+    * probe-set pushdown makes the exchange batch-proportional). In
+    * production the counted index is persisted once and the scan
+    * disappears too; a batch too large for the broadcast gate falls back
+    * to the shuffle join. Batch-internal duplicates ride a window count
+    * over the batch's own hashes. Cost per ingest ∝ batch chars +
+    * matched index rows, never corpus².
     */
   def incrementalSubstringSpans(corpus: DataFrame, batch: DataFrame,
                                 L: Int = 40): DataFrame = {
@@ -907,9 +912,16 @@ object DedupOps {
       .filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(expr(s"rolling_hashes(text, $L)")).as(Seq("pos", "h")))
-    // the standing index: hash → corpus occurrence count (linear build)
-    val index = wins(corpus).groupBy(col("h")).agg(count(lit(1)).as("n_corpus"))
-    val covered = wins(batch)
+    // probe + coverage both read the batch windows — pin one pass
+    val batchWins = wins(batch).persist()
+    // probe-set pushdown: a corpus hash the batch never produces cannot
+    // change any batch window's coverage — drop it BEFORE the aggregate
+    val probeSet = Exec.broadcastIfSmallBytes(
+      batchWins.select(col("h")).distinct())
+    val index = wins(corpus)
+      .join(probeSet, Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("n_corpus"))
+    val covered = batchWins
       .withColumn("n_batch", count(lit(1)).over(Window.partitionBy(col("h"))))
       .join(index, Seq("h"), "left")
       .filter(coalesce(col("n_corpus"), lit(0L)) + col("n_batch") >= 2)

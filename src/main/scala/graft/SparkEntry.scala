@@ -3216,6 +3216,82 @@ object SparkEntry {
     * (Md5Hash61.AB) that the native expressions evaluate — identical
     * signatures by construction, verified in Md5Hash61Spec.
     */
+  /** DuckDB CTE chain replaying the unigram-LM training (word table ->
+    * substring candidates -> initial vocab -> two unrolled hard-EM
+    * rounds, ending at cc2 = round-2 Viterbi counts; the round-2
+    * per-word pieces stay addressable as p2_1..p2_12) - shared by the
+    * txt_unigram_lm and txt_unigram_encode oracles.
+    */
+  private lazy val duckUnigramCtes: String = {
+
+        val maxW = 12
+        // one EM pass: score vocab `v`, DP a{r}_0..12, backtrack
+        // b/g/p{r}_1..12, Viterbi counts cc{r}
+        // every multiply-referenced CTE is MATERIALIZED: the DP chain
+        // a_j = a_{j-1} ∪ d_j reads a_{j-1} twice, so plain (inlined)
+        // CTEs expand 2^12 copies of the corpus scan
+        def emRound(r: Int, v: String): String = {
+          val dp = (1 to maxW).map { j =>
+            s"""d${r}_$j AS MATERIALIZED (SELECT e.word, $j AS pos,
+               |    max(a.key + e.skey * 64 - 1) AS key
+               |  FROM e$r e JOIN a${r}_${j - 1} a
+               |    ON a.word = e.word AND a.pos = e.i
+               |  WHERE e.j = $j GROUP BY e.word),
+               |a${r}_$j AS MATERIALIZED (SELECT * FROM a${r}_${j - 1}
+               |  UNION ALL SELECT * FROM d${r}_$j)""".stripMargin
+          }.mkString(",\n")
+          val bt = (1 to maxW).map { t =>
+            s"""g${r}_$t AS MATERIALIZED (SELECT b.word, b.freq, b.pos, b.key, min(e.i) AS bi
+               |  FROM b${r}_${t - 1} b
+               |  JOIN e$r e ON e.word = b.word AND e.j = b.pos
+               |  JOIN a${r}_$maxW a ON a.word = b.word AND a.pos = e.i
+               |  WHERE b.pos > 0 AND a.key + e.skey * 64 - 1 = b.key
+               |  GROUP BY b.word, b.freq, b.pos, b.key),
+               |p${r}_$t AS (SELECT word, freq,
+               |    substr(word, bi + 1, pos - bi) AS piece FROM g${r}_$t),
+               |b${r}_$t AS MATERIALIZED (SELECT g.word, g.freq, g.bi AS pos, a.key
+               |  FROM g${r}_$t g JOIN a${r}_$maxW a
+               |    ON a.word = g.word AND a.pos = g.bi)""".stripMargin
+          }.mkString(",\n")
+          val emits = (1 to maxW).map(t => s"SELECT * FROM p${r}_$t")
+            .mkString(" UNION ALL ")
+          s"""tt$r AS MATERIALIZED (SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM $v),
+             |e$r AS MATERIALIZED (SELECT o.word, o.i, o.j,
+             |    CAST(floor((ln(s.cnt + 1) - ln(tt$r.t)) * 1000000) AS BIGINT)
+             |      AS skey
+             |  FROM occ o JOIN $v s USING (piece) CROSS JOIN tt$r),
+             |a${r}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS key FROM wt),
+             |$dp,
+             |b${r}_0 AS MATERIALIZED (SELECT w.word, w.freq, length(w.word) AS pos, a.key
+             |  FROM wt w JOIN a${r}_$maxW a
+             |    ON a.word = w.word AND a.pos = length(w.word)),
+             |$bt,
+             |cc$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM ($emits) GROUP BY piece)""".stripMargin
+        }
+        s"""WITH wt AS MATERIALIZED (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($DuckToks) AS word FROM documents)
+           |  WHERE length(word) BETWEEN 1 AND $maxW GROUP BY word),
+           |occ AS MATERIALIZED (
+           |  SELECT word, freq, i, i + l AS j, substr(word, i + 1, l) AS piece
+           |  FROM wt,
+           |    (SELECT unnest(range(0, $maxW)) AS i) ii,
+           |    (SELECT unnest(range(1, 7)) AS l) ll
+           |  WHERE i < length(word) AND l <= least(6, length(word) - i)),
+           |cz AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM occ GROUP BY piece),
+           |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
+           |    (SELECT piece, cnt FROM cz ORDER BY cnt DESC, piece LIMIT 40)
+           |    UNION ALL
+           |    (SELECT piece, cnt FROM cz WHERE length(piece) = 1))),
+           |${emRound(1, "v0")},
+           |v1 AS MATERIALIZED (SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+           |  FROM v0 v LEFT JOIN cc1 c USING (piece)
+           |  WHERE c.cnt IS NOT NULL OR length(v.piece) = 1),
+           |${emRound(2, "v1")}""".stripMargin
+  }
+
   private def textQueries: Seq[Q] = Seq(
     Q("txt_stats_by_lang",
       (s, d) => TextOps.statsByLang(documents(s, d)),
@@ -3382,81 +3458,35 @@ object SparkEntry {
     // rounds per EM pass — same replay discipline as txt_bpe_merges.
     Q("txt_unigram_lm",
       (s, d) => TextOps.unigramLmPieces(documents(s, d)),
-      Some {
-        val maxW = 12
-        // one EM pass: score vocab `v`, DP a{r}_0..12, backtrack
-        // b/g/p{r}_1..12, Viterbi counts cc{r}
-        // every multiply-referenced CTE is MATERIALIZED: the DP chain
-        // a_j = a_{j-1} ∪ d_j reads a_{j-1} twice, so plain (inlined)
-        // CTEs expand 2^12 copies of the corpus scan
-        def emRound(r: Int, v: String): String = {
-          val dp = (1 to maxW).map { j =>
-            s"""d${r}_$j AS MATERIALIZED (SELECT e.word, $j AS pos,
-               |    max(a.key + e.skey * 64 - 1) AS key
-               |  FROM e$r e JOIN a${r}_${j - 1} a
-               |    ON a.word = e.word AND a.pos = e.i
-               |  WHERE e.j = $j GROUP BY e.word),
-               |a${r}_$j AS MATERIALIZED (SELECT * FROM a${r}_${j - 1}
-               |  UNION ALL SELECT * FROM d${r}_$j)""".stripMargin
-          }.mkString(",\n")
-          val bt = (1 to maxW).map { t =>
-            s"""g${r}_$t AS MATERIALIZED (SELECT b.word, b.freq, b.pos, b.key, min(e.i) AS bi
-               |  FROM b${r}_${t - 1} b
-               |  JOIN e$r e ON e.word = b.word AND e.j = b.pos
-               |  JOIN a${r}_$maxW a ON a.word = b.word AND a.pos = e.i
-               |  WHERE b.pos > 0 AND a.key + e.skey * 64 - 1 = b.key
-               |  GROUP BY b.word, b.freq, b.pos, b.key),
-               |p${r}_$t AS (SELECT word, freq,
-               |    substr(word, bi + 1, pos - bi) AS piece FROM g${r}_$t),
-               |b${r}_$t AS MATERIALIZED (SELECT g.word, g.freq, g.bi AS pos, a.key
-               |  FROM g${r}_$t g JOIN a${r}_$maxW a
-               |    ON a.word = g.word AND a.pos = g.bi)""".stripMargin
-          }.mkString(",\n")
-          val emits = (1 to maxW).map(t => s"SELECT * FROM p${r}_$t")
-            .mkString(" UNION ALL ")
-          s"""tt$r AS MATERIALIZED (SELECT CAST(sum(cnt + 1) AS BIGINT) AS t FROM $v),
-             |e$r AS MATERIALIZED (SELECT o.word, o.i, o.j,
-             |    CAST(floor((ln(s.cnt + 1) - ln(tt$r.t)) * 1000000) AS BIGINT)
-             |      AS skey
-             |  FROM occ o JOIN $v s USING (piece) CROSS JOIN tt$r),
-             |a${r}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS key FROM wt),
-             |$dp,
-             |b${r}_0 AS MATERIALIZED (SELECT w.word, w.freq, length(w.word) AS pos, a.key
-             |  FROM wt w JOIN a${r}_$maxW a
-             |    ON a.word = w.word AND a.pos = length(w.word)),
-             |$bt,
-             |cc$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-             |  FROM ($emits) GROUP BY piece)""".stripMargin
-        }
-        s"""WITH wt AS MATERIALIZED (
-           |  SELECT word, count(*) AS freq FROM (
-           |    SELECT unnest($DuckToks) AS word FROM documents)
-           |  WHERE length(word) BETWEEN 1 AND $maxW GROUP BY word),
-           |occ AS MATERIALIZED (
-           |  SELECT word, freq, i, i + l AS j, substr(word, i + 1, l) AS piece
-           |  FROM wt,
-           |    (SELECT unnest(range(0, $maxW)) AS i) ii,
-           |    (SELECT unnest(range(1, 7)) AS l) ll
-           |  WHERE i < length(word) AND l <= least(6, length(word) - i)),
-           |cz AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM occ GROUP BY piece),
-           |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
-           |    (SELECT piece, cnt FROM cz ORDER BY cnt DESC, piece LIMIT 40)
-           |    UNION ALL
-           |    (SELECT piece, cnt FROM cz WHERE length(piece) = 1))),
-           |${emRound(1, "v0")},
-           |v1 AS MATERIALIZED (SELECT v.piece, coalesce(c.cnt, 0) AS cnt
-           |  FROM v0 v LEFT JOIN cc1 c USING (piece)
-           |  WHERE c.cnt IS NOT NULL OR length(v.piece) = 1),
-           |${emRound(2, "v1")}
+      Some(
+        s"""$duckUnigramCtes
            |SELECT v.piece, cz.cnt AS c0,
            |  CAST(coalesce(c1.cnt, 0) AS BIGINT) AS c1,
            |  CAST(coalesce(c2.cnt, 0) AS BIGINT) AS c2
            |FROM v0 v JOIN cz USING (piece)
            |  LEFT JOIN cc1 c1 USING (piece)
            |  LEFT JOIN cc2 c2 USING (piece)
-           |ORDER BY c2 DESC, v.piece LIMIT 50""".stripMargin
-      }),
+           |ORDER BY c2 DESC, v.piece LIMIT 50""".stripMargin)),
+
+    // APPLY the trained unigram tokenizer: per-document fertility stats
+    // from the round-2 segmentation (per-word piece counts come from the
+    // same unrolled p2_* backtrack emits the trainer oracle verifies)
+    Q("txt_unigram_encode",
+      (s, d) => TextOps.unigramLmEncode(documents(s, d)),
+      Some(
+        s"""$duckUnigramCtes,
+           |wp AS (SELECT word, count(*) AS n_pieces
+           |  FROM (${(1 to 12).map(t => s"SELECT * FROM p2_$t")
+                .mkString(" UNION ALL ")})
+           |  GROUP BY word),
+           |dt AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents)
+           |SELECT dt.doc_id, count(*) AS n_words,
+           |  CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces,
+           |  floor(CAST(sum(wp.n_pieces) AS DOUBLE) / count(*)
+           |    * 10000 + 0.5) / 10000 AS pieces_per_word
+           |FROM dt JOIN wp USING (word)
+           |WHERE length(dt.word) BETWEEN 1 AND 12
+           |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin)),
 
     // BPE merge learning (tokenizer training): 5 merge rounds over the
     // word-frequency table; oracle unrolls the identical rounds — pair

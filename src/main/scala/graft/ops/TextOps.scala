@@ -1216,6 +1216,62 @@ object TextOps {
   def unigramLmPieces(docs: DataFrame, vocabSize: Int = 40,
                       maxPieceLen: Int = 6, maxWordLen: Int = 12,
                       topK: Int = 50, dpPartitions: Int = 1): DataFrame = {
+    val st = unigramTrain(docs, vocabSize, maxPieceLen, maxWordLen, dpPartitions)
+    val c2 = viterbiPieceCounts(st.occ, st.vocab1, dpPartitions)
+    st.vocab0.select(col("piece"))
+      .join(st.c0.withColumnRenamed("cnt", "c0"), Seq("piece"))
+      .join(st.c1.withColumnRenamed("cnt", "c1"), Seq("piece"), "left")
+      .join(c2.withColumnRenamed("cnt", "c2"), Seq("piece"), "left")
+      .select(col("piece"), col("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .orderBy(col("c2").desc, col("piece"))
+      .limit(topK)
+  }
+
+  /** APPLY the trained unigram-LM tokenizer to the corpus — the encode
+    * half beside [[unigramLmPieces]] (the [[bpeEncode]] analogue): train
+    * the same two hard-EM rounds, then segment every document's words
+    * under the final (round-2) vocabulary and report per-document
+    * tokenization stats. Because a word's segmentation is a pure function
+    * of the trained scores, encoding is ONE vocabulary-sized Viterbi pass
+    * plus a broadcast join from the corpus token stream onto the per-word
+    * piece counts — document text never shuffles. Words longer than
+    * `maxWordLen` are outside the training contract and excluded from the
+    * census (the trainer's documented exclusion, applied consistently).
+    *
+    * Output: (doc_id, n_words, n_pieces, pieces_per_word 4dp) — the
+    * fertility statistic a tokenizer rollout is judged by.
+    */
+  def unigramLmEncode(docs: DataFrame, vocabSize: Int = 40,
+                      maxPieceLen: Int = 6, maxWordLen: Int = 12,
+                      dpPartitions: Int = 1): DataFrame = {
+    val st = unigramTrain(docs, vocabSize, maxPieceLen, maxWordLen, dpPartitions)
+    val wordPieces = viterbiSegmented(st.occ, st.vocab1)
+      .select(col("word"), (size(col("cuts")) - 1).as("n_pieces"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .join(wordPieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (floor(col("n_pieces").cast("double") / col("n_words")
+          * 10000 + 0.5) / 10000).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trained unigram-LM state shared by the pieces and encode operators:
+    * the occurrence/edge frame, the candidate counts, the initial vocab,
+    * round-1 Viterbi counts, and the pruned round-2 vocabulary.
+    */
+  private final case class UnigramState(occ: DataFrame, c0: DataFrame,
+                                        vocab0: DataFrame, c1: DataFrame,
+                                        vocab1: DataFrame)
+
+  private def unigramTrain(docs: DataFrame, vocabSize: Int,
+                           maxPieceLen: Int, maxWordLen: Int,
+                           dpPartitions: Int): UnigramState = {
     // word-frequency table: the only corpus-wide aggregate (map-side
     // combined; the coalesce touches only the post-shuffle merge)
     val words = Exec.trackTransient(docs
@@ -1245,75 +1301,7 @@ object TextOps {
         .unionByName(c0.filter(length(col("piece")) === 1))
         .dropDuplicates("piece")
         .localCheckpoint())
-
-    /** One hard-EM round: score the given (piece, cnt) vocab with
-      * add-one-smoothed quantized logs, Viterbi-segment every word,
-      * return per-piece Viterbi counts (pieces absent from every best
-      * segmentation get no row).
-      *
-      * The Viterbi DP is a ROW-LOCAL higher-order fold, not a round of
-      * joins: each word's lattice depends only on its own (i, j, score)
-      * edge list, so the per-word edges are collected into an array
-      * sorted by (j, i) and the whole DP + backtrack runs inside two
-      * codegen'd `aggregate` folds — ONE distributed job per EM round
-      * regardless of word length (a first cut orchestrated 2·maxWordLen
-      * tiny DP/backtrack JOINS per round: ~50 jobs of pure scheduler
-      * overhead, 16.8 s at sf1 for a 31-word table; this shape is ~6×
-      * faster and is how the DP scales to a 10M-word table — per-row
-      * parallelism, no driver round loop).
-      *
-      * DP state: dp[p] (1-based element p+1) = best packed key reaching
-      * position p, init dp[0] = 0 and −2⁶² elsewhere (an effective −∞
-      * that survives adding an edge cost without overflow). Edges sorted
-      * by (j, i): every dp[i] is final before any edge targeting j > i
-      * folds in. Backtrack state: the CUT-POSITION list, head = current
-      * position, prepending the SMALLEST i whose dp value explains the
-      * head's — the explicit min makes residual score ties deterministic;
-      * pieces are then the substrings between consecutive cuts.
-      */
-    def viterbiCounts(vocab: DataFrame): DataFrame = {
-      // T rides along via a 1-row broadcast (no driver collect)
-      val total = vocab.agg(sum(col("cnt") + 1).as("t"))
-      val scored = vocab.crossJoin(broadcast(total))
-        .select(col("piece"),
-          floor((log(col("cnt") + 1) - log(col("t"))) * 1e6)
-            .cast("long").as("skey"))
-      val edges = occ.join(broadcast(scored), Seq("piece"))
-        .groupBy(col("word"), col("freq"))
-        .agg(array_sort(collect_list(
-          struct(col("j"), col("i"), col("skey")))).as("es"))
-      val out = edges
-        .withColumn("dp", expr(
-          """aggregate(es,
-            |  concat(array(CAST(0 AS BIGINT)),
-            |    transform(sequence(1, length(word)),
-            |      x -> CAST(-4611686018427387904 AS BIGINT))),
-            |  (acc, e) -> transform(acc, (v, p) ->
-            |    IF(p = e.j,
-            |       greatest(v, element_at(acc, e.i + 1) + e.skey * 64 - 1),
-            |       v)))""".stripMargin))
-        .withColumn("cuts", expr(
-          """aggregate(sequence(1, length(word)),
-            |  array(length(word)),
-            |  (ps, x) -> IF(element_at(ps, 1) <= 0, ps,
-            |    concat(array(array_min(transform(filter(es,
-            |        e -> e.j = element_at(ps, 1)
-            |          AND element_at(dp, e.i + 1) + e.skey * 64 - 1
-            |            = element_at(dp, element_at(ps, 1) + 1)),
-            |      e -> e.i))), ps)))""".stripMargin))
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(cuts) - 1),
-            |  k -> substring(word, element_at(cuts, k) + 1,
-            |    element_at(cuts, k + 1) - element_at(cuts, k)))""".stripMargin))
-          .as("piece"))
-        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-        .coalesce(dpPartitions)
-        .localCheckpoint()
-      Exec.trackTransient(out)
-      out
-    }
-
-    val c1 = viterbiCounts(vocab0)
+    val c1 = viterbiPieceCounts(occ, vocab0, dpPartitions)
     // prune never-chosen multi-char pieces; single chars stay (coverage)
     val vocab1 = Exec.trackTransient(
       vocab0.select(col("piece"))
@@ -1321,16 +1309,82 @@ object TextOps {
         .filter(col("cnt").isNotNull || length(col("piece")) === 1)
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .localCheckpoint())
-    val c2 = viterbiCounts(vocab1)
-    vocab0.select(col("piece"))
-      .join(c0.withColumnRenamed("cnt", "c0"), Seq("piece"))
-      .join(c1.withColumnRenamed("cnt", "c1"), Seq("piece"), "left")
-      .join(c2.withColumnRenamed("cnt", "c2"), Seq("piece"), "left")
-      .select(col("piece"), col("c0"),
-        coalesce(col("c1"), lit(0L)).as("c1"),
-        coalesce(col("c2"), lit(0L)).as("c2"))
-      .orderBy(col("c2").desc, col("piece"))
-      .limit(topK)
+    UnigramState(occ, c0, vocab0, c1, vocab1)
+  }
+
+  /** Viterbi-segment every word of the occurrence frame under a scored
+    * vocabulary — the hard-EM E-step as a ROW-LOCAL higher-order fold,
+    * not a round of joins: each word's lattice depends only on its own
+    * (i, j, score) edge list, so the per-word edges are collected into an
+    * array sorted by (j, i) and the whole DP + backtrack runs inside two
+    * codegen'd `aggregate` folds — ONE distributed job per call
+    * regardless of word length (a first cut orchestrated 2·maxWordLen
+    * tiny DP/backtrack JOINS per round: ~50 jobs of pure scheduler
+    * overhead, 16.8 s at sf1 for a 31-word table; this shape is ~6×
+    * faster and is how the DP scales to a 10M-word table — per-row
+    * parallelism, no driver round loop).
+    *
+    * Scores: add-one-smoothed quantized logs floor(ln((c+1)/T)·1e6) —
+    * after quantization the whole DP is exact int64 arithmetic. DP
+    * state: dp[p] (1-based element p+1) = best packed key
+    * (64·score − pieces) reaching position p, init dp[0] = 0 and −2⁶²
+    * elsewhere (an effective −∞ that survives adding an edge cost
+    * without overflow). Edges sorted by (j, i): every dp[i] is final
+    * before any edge targeting j > i folds in. Backtrack state: the
+    * CUT-POSITION list, head = current position, prepending the SMALLEST
+    * i whose dp value explains the head's — the explicit min makes
+    * residual score ties deterministic. Returns one row per word:
+    * (word, freq, cuts) where cuts = [0, …, length(word)] are the
+    * segmentation boundaries.
+    */
+  private def viterbiSegmented(occ: DataFrame, vocab: DataFrame): DataFrame = {
+    // T rides along via a 1-row broadcast (no driver collect)
+    val total = vocab.agg(sum(col("cnt") + 1).as("t"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("piece"),
+        floor((log(col("cnt") + 1) - log(col("t"))) * 1e6)
+          .cast("long").as("skey"))
+    occ.join(broadcast(scored), Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(array_sort(collect_list(
+        struct(col("j"), col("i"), col("skey")))).as("es"))
+      .withColumn("dp", expr(
+        """aggregate(es,
+          |  concat(array(CAST(0 AS BIGINT)),
+          |    transform(sequence(1, length(word)),
+          |      x -> CAST(-4611686018427387904 AS BIGINT))),
+          |  (acc, e) -> transform(acc, (v, p) ->
+          |    IF(p = e.j,
+          |       greatest(v, element_at(acc, e.i + 1) + e.skey * 64 - 1),
+          |       v)))""".stripMargin))
+      .withColumn("cuts", expr(
+        """aggregate(sequence(1, length(word)),
+          |  array(length(word)),
+          |  (ps, x) -> IF(element_at(ps, 1) <= 0, ps,
+          |    concat(array(array_min(transform(filter(es,
+          |        e -> e.j = element_at(ps, 1)
+          |          AND element_at(dp, e.i + 1) + e.skey * 64 - 1
+          |            = element_at(dp, element_at(ps, 1) + 1)),
+          |      e -> e.i))), ps)))""".stripMargin))
+      .select(col("word"), col("freq"), col("cuts"))
+  }
+
+  /** The hard-EM M-step: per-piece Viterbi counts from the segmented
+    * words (pieces absent from every best segmentation get no row).
+    */
+  private def viterbiPieceCounts(occ: DataFrame, vocab: DataFrame,
+                                 dpPartitions: Int): DataFrame = {
+    val out = viterbiSegmented(occ, vocab)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(cuts) - 1),
+          |  k -> substring(word, element_at(cuts, k) + 1,
+          |    element_at(cuts, k + 1) - element_at(cuts, k)))""".stripMargin))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .coalesce(dpPartitions)
+      .localCheckpoint()
+    Exec.trackTransient(out)
+    out
   }
 
   /** The COMPOSED training-data pipeline, end to end in one plan:

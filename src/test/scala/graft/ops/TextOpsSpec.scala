@@ -560,6 +560,21 @@ class TextOpsSpec extends SparkSpec {
       .zip(out.map(_._4)).map { case (p, c) => c * p.length }.sum == totalChars)
   }
 
+  test("unigram LM encode: fertility on the textbook corpus") {
+    val df = Seq.tabulate(60) { i =>
+      (i.toLong, if (i < 50) "hello world" else "hell low orld")
+    }.toDF("doc_id", "text")
+    // budget 20: the single chars (l=140, o=80) and the 60-count tier fill
+    // the vocab, so the 50-count whole words hello/world fall out and must
+    // segment as subwords: hello -> hell+o, world -> w+orld, low -> lo+w;
+    // hell and orld (60-tier) stay whole
+    val got = TextOps.unigramLmEncode(df, vocabSize = 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 60)
+    assert(got(0L) == ((2L, 4L, 2.0)), s"got ${got(0L)}")
+    assert(got(55L) == ((3L, 4L, 1.3333)), s"got ${got(55L)}")
+  }
+
   test("unigram LM: real corpus — nonempty, coverage invariant at both rounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // topK wide open: the tiling invariant needs EVERY vocab row

@@ -505,6 +505,31 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Mean-reciprocal-rank audit of the IVF path — [[annRecallAudit]]'s
+    * order-sensitive sibling: recall@k says WHETHER the true neighbors
+    * were recovered, MRR says how early the first one shows up
+    * (first-position quality is what a RAG context window actually
+    * consumes). Per query: the rank of the first approx-retrieved item
+    * that is truly in the exact top-k, its reciprocal (ONE division,
+    * quantized — integer-exact otherwise), and the hit count. Cost: the
+    * same two scale-shaped retrieval passes as the recall audit.
+    */
+  def annMrrAudit(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5): DataFrame = {
+    val exact = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id")).withColumn("relevant", lit(1))
+    ivfAnn(emb, maxQueryId, k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("relevant") === 1, col("rank"))).as("first_hit_rank"),
+        count(when(col("relevant") === 1, 1)).as("n_hits"))
+      .select(col("query_id"), col("first_hit_rank"), col("n_hits"),
+        when(col("first_hit_rank").isNotNull,
+          floor(lit(1.0) / col("first_hit_rank") * 10000 + 0.5) / 10000)
+          .otherwise(lit(0.0)).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Product-quantization ANN (ADC — asymmetric distance computation): the
     * memory-collapse path of a vector index. Each 64-dim vector is split
     * into `nSub` disjoint subspaces; per subspace it stores only the id of

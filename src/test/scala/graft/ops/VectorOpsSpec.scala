@@ -539,6 +539,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("MRR audit: agrees with the recall audit; full recall forces a rank-1 hit") {
+    val mrr = VectorOps.annMrrAudit(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val rec = VectorOps.annRecallAudit(emb).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(mrr.keySet == rec.keySet)
+    mrr.foreach { case (q, (fhr, nHits, rr)) =>
+      assert(nHits == rec(q), s"query $q: hit counts disagree with recall audit")
+      if (nHits == 5)
+        // approx top-5 == exact top-5 as sets, so rank 1 must be relevant
+        assert(fhr == 1 && rr == 1.0, s"query $q: full recall but fhr=$fhr")
+      if (nHits > 0) {
+        assert(fhr >= 1 && fhr <= 5)
+        assert(rr == math.floor(1.0 / fhr * 10000 + 0.5) / 10000,
+          s"query $q: rr $rr != 1/$fhr")
+      } else assert(fhr == -1 && rr == 0.0)
+    }
+  }
+
   test("vec pipeline e2e: planted duplicate vectors are deduped out of retrieval") {
     // exact copies (cosine 1.0, same label) under fresh larger ids: the
     // dedup stage must drop every twin (component min = the original), so

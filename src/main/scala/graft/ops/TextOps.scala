@@ -1337,6 +1337,34 @@ object TextOps {
     * (word, freq, cuts) where cuts = [0, …, length(word)] are the
     * segmentation boundaries.
     */
+  /** The Viterbi forward-DP fold (consumes `word` + sorted edge array
+    * `es`, produces the packed-key array `dp`) — package-visible so the
+    * ScalaCheck property suite can run the IDENTICAL expression against a
+    * brute-force segmentation enumerator.
+    */
+  private[ops] val ViterbiDpExpr: String =
+    """aggregate(es,
+      |  concat(array(CAST(0 AS BIGINT)),
+      |    transform(sequence(1, length(word)),
+      |      x -> CAST(-4611686018427387904 AS BIGINT))),
+      |  (acc, e) -> transform(acc, (v, p) ->
+      |    IF(p = e.j,
+      |       greatest(v, element_at(acc, e.i + 1) + e.skey * 64 - 1),
+      |       v)))""".stripMargin
+
+  /** The backtrack fold (consumes `word`, `es`, `dp`, produces the
+    * cut-position list) — shared with the property suite.
+    */
+  private[ops] val ViterbiCutsExpr: String =
+    """aggregate(sequence(1, length(word)),
+      |  array(length(word)),
+      |  (ps, x) -> IF(element_at(ps, 1) <= 0, ps,
+      |    concat(array(array_min(transform(filter(es,
+      |        e -> e.j = element_at(ps, 1)
+      |          AND element_at(dp, e.i + 1) + e.skey * 64 - 1
+      |            = element_at(dp, element_at(ps, 1) + 1)),
+      |      e -> e.i))), ps)))""".stripMargin
+
   private def viterbiSegmented(occ: DataFrame, vocab: DataFrame): DataFrame = {
     // T rides along via a 1-row broadcast (no driver collect)
     val total = vocab.agg(sum(col("cnt") + 1).as("t"))
@@ -1348,24 +1376,8 @@ object TextOps {
       .groupBy(col("word"), col("freq"))
       .agg(array_sort(collect_list(
         struct(col("j"), col("i"), col("skey")))).as("es"))
-      .withColumn("dp", expr(
-        """aggregate(es,
-          |  concat(array(CAST(0 AS BIGINT)),
-          |    transform(sequence(1, length(word)),
-          |      x -> CAST(-4611686018427387904 AS BIGINT))),
-          |  (acc, e) -> transform(acc, (v, p) ->
-          |    IF(p = e.j,
-          |       greatest(v, element_at(acc, e.i + 1) + e.skey * 64 - 1),
-          |       v)))""".stripMargin))
-      .withColumn("cuts", expr(
-        """aggregate(sequence(1, length(word)),
-          |  array(length(word)),
-          |  (ps, x) -> IF(element_at(ps, 1) <= 0, ps,
-          |    concat(array(array_min(transform(filter(es,
-          |        e -> e.j = element_at(ps, 1)
-          |          AND element_at(dp, e.i + 1) + e.skey * 64 - 1
-          |            = element_at(dp, element_at(ps, 1) + 1)),
-          |      e -> e.i))), ps)))""".stripMargin))
+      .withColumn("dp", expr(ViterbiDpExpr))
+      .withColumn("cuts", expr(ViterbiCutsExpr))
       .select(col("word"), col("freq"), col("cuts"))
   }
 

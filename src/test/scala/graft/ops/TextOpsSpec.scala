@@ -3,6 +3,11 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
+/** Edge of a Viterbi lattice row — file-scoped so Spark can derive its
+  * encoder without an outer-instance capture.
+  */
+case class VEdge(j: Int, i: Int, skey: Long)
+
 class TextOpsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -558,6 +563,67 @@ class TextOpsSpec extends SparkSpec {
     // the round-2 coverage invariant holds too
     assert(out.map { case (p, _, _, _) => p }
       .zip(out.map(_._4)).map { case (p, c) => c * p.length }.sum == totalChars)
+  }
+
+  test("unigram Viterbi fold == exhaustive segmentation search (200 random lattices)") {
+    // 200 deterministic random lattices, all evaluated in ONE DataFrame
+    // pass through the IDENTICAL expressions the trainer runs; each case
+    // verified against (a) full 2^(len-1) segmentation enumeration for
+    // the optimal packed key, and (b) an independent right-to-left
+    // smallest-i backtrack for the tie rule
+    val rnd = new scala.util.Random(20260815L)
+    val cases = (0 until 200).map { id =>
+      val len = 1 + rnd.nextInt(8)
+      val word = Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+      val subs = (for {
+        i <- 0 until len; l <- 1 to (len - i)
+      } yield word.substring(i, i + l)).distinct
+      // all single chars (coverage) + a random half of the multi-grams,
+      // random negative quantized-log scores
+      val vocab = subs.filter(s => s.length == 1 || rnd.nextBoolean())
+        .map(s => s -> -(1L + rnd.nextInt(20000000))).toMap
+      val es = (for {
+        i <- 0 until len; l <- 1 to (len - i)
+        p = word.substring(i, i + l) if vocab.contains(p)
+      } yield VEdge(i + l, i, vocab(p))).sortBy(e => (e.j, e.i))
+      (id, word, es, vocab)
+    }
+    val got = cases.map { case (id, w, es, _) => (id, w, es) }
+      .toDF("id", "word", "es")
+      .withColumn("dp", expr(TextOps.ViterbiDpExpr))
+      .withColumn("cuts", expr(TextOps.ViterbiCutsExpr))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Long](3), r.getSeq[Int](4)))).toMap
+    cases.foreach { case (id, word, es, vocab) =>
+      val len = word.length
+      def key(pieces: Seq[String]): Long = 64L * pieces.map(vocab).sum - pieces.length
+      val bestKey = (for {
+        mask <- 0 until (1 << (len - 1))
+        cuts = 0 +: (1 until len).filter(b => ((mask >> (b - 1)) & 1) == 1) :+ len
+        pieces = cuts.sliding(2).map(s => word.substring(s.head, s.last)).toSeq
+        if pieces.forall(vocab.contains)
+      } yield key(pieces)).max
+      val (dp, cuts) = got(id)
+      assert(dp.last == bestKey, s"case $id '$word': dp ${dp.last} != $bestKey")
+      val pieces = cuts.sliding(2).map(s => word.substring(s.head, s.last)).toSeq
+      assert(pieces.forall(vocab.contains), s"case $id: non-vocab piece in $pieces")
+      assert(key(pieces) == bestKey, s"case $id: suboptimal segmentation $pieces")
+      // independent backtrack: smallest split point at every step
+      val sdp = Array.fill(len + 1)(Long.MinValue / 4)
+      sdp(0) = 0L
+      es.foreach { e =>
+        if (sdp(e.i) + e.skey * 64 - 1 > sdp(e.j)) sdp(e.j) = sdp(e.i) + e.skey * 64 - 1
+      }
+      val bf = scala.collection.mutable.ListBuffer(len)
+      var pos = len
+      while (pos > 0) {
+        val bi = es.filter(e => e.j == pos &&
+          sdp(e.i) + e.skey * 64 - 1 == sdp(pos)).map(_.i).min
+        bf.prepend(bi)
+        pos = bi
+      }
+      assert(cuts == bf.toSeq, s"case $id '$word': cuts $cuts != $bf")
+    }
   }
 
   test("unigram LM encode: fertility on the textbook corpus") {

@@ -68,5 +68,21 @@ class DedupStreamSpec extends SparkSpec {
       .select("doc_a", "doc_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     assert(first == second, "replay changed the pair output")
+
+    // the OTHER crash point: pairs committed but the index contribution
+    // lost (died between the two writes). Replay must restore the index
+    // partitions and leave the pair output byte-identical.
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$tmp/index/bands/src_batch=0")).deleteRecursively()
+    new Directory(new java.io.File(s"$tmp/index/sets/src_batch=0")).deleteRecursively()
+    DedupStream.processBatch(batch.toDF(), 0L, s"$tmp/index", s"$tmp/pairs")
+    val third = spark.read.parquet(s"$tmp/pairs")
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(first == third, "post-crash replay changed the pair output")
+    val idxBatches = spark.read.parquet(s"$tmp/index/bands")
+      .select(col("src_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxBatches == Set(-1L, 0L), s"index partitions after replay: $idxBatches")
   }
 }

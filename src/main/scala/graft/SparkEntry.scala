@@ -6225,6 +6225,108 @@ object SparkEntry {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // rescale-robustness census: the oracle replays the WHOLE integer
+    // image pipeline (2× replicate → clamped 3×3 box blur → sum-pool for
+    // pHash / floor-avg-pool for aHash → DCT + mean thresholds) so the
+    // "pHash survives rescaling, aHash doesn't" claim is hash-verified
+    Q("mm_image_rescale_census",
+      (s, d) => MultimodalOps.imageRescaleRobustness(documents(s, d)),
+      Some {
+        val ctRows = (for {
+          k <- 0 until 8; n <- 0 until 8
+        } yield s"(${k}, ${n}, ${MultimodalOps.DctC(k)(n)})").mkString(", ")
+        // integer DCT + AC-mean sign hash of a (doc_id, r, c, v) CTE
+        def phash(src: String, p: String): String =
+          s"""${p}u AS (SELECT s.doc_id, ct.k AS u, s.c,
+             |    CAST(sum(CAST(s.v AS BIGINT) * ct.cc) AS BIGINT) AS uv
+             |  FROM $src s JOIN ct ON ct.n = s.r GROUP BY 1, 2, 3),
+             |${p}t AS (SELECT w.doc_id, w.u, ct.k AS v,
+             |    CAST(sum(uv * ct.cc) AS BIGINT) AS tv
+             |  FROM ${p}u w JOIN ct ON ct.n = w.c GROUP BY 1, 2, 3),
+             |${p}st AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE tv END)
+             |      AS BIGINT) AS ac_sum
+             |  FROM ${p}t GROUP BY 1),
+             |${p}hs AS (SELECT t.doc_id,
+             |    CAST(sum(CASE WHEN u * 8 + v BETWEEN 1 AND 31
+             |        AND tv * 63 > ac_sum
+             |      THEN (1::BIGINT << (u * 8 + v)) ELSE 0 END) AS BIGINT) AS h1,
+             |    CAST(sum(CASE WHEN u * 8 + v >= 32 AND tv * 63 > ac_sum
+             |      THEN (1::BIGINT << (u * 8 + v - 32)) ELSE 0 END) AS BIGINT) AS h2
+             |  FROM ${p}t t JOIN ${p}st USING (doc_id) GROUP BY 1)""".stripMargin
+        // pixel-vs-mean aHash of a (doc_id, r, c, v) CTE
+        def ahash(src: String, p: String): String =
+          s"""${p}s AS (SELECT doc_id, sum(v) AS total FROM $src GROUP BY 1),
+             |${p}hs AS (SELECT x.doc_id,
+             |    CAST(sum(CASE WHEN r * 8 + c < 32 AND v * 64 > total
+             |      THEN (1::BIGINT << (r * 8 + c)) ELSE 0 END) AS BIGINT) AS h1,
+             |    CAST(sum(CASE WHEN r * 8 + c >= 32 AND v * 64 > total
+             |      THEN (1::BIGINT << (r * 8 + c - 32)) ELSE 0 END) AS BIGINT) AS h2
+             |  FROM $src x JOIN ${p}s USING (doc_id) GROUP BY 1)""".stripMargin
+        s"""WITH grid AS (
+           |  SELECT doc_id, r, c,
+           |    16 + (xor(m, m >> 13) % 224) AS base
+           |  FROM (
+           |    SELECT d.doc_id, r.r AS r, c.c AS c,
+           |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+           |        + (r.r * 8 + c.c) * 40503 AS m
+           |    FROM documents d,
+           |      (SELECT unnest(range(8)) AS r) r,
+           |      (SELECT unnest(range(8)) AS c) c)),
+           |px AS MATERIALIZED (
+           |  SELECT doc_id, r, c,
+           |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+           |           THEN base + 8
+           |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+           |           THEN base - 16
+           |         ELSE base END AS v
+           |  FROM grid),
+           |ct(k, n, cc) AS (VALUES $ctRows),
+           |rep AS MATERIALIZED (
+           |  SELECT p.doc_id, rr.r, cc.c, p.v
+           |  FROM px p,
+           |    (SELECT unnest(range(16)) AS r) rr,
+           |    (SELECT unnest(range(16)) AS c) cc
+           |  WHERE p.r = rr.r // 2 AND p.c = cc.c // 2),
+           |b16 AS MATERIALIZED (
+           |  SELECT t.doc_id, t.r, t.c, CAST(sum(s.v) // 9 AS BIGINT) AS v
+           |  FROM rep t,
+           |    (SELECT unnest(range(-1, 2)) AS dr) d1,
+           |    (SELECT unnest(range(-1, 2)) AS dc) d2,
+           |    rep s
+           |  WHERE s.doc_id = t.doc_id
+           |    AND s.r = LEAST(15, GREATEST(0, t.r + d1.dr))
+           |    AND s.c = LEAST(15, GREATEST(0, t.c + d2.dc))
+           |  GROUP BY 1, 2, 3),
+           |ps AS MATERIALIZED (
+           |  SELECT doc_id, r // 2 AS r, c // 2 AS c, CAST(sum(v) AS BIGINT) AS v
+           |  FROM b16 GROUP BY 1, 2, 3),
+           |pa AS MATERIALIZED (
+           |  SELECT doc_id, r // 2 AS r, c // 2 AS c,
+           |    CAST(sum(v) // 4 AS BIGINT) AS v
+           |  FROM b16 GROUP BY 1, 2, 3),
+           |${phash("px", "pb")},
+           |${phash("ps", "pr")},
+           |${ahash("px", "ab")},
+           |${ahash("pa", "ar")},
+           |ham AS (
+           |  SELECT b.doc_id,
+           |    CAST(bit_count(xor(b.h1, r.h1)) + bit_count(xor(b.h2, r.h2))
+           |      AS INTEGER) AS p_ham,
+           |    CAST(bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2))
+           |      AS INTEGER) AS a_ham
+           |  FROM pbhs b JOIN prhs r USING (doc_id)
+           |  JOIN abhs x USING (doc_id) JOIN arhs y USING (doc_id))
+           |SELECT p_ham <= 4 AS phash_caught, a_ham <= 3 AS ahash_caught,
+           |  count(*) AS n_docs,
+           |  CAST(min(p_ham) AS INTEGER) AS min_p_ham,
+           |  CAST(max(p_ham) AS INTEGER) AS max_p_ham,
+           |  CAST(min(a_ham) AS INTEGER) AS min_a_ham,
+           |  CAST(max(a_ham) AS INTEGER) AS max_a_ham
+           |FROM ham GROUP BY 1, 2
+           |ORDER BY phash_caught, ahash_caught""".stripMargin
+      }),
+
     Q("mm_image_ahash_dedup",
       (s, d) => MultimodalOps.imageAHashPairs(documents(s, d)),
       Some("""WITH grid AS (

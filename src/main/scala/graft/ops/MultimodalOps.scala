@@ -916,6 +916,44 @@ object MultimodalOps {
     out
   }
 
+  /** Rescale-robustness CENSUS of the perceptual-hash family — the
+    * spec-level claim behind [[imagePHashPairs]] promoted to an
+    * oracle-checked query: every image is put through a 2× rescaled
+    * low-pass re-encode ([[encodeRescaledThumbBmp16]]), and both hash
+    * paths compare original vs re-encode — pHash pools the 16×16 back to
+    * 8×8 internally, aHash runs on the decoder-resized
+    * ([[pooledTo8Bmp]]) image. Output: the 2×2 caught/missed census
+    * (pHash radius 4, aHash radius 3) with per-bucket Hamming ranges —
+    * all exact integers, and the DuckDB oracle replays the ENTIRE
+    * integer image pipeline (replicate → clamped 3×3 box blur → sum/avg
+    * pooling → DCT/mean thresholding), so the robustness claim is
+    * externally verified, not just asserted by a spec. Per-row byte
+    * walks, one tiny census aggregate — no shuffle carries image data.
+    */
+  def imageRescaleRobustness(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val orig = encodeThumbBmp(d)
+        val resc = encodeRescaledThumbBmp16(d)
+        val (p1, p2) = pHashHalves(orig)
+        val (q1, q2) = pHashHalves(resc)
+        val (a1, a2) = aHashHalves(orig)
+        val (b1, b2) = aHashHalves(pooledTo8Bmp(resc))
+        (d,
+          java.lang.Long.bitCount(p1 ^ q1) + java.lang.Long.bitCount(p2 ^ q2),
+          java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2))
+      })
+      .toDF("doc_id", "p_ham", "a_ham")
+      .groupBy((col("p_ham") <= 4).as("phash_caught"),
+        (col("a_ham") <= 3).as("ahash_caught"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("p_ham")).as("min_p_ham"), max(col("p_ham")).as("max_p_ham"),
+        min(col("a_ham")).as("min_a_ham"), max(col("a_ham")).as("max_a_ham"))
+      .orderBy(col("phash_caught"), col("ahash_caught"))
+  }
+
   /** Image near-duplicate pairs by perceptual (DCT) hash + banded Hamming
     * search — the family member that survives RESCALING: aHash/dHash key
     * on per-pixel comparisons, so a resize-and-re-encode round trip (=

@@ -5775,6 +5775,33 @@ object SparkEntry {
               |FROM pairs WHERE sim >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // incremental (delta) embedding dedup: the even-vec_id batch probes
+    // the label-blocked corpus via a byte-gated broadcast; oracle = the
+    // full-union cosine pair set filtered to batch-touching pairs (the
+    // 50% split keeps the tiny sf0.01 near-dup pair set non-vacuous)
+    Q("dedup_incremental_cosine",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        VectorOps.incrementalCosinePairs(
+          emb.filter(col("vec_id") % 2 =!= 0),
+          emb.filter(col("vec_id") % 2 === 0))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, $DuckVec AS v FROM embeddings),
+              |n AS (SELECT vec_id, label, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |pairs AS (
+              |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              |           / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT label, vec_a, vec_b,
+              |  CASE WHEN vec_a % 2 = 0 AND vec_b % 2 = 0 THEN 'new_new'
+              |       ELSE 'new_corpus' END AS pair_kind,
+              |  sim
+              |FROM pairs
+              |WHERE (vec_a % 2 = 0 OR vec_b % 2 = 0) AND sim >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // SemDeDup: cell-bucketed semantic dedup — nearest-centroid assignment
     // (same CTEs as vec_centroid_assign) restricts the cosine pair join to
     // co-celled vectors; the oracle replays assignment + within-cell pairs

@@ -704,6 +704,60 @@ object VectorOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Incremental (delta) embedding-cosine dedup — the vector member of
+    * the incremental trilogy beside [[DedupOps.incrementalMinhashPairs]]
+    * (token shingles) and [[DedupOps.incrementalSubstringSpans]] (exact
+    * chars): a NEW batch of embeddings probes the standing corpus within
+    * the same label blocks the batch operator uses, emitting only
+    * new-vs-corpus and new-vs-new verified pairs. DELTA IDENTITY: a
+    * pair's cosine depends only on its two vectors, so the result equals
+    * [[cosineNearDupPairs]] over corpus ∪ batch filtered to
+    * batch-touching pairs — the DuckDB oracle computes exactly that
+    * full+filter form.
+    *
+    * Scale shape: the batch side (vectors + norms) rides a BYTE-gated
+    * broadcast onto the label-blocked corpus stream, so the corpus
+    * embeddings never shuffle and per-ingest cost is |batch| ×
+    * block-occupancy — the corpus² pair space is never touched. A batch
+    * too large for the gate falls back to a label-keyed shuffle join.
+    */
+  def incrementalCosinePairs(corpus: DataFrame, batch: DataFrame,
+                             threshold: Double = 0.45): DataFrame = {
+    graft.functions.DotProduct.register(corpus.sparkSession)
+    def prep(df: DataFrame, isNew: Boolean): DataFrame =
+      df.select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(call_function("dot_product", col("embedding"), col("embedding")))
+          .as("nrm"),
+        lit(isNew).as("is_new"))
+    val all = prep(corpus, isNew = false).unionByName(prep(batch, isNew = true))
+    val probe = Exec.broadcastIfSmallBytes(
+      prep(batch, isNew = true).select(col("label"),
+        col("vec_id").as("vec_x"), col("embedding").as("e_x"),
+        col("nrm").as("nrm_x")))
+    probe.join(all, Seq("label"))
+      .filter(col("vec_x") =!= col("vec_id"))
+      .withColumn("sim", q4(
+        call_function("dot_product", col("e_x"), col("embedding"))
+          / (col("nrm_x") * col("nrm"))))
+      .filter(col("sim") >= threshold)
+      .select(col("label"),
+        least(col("vec_x"), col("vec_id")).as("vec_a"),
+        greatest(col("vec_x"), col("vec_id")).as("vec_b"),
+        // the probe side is always new, so the pair is new_new iff the
+        // MATCHED side is new too; a new_new pair arrives in both
+        // orientations (max collapses them), new_corpus exactly once
+        col("is_new").as("other_new"),
+        col("sim"))
+      .groupBy(col("label"), col("vec_a"), col("vec_b"))
+      .agg(max(col("other_new")).as("both_new"),
+        first(col("sim")).as("sim"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        when(col("both_new"), lit("new_new")).otherwise(lit("new_corpus"))
+          .as("pair_kind"),
+        col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Reciprocal-rank fusion of two first-stage retrievers (brute-force
     * cosine and MIPS top-k): RRF(d) = Σ_lists 1/(c + rank_d), the standard
     * c = 60. Fusing RANKS instead of scores is what makes heterogeneous

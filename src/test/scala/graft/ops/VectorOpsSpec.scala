@@ -539,6 +539,32 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental cosine dedup: delta identity with planted twin vectors") {
+    // sf0.001 has no organic >=0.45 same-label pairs — plant exact copies
+    // of five corpus vectors as the new batch: each must pair with its
+    // original at sim 1.0 as new_corpus, and the incremental result must
+    // equal the full batch operator over the union filtered to the batch
+    val twins = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val inc = VectorOps.incrementalCosinePairs(emb, twins).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    val full = VectorOps.cosineNearDupPairs(emb.unionByName(twins), 0.45)
+      .collect()
+      .filter(r => r.getLong(1) >= 1000000L || r.getLong(2) >= 1000000L)
+      .map { r =>
+        val (a, b) = (r.getLong(1), r.getLong(2))
+        val kind = if (a >= 1000000L && b >= 1000000L) "new_new" else "new_corpus"
+        (a, b, kind, r.getDouble(3))
+      }.toSet
+    assert(inc == full,
+      s"delta identity broken: only-inc=${inc -- full} only-full=${full -- inc}")
+    (0L until 5L).foreach { v =>
+      assert(inc.contains((v, v + 1000000L, "new_corpus", 1.0)),
+        s"missing twin pair for $v in $inc")
+    }
+  }
+
   test("MRR audit: agrees with the recall audit; full recall forces a rank-1 hit") {
     val mrr = VectorOps.annMrrAudit(emb).collect()
       .map(r => r.getLong(0) ->

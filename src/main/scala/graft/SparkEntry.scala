@@ -1697,7 +1697,154 @@ object SparkEntry {
              |  floor((rec.l + h.h * rec.b) * 1000000 + 0.5) / 1000000 AS forecast
              |FROM rec JOIN mx ON mx.g = rec.g AND rec.t = mx.tmax
              |CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
-             |ORDER BY priority, h""".stripMargin))
+             |ORDER BY priority, h""".stripMargin)),
+
+    // AR(2) via Yule–Walker on exact integer moments (num_k identity in the
+    // scaladoc); linear-autoregression baseline beside Holt's smoothing
+    Q("ts_ar2_forecast",
+      (s, d) => graft.ops.TimeSeriesOps.ar2Forecast(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS x
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_suppkey, x,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY month) AS t,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY month DESC)
+             |      AS rt,
+             |    lag(x, 1) OVER (PARTITION BY l_suppkey ORDER BY month) AS x1,
+             |    lag(x, 2) OVER (PARTITION BY l_suppkey ORDER BY month) AS x2
+             |  FROM m),
+             |a AS (
+             |  SELECT l_suppkey, count(*) AS n, sum(x) AS s,
+             |    sum(x * x) AS xx0, sum(x * x1) AS xx1, sum(x * x2) AS xx2,
+             |    sum(CASE WHEN t <= 1 THEN x END) AS head1,
+             |    sum(CASE WHEN t <= 2 THEN x END) AS head2,
+             |    sum(CASE WHEN rt <= 1 THEN x END) AS tail1,
+             |    sum(CASE WHEN rt <= 2 THEN x END) AS tail2,
+             |    max(CASE WHEN rt = 1 THEN x END) AS xlast,
+             |    max(CASE WHEN rt = 2 THEN x END) AS xprev
+             |  FROM r GROUP BY 1),
+             |nm AS (
+             |  SELECT l_suppkey, n, s, xlast, xprev,
+             |    CAST(n * n * xx0 - n * s * s AS DOUBLE) AS num0,
+             |    CAST(n * n * xx1 - n * s * (2 * s - tail1 - head1)
+             |      + (n - 1) * s * s AS DOUBLE) AS num1,
+             |    CAST(n * n * xx2 - n * s * (2 * s - tail2 - head2)
+             |      + (n - 2) * s * s AS DOUBLE) AS num2
+             |  FROM a),
+             |rr AS (
+             |  SELECT *,
+             |    CASE WHEN num0 = 0.0 THEN NULL ELSE num1 / num0 END AS r1,
+             |    CASE WHEN num0 = 0.0 THEN NULL ELSE num2 / num0 END AS r2
+             |  FROM nm),
+             |ph AS (SELECT *, 1.0 - r1 * r1 AS den FROM rr),
+             |p2 AS (
+             |  SELECT *,
+             |    CASE WHEN den = 0.0 THEN NULL
+             |      ELSE r1 * (1.0 - r2) / den END AS phi1,
+             |    CASE WHEN den = 0.0 THEN NULL
+             |      ELSE (r2 - r1 * r1) / den END AS phi2,
+             |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mm
+             |  FROM ph)
+             |SELECT l_suppkey, n,
+             |  floor(r1 * 1000000 + 0.5) / 1000000 AS r1,
+             |  floor(r2 * 1000000 + 0.5) / 1000000 AS r2,
+             |  floor(phi1 * 1000000 + 0.5) / 1000000 AS phi1,
+             |  floor(phi2 * 1000000 + 0.5) / 1000000 AS phi2,
+             |  floor((mm + phi1 * (CAST(xlast AS DOUBLE) - mm)
+             |    + phi2 * (CAST(xprev AS DOUBLE) - mm)) * 10000 + 0.5) / 10000
+             |    AS forecast
+             |FROM p2 ORDER BY l_suppkey""".stripMargin)),
+
+    // Theil–Sen: median-of-pairwise-slopes robust trend; medians via
+    // explicit middle ranks so both engines average the same two values
+    Q("ts_theil_sen",
+      (s, d) => graft.ops.TimeSeriesOps.theilSen(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS x
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_suppkey, x,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY month) AS t
+             |  FROM m),
+             |pr AS (
+             |  SELECT a.l_suppkey,
+             |    CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+             |  FROM r a JOIN r b ON a.l_suppkey = b.l_suppkey AND b.t > a.t),
+             |sm AS (
+             |  SELECT l_suppkey, nv AS n_pairs,
+             |    sum(slope) / count(*) AS slope_med
+             |  FROM (
+             |    SELECT l_suppkey, slope,
+             |      row_number() OVER (PARTITION BY l_suppkey ORDER BY slope)
+             |        AS rn,
+             |      count(*) OVER (PARTITION BY l_suppkey) AS nv
+             |    FROM pr) q
+             |  WHERE rn = (nv + 1) // 2 OR rn = (nv + 2) // 2
+             |  GROUP BY 1, 2),
+             |rs AS (
+             |  SELECT r.l_suppkey,
+             |    CAST(r.x AS DOUBLE) - sm.slope_med * CAST(r.t AS DOUBLE)
+             |      AS resid
+             |  FROM r JOIN sm ON r.l_suppkey = sm.l_suppkey),
+             |im AS (
+             |  SELECT l_suppkey, sum(resid) / count(*) AS intercept
+             |  FROM (
+             |    SELECT l_suppkey, resid,
+             |      row_number() OVER (PARTITION BY l_suppkey ORDER BY resid)
+             |        AS rn,
+             |      count(*) OVER (PARTITION BY l_suppkey) AS nv
+             |    FROM rs) q
+             |  WHERE rn = (nv + 1) // 2 OR rn = (nv + 2) // 2
+             |  GROUP BY 1)
+             |SELECT sm.l_suppkey, sm.n_pairs,
+             |  floor(slope_med * 1000000 + 0.5) / 1000000 AS slope,
+             |  floor(slope_med * 12 * 1000000 + 0.5) / 1000000 AS slope_per_year,
+             |  floor(intercept * 10000 + 0.5) / 10000 AS intercept
+             |FROM sm JOIN im ON sm.l_suppkey = im.l_suppkey
+             |ORDER BY 1""".stripMargin)),
+
+    // matrix-profile motif: closest non-overlapping window pair under exact
+    // integer squared distance; lexicographic (dist2, i, j) tie-break
+    Q("ts_motif_discovery",
+      (s, d) => graft.ops.TimeSeriesOps.motifDiscovery(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS x
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_suppkey, x,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY month) AS t
+             |  FROM m),
+             |wv AS (
+             |  SELECT l_suppkey, t, x AS v0,
+             |    lead(x, 1) OVER win AS v1, lead(x, 2) OVER win AS v2,
+             |    lead(x, 3) OVER win AS v3, lead(x, 4) OVER win AS v4,
+             |    lead(x, 5) OVER win AS v5
+             |  FROM r WINDOW win AS (PARTITION BY l_suppkey ORDER BY t)),
+             |w2 AS (SELECT * FROM wv WHERE v5 IS NOT NULL),
+             |pp AS (
+             |  SELECT a.l_suppkey, a.t AS i, b.t AS j,
+             |    (a.v0 - b.v0) * (a.v0 - b.v0) + (a.v1 - b.v1) * (a.v1 - b.v1)
+             |    + (a.v2 - b.v2) * (a.v2 - b.v2) + (a.v3 - b.v3) * (a.v3 - b.v3)
+             |    + (a.v4 - b.v4) * (a.v4 - b.v4) + (a.v5 - b.v5) * (a.v5 - b.v5)
+             |      AS dist2
+             |  FROM w2 a JOIN w2 b
+             |    ON a.l_suppkey = b.l_suppkey AND b.t >= a.t + 6),
+             |sel AS (
+             |  SELECT l_suppkey, i, j, dist2,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY dist2, i, j) AS rn,
+             |    count(*) OVER (PARTITION BY l_suppkey) AS n_pairs
+             |  FROM pp)
+             |SELECT l_suppkey, n_pairs,
+             |  CAST(i AS INTEGER) AS motif_i, CAST(j AS INTEGER) AS motif_j,
+             |  CAST(dist2 AS BIGINT) AS dist2,
+             |  floor(sqrt(CAST(dist2 AS DOUBLE) / 6) * 10000 + 0.5) / 10000
+             |    AS rms_dist
+             |FROM sel WHERE rn = 1 ORDER BY l_suppkey""".stripMargin))
   )
 
   /** Reference-parity queries: JSON-stat densifier + silver transforms
@@ -2703,6 +2850,247 @@ object SparkEntry {
              |  abs(z) > 1.96 AS significant
              |FROM zz""".stripMargin)),
 
+    // CUPED: exact int64-cents per-user metrics; moments are exact integer
+    // sums (cross products in DECIMAL(38,0) ↔ DuckDB HUGEINT); θ/ρ²/means
+    // are fixed IEEE expressions over them, quantized once
+    Q("ev_cuped",
+      (s, d) => EventOps.cupedAbTest(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+             |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+             |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |m AS (
+             |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+             |  FROM u),
+             |a AS (
+             |  SELECT arm, count(*) AS an, sum(x) AS ax, sum(y) AS ay
+             |  FROM u GROUP BY 1),
+             |w AS (
+             |  SELECT max(CASE WHEN arm = 0 THEN an END) AS n_a,
+             |    max(CASE WHEN arm = 0 THEN ax END) AS sx_a,
+             |    max(CASE WHEN arm = 0 THEN ay END) AS sy_a,
+             |    max(CASE WHEN arm = 1 THEN an END) AS n_b,
+             |    max(CASE WHEN arm = 1 THEN ax END) AS sx_b,
+             |    max(CASE WHEN arm = 1 THEN ay END) AS sy_b
+             |  FROM a),
+             |c AS (
+             |  SELECT w.*, m.n, m.sx,
+             |    CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) AS cov_num,
+             |    CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS varx_num,
+             |    CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS vary_num
+             |  FROM w, m),
+             |t AS (
+             |  SELECT *,
+             |    CASE WHEN varx_num = 0.0 THEN NULL
+             |      ELSE cov_num / varx_num END AS theta,
+             |    CASE WHEN varx_num = 0.0 OR vary_num = 0.0 THEN NULL
+             |      ELSE cov_num * cov_num / (varx_num * vary_num) END AS rho2,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mx,
+             |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS my_a,
+             |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS my_b,
+             |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mx_a,
+             |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mx_b
+             |  FROM c),
+             |f AS (
+             |  SELECT *, my_a - theta * (mx_a - mx) AS adj_a,
+             |    my_b - theta * (mx_b - mx) AS adj_b
+             |  FROM t)
+             |SELECT n_a, n_b,
+             |  floor(theta * 1000000 + 0.5) / 1000000 AS theta,
+             |  floor(rho2 * 1000000 + 0.5) / 1000000 AS rho2,
+             |  floor(my_a * 1000000 + 0.5) / 1000000 AS mean_y_a,
+             |  floor(my_b * 1000000 + 0.5) / 1000000 AS mean_y_b,
+             |  floor(adj_a * 1000000 + 0.5) / 1000000 AS adj_mean_a,
+             |  floor(adj_b * 1000000 + 0.5) / 1000000 AS adj_mean_b,
+             |  floor((my_a - my_b) * 1000000 + 0.5) / 1000000 AS lift_raw,
+             |  floor((adj_a - adj_b) * 1000000 + 0.5) / 1000000 AS lift_cuped
+             |FROM f""".stripMargin)),
+
+    // SRM: exact integer first-exposure counts; χ² = (n_a−n_b)²/n per row
+    Q("ev_srm_daily",
+      (s, d) => EventOps.srmDaily(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+             |    min(CAST(epoch_us(ts) // 86400000000 AS INTEGER)) AS day0
+             |  FROM events GROUP BY 1, 2),
+             |d AS (
+             |  SELECT day0,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d_a,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d_b
+             |  FROM u GROUP BY 1),
+             |c AS (
+             |  SELECT day0,
+             |    CAST(sum(d_a) OVER (ORDER BY day0) AS BIGINT) AS n_a,
+             |    CAST(sum(d_b) OVER (ORDER BY day0) AS BIGINT) AS n_b
+             |  FROM d),
+             |x AS (
+             |  SELECT day0, n_a, n_b,
+             |    CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             |      / CAST(n_a + n_b AS DOUBLE) AS chi2
+             |  FROM c)
+             |SELECT day0, n_a, n_b,
+             |  floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+             |  chi2 > 3.841 AS srm_flag
+             |FROM x ORDER BY day0""".stripMargin)),
+
+    // sequential monitor: cumulative exact counts on the all-event day
+    // spine; z is the ev_ab_test expression evaluated per row
+    Q("ev_sequential_ab",
+      (s, d) => EventOps.sequentialAb(events(s, d)),
+      Some("""WITH pu AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+             |    min(CAST(epoch_us(ts) // 86400000000 AS INTEGER)) AS exp_day,
+             |    min(CASE WHEN event_type = 'purchase' AND value > 150
+             |      THEN CAST(epoch_us(ts) // 86400000000 AS INTEGER) END)
+             |      AS conv_day
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS INTEGER)
+             |    AS day FROM events),
+             |e AS (
+             |  SELECT exp_day AS day,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS e_a,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS e_b
+             |  FROM pu GROUP BY 1),
+             |cv AS (
+             |  SELECT conv_day AS day,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c_b
+             |  FROM pu WHERE conv_day IS NOT NULL GROUP BY 1),
+             |j AS (
+             |  SELECT spine.day,
+             |    coalesce(e.e_a, 0) AS e_a, coalesce(e.e_b, 0) AS e_b,
+             |    coalesce(cv.c_a, 0) AS c_a, coalesce(cv.c_b, 0) AS c_b
+             |  FROM spine LEFT JOIN e ON spine.day = e.day
+             |  LEFT JOIN cv ON spine.day = cv.day),
+             |c AS (
+             |  SELECT day,
+             |    CAST(sum(e_a) OVER win AS BIGINT) AS n_a,
+             |    CAST(sum(e_b) OVER win AS BIGINT) AS n_b,
+             |    CAST(sum(c_a) OVER win AS BIGINT) AS conv_a,
+             |    CAST(sum(c_b) OVER win AS BIGINT) AS conv_b
+             |  FROM j WINDOW win AS (ORDER BY day)),
+             |p AS (
+             |  SELECT *,
+             |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             |    CAST(conv_a + conv_b AS DOUBLE)
+             |      / CAST(n_a + n_b AS DOUBLE) AS pp
+             |  FROM c),
+             |zz AS (
+             |  SELECT *,
+             |    CASE WHEN n_a = 0 OR n_b = 0 OR pp = 0.0 OR pp = 1.0
+             |      THEN NULL
+             |      ELSE (pa - pb) / sqrt(pp * (1.0 - pp)
+             |        * (1.0 / CAST(n_a AS DOUBLE)
+             |          + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+             |  FROM p)
+             |SELECT day, n_a, conv_a, n_b, conv_b,
+             |  floor(z * 10000 + 0.5) / 10000 AS z_stat,
+             |  abs(z) > 1.96 AS significant
+             |FROM zz ORDER BY day""".stripMargin)),
+
+    // power analysis: required n per arm from exact int64-cents moments;
+    // the z-constant sum is ONE pinned literal squared in double (the
+    // decimal-literal-arithmetic trap)
+    Q("ev_power_analysis",
+      (s, d) => EventOps.powerAnalysis(events(s, d)),
+      Some("""WITH pu AS (
+             |  SELECT event_type, user_id,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS m
+             |  FROM events GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, count(*) AS n_users, sum(m) AS s,
+             |    sum(m * m) AS ss
+             |  FROM pu GROUP BY 1),
+             |v AS (
+             |  SELECT event_type, n_users,
+             |    CAST(n_users * ss - s * s AS DOUBLE) AS var_num,
+             |    CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean
+             |  FROM a),
+             |t AS (
+             |  SELECT *,
+             |    var_num / (CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))
+             |      / 10000.0 AS variance,
+             |    mean * 0.05 AS mde_abs
+             |  FROM v)
+             |SELECT event_type, n_users,
+             |  floor(mean * 10000 + 0.5) / 10000 AS mean,
+             |  floor(variance * 10000 + 0.5) / 10000 AS variance,
+             |  floor(mde_abs * 10000 + 0.5) / 10000 AS mde_abs,
+             |  CASE WHEN mde_abs = 0.0 THEN NULL
+             |    ELSE CAST(ceil(2.0 * variance
+             |      * (CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE))
+             |      / (mde_abs * mde_abs)) AS BIGINT) END AS n_required
+             |FROM t ORDER BY event_type""".stripMargin)),
+
+    // difference-in-differences on per-user post−pre deltas; sample
+    // variances from exact integer moments, two-sample z on the deltas
+    Q("ev_did",
+      (s, d) => EventOps.diffInDiff(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+             |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+             |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |dd AS (SELECT *, y - x AS dlt FROM u),
+             |a AS (
+             |  SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(dlt) AS sd, sum(dlt * dlt) AS sdd
+             |  FROM dd GROUP BY 1),
+             |w AS (
+             |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             |    max(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+             |    max(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+             |    max(CASE WHEN arm = 0 THEN sd END) AS sd_a,
+             |    max(CASE WHEN arm = 0 THEN sdd END) AS sdd_a,
+             |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             |    max(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+             |    max(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+             |    max(CASE WHEN arm = 1 THEN sd END) AS sd_b,
+             |    max(CASE WHEN arm = 1 THEN sdd END) AS sdd_b
+             |  FROM a),
+             |v AS (
+             |  SELECT *,
+             |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS m_pre_a,
+             |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS m_post_a,
+             |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS m_pre_b,
+             |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS m_post_b,
+             |    CAST(sd_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
+             |      - CAST(sd_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS did,
+             |    CASE WHEN n_a <= 1 THEN NULL
+             |      ELSE CAST(n_a * sdd_a - sd_a * sd_a AS DOUBLE)
+             |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+             |        / 10000.0 END AS va,
+             |    CASE WHEN n_b <= 1 THEN NULL
+             |      ELSE CAST(n_b * sdd_b - sd_b * sd_b AS DOUBLE)
+             |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+             |        / 10000.0 END AS vb
+             |  FROM w),
+             |se0 AS (
+             |  SELECT *,
+             |    sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS se
+             |  FROM v),
+             |zz AS (
+             |  SELECT *, CASE WHEN se = 0.0 THEN NULL ELSE did / se END AS z
+             |  FROM se0)
+             |SELECT n_a, n_b,
+             |  floor(m_pre_a * 1000000 + 0.5) / 1000000 AS mean_pre_a,
+             |  floor(m_post_a * 1000000 + 0.5) / 1000000 AS mean_post_a,
+             |  floor(m_pre_b * 1000000 + 0.5) / 1000000 AS mean_pre_b,
+             |  floor(m_post_b * 1000000 + 0.5) / 1000000 AS mean_post_b,
+             |  floor(did * 1000000 + 0.5) / 1000000 AS did,
+             |  floor(se * 1000000 + 0.5) / 1000000 AS se,
+             |  floor(z * 1000000 + 0.5) / 1000000 AS z_stat,
+             |  abs(z) > 1.96 AS significant
+             |FROM zz""".stripMargin)),
+
     // circadian concentration: exact-integer hour bins, entropy via the
     // sorted-fold doctrine, ln(24) pinned as a literal on both engines
     Q("ev_circadian",
@@ -3118,6 +3506,53 @@ object SparkEntry {
     */
   private val DuckToks =
     "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+  /** Shared WITH-prefix of the BPE-encode oracles (`txt_bpe_encode`,
+    * `txt_fertility_by_lang`): trains the 5-round merge table over the word
+    * histogram (p/b/s CTE chain) and segments every DISTINCT word with it
+    * (e CTE chain, ending at e5) — DuckDB's independent replay of
+    * `TextOps.bpeVocab`.
+    */
+  private lazy val BpeEncodePrefix: String = {
+    val trainRounds = (1 to 5).map { r =>
+      s"""p$r AS (
+         |  SELECT z[1] AS p1, z[2] AS p2, sum(freq) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(syms[:-1], syms[2:])) AS z
+         |        FROM s${r - 1})
+         |  WHERE z[2] IS NOT NULL
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT p1, p2 FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |s$r AS (
+         |  SELECT freq, CASE WHEN b.p1 IS NULL THEN syms
+         |    ELSE string_split(list_reduce(syms,
+         |      (acc, x) -> CASE
+         |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+         |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+         |  FROM s${r - 1} LEFT JOIN b$r b ON TRUE),
+         |e$r AS (
+         |  SELECT word, CASE WHEN b.p1 IS NULL THEN syms
+         |    ELSE string_split(list_reduce(syms,
+         |      (acc, x) -> CASE
+         |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
+         |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
+         |  FROM e${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest($DuckToks) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT freq,
+       |    [substring(word, CAST(i AS INTEGER), 1)
+       |     FOR i IN range(1, length(word) + 1)] AS syms
+       |  FROM w),
+       |e0 AS (
+       |  SELECT word,
+       |    [substring(word, CAST(i AS INTEGER), 1)
+       |     FOR i IN range(1, length(word) + 1)] AS syms
+       |  FROM w),
+       |$trainRounds""".stripMargin
+  }
 
   /** 2^61-1: the modulus of the portable hash domain (see Md5Hash61). */
   private val DuckM = "2305843009213693951"
@@ -3574,44 +4009,7 @@ object SparkEntry {
     Q("txt_bpe_encode",
       (s, d) => TextOps.bpeEncode(documents(s, d)),
       Some {
-        val trainRounds = (1 to 5).map { r =>
-          s"""p$r AS (
-             |  SELECT z[1] AS p1, z[2] AS p2, sum(freq) AS cnt
-             |  FROM (SELECT freq, unnest(list_zip(syms[:-1], syms[2:])) AS z
-             |        FROM s${r - 1})
-             |  WHERE z[2] IS NOT NULL
-             |  GROUP BY 1, 2),
-             |b$r AS (SELECT p1, p2 FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
-             |s$r AS (
-             |  SELECT freq, CASE WHEN b.p1 IS NULL THEN syms
-             |    ELSE string_split(list_reduce(syms,
-             |      (acc, x) -> CASE
-             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
-             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
-             |  FROM s${r - 1} LEFT JOIN b$r b ON TRUE),
-             |e$r AS (
-             |  SELECT word, CASE WHEN b.p1 IS NULL THEN syms
-             |    ELSE string_split(list_reduce(syms,
-             |      (acc, x) -> CASE
-             |        WHEN (acc = b.p1 OR ends_with(acc, ' ' || b.p1)) AND x = b.p2
-             |        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS syms
-             |  FROM e${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH w AS (
-           |  SELECT word, count(*) AS freq FROM (
-           |    SELECT unnest($DuckToks) AS word FROM documents)
-           |  WHERE length(word) > 0 GROUP BY word),
-           |s0 AS (
-           |  SELECT freq,
-           |    [substring(word, CAST(i AS INTEGER), 1)
-           |     FOR i IN range(1, length(word) + 1)] AS syms
-           |  FROM w),
-           |e0 AS (
-           |  SELECT word,
-           |    [substring(word, CAST(i AS INTEGER), 1)
-           |     FOR i IN range(1, length(word) + 1)] AS syms
-           |  FROM w),
-           |$trainRounds,
+        s"""$BpeEncodePrefix,
            |t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
            |wd AS (SELECT doc_id, i AS pos, toks[CAST(i AS INTEGER)] AS word
            |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
@@ -3626,6 +4024,31 @@ object SparkEntry {
            |    AS fertility,
            |  md5(array_to_string(list(seg ORDER BY pos), ' ')) AS enc_fp
            |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // tokenizer fertility/compression per language (the multilingual
+    // tokenizer-equity readout): shared BPE encode core, language-grain
+    // rollup of exact word/subword/char counts
+    Q("txt_fertility_by_lang",
+      (s, d) => TextOps.fertilityByLang(documents(s, d)),
+      Some {
+        s"""$BpeEncodePrefix,
+           |t AS (SELECT doc_id, lang, $DuckToks AS toks FROM documents),
+           |wd AS (SELECT doc_id, lang, toks[CAST(i AS INTEGER)] AS word
+           |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS i
+           |        FROM t)
+           |  WHERE length(toks[CAST(i AS INTEGER)]) > 0),
+           |seg AS (SELECT wd.doc_id, wd.lang, wd.word, len(e.syms) AS nsub
+           |  FROM wd JOIN e5 e ON e.word = wd.word)
+           |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  count(*) AS n_words,
+           |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
+           |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           |  floor(CAST(sum(nsub) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+           |    AS fertility,
+           |  floor(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(nsub) AS DOUBLE)
+           |    * 10000 + 0.5) / 10000 AS chars_per_subword
+           |FROM seg GROUP BY lang ORDER BY lang""".stripMargin
       }),
 
     // URL → registered-domain census (the C4/RefinedWeb domain filter):

@@ -923,4 +923,302 @@ object EventOps {
           / 10000).as("share"))
       .orderBy(col("cnt").desc, col("key"))
   }
+
+  /** CUPED variance-reduced A/B readout — the standard experimentation
+    * estimator (Deng et al., WSDM'13): each user's post-period metric Y is
+    * adjusted by their pre-period covariate X via
+    *   Y' = Y − θ·(X − mean(X)),   θ = cov(X, Y) / var(X),
+    * which removes the between-user variance X explains and shrinks the
+    * confidence interval by the factor (1 − ρ²). Here X = pre-cutoff
+    * purchase revenue, Y = post-cutoff purchase revenue, arm = user-id
+    * parity (the deterministic-bucketing stand-in, as in [[abTest]]).
+    *
+    * Exactness doctrine: revenue has cent precision, so X and Y are exact
+    * int64 cents; every moment (Σx, Σy, Σxx, Σyy, Σxy) is an exact integer
+    * sum — partial-agg order cannot change a bit — and θ, ρ², and the
+    * adjusted means are fixed IEEE expressions over those integers,
+    * quantized once for display. Moment magnitudes stay ≤ ~1e15 per user²
+    * at the tested SFs (< 2⁵³, so the long→double casts are exact); a
+    * corpus with larger per-user revenue would move the moments to
+    * DECIMAL(38,0) (the [[graft.ops.TimeSeriesOps.stlDecompose]] pattern).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined), one 1-row
+    * global moment rollup, one 2-row arm rollup joined by broadcast —
+    * scan-scale at any corpus size.
+    */
+  def cupedAbTest(events: DataFrame): DataFrame = {
+    val cutoffNs = 1705363200L * 1000000000L // 2024-01-16T00:00Z, mid-window
+    val users = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts_ns"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts_ns") < cutoffNs, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts_ns") >= cutoffNs, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .persist() // read twice (global moments + per-arm); see Exec.clearPinned
+    val moments = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("an"),
+        sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val wide = arms.agg(
+      max(when(col("arm") === 0, col("an"))).as("n_a"),
+      max(when(col("arm") === 0, col("ax"))).as("sx_a"),
+      max(when(col("arm") === 0, col("ay"))).as("sy_a"),
+      max(when(col("arm") === 1, col("an"))).as("n_b"),
+      max(when(col("arm") === 1, col("ax"))).as("sx_b"),
+      max(when(col("arm") === 1, col("ay"))).as("sy_b"))
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val d = (c: Column) => c.cast("double")
+    // cross-moment products can exceed int64 at large SFs (sx·sy ~ (n·x̄)²):
+    // form them in DECIMAL(38,0) — exact, mirroring DuckDB's HUGEINT — and
+    // round to double once (IEEE nearest of an exact integer, same bits on
+    // both engines)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    wide.crossJoin(broadcast(moments))
+      // population (biased) moments; the 1/n² factors cancel in θ and ρ²
+      .withColumn("cov_num",
+        (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+          .cast("double"))
+      .withColumn("varx_num",
+        (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+          .cast("double"))
+      .withColumn("vary_num",
+        (d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
+          .cast("double"))
+      .withColumn("theta",
+        when(col("varx_num") === 0.0, lit(null))
+          .otherwise(col("cov_num") / col("varx_num")))
+      .withColumn("rho2",
+        when(col("varx_num") === 0.0 || col("vary_num") === 0.0, lit(null))
+          .otherwise(col("cov_num") * col("cov_num")
+            / (col("varx_num") * col("vary_num"))))
+      .withColumn("mx", d(col("sx")) / d(col("n")) / 100.0)
+      .withColumn("my_a", d(col("sy_a")) / d(col("n_a")) / 100.0)
+      .withColumn("my_b", d(col("sy_b")) / d(col("n_b")) / 100.0)
+      .withColumn("mx_a", d(col("sx_a")) / d(col("n_a")) / 100.0)
+      .withColumn("mx_b", d(col("sx_b")) / d(col("n_b")) / 100.0)
+      .withColumn("adj_a", col("my_a") - col("theta") * (col("mx_a") - col("mx")))
+      .withColumn("adj_b", col("my_b") - col("theta") * (col("mx_b") - col("mx")))
+      .select(col("n_a"), col("n_b"),
+        q6(col("theta")).as("theta"),
+        q6(col("rho2")).as("rho2"),
+        q6(col("my_a")).as("mean_y_a"), q6(col("my_b")).as("mean_y_b"),
+        q6(col("adj_a")).as("adj_mean_a"), q6(col("adj_b")).as("adj_mean_b"),
+        q6(col("my_a") - col("my_b")).as("lift_raw"),
+        q6(col("adj_a") - col("adj_b")).as("lift_cuped"))
+  }
+
+  /** Daily sample-ratio-mismatch (SRM) audit — the assignment-health check
+    * every experimentation platform runs before trusting a readout: under a
+    * 50/50 split the cumulative arm counts should follow Binomial(n, ½), and
+    *   χ² = (n_a − n/2)²/(n/2) + (n_b − n/2)²/(n/2)
+    * with 1 d.o.f. flags a broken bucketing pipeline (χ² > 3.841 ⇒ p < .05).
+    * Emitted per day over first-exposure (first-event) user counts, so a
+    * mismatch is localized to the day it appeared rather than only detected
+    * at the end. Counts are exact integers from one user-keyed min-day
+    * aggregate + a 30-row cumulative window; χ² is one fixed IEEE expression
+    * per row. Scan-scale at any corpus size.
+    */
+  def srmDaily(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(expr("CAST(ts_ns div 86400000000000 AS INT)")).as("day0"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val daily = firstDay.groupBy(col("day0"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d_b"))
+    val w = Window.orderBy(col("day0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_a", sum(col("d_a")).over(w))
+      .withColumn("n_b", sum(col("d_b")).over(w))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("chi2",
+        (col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / col("n").cast("double"))
+      .select(col("day0"), col("n_a"), col("n_b"),
+        (floor(col("chi2") * 10000 + 0.5) / 10000).as("chi2"),
+        (col("chi2") > 3.841).as("srm_flag"))
+      .orderBy(col("day0"))
+  }
+
+  /** Sequential A/B monitor — the daily peeking readout: cumulative
+    * first-exposure users and cumulative converted users per arm as of each
+    * day, with the pooled two-proportion z recomputed on every row (the
+    * quantity a dashboard plots while an experiment runs; crossing day =
+    * where a *sequential* procedure would stop). Conversion = the user's
+    * first high-value purchase (> 150, as in [[abTest]]) on or before the
+    * day. Exact construction: per-user (first-event day, first-conversion
+    * day) from one aggregate; per-day cumulative counts from two 30-row
+    * windows; z is the same fixed expression as [[abTest]] evaluated per
+    * row. One user-keyed aggregate + day-grain windows — scan-scale.
+    */
+  def sequentialAb(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        expr("CAST(ts_ns div 86400000000000 AS INT)").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("exp_day"),
+        min(when(col("event_type") === "purchase" && col("value") > 150,
+          col("day"))).as("conv_day"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    // day spine = every day with ANY event, so conversions landing on a day
+    // with no first exposure still advance the cumulative counters
+    val spine = events
+      .select(expr("CAST(ts_ns div 86400000000000 AS INT)").as("day"))
+      .distinct()
+    val exposures = perUser.groupBy(col("exp_day").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("e_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("e_b"))
+    val convs = perUser.filter(col("conv_day").isNotNull)
+      .groupBy(col("conv_day").as("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c_b"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    spine
+      .join(exposures, Seq("day"), "left")
+      .join(convs, Seq("day"), "left")
+      .na.fill(0L, Seq("e_a", "e_b", "c_a", "c_b"))
+      .withColumn("n_a", sum(col("e_a")).over(w))
+      .withColumn("n_b", sum(col("e_b")).over(w))
+      .withColumn("conv_a", sum(col("c_a")).over(w))
+      .withColumn("conv_b", sum(col("c_b")).over(w))
+      .withColumn("pa", d(col("conv_a")) / d(col("n_a")))
+      .withColumn("pb", d(col("conv_b")) / d(col("n_b")))
+      .withColumn("pp",
+        d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b")))
+      .withColumn("z",
+        when(col("n_a") === 0 || col("n_b") === 0
+            || col("pp") === 0.0 || col("pp") === 1.0, lit(null))
+          .otherwise((col("pa") - col("pb"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))))
+      .select(col("day"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (floor(col("z") * 10000 + 0.5) / 10000).as("z_stat"),
+        (abs(col("z")) > 1.96).as("significant"))
+      .orderBy(col("day"))
+  }
+
+  /** Experiment power analysis per event type — the PLANNING readout run
+    * before an A/B test ships: from the observed per-user metric variance,
+    * the users-per-arm needed to detect a `relMde` relative lift,
+    *   n = ⌈2·σ²·(z_{α/2}+z_β)² / δ²⌉,  δ = relMde·mean,
+    * at α = 0.05 two-sided with 80% power. Exactness doctrine: per-user
+    * metrics are exact int64 cents; σ² comes from the exact integer
+    * moment numerator n·Σm² − (Σm)² (formed in DECIMAL(38,0) ↔ DuckDB
+    * HUGEINT — the cross products exceed int64 at large SFs); the z-sum
+    * 2.801585 is ONE pinned literal squared in IEEE on both engines (the
+    * decimal-literal-arithmetic trap: summing the two z constants as
+    * literals would be exact decimal in DuckDB but rounded double in
+    * Scala). One (type, user) aggregate + one |types|-row rollup.
+    */
+  def powerAnalysis(events: DataFrame, relMde: Double = 0.05): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("m"))
+    val q4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val zsum = lit(2.801585) * lit(2.801585) // (1.959964 + 0.841621)²
+    perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("ss"))
+      .withColumn("var_num",
+        (d38(col("n_users")) * d38(col("ss")) - d38(col("s")) * d38(col("s")))
+          .cast("double"))
+      .withColumn("mean", d(col("s")) / d(col("n_users")) / 100.0)
+      // population σ² in dollars²: var_num / n² / 100²
+      .withColumn("variance",
+        col("var_num") / (d(col("n_users")) * d(col("n_users"))) / 10000.0)
+      .withColumn("mde_abs", col("mean") * relMde)
+      .withColumn("n_required",
+        when(col("mde_abs") === 0.0, lit(null))
+          .otherwise(ceil(lit(2.0) * col("variance") * zsum
+            / (col("mde_abs") * col("mde_abs")))))
+      .select(col("event_type"), col("n_users"),
+        q4(col("mean")).as("mean"), q4(col("variance")).as("variance"),
+        q4(col("mde_abs")).as("mde_abs"), col("n_required"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Difference-in-differences over the pre/post cutoff × arm 2×2 — the
+    * quasi-experimental estimator for rollouts without clean randomization:
+    * each user's Δ = post − pre revenue nets out their level, and
+    *   DiD = mean(Δ | arm 1) − mean(Δ | arm 0)
+    * removes the common time trend; the parallel-trends assumption is what
+    * remains. SE uses the per-arm SAMPLE variance of Δ
+    * (s² = (nΣΔ²−(ΣΔ)²)/(n(n−1))), z = DiD/SE — the standard two-sample
+    * unequal-variance test on deltas. Every moment is an exact integer
+    * (cents; cross products in DECIMAL(38,0) ↔ HUGEINT); DiD/SE/z are
+    * fixed IEEE expressions, quantized once. One user-keyed aggregate +
+    * one 2-row rollup — scan-scale.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val cutoffNs = 1705363200L * 1000000000L // 2024-01-16T00:00Z, as in CUPED
+    val users = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts_ns"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts_ns") < cutoffNs, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts_ns") >= cutoffNs, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .withColumn("dlt", col("y") - col("x"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("dlt")).as("sd"), sum(col("dlt") * col("dlt")).as("sdd"))
+    val wide = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("sx"))).as("sx_a"),
+      max(when(col("arm") === 0, col("sy"))).as("sy_a"),
+      max(when(col("arm") === 0, col("sd"))).as("sd_a"),
+      max(when(col("arm") === 0, col("sdd"))).as("sdd_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("sx"))).as("sx_b"),
+      max(when(col("arm") === 1, col("sy"))).as("sy_b"),
+      max(when(col("arm") === 1, col("sd"))).as("sd_b"),
+      max(when(col("arm") === 1, col("sdd"))).as("sdd_b"))
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def sampleVar(n: Column, sd: Column, sdd: Column): Column =
+      when(n <= 1, lit(null)).otherwise(
+        (d38(n) * d38(sdd) - d38(sd) * d38(sd)).cast("double")
+          / (d(n) * d(n - 1)) / 10000.0)
+    wide
+      .withColumn("m_pre_a", d(col("sx_a")) / d(col("n_a")) / 100.0)
+      .withColumn("m_post_a", d(col("sy_a")) / d(col("n_a")) / 100.0)
+      .withColumn("m_pre_b", d(col("sx_b")) / d(col("n_b")) / 100.0)
+      .withColumn("m_post_b", d(col("sy_b")) / d(col("n_b")) / 100.0)
+      .withColumn("did",
+        d(col("sd_b")) / d(col("n_b")) / 100.0
+          - d(col("sd_a")) / d(col("n_a")) / 100.0)
+      .withColumn("va", sampleVar(col("n_a"), col("sd_a"), col("sdd_a")))
+      .withColumn("vb", sampleVar(col("n_b"), col("sd_b"), col("sdd_b")))
+      .withColumn("se",
+        sqrt(col("va") / d(col("n_a")) + col("vb") / d(col("n_b"))))
+      .withColumn("z",
+        when(col("se") === 0.0, lit(null)).otherwise(col("did") / col("se")))
+      .select(col("n_a"), col("n_b"),
+        q6(col("m_pre_a")).as("mean_pre_a"), q6(col("m_post_a")).as("mean_post_a"),
+        q6(col("m_pre_b")).as("mean_pre_b"), q6(col("m_post_b")).as("mean_post_b"),
+        q6(col("did")).as("did"), q6(col("se")).as("se"),
+        q6(col("z")).as("z_stat"), (abs(col("z")) > 1.96).as("significant"))
+  }
 }

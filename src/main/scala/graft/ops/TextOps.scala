@@ -1034,6 +1034,29 @@ object TextOps {
     * segmentation, so one flipped merge boundary anywhere fails the hash.
     */
   def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocab = bpeVocab(docs, rounds)
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsub")).cast("long").as("n_subwords"),
+        q4(sum(col("nsub")).cast("double") / count(lit(1))).as("fertility"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")))).as("enc_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Segment every DISTINCT corpus word with the `rounds`-merge BPE model
+    * trained on the same corpus → (word, seg, nsub). The shared encode core
+    * of [[bpeEncode]] and [[fertilityByLang]]: Zipfian corpora make the
+    * vocabulary orders of magnitude smaller than the token stream, so
+    * segmentation runs once per distinct word and joins back to occurrences
+    * (AQE broadcasts the vocabulary side when it fits).
+    */
+  private def bpeVocab(docs: DataFrame, rounds: Int): DataFrame = {
     val mtab = bpeTrain(docs, rounds)._1
       .agg(sort_array(collect_list(struct(col("round"), col("p1"), col("p2"))))
         .as("marr"))
@@ -1047,7 +1070,7 @@ object TextOps {
     // learn FEWER than `rounds` merges — under ANSI mode element_at past
     // the short table's end throws, so each round no-ops unless the table
     // actually holds a rank-r merge (the oracle's b.p1 IS NULL branch)
-    val vocab = (1 to rounds).foldLeft(chars) { (df, r) =>
+    (1 to rounds).foldLeft(chars) { (df, r) =>
       df.withColumn("syms", expr(
         s"""IF(size(marr) >= $r,
            |  aggregate(syms, CAST(array() AS array<string>),
@@ -1061,18 +1084,35 @@ object TextOps {
            |  syms)""".stripMargin))
     }.select(col("word"), concat_ws("|", col("syms")).as("seg"),
       size(col("syms")).as("nsub"))
+  }
+
+  /** Tokenizer fertility / compression census per language — THE tokenizer
+    * equity readout a multilingual pretraining pipeline tracks: languages
+    * whose words fragment into more subwords (higher fertility, lower
+    * chars-per-subword) pay more sequence positions for the same content,
+    * so a vocabulary trained lopsidedly taxes them at training AND serving
+    * time. Reuses the [[bpeVocab]] encode core (segment once per distinct
+    * word, join back to occurrences), then rolls word/subword/char counts
+    * up to the language grain. Counts are exact integers; the two ratios
+    * are single divisions quantized once. Scale shape: the corpus is
+    * touched once, the vocabulary join broadcasts, and the final exchange
+    * is |languages| rows.
+    */
+  def fertilityByLang(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocab = bpeVocab(docs, rounds)
     docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .join(vocab, Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
         sum(col("nsub")).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
         q4(sum(col("nsub")).cast("double") / count(lit(1))).as("fertility"),
-        md5(concat_ws(" ",
-          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
-            x => x.getField("seg")))).as("enc_fp"))
-      .orderBy(col("doc_id"))
+        q4(sum(length(col("word"))).cast("double")
+          / sum(col("nsub")).cast("double")).as("chars_per_subword"))
+      .orderBy(col("lang"))
   }
 
   /** URL → registered-domain census (the C4/RefinedWeb domain-filter

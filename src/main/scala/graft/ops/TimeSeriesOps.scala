@@ -483,4 +483,187 @@ object TimeSeriesOps {
             / (col("pd").cast("double") * 2400)).as("remainder"))
       .orderBy(col("key"), col("month"))
   }
+
+  /** Per-supplier monthly qty series with integer values and both a forward
+    * and a reverse month rank — the shared exact-arithmetic spine for the
+    * AR(2)/Theil–Sen/motif family. Quantities are integer-valued, so every
+    * downstream sum/product is an exact int64 (headroom notes per operator).
+    */
+  private def rankedSeries(li: DataFrame, maxSuppkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    val wd = Window.partitionBy(col("l_suppkey")).orderBy(col("month").desc)
+    monthlySeries(li, maxSuppkey)
+      .select(col("l_suppkey"), col("month"), col("qty").cast("long").as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("rt", row_number().over(wd))
+  }
+
+  /** AR(2) fit via Yule–Walker + one-step forecast, per supplier series —
+    * the classical linear-autoregression baseline beside [[holtForecast]]'s
+    * exponential smoothing. The biased autocovariances are never formed as
+    * float sums: with S = Σx, A_k/B_k the head/tail-trimmed partial sums and
+    * xx_k = Σ x_t·x_{t+k},
+    *   n²·c_k ∝ num_k = n²·xx_k − n·S·(A_k+B_k) + (n−k)·S²
+    * is an exact int64 (magnitudes ≤ ~2e15 at the tested SFs, < 2⁵³, so the
+    * long→double casts are exact; larger per-month magnitudes would move
+    * num_k to DECIMAL(38,0) — the [[stlDecompose]] pattern). The ratios
+    * r_k = num_k/num_0, the Yule–Walker solve
+    *   φ₁ = r₁(1−r₂)/(1−r₁²),  φ₂ = (r₂−r₁²)/(1−r₁²),
+    * and the one-step forecast m + φ₁(xₙ−m) + φ₂(xₙ₋₁−m) are fixed IEEE
+    * expressions over those integers. Constant series (num_0 = 0) and a
+    * degenerate r₁² = 1 yield explicit nulls. One monthly aggregate + one
+    * per-key window pass + one per-key rollup — scan-scale; series length
+    * only enters linearly.
+    */
+  def ar2Forecast(li: DataFrame, maxSuppkey: Int = 10): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val q4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    val lagged = rankedSeries(li, maxSuppkey)
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x2", lag(col("x"), 2).over(w))
+    val agg = lagged.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("xx0"),
+      sum(col("x") * col("x1")).as("xx1"),
+      sum(col("x") * col("x2")).as("xx2"),
+      sum(when(col("t") <= 1, col("x"))).as("head1"),
+      sum(when(col("t") <= 2, col("x"))).as("head2"),
+      sum(when(col("rt") <= 1, col("x"))).as("tail1"),
+      sum(when(col("rt") <= 2, col("x"))).as("tail2"),
+      max(when(col("rt") === 1, col("x"))).as("xlast"),
+      max(when(col("rt") === 2, col("x"))).as("xprev"))
+    val d = (c: Column) => c.cast("double")
+    agg
+      .withColumn("num0",
+        d(col("n") * col("n") * col("xx0") - col("n") * col("s") * col("s")))
+      .withColumn("num1",
+        d(col("n") * col("n") * col("xx1")
+          - col("n") * col("s") * (lit(2) * col("s") - col("tail1") - col("head1"))
+          + (col("n") - 1) * col("s") * col("s")))
+      .withColumn("num2",
+        d(col("n") * col("n") * col("xx2")
+          - col("n") * col("s") * (lit(2) * col("s") - col("tail2") - col("head2"))
+          + (col("n") - 2) * col("s") * col("s")))
+      .withColumn("r1",
+        when(col("num0") === 0.0, lit(null)).otherwise(col("num1") / col("num0")))
+      .withColumn("r2",
+        when(col("num0") === 0.0, lit(null)).otherwise(col("num2") / col("num0")))
+      .withColumn("den", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi1",
+        when(col("den") === 0.0, lit(null))
+          .otherwise(col("r1") * (lit(1.0) - col("r2")) / col("den")))
+      .withColumn("phi2",
+        when(col("den") === 0.0, lit(null))
+          .otherwise((col("r2") - col("r1") * col("r1")) / col("den")))
+      .withColumn("m", d(col("s")) / d(col("n")))
+      .withColumn("fc",
+        col("m") + col("phi1") * (d(col("xlast")) - col("m"))
+          + col("phi2") * (d(col("xprev")) - col("m")))
+      .select(col("l_suppkey"), col("n"),
+        q6(col("r1")).as("r1"), q6(col("r2")).as("r2"),
+        q6(col("phi1")).as("phi1"), q6(col("phi2")).as("phi2"),
+        q4(col("fc")).as("forecast"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Theil–Sen robust trend per supplier series — the median of all pairwise
+    * slopes (x_j−x_i)/(j−i), immune to up to ~29% outliers where OLS
+    * ([[graft.ops.Relational]] regression) is not, plus the classical
+    * median-residual intercept. Every slope is ONE IEEE division of exact
+    * integers; the median avoids the engines' percentile-interpolation
+    * formula skew by materializing rank (n+1)/2 and (n+2)/2 explicitly and
+    * averaging them with the same sum/count expression on both sides (n odd:
+    * both ranks coincide; n even: the two middle values). Pair generation is
+    * a broadcast self-join — quadratic in SERIES LENGTH by contract (n
+    * months, bounded: ~82 here; 10 years = 120), never in key count, and
+    * keys partition the work so a 100 TB fact table costs one monthly
+    * aggregate + |key|·n²/2 tiny rows.
+    */
+  def theilSen(li: DataFrame, maxSuppkey: Int = 10): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val q4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val idx = rankedSeries(li, maxSuppkey)
+      .select(col("l_suppkey"), col("t"), col("x"))
+      .persist() // three readers (pair sides + residuals); Exec.clearPinned
+    val pairs = idx.toDF("l_suppkey", "ti", "xi")
+      .join(broadcast(idx.toDF("l_suppkey", "tj", "xj")), Seq("l_suppkey"))
+      .filter(col("tj") > col("ti"))
+      .select(col("l_suppkey"),
+        ((col("xj") - col("xi")).cast("double")
+          / (col("tj") - col("ti")).cast("double")).as("slope"))
+    val slopeMed = medianByRank(pairs, "slope").withColumnRenamed("med", "slope_med")
+      .withColumnRenamed("nv", "n_pairs")
+    val resid = idx.join(broadcast(slopeMed), Seq("l_suppkey"))
+      .select(col("l_suppkey"),
+        (col("x").cast("double") - col("slope_med") * col("t").cast("double"))
+          .as("resid"))
+    val interceptMed = medianByRank(resid, "resid")
+      .select(col("l_suppkey"), col("med").as("intercept"))
+    slopeMed.join(interceptMed, Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("n_pairs"),
+        q6(col("slope_med")).as("slope"),
+        q6(col("slope_med") * 12).as("slope_per_year"),
+        q4(col("intercept")).as("intercept"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Exact per-key median of `valueCol` via explicit middle ranks — both
+    * engines average the SAME two materialized values instead of trusting
+    * their (subtly different) percentile interpolation formulas.
+    */
+  private def medianByRank(df: DataFrame, valueCol: String): DataFrame = {
+    val wR = Window.partitionBy(col("l_suppkey")).orderBy(col(valueCol))
+    val counts = df.groupBy(col("l_suppkey")).agg(count(lit(1)).as("nv"))
+    df.withColumn("rn", row_number().over(wR))
+      .join(broadcast(counts), Seq("l_suppkey"))
+      // Column./ is FLOAT division — (n+1)/2 = 41.5 would silently drop the
+      // lower middle rank on even n; `div` is the integer quotient
+      .filter(expr("rn = (nv + 1) div 2 OR rn = (nv + 2) div 2"))
+      .groupBy(col("l_suppkey"), col("nv"))
+      .agg((sum(col(valueCol)) / count(lit(1))).as("med"))
+      .select(col("l_suppkey"), col("nv"), col("med"))
+  }
+
+  /** Matrix-profile-style motif discovery per supplier series: the closest
+    * pair of non-overlapping length-`w` subsequences under exact integer
+    * squared distance (the un-normalized matrix-profile motif; z-normalized
+    * variants inherit float-sum nondeterminism, so the exact form is the
+    * oracle-checkable one). Windows come from `lead` columns (one window
+    * pass), pairs from a broadcast self-join with the |i−j| ≥ w exclusion
+    * zone, and the winner per key is `min(struct(dist2, i, j))` — exact
+    * integer lexicographic, so ties break deterministically. Quadratic in
+    * WINDOW COUNT per series by contract (n−w+1 ≈ 77 here → ~2.5k pairs per
+    * key); keys partition the work, so scale-out is by key exactly as in
+    * [[theilSen]].
+    */
+  def motifDiscovery(li: DataFrame, maxSuppkey: Int = 10, w: Int = 6): DataFrame = {
+    val q4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val wm = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    val wins = (1 until w).foldLeft(
+        rankedSeries(li, maxSuppkey).withColumn("v0", col("x"))) {
+        (df, k) => df.withColumn(s"v$k", lead(col("x"), k).over(wm))
+      }
+      .filter(col(s"v${w - 1}").isNotNull)
+      .select(Seq(col("l_suppkey"), col("t")) ++ (0 until w).map(k => col(s"v$k")): _*)
+    val left = wins.columns.foldLeft(wins)((df, c) =>
+      if (c == "l_suppkey") df else df.withColumnRenamed(c, s"${c}_i"))
+    val right = wins.columns.foldLeft(wins)((df, c) =>
+      if (c == "l_suppkey") df else df.withColumnRenamed(c, s"${c}_j"))
+    val dist2 = (0 until w)
+      .map(k => (col(s"v${k}_i") - col(s"v${k}_j")) * (col(s"v${k}_i") - col(s"v${k}_j")))
+      .reduce(_ + _)
+    left.join(broadcast(right), Seq("l_suppkey"))
+      .filter(col("t_j") >= col("t_i") + w)
+      .select(col("l_suppkey"),
+        struct(dist2.as("dist2"), col("t_i").as("i"), col("t_j").as("j")).as("cand"))
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("cand")).as("best"), count(lit(1)).as("n_pairs"))
+      .select(col("l_suppkey"), col("n_pairs"),
+        col("best.i").as("motif_i"), col("best.j").as("motif_j"),
+        col("best.dist2").as("dist2"),
+        q4(sqrt(col("best.dist2").cast("double") / w)).as("rms_dist"))
+      .orderBy(col("l_suppkey"))
+  }
 }

@@ -298,4 +298,125 @@ class EventOpsSpec extends SparkSpec {
     assert(got.keySet == Set("dup"), got.toString)
     assert(got("dup") == 2.0, s"dup twa: ${got("dup")}")
   }
+
+  // CUPED / SRM / sequential fixtures: ns timestamps straddling the
+  // 2024-01-16T00:00Z CUPED cutoff (1705363200e9)
+  private val PreNs = 1705000000L * 1000000000L
+  private val PostNs = 1705400000L * 1000000000L
+
+  test("cupedAbTest: a perfectly predictive covariate zeroes the adjusted lift") {
+    import spark.implicits._
+    // each user's post-period revenue EQUALS their pre-period revenue, so
+    // θ = 1, ρ² = 1, and both adjusted means collapse to the global mean —
+    // the raw lift (arm means differ) must survive in lift_raw only
+    val ev = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 60.0)).flatMap {
+      case (u, v) => Seq((u, PreNs, "purchase", v), (u, PostNs, "purchase", v))
+    }.toDF("user_id", "ts_ns", "event_type", "value")
+    val r = EventOps.cupedAbTest(ev).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, s"theta ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"rho2 ${r.getDouble(3)}")
+    // arm 0 = users 0,2 (mean 20); arm 1 = users 1,3 (mean 40)
+    assert(r.getDouble(8) == -20.0, s"lift_raw ${r.getDouble(8)}")
+    assert(r.getDouble(9) == 0.0, s"lift_cuped ${r.getDouble(9)}")
+    // adjusted means both equal the global mean 30
+    assert(r.getDouble(6) == 30.0 && r.getDouble(7) == 30.0)
+  }
+
+  test("cupedAbTest: a constant covariate yields null θ, raw lift preserved") {
+    import spark.implicits._
+    val ev = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 60.0)).flatMap {
+      case (u, v) => Seq((u, PreNs, "purchase", 5.0), (u, PostNs, "purchase", v))
+    }.toDF("user_id", "ts_ns", "event_type", "value")
+    val r = EventOps.cupedAbTest(ev).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3), "θ and ρ² undefined on var(X)=0")
+    assert(r.getDouble(8) == -20.0)
+  }
+
+  test("srmDaily: balanced assignment stays quiet; a one-arm flood flags") {
+    import spark.implicits._
+    // day 0: users 0..7 (4 even / 4 odd) -> χ² = 0; day 1: 20 extra
+    // even-id users -> cumulative (24, 4), χ² = 400/28 ≈ 14.29 > 3.841
+    val day0 = (0L to 7L).map(u => (u, u * 1000000000L, "view", 1.0))
+    val day1 = (0 until 20).map(i =>
+      (100L + 2 * i, 86400L * 1000000000L + i, "view", 1.0))
+    val ev = (day0 ++ day1).toDF("user_id", "ts_ns", "event_type", "value")
+    val rows = EventOps.srmDaily(ev).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 4L && rows(0).getLong(2) == 4L)
+    assert(rows(0).getDouble(3) == 0.0 && !rows(0).getBoolean(4))
+    assert(rows(1).getLong(1) == 24L && rows(1).getLong(2) == 4L)
+    assert(math.abs(rows(1).getDouble(3) - 400.0 / 28) < 1e-4)
+    assert(rows(1).getBoolean(4), "20-user flood must trip the SRM flag")
+  }
+
+  test("sequentialAb: cumulative counts advance on conversion-only days, z guarded") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (0L, 0L * day + 1, "view", 1.0),      // arm 0 exposed day 0
+      (1L, 0L * day + 2, "view", 1.0),      // arm 1 exposed day 0
+      (2L, 1L * day + 1, "view", 1.0),      // arm 0 exposed day 1
+      (3L, 1L * day + 2, "view", 1.0),      // arm 1 exposed day 1
+      (0L, 2L * day + 1, "purchase", 200.0) // day 2: conversion ONLY
+    ).toDF("user_id", "ts_ns", "event_type", "value")
+    val rows = EventOps.sequentialAb(ev).collect()
+    assert(rows.length == 3, s"3 spine days, got ${rows.length}")
+    // day 0: 1 vs 1 exposed, no conversions -> pp = 0 -> z null
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(3) == 1L)
+    assert(rows(0).isNullAt(5) && rows(0).isNullAt(6))
+    // day 2 exists purely via the event spine; counts include the conversion
+    assert(rows(2).getLong(1) == 2L && rows(2).getLong(2) == 1L)
+    assert(rows(2).getLong(3) == 2L && rows(2).getLong(4) == 0L)
+    // z = 0.5 / sqrt(0.25 * 0.75 * 1) = 1.1547, not significant
+    assert(math.abs(rows(2).getDouble(5) - 1.1547) < 1e-4)
+    assert(!rows(2).getBoolean(6))
+  }
+
+  test("powerAnalysis reproduces the closed-form sample size on known moments") {
+    import spark.implicits._
+    // four users with per-user metric 1, 2, 3, 4 dollars: mean 2.5,
+    // population variance 1.25, MDE = 0.125
+    val ev = Seq((0L, 1.00), (1L, 2.00), (2L, 3.00), (3L, 4.00))
+      .map { case (u, v) => (u, u * 1000L, "view", v) }
+      .toDF("user_id", "ts_ns", "event_type", "value")
+    val r = EventOps.powerAnalysis(ev).collect()(0)
+    assert(r.getString(0) == "view" && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 1.25)
+    assert(r.getDouble(4) == 0.125)
+    val z2 = 2.801585 * 2.801585
+    val expected = math.ceil(2.0 * 1.25 * z2 / (0.125 * 0.125)).toLong
+    assert(r.getLong(5) == expected, s"n_required ${r.getLong(5)} vs $expected")
+  }
+
+  test("diffInDiff isolates the treatment-arm excess delta and guards zero SE") {
+    import spark.implicits._
+    def purchase(u: Long, ns: Long, v: Double) = (u, ns, "purchase", v)
+    // arm 0 (users 0,2): deltas 4 and 6; arm 1 (users 1,3): deltas 6 and 10
+    // -> DiD = 8 - 5 = 3; s²_a = 2, s²_b = 8; SE = sqrt(1 + 4) = √5
+    val ev = Seq(
+      purchase(0L, PreNs, 10.0), purchase(0L, PostNs, 14.0),
+      purchase(2L, PreNs, 20.0), purchase(2L, PostNs, 26.0),
+      purchase(1L, PreNs, 10.0), purchase(1L, PostNs, 16.0),
+      purchase(3L, PreNs, 20.0), purchase(3L, PostNs, 30.0))
+      .toDF("user_id", "ts_ns", "event_type", "value")
+    val r = EventOps.diffInDiff(ev).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 15.0 && r.getDouble(3) == 20.0) // arm-0 means
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 23.0) // arm-1 means
+    assert(r.getDouble(6) == 3.0, s"did ${r.getDouble(6)}")
+    assert(math.abs(r.getDouble(7) - math.sqrt(5.0)) < 1e-5)
+    assert(math.abs(r.getDouble(8) - 3.0 / math.sqrt(5.0)) < 1e-5)
+    assert(!r.getBoolean(9))
+    // constant deltas within each arm -> SE = 0 -> z must be an explicit null
+    val ev0 = Seq(
+      purchase(0L, PreNs, 10.0), purchase(0L, PostNs, 15.0),
+      purchase(2L, PreNs, 20.0), purchase(2L, PostNs, 25.0),
+      purchase(1L, PreNs, 10.0), purchase(1L, PostNs, 18.0),
+      purchase(3L, PreNs, 20.0), purchase(3L, PostNs, 28.0))
+      .toDF("user_id", "ts_ns", "event_type", "value")
+    val r0 = EventOps.diffInDiff(ev0).collect()(0)
+    assert(r0.getDouble(6) == 3.0)
+    assert(r0.getDouble(7) == 0.0 && r0.isNullAt(8) && r0.isNullAt(9))
+  }
 }

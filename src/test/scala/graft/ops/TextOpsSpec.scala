@@ -680,4 +680,36 @@ class TextOpsSpec extends SparkSpec {
     // and strictly fewer docs than the raw corpus went through
     assert(rows.length < docs.count())
   }
+
+  test("fertilityByLang: exact counts, and the rollup agrees with bpeEncode per-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaaa bb", "xx"),
+      (2L, "aaaa cc", "xx"),
+      (3L, "dd ee ff gg", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val byLang = TextOps.fertilityByLang(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byLang.keySet == Set("xx", "yy"))
+    val xx = byLang("xx")
+    assert(xx.getLong(1) == 2L, "two xx docs")
+    assert(xx.getLong(2) == 5L, "xx word occurrences")
+    assert(xx.getLong(4) == 16L, "xx chars: 4+4+2+4+2")
+    val yy = byLang("yy")
+    assert(yy.getLong(1) == 1L && yy.getLong(2) == 4L && yy.getLong(4) == 8L)
+    // fertility = subwords/words; chars_per_subword = chars/subwords —
+    // internally consistent and bounded by [1, chars/words]
+    Seq(xx, yy).foreach { r =>
+      assert(r.getDouble(5) >= 1.0 - 1e-9)
+      assert(math.abs(r.getDouble(5) - r.getLong(3).toDouble / r.getLong(2)) < 1e-3)
+      assert(math.abs(r.getDouble(6) - r.getLong(4).toDouble / r.getLong(3)) < 1e-3)
+    }
+    // cross-op agreement: summing bpeEncode's per-doc counts over each
+    // language reproduces the rollup (stage-interface consistency)
+    val perDoc = TextOps.bpeEncode(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perDoc(1L)._1 + perDoc(2L)._1 == xx.getLong(2))
+    assert(perDoc(1L)._2 + perDoc(2L)._2 == xx.getLong(3))
+    assert(perDoc(3L)._1 == yy.getLong(2) && perDoc(3L)._2 == yy.getLong(3))
+  }
 }

@@ -219,4 +219,79 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(pf < got(6)._1 / 2, s"period $p rivals the peak: $pf")
     }
   }
+
+  /** lineitem-shaped monthly series: one row per month, qty = f(t). */
+  private def seriesFrame(xs: Seq[Long], suppkey: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    xs.zipWithIndex.map { case (x, i) =>
+      (suppkey,
+        Timestamp.valueOf(f"${2018 + i / 12}%04d-${i % 12 + 1}%02d-10 00:00:00"),
+        x.toDouble)
+    }.toDF("l_suppkey", "l_shipdate", "l_quantity")
+  }
+
+  test("ar2Forecast matches a textbook float Yule–Walker solve") {
+    val xs = (1 to 40).map(t => ((t * 37) % 83 + 10).toLong)
+    val r = TimeSeriesOps.ar2Forecast(seriesFrame(xs)).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 40L)
+    // independent textbook computation: float autocovariances, direct solve
+    val n = xs.length
+    val m = xs.sum.toDouble / n
+    def ck(k: Int): Double =
+      (0 until n - k).map(t => (xs(t) - m) * (xs(t + k) - m)).sum / n
+    val (c0, c1, c2) = (ck(0), ck(1), ck(2))
+    val (r1, r2) = (c1 / c0, c2 / c0)
+    val den = 1.0 - r1 * r1
+    val (phi1, phi2) = (r1 * (1 - r2) / den, (r2 - r1 * r1) / den)
+    val fc = m + phi1 * (xs(n - 1) - m) + phi2 * (xs(n - 2) - m)
+    assert(math.abs(r(0).getDouble(2) - r1) < 1e-4, s"r1 ${r(0).getDouble(2)} vs $r1")
+    assert(math.abs(r(0).getDouble(3) - r2) < 1e-4)
+    assert(math.abs(r(0).getDouble(4) - phi1) < 1e-4)
+    assert(math.abs(r(0).getDouble(5) - phi2) < 1e-4)
+    assert(math.abs(r(0).getDouble(6) - fc) < 1e-3, s"fc ${r(0).getDouble(6)} vs $fc")
+  }
+
+  test("ar2Forecast yields explicit nulls on a constant series (YW undefined)") {
+    val r = TimeSeriesOps.ar2Forecast(seriesFrame(Seq.fill(12)(7L))).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 12L)
+    (2 to 6).foreach(i => assert(r(0).isNullAt(i), s"col $i must be null"))
+  }
+
+  test("theilSen ignores a gross outlier that would wreck OLS") {
+    // clean line x = 3t with one 1000-spike: most pairwise slopes are
+    // exactly 3, so the median stays 3 and the yearly trend is 36
+    val xs = (1 to 11).map(t => if (t == 5) 1000L else 3L * t)
+    val r = TimeSeriesOps.theilSen(seriesFrame(xs)).collect()(0)
+    assert(r.getDouble(2) == 3.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 36.0)
+    assert(r.getLong(1) == 55L) // C(11,2) pairs
+  }
+
+  test("theilSen averages BOTH middle ranks on even counts (slope and intercept)") {
+    // xs = [0,10,10,40] at t=1..4: six pairwise slopes sorted
+    // [0, 5, 10, 40/3, 15, 30] -> median (10 + 40/3)/2 = 35/3;
+    // residuals x - (35/3)t sorted [-25, -40/3, -35/3, -20/3]
+    // -> median (-40/3 - 35/3)/2 = -12.5
+    val r = TimeSeriesOps.theilSen(seriesFrame(Seq(0L, 10L, 10L, 40L))).collect()(0)
+    assert(math.abs(r.getDouble(2) - 35.0 / 3) < 1e-5, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(4) == -12.5, s"intercept ${r.getDouble(4)}")
+  }
+
+  test("motifDiscovery finds a planted repeat and tie-breaks lexicographically") {
+    // pattern planted at t=3..8 and t=13..18 over a constant-5 base: the
+    // 5-prefixed shifts create THREE zero-distance pairs (1,11),(2,12),(3,13)
+    // and the struct-min must pick the lexicographically smallest
+    val xs = Array.fill(20)(5L)
+    val pat = Seq(9L, 1L, 8L, 2L, 7L, 3L)
+    pat.zipWithIndex.foreach { case (v, k) => xs(2 + k) = v; xs(12 + k) = v }
+    val r = TimeSeriesOps.motifDiscovery(seriesFrame(xs.toSeq)).collect()(0)
+    assert(r.getLong(4) == 0L, s"dist2 ${r.getLong(4)}")
+    assert(r.getInt(2) == 1 && r.getInt(3) == 11,
+      s"motif (${r.getInt(2)}, ${r.getInt(3)}) — expected the tie-broken (1, 11)")
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("motifDiscovery: a series too short for two non-overlapping windows vanishes") {
+    assert(TimeSeriesOps.motifDiscovery(seriesFrame((1L to 11L).toSeq)).collect().isEmpty)
+  }
 }

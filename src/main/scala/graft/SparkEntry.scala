@@ -82,6 +82,81 @@ object SparkEntry {
              |GROUP BY r_name, n_name
              |ORDER BY r_name, n_name""".stripMargin)),
 
+    Q("rel_q7_nation_volume",
+      (s, d) => Relational.nationTradeVolume(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d), "NATION_1", "NATION_2"),
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+             |    * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("rel_q8_market_share",
+      (s, d) => Relational.marketShare(lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d), nation(s, d), region(s, d),
+        part(s, d), "NATION_2", "ASIA", "PROMO"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+             |                      THEN cents ELSE 0 END) AS DOUBLE)
+             |        / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share,
+             |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_revenue
+             |FROM (
+             |  SELECT o_orderdate, l_suppkey,
+             |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |         AS BIGINT) AS cents
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA')
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
+    Q("rel_q10_returned_items",
+      (s, d) => Relational.returnedItemLoss(lineitem(s, d), orders(s, d),
+        customer(s, d), nation(s, d), "1996-01-01", "1996-04-01", 20),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+             |    * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+             |  round(any_value(c_acctbal), 2) AS c_acctbal
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1996-04-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    Q("rel_q18_large_orders",
+      (s, d) => Relational.largeVolumeOrders(lineitem(s, d), orders(s, d),
+        customer(s, d), 300.0),
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  round(o_totalprice, 2) AS o_totalprice, total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING round(sum(l_quantity), 2) > 300.0) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total_qty DESC, o_orderkey""".stripMargin)),
+
     Q("rel_join_semi",
       (s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d)),
       Some("""SELECT c_mktsegment, count(*) AS n_customers,

@@ -1276,4 +1276,124 @@ object Relational {
           / 100.0).as("resid"))
       .orderBy(col("seg"))
   }
+
+  /** TPC-H Q7-shaped nation-pair trade volume: revenue flowing between a
+    * supplier nation and a customer nation (both directions) by ship year.
+    * The two nation dims are filtered to the pair BEFORE broadcasting, so
+    * each broadcast is ≤2 rows; lineitem⋈orders is the only fact-fact
+    * shuffle, and the pair predicate `(s=A ∧ c=B) ∨ (s=B ∧ c=A)` is applied
+    * post-join on two already-joined dim columns (no cross product — each
+    * fact row carries exactly one supp/cust nation pair).
+    */
+  def nationTradeVolume(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        nationA: String, nationB: String): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val suppNation = supplier
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), Seq("l_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(floor(revenue * 100 + 0.5)).cast("double") / 100.0, 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8-shaped market share: of all revenue for parts of one type sold
+    * to customers in one region, the fraction supplied by one target nation,
+    * by order year. The share is a conditional-sum ratio inside ONE hash
+    * aggregate (no self-join, no second scan); part/customer/supplier dims
+    * are filtered before their broadcasts. Cent-quantized BIGINT sums make
+    * the numerator/denominator exact, so the final ratio is one IEEE divide
+    * on both engines.
+    */
+  def marketShare(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  part: DataFrame, targetNation: String, regionName: String,
+                  partType: String): DataFrame = {
+    val regionCust = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey").as("l_suppkey"), col("supp_nation"))
+    li.join(broadcast(part.filter(col("p_type") === partType)
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), Seq("l_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        floor(revenue * 100 + 0.5).cast("long").as("cents"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, col("cents"))
+          .otherwise(lit(0L))).cast("double")
+          / sum(col("cents")).cast("double"), 6).as("mkt_share"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item revenue loss: per-customer revenue of
+    * RETURNED lineitems for orders placed in one quarter, top-k customers.
+    * The order-date filter lands in the parquet scan (pushed predicate) and
+    * shrinks the orders side before its fact-fact join; nation is broadcast.
+    */
+  def returnedItemLoss(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                       nation: DataFrame, qStart: String, qEnd: String,
+                       k: Int): DataFrame =
+    li.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= qStart &&
+          col("o_orderdate") < qEnd).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(floor(revenue * 100 + 0.5)).cast("double") / 100.0, 2)
+          .as("revenue"),
+        round(first(col("c_acctbal")), 2).as("c_acctbal"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    * quantity exceeds a threshold, with customer attribution. The HAVING
+    * subquery is ONE aggregate over lineitem that keeps only (orderkey)
+    * keys past the threshold — at 100 TB the qualifying set is tiny, so the
+    * back-join to orders uses that reduced side and customer broadcasts.
+    */
+  def largeVolumeOrders(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                        minQty: Double): DataFrame = {
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
 }

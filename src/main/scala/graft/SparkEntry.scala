@@ -5988,6 +5988,74 @@ object SparkEntry {
 
     // recall@5 of the IVF index vs exact cosine — retrieval quality as a
     // query; the oracle replays BOTH retrievals and the hit join
+    Q("vec_random_projection",
+      (s, d) => VectorOps.randomProjectionRecall(embeddings(s, d)),
+      Some {
+        // same deterministic ±1 JL matrix (LCG seed 77), inlined as literals
+        val planes = graft.ops.VectorOps.hyperplanes(16, 64, 77L)
+        val projCols = planes.map { p =>
+          val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"floor(list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) * 10000 + 0.5) / 10000"
+        }.mkString("[\n        ", ",\n        ", "]")
+        s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+           |p AS (SELECT vec_id, $projCols AS pv FROM e),
+           |pn AS (SELECT vec_id, pv,
+           |         sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p),
+           |pq AS (SELECT vec_id AS query_id, pv AS qp, nrm AS qn
+           |       FROM pn WHERE vec_id < 5),
+           |pp AS (
+           |  SELECT pq.query_id, pn.vec_id,
+           |    floor(list_sum(list_transform(range(1, 17), i -> qp[i] * pv[i]))
+           |          / (qn * pn.nrm) * 10000 + 0.5) / 10000 AS psim
+           |  FROM pq JOIN pn ON pn.vec_id <> pq.query_id),
+           |cand AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY psim DESC, vec_id) AS r
+           |    FROM pp) WHERE r <= 15),
+           |n AS (SELECT vec_id, v,
+           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+           |      FROM n WHERE vec_id < 5),
+           |rer AS (
+           |  SELECT c.query_id, c.vec_id,
+           |    floor(list_sum(list_transform(range(1, 65), i -> q.qv[i] * n.v[i]))
+           |          / (q.qn * n.nrm) * 10000 + 0.5) / 10000 AS sim
+           |  FROM cand c
+           |  JOIN n ON n.vec_id = c.vec_id
+           |  JOIN q ON q.query_id = c.query_id),
+           |ak AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY sim DESC, vec_id) AS r
+           |    FROM rer) WHERE r <= 5),
+           |fp AS (
+           |  SELECT q.query_id, n.vec_id,
+           |    floor(list_sum(list_transform(range(1, 65), i -> q.qv[i] * n.v[i]))
+           |          / (q.qn * n.nrm) * 10000 + 0.5) / 10000 AS sim
+           |  FROM q JOIN n ON n.vec_id <> q.query_id),
+           |full_k AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY sim DESC, vec_id) AS r
+           |    FROM fp) WHERE r <= 5),
+           |o AS (
+           |  SELECT f.query_id, count(*) AS n_overlap
+           |  FROM full_k f JOIN ak
+           |    ON ak.query_id = f.query_id AND ak.vec_id = f.vec_id
+           |  GROUP BY 1),
+           |fc AS (SELECT query_id, count(*) AS n_full FROM full_k GROUP BY 1)
+           |SELECT fc.query_id,
+           |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  floor(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / fc.n_full
+           |    * 10000 + 0.5) / 10000 AS recall
+           |FROM fc LEFT JOIN o ON o.query_id = fc.query_id
+           |ORDER BY fc.query_id""".stripMargin
+      }),
+
     Q("vec_ann_recall",
       (s, d) => VectorOps.annRecallAudit(embeddings(s, d)),
       Some(s"""WITH flat AS (

@@ -1299,4 +1299,55 @@ object VectorOps {
     val survivors = emb.join(dropped, Seq("vec_id"), "left_anti")
     mmrRerank(survivors, maxQueryId, k, pool, lambda, queryEmb = Some(emb))
   }
+
+  /** Johnson–Lindenstrauss random-projection recall audit — the third ANN
+    * family beside hyperplane LSH and IVF. Each 64-dim vector is projected
+    * to `nDims` dims through a deterministic ±1 sign matrix (Achlioptas'
+    * database-friendly JL construction: E[⟨Px,Py⟩] ∝ ⟨x,y⟩, so projected
+    * cosine preserves neighbor order in expectation); candidates are the
+    * projected-space top-`shortlist` per query, reranked with exact cosine,
+    * and recall@k is measured against full brute force.
+    *
+    * Scale shape: the projection is ONE narrow pass over the corpus (the
+    * 64-float embedding collapses to `nDims` quantized doubles before any
+    * join), the shortlist ranking streams (projected corpus × broadcast
+    * projected queries), and only shortlist-sized (query_id, vec_id) pairs
+    * reach the exact rerank — the full-width embedding never shuffles.
+    * Projected values are q4-quantized so the DuckDB oracle (which inlines
+    * the same sign matrix) replays every downstream comparison exactly.
+    */
+  def randomProjectionRecall(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5,
+                             nDims: Int = 16, shortlist: Int = 15,
+                             seed: Long = 77L): DataFrame = {
+    val planes = hyperplanes(nDims, 64, seed)
+    val pv = array(planes.map(p => q4(dot(col("embedding"), typedLit(p)))): _*)
+    val proj = emb.select(col("vec_id"), pv.as("pv"))
+    val queries = proj.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("pv").as("qp"))
+    val pPairs = proj.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("psim", q4(cosine(col("qp"), col("pv"))))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("psim").desc, col("vec_id"))
+    val cand = pPairs.withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qvecs = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val rer = emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("sim", q4(cosineFast(emb, col("q"), col("embedding"))))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val approx = rer.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val full = knnBruteForce(emb, maxQueryId, k).select(col("query_id"), col("vec_id"))
+    full.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full")),
+        Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        q4(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_full"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
 }

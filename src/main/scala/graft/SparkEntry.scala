@@ -1273,6 +1273,48 @@ object SparkEntry {
              |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
         }),
 
+      // personalized PageRank: restart mass on the node%100==0 seed set;
+      // same memoized degree build as graph_pagerank (shared memo key)
+      Q("graph_ppr",
+        (s, d) => graft.ops.GraphOps.personalizedPageRank(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
+          memoKey = Some(s"$d#pr500")),
+        Some {
+          val iters = (1 to 3).map { i =>
+            s"""r$i AS MATERIALIZED (
+               |  SELECT sf.node,
+               |    (CAST(1.0 AS DOUBLE) - 0.85) * sf.teleport
+               |      + 0.85 * coalesce(f.c, CAST(0.0 AS DOUBLE)) AS pr
+               |  FROM sf LEFT JOIN (
+               |    SELECT d.dst AS node, sum(r.pr / g.deg) AS c
+               |    FROM directed d
+               |    JOIN r${i - 1} r ON r.node = d.src
+               |    JOIN deg g ON g.src = d.src
+               |    GROUP BY 1) f ON f.node = sf.node)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH ${edgesCte(500)},
+             |directed AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
+             |sf AS MATERIALIZED (
+             |  SELECT src AS node,
+             |    CASE WHEN src % 100 = 0
+             |      THEN CAST(1.0 AS DOUBLE)
+             |           / (SELECT count(*) FROM deg WHERE src % 100 = 0)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS teleport
+             |  FROM deg),
+             |r0 AS MATERIALIZED (SELECT node, teleport AS pr FROM sf),
+             |$iters
+             |SELECT node, rank_scaled FROM (
+             |  SELECT node,
+             |    floor(pr * (SELECT count(*) FROM deg) * 1e6 + 0.5) / 1e6
+             |      AS rank_scaled
+             |  FROM r3)
+             |WHERE rank_scaled > 0
+             |ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
+        }),
+
       // bounded-round k-core peel on the sparse order/part-bucket bipartite
       // graph; oracle unrolls the identical 5 peel rounds
       Q("graph_kcore",
@@ -1772,6 +1814,53 @@ object SparkEntry {
              |  floor((rec.l + h.h * rec.b) * 1000000 + 0.5) / 1000000 AS forecast
              |FROM rec JOIN mx ON mx.g = rec.g AND rec.t = mx.tmax
              |CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+             |ORDER BY priority, h""".stripMargin)),
+
+    // Holt–Winters = classical seasonal indices + the same Holt recursion
+    // on the deseasonalized series; indices are single exact-long divisions
+    // so only the smoother itself needs the 1e-6 tolerance doctrine
+    Q("ts_holt_winters",
+      (s, d) => graft.ops.TimeSeriesOps.holtWintersForecast(orders(s, d)),
+      Some("""WITH RECURSIVE mc AS (
+             |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |ph AS (SELECT g, month(month) AS phase,
+             |         sum(cents) AS pc, count(*) AS pn
+             |       FROM mc GROUP BY 1, 2),
+             |ov AS (SELECT g, sum(cents) AS oc, count(*) AS n_all
+             |       FROM mc GROUP BY 1),
+             |idx AS (SELECT ph.g, phase,
+             |          CAST(pc AS DOUBLE) / CAST(pn AS DOUBLE)
+             |            - CAST(oc AS DOUBLE) / CAST(n_all AS DOUBLE) AS s_cents
+             |        FROM ph JOIN ov ON ov.g = ph.g),
+             |adj AS (SELECT mc.g, mc.month,
+             |          (CAST(cents AS DOUBLE) - s_cents) / 1e8 AS x
+             |        FROM mc JOIN idx
+             |          ON idx.g = mc.g AND idx.phase = month(mc.month)),
+             |s AS (SELECT g, month, x,
+             |        row_number() OVER (PARTITION BY g ORDER BY month) AS t
+             |      FROM adj),
+             |mx AS (SELECT g, max(t) AS tmax, max(month) AS last_month
+             |       FROM s GROUP BY 1),
+             |rec AS (
+             |  SELECT s1.g, CAST(1 AS BIGINT) AS t, s1.x AS l, s2.x - s1.x AS b
+             |  FROM (SELECT g, x FROM s WHERE t = 1) s1
+             |  JOIN (SELECT g, x FROM s WHERE t = 2) s2 USING (g)
+             |  UNION ALL
+             |  SELECT r.g, r.t + 1,
+             |    0.5 * sx.x + 0.5 * (r.l + r.b),
+             |    0.25 * (0.5 * sx.x + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b
+             |  FROM rec r JOIN s sx ON sx.g = r.g AND sx.t = r.t + 1)
+             |SELECT rec.g AS priority, CAST(mx.tmax AS INTEGER) AS n_obs, h.h,
+             |  strftime(mx.last_month + to_months(h.h), '%Y-%m-%d') AS target_month,
+             |  floor((rec.l + h.h * rec.b + i2.s_cents / 1e8)
+             |    * 1000000 + 0.5) / 1000000 AS forecast
+             |FROM rec
+             |JOIN mx ON mx.g = rec.g AND rec.t = mx.tmax
+             |CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h) h
+             |JOIN idx i2 ON i2.g = rec.g
+             |  AND i2.phase = month(mx.last_month + to_months(h.h))
              |ORDER BY priority, h""".stripMargin)),
 
     // AR(2) via Yule–Walker on exact integer moments (num_k identity in the

@@ -234,18 +234,8 @@ object GraphOps {
       Exec.unpersistCheckpointed(directed)
       (wd, degs, n)
     }
-    val (withDeg, degFrame, nNodes) = memoKey match {
-      case None =>
-        // un-memoized: the two surviving frames are per-call — register
-        // them for the between-query drain instead of leaking until
-        // releaseAll (the memo path's evictor handles the Some case)
-        val (wd, dg, n) = build()
-        Exec.trackTransient(wd); Exec.trackTransient(dg)
-        (wd, dg, n)
-      case Some(k) =>
-        val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + k
-        prMemo.getOrElseUpdate(fullKey, build())
-    }
+    val (withDeg, degFrame, nNodes) =
+      resolveDegreeBuild(edges, memoKey, build)
     var ranks = degFrame.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / nNodes))
     for (_ <- 1 to iters) {
@@ -265,6 +255,90 @@ object GraphOps {
     ranks
       .select(col("node"),
         (floor(col("pr") * lit(nNodes.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Memo-or-track resolution for the (degree-joined edges, degrees, |V|)
+    * build shared by [[pageRank]] and [[personalizedPageRank]]: un-memoized
+    * calls register their surviving frames for the between-query drain;
+    * memoized calls go through [[prMemo]] (whose evictor releases them).
+    */
+  private def resolveDegreeBuild(edges: DataFrame, memoKey: Option[String],
+      build: () => (DataFrame, DataFrame, Long)): (DataFrame, DataFrame, Long) =
+    memoKey match {
+      case None =>
+        val (wd, dg, n) = build()
+        Exec.trackTransient(wd); Exec.trackTransient(dg)
+        (wd, dg, n)
+      case Some(k) =>
+        val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + k
+        prMemo.getOrElseUpdate(fullKey, build())
+    }
+
+  /** Personalized PageRank — random walk with restart to a SEED set instead
+    * of the uniform vector: pr₀ = 1_S/|S|, and each round teleports back to
+    * the seeds,
+    *
+    *   pr_{t+1}(v) = (1−d)·1_S(v)/|S| + d·Σ_{u→v} pr_t(u)/deg(u).
+    *
+    * This is the similarity/recommendation primitive (nodes ranked by
+    * proximity to the seed community). Seeds are the deterministic
+    * `node % seedMod == 0` subset (the closeness-centrality convention).
+    * Plan shape is identical to [[pageRank]] — the same memoized
+    * degree-joined edge build, a count-gated broadcast rank vector, one
+    * narrow per-dst aggregate per round — so the scale posture carries
+    * over unchanged; the only addition is a broadcast seed-indicator join
+    * per round (|V|-bounded, key+flag only). Nodes unreached by the walk
+    * keep rank 0 and are excluded (rank_scaled > 0 filter) so the output
+    * stays top-k dense.
+    */
+  def personalizedPageRank(edges: DataFrame, seedMod: Long = 100L,
+                           iters: Int = 3, damping: Double = 0.85,
+                           topK: Int = 25,
+                           maxBroadcastRanks: Long = 4000000L,
+                           memoKey: Option[String] = None): DataFrame = {
+    def build(): (DataFrame, DataFrame, Long) = {
+      val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val degs = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val n = degs.count()
+      val wd = directed.join(
+        if (n <= maxBroadcastRanks) broadcast(degs) else degs, Seq("src"))
+        .localCheckpoint()
+      Exec.unpersistCheckpointed(directed)
+      (wd, degs, n)
+    }
+    val (withDeg, degFrame, nNodes) =
+      resolveDegreeBuild(edges, memoKey, build)
+    val seeds = degFrame.filter(col("src") % seedMod === 0)
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, s"personalizedPageRank: no seeds at mod $seedMod")
+    val seedFlag = degFrame.select(col("src").as("node"),
+      when(col("src") % seedMod === 0, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+        .as("teleport"))
+    var ranks = seedFlag.select(col("node"), col("teleport").as("pr"))
+    for (_ <- 1 to iters) {
+      val flowed = withDeg
+        .join(Exec.broadcastIfSmall(ranks.withColumnRenamed("node", "src"),
+          maxBroadcastRanks), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("c"))
+        .select(col("dst").as("node"), col("c"))
+      // left join back onto the full teleport vector: seeds receive their
+      // restart mass even in rounds where no walk reaches them
+      ranks = seedFlag
+        .join(flowed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("teleport")
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+    }
+    ranks
+      .select(col("node"),
+        (floor(col("pr") * lit(nNodes.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
+      .filter(col("rank_scaled") > 0)
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(topK)
   }

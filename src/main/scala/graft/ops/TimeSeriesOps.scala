@@ -337,8 +337,6 @@ object TimeSeriesOps {
     */
   def holtForecast(orders: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
                    horizons: Int = 3, maxLen: Int = 512): DataFrame = {
-    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "need 0<α,β<1")
-    val spark = orders.sparkSession
     // exact-cent monthly series, rescaled to ~1e2 magnitude so the closed
     // form and the oracle's sequential recursion agree far below the 1e-6
     // quantum (both divide the SAME exact long by the same constant)
@@ -347,6 +345,27 @@ object TimeSeriesOps {
         date_trunc("month", col("o_orderdate")).as("month"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .select(col("g"), col("month"), (col("cents").cast("double") / 1e8).as("x"))
+    holtState(monthly, alpha, beta, maxLen)
+      .select(col("g").as("priority"), col("len").as("n_obs"),
+        explode(sequence(lit(1), lit(horizons))).as("h"),
+        col("l"), col("b"))
+      .select(col("priority"), col("n_obs"), col("h"),
+        (floor((col("l") + col("h") * col("b")) * 1000000 + 0.5) / 1000000)
+          .as("forecast"))
+      .orderBy(col("priority"), col("h"))
+  }
+
+  /** Closed-form Holt smoothing state shared by [[holtForecast]] and
+    * [[holtWintersForecast]]: given a `(g, month, x)` series, returns
+    * `(g, len, last_month, l, b)` — the level/trend state after the final
+    * observation, computed with the matrix-power unroll documented on
+    * [[holtForecast]] (one window, one broadcast coefficient table, one
+    * aggregate per series; no per-step shuffle).
+    */
+  private def holtState(monthly: DataFrame, alpha: Double, beta: Double,
+                        maxLen: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "need 0<α,β<1")
+    val spark = monthly.sparkSession
     val w = Window.partitionBy(col("g")).orderBy(col("month"))
     val seq = monthly.withColumn("t", row_number().over(w)).persist()
     // the length guard lives HERE, fused into the len value every
@@ -356,9 +375,10 @@ object TimeSeriesOps {
     // would have raised (seen in spec before this placement)
     val heads = seq.groupBy(col("g")).agg(
         max(col("t")).as("mt"),
+        max(col("month")).as("last_month"),
         max(when(col("t") === 1, col("x"))).as("x1"),
         max(when(col("t") === 2, col("x"))).as("x2"))
-      .select(col("g"), col("x1"), col("x2"),
+      .select(col("g"), col("last_month"), col("x1"), col("x2"),
         (col("mt") + coalesce(
           assert_true(col("mt") <= lit(maxLen + 1),
             lit(s"holtForecast: series longer than maxLen=$maxLen")),
@@ -383,22 +403,76 @@ object TimeSeriesOps {
       .groupBy(col("g"))
       .agg(sum(col("x") * (col("a11") * alpha + col("a12") * alpha * beta)).as("l_sum"),
         sum(col("x") * (col("a21") * alpha + col("a22") * alpha * beta)).as("b_sum"))
-    // + A^{T−1}·s_1 seed term, then fan out the horizon steps
-    val state = heads.filter(col("len") >= 2)
+    // + A^{T−1}·s_1 seed term
+    heads.filter(col("len") >= 2)
       .join(coeff, col("k") === col("len") - 1)
       .join(terms, Seq("g"))
-      .select(col("g"), col("len"),
+      .select(col("g"), col("len"), col("last_month"),
         (col("a11") * col("x1") + col("a12") * (col("x2") - col("x1"))
           + col("l_sum")).as("l"),
         (col("a21") * col("x1") + col("a22") * (col("x2") - col("x1"))
           + col("b_sum")).as("b"))
-    state
-      .select(col("g").as("priority"), col("len").as("n_obs"),
-        explode(sequence(lit(1), lit(horizons))).as("h"),
-        col("l"), col("b"))
-      .select(col("priority"), col("n_obs"), col("h"),
-        (floor((col("l") + col("h") * col("b")) * 1000000 + 0.5) / 1000000)
-          .as("forecast"))
+  }
+
+  /** Holt–Winters additive seasonal forecast via classical decomposition:
+    * per-calendar-month seasonal indices are estimated first (phase mean
+    * minus overall mean — the classical-decomposition estimator), the
+    * series is deseasonalized, [[holtState]]'s closed-form level/trend
+    * smoother runs on the adjusted series, and each forecast step re-adds
+    * its target month's index:
+    *
+    *   s(p)      = mean({x_t : month(t) = p}) − mean(x)
+    *   x'_t      = x_t − s(month(t))
+    *   ŷ_{T+h}   = l_T + h·b_T + s(month(T+h))
+    *
+    * Cross-engine determinism: the monthly series is exact long cents, so
+    * each phase/overall mean is ONE long→double cast + ONE IEEE division —
+    * bit-identical in any engine with no fold-order exposure; the Holt
+    * recursion then inherits [[holtForecast]]'s tolerance doctrine (dyadic
+    * α/β, ~1e2 magnitude rescale, 1e-6 floor quantization). Scale shape:
+    * one monthly aggregate (the only full scan), a ≤12-row-per-key phase
+    * frame joined back broadcast-style, and the holtState plan — the same
+    * three exchanges forecast millions of independent series.
+    */
+  def holtWintersForecast(orders: DataFrame, alpha: Double = 0.5,
+                          beta: Double = 0.25, horizons: Int = 6,
+                          maxLen: Int = 512): DataFrame = {
+    val monthlyCents = orders
+      .groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    // per-(key, calendar-month) index in cents: Σphase/nphase − Σall/nall,
+    // every term a single exact-long division (no double accumulation)
+    val phase = monthlyCents
+      .groupBy(col("g"), month(col("month")).as("phase"))
+      .agg(sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
+    val overall = monthlyCents.groupBy(col("g"))
+      .agg(sum(col("cents")).as("oc"), count(lit(1)).as("on"))
+    val idx = phase.join(overall, Seq("g"))
+      .select(col("g"), col("phase"),
+        (col("pc").cast("double") / col("pn").cast("double")
+          - col("oc").cast("double") / col("on").cast("double")).as("s_cents"))
+    // idx descends from monthlyCents, so the join below is a self-join by
+    // lineage — rename its columns first to keep resolution unambiguous
+    val idxJ = idx.select(col("g").as("ig"), col("phase").as("iphase"),
+      col("s_cents"))
+    val adjusted = monthlyCents
+      .join(broadcast(idxJ), col("g") === col("ig")
+        && month(col("month")) === col("iphase"))
+      .select(col("g"), col("month"),
+        ((col("cents").cast("double") - col("s_cents")) / 1e8).as("x"))
+    val idxF = idx.select(col("g").as("fg"), col("phase").as("fphase"),
+      col("s_cents").as("f_s_cents"))
+    holtState(adjusted, alpha, beta, maxLen)
+      .select(col("g"), col("len"), col("last_month"), col("l"), col("b"),
+        explode(sequence(lit(1), lit(horizons))).as("h"))
+      .withColumn("target_month", add_months(col("last_month"), col("h")))
+      .join(broadcast(idxF), col("g") === col("fg")
+        && month(col("target_month")) === col("fphase"))
+      .select(col("g").as("priority"), col("len").as("n_obs"), col("h"),
+        date_format(col("target_month"), "yyyy-MM-dd").as("target_month"),
+        (floor((col("l") + col("h") * col("b") + col("f_s_cents") / 1e8)
+          * 1000000 + 0.5) / 1000000).as("forecast"))
       .orderBy(col("priority"), col("h"))
   }
 

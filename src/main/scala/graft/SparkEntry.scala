@@ -3161,6 +3161,52 @@ object SparkEntry {
     // power analysis: required n per arm from exact int64-cents moments;
     // the z-constant sum is ONE pinned literal squared in double (the
     // decimal-literal-arithmetic trap)
+    // deterministic Poisson(1) cluster bootstrap: LCG draw per (user, rep)
+    // mapped through the Poisson CDF, exact-cent replicate means, order-
+    // statistic CI — every step integer-exact until one final division
+    Q("ev_bootstrap_ci",
+      (s, d) => EventOps.bootstrapCI(events(s, d)),
+      Some("""WITH pu AS (
+             |  SELECT event_type, user_id,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |drawn AS (
+             |  SELECT event_type, user_id, cents, b.rep,
+             |    (user_id * 2654435761 + b.rep * 40503) % 1000000 AS h
+             |  FROM pu CROSS JOIN (SELECT unnest(range(200)) AS rep) b),
+             |weighted AS (
+             |  SELECT event_type, cents, rep,
+             |    CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+             |         WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+             |         ELSE 4 END AS w
+             |  FROM drawn),
+             |reps AS (
+             |  SELECT event_type, rep,
+             |    CAST(sum(w * cents) AS DOUBLE)
+             |      / CAST(nullif(sum(w), 0) AS DOUBLE) / 100.0 AS rep_mean
+             |  FROM weighted GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT event_type, rep_mean,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY rep_mean, rep) AS r
+             |  FROM reps),
+             |ci AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN r = 5 THEN rep_mean END) AS ci_lo,
+             |    max(CASE WHEN r = 196 THEN rep_mean END) AS ci_hi
+             |  FROM ranked WHERE r IN (5, 196) GROUP BY 1),
+             |point AS (
+             |  SELECT event_type, count(*) AS n_users,
+             |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+             |      AS mean_val
+             |  FROM pu GROUP BY 1)
+             |SELECT p.event_type, p.n_users,
+             |  floor(p.mean_val * 1000000 + 0.5) / 1000000 AS mean_val,
+             |  floor(ci.ci_lo * 1000000 + 0.5) / 1000000 AS ci_lo,
+             |  floor(ci.ci_hi * 1000000 + 0.5) / 1000000 AS ci_hi
+             |FROM point p JOIN ci ON ci.event_type = p.event_type
+             |ORDER BY p.event_type""".stripMargin)),
+
     Q("ev_power_analysis",
       (s, d) => EventOps.powerAnalysis(events(s, d)),
       Some("""WITH pu AS (
@@ -4626,6 +4672,46 @@ object SparkEntry {
               |  FROM sc)
               |SELECT rank, doc_id, score, n_matched FROM r
               |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    Q("txt_gopher_rules",
+      (s, d) => TextOps.gopherRules(documents(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT $DuckToks AS toks, text FROM documents),
+              |d AS (
+              |  SELECT
+              |    len(toks) AS n_tok,
+              |    list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+              |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+              |    len(list_filter(['the','be','to','of','and','that','have','with'],
+              |        s -> list_contains(toks, s))) AS n_stop,
+              |    len(regexp_extract_all(text, '#'))
+              |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+              |  FROM t),
+              |f AS (
+              |  SELECT n_tok BETWEEN 50 AND 100000 AS r1,
+              |    sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok AS r2,
+              |    5 * n_alpha >= 4 * n_tok AS r3,
+              |    n_stop >= 2 AS r4,
+              |    10 * n_sym <= n_tok AS r5
+              |  FROM d),
+              |a AS (
+              |  SELECT count(*) AS n_docs,
+              |    count(*) FILTER (WHERE r1) AS p1,
+              |    count(*) FILTER (WHERE r2) AS p2,
+              |    count(*) FILTER (WHERE r3) AS p3,
+              |    count(*) FILTER (WHERE r4) AS p4,
+              |    count(*) FILTER (WHERE r5) AS p5,
+              |    count(*) FILTER (WHERE r1 AND r2 AND r3 AND r4 AND r5) AS pk
+              |  FROM f)
+              |SELECT
+              |  unnest(['r1_word_count','r2_mean_word_len','r3_alpha_words',
+              |          'r4_stopwords','r5_symbol_ratio','r6_all_rules']) AS rule,
+              |  unnest([p1, p2, p3, p4, p5, pk]) AS n_pass,
+              |  n_docs,
+              |  floor(CAST(unnest([p1, p2, p3, p4, p5, pk]) AS DOUBLE) / n_docs
+              |    * 10000 + 0.5) / 10000 AS pass_rate
+              |FROM a
+              |ORDER BY rule""".stripMargin)),
 
     Q("txt_quality_score",
       (s, d) => TextOps.qualityScore(documents(s, d)),

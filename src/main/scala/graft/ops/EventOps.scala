@@ -1221,4 +1221,63 @@ object EventOps {
         q6(col("did")).as("did"), q6(col("se")).as("se"),
         q6(col("z")).as("z_stat"), (abs(col("z")) > 1.96).as("significant"))
   }
+
+  /** Deterministic cluster-bootstrap confidence interval for per-user total
+    * event value, by event type — the nonparametric CI an experimentation
+    * stack reports when the metric distribution is skewed. Users (the
+    * correlated sampling unit) are resampled, not events:
+    *
+    *   1. per-(type, user) exact-cent totals — the ONLY full scan;
+    *   2. B Poisson(1) bootstrap replicates: user u's weight in replicate b
+    *      comes from the LCG draw h = (u·2654435761 + b·40503) mod 1e6
+    *      mapped through the Poisson(1) CDF thresholds (367879, 735759,
+    *      919699, 981012 → w ∈ 0..4) — pure 64-bit integer arithmetic that
+    *      any engine reproduces bit-exactly, unlike engine-native RNG;
+    *   3. replicate mean = Σw·cents / Σw (exact longs, ONE division);
+    *   4. the CI is the [⌈0.025·B⌉, B+1−⌈0.025·B⌉] order statistics of the
+    *      B replicate means, tie-broken by replicate id.
+    *
+    * Scale shape: the bootstrap explodes the |types|×|users| AGGREGATE
+    * frame (never raw events) by B, so cost is B·|users| rows regardless
+    * of event volume; the rank pass partitions by type over B rows each.
+    */
+  def bootstrapCI(events: DataFrame, b: Int = 200): DataFrame = {
+    val kLo = math.ceil(0.025 * b).toInt
+    val kHi = b + 1 - kLo
+    val perUser = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val reps = perUser
+      .select(col("event_type"), col("user_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("h",
+        (col("user_id") * lit(2654435761L) + col("rep") * lit(40503L)) % 1000000L)
+      .withColumn("w",
+        when(col("h") < 367879L, 0L).when(col("h") < 735759L, 1L)
+          .when(col("h") < 919699L, 2L).when(col("h") < 981012L, 3L)
+          .otherwise(4L))
+      .groupBy(col("event_type"), col("rep"))
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("wn"))
+      .select(col("event_type"), col("rep"),
+        (col("wc").cast("double") / nullif(col("wn"), lit(0L)).cast("double")
+          / 100.0).as("rep_mean"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("rep_mean"), col("rep"))
+    val ranked = reps.withColumn("r", row_number().over(w))
+    val point = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("cents")).cast("double")
+          / count(lit(1)).cast("double") / 100.0).as("mean_val"))
+    val ci = ranked.filter(col("r").isin(kLo, kHi))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("r") === kLo, col("rep_mean"))).as("ci_lo"),
+        max(when(col("r") === kHi, col("rep_mean"))).as("ci_hi"))
+    point
+      .join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_users"),
+        (floor(col("mean_val") * 1000000 + 0.5) / 1000000).as("mean_val"),
+        (floor(col("ci_lo") * 1000000 + 0.5) / 1000000).as("ci_lo"),
+        (floor(col("ci_hi") * 1000000 + 0.5) / 1000000).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
 }

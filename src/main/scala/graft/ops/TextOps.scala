@@ -1502,4 +1502,61 @@ object TextOps {
     // 5. sequence packing over the surviving corpus
     packSequences(d4, budget)
   }
+
+  /** Gopher-paper rule census (Rae et al. 2021, table A1 — the published
+    * heuristic filter battery every LLM-data pipeline reimplements): per
+    * rule, how many documents pass, plus the all-rules keep rate.
+    *
+    *   r1  word count in [minWords, maxWords]
+    *   r2  mean word length in [3, 10]
+    *   r3  ≥80 % of words contain an alphabetic character
+    *   r4  ≥2 distinct required stopwords present
+    *   r5  symbol-to-word ratio ('#' or '…' per word) ≤ 0.1
+    *
+    * Every rule is decided in EXACT integer arithmetic (5·n_alpha ≥ 4·n_tok
+    * instead of a double ratio, etc.), so no engine can disagree at a
+    * threshold boundary. One corpus scan, one single-row aggregate, a
+    * 6-row stack — nothing scales with the corpus but the scan.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col("text"))
+    val d = docs.select(
+      size(toks).as("n_tok"),
+      aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+        .as("sum_len"),
+      size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+      size(filter(typedLit(gopherStops), s => array_contains(toks, s)))
+        .as("n_stop"),
+      (length(regexp_replace(col("text"), "[^#]", ""))
+        + regexp_count(col("text"), lit("\\.\\.\\."))).as("n_sym"))
+    val flags = d.select(
+      col("n_tok").between(minWords, maxWords).as("r1"),
+      (col("sum_len") >= lit(3L) * col("n_tok")
+        && col("sum_len") <= lit(10L) * col("n_tok")).as("r2"),
+      (lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")).as("r3"),
+      (col("n_stop") >= 2).as("r4"),
+      (lit(10L) * col("n_sym") <= col("n_tok")).as("r5"))
+    flags
+      .select(col("r1"), col("r2"), col("r3"), col("r4"), col("r5"),
+        (col("r1") && col("r2") && col("r3") && col("r4") && col("r5")).as("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("r1"), 1)).as("p1"),
+        count(when(col("r2"), 1)).as("p2"),
+        count(when(col("r3"), 1)).as("p3"),
+        count(when(col("r4"), 1)).as("p4"),
+        count(when(col("r5"), 1)).as("p5"),
+        count(when(col("keep"), 1)).as("pk"))
+      .select(expr(
+        """stack(6,
+          |  'r1_word_count', p1, 'r2_mean_word_len', p2,
+          |  'r3_alpha_words', p3, 'r4_stopwords', p4,
+          |  'r5_symbol_ratio', p5, 'r6_all_rules', pk) AS (rule, n_pass)"""
+          .stripMargin),
+        col("n_docs"))
+      .select(col("rule"), col("n_pass"), col("n_docs"),
+        q4(col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
+      .orderBy(col("rule"))
+  }
 }

@@ -780,6 +780,43 @@ object SparkEntry {
              |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("store_hilbert_stats",
+      (s, d) => Relational.hilbertLayoutStats(lineitem(s, d)),
+      Some {
+        // unroll the same 8 bit-descent rounds as chained CTEs
+        val rounds = (7 to 0 by -1).map { i =>
+          val s = 1 << i
+          val prev = if (i == 7) "p" else s"h${i + 1}"
+          s"""h$i AS (
+             |  SELECT x, y,
+             |    CASE WHEN ry = 0 THEN
+             |      CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+             |    ELSE hx END AS hx,
+             |    CASE WHEN ry = 0 THEN
+             |      CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+             |    ELSE hy END AS hy,
+             |    d + ${s * s} * xor(3 * rx, ry) AS d
+             |  FROM (
+             |    SELECT x, y, hx, hy, d,
+             |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+             |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+             |    FROM $prev))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (
+           |  SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+           |         CAST(l_suppkey % 256 AS INTEGER) AS y,
+           |         CAST(l_partkey % 256 AS INTEGER) AS hx,
+           |         CAST(l_suppkey % 256 AS INTEGER) AS hy,
+           |         0 AS d
+           |  FROM lineitem),
+           |$rounds
+           |SELECT CAST(d >> 12 AS INTEGER) AS h_range, count(*) AS n,
+           |  min(x) AS x_min, max(x) AS x_max,
+           |  min(y) AS y_min, max(y) AS y_max,
+           |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+           |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // market-share leaders: top supplier per part (deterministic tiebreak),
     // rolled up per supplier; shares are exact integer-sum ratios, q4
     Q("rel_top_supplier_share",
@@ -2527,6 +2564,24 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS classes_below_k,
              |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             |    AS rows_at_risk
+             |FROM g""".stripMargin)),
+
+    // l-diversity beside k-anonymity: same QID classes, min DISTINCT count
+    // of the bucketed sensitive attribute per class
+    Q("qc_l_diversity",
+      (s, d) => QualityChecks.lDiversity(customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("int"), 3),
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+             |    count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INTEGER))
+             |      AS n_sensitive
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT min(n_sensitive) AS l_diversity, count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_l,
+             |  CAST(sum(CASE WHEN n_sensitive < 3 THEN sz ELSE 0 END) AS BIGINT)
              |    AS rows_at_risk
              |FROM g""".stripMargin)),
 

@@ -942,6 +942,64 @@ object Relational {
       .withColumn("y_span", col("y_max") - col("y_min"))
       .orderBy(col("z_range"))
 
+  /** Hilbert-curve storage-layout statistics — [[zOrderLayoutStats]]'
+    * stronger sibling. The Hilbert curve has no Morton-order "seams" (the
+    * z-curve jumps across the full key space every 2^k steps), so
+    * consecutive key ranges map to strictly contiguous spatial boxes and
+    * parquet min/max envelopes come out tighter for the same file count —
+    * which is why lakehouse OPTIMIZE implementations prefer it for
+    * multi-column clustering at scale. The xy→d transform is the classic
+    * bit-descent with quadrant rotation, statically unrolled over the 8
+    * bit levels (each level is a handful of codegen'd when/bitwise
+    * expressions — no higher-order fold, the zOrder lesson); the only
+    * shuffle is the per-range aggregate. Per top-4-bit key range: row
+    * count and both dimensions' min/max envelope, directly comparable
+    * row-for-row against the z-order variant.
+    */
+  def hilbertLayoutStats(li: DataFrame): DataFrame =
+    hilbertD(
+      li.select((col("l_partkey") % 256).cast("int").as("x"),
+        (col("l_suppkey") % 256).cast("int").as("y")), bits = 8)
+      .groupBy(shiftright(col("d"), 12).as("h_range"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("x_span", col("x_max") - col("x_min"))
+      .withColumn("y_span", col("y_max") - col("y_min"))
+      .orderBy(col("h_range"))
+
+  /** xy→d Hilbert transform on a frame with int columns `x`, `y` in
+    * [0, 2^bits): adds column `d`, the Hilbert curve index. Exposed
+    * separately so the spec can prove curve-ness (d is a bijection onto
+    * [0, 4^bits) and consecutive d values are Manhattan-adjacent) rather
+    * than just cross-engine agreement.
+    */
+  private[graft] def hilbertD(points: DataFrame, bits: Int): DataFrame = {
+    var df = points
+      .withColumn("hx", col("x")).withColumn("hy", col("y"))
+      .withColumn("d", lit(0))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1 << i
+      df = df
+        .withColumn("rx", when(col("hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("ry", when(col("hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("d", col("d")
+          + lit(s * s) * (lit(3) * col("rx")).bitwiseXOR(col("ry")))
+        // quadrant rotation: if ry==0 swap axes, reflecting when rx==1
+        .withColumn("nx",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
+            .otherwise(col("hx")))
+        .withColumn("ny",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
+            .otherwise(col("hy")))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("nx", "ny", "rx", "ry")
+    }
+    df.drop("hx", "hy")
+  }
+
   /** Per-nation ordinary-least-squares fit of line revenue against shipped
     * quantity — the built-in `regr_*` aggregate family (Spark ≥ 3.3), which
     * decomposes into partial sums exactly like `avg`/`corr`, so the whole

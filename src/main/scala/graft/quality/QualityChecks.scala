@@ -448,6 +448,26 @@ object QualityChecks {
         sum(when(col("sz") < k, 1L).otherwise(0L)).as("classes_below_k"),
         sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
 
+  /** l-diversity audit — k-anonymity's companion: a QID class can be large
+    * (k-anonymous) yet still leak if every member shares one sensitive
+    * value. Per QID class, count DISTINCT sensitive values; report the
+    * corpus minimum (the l the table actually achieves), how many classes
+    * fall below the target, and how many rows sit in them. Same plan shape
+    * as [[kAnonymity]]: one two-level aggregate (distinct-inside-group via
+    * countDistinct — partial-aggregated, no self-join), metadata-sized
+    * output.
+    */
+  def lDiversity(df: DataFrame, qidCols: Seq[String], sensitiveCol: Column,
+                 l: Int): DataFrame =
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(sensitiveCol).as("n_sensitive"))
+      .agg(
+        min(col("n_sensitive")).as("l_diversity"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("n_sensitive") < l, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
   /** Referential-integrity audit across FK edges — the cross-table check a
     * warehouse load runs after every batch (the reference loads star-ish
     * tables with no constraint enforcement at all; cf. `/root/reference`

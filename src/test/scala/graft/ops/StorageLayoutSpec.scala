@@ -54,6 +54,37 @@ class StorageLayoutSpec extends SparkSpec {
     assert(linear.length == 16)
   }
 
+  test("hilbert index is a bijection and consecutive d are Manhattan-adjacent") {
+    // curve-ness, not just cross-engine agreement: over the full 2^bits grid
+    // the xy->d map must hit every d in [0, 4^bits) exactly once, and the
+    // points at d and d+1 must be grid neighbors (|dx|+|dy| == 1) — the
+    // defining Hilbert property that gives contiguous spatial boxes
+    val pts = Relational.hilbertD(
+      spark.range(4096).select(
+        (col("id") % 64).cast("int").as("x"),
+        (col("id") / lit(64)).cast("int").as("y")), bits = 6)
+      .select(col("x"), col("y"), col("d"))
+    assert(pts.select(countDistinct(col("d"))).head.getLong(0) == 4096L)
+    assert(pts.agg(min(col("d")), max(col("d"))).head ==
+      org.apache.spark.sql.Row(0, 4095))
+    val nonAdjacent = pts.as("a")
+      .join(pts.as("b"), col("a.d") + 1 === col("b.d"))
+      .filter(abs(col("a.x") - col("b.x")) + abs(col("a.y") - col("b.y")) =!= 1)
+      .count()
+    assert(nonAdjacent == 0L)
+  }
+
+  test("hilbert ranges bound both dimensions like z-order, without seams") {
+    val stats = Relational.hilbertLayoutStats(grid.select(
+      col("l_partkey"), col("l_suppkey"))).collect()
+    assert(stats.length == 16)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n") == 4096L)
+      assert(r.getAs[Int]("x_span") == 63, s"range ${r.get(0)} x_span")
+      assert(r.getAs[Int]("y_span") == 63, s"range ${r.get(0)} y_span")
+    }
+  }
+
   test("bloom skipping: no false negatives, exact truth counts, skip rate arithmetic") {
     import spark.implicits._
     // partkey 1 lives in buckets {1, 2}; partkey 2 in {3}; keys 3..20

@@ -1774,6 +1774,58 @@ object SparkEntry {
 
     // per-series autocorrelation at lags 1..6: banded self-join on the
     // shifted month index + one corr aggregate per (key, lag)
+    // rolling Pearson r from five EXACT-long moment sums riding one window
+    // frame; only the final formula is floating-point (then q4)
+    Q("ts_rolling_corr",
+      (s, d) => graft.ops.TimeSeriesOps.rollingCorr(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+             |    sum(CAST(l_quantity AS BIGINT)) AS q
+             |  FROM lineitem WHERE l_suppkey IN (1, 2) GROUP BY 1, 2),
+             |p AS (
+             |  SELECT month,
+             |    CAST(sum(CASE WHEN l_suppkey = 1 THEN q END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN l_suppkey = 2 THEN q END) AS BIGINT) AS y
+             |  FROM m GROUP BY 1
+             |  HAVING x IS NOT NULL AND y IS NOT NULL),
+             |r AS (
+             |  SELECT month, x, y,
+             |    count(*) OVER w AS n,
+             |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             |    sum(x * y) OVER w AS sxy,
+             |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+             |  FROM p
+             |  WINDOW w AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+             |SELECT strftime(month, '%Y-%m-%d') AS month, x, y,
+             |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |        * 10000 + 0.5) / 10000 AS rolling_r
+             |FROM r WHERE n = 6
+             |ORDER BY month""".stripMargin)),
+
+    // gaps-and-islands: month_index − row_number is constant within a
+    // consecutive run — one window pass, one aggregate, no self-join
+    Q("ts_islands",
+      (s, d) => graft.ops.TimeSeriesOps.activityIslands(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    count(*) AS n_lines
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |g AS (
+             |  SELECT l_suppkey, mi, n_lines,
+             |    mi - row_number() OVER (PARTITION BY l_suppkey ORDER BY mi) AS grp
+             |  FROM m)
+             |SELECT l_suppkey, min(mi) AS start_mi, max(mi) AS end_mi,
+             |  count(*) AS run_months, CAST(sum(n_lines) AS BIGINT) AS n_lines
+             |FROM g GROUP BY l_suppkey, grp
+             |ORDER BY l_suppkey, start_mi""".stripMargin)),
+
     Q("ts_acf",
       (s, d) => graft.ops.TimeSeriesOps.acfMonthly(lineitem(s, d)),
       Some("""WITH m AS (
@@ -6855,10 +6907,11 @@ object SparkEntry {
              |  CASE WHEN source = 'src0' THEN 'png'
              |       WHEN source = 'src1' THEN 'bmp'
              |       WHEN source = 'src2' THEN 'jpeg'
+             |       WHEN source = 'src3' THEN 'gif'
              |       ELSE 'opaque' END AS format,
-             |  CASE WHEN source IN ('src0', 'src1', 'src2')
+             |  CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
              |       THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
-             |  CASE WHEN source IN ('src0', 'src1', 'src2')
+             |  CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
              |       THEN CAST(doc_id % 480 + 1 AS INTEGER) END AS height,
              |  CASE WHEN source = 'src0'
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
@@ -6866,6 +6919,8 @@ object SparkEntry {
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS INTEGER)
              |       WHEN source = 'src2'
              |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 12 END AS INTEGER)
+             |       WHEN source = 'src3'
+             |       THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS INTEGER)
              |       END AS bit_depth
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

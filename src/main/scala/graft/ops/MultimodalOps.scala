@@ -87,8 +87,10 @@ object MultimodalOps {
     * a JFIF APP0, a VARIABLE-length COM segment (length derived from
     * doc_id, so a fixed-offset "parser" cannot fake the walk), a DQT, then
     * SOF0 (baseline, 8-bit) or SOF2 (progressive, 12-bit) carrying height
-    * THEN width as big-endian u16 (the JPEG field order) — everything else
-    * keeps opaque text bytes. Dimensions derive deterministically from
+    * THEN width as big-endian u16 (the JPEG field order), `src3` docs get a
+    * GIF89a signature + logical screen descriptor (width/height LE u16 at
+    * 6/8, color resolution in bits 6–4 of the packed byte) — everything
+    * else keeps opaque text bytes. Dimensions derive deterministically from
     * `doc_id`, so an oracle can state the expected decode without byte math
     * while the Spark side only learns them by PARSING the bytes it just
     * wrote — endianness, offset, or marker-walk mistakes in either
@@ -156,10 +158,20 @@ object MultimodalOps {
       u8(jpegPrecision), be16(h), be16(w),                  // precision, HEIGHT, WIDTH
       lit(Array[Byte](3)),                                  // 3 components (YCbCr)
       lit(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+    // GIF89a logical screen descriptor: 6-byte signature, width/height as
+    // LE u16 at 6/8, then the packed byte whose bits 6–4 hold color
+    // resolution − 1 (GIF89a spec §18) — depth alternates 4/8
+    val gifCr = when(col("doc_id") % 2 === 0, 4).otherwise(8).cast("int")
+    val gifHeader = concat(
+      ascii("GIF89a"),
+      le16(w), le16(h),
+      u8((gifCr - 1) * 16),             // packed: GCT off, sort off, size 0
+      lit(Array[Byte](0, 0)))           // background index, aspect ratio
     docs.withColumn("payload",
       when(col("source") === "src0", pngHeader)
         .when(col("source") === "src1", bmpHeader)
         .when(col("source") === "src2", jpegHeader)
+        .when(col("source") === "src3", gifHeader)
         .otherwise(encode(col("text"), "UTF-8").cast("binary")))
   }
 
@@ -211,7 +223,15 @@ object MultimodalOps {
       u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
     val isJpeg = !isPng && bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8
     val isBmp = !isPng && !isJpeg && bytes.length >= 30 && u8(0) == 'B' && u8(1) == 'M'
+    // GIF87a/GIF89a: 6-byte version signature, then the logical screen
+    // descriptor — width/height LE u16 at 6/8, color resolution in bits
+    // 6–4 of the packed byte at 10 (GIF89a spec §17–18)
+    val isGif = !isPng && !isJpeg && !isBmp && bytes.length >= 13 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
     if (isPng) ("png", Some(be32(16)), Some(be32(20)), Some(u8(24)))
+    else if (isGif)
+      ("gif", Some(le16(6)), Some(le16(8)), Some(((u8(10) >> 4) & 7) + 1))
     else if (isJpeg) jpegSofDims(bytes) match {
       // a JPEG prefix with no reachable SOF (truncated, or SOS first) keeps
       // the format tag but degrades to null dims — same defensive contract

@@ -271,6 +271,69 @@ object TimeSeriesOps {
       .orderBy(col("key"), col("lag_m"))
   }
 
+  /** Rolling windowed Pearson correlation between two aligned series (the
+    * pairs-trading / metric-coupling monitor): per month, the correlation
+    * of two suppliers' shipped quantities over the trailing `window`
+    * months. All five moment sums (Σx, Σy, Σxy, Σx², Σy²) ride ONE window
+    * frame over EXACT integer quantities, so every engine computes
+    * identical longs; the Pearson formula is then a fixed per-row double
+    * expression over those longs (no double accumulation anywhere), q4'd.
+    * Scale shape: one monthly aggregate, one window exchange on the pair
+    * key — the same plan rolls correlation over millions of metric pairs.
+    */
+  def rollingCorr(li: DataFrame, suppA: Int = 1, suppB: Int = 2,
+                  window: Int = 6): DataFrame = {
+    val monthly = li.filter(col("l_suppkey").isin(suppA, suppB))
+      .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val paired = monthly.groupBy(col("month"))
+      .agg(sum(when(col("l_suppkey") === suppA, col("q"))).as("x"),
+        sum(when(col("l_suppkey") === suppB, col("q"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val w = Window.orderBy(col("month")).rowsBetween(-(window - 1), 0)
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val d = (c: Column) => c.cast("double")
+    paired
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("x"), col("y"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .filter(col("n") === window)
+      .select(col("month"), col("x"), col("y"),
+        q4((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("rolling_r"))
+      .orderBy(col("month"))
+  }
+
+  /** Gaps-and-islands: contiguous runs of active months per supplier (the
+    * classic "streaks" pattern — subscription tenure, sensor uptime, SLA
+    * windows). The island id is the dense-grid trick: month_index −
+    * row_number is constant within a consecutive run, so one window pass
+    * and one aggregate produce every run's start/end/length — no self
+    * join, no recursion. Integer month indices keep it engine-exact.
+    */
+  def activityIslands(li: DataFrame, maxSuppkey: Int = 10): DataFrame = {
+    val monthly = li.filter(col("l_suppkey") < maxSuppkey)
+      .groupBy(col("l_suppkey"),
+        months_between(date_trunc("month", col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("int").as("mi"))
+      .agg(count(lit(1)).as("n_lines"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("mi"))
+    monthly
+      .withColumn("grp", col("mi") - row_number().over(w))
+      .groupBy(col("l_suppkey"), col("grp"))
+      .agg(min(col("mi")).as("start_mi"), max(col("mi")).as("end_mi"),
+        count(lit(1)).as("run_months"), sum(col("n_lines")).as("n_lines"))
+      .select(col("l_suppkey"), col("start_mi"), col("end_mi"),
+        col("run_months"), col("n_lines"))
+      .orderBy(col("l_suppkey"), col("start_mi"))
+  }
+
   /** Periodogram seasonality scan — the frequency-domain complement of
     * [[acfMonthly]]: for each candidate period p ∈ [2, maxPeriod], the DFT
     * power of the mean-centered monthly series at that period, normalized

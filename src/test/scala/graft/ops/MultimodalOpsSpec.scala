@@ -49,6 +49,17 @@ class MultimodalOpsSpec extends SparkSpec {
       0x01, 0x00, 0x18, 0x00,                        // planes 1, bpp 24 (LE)
       0x00, 0x00).map(_.toByte)
     assert(MultimodalOps.parseHeader(bmp) == (("bmp", Some(2), Some(3), Some(24))))
+    // a real GIF89a logical screen descriptor: 320×200, color resolution 8
+    // (bits 6–4 of the packed byte = 7), GCT present with 256 entries
+    val gif = "GIF89a".getBytes ++ Array(
+      0x40, 0x01,   // width 320 (LE)
+      0xC8, 0x00,   // height 200 (LE)
+      0xF7,         // packed: GCT on, cr-1 = 7, sort off, size 7
+      0x00, 0x00).map(_.toByte)
+    assert(MultimodalOps.parseHeader(gif) == (("gif", Some(320), Some(200), Some(8))))
+    // GIF87a variant parses identically
+    assert(MultimodalOps.parseHeader("GIF87a".getBytes ++ gif.drop(6)) ==
+      (("gif", Some(320), Some(200), Some(8))))
     // opaque bytes: stub path, null dims
     assert(MultimodalOps.parseHeader("not media".getBytes) ==
       (("opaque", None, None, None)))
@@ -111,6 +122,10 @@ class MultimodalOpsSpec extends SparkSpec {
           assert(d.format == "jpeg" && d.width == Some((id % 640 + 1).toInt)
             && d.height == Some((id % 480 + 1).toInt)
             && d.bit_depth == Some(if (id % 2 == 0) 8 else 12), s"doc $id: $d")
+        case "src3" =>
+          assert(d.format == "gif" && d.width == Some((id % 640 + 1).toInt)
+            && d.height == Some((id % 480 + 1).toInt)
+            && d.bit_depth == Some(if (id % 2 == 0) 4 else 8), s"doc $id: $d")
         case _ =>
           assert(d.format == "opaque" && d.width.isEmpty, s"doc $id: $d")
       }

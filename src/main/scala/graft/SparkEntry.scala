@@ -1774,6 +1774,55 @@ object SparkEntry {
 
     // per-series autocorrelation at lags 1..6: banded self-join on the
     // shifted month index + one corr aggregate per (key, lag)
+    // Sakoe–Chiba radius-1 DTW: the 3-cell band recursion is a row-local
+    // fold in Spark and a recursive CTE in DuckDB — two independent
+    // mechanisms over the same exact-int64 algebra, no tolerance needed
+    Q("ts_dtw_pairs",
+      (s, d) => graft.ops.TimeSeriesOps.dtwPairs(lineitem(s, d)),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT l_suppkey,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    sum(CAST(l_quantity AS BIGINT)) AS q
+             |  FROM lineitem WHERE l_suppkey < 5 GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.mi,
+             |    a.q AS qa, b.q AS qb
+             |  FROM m a JOIN m b ON a.mi = b.mi AND a.l_suppkey < b.l_suppkey),
+             |s AS (
+             |  SELECT sa, sb, qa, qb,
+             |    row_number() OVER (PARTITION BY sa, sb ORDER BY mi) AS t,
+             |    lag(qb) OVER (PARTITION BY sa, sb ORDER BY mi) AS qbm,
+             |    lead(qb) OVER (PARTITION BY sa, sb ORDER BY mi) AS qbp
+             |  FROM p),
+             |nn AS (SELECT sa, sb, max(t) AS n FROM s GROUP BY 1, 2),
+             |rec AS (
+             |  SELECT sa, sb, CAST(1 AS BIGINT) AS i,
+             |    CAST(1000000000000000 AS BIGINT) AS d0,
+             |    abs(qa - qb) AS d1,
+             |    CASE WHEN qbp IS NOT NULL THEN abs(qa - qbp) + abs(qa - qb)
+             |         ELSE CAST(1000000000000000 AS BIGINT) END AS d2
+             |  FROM s WHERE t = 1
+             |  UNION ALL
+             |  SELECT sa, sb, i, d0, d1,
+             |    CASE WHEN qbp IS NOT NULL THEN abs(ai - qbp) + least(d1, pd2)
+             |         ELSE CAST(1000000000000000 AS BIGINT) END AS d2
+             |  FROM (
+             |    SELECT sa, sb, i, ai, qb, qbp, pd1, pd2, d0,
+             |      abs(ai - qb) + least(pd2, d0, pd1) AS d1
+             |    FROM (
+             |      SELECT r.sa, r.sb, r.i + 1 AS i, s.qa AS ai, s.qb, s.qbp,
+             |        r.d1 AS pd1, r.d2 AS pd2,
+             |        abs(s.qa - s.qbm) + least(r.d0, r.d1) AS d0
+             |      FROM rec r
+             |      JOIN s ON s.sa = r.sa AND s.sb = r.sb AND s.t = r.i + 1)))
+             |SELECT r.sa, r.sb, CAST(nn.n AS INTEGER) AS n, r.d1 AS dtw,
+             |  floor(CAST(r.d1 AS DOUBLE) / nn.n * 10000 + 0.5) / 10000
+             |    AS dtw_per_step
+             |FROM rec r
+             |JOIN nn ON nn.sa = r.sa AND nn.sb = r.sb AND r.i = nn.n
+             |ORDER BY r.sa, r.sb""".stripMargin)),
+
     // rolling Pearson r from five EXACT-long moment sums riding one window
     // frame; only the final formula is floating-point (then q4)
     Q("ts_rolling_corr",

@@ -334,6 +334,72 @@ object TimeSeriesOps {
       .orderBy(col("l_suppkey"), col("start_mi"))
   }
 
+  /** Banded dynamic-time-warping distance between every pair of supplier
+    * quantity series (Sakoe–Chiba radius 1 — the standard production band:
+    * tight enough to stay O(n) per pair, loose enough to absorb ±1-step
+    * phase shifts that defeat plain Euclidean alignment). With radius 1
+    * the DP state collapses to THREE in-band cells per step,
+    *
+    *   dp(i,i−1) = c(i,i−1) + min(dp(i−1,i−2), dp(i−1,i−1))
+    *   dp(i,i)   = c(i,i)   + min(dp(i−1,i), dp(i,i−1), dp(i−1,i−1))
+    *   dp(i,i+1) = c(i,i+1) + min(dp(i,i), dp(i−1,i))
+    *
+    * so each pair's distance is ONE row-local `aggregate` fold over its
+    * collected (months-bounded) series arrays — the txt_unigram_encode
+    * Viterbi shape: no per-step shuffle, no DP matrix materialization.
+    * Costs |a_i − b_j| are exact longs (integral quantities), min/plus
+    * stays in int64, so the distance is engine-exact with no tolerance;
+    * the DuckDB oracle replays the same recursion as a recursive CTE —
+    * an INDEPENDENT mechanism over the same algebra. Scale: the series
+    * join and the pair groupBy shuffle (key, month, long) triples only;
+    * pair count is maxSuppkey², the caller's knob.
+    */
+  def dtwPairs(li: DataFrame, maxSuppkey: Int = 5): DataFrame = {
+    val Huge = 1000000000000000L
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val monthly = li.filter(col("l_suppkey") < maxSuppkey)
+      .groupBy(col("l_suppkey"),
+        months_between(date_trunc("month", col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("int").as("mi"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val pairs = monthly.as("a").join(monthly.as("b"),
+        col("a.mi") === col("b.mi") && col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"),
+        col("a.mi").as("mi"), col("a.q").as("qa"), col("b.q").as("qb"))
+    val arr = pairs.groupBy(col("sa"), col("sb"))
+      .agg(sort_array(collect_list(struct(col("mi"), col("qa"), col("qb"))))
+        .as("s"))
+      .select(col("sa"), col("sb"), size(col("s")).as("n"),
+        transform(col("s"), x => x.getField("qa")).as("av"),
+        transform(col("s"), x => x.getField("qb")).as("bv"))
+    val state0 = array(
+      lit(Huge),
+      abs(element_at(col("av"), 1) - element_at(col("bv"), 1)),
+      when(col("n") >= 2,
+        abs(element_at(col("av"), 1) - element_at(col("bv"), 2))
+          + abs(element_at(col("av"), 1) - element_at(col("bv"), 1)))
+        .otherwise(lit(Huge)))
+    val stateN = aggregate(
+      when(col("n") >= 2, sequence(lit(2), col("n")))
+        .otherwise(array().cast("array<int>")),
+      state0,
+      (st, i) => {
+        val ai = element_at(col("av"), i)
+        val d0 = abs(ai - element_at(col("bv"), i - 1))
+          .plus(least(element_at(st, 1), element_at(st, 2)))
+        val d1 = abs(ai - element_at(col("bv"), i))
+          .plus(least(element_at(st, 3), d0, element_at(st, 2)))
+        val d2 = when(i < col("n"),
+          abs(ai - element_at(col("bv"), i + 1))
+            .plus(least(d1, element_at(st, 3)))).otherwise(lit(Huge))
+        array(d0, d1, d2)
+      })
+    arr.select(col("sa"), col("sb"), col("n"),
+        element_at(stateN, 2).as("dtw"))
+      .withColumn("dtw_per_step", q4(col("dtw").cast("double") / col("n")))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Periodogram seasonality scan — the frequency-domain complement of
     * [[acfMonthly]]: for each candidate period p ∈ [2, maxPeriod], the DFT
     * power of the mean-centered monthly series at that period, normalized

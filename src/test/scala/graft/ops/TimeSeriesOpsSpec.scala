@@ -192,6 +192,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("holtForecast")), msgs(ex).mkString("; "))
   }
 
+  test("dtwPairs matches a plain-Scala banded DP and beats Euclidean on a shifted series") {
+    import spark.implicits._
+    // two series: b is a one-step phase shift of a — the case DTW exists
+    // for. 12 aligned months, two suppliers
+    val a = Seq(10L, 50L, 10L, 50L, 10L, 50L, 10L, 50L, 10L, 50L, 10L, 50L)
+    val b = a.drop(1) :+ 10L // shift left by one
+    val li = (a.zipWithIndex.map { case (q, i) => (0, i, q) } ++
+      b.zipWithIndex.map { case (q, i) => (1, i, q) })
+      .map { case (s, i, q) =>
+        (s, Timestamp.valueOf(f"1996-${i % 12 + 1}%02d-10 00:00:00"), q.toDouble)
+      }.toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val got = TimeSeriesOps.dtwPairs(li, maxSuppkey = 2).collect()
+    assert(got.length == 1)
+    val dtw = got.head.getAs[Long]("dtw")
+    // plain-Scala radius-1 banded DP, written forward over the full matrix
+    // (an independent formulation of the same band)
+    val Huge = Long.MaxValue / 4
+    val n = a.length
+    val dp = Array.fill(n + 1, n + 1)(Huge)
+    for (i <- 1 to n; j <- 1 to n if math.abs(i - j) <= 1) {
+      val cost = math.abs(a(i - 1) - b(j - 1))
+      val prev =
+        if (i == 1 && j == 1) 0L
+        else Seq(dp(i - 1)(j), dp(i)(j - 1), dp(i - 1)(j - 1)).min
+      dp(i)(j) = cost + prev
+    }
+    assert(dtw == dp(n)(n), s"got $dtw want ${dp(n)(n)}")
+    // the warp must beat rigid alignment: Euclidean L1 distance is 40*11
+    val euclid = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(dtw < euclid, s"dtw $dtw should beat euclid $euclid")
+  }
+
   test("periodogram: a pure 6-month cosine peaks at p=6 and nowhere else") {
     import spark.implicits._
     // 24 months of 100 + 50·cos(2πt/6): all the (centered) energy sits at

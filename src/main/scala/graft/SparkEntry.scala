@@ -4272,6 +4272,56 @@ object SparkEntry {
     // APPLY the trained unigram tokenizer: per-document fertility stats
     // from the round-2 segmentation (per-word piece counts come from the
     // same unrolled p2_* backtrack emits the trainer oracle verifies)
+    // WordPiece greedy longest-match: jump table + row-local walk fold in
+    // Spark; identical jump table + recursive-CTE walk in DuckDB
+    Q("txt_wordpiece_encode",
+      (s, d) => TextOps.wordpieceEncode(documents(s, d)),
+      Some(
+        s"""WITH RECURSIVE wt AS MATERIALIZED (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($DuckToks) AS word FROM documents)
+           |  WHERE length(word) BETWEEN 1 AND 12 GROUP BY word),
+           |occ AS MATERIALIZED (
+           |  SELECT word, freq, i, i + l AS j, substr(word, i + 1, l) AS piece
+           |  FROM wt,
+           |    (SELECT unnest(range(0, 12)) AS i) ii,
+           |    (SELECT unnest(range(1, 7)) AS l) ll
+           |  WHERE i < length(word) AND l <= least(6, length(word) - i)),
+           |mass AS MATERIALIZED (
+           |  SELECT piece, (i = 0) AS init, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM occ GROUP BY 1, 2),
+           |vocab AS MATERIALIZED (
+           |  SELECT DISTINCT piece, init FROM (
+           |    SELECT piece, init FROM (
+           |      SELECT piece, init,
+           |        row_number() OVER (PARTITION BY init
+           |                           ORDER BY cnt DESC, piece) AS rk
+           |      FROM mass) WHERE rk <= 30
+           |    UNION ALL
+           |    SELECT piece, init FROM mass WHERE length(piece) = 1)),
+           |jumps AS MATERIALIZED (
+           |  SELECT o.word, o.i, (o.i = 0) AS init, max(o.j) AS jmp
+           |  FROM occ o JOIN vocab v
+           |    ON v.piece = o.piece AND v.init = (o.i = 0)
+           |  GROUP BY 1, 2, 3),
+           |walk AS (
+           |  SELECT word, freq, 0 AS pos, 0 AS n FROM wt
+           |  UNION ALL
+           |  SELECT w.word, w.freq, j.jmp AS pos, w.n + 1
+           |  FROM walk w JOIN jumps j ON j.word = w.word AND j.i = w.pos
+           |    AND j.init = (w.pos = 0)
+           |  WHERE w.pos < length(w.word)),
+           |wp AS (SELECT word, n AS n_pieces FROM walk
+           |       WHERE pos = length(word)),
+           |dt AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents)
+           |SELECT dt.doc_id, count(*) AS n_words,
+           |  CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces,
+           |  floor(CAST(sum(wp.n_pieces) AS DOUBLE) / count(*)
+           |    * 10000 + 0.5) / 10000 AS pieces_per_word
+           |FROM dt JOIN wp ON wp.word = dt.word
+           |GROUP BY dt.doc_id
+           |ORDER BY dt.doc_id""".stripMargin)),
+
     Q("txt_unigram_encode",
       (s, d) => TextOps.unigramLmEncode(documents(s, d)),
       Some(

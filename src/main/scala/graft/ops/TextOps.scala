@@ -1301,6 +1301,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece greedy longest-match-first encode — the third tokenizer
+    * family beside BPE merges and the unigram-LM Viterbi: BERT-style
+    * encoding picks, at each position, the LONGEST vocabulary piece that
+    * matches, with word-INITIAL pieces and continuation pieces kept as
+    * separate vocabularies (the `##` distinction). Vocabulary = top
+    * `vocabPerClass` substrings per class by corpus mass, plus every
+    * observed single character per class (coverage: a greedy step always
+    * has a fallback, so no [UNK] is reachable by construction).
+    *
+    * The greedy walk is precomputed as a JUMP TABLE — per (word, position,
+    * class) the farthest matching piece end, one aggregate — and then each
+    * word's walk is a row-local `aggregate` fold over its jump array
+    * (positions strictly increase, so ≤|word| steps): no per-step
+    * shuffle, no recursion in the distributed plan. All counts are exact
+    * integers; the DuckDB oracle replays the identical jump table with a
+    * recursive-CTE walk — an independent mechanism, hash-exact.
+    *
+    * Output: per-document fertility census (n_words, n_pieces,
+    * pieces_per_word), directly comparable against [[unigramLmEncode]]
+    * and [[bpeEncode]] for tokenizer-choice A/B readouts.
+    */
+  def wordpieceEncode(docs: DataFrame, vocabPerClass: Int = 30,
+                      maxPieceLen: Int = 6, maxWordLen: Int = 12): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val occ = words.select(col("word"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1),
+             |  i -> transform(sequence(1, least($maxPieceLen, length(word) - i)),
+             |    l -> struct(i AS i, i + l AS j,
+             |                substring(word, i + 1, l) AS piece))))""".stripMargin))
+          .as("o"))
+      .select(col("word"), col("freq"), col("o.i").as("i"), col("o.j").as("j"),
+        col("o.piece").as("piece"), (col("o.i") === 0).as("init"))
+    val mass = occ.groupBy(col("piece"), col("init"))
+      .agg(sum(col("freq")).as("cnt"))
+    val wIn = Window.partitionBy(col("init"))
+      .orderBy(col("cnt").desc, col("piece"))
+    val vocab = mass.withColumn("rk", row_number().over(wIn))
+      .filter(col("rk") <= vocabPerClass || length(col("piece")) === 1)
+      .select(col("piece"), col("init"))
+    val jumps = occ.join(broadcast(vocab), Seq("piece", "init"))
+      .groupBy(col("word"), col("i"), col("init"))
+      .agg(max(col("j")).as("jmp"))
+    val wordPieces = jumps.groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("i"), col("init"), col("jmp"))))
+        .as("js"))
+      .withColumn("st", expr(
+        """aggregate(sequence(1, length(word)),
+          |  array(0, 0),
+          |  (st, x) -> IF(element_at(st, 1) >= length(word), st,
+          |    array(
+          |      element_at(transform(filter(js,
+          |        e -> e.i = element_at(st, 1)
+          |          AND e.init = (element_at(st, 1) = 0)), e -> e.jmp), 1),
+          |      element_at(st, 2) + 1)))""".stripMargin))
+      .select(col("word"), element_at(col("st"), 2).as("n_pieces"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .join(wordPieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (floor(col("n_pieces").cast("double") / col("n_words")
+          * 10000 + 0.5) / 10000).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained unigram-LM state shared by the pieces and encode operators:
     * the occurrence/edge frame, the candidate counts, the initial vocab,
     * round-1 Viterbi counts, and the pruned round-2 vocabulary.

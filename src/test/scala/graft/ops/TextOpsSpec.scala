@@ -12,6 +12,25 @@ class TextOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("wordpiece greedy longest-match: hand-computed segmentation on a tiny vocab") {
+    // corpus: "abab" x2 + "cd". With vocabPerClass = 2:
+    //  - initial class masses: a/ab/aba/abab all 2 (from abab), c/cd 1 →
+    //    top-2 by (cnt desc, piece asc) = {a, ab}; singles add {c}
+    //  - continuation masses: b=4, then a/ab/ba/bab = 2 → top-2 = {b, a};
+    //    singles add {b, d, ...}
+    // greedy("abab"): init longest at 0 = "ab" → cont "a" → cont "b" = 3
+    // pieces (char-level would be 4 — the greedy step must win);
+    // greedy("cd") = c|d = 2 pieces
+    val df = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = TextOps.wordpieceEncode(df, vocabPerClass = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("n_pieces") == 8L, s"want ab|a|b x2 + c|d: $r")
+    assert(r.getAs[Double]("pieces_per_word") ==
+      math.floor(8.0 / 3 * 10000 + 0.5) / 10000)
+  }
+
   test("repetition stats: looped text flags, varied text passes, short docs are safe") {
     val looped = Seq.fill(30)("buy now").mkString(" ")          // one bigram dominates
     val varied = "the quick brown fox jumps over the lazy dog while rain falls softly"

@@ -3317,6 +3317,65 @@ object SparkEntry {
     // power analysis: required n per arm from exact int64-cents moments;
     // the z-constant sum is ONE pinned literal squared in double (the
     // decimal-literal-arithmetic trap)
+    // KMV audience-overlap sketch + accuracy audit: k smallest md5-prefix
+    // user hashes per type; pair estimate = |both ∩ k-min(union)| / k;
+    // exact Jaccard graded alongside
+    Q("ev_audience_overlap",
+      (s, d) => EventOps.audienceOverlap(events(s, d)),
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+             |uh AS (
+             |  SELECT event_type,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) AS h
+             |  FROM du),
+             |sk AS (
+             |  SELECT event_type, h FROM (
+             |    SELECT event_type, h,
+             |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+             |    FROM uh) WHERE rn <= 32),
+             |ty AS (SELECT DISTINCT event_type FROM sk),
+             |pairs AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb
+             |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+             |uk AS (
+             |  SELECT ta, tb, h FROM (
+             |    SELECT ta, tb, h,
+             |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+             |    FROM (
+             |      SELECT DISTINCT p.ta, p.tb, s.h
+             |      FROM pairs p JOIN sk s
+             |        ON s.event_type = p.ta OR s.event_type = p.tb))
+             |  WHERE rn <= 32),
+             |nb AS (
+             |  SELECT uk.ta, uk.tb, count(*) AS n_both
+             |  FROM uk
+             |  JOIN sk sa ON sa.event_type = uk.ta AND sa.h = uk.h
+             |  JOIN sk sb ON sb.event_type = uk.tb AND sb.h = uk.h
+             |  GROUP BY 1, 2),
+             |inter AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+             |  FROM du a JOIN du b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2),
+             |cnts AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+             |SELECT p.ta, p.tb, ca.n AS n_a, cb.n AS n_b,
+             |  coalesce(i.n_inter, 0) AS n_inter,
+             |  floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) * 10000 + 0.5) / 10000
+             |    AS jaccard_exact,
+             |  floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE) / 32 * 10000 + 0.5)
+             |    / 10000 AS kmv_est,
+             |  abs(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             |      / (ca.n + cb.n - coalesce(i.n_inter, 0)) * 10000 + 0.5) / 10000
+             |    - floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE) / 32
+             |        * 10000 + 0.5) / 10000) AS abs_err
+             |FROM pairs p
+             |JOIN cnts ca ON ca.event_type = p.ta
+             |JOIN cnts cb ON cb.event_type = p.tb
+             |LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+             |LEFT JOIN nb ON nb.ta = p.ta AND nb.tb = p.tb
+             |ORDER BY p.ta, p.tb""".stripMargin)),
+
     // deterministic Poisson(1) cluster bootstrap: LCG draw per (user, rep)
     // mapped through the Poisson CDF, exact-cent replicate means, order-
     // statistic CI — every step integer-exact until one final division
@@ -6850,6 +6909,43 @@ object SparkEntry {
               |FROM members m LEFT JOIN edges e ON e.cell = m.cell
               |  LEFT JOIN recip r ON r.cell = m.cell
               |ORDER BY m.cell""".stripMargin)),
+
+    // IVF index health: per-cell population, load factor vs mean, global
+    // max/mean imbalance — same aggregate-argmin assignment as vec_ivf_ann
+    Q("vec_ivf_balance",
+      (s, d) => VectorOps.ivfBalance(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id, label AS true_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT true_label AS c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |a AS (
+              |  SELECT vec_id, c_label,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+              |  FROM d),
+              |sizes AS (
+              |  SELECT c_label AS cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_cells,
+              |    max(n) AS max_n
+              |  FROM sizes)
+              |SELECT cell, n,
+              |  floor(CAST(n AS DOUBLE) * n_cells / total * 10000 + 0.5) / 10000
+              |    AS load_factor,
+              |  floor(CAST(max_n AS DOUBLE) * n_cells / total * 10000 + 0.5) / 10000
+              |    AS imbalance
+              |FROM sizes, tot ORDER BY cell""".stripMargin)),
 
     Q("vec_centroid_assign",
       (s, d) => VectorOps.centroidAssignConfusion(embeddings(s, d)),

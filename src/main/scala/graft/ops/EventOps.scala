@@ -1222,6 +1222,65 @@ object EventOps {
         q6(col("z")).as("z_stat"), (abs(col("z")) > 1.96).as("significant"))
   }
 
+  /** KMV (k-minimum-values) audience-overlap sketch with accuracy audit:
+    * estimated vs exact Jaccard of the user sets behind every event-type
+    * pair. Per type, the sketch is the k smallest md5-derived user hashes;
+    * the pair estimate is the standard KMV combinator — of the k smallest
+    * hashes in the MERGED sketch, the fraction present in both sides. The
+    * exact pass (distinct-user self-join) exists to grade the sketch, the
+    * production shape at 100 TB is sketch-only: per-type state is k longs
+    * (mergeable, register-style — the HLL posture), the raw user sets
+    * never co-shuffle. Hashes are md5-prefix longs both engines derive
+    * identically; everything else is exact integer counts until the two
+    * final divisions.
+    */
+  def audienceOverlap(events: DataFrame, k: Int = 32): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+    val uh = du.withColumn("h", expr(
+      "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = uh.withColumn("rn", row_number().over(wT)).filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val unionK = pairs
+      .join(broadcast(sk).withColumnRenamed("event_type", "t"),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .select(col("ta"), col("tb"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("ta"), col("tb"), col("h"))
+    val nBoth = unionK
+      .join(broadcast(sk.select(col("event_type").as("ta"), col("h"))),
+        Seq("ta", "h"), "left_semi")
+      .join(broadcast(sk.select(col("event_type").as("tb"), col("h"))),
+        Seq("tb", "h"), "left_semi")
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    val inter = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cnts = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(cnts.select(col("event_type").as("ta"), col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(cnts.select(col("event_type").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .join(inter, Seq("ta", "tb"), "left")
+      .join(nBoth, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        q4(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
+          .as("jaccard_exact"),
+        q4(coalesce(col("n_both"), lit(0L)).cast("double") / k).as("kmv_est"))
+      .withColumn("abs_err",
+        q4(abs(col("jaccard_exact") - col("kmv_est"))))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Deterministic cluster-bootstrap confidence interval for per-user total
     * event value, by event type — the nonparametric CI an experimentation
     * stack reports when the metric distribution is skewed. Users (the

@@ -436,6 +436,34 @@ object VectorOps {
       .dropDuplicates("query_id", "vec_id")
   }
 
+  /** IVF list-balance audit — the index-health readout an ANN operator
+    * checks before trusting probe latencies: per coarse cell, its
+    * population and load factor (n / mean cell size), plus the global
+    * imbalance factor (max / mean — the worst-case probe blowup; a
+    * balanced index sits near 1, a collapsed quantizer sends every probe
+    * to one hot cell). Same aggregate-argmin assignment as [[ivfAnn]]
+    * (one narrow combine, no window over the corpus), then a cells-sized
+    * aggregate and a 1-row broadcast back — nothing after the assignment
+    * scales with the corpus.
+    */
+  def ivfBalance(emb: DataFrame): DataFrame = {
+    val dists = cellDistances(emb).select(
+      col("vec_id"), col("c_label").as("cell"), col("dist"))
+    val assign = dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+      .select(col("mc.cell").as("cell"))
+    val sizes = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_cells"), max(col("n")).as("max_n"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        q4(col("n").cast("double") * col("n_cells") / col("total"))
+          .as("load_factor"),
+        q4(col("max_n").cast("double") * col("n_cells") / col("total"))
+          .as("imbalance"))
+      .orderBy(col("cell"))
+  }
+
   def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
              maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val cand = ivfCandidates(emb, maxQueryId, nProbe)

@@ -848,4 +848,69 @@ class PlanGuardSpec extends SparkSpec {
       }
     }
   }
+
+  test("Q7/Q8 star joins broadcast every (filtered) dimension side") {
+    val q7 = executedPlan("rel_q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(q7).size >= 2,
+      s"Q7 must broadcast both nation-filtered dim sides:\n$q7")
+    val q8 = executedPlan("rel_q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(q8).size >= 3,
+      s"Q8 must broadcast part/customer-region/supplier-nation dims:\n$q8")
+  }
+
+  test("Q10 pushes the quarter filter into the orders parquet scan") {
+    val plan = executedPlan("rel_q10_returned_items")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"order-date window not pushed to the orders scan:\n$plan")
+    assert(plan.contains("l_returnflag"),
+      s"returnflag filter missing from the lineitem side:\n$plan")
+  }
+
+  test("random projection: no exchange carries the embedding or projected arrays") {
+    import org.apache.spark.sql.types.ArrayType
+    val exchanges = staticExchanges(
+      SparkEntry.queries("vec_random_projection")(spark, sfDir))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      e.output.foreach { a =>
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"array column ${a.name} crossed a projection exchange — the " +
+            "64-float embedding must collapse to ranks before any shuffle")
+      }
+    }
+  }
+
+  test("personalized PageRank exchanges stay (long, double) narrow") {
+    val exchanges = staticExchanges(
+      SparkEntry.queries("graph_ppr")(spark, sfDir))
+    exchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      assert(wide.isEmpty,
+        s"non-numeric columns in a PPR exchange: ${wide.map(_.name).mkString(",")}")
+    }
+  }
+
+  test("bootstrap CI explodes the per-user aggregate, never raw events") {
+    // the B-fold explode must sit above the (type, user) aggregate: no
+    // exchange may carry the raw event `value` or `props` columns
+    val exchanges = staticExchanges(
+      SparkEntry.queries("ev_bootstrap_ci")(spark, sfDir))
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("value") && !names.contains("props"),
+        s"raw event columns cross a bootstrap exchange: ${names.mkString(",")}")
+    }
+  }
+
+  test("hilbert layout stats is a single-exchange scan-aggregate") {
+    // one hash exchange (the range aggregate); the output orderBy's range
+    // partitioning over ≤16 rows is presentation, not data movement
+    val hashEx = staticExchanges(
+      SparkEntry.queries("store_hilbert_stats")(spark, sfDir))
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashEx.length == 1,
+      s"hilbert stats should hash-shuffle exactly once (the range " +
+        s"aggregate), got ${hashEx.length}")
+  }
 }

@@ -84,7 +84,7 @@ object SparkEntry {
 
     Q("rel_q7_nation_volume",
       (s, d) => Relational.nationTradeVolume(lineitem(s, d), orders(s, d),
-        customer(s, d), supplier(s, d), nation(s, d), "NATION_1", "NATION_2"),
+        customer(s, d), supplier(s, d), nation(s, d), "NATION_18", "NATION_19"),
       Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
              |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -96,8 +96,8 @@ object SparkEntry {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation sn ON s_nationkey = sn.n_nationkey
              |JOIN nation cn ON c_nationkey = cn.n_nationkey
-             |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-             |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+             |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+             |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
              |GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin)),
 

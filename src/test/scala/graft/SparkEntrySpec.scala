@@ -33,7 +33,8 @@ class SparkEntrySpec extends SparkSpec {
           val n = fn(spark, "/root/testdata/sf0.001").count()
           if (n == 0 &&
             !Set("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-              "dedup_simhash", "rel_join_anti").contains(name))
+              "dedup_simhash", "dedup_incremental_cosine", "rel_join_anti")
+              .contains(name))
             Some(s"$name: 0 rows") else None
         } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
       graft.ops.Exec.releaseAll(spark)

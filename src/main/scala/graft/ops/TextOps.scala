@@ -1591,12 +1591,20 @@ object TextOps {
   def gopherRules(docs: DataFrame, minWords: Int = 50,
                   maxWords: Int = 100000): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val toks = tokens(col("text"))
-    val d = docs.select(
+    // materialize the token array ONCE per row in its own projection: the
+    // census reads it four times, and inlining the normalize+split into
+    // each consumer re-tokenizes the document per rule
+    val withToks = docs.select(col("text"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val d = withToks.select(
       size(toks).as("n_tok"),
-      aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
-        .as("sum_len"),
-      size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
+      // "contains an alphabetic char" via translate-shrink, not a per-token
+      // regex (rlike inside an interpreted HOF lambda costs a compile per
+      // evaluation)
+      size(filter(toks,
+        t => length(translate(t, "abcdefghijklmnopqrstuvwxyz", "")) < length(t)))
+        .as("n_alpha"),
       size(filter(typedLit(gopherStops), s => array_contains(toks, s)))
         .as("n_stop"),
       (length(regexp_replace(col("text"), "[^#]", ""))

@@ -82,6 +82,45 @@ object SparkEntry {
              |GROUP BY r_name, n_name
              |ORDER BY r_name, n_name""".stripMargin)),
 
+    // Q11 shape: HAVING SUM > f·total with the cut line decided in exact
+    // integer cross-multiplication (value·1e6 > total·share_micros)
+    Q("rel_q11_important_parts",
+      (s, d) => Relational.importantParts(lineitem(s, d), part(s, d)),
+      Some("""WITH pp AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+             |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pp)
+             |SELECT l_partkey, p_name, p_type,
+             |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+             |  floor(CAST(cents AS DOUBLE) / total_cents * 1000000 + 0.5)
+             |    / 1000000 AS share
+             |FROM pp, t
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE cents * 1000000 > total_cents * 700
+             |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // Q22 shape: scalar-subquery average threshold + anti join, grouped
+    // into synthetic country buckets
+    Q("rel_q22_dormant_customers",
+      (s, d) => Relational.dormantHighValueCustomers(customer(s, d), orders(s, d)),
+      Some("""WITH a AS (
+             |  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntry_bucket,
+             |  count(*) AS n_customers,
+             |  round(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             |    AS DOUBLE) / 100.0, 2) AS total_bal
+             |FROM customer, a
+             |WHERE c_acctbal > a.avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= DATE '2000-01-01')
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     Q("rel_q7_nation_volume",
       (s, d) => Relational.nationTradeVolume(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d), "NATION_18", "NATION_19"),
@@ -783,38 +822,47 @@ object SparkEntry {
     Q("store_hilbert_stats",
       (s, d) => Relational.hilbertLayoutStats(lineitem(s, d)),
       Some {
-        // unroll the same 8 bit-descent rounds as chained CTEs
-        val rounds = (7 to 0 by -1).map { i =>
-          val s = 1 << i
-          val prev = if (i == 7) "p" else s"h${i + 1}"
-          s"""h$i AS (
-             |  SELECT x, y,
-             |    CASE WHEN ry = 0 THEN
-             |      CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
-             |    ELSE hx END AS hx,
-             |    CASE WHEN ry = 0 THEN
-             |      CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
-             |    ELSE hy END AS hy,
-             |    d + ${s * s} * xor(3 * rx, ry) AS d
-             |  FROM (
-             |    SELECT x, y, hx, hy, d,
-             |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
-             |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
-             |    FROM $prev))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH p AS (
-           |  SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
-           |         CAST(l_suppkey % 256 AS INTEGER) AS y,
-           |         CAST(l_partkey % 256 AS INTEGER) AS hx,
-           |         CAST(l_suppkey % 256 AS INTEGER) AS hy,
-           |         0 AS d
-           |  FROM lineitem),
-           |$rounds
+        s"""WITH $duckHilbertPointCtes
            |SELECT CAST(d >> 12 AS INTEGER) AS h_range, count(*) AS n,
            |  min(x) AS x_min, max(x) AS x_max,
            |  min(y) AS y_min, max(y) AS y_max,
            |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
            |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // three layouts, one predicate box: per-layout files hit, rows scanned
+    // through surviving min/max envelopes, and scan amplification — the
+    // number the hilbert-vs-zorder choice actually turns on
+    Q("store_layout_compare",
+      (s, d) => Relational.layoutSkippingCompare(lineitem(s, d)),
+      Some {
+        def layoutSql(name: String, fileExpr: String): String =
+          s"""SELECT '$name' AS layout, n_files, files_hit, rows_scanned,
+             |  rows_matched,
+             |  floor(CAST(rows_scanned AS DOUBLE)
+             |    / CAST(NULLIF(rows_matched, 0) AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS scan_amplification
+             |FROM (
+             |  SELECT count(*) AS n_files,
+             |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS files_hit,
+             |    CAST(sum(CASE WHEN hit THEN rows ELSE 0 END) AS BIGINT)
+             |      AS rows_scanned,
+             |    CAST(sum(match_rows) AS BIGINT) AS rows_matched
+             |  FROM (
+             |    SELECT count(*) AS rows,
+             |      sum(CASE WHEN x BETWEEN 0 AND 255 AND y BETWEEN 2 AND 7
+             |               THEN 1 ELSE 0 END) AS match_rows,
+             |      max(x) >= 0 AND min(x) <= 255
+             |        AND max(y) >= 2 AND min(y) <= 7 AS hit
+             |    FROM h0 GROUP BY $fileExpr))""".stripMargin
+        s"""WITH $duckHilbertPointCtes
+           |${layoutSql("hilbert", "(d >> 12)")}
+           |UNION ALL
+           |${layoutSql("linear", "(x >> 4)")}
+           |UNION ALL
+           |${layoutSql("zorder", "((" + duckZkeyExpr + ") >> 12)")}
+           |ORDER BY layout""".stripMargin
       }),
 
     // market-share leaders: top supplier per part (deterministic tiebreak),
@@ -2668,6 +2716,48 @@ object SparkEntry {
              |    AS rows_at_risk
              |FROM g""".stripMargin)),
 
+    // two-sample KS: exact integer cross-difference max per pair; only the
+    // final D division and the (libm-free) p-exponent touch floats
+    Q("qc_ks_test",
+      (s, d) => QualityChecks.ksTest(events(s, d)),
+      Some("""WITH c AS (SELECT DISTINCT event_type FROM events),
+             |p AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb
+             |  FROM c a JOIN c b ON a.event_type < b.event_type),
+             |tg AS (
+             |  SELECT p.ta, p.tb, e.value AS v,
+             |    CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS is_a,
+             |    CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS is_b
+             |  FROM p JOIN events e
+             |    ON e.event_type = p.ta OR e.event_type = p.tb),
+             |cum AS (
+             |  SELECT ta, tb,
+             |    sum(is_a) OVER w AS a_le,
+             |    sum(is_b) OVER w AS b_le
+             |  FROM tg
+             |  WINDOW w AS (PARTITION BY ta, tb ORDER BY v
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |cnt AS (
+             |  SELECT ta, tb, CAST(sum(is_a) AS BIGINT) AS n,
+             |    CAST(sum(is_b) AS BIGINT) AS m
+             |  FROM tg GROUP BY 1, 2),
+             |ds AS (
+             |  SELECT cum.ta, cum.tb, n, m,
+             |    max(abs(a_le * m - b_le * n)) AS d_scaled
+             |  FROM cum JOIN cnt ON cnt.ta = cum.ta AND cnt.tb = cum.tb
+             |  GROUP BY 1, 2, 3, 4),
+             |dd AS (
+             |  SELECT ta, tb, n, m,
+             |    floor(CAST(d_scaled AS DOUBLE) / CAST(n * m AS DOUBLE)
+             |      * 1000000 + 0.5) / 1000000 AS d_stat
+             |  FROM ds)
+             |SELECT ta, tb, n, m, d_stat,
+             |  floor(-2.0 * d_stat * d_stat
+             |    * (CAST(n * m AS DOUBLE) / CAST(n + m AS DOUBLE))
+             |    * 1000000 + 0.5) / 1000000 AS ln_p_half
+             |FROM dd
+             |ORDER BY ta, tb""".stripMargin)),
+
     // l-diversity beside k-anonymity: same QID classes, min DISTINCT count
     // of the bucketed sensitive attribute per class
     Q("qc_l_diversity",
@@ -4082,6 +4172,47 @@ object SparkEntry {
     * per-word pieces stay addressable as p2_1..p2_12) - shared by the
     * txt_unigram_lm and txt_unigram_encode oracles.
     */
+  /** Shared Hilbert-transform CTE chain over the (partkey, suppkey) bucket
+    * grid: `p` seeds (x, y, hx, hy, d=0), h7..h0 unroll the 8 bit-descent
+    * rounds with quadrant rotation; consumers read `h0(x, y, d)`. No
+    * leading WITH.
+    */
+  private lazy val duckHilbertPointCtes: String = {
+    val rounds = (7 to 0 by -1).map { i =>
+      val s = 1 << i
+      val prev = if (i == 7) "p" else s"h${i + 1}"
+      s"""h$i AS (
+         |  SELECT x, y,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+         |    ELSE hy END AS hy,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d
+         |  FROM (
+         |    SELECT x, y, hx, hy, d,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""p AS (
+       |  SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+       |         CAST(l_suppkey % 256 AS INTEGER) AS y,
+       |         CAST(l_partkey % 256 AS INTEGER) AS hx,
+       |         CAST(l_suppkey % 256 AS INTEGER) AS hy,
+       |         0 AS d
+       |  FROM lineitem),
+       |$rounds""".stripMargin
+  }
+
+  /** Morton interleave of the low 8 bits of `x`/`y` — the store_zorder
+    * formulation, usable as an expression over any frame exposing x, y. */
+  private val duckZkeyExpr: String =
+    """CAST(list_sum(list_transform(range(0, 8), i ->
+      |  (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+      |  AS INTEGER)""".stripMargin
+
   private lazy val duckUnigramCtes: String = {
 
         val maxW = 12

@@ -968,6 +968,56 @@ object Relational {
       .withColumn("y_span", col("y_max") - col("y_min"))
       .orderBy(col("h_range"))
 
+  /** Head-to-head data-skipping comparison of the three clustering layouts
+    * (linear x-sort, Morton/z-order, Hilbert) for one 2-D predicate box:
+    * partition the keyed rows into 16 "files" per layout, keep each file's
+    * min/max envelope (what parquet footers would store), and report how
+    * many files survive pruning, how many rows those files scan, and the
+    * resulting scan amplification (rows scanned / rows matched) — the
+    * number a lakehouse OPTIMIZE decision actually turns on. The default
+    * box constrains only the SECOND dimension — the predicate a linear
+    * x-sort fundamentally cannot prune (every file spans all of y), which
+    * is the case the interleaved layouts exist for. Everything is exact
+    * integers until the one amplification division (q4, NULL on an empty
+    * box). Three grouped scans (one per layout — at scale this is a
+    * layout AUDIT run once per table, not a per-query op).
+    */
+  def layoutSkippingCompare(li: DataFrame, xLo: Int = 0, xHi: Int = 255,
+                            yLo: Int = 2, yHi: Int = 7): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val pts = li.select((col("l_partkey") % 256).cast("int").as("x"),
+      (col("l_suppkey") % 256).cast("int").as("y"))
+    val zkey = (0 until 8).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+    val keyed = hilbertD(pts, bits = 8)
+      .withColumn("f_linear", shiftright(col("x"), 4))
+      .withColumn("f_zorder", shiftright(zkey, 12))
+      .withColumn("f_hilbert", shiftright(col("d"), 12))
+    val inBox = col("x").between(xLo, xHi) && col("y").between(yLo, yHi)
+    val perLayout = Seq("linear", "zorder", "hilbert").map { name =>
+      keyed.groupBy(col(s"f_$name").as("file"))
+        .agg(count(lit(1)).as("rows"),
+          sum(when(inBox, 1L).otherwise(0L)).as("match_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .withColumn("hit",
+          col("x_max") >= xLo && col("x_min") <= xHi &&
+            col("y_max") >= yLo && col("y_min") <= yHi)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("files_hit"),
+          sum(when(col("hit"), col("rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("match_rows")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
+          col("rows_scanned"), col("rows_matched"),
+          q4(col("rows_scanned").cast("double")
+            / nullif(col("rows_matched"), lit(0L)).cast("double"))
+            .as("scan_amplification"))
+    }
+    perLayout.reduce(_.unionByName(_)).orderBy(col("layout"))
+  }
+
   /** xy→d Hilbert transform on a frame with int columns `x`, `y` in
     * [0, 2^bits): adds column `d`, the Hilbert curve index. Exposed
     * separately so the spec can prove curve-ness (d is a bijection onto
@@ -1333,6 +1383,55 @@ object Relational {
           - (col("p2") - col("p1")) * (col("v2") - col("v1")).cast("double"))
           / 100.0).as("resid"))
       .orderBy(col("seg"))
+  }
+
+  /** TPC-H Q11-shaped important-part screen: parts whose revenue share of
+    * the whole fact table exceeds a threshold fraction — the GROUP BY +
+    * scalar-subquery-threshold (HAVING SUM > f·total) shape. Both the
+    * per-part sums and the grand total are exact cent longs from ONE scan
+    * pass each (the total could reuse the per-part aggregate at 100 TB;
+    * two narrow aggregates keep the plan obvious), and the threshold
+    * compare is exact integer×integer — scaled to avoid any float at the
+    * cut line: value·10⁶ > total·(f·10⁶).
+    */
+  def importantParts(li: DataFrame, part: DataFrame,
+                     shareMicros: Long = 700L): DataFrame = {
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(floor(revenue * 100 + 0.5).cast("long")).as("cents"))
+    val total = perPart.agg(sum(col("cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("cents") * 1000000L > col("total_cents") * shareMicros)
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("p_type"),
+        round(col("cents").cast("double") / 100.0, 2).as("value"),
+        (floor(col("cents").cast("double") / col("total_cents")
+          * 1000000 + 0.5) / 1000000).as("share"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q22-shaped dormant-customer screen: customers with an
+    * above-average positive balance and no order SINCE the cutoff date —
+    * the scalar-subquery threshold + anti-join combo (pure "never ordered"
+    * is empty in this schema: every customer orders eventually, so the
+    * production question is recency). The average is ONE exact-cent
+    * division broadcast everywhere; the anti join sees only the filtered
+    * key column of orders, pruned at the scan by the date predicate.
+    */
+  def dormantHighValueCustomers(customer: DataFrame, orders: DataFrame,
+                                sinceDate: String = "2000-01-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).cast("double")
+        / count(lit(1)).cast("double") / 100.0).as("avg_bal"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= sinceDate).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 7).as("cntry_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("total_bal"))
+      .orderBy(col("cntry_bucket"))
   }
 
   /** TPC-H Q7-shaped nation-pair trade volume: revenue flowing between a

@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks Q1–Q7 (SURVEY.md §2.3), generalized from the
@@ -447,6 +448,54 @@ object QualityChecks {
         count(lit(1)).as("n_classes"),
         sum(when(col("sz") < k, 1L).otherwise(0L)).as("classes_below_k"),
         sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
+  /** Two-sample Kolmogorov–Smirnov test between the value distributions of
+    * every pair of categories — the distribution-drift test to run when
+    * PSI's binning is too coarse. D = max over sample points of
+    * |F_a(v) − F_b(v)| is computed EXACTLY: cumulative counts ride one
+    * RANGE-frame window per pair (ties land together by construction), the
+    * max is taken over the INTEGER cross-difference |a_le·m − b_le·n|, and
+    * only the final D = max_scaled/(n·m) touches floats (q6). The
+    * significance readout is the EXPONENT of the asymptotic p-value,
+    * ln(p/2) = −2D²·nm/(n+m) — pure arithmetic over already-quantized
+    * values, so no libm exp() sits between the engines (reject at 5 % when
+    * the exponent < ln(0.025) ≈ −3.69). Scale shape: pairs×values rows
+    * through one window exchange per pair key — the same plan KS-tests
+    * thousands of segment pairs.
+    */
+  def ksTest(events: DataFrame, catCol: String = "event_type",
+             valCol: String = "value"): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val vals = events.select(col(catCol).as("cat"), col(valCol).as("v"))
+    val cats = vals.select(col("cat")).distinct()
+    val pairs = cats.select(col("cat").as("ta"))
+      .join(cats.select(col("cat").as("tb")), col("ta") < col("tb"))
+    val tagged = pairs.join(vals,
+        col("cat") === col("ta") || col("cat") === col("tb"))
+      .select(col("ta"), col("tb"), col("v"),
+        when(col("cat") === col("ta"), 1L).otherwise(0L).as("is_a"),
+        when(col("cat") === col("tb"), 1L).otherwise(0L).as("is_b"))
+    val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = tagged
+      .select(col("ta"), col("tb"),
+        sum(col("is_a")).over(w).as("a_le"),
+        sum(col("is_b")).over(w).as("b_le"))
+    val counts = tagged.groupBy(col("ta"), col("tb"))
+      .agg(sum(col("is_a")).as("n"), sum(col("is_b")).as("m"))
+    cum.join(broadcast(counts), Seq("ta", "tb"))
+      .groupBy(col("ta"), col("tb"), col("n"), col("m"))
+      .agg(max(abs(col("a_le") * col("m") - col("b_le") * col("n")))
+        .as("d_scaled"))
+      .withColumn("d_stat",
+        q6(col("d_scaled").cast("double")
+          / (col("n") * col("m")).cast("double")))
+      .select(col("ta"), col("tb"), col("n"), col("m"), col("d_stat"),
+        q6(lit(-2.0) * col("d_stat") * col("d_stat")
+          * ((col("n") * col("m")).cast("double")
+            / (col("n") + col("m")).cast("double"))).as("ln_p_half"))
+      .orderBy(col("ta"), col("tb"))
+  }
 
   /** l-diversity audit — k-anonymity's companion: a QID class can be large
     * (k-anonymous) yet still leak if every member shares one sensitive

@@ -329,6 +329,43 @@ object SparkEntry {
              |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // winsorization: clamp at per-group exact percentiles; the winsorized
+    // mean is assembled from exact pieces (in-bounds long sum + count×bound
+    // products), so no double ever accumulates in data order
+    Q("rel_winsorize",
+      (s, d) => Relational.winsorize(lineitem(s, d)),
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(vc, 0.05) AS lo, quantile_cont(vc, 0.95) AS hi
+             |  FROM c GROUP BY 1),
+             |a AS (
+             |  SELECT c.l_returnflag, count(*) AS n,
+             |    CAST(sum(CASE WHEN CAST(vc AS DOUBLE) < lo THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_clipped_lo,
+             |    CAST(sum(CASE WHEN CAST(vc AS DOUBLE) > hi THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_clipped_hi,
+             |    CAST(sum(CASE WHEN CAST(vc AS DOUBLE) >= lo
+             |                   AND CAST(vc AS DOUBLE) <= hi
+             |                  THEN vc ELSE 0 END) AS BIGINT) AS sum_mid,
+             |    any_value(lo) AS lo, any_value(hi) AS hi,
+             |    CAST(sum(vc) AS BIGINT) AS sum_raw
+             |  FROM c JOIN b ON b.l_returnflag = c.l_returnflag
+             |  GROUP BY 1)
+             |SELECT l_returnflag, n, n_clipped_lo, n_clipped_hi,
+             |  floor(lo / 100.0 * 10000 + 0.5) / 10000 AS p_lo,
+             |  floor(hi / 100.0 * 10000 + 0.5) / 10000 AS p_hi,
+             |  floor(CAST(sum_raw AS DOUBLE) / n / 100.0 * 10000 + 0.5) / 10000
+             |    AS mean_raw,
+             |  floor((CAST(sum_mid AS DOUBLE)
+             |      + CAST(n_clipped_lo AS DOUBLE) * lo
+             |      + CAST(n_clipped_hi AS DOUBLE) * hi)
+             |    / n / 100.0 * 10000 + 0.5) / 10000 AS mean_winsorized
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
     Q("rel_percentiles",
       (s, d) => Relational.percentiles(lineitem(s, d)),
       Some("""SELECT l_returnflag,

@@ -305,6 +305,51 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Winsorization — the standard robust-cleaning transform: clamp a value
+    * column at its per-group [pLo, pHi] percentiles and report the mean
+    * before/after plus the clamp bounds and how many rows were clipped on
+    * each side. Two passes over the grouped frame (percentile bounds, then
+    * a broadcast-bounds clamp + re-aggregate) — the bounds frame is
+    * |groups| rows, so the second pass is the only full scan that matters
+    * at 100 TB. Means are cent-exact sums (the clamped value is either the
+    * raw cent value or a bound that is itself a percentile of cent-exact
+    * values), divided once.
+    */
+  def winsorize(li: DataFrame, pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val cents = li.select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("vc"))
+    val bounds = cents.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(vc, $pLo)").as("lo"),
+        expr(s"percentile(vc, $pHi)").as("hi"))
+    // the winsorized sum is assembled from EXACT pieces — the in-bounds
+    // long sum plus count×bound products — so no double accumulates in
+    // data order anywhere
+    cents.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vc").cast("double") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("vc").cast("double") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(when(col("vc").cast("double") >= col("lo")
+            && col("vc").cast("double") <= col("hi"), col("vc"))
+          .otherwise(0L)).as("sum_mid"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(col("vc")).as("sum_raw"))
+      .select(col("l_returnflag"), col("n"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        q4(col("lo") / 100.0).as("p_lo"),
+        q4(col("hi") / 100.0).as("p_hi"),
+        q4(col("sum_raw").cast("double") / col("n") / 100.0).as("mean_raw"),
+        q4((col("sum_mid").cast("double")
+          + col("n_clipped_lo").cast("double") * col("lo")
+          + col("n_clipped_hi").cast("double") * col("hi"))
+          / col("n") / 100.0).as("mean_winsorized"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Skew-safe two-phase aggregation: salt the (few, hot) grouping keys
     * across `salts` partial groups, aggregate, then aggregate the partials.
     * Semantics-identical to a plain groupBy (the oracle IS the plain

@@ -82,8 +82,8 @@ object SparkEntry {
              |GROUP BY r_name, n_name
              |ORDER BY r_name, n_name""".stripMargin)),
 
-    // Q11 shape: HAVING SUM > f·total with the cut line decided in exact
-    // integer cross-multiplication (value·1e6 > total·share_micros)
+    // Q11 shape: HAVING SUM > multiple·mean-part with the cut line decided
+    // in exact integer cross-multiplication (cents·n·1000 > total·1300)
     Q("rel_q11_important_parts",
       (s, d) => Relational.importantParts(lineitem(s, d), part(s, d)),
       Some("""WITH pp AS (
@@ -91,14 +91,16 @@ object SparkEntry {
              |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
              |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
              |  FROM lineitem GROUP BY 1),
-             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pp)
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+             |        count(*) AS n_parts
+             |      FROM pp)
              |SELECT l_partkey, p_name, p_type,
              |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
              |  floor(CAST(cents AS DOUBLE) / total_cents * 1000000 + 0.5)
              |    / 1000000 AS share
              |FROM pp, t
              |JOIN part ON l_partkey = p_partkey
-             |WHERE cents * 1000000 > total_cents * 700
+             |WHERE cents * n_parts * 1000 > total_cents * 1300
              |ORDER BY value DESC, l_partkey""".stripMargin)),
 
     // Q22 shape: scalar-subquery average threshold + anti join, grouped

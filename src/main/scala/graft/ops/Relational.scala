@@ -1430,22 +1430,24 @@ object Relational {
       .orderBy(col("seg"))
   }
 
-  /** TPC-H Q11-shaped important-part screen: parts whose revenue share of
-    * the whole fact table exceeds a threshold fraction — the GROUP BY +
-    * scalar-subquery-threshold (HAVING SUM > f·total) shape. Both the
-    * per-part sums and the grand total are exact cent longs from ONE scan
-    * pass each (the total could reuse the per-part aggregate at 100 TB;
-    * two narrow aggregates keep the plan obvious), and the threshold
-    * compare is exact integer×integer — scaled to avoid any float at the
-    * cut line: value·10⁶ > total·(f·10⁶).
+  /** TPC-H Q11-shaped important-part screen: parts whose revenue exceeds a
+    * MULTIPLE of the mean per-part revenue — the GROUP BY +
+    * scalar-subquery-threshold (HAVING SUM > f·total/n) shape. A
+    * fixed-share cut (TPC-H's literal form) empties as the part count
+    * grows, so the scale-invariant multiple-of-mean is what a production
+    * screen actually runs. Both the per-part sums and the (total, n_parts)
+    * scalar are exact cent longs, and the cut line is decided by exact
+    * integer cross-multiplication: cents·n·1000 > total·(multiple·1000).
     */
   def importantParts(li: DataFrame, part: DataFrame,
-                     shareMicros: Long = 700L): DataFrame = {
+                     multipleMillis: Long = 1300L): DataFrame = {
     val perPart = li.groupBy(col("l_partkey"))
       .agg(sum(floor(revenue * 100 + 0.5).cast("long")).as("cents"))
-    val total = perPart.agg(sum(col("cents")).as("total_cents"))
+    val total = perPart.agg(sum(col("cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("cents") * 1000000L > col("total_cents") * shareMicros)
+      .filter(col("cents") * col("n_parts") * 1000L
+        > col("total_cents") * multipleMillis)
       .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_type"),

@@ -3475,6 +3475,7 @@ object SparkEntry {
              |      FROM pairs p JOIN sk s
              |        ON s.event_type = p.ta OR s.event_type = p.tb))
              |  WHERE rn <= 32),
+             |kun AS (SELECT ta, tb, count(*) AS n_union_k FROM uk GROUP BY 1, 2),
              |nb AS (
              |  SELECT uk.ta, uk.tb, count(*) AS n_both
              |  FROM uk
@@ -3492,15 +3493,18 @@ object SparkEntry {
              |  floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
              |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) * 10000 + 0.5) / 10000
              |    AS jaccard_exact,
-             |  floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE) / 32 * 10000 + 0.5)
+             |  floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE)
+             |    / CAST(kun.n_union_k AS DOUBLE) * 10000 + 0.5)
              |    / 10000 AS kmv_est,
              |  abs(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
              |      / (ca.n + cb.n - coalesce(i.n_inter, 0)) * 10000 + 0.5) / 10000
-             |    - floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE) / 32
+             |    - floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE)
+             |        / CAST(kun.n_union_k AS DOUBLE)
              |        * 10000 + 0.5) / 10000) AS abs_err
              |FROM pairs p
              |JOIN cnts ca ON ca.event_type = p.ta
              |JOIN cnts cb ON cb.event_type = p.tb
+             |JOIN kun ON kun.ta = p.ta AND kun.tb = p.tb
              |LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
              |LEFT JOIN nb ON nb.ta = p.ta AND nb.tb = p.tb
              |ORDER BY p.ta, p.tb""".stripMargin)),

@@ -1253,6 +1253,10 @@ object EventOps {
         Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
       .filter(col("rn") <= k)
       .select(col("ta"), col("tb"), col("h"))
+    // denominator = |k-min(union)| (≤ k when the union itself is small) —
+    // the textbook KMV combinator, exact even on tiny sets
+    val kUnion = unionK.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_union_k"))
     val nBoth = unionK
       .join(broadcast(sk.select(col("event_type").as("ta"), col("h"))),
         Seq("ta", "h"), "left_semi")
@@ -1270,12 +1274,14 @@ object EventOps {
       .join(broadcast(cnts.select(col("event_type").as("tb"), col("n").as("n_b"))), Seq("tb"))
       .join(inter, Seq("ta", "tb"), "left")
       .join(nBoth, Seq("ta", "tb"), "left")
+      .join(kUnion, Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
         q4(coalesce(col("n_inter"), lit(0L)).cast("double")
           / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
           .as("jaccard_exact"),
-        q4(coalesce(col("n_both"), lit(0L)).cast("double") / k).as("kmv_est"))
+        q4(coalesce(col("n_both"), lit(0L)).cast("double")
+          / col("n_union_k").cast("double")).as("kmv_est"))
       .withColumn("abs_err",
         q4(abs(col("jaccard_exact") - col("kmv_est"))))
       .orderBy(col("ta"), col("tb"))

@@ -419,4 +419,50 @@ class EventOpsSpec extends SparkSpec {
     assert(r0.getDouble(6) == 3.0)
     assert(r0.getDouble(7) == 0.0 && r0.isNullAt(8) && r0.isNullAt(9))
   }
+
+  test("bootstrapCI matches a plain-Scala replication of the LCG/Poisson/rank pipeline") {
+    import spark.implicits._
+    // 12 users, one type, hand-checkable values
+    val rows = (1L to 12L).map(u => ("buy", u, u * 1.5))
+    val df = rows.toDF("event_type", "user_id", "value")
+    val got = EventOps.bootstrapCI(df, b = 200).collect()(0)
+    // independent driver-side replication
+    val cents = rows.map { case (_, u, v) => u -> math.round(v * 100) }
+    def w(u: Long, rep: Long): Long = {
+      val h = (u * 2654435761L + rep * 40503L) % 1000000L
+      if (h < 367879L) 0L else if (h < 735759L) 1L
+      else if (h < 919699L) 2L else if (h < 981012L) 3L else 4L
+    }
+    val means = (0L until 200L).map { rep =>
+      val (wc, wn) = cents.foldLeft((0L, 0L)) { case ((a, b), (u, c)) =>
+        (a + w(u, rep) * c, b + w(u, rep))
+      }
+      (wc.toDouble / wn.toDouble / 100.0, rep)
+    }.sortBy(identity)
+    def q6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(got.getAs[Long]("n_users") == 12L)
+    assert(got.getAs[Double]("ci_lo") == q6(means(4)._1), "rank-5 order statistic")
+    assert(got.getAs[Double]("ci_hi") == q6(means(195)._1), "rank-196 order statistic")
+    assert(got.getAs[Double]("mean_val") ==
+      q6(cents.map(_._2).sum.toDouble / 12.0 / 100.0))
+    // the CI must bracket the point estimate on this benign fixture
+    assert(got.getAs[Double]("ci_lo") <= got.getAs[Double]("mean_val")
+      && got.getAs[Double]("mean_val") <= got.getAs[Double]("ci_hi"))
+  }
+
+  test("audienceOverlap: identical user sets estimate 1.0, disjoint sets 0.0") {
+    import spark.implicits._
+    val same = ((1L to 40L).map(u => ("a", u)) ++ (1L to 40L).map(u => ("b", u)))
+      .toDF("event_type", "user_id")
+    val r1 = EventOps.audienceOverlap(same, k = 32).collect()(0)
+    assert(r1.getAs[Double]("jaccard_exact") == 1.0)
+    assert(r1.getAs[Double]("kmv_est") == 1.0,
+      s"identical sets must estimate exactly 1.0: $r1")
+    val disjoint = ((1L to 40L).map(u => ("a", u)) ++ (41L to 80L).map(u => ("b", u)))
+      .toDF("event_type", "user_id")
+    val r2 = EventOps.audienceOverlap(disjoint, k = 32).collect()(0)
+    assert(r2.getAs[Double]("jaccard_exact") == 0.0)
+    assert(r2.getAs[Double]("kmv_est") == 0.0)
+    assert(r2.getAs[Double]("abs_err") == 0.0)
+  }
 }

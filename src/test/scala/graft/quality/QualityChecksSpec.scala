@@ -234,4 +234,21 @@ class QualityChecksSpec extends SparkSpec {
     assert(r2.forall(_.getDouble(4) == 10.0))
     assert(r2.forall(_.getDouble(5) == 40.0), s"chi2: ${r2.head.getDouble(5)}")
   }
+
+  test("ksTest: hand-computed D on a shifted sample, zero on identical samples") {
+    // a = {1,2,3}, b = {2,3,4}: F_a−F_b is 1/3 at every interior point → D = 1/3
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)))
+      .toDF("event_type", "value")
+    val r = QualityChecks.ksTest(df).collect()(0)
+    def q6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("m") == 3L)
+    assert(r.getAs[Double]("d_stat") == q6(1.0 / 3.0), s"D: $r")
+    val d = q6(1.0 / 3.0)
+    assert(r.getAs[Double]("ln_p_half") == q6(-2.0 * d * d * (9.0 / 6.0)))
+    // identical samples (with ties) → D exactly 0
+    val same = (Seq(1.0, 2.0, 2.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 2.0, 5.0).map(("b", _))).toDF("event_type", "value")
+    val r2 = QualityChecks.ksTest(same).collect()(0)
+    assert(r2.getAs[Double]("d_stat") == 0.0 && r2.getAs[Double]("ln_p_half") == 0.0)
+  }
 }

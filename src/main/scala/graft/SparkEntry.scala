@@ -3446,6 +3446,49 @@ object SparkEntry {
     // power analysis: required n per arm from exact int64-cents moments;
     // the z-constant sum is ONE pinned literal squared in double (the
     // decimal-literal-arithmetic trap)
+    // IPW (Hájek) under stratum-confounded md5 assignment: per-stratum
+    // exact-long terms, deterministic sorted-stratum fold, naive vs
+    // corrected difference side by side
+    Q("ev_ipw_effect",
+      (s, d) => EventOps.ipwEffect(EventOps.ipwFromEvents(events(s, d))),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1),
+             |u AS (
+             |  SELECT user_id, cents,
+             |    CAST(user_id % 4 AS INTEGER) AS s,
+             |    (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |       AS BIGINT) % 10000) < 2000 + (user_id % 4) * 1500 AS t
+             |  FROM pu),
+             |st AS (
+             |  SELECT s, count(*) AS n,
+             |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |    CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sy1,
+             |    CAST(sum(CASE WHEN NOT t THEN cents ELSE 0 END) AS BIGINT) AS sy0
+             |  FROM u GROUP BY 1),
+             |f AS (
+             |  SELECT
+             |    CAST(list_sum(list(n ORDER BY s)) AS BIGINT) AS n_users,
+             |    CAST(list_sum(list(nt ORDER BY s)) AS BIGINT) AS n_treat,
+             |    list_sum(list_transform(
+             |      list(struct_pack(sy1 := sy1, n := n, nt := nt) ORDER BY s),
+             |      x -> CAST(x.sy1 AS DOUBLE) * x.n / x.nt)) AS w1,
+             |    list_sum(list_transform(
+             |      list(struct_pack(sy0 := sy0, n := n, nt := nt) ORDER BY s),
+             |      x -> CAST(x.sy0 AS DOUBLE) * x.n / (x.n - x.nt))) AS w0,
+             |    CAST(list_sum(list(sy1 ORDER BY s)) AS BIGINT) AS t1,
+             |    CAST(list_sum(list(sy0 ORDER BY s)) AS BIGINT) AS t0
+             |  FROM st)
+             |SELECT n_users, n_treat,
+             |  floor((CAST(t1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+             |    - CAST(t0 AS DOUBLE) / CAST(n_users - n_treat AS DOUBLE))
+             |    / 100.0 * 1000000 + 0.5) / 1000000 AS naive_diff,
+             |  floor((w1 / CAST(n_users AS DOUBLE)
+             |    - w0 / CAST(n_users AS DOUBLE))
+             |    / 100.0 * 1000000 + 0.5) / 1000000 AS ipw_diff
+             |FROM f""".stripMargin)),
+
     // KMV audience-overlap sketch + accuracy audit: k smallest md5-prefix
     // user hashes per type; pair estimate = |both ∩ k-min(union)| / k;
     // exact Jaccard graded alongside

@@ -1222,6 +1222,67 @@ object EventOps {
         q6(col("z")).as("z_stat"), (abs(col("z")) > 1.96).as("significant"))
   }
 
+  /** Inverse-propensity-weighted (IPW, Hájek form) treatment-effect
+    * estimate under stratum-confounded assignment — the observational
+    * companion to [[abTest]]/[[cuped]]: when treatment probability varies
+    * by stratum AND the stratum drives the outcome, the naive
+    * treated-vs-control difference is biased; weighting each arm by the
+    * in-sample inverse propensity n(s)/nt(s) removes exactly that bias.
+    * With estimated propensities the Hájek denominator collapses to N, so
+    *
+    *   m̂₁ = (1/N)·Σ_s Sy₁(s)·n(s)/nt(s),   m̂₀ analog with n−nt,
+    *
+    * where every per-stratum term is ONE division of exact cent longs and
+    * the ≤|strata| terms fold in SORTED stratum order inside a collected
+    * array (deterministic double summation — never a data-order
+    * aggregate). Strata with an empty arm surface as null (positivity
+    * violation made visible, not averaged over). Expects
+    * `(user_id, stratum, treated, cents)`; [[ipwFromEvents]] derives that
+    * frame from the event stream with an md5-uniform assignment whose
+    * threshold rises with the stratum (the confounding).
+    */
+  def ipwEffect(users: DataFrame): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val st = users.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treated"), col("cents")).otherwise(0L)).as("sy1"),
+        sum(when(!col("treated"), col("cents")).otherwise(0L)).as("sy0"))
+    st.agg(sort_array(collect_list(struct(col("stratum"), col("n"),
+        col("nt"), col("sy1"), col("sy0")))).as("a"))
+      .select(
+        expr("aggregate(a, 0L, (acc, x) -> acc + x.n)").as("n_users"),
+        expr("aggregate(a, 0L, (acc, x) -> acc + x.nt)").as("n_treat"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc " +
+          "+ CAST(x.sy1 AS DOUBLE) * x.n / x.nt)").as("w1"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc " +
+          "+ CAST(x.sy0 AS DOUBLE) * x.n / (x.n - x.nt))").as("w0"),
+        expr("aggregate(a, 0L, (acc, x) -> acc + x.sy1)").as("t1"),
+        expr("aggregate(a, 0L, (acc, x) -> acc + x.sy0)").as("t0"))
+      .select(col("n_users"), col("n_treat"),
+        q6((col("t1").cast("double") / col("n_treat").cast("double")
+          - col("t0").cast("double")
+            / (col("n_users") - col("n_treat")).cast("double")) / 100.0)
+          .as("naive_diff"),
+        q6((col("w1") / col("n_users").cast("double")
+          - col("w0") / col("n_users").cast("double")) / 100.0)
+          .as("ipw_diff"))
+  }
+
+  /** Events → IPW frame: per-user outcome = total value cents, stratum =
+    * user_id mod 4, treatment = md5-uniform draw under a threshold that
+    * RISES with the stratum (2000 + 1500·s out of 10000) — deliberately
+    * confounded assignment that any engine reproduces bit-exactly.
+    */
+  def ipwFromEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("stratum", (col("user_id") % 4).cast("int"))
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("treated", col("hv") < lit(2000) + col("stratum") * 1500)
+      .select(col("user_id"), col("stratum"), col("treated"), col("cents"))
+
   /** KMV (k-minimum-values) audience-overlap sketch with accuracy audit:
     * estimated vs exact Jaccard of the user sets behind every event-type
     * pair. Per type, the sketch is the k smallest md5-derived user hashes;

@@ -450,6 +450,25 @@ class EventOpsSpec extends SparkSpec {
       && got.getAs[Double]("mean_val") <= got.getAs[Double]("ci_hi"))
   }
 
+  test("ipwEffect recovers the exact null where the naive difference is biased") {
+    import spark.implicits._
+    // stratum 0: outcome 10, 1 of 4 treated (p̂ = .25);
+    // stratum 1: outcome 20, 3 of 4 treated (p̂ = .75).
+    // Treatment does NOTHING — but treated users over-sample the
+    // high-outcome stratum, so naive = 17.5 − 12.5 = 5. With in-sample
+    // propensities the Hájek IPW estimate is EXACTLY zero.
+    val users = Seq(
+      (1L, 0, true, 1000L), (2L, 0, false, 1000L),
+      (3L, 0, false, 1000L), (4L, 0, false, 1000L),
+      (5L, 1, true, 2000L), (6L, 1, true, 2000L),
+      (7L, 1, true, 2000L), (8L, 1, false, 2000L))
+      .toDF("user_id", "stratum", "treated", "cents")
+    val r = EventOps.ipwEffect(users).collect()(0)
+    assert(r.getAs[Long]("n_users") == 8L && r.getAs[Long]("n_treat") == 4L)
+    assert(r.getAs[Double]("naive_diff") == 5.0, s"naive: $r")
+    assert(r.getAs[Double]("ipw_diff") == 0.0, s"ipw must be exactly 0: $r")
+  }
+
   test("audienceOverlap: identical user sets estimate 1.0, disjoint sets 0.0") {
     import spark.implicits._
     val same = ((1L to 40L).map(u => ("a", u)) ++ (1L to 40L).map(u => ("b", u)))

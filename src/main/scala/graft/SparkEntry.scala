@@ -1257,6 +1257,40 @@ object SparkEntry {
          |    UNION ALL
          |    SELECT l_partkey % $n + $n, l_suppkey % $n + ${2 * n} FROM lineitem)
          |  WHERE u <> v)""".stripMargin
+    // 3-round per-seed BFS over edgesCte(n), seeds = node % seedMod == 0;
+    // final frame v3(seed, node, dist) — shared by closeness + harmonic
+    def bfsCtes(n: Int, seedMod: Int): String =
+      s"""${edgesCte(n)},
+         |dir AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |nodes AS (SELECT DISTINCT src AS node FROM dir),
+         |v0 AS (SELECT node AS seed, node, 0 AS dist FROM nodes
+         |  WHERE node % $seedMod = 0),
+         |n1 AS MATERIALIZED (
+         |  SELECT f.seed, f.node, 1 AS dist FROM (
+         |    SELECT DISTINCT v.seed, d.dst AS node
+         |    FROM dir d JOIN v0 v ON v.node = d.src) f
+         |  LEFT JOIN v0 p ON p.seed = f.seed AND p.node = f.node
+         |  WHERE p.node IS NULL),
+         |v1 AS MATERIALIZED (SELECT * FROM v0
+         |  UNION ALL SELECT * FROM n1),
+         |n2 AS MATERIALIZED (
+         |  SELECT f.seed, f.node, 2 AS dist FROM (
+         |    SELECT DISTINCT v.seed, d.dst AS node
+         |    FROM dir d JOIN n1 v ON v.node = d.src) f
+         |  LEFT JOIN v1 p ON p.seed = f.seed AND p.node = f.node
+         |  WHERE p.node IS NULL),
+         |v2 AS MATERIALIZED (SELECT * FROM v1
+         |  UNION ALL SELECT * FROM n2),
+         |n3 AS (
+         |  SELECT f.seed, f.node, 3 AS dist FROM (
+         |    SELECT DISTINCT v.seed, d.dst AS node
+         |    FROM dir d JOIN n2 v ON v.node = d.src) f
+         |  LEFT JOIN v2 p ON p.seed = f.seed AND p.node = f.node
+         |  WHERE p.node IS NULL),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)""".stripMargin
+
     // two unrolled LPA rounds over edgesCte(n): l2 = (node, label) final
     // assignment — shared by the community census and the modularity score
     def lpaCtes(n: Int): String =
@@ -1567,36 +1601,7 @@ object SparkEntry {
       Q("graph_closeness",
         (s, d) => graft.ops.GraphOps.closenessCentrality(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
-        Some(s"""WITH ${edgesCte(2000)},
-                |dir AS MATERIALIZED (
-                |  SELECT a AS src, b AS dst FROM edges
-                |  UNION ALL SELECT b, a FROM edges),
-                |nodes AS (SELECT DISTINCT src AS node FROM dir),
-                |v0 AS (SELECT node AS seed, node, 0 AS dist FROM nodes
-                |  WHERE node % 500 = 0),
-                |n1 AS MATERIALIZED (
-                |  SELECT f.seed, f.node, 1 AS dist FROM (
-                |    SELECT DISTINCT v.seed, d.dst AS node
-                |    FROM dir d JOIN v0 v ON v.node = d.src) f
-                |  LEFT JOIN v0 p ON p.seed = f.seed AND p.node = f.node
-                |  WHERE p.node IS NULL),
-                |v1 AS MATERIALIZED (SELECT * FROM v0
-                |  UNION ALL SELECT * FROM n1),
-                |n2 AS MATERIALIZED (
-                |  SELECT f.seed, f.node, 2 AS dist FROM (
-                |    SELECT DISTINCT v.seed, d.dst AS node
-                |    FROM dir d JOIN n1 v ON v.node = d.src) f
-                |  LEFT JOIN v1 p ON p.seed = f.seed AND p.node = f.node
-                |  WHERE p.node IS NULL),
-                |v2 AS MATERIALIZED (SELECT * FROM v1
-                |  UNION ALL SELECT * FROM n2),
-                |n3 AS (
-                |  SELECT f.seed, f.node, 3 AS dist FROM (
-                |    SELECT DISTINCT v.seed, d.dst AS node
-                |    FROM dir d JOIN n2 v ON v.node = d.src) f
-                |  LEFT JOIN v2 p ON p.seed = f.seed AND p.node = f.node
-                |  WHERE p.node IS NULL),
-                |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+        Some(s"""WITH ${bfsCtes(2000, 500)}
                 |SELECT seed, count(*) AS n_reached,
                 |  CAST(sum(dist) AS BIGINT) AS dist_sum,
                 |  max(dist) AS ecc_capped,
@@ -1605,6 +1610,18 @@ object SparkEntry {
                 |      / CAST(sum(dist) AS DOUBLE) * 1000000 + 0.5) / 1000000
                 |  END AS closeness
                 |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+      // harmonic centrality over the same bounded BFS: per-node 1/d as the
+      // exact integer 6/d (lcm(1..3)), one long sum, one final division
+      Q("graph_harmonic",
+        (s, d) => graft.ops.GraphOps.harmonicCentrality(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+        Some(s"""WITH ${bfsCtes(2000, 500)}
+                |SELECT seed, count(*) AS n_reached,
+                |  floor(CAST(sum(6 // dist) AS DOUBLE) / 6
+                |    * 1000000 + 0.5) / 1000000 AS harmonic
+                |FROM v3 WHERE dist > 0
+                |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       // Jaccard link prediction on the degree-bounded SAMPLED graph:
       // wedge-enumerated candidates, anti-joined against existing edges,

@@ -695,8 +695,14 @@ object GraphOps {
     * structural. Eccentricity here is horizon-capped (the max observed
     * dist ≤ rounds) — reported as ecc_capped to stay honest.
     */
-  def closenessCentrality(edges: DataFrame, seedMod: Long = 500L,
-                          rounds: Int = 3): DataFrame = {
+  /** Per-seed bounded BFS shared by [[closenessCentrality]] and
+    * [[harmonicCentrality]]: (seed, node, dist ≤ rounds) for every node
+    * reached from the `node % seedMod == 0` seed set. Checkpoint-release
+    * hygiene as documented on the closeness loop; the returned frame is
+    * transient-tracked.
+    */
+  private def seededBfs(edges: DataFrame, seedMod: Long,
+                        rounds: Int): DataFrame = {
     val e = edges.localCheckpoint()
     val dir = Exec.trackTransient(
       e.select(col("a").as("src"), col("b").as("dst"))
@@ -728,7 +734,12 @@ object GraphOps {
     }
     if (prevNext != null) Exec.unpersistCheckpointed(prevNext)
     Exec.trackTransient(visited)
-    visited.groupBy(col("seed"))
+    visited
+  }
+
+  def closenessCentrality(edges: DataFrame, seedMod: Long = 500L,
+                          rounds: Int = 3): DataFrame =
+    seededBfs(edges, seedMod, rounds).groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
         sum(col("dist")).as("dist_sum"),
         max(col("dist")).as("ecc_capped"))
@@ -740,6 +751,32 @@ object GraphOps {
           floor((col("n_reached") - 1).cast("double")
             / col("dist_sum").cast("double") * 1000000 + 0.5) / 1000000)
           .as("closeness"))
+      .orderBy(col("seed"))
+
+  /** Harmonic centrality over the same bounded BFS — closeness's robust
+    * sibling (Boldi–Vigna): Σ 1/d over reached nodes, which stays finite
+    * and comparable when the graph is disconnected (closeness degrades to
+    * the reached component). EXACT within the horizon: each node's 1/d
+    * contribution is the integer L/d with L = lcm(1..rounds), so the
+    * whole sum is ONE long aggregate and harmonic = h_scaled / L is one
+    * final division — no per-node double ever accumulates.
+    */
+  def harmonicCentrality(edges: DataFrame, seedMod: Long = 500L,
+                         rounds: Int = 3): DataFrame = {
+    val lcm = (1 to rounds).foldLeft(1L) { (acc, k) =>
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      acc / gcd(acc, k) * k
+    }
+    seededBfs(edges, seedMod, rounds)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        // `div` = integer division; exact because lcm(1..rounds) divides
+        sum(expr(s"$lcm div dist")).as("h_scaled"))
+      .select(col("seed"), col("n_reached"),
+        (floor(col("h_scaled").cast("double") / lcm * 1000000 + 0.5)
+          / 1000000).as("harmonic"))
       .orderBy(col("seed"))
   }
 

@@ -3463,6 +3463,34 @@ object SparkEntry {
     // power analysis: required n per arm from exact int64-cents moments;
     // the z-constant sum is ONE pinned literal squared in double (the
     // decimal-literal-arithmetic trap)
+    // association rules over per-user type baskets: exact distinct-user
+    // counts, support/confidence/lift as single divisions
+    Q("ev_assoc_rules",
+      (s, d) => EventOps.assocRules(events(s, d)),
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+             |tc AS (SELECT event_type, count(*) AS n_type FROM b GROUP BY 1),
+             |pc AS (
+             |  SELECT x.event_type AS antecedent, y.event_type AS consequent,
+             |    count(*) AS n_both
+             |  FROM b x JOIN b y ON x.user_id = y.user_id
+             |    AND x.event_type <> y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT antecedent, consequent,
+             |  ta.n_type AS n_ante, tcs.n_type AS n_cons, n_both, nu.n_users,
+             |  floor(CAST(n_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS support,
+             |  floor(CAST(n_both AS DOUBLE) / CAST(ta.n_type AS DOUBLE)
+             |    * 1000000 + 0.5) / 1000000 AS confidence,
+             |  floor(CAST(n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+             |    / (CAST(ta.n_type AS DOUBLE) * CAST(tcs.n_type AS DOUBLE))
+             |    * 1000000 + 0.5) / 1000000 AS lift
+             |FROM pc
+             |JOIN tc ta ON ta.event_type = antecedent
+             |JOIN tc tcs ON tcs.event_type = consequent
+             |CROSS JOIN nu
+             |ORDER BY antecedent, consequent""".stripMargin)),
+
     // IPW (Hájek) under stratum-confounded md5 assignment: per-stratum
     // exact-long terms, deterministic sorted-stratum fold, naive vs
     // corrected difference side by side

@@ -1222,6 +1222,46 @@ object EventOps {
         q6(col("z")).as("z_stat"), (abs(col("z")) > 1.96).as("significant"))
   }
 
+  /** Association rules over per-user event-type baskets — the market-basket
+    * classic (support / confidence / lift) on behavioral data: for every
+    * ORDERED type pair a→b, how often users who do a also do b, and
+    * whether that beats independence (lift > 1). All counts are exact
+    * distinct-user integers from ONE basket aggregate + a self-join on
+    * user (narrow key+type rows); the three ratios are single divisions.
+    * At 100 TB the basket frame is |users|·|types| ≤ small and the pair
+    * join shuffles only (user, type) pairs.
+    */
+  def assocRules(events: DataFrame): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val baskets = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val typeCounts = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val pairCounts = baskets.as("x").join(baskets.as("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("antecedent"),
+        col("y.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairCounts
+      .join(broadcast(typeCounts.select(col("event_type").as("antecedent"),
+        col("n_type").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(typeCounts.select(col("event_type").as("consequent"),
+        col("n_type").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ante"), col("n_cons"), col("n_both"), col("n_users"),
+        q6(col("n_both").cast("double") / col("n_users").cast("double"))
+          .as("support"),
+        q6(col("n_both").cast("double") / col("n_ante").cast("double"))
+          .as("confidence"),
+        q6(col("n_both").cast("double") * col("n_users").cast("double")
+          / (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Inverse-propensity-weighted (IPW, Hájek form) treatment-effect
     * estimate under stratum-confounded assignment — the observational
     * companion to [[abTest]]/[[cuped]]: when treatment probability varies

@@ -1878,6 +1878,51 @@ object SparkEntry {
 
     // per-series autocorrelation at lags 1..6: banded self-join on the
     // shifted month index + one corr aggregate per (key, lag)
+    // ESD-style iterative peel: per round, recompute mean/SD over the
+    // survivors (DECIMAL(38,0) variance numerator), flag the max deviate
+    // past 2.5, remove, repeat — unrolled identically in the oracle
+    Q("ts_esd_outliers",
+      (s, d) => graft.ops.TimeSeriesOps.esdOutliers(orders(s, d)),
+      Some {
+        def round(r: Int): String = {
+          val prev = if (r == 1) "rem0" else s"rem${r - 1}"
+          s"""st$r AS (
+             |  SELECT g, count(*) AS n, sum(v) AS sx,
+             |    sum(CAST(v AS HUGEINT) * v) AS sxx
+             |  FROM $prev GROUP BY 1),
+             |sc$r AS (
+             |  SELECT p.g, p.month, p.v, s.n,
+             |    CASE WHEN s.n * s.sxx - s.sx * s.sx = 0 THEN 0.0 ELSE
+             |      floor(CAST(abs(p.v * s.n - s.sx) AS DOUBLE)
+             |        / (CAST(s.n AS DOUBLE)
+             |           * sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+             |                  / CAST(s.n * (s.n - 1) AS DOUBLE)))
+             |        * 10000 + 0.5) / 10000 END AS rq
+             |  FROM $prev p JOIN st$r s ON s.g = p.g),
+             |fl$r AS (
+             |  SELECT g, $r AS round, month, v, rq FROM (
+             |    SELECT g, month, v, rq,
+             |      row_number() OVER (PARTITION BY g
+             |                         ORDER BY rq DESC, month) AS rn
+             |    FROM sc$r)
+             |  WHERE rn = 1 AND rq > 2.5),
+             |rem$r AS (
+             |  SELECT p.* FROM $prev p
+             |  LEFT JOIN fl$r f ON f.g = p.g AND f.month = p.month
+             |  WHERE f.g IS NULL)""".stripMargin
+        }
+        s"""WITH rem0 AS (
+           |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+           |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+           |  FROM orders GROUP BY 1, 2),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT g AS priority, round, strftime(month, '%Y-%m-%d') AS month,
+           |  v, rq AS r_stat
+           |FROM (SELECT * FROM fl1 UNION ALL SELECT * FROM fl2
+           |      UNION ALL SELECT * FROM fl3)
+           |ORDER BY priority, round""".stripMargin
+      }),
+
     // Sakoe–Chiba radius-1 DTW: the 3-cell band recursion is a row-local
     // fold in Spark and a recursive CTE in DuckDB — two independent
     // mechanisms over the same exact-int64 algebra, no tolerance needed

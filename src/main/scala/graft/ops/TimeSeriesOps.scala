@@ -334,6 +334,69 @@ object TimeSeriesOps {
       .orderBy(col("l_suppkey"), col("start_mi"))
   }
 
+  /** Iterative ESD-style outlier peel over per-priority monthly revenue —
+    * the multi-outlier-robust member beside the one-shot z-score and MAD
+    * screens: a single extreme point inflates the SD and MASKS its
+    * neighbors, so each round recomputes mean/SD over the REMAINING
+    * points, flags the largest studentized deviate if it clears the
+    * threshold, removes it, and repeats (Rosner's generalized ESD with a
+    * fixed λ in place of the t-quantile table — the deployable form; a
+    * caller wanting exact GESD supplies per-round critical values).
+    *
+    * Exactness: the series is whole-dollar longs; each round's variance
+    * numerator n·Σx² − (Σx)² is computed in DECIMAL(38,0) (exact — the
+    * long path would overflow near sf10), the deviate R = |x·n − Σx| /
+    * (n·sd) has an exact-integer numerator, and R is q4-quantized BEFORE
+    * the threshold compare and the argmax (ties to the earliest month).
+    * Plan shape: one monthly aggregate, then per round a ≤|keys|-row
+    * broadcast stats join + one window — rounds are bounded and the
+    * frames key-sized, so the unroll costs |rounds| tiny jobs at any SF.
+    */
+  def esdOutliers(orders: DataFrame, threshold: Double = 2.5,
+                  rounds: Int = 3): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val monthly = graft.ops.Exec.trackTransient(
+      orders.groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("v"))
+      .localCheckpoint())
+    var remaining: DataFrame = monthly
+    var flagged: DataFrame = null
+    for (r <- 1 to rounds) {
+      val stats = remaining.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sx"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("sxx"))
+      val scored = remaining.join(broadcast(stats), Seq("g"))
+        .withColumn("num",
+          col("n").cast("decimal(38,0)") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx"))
+        .withColumn("sd", sqrt(col("num").cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")))
+        // zero-variance residue (all survivors equal): 0/0 would be NaN,
+        // and BOTH engines sort NaN above every real — an all-equal series
+        // must flag nothing, so pin rq to 0 explicitly
+        .withColumn("rq", when(col("num") === 0, lit(0.0)).otherwise(
+          q4(abs(col("v") * col("n") - col("sx")).cast("double")
+            / (col("n").cast("double") * col("sd")))))
+      val w = Window.partitionBy(col("g")).orderBy(col("rq").desc, col("month"))
+      val flag = graft.ops.Exec.trackTransient(
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("rq") > threshold)
+          .select(col("g"), lit(r).as("round"), col("month"), col("v"),
+            col("rq"))
+          .localCheckpoint())
+      flagged = if (flagged == null) flag else flagged.unionByName(flag)
+      remaining = remaining.join(flag.select(col("g"), col("month")),
+        Seq("g", "month"), "left_anti")
+    }
+    flagged
+      .select(col("g").as("priority"), col("round"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("v"), col("rq").as("r_stat"))
+      .orderBy(col("priority"), col("round"))
+  }
+
   /** Banded dynamic-time-warping distance between every pair of supplier
     * quantity series (Sakoe–Chiba radius 1 — the standard production band:
     * tight enough to stay O(n) per pair, loose enough to absorb ±1-step

@@ -192,6 +192,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("holtForecast")), msgs(ex).mkString("; "))
   }
 
+  test("esdOutliers unmasks the second outlier a one-shot z-score misses") {
+    import spark.implicits._
+    // 20 months at 100, one at 200 (masked), one at 1000 (dominant): the
+    // huge point inflates the one-shot SD so 200 reads as R≈0.3 — only
+    // after round 1 removes 1000 does 200 clear the threshold. Round 3's
+    // residue is all-equal (zero variance) and must flag NOTHING.
+    val vals = Seq.fill(20)(100.0) ++ Seq(200.0, 1000.0)
+    val li = vals.zipWithIndex.map { case (v, i) =>
+      ("1-URGENT",
+        Timestamp.valueOf(f"${1995 + i / 12}-${i % 12 + 1}%02d-10 00:00:00"), v)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = TimeSeriesOps.esdOutliers(li).collect()
+    assert(got.length == 2, s"want exactly two flags: ${got.mkString(";")}")
+    assert(got(0).getAs[Int]("round") == 1 && got(0).getAs[Long]("v") == 1000L)
+    assert(got(1).getAs[Int]("round") == 2 && got(1).getAs[Long]("v") == 200L)
+  }
+
   test("dtwPairs matches a plain-Scala banded DP and beats Euclidean on a shifted series") {
     import spark.implicits._
     // two series: b is a one-step phase shift of a — the case DTW exists

@@ -5245,6 +5245,37 @@ object SparkEntry {
               |SELECT rank, doc_id, score, n_matched FROM r
               |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // T5-style span-corruption census: one md5-drawn span per full
+    // 20-token block (len 2..4, mean 3 → 15% target), block-local so no
+    // sequential sampler sits in the plan
+    Q("txt_span_corruption",
+      (s, d) => TextOps.spanCorruptionStats(documents(s, d)),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, len($DuckToks) AS n_tokens,
+              |    len($DuckToks) // 20 AS n_blocks
+              |  FROM documents),
+              |sp AS (
+              |  SELECT doc_id, count(*) AS n_spans,
+              |    CAST(sum(span_len) AS BIGINT) AS n_masked
+              |  FROM (
+              |    SELECT doc_id,
+              |      CAST(h % 3 + 2 AS INTEGER) AS span_len
+              |    FROM (
+              |      SELECT doc_id,
+              |        CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+              |          || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+              |      FROM (SELECT doc_id, unnest(range(n_blocks)) AS b
+              |            FROM d WHERE n_blocks > 0)))
+              |  GROUP BY 1)
+              |SELECT d.doc_id, CAST(d.n_tokens AS INTEGER) AS n_tokens,
+              |  CAST(d.n_blocks AS INTEGER) AS n_blocks,
+              |  coalesce(sp.n_spans, 0) AS n_spans,
+              |  coalesce(sp.n_masked, 0) AS n_masked,
+              |  floor(CAST(coalesce(sp.n_masked, 0) AS DOUBLE) / d.n_tokens
+              |    * 10000 + 0.5) / 10000 AS corrupt_rate
+              |FROM d LEFT JOIN sp ON sp.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     Q("txt_gopher_rules",
       (s, d) => TextOps.gopherRules(documents(s, d)),
       Some(s"""WITH t AS (

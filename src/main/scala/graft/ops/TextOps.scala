@@ -1573,6 +1573,43 @@ object TextOps {
     packSequences(d4, budget)
   }
 
+  /** T5-style span-corruption plan statistics — the masking step of a
+    * denoising-pretraining pipeline, made deterministic and block-local:
+    * each document's token stream is cut into fixed blocks of `blockLen`
+    * tokens and every FULL block masks exactly one span whose length
+    * (2..4, mean 3 → 15 % corruption at blockLen 20) and offset come from
+    * an md5 draw on (doc, block) — so the plan needs no sequential walk
+    * (a greedy left-to-right sampler is a per-doc fold; the block form is
+    * embarrassingly parallel and reproducible from any engine, which is
+    * what makes the mask auditable downstream). Emits the per-document
+    * corruption census: blocks, spans, masked tokens, realized rate.
+    */
+  def spanCorruptionStats(docs: DataFrame, blockLen: Int = 20): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val d = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("n_blocks", expr(s"n_tokens div $blockLen"))
+    val spans = d.filter(col("n_blocks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_blocks") - 1)).as("b"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('sc:', CAST(doc_id AS STRING), " +
+          "':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("span_len", (col("h") % 3 + 2).cast("int"))
+      .withColumn("span_off",
+        expr(s"CAST((h div 7) % ($blockLen - span_len + 1) AS INT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).cast("long").as("n_masked"),
+        min(col("span_off")).as("min_off"), max(col("span_off")).as("max_off"))
+    d.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        q4(coalesce(col("n_masked"), lit(0L)).cast("double")
+          / col("n_tokens")).as("corrupt_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-paper rule census (Rae et al. 2021, table A1 — the published
     * heuristic filter battery every LLM-data pipeline reimplements): per
     * rule, how many documents pass, plus the all-rules keep rate.

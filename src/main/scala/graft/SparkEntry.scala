@@ -100,7 +100,8 @@ object SparkEntry {
              |    / 1000000 AS share
              |FROM pp, t
              |JOIN part ON l_partkey = p_partkey
-             |WHERE cents * n_parts * 1000 > total_cents * 1300
+             |WHERE CAST(cents AS HUGEINT) * n_parts * 1000
+             |      > CAST(total_cents AS HUGEINT) * 1300
              |ORDER BY value DESC, l_partkey""".stripMargin)),
 
     // Q22 shape: scalar-subquery average threshold + anti join, grouped
@@ -3551,12 +3552,16 @@ object SparkEntry {
              |    (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
              |       AS BIGINT) % 10000) < 2000 + (user_id % 4) * 1500 AS t
              |  FROM pu),
-             |st AS (
+             |st_all AS (
              |  SELECT s, count(*) AS n,
              |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
              |    CAST(sum(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT) AS sy1,
              |    CAST(sum(CASE WHEN NOT t THEN cents ELSE 0 END) AS BIGINT) AS sy0
              |  FROM u GROUP BY 1),
+             |st AS (SELECT * FROM st_all WHERE nt > 0 AND nt < n),
+             |bad AS (
+             |  SELECT count(*) AS n_bad_strata FROM st_all
+             |  WHERE nt = 0 OR nt = n),
              |f AS (
              |  SELECT
              |    CAST(list_sum(list(n ORDER BY s)) AS BIGINT) AS n_users,
@@ -3570,14 +3575,14 @@ object SparkEntry {
              |    CAST(list_sum(list(sy1 ORDER BY s)) AS BIGINT) AS t1,
              |    CAST(list_sum(list(sy0 ORDER BY s)) AS BIGINT) AS t0
              |  FROM st)
-             |SELECT n_users, n_treat,
+             |SELECT n_users, n_treat, bad.n_bad_strata,
              |  floor((CAST(t1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
              |    - CAST(t0 AS DOUBLE) / CAST(n_users - n_treat AS DOUBLE))
              |    / 100.0 * 1000000 + 0.5) / 1000000 AS naive_diff,
              |  floor((w1 / CAST(n_users AS DOUBLE)
              |    - w0 / CAST(n_users AS DOUBLE))
              |    / 100.0 * 1000000 + 0.5) / 1000000 AS ipw_diff
-             |FROM f""".stripMargin)),
+             |FROM f, bad""".stripMargin)),
 
     // KMV audience-overlap sketch + accuracy audit: k smallest md5-prefix
     // user hashes per type; pair estimate = |both ∩ k-min(union)| / k;
@@ -3586,7 +3591,7 @@ object SparkEntry {
       (s, d) => EventOps.audienceOverlap(events(s, d)),
       Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
              |uh AS (
-             |  SELECT event_type,
+             |  SELECT DISTINCT event_type,
              |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
              |      AS BIGINT) AS h
              |  FROM du),
@@ -3664,8 +3669,9 @@ object SparkEntry {
              |reps AS (
              |  SELECT event_type, rep,
              |    CAST(sum(w * cents) AS DOUBLE)
-             |      / CAST(nullif(sum(w), 0) AS DOUBLE) / 100.0 AS rep_mean
-             |  FROM weighted GROUP BY 1, 2),
+             |      / CAST(sum(w) AS DOUBLE) / 100.0 AS rep_mean
+             |  FROM weighted GROUP BY 1, 2
+             |  HAVING sum(w) > 0),
              |ranked AS (
              |  SELECT event_type, rep_mean,
              |    row_number() OVER (PARTITION BY event_type

@@ -1275,21 +1275,28 @@ object EventOps {
     * where every per-stratum term is ONE division of exact cent longs and
     * the ≤|strata| terms fold in SORTED stratum order inside a collected
     * array (deterministic double summation — never a data-order
-    * aggregate). Strata with an empty arm surface as null (positivity
-    * violation made visible, not averaged over). Expects
+    * aggregate). Strata with an EMPTY ARM (a positivity violation — no
+    * propensity is estimable there) are EXCLUDED from both estimates and
+    * surfaced in `n_bad_strata` instead: exclusion is the only behavior
+    * both engines can state identically (a null term would be propagated
+    * by one engine's fold and skipped by the other's list_sum). Expects
     * `(user_id, stratum, treated, cents)`; [[ipwFromEvents]] derives that
     * frame from the event stream with an md5-uniform assignment whose
     * threshold rises with the stratum (the confounding).
     */
   def ipwEffect(users: DataFrame): DataFrame = {
     def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
-    val st = users.groupBy(col("stratum"))
+    val stAll = users.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
         sum(when(col("treated"), col("cents")).otherwise(0L)).as("sy1"),
         sum(when(!col("treated"), col("cents")).otherwise(0L)).as("sy0"))
+    val st = stAll.filter(col("nt") > 0 && col("nt") < col("n"))
+    val bad = stAll.filter(col("nt") === 0 || col("nt") === col("n"))
+      .agg(count(lit(1)).as("n_bad_strata"))
     st.agg(sort_array(collect_list(struct(col("stratum"), col("n"),
         col("nt"), col("sy1"), col("sy0")))).as("a"))
+      .crossJoin(broadcast(bad))
       .select(
         expr("aggregate(a, 0L, (acc, x) -> acc + x.n)").as("n_users"),
         expr("aggregate(a, 0L, (acc, x) -> acc + x.nt)").as("n_treat"),
@@ -1298,8 +1305,9 @@ object EventOps {
         expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc " +
           "+ CAST(x.sy0 AS DOUBLE) * x.n / (x.n - x.nt))").as("w0"),
         expr("aggregate(a, 0L, (acc, x) -> acc + x.sy1)").as("t1"),
-        expr("aggregate(a, 0L, (acc, x) -> acc + x.sy0)").as("t0"))
-      .select(col("n_users"), col("n_treat"),
+        expr("aggregate(a, 0L, (acc, x) -> acc + x.sy0)").as("t0"),
+        col("n_bad_strata"))
+      .select(col("n_users"), col("n_treat"), col("n_bad_strata"),
         q6((col("t1").cast("double") / col("n_treat").cast("double")
           - col("t0").cast("double")
             / (col("n_users") - col("n_treat")).cast("double")) / 100.0)
@@ -1338,8 +1346,12 @@ object EventOps {
   def audienceOverlap(events: DataFrame, k: Int = 32): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val du = events.select(col("event_type"), col("user_id")).distinct()
+    // KMV ranks DISTINCT hash values (two users sharing a 32-bit prefix
+    // must contribute ONE sketch entry, or the membership joins
+    // double-count), so dedupe (type, h) before the k-min window
     val uh = du.withColumn("h", expr(
-      "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("event_type"), col("h")).distinct()
     val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val sk = uh.withColumn("rn", row_number().over(wT)).filter(col("rn") <= k)
       .select(col("event_type"), col("h"))
@@ -1424,8 +1436,12 @@ object EventOps {
           .otherwise(4L))
       .groupBy(col("event_type"), col("rep"))
       .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("wn"))
+      // an all-zero-weight replicate has no mean: DROP it on both engines
+      // (a null would rank NULLS FIRST here but NULLS LAST in DuckDB,
+      // shifting the order statistics by one)
+      .filter(col("wn") > 0)
       .select(col("event_type"), col("rep"),
-        (col("wc").cast("double") / nullif(col("wn"), lit(0L)).cast("double")
+        (col("wc").cast("double") / col("wn").cast("double")
           / 100.0).as("rep_mean"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("rep_mean"), col("rep"))

@@ -209,33 +209,40 @@ object GraphOps {
   private val prMemo =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
 
+  /** The (degree-joined edges, degrees, |V|) build shared — BY CODE, not
+    * just by memo key — between [[pageRank]] and [[personalizedPageRank]]:
+    * the two queries memoize under the same key, so a drift between two
+    * copies would let whichever ran first poison the other. Checkpoint the
+    * directed frame FIRST: it feeds both the degree count and the
+    * edge-degree join, and without the cut the upstream edge dedup (a full
+    * shuffle over the raw incidence list) would run twice. Checkpointed
+    * frames report unknown stats, so the |V|-row degree side is hinted
+    * explicitly (count-gated) or the build join sorts |E|. The
+    * intermediate directed frame is dead once degs/wd materialize — its
+    * blocks drop immediately (it is not in the memo tuple, so the evictor
+    * would never see it).
+    */
+  private def buildDegreeFrames(edges: DataFrame, maxBroadcastRanks: Long)
+      : (DataFrame, DataFrame, Long) = {
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val degs = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = degs.count()
+    val wd = directed.join(
+      if (n <= maxBroadcastRanks) broadcast(degs) else degs, Seq("src"))
+      .localCheckpoint()
+    Exec.unpersistCheckpointed(directed)
+    (wd, degs, n)
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                topK: Int = 25, maxBroadcastRanks: Long = 4000000L,
                memoKey: Option[String] = None): DataFrame = {
-    // checkpoint the directed frame FIRST: it feeds both the degree count
-    // and the edge-degree join, and without the cut the upstream edge
-    // dedup (a full shuffle over the raw incidence list) would run twice
-    def build(): (DataFrame, DataFrame, Long) = {
-      val directed = edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      val degs = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val n = degs.count()
-      // checkpointed frames report unknown stats, so hint the |V|-row
-      // degree side explicitly (count-gated) or the build join sorts |E|
-      val wd = directed.join(
-        if (n <= maxBroadcastRanks) broadcast(degs) else degs, Seq("src"))
-        .localCheckpoint()
-      // degs and wd are eagerly materialized above, so the intermediate
-      // directed frame is dead here — drop its blocks now rather than
-      // leaving them pinned until a releaseAll sweep (it is not in the
-      // memo tuple, so the evictor would never see it).
-      Exec.unpersistCheckpointed(directed)
-      (wd, degs, n)
-    }
     val (withDeg, degFrame, nNodes) =
-      resolveDegreeBuild(edges, memoKey, build)
+      resolveDegreeBuild(edges, memoKey,
+        () => buildDegreeFrames(edges, maxBroadcastRanks))
     var ranks = degFrame.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / nNodes))
     for (_ <- 1 to iters) {
@@ -298,21 +305,9 @@ object GraphOps {
                            topK: Int = 25,
                            maxBroadcastRanks: Long = 4000000L,
                            memoKey: Option[String] = None): DataFrame = {
-    def build(): (DataFrame, DataFrame, Long) = {
-      val directed = edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      val degs = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val n = degs.count()
-      val wd = directed.join(
-        if (n <= maxBroadcastRanks) broadcast(degs) else degs, Seq("src"))
-        .localCheckpoint()
-      Exec.unpersistCheckpointed(directed)
-      (wd, degs, n)
-    }
     val (withDeg, degFrame, nNodes) =
-      resolveDegreeBuild(edges, memoKey, build)
+      resolveDegreeBuild(edges, memoKey,
+        () => buildDegreeFrames(edges, maxBroadcastRanks))
     val seeds = degFrame.filter(col("src") % seedMod === 0)
     val nSeeds = seeds.count()
     require(nSeeds > 0, s"personalizedPageRank: no seeds at mod $seedMod")

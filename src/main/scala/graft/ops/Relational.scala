@@ -1437,7 +1437,9 @@ object Relational {
     * grows, so the scale-invariant multiple-of-mean is what a production
     * screen actually runs. Both the per-part sums and the (total, n_parts)
     * scalar are exact cent longs, and the cut line is decided by exact
-    * integer cross-multiplication: cents·n·1000 > total·(multiple·1000).
+    * integer cross-multiplication in DECIMAL(38,0) — cents·n_parts·1000
+    * exceeds int64 a few hundred SF up, and a wrapped long would
+    * keep/drop the wrong parts silently while the oracle's HUGEINT raises.
     */
   def importantParts(li: DataFrame, part: DataFrame,
                      multipleMillis: Long = 1300L): DataFrame = {
@@ -1446,8 +1448,8 @@ object Relational {
     val total = perPart.agg(sum(col("cents")).as("total_cents"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("cents") * col("n_parts") * 1000L
-        > col("total_cents") * multipleMillis)
+      .filter(col("cents").cast("decimal(38,0)") * col("n_parts") * 1000L
+        > col("total_cents").cast("decimal(38,0)") * multipleMillis)
       .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_type"),

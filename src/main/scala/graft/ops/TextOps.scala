@@ -1595,12 +1595,9 @@ object TextOps {
         "CAST(conv(substring(md5(concat('sc:', CAST(doc_id AS STRING), " +
           "':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("span_len", (col("h") % 3 + 2).cast("int"))
-      .withColumn("span_off",
-        expr(s"CAST((h div 7) % ($blockLen - span_len + 1) AS INT)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("span_len")).cast("long").as("n_masked"),
-        min(col("span_off")).as("min_off"), max(col("span_off")).as("max_off"))
+        sum(col("span_len")).cast("long").as("n_masked"))
     d.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -5251,6 +5251,33 @@ object SparkEntry {
               |SELECT rank, doc_id, score, n_matched FROM r
               |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // vocabulary-coverage / OOV curve: exact cumulative occurrence sums at
+    // frequency ranks 5/10/20 (the fixture vocabulary is ~31 words), single-division ratios
+    Q("txt_oov_rate",
+      (s, d) => TextOps.oovRate(documents(s, d)),
+      Some(s"""WITH f AS (
+              |  SELECT word, count(*) AS f FROM (
+              |    SELECT unnest($DuckToks) AS word FROM documents)
+              |  GROUP BY 1),
+              |r AS (
+              |  SELECT word, f,
+              |    row_number() OVER (ORDER BY f DESC, word) AS rk,
+              |    sum(f) OVER (ORDER BY f DESC, word
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM f),
+              |t AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+              |        count(*) AS n_distinct FROM f),
+              |kk AS (SELECT unnest([5, 10, 20]) AS k)
+              |SELECT kk.k, t.n_distinct,
+              |  CAST(max(r.cum) AS BIGINT) AS covered, t.total,
+              |  floor(CAST(max(r.cum) AS DOUBLE) / t.total * 10000 + 0.5)
+              |    / 10000 AS coverage,
+              |  floor(CAST(t.total - max(r.cum) AS DOUBLE) / t.total
+              |    * 10000 + 0.5) / 10000 AS oov_rate
+              |FROM kk JOIN r ON r.rk <= kk.k CROSS JOIN t
+              |GROUP BY kk.k, t.n_distinct, t.total
+              |ORDER BY kk.k""".stripMargin)),
+
     // T5-style span-corruption census: one md5-drawn span per full
     // 20-token block (len 2..4, mean 3 → 15% target), block-local so no
     // sequential sampler sits in the plan

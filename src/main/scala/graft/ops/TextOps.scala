@@ -1573,6 +1573,40 @@ object TextOps {
     packSequences(d4, budget)
   }
 
+  /** Vocabulary-coverage / OOV curve — the first number a tokenizer or
+    * embedding-table sizing decision reads: for each candidate vocabulary
+    * size k (word-level, frequency-ranked with deterministic alphabetical
+    * tie-break), the fraction of corpus TOKEN OCCURRENCES covered by the
+    * top-k words and the complementary OOV rate. One corpus scan to the
+    * word-frequency table, one rank window over the vocabulary-sized
+    * frame, exact long cumulative sums via a rows-frame running total —
+    * the coverage ratios are single divisions of exact integers.
+    */
+  def oovRate(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val freq = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("word"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("f")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = freq.agg(sum(col("f")).as("total"),
+      count(lit(1)).as("n_distinct"))
+    val kDf = docs.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    // coverage at k = cum at rank min(k, n_distinct): take the largest
+    // rank ≤ k (a k past the vocabulary covers everything)
+    kDf.join(ranked, col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("cum")).as("covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_distinct"), col("covered"), col("total"),
+        q4(col("covered").cast("double") / col("total")).as("coverage"),
+        q4((col("total") - col("covered")).cast("double") / col("total"))
+          .as("oov_rate"))
+      .orderBy(col("k"))
+  }
+
   /** T5-style span-corruption plan statistics — the masking step of a
     * denoising-pretraining pipeline, made deterministic and block-local:
     * each document's token stream is cut into fixed blocks of `blockLen`

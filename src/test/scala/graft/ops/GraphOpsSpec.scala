@@ -215,4 +215,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getDouble(5) == 0.0, s"q_total: ${rows.head.getDouble(5)}")
   }
+
+  test("harmonic centrality: hand-computed sum of reciprocal distances on a path") {
+    // path 0-1-2-3-4 with seedMod pinning seed 0 only: within 3 BFS rounds
+    // node 0 reaches d=1,2,3 → harmonic = 1 + 1/2 + 1/3 = 11/6; node 4
+    // stays outside the horizon — the bounded-radius contract
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.harmonicCentrality(path, seedMod = 1000L, rounds = 3)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("seed") == 0L)
+    assert(got.head.getAs[Long]("n_reached") == 3L)
+    assert(got.head.getAs[Double]("harmonic") ==
+      math.floor(11.0 / 6.0 * 1000000 + 0.5) / 1000000, s"got: ${got.head}")
+  }
 }

@@ -1966,7 +1966,8 @@ object SparkEntry {
              |        abs(s.qa - s.qbm) + least(r.d0, r.d1) AS d0
              |      FROM rec r
              |      JOIN s ON s.sa = r.sa AND s.sb = r.sb AND s.t = r.i + 1)))
-             |SELECT r.sa, r.sb, CAST(nn.n AS INTEGER) AS n, r.d1 AS dtw,
+             |SELECT r.sa, r.sb, CAST(nn.n AS INTEGER) AS n,
+             |  CAST(r.d1 AS BIGINT) AS dtw,
              |  floor(CAST(r.d1 AS DOUBLE) / nn.n * 10000 + 0.5) / 10000
              |    AS dtw_per_step
              |FROM rec r
@@ -3658,7 +3659,7 @@ object SparkEntry {
              |  FROM events GROUP BY 1, 2),
              |drawn AS (
              |  SELECT event_type, user_id, cents, b.rep,
-             |    (user_id * 2654435761 + b.rep * 40503) % 1000000 AS h
+             |    ((user_id % 1000003) * 2654435761 + b.rep * 40503) % 1000000 AS h
              |  FROM pu CROSS JOIN (SELECT unnest(range(200)) AS rep) b),
              |weighted AS (
              |  SELECT event_type, cents, rep,

@@ -630,8 +630,11 @@ object EventOps {
     * conversion rate and the p50/p90 order statistics of Δt over
     * converted users. Every output is an exact integer (µs longs, rank
     * positions) or one exact division — no float aggregation anywhere.
-    * Two user-keyed conditional aggregates + one tiny rank window over
-    * the converted set; the per-user reduction happens map-side at any
+    * Two user-keyed conditional aggregates; the order statistics read off
+    * a DISTRIBUTED exact global rank ([[Exec.globalRank]] — range layout +
+    * local rank + broadcast offsets), so the converted-user set never
+    * funnels through one unpartitioned window partition (the r12 plan
+    * audit's finding). The per-user reduction happens map-side at any
     * event volume.
     */
   def funnelTime(events: DataFrame): DataFrame = {
@@ -650,8 +653,7 @@ object EventOps {
       .withColumn("dt_us", col("t_conv") - col("t_signup"))
     val nSignup = perUser.filter(col("t_signup").isNotNull)
       .agg(count(lit(1)).as("n_signup"))
-    val wRank = Window.orderBy(col("dt_us"), col("user_id"))
-    val ranked = conv.withColumn("rn", row_number().over(wRank))
+    val ranked = Exec.globalRank(conv, "rn", col("dt_us"), col("user_id"))
     val n = ranked.agg(count(lit(1)).as("n_converted"))
     ranked.crossJoin(broadcast(n)).crossJoin(broadcast(nSignup))
       .groupBy(col("n_signup"), col("n_converted"))
@@ -1035,6 +1037,7 @@ object EventOps {
     val daily = firstDay.groupBy(col("day0"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d_b"))
+    // bounded: day-spine frame — one row per calendar day, never corpus-sized
     val w = Window.orderBy(col("day0"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -1084,6 +1087,7 @@ object EventOps {
       .groupBy(col("conv_day").as("day"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c_b"))
+    // bounded: day-spine frame — one row per calendar day, never corpus-sized
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (c: Column) => c.cast("double")
@@ -1407,10 +1411,14 @@ object EventOps {
     *
     *   1. per-(type, user) exact-cent totals — the ONLY full scan;
     *   2. B Poisson(1) bootstrap replicates: user u's weight in replicate b
-    *      comes from the LCG draw h = (u·2654435761 + b·40503) mod 1e6
-    *      mapped through the Poisson(1) CDF thresholds (367879, 735759,
-    *      919699, 981012 → w ∈ 0..4) — pure 64-bit integer arithmetic that
-    *      any engine reproduces bit-exactly, unlike engine-native RNG;
+    *      comes from the LCG draw h = ((u mod 1000003)·2654435761 + b·40503)
+    *      mod 1e6 mapped through the Poisson(1) CDF thresholds (367879,
+    *      735759, 919699, 981012 → w ∈ 0..4) — pure 64-bit integer
+    *      arithmetic that any engine reproduces bit-exactly, unlike
+    *      engine-native RNG. The prime pre-reduction bounds the product at
+    *      ~2.7e15 ≪ 2⁶³, so the draw is wrap-free for ANY id domain (the
+    *      raw multiply wraps int64 in Spark for u > ~3.4e9 while DuckDB
+    *      raises — a silent cross-engine divergence at large id domains);
     *   3. replicate mean = Σw·cents / Σw (exact longs, ONE division);
     *   4. the CI is the [⌈0.025·B⌉, B+1−⌈0.025·B⌉] order statistics of the
     *      B replicate means, tie-broken by replicate id.
@@ -1429,7 +1437,8 @@ object EventOps {
       .select(col("event_type"), col("user_id"), col("cents"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("h",
-        (col("user_id") * lit(2654435761L) + col("rep") * lit(40503L)) % 1000000L)
+        ((col("user_id") % lit(1000003L)) * lit(2654435761L)
+          + col("rep") * lit(40503L)) % 1000000L)
       .withColumn("w",
         when(col("h") < 367879L, 0L).when(col("h") < 735759L, 1L)
           .when(col("h") < 919699L, 2L).when(col("h") < 981012L, 3L)

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit,
+  row_number, spark_partition_id, sum}
 
 /** Execution-shape helpers shared by the operator families. */
 object Exec {
@@ -48,6 +50,43 @@ object Exec {
 
   /** Default byte cap for [[broadcastIfSmallBytes]]: 128 MiB. */
   val DefaultBroadcastBytes: Long = 128L << 20
+
+  /** Distributed EXACT global rank — the scalable replacement for an
+    * unpartitioned `row_number().over(Window.orderBy(...))`, which funnels
+    * the whole frame through ONE task (the r12 plan-audit finding).
+    *
+    * Mechanics: range-partition on the sort key (so partition i's keys all
+    * precede partition i+1's in the sort order), `row_number` within each
+    * partition, then add broadcast per-partition row-count offsets — local
+    * rank + offset IS the global rank, to the row, with no single-partition
+    * stage anywhere. The offsets frame is ≤ `spark.sql.shuffle.partitions`
+    * rows (its own ordering window is bounded by that, whitelisted). The
+    * range layout is pinned with a tracked `localCheckpoint` so the offset
+    * job and the rank job read the SAME partitioning.
+    *
+    * `sortCols` must end in a unique tie-break column (every call site
+    * does) — equal sort keys land in one range partition, but their
+    * relative `row_number` order would otherwise be nondeterministic.
+    */
+  def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
+    val parted = trackTransient(
+      df.repartitionByRange(sortCols: _*)
+        .withColumn("__gr_pid", spark_partition_id())
+        .localCheckpoint())
+    val offsets = parted.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        // bounded: ≤ spark.sql.shuffle.partitions rows (one per partition)
+        coalesce(sum(col("__gr_cnt")).over(Window.orderBy(col("__gr_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    val localW = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+    parted
+      .withColumn("__gr_lrank", row_number().over(localW))
+      .join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(rankCol, col("__gr_off") + col("__gr_lrank"))
+      .drop("__gr_pid", "__gr_lrank", "__gr_off")
+  }
 
   /** Release every frame the operator family pinned with `persist()`.
     *

@@ -544,6 +544,7 @@ object Relational {
   def cumulativeDistinctCustomers(orders: DataFrame): DataFrame = {
     val firstMonth = orders.groupBy(col("o_custkey"))
       .agg(min(date_trunc("month", col("o_orderdate"))).as("month"))
+    // bounded: month-spine frame — one row per calendar month
     val w = Window.orderBy(col("month"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     firstMonth.groupBy(col("month"))
@@ -558,12 +559,17 @@ object Relational {
     * robust-statistics twin of [[trailing30DayRevenue]]'s mean. Medians
     * don't decompose into partial aggregates, so the honest distributed
     * exact form is a bounded RANGE self-join (each anchor month joins its
-    * trailing `months` of orders; the join is banded by the month key, so
-    * at scale AQE plans it as a co-partitioned range join, never a
-    * cartesian) followed by one percentile aggregate per anchor. Approx
-    * twin at petabyte scale: `approx_percentile` per window. Interpolation
-    * (`percentile` ≡ quantile_cont) matches across engines; 2dp rounding
-    * absorbs float noise.
+    * trailing `months` of orders) followed by one percentile aggregate per
+    * anchor. The join EQUI-keys on (priority, month-band) with band width
+    * = `months` — every anchor window spans at most two consecutive bands,
+    * so the anchor side explodes ×2 and the residual range predicate
+    * filters inside the band (lossless). Keying on priority alone capped
+    * join parallelism at |priorities| = 5 tasks pre-AQE (the r12 audit's
+    * borderline note); the band key multiplies that by |months|/window
+    * with identical pair volume. Approx twin at petabyte scale:
+    * `approx_percentile` per window. Interpolation (`percentile` ≡
+    * quantile_cont) matches across engines; 2dp rounding absorbs float
+    * noise.
     */
   def rollingMedianMonthly(orders: DataFrame, months: Int): DataFrame = {
     // median over exact integer CENTS: prices carry 2 decimals, so the
@@ -577,9 +583,14 @@ object Relational {
       col("o_orderpriority"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val anchors = om.select(col("o_orderpriority"), col("m")).distinct()
-    anchors.as("a")
-      .join(om.as("v"),
+    // lossless band key: v.m ∈ (a.m−months, a.m] ⊂ bands {a.band−1, a.band}
+    val vb = om.withColumn("band", expr(s"m div $months"))
+    val ab = anchors.withColumn("band",
+      explode(array(expr(s"m div $months - 1"), expr(s"m div $months"))))
+    ab.as("a")
+      .join(vb.as("v"),
         col("a.o_orderpriority") === col("v.o_orderpriority")
+          && col("a.band") === col("v.band")
           && col("v.m") > col("a.m") - months && col("v.m") <= col("a.m"))
       .groupBy(col("a.o_orderpriority").as("priority"), col("a.m").as("m"))
       .agg(count(lit(1)).as("n_orders"),
@@ -1122,11 +1133,14 @@ object Relational {
   /** 2-D skyline (Pareto frontier): the part price/volume points no other
     * point dominates (cheaper AND at least as much volume shipped). The
     * formulation is the monotone-scan one — collapse to one best point per
-    * price, then a running-max window ordered by price keeps exactly the
-    * rows whose volume beats every cheaper point. One sort (range
-    * partition), zero self-joins: the O(n²) dominance test a naive skyline
-    * does never materializes, which is what makes this runnable on a
-    * 100 TB point set.
+    * price, then a running price-ordered max keeps exactly the rows whose
+    * volume beats every cheaper point. The running max is DISTRIBUTED
+    * (the r12 plan audit killed the old |prices|-sized unpartitioned
+    * window): range-partition on price, per-partition running max, plus a
+    * broadcast prefix max of the preceding partitions' maxima — local
+    * running max ⊔ prefix max IS the global running max, to the row. Zero
+    * self-joins: the O(n²) dominance test a naive skyline does never
+    * materializes, and no stage sees more than one partition's points.
     */
   def skylineFrontier(li: DataFrame, part: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1138,9 +1152,25 @@ object Relational {
     val rep = best.join(pts.select(col("price"), col("qty"), col("p_partkey")),
         Seq("price", "qty"))
       .groupBy(col("price"), col("qty")).agg(min(col("p_partkey")).as("part_id"))
-    val prevMax = Window.orderBy(col("price"))
+    // range layout on price: partition i's prices all precede i+1's, so the
+    // cross-partition carry is a ≤ shuffle.partitions-row prefix-max frame
+    val parted = Exec.trackTransient(
+      rep.repartitionByRange(col("price"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint())
+    val prefix = parted.groupBy(col("pid")).agg(max(col("qty")).as("pm"))
+      // bounded: ≤ #partitions rows (one per range partition)
+      .withColumn("prevpm", max(col("pm")).over(Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prevpm"))
+    val localPrev = Window.partitionBy(col("pid")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    rep.withColumn("prevmax", max(col("qty")).over(prevMax))
+    parted
+      .withColumn("lmax", max(col("qty")).over(localPrev))
+      .join(broadcast(prefix), Seq("pid"))
+      // greatest() skips nulls: null only when BOTH carries are absent
+      // (the globally cheapest point, which is always on the frontier)
+      .withColumn("prevmax", greatest(col("lmax"), col("prevpm")))
       .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
       .select(col("price"), round(col("qty"), 2).as("qty"), col("part_id"))
       .orderBy(col("price"))
@@ -1186,6 +1216,7 @@ object Relational {
     val files = orders
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("f"))
       .agg(count(lit(1)).as("sz"))
+    // bounded: file-inventory frame — metadata-scale (one row per file/month)
     val before = Window.orderBy(col("f"))
       .rowsBetween(Window.unboundedPreceding, -1)
     files
@@ -1296,21 +1327,38 @@ object Relational {
     * decides whether a revenue-keyed workload needs skew handling. Ranking
     * uses `ntile` over (spend, custkey) — the unique tie-break keeps
     * bucket boundaries engine-stable. Shape: one fact aggregate to
-    * per-customer spend (the only corpus-sized exchange), then windows
-    * over the |customers| frame.
+    * per-customer spend, then a DISTRIBUTED exact global rank — range-
+    * partition on the sort key, rank locally per partition, add broadcast
+    * per-partition row-count offsets — and ntile's bucket arithmetic
+    * applied to the rank in closed form. The |customers| frame never
+    * funnels through one unpartitioned window partition (the r12 plan
+    * audit's finding; same semantics, scalable plan).
     */
   def lorenzDeciles(orders: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val spend = orders.groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")) * 100).cast("long").as("cents"))
-    val ranked = spend.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+    val n = spend.agg(count(lit(1)).as("n"))
+    // ntile(10) closed form over the exact rank r (1-based): the first
+    // n%10 buckets hold n/10+1 rows, the rest n/10 (SQL-standard ntile)
+    val ranked = Exec.globalRank(spend, "r", col("cents").desc, col("o_custkey"))
+      .crossJoin(broadcast(n))
+      .withColumn("qq", expr("n div 10"))
+      .withColumn("rem", col("n") % 10)
+      .withColumn("decile",
+        when(col("r") <= col("rem") * (col("qq") + 1),
+          expr("(r - 1) div (qq + 1) + 1"))
+          .otherwise(expr(
+            "rem + (r - rem * (qq + 1) - 1) div greatest(qq, 1) + 1"))
+          .cast("int"))
     val byDecile = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+    // bounded: decile frame — exactly 10 rows
     val w = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDecile
       .withColumn("total_cents", sum(col("decile_cents")).over(
+        // bounded: decile frame — exactly 10 rows
         Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("cum_cents", sum(col("decile_cents")).over(w))
@@ -1485,11 +1533,16 @@ object Relational {
 
   /** TPC-H Q7-shaped nation-pair trade volume: revenue flowing between a
     * supplier nation and a customer nation (both directions) by ship year.
-    * The two nation dims are filtered to the pair BEFORE broadcasting, so
-    * each broadcast is ≤2 rows; lineitem⋈orders is the only fact-fact
-    * shuffle, and the pair predicate `(s=A ∧ c=B) ∨ (s=B ∧ c=A)` is applied
-    * post-join on two already-joined dim columns (no cross product — each
-    * fact row carries exactly one supp/cust nation pair).
+    * The NATION dim broadcasts are ≤2 rows each (filtered to the pair
+    * first); the derived suppNation/custNation frames are supplier- and
+    * customer-SCALED (~2/25 of each table), so those joins are BYTE-GATED
+    * ([[Exec.broadcastIfSmallBytes]]) — broadcast while they measure under
+    * the cap, shuffle-join past it (an unconditional |customers|-sized
+    * broadcast OOMs the driver at the 100 TB posture). lineitem⋈orders is
+    * the only mandatory fact-fact shuffle, and the pair predicate
+    * `(s=A ∧ c=B) ∨ (s=B ∧ c=A)` is applied post-join on two already-joined
+    * dim columns (no cross product — each fact row carries exactly one
+    * supp/cust nation pair).
     */
   def nationTradeVolume(li: DataFrame, orders: DataFrame, customer: DataFrame,
                         supplier: DataFrame, nation: DataFrame,
@@ -1505,8 +1558,9 @@ object Relational {
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     li.join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNation), Seq("l_suppkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(Exec.broadcastIfSmallBytes(suppNation), Seq("l_suppkey"))
+      .join(Exec.broadcastIfSmallBytes(custNation),
+        col("o_custkey") === col("c_custkey"))
       .filter(
         (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
@@ -1521,9 +1575,12 @@ object Relational {
   /** TPC-H Q8-shaped market share: of all revenue for parts of one type sold
     * to customers in one region, the fraction supplied by one target nation,
     * by order year. The share is a conditional-sum ratio inside ONE hash
-    * aggregate (no self-join, no second scan); part/customer/supplier dims
-    * are filtered before their broadcasts. Cent-quantized BIGINT sums make
-    * the numerator/denominator exact, so the final ratio is one IEEE divide
+    * aggregate (no self-join, no second scan); the part dim is filtered
+    * before its (type-selective, unconditionally small) broadcast, while
+    * the customer-scaled regionCust and supplier-scaled suppNation frames
+    * are BYTE-GATED ([[Exec.broadcastIfSmallBytes]]) — broadcast only while
+    * they measure under the cap. Cent-quantized BIGINT sums make the
+    * numerator/denominator exact, so the final ratio is one IEEE divide
     * on both engines.
     */
   def marketShare(li: DataFrame, orders: DataFrame, customer: DataFrame,
@@ -1545,8 +1602,9 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), Seq("l_suppkey"))
+      .join(Exec.broadcastIfSmallBytes(regionCust),
+        col("o_custkey") === col("c_custkey"))
+      .join(Exec.broadcastIfSmallBytes(suppNation), Seq("l_suppkey"))
       .select(year(col("o_orderdate")).cast("long").as("o_year"),
         floor(revenue * 100 + 0.5).cast("long").as("cents"),
         col("supp_nation"))
@@ -1562,7 +1620,10 @@ object Relational {
   /** TPC-H Q10-shaped returned-item revenue loss: per-customer revenue of
     * RETURNED lineitems for orders placed in one quarter, top-k customers.
     * The order-date filter lands in the parquet scan (pushed predicate) and
-    * shrinks the orders side before its fact-fact join; nation is broadcast.
+    * shrinks the orders side before its fact-fact join; nation is broadcast
+    * unconditionally (25 rows), but the FULL customer projection is
+    * |customers|-sized, so it is BYTE-GATED — broadcast only while it
+    * measures under the cap, shuffle-joined past it.
     */
   def returnedItemLoss(li: DataFrame, orders: DataFrame, customer: DataFrame,
                        nation: DataFrame, qStart: String, qEnd: String,
@@ -1571,8 +1632,8 @@ object Relational {
       .join(orders.filter(col("o_orderdate") >= qStart &&
           col("o_orderdate") < qEnd).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select("c_custkey", "c_name", "c_nationkey",
-        "c_acctbal")), col("o_custkey") === col("c_custkey"))
+      .join(Exec.broadcastIfSmallBytes(customer.select("c_custkey", "c_name",
+        "c_nationkey", "c_acctbal")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(floor(revenue * 100 + 0.5)).cast("double") / 100.0, 2)
@@ -1587,7 +1648,8 @@ object Relational {
     * quantity exceeds a threshold, with customer attribution. The HAVING
     * subquery is ONE aggregate over lineitem that keeps only (orderkey)
     * keys past the threshold — at 100 TB the qualifying set is tiny, so the
-    * back-join to orders uses that reduced side and customer broadcasts.
+    * back-join to orders uses that reduced side; the |customers|-sized
+    * key/name projection is BYTE-GATED rather than force-broadcast.
     */
   def largeVolumeOrders(li: DataFrame, orders: DataFrame, customer: DataFrame,
                         minQty: Double): DataFrame = {
@@ -1595,7 +1657,7 @@ object Relational {
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
       .filter(col("total_qty") > minQty)
     orders.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer.select("c_custkey", "c_name")),
+      .join(Exec.broadcastIfSmallBytes(customer.select("c_custkey", "c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),

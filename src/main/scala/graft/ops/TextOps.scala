@@ -624,17 +624,20 @@ object TextOps {
   /** Zipf's-law fit over the top-k token frequencies: OLS slope/intercept of
     * ln(freq) against ln(rank) via `regr_slope`/`regr_intercept` (a natural
     * corpus should fit slope ≈ −1; a synthetic or heavily-duplicated corpus
-    * deviates — a cheap distribution-level corpus diagnostic). The global
-    * ranking window runs over the vocabulary AFTER aggregation (vocab-sized,
-    * not corpus-sized), and the regression is a single tiny aggregate.
+    * deviates — a cheap distribution-level corpus diagnostic). The top-k
+    * selection is a TakeOrdered (per-partition top-k, k-row merge) — on a
+    * web-scale corpus the vocabulary is billions of hapax-dominated rows,
+    * so it must NEVER funnel through one unpartitioned window partition;
+    * the rank window that follows runs over the ≤k-row post-limit frame
+    * (whitelisted bounded window), and the regression is one tiny aggregate.
     */
   def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
     val freq = docs
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("token"))
-    freq.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val topk = freq.orderBy(col("n").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("token")) // bounded: ≤k rows post-limit
+    topk.withColumn("rank", row_number().over(w))
       .agg(count(lit(1)).as("n_terms"),
         q4(regr_slope(log(col("n")), log(col("rank")))).as("slope"),
         q4(regr_intercept(log(col("n")), log(col("rank")))).as("intercept"))
@@ -650,6 +653,8 @@ object TextOps {
     * partitionBy(shard) and nothing else changes).
     */
   def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    // bounded: oracle-form global order (scaladoc NOTE) — production packs
+    // per shard; the window gains partitionBy(shard) and nothing else changes
     val w = Window.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -887,6 +892,7 @@ object TextOps {
         floor(ti.map(w).reduce(_ + _) * 10000 + 0.5) / 10000)
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
     top.withColumn("rank",
+        // bounded: ≤topN rows post-limit
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select(col("rank"), col("doc_id"), col("score"), col("n_matched"))
       .orderBy(col("rank"))
@@ -1578,15 +1584,20 @@ object TextOps {
     * size k (word-level, frequency-ranked with deterministic alphabetical
     * tie-break), the fraction of corpus TOKEN OCCURRENCES covered by the
     * top-k words and the complementary OOV rate. One corpus scan to the
-    * word-frequency table, one rank window over the vocabulary-sized
-    * frame, exact long cumulative sums via a rows-frame running total —
-    * the coverage ratios are single divisions of exact integers.
+    * word-frequency table; the top-max(ks) selection is a TakeOrdered
+    * (per-partition top-k, max(ks)-row merge) — the vocabulary frame is
+    * hapax-dominated and corpus-scale, so it must never funnel through a
+    * single unpartitioned window partition. The rank + running-sum windows
+    * run over the ≤max(ks)-row post-limit frame (whitelisted bounded
+    * window); totals come from one partial-aggregable corpus aggregate,
+    * and the coverage ratios are single divisions of exact longs.
     */
   def oovRate(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     val freq = docs.select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(col("f").desc, col("word"))
-    val ranked = freq
+    val top = freq.orderBy(col("f").desc, col("word")).limit(ks.max)
+    val w = Window.orderBy(col("f").desc, col("word")) // bounded: ≤max(ks) rows post-limit
+    val ranked = top
       .withColumn("rk", row_number().over(w))
       .withColumn("cum", sum(col("f")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1596,7 +1607,7 @@ object TextOps {
       ks.map(Tuple1(_))).toDF("k")
     // coverage at k = cum at rank min(k, n_distinct): take the largest
     // rank ≤ k (a k past the vocabulary covers everything)
-    kDf.join(ranked, col("rk") <= col("k"))
+    kDf.join(broadcast(ranked), col("rk") <= col("k"))
       .groupBy(col("k"))
       .agg(max(col("cum")).as("covered"))
       .crossJoin(broadcast(totals))

@@ -290,7 +290,14 @@ object TimeSeriesOps {
       .agg(sum(when(col("l_suppkey") === suppA, col("q"))).as("x"),
         sum(when(col("l_suppkey") === suppB, col("q"))).as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    val w = Window.orderBy(col("month")).rowsBetween(-(window - 1), 0)
+      // materialized pair key: with ONE pair it is constant, but the window
+      // below must partition on it so the same plan shards by pair when the
+      // monthly frame carries millions of metric pairs (no unpartitioned
+      // single-task window — the r12 plan audit's class)
+      .withColumn("pair_a", lit(suppA))
+      .withColumn("pair_b", lit(suppB))
+    val w = Window.partitionBy(col("pair_a"), col("pair_b"))
+      .orderBy(col("month")).rowsBetween(-(window - 1), 0)
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val d = (c: Column) => c.cast("double")
     paired
@@ -659,11 +666,15 @@ object TimeSeriesOps {
       .select(col("g"), col("len"), col("last_month"), col("l"), col("b"),
         explode(sequence(lit(1), lit(horizons))).as("h"))
       .withColumn("target_month", add_months(col("last_month"), col("h")))
+      // LEFT join + 0-coalesce: a horizon month whose calendar phase never
+      // appears in the history must still emit its forecast row (with no
+      // seasonal adjustment), not silently vanish — an inner join drops it
       .join(broadcast(idxF), col("g") === col("fg")
-        && month(col("target_month")) === col("fphase"))
+        && month(col("target_month")) === col("fphase"), "left")
       .select(col("g").as("priority"), col("len").as("n_obs"), col("h"),
         date_format(col("target_month"), "yyyy-MM-dd").as("target_month"),
-        (floor((col("l") + col("h") * col("b") + col("f_s_cents") / 1e8)
+        (floor((col("l") + col("h") * col("b")
+          + coalesce(col("f_s_cents"), lit(0.0)) / 1e8)
           * 1000000 + 0.5) / 1000000).as("forecast"))
       .orderBy(col("priority"), col("h"))
   }

@@ -14,6 +14,7 @@ NOT part of the shipped library - driver-side tooling only.
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -28,6 +29,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].apply(lambda v: str(v) if isinstance(v, (bytes, list)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def _num_class(t):
+    """Collapse a type name into the numeric class the driver's hash is
+    sensitive to: int / float / decimal / other."""
+    t = str(t).lower()
+    if t.startswith(("int", "uint", "bigint", "smallint", "tinyint",
+                     "ubigint", "usmallint", "utinyint", "integer", "hugeint")):
+        # HUGEINT is int-family in DuckDB but decimal128 in the arrow
+        # artifact the driver hashes — classify it as decimal on purpose.
+        return "decimal" if "hugeint" in t else "int"
+    if t.startswith(("float", "double", "real", "halffloat")):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def type_mismatch(spark_file, con, sql):
+    """Type-strict gate (round-13): compare the Spark parquet's physical
+    arrow dtypes against the DuckDB oracle's declared result types, the way
+    the driver's hash comparator sees them. Catches HUGEINT/DECIMAL leaks
+    (e.g. DuckDB promoting sum(BIGINT) to HUGEINT) that value-tolerant
+    comparison greens but the driver reds. Returns an error string or None."""
+    schema = pq.read_schema(spark_file)
+    spark_types = {f.name: str(f.type) for f in schema}
+    rel = con.sql(sql)
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    for c in sorted(set(spark_types) & set(duck_types)):
+        sc, dc = _num_class(spark_types[c]), _num_class(duck_types[c])
+        if sc != dc and "other" not in (sc, dc):
+            return (f"DTYPE col={c} spark={spark_types[c]}({sc}) "
+                    f"duck={duck_types[c]}({dc})")
+    return None
 
 
 def compare(name, spark_df, duck_df):
@@ -76,7 +111,8 @@ def main():
             duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        err = compare(name, spark_df, duck_df)
+        err = type_mismatch(sorted(files)[0], con, oracles[name]) \
+            or compare(name, spark_df, duck_df)
         if err:
             print(f"FAIL {name}: {err}"); n_fail += 1
         else:

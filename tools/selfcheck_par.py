@@ -38,7 +38,9 @@ def run_one(args):
         duck_df = con.execute(oracle_sql).fetchdf()
     except Exception as e:
         return (name, "FAIL", f"oracle error {e}")
-    err = compare(name, spark_df, duck_df)
+    from selfcheck import type_mismatch
+    err = type_mismatch(sorted(files)[0], con, oracle_sql) \
+        or compare(name, spark_df, duck_df)
     return (name, "FAIL", err) if err else (name, "PASS", f"{len(spark_df)} rows")
 
 

@@ -2007,6 +2007,38 @@ object SparkEntry {
              |FROM r WHERE n = 6
              |ORDER BY month""".stripMargin)),
 
+    // 1-D local-level Kalman filter: the recursion is a row-local fold in
+    // Spark and a recursive CTE in DuckDB with IDENTICALLY-ordered IEEE
+    // operands (the holt doctrine), so the doubles match bit-for-bit and
+    // the 1e-6 quantization is display only
+    Q("ts_kalman",
+      (s, d) => graft.ops.TimeSeriesOps.kalmanFilter(orders(s, d)),
+      Some("""WITH RECURSIVE m0 AS (
+             |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (
+             |  SELECT g, month, CAST(cents AS DOUBLE) / 1e8 AS x,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY month)
+             |      AS INTEGER) AS t
+             |  FROM m0),
+             |rec AS (
+             |  SELECT g, t, month, x, x AS l, CAST(1.0 AS DOUBLE) AS p,
+             |    CAST(0.0 AS DOUBLE) AS k
+             |  FROM m WHERE t = 1
+             |  UNION ALL
+             |  SELECT m.g, m.t, m.month, m.x,
+             |    r.l + ((r.p + 0.25) / ((r.p + 0.25) + 1.0)) * (m.x - r.l),
+             |    (1.0 - ((r.p + 0.25) / ((r.p + 0.25) + 1.0))) * (r.p + 0.25),
+             |    (r.p + 0.25) / ((r.p + 0.25) + 1.0)
+             |  FROM rec r JOIN m ON m.g = r.g AND m.t = r.t + 1)
+             |SELECT g AS priority, t, strftime(month, '%Y-%m-%d') AS month,
+             |  floor(x * 1000000 + 0.5) / 1000000 AS x,
+             |  floor(l * 1000000 + 0.5) / 1000000 AS level,
+             |  floor(k * 1000000 + 0.5) / 1000000 AS gain
+             |FROM rec ORDER BY priority, t""".stripMargin)),
+
     // gaps-and-islands: month_index − row_number is constant within a
     // consecutive run — one window pass, one aggregate, no self-join
     Q("ts_islands",
@@ -5193,6 +5225,44 @@ object SparkEntry {
               |  floor(regr_intercept(ln(n), ln(rank)) * 10000 + 0.5) / 10000 AS intercept
               |FROM r WHERE rank <= 100""".stripMargin)),
 
+    // pairwise Jensen–Shannon divergence between source unigram
+    // distributions — terms share one full-outer token join; a token
+    // missing from one side flows through the same expression with q = 0
+    Q("txt_js_divergence",
+      (s, d) => TextOps.jsDivergence(documents(s, d)),
+      Some(s"""WITH tok AS (
+              |  SELECT source, unnest($DuckToks) AS token FROM documents),
+              |c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+              |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+              |pr AS (
+              |  SELECT a.source AS sa, b.source AS sb
+              |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+              |l AS (SELECT pr.sa, pr.sb, c.token, c.n AS na
+              |      FROM pr JOIN c ON c.source = pr.sa),
+              |r AS (SELECT pr.sa, pr.sb, c.token, c.n AS nb
+              |      FROM pr JOIN c ON c.source = pr.sb),
+              |u AS (
+              |  SELECT coalesce(l.sa, r.sa) AS sa, coalesce(l.sb, r.sb) AS sb,
+              |    coalesce(l.token, r.token) AS token, l.na, r.nb
+              |  FROM l FULL OUTER JOIN r
+              |    ON l.sa = r.sa AND l.sb = r.sb AND l.token = r.token),
+              |t AS (
+              |  SELECT sa, sb, na, nb,
+              |    CAST(na AS DOUBLE) / CAST(ta.tot AS DOUBLE) AS pa,
+              |    CAST(nb AS DOUBLE) / CAST(tb.tot AS DOUBLE) AS pb
+              |  FROM u
+              |  JOIN tot ta ON ta.source = u.sa
+              |  JOIN tot tb ON tb.source = u.sb)
+              |SELECT sa, sb, count(*) AS n_union,
+              |  count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN 1 END)
+              |    AS n_shared,
+              |  floor(sum(
+              |    coalesce(0.5 * pa * ln(2.0 * pa / (pa + coalesce(pb, 0.0))), 0.0)
+              |    + coalesce(0.5 * pb * ln(2.0 * pb / (coalesce(pa, 0.0) + pb)), 0.0))
+              |    * 10000 + 0.5) / 10000 AS js_nats
+              |FROM t GROUP BY 1, 2
+              |ORDER BY sa, sb""".stripMargin)),
+
     // cross-corpus 5-gram repetition (boilerplate / contamination scan):
     // per-doc DISTINCT shingle sets, so count(*) after the explode is the
     // document frequency
@@ -7353,6 +7423,48 @@ object SparkEntry {
     // corpus scale); the oracle unrolls both iterations with the same
     // quantization ladder (4dp centroids, 1e-6 distances, ties to lowest
     // cid).
+    // deterministic k-means++ seeding (farthest-point traversal): each
+    // unrolled oracle round mirrors one TakeOrdered(1) engine round —
+    // max of the min 1e-6-quantized sq-L2 to the selected set, ties to
+    // the lowest vec_id
+    Q("vec_kmeanspp_init",
+      (s, d) => VectorOps.kmeansppInit(embeddings(s, d), k = 8),
+      Some {
+        val dist = (sel: String) =>
+          s"""SELECT q.vec_id, first(q.v) AS v, first(q.cvec) AS cvec,
+             |    min(floor(list_sum(list_transform(range(1, 65),
+             |      i -> (q.v[i] - s.cvec[i]) * (q.v[i] - s.cvec[i])))
+             |      * 1000000 + 0.5) / 1000000) AS mind
+             |  FROM q CROSS JOIN ($sel) s GROUP BY q.vec_id""".stripMargin
+        val rounds = (1 to 7).map { r =>
+          val sel = (0 until r).map(i => s"SELECT cvec FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""p$r AS (${dist(sel)}),
+             |s$r AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec,
+             |    $r AS round, mind AS sel_dist
+             |  FROM p$r ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+           |q AS (SELECT vec_id, v,
+           |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cvec
+           |  FROM v),
+           |s0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec, 0 AS round,
+           |    CAST(0.0 AS DOUBLE) AS sel_dist
+           |  FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
+           |$rounds
+           |SELECT round, cid,
+           |  floor(sel_dist * 1000000 + 0.5) / 1000000 AS sel_dist
+           |FROM (SELECT round, cid, sel_dist FROM s0
+           |      UNION ALL SELECT round, cid, sel_dist FROM s1
+           |      UNION ALL SELECT round, cid, sel_dist FROM s2
+           |      UNION ALL SELECT round, cid, sel_dist FROM s3
+           |      UNION ALL SELECT round, cid, sel_dist FROM s4
+           |      UNION ALL SELECT round, cid, sel_dist FROM s5
+           |      UNION ALL SELECT round, cid, sel_dist FROM s6
+           |      UNION ALL SELECT round, cid, sel_dist FROM s7)
+           |ORDER BY round""".stripMargin
+      }),
+
     Q("vec_kmeans_train",
       (s, d) => VectorOps.kmeansLloyd(embeddings(s, d), k = 8, iters = 2),
       Some(s"""WITH v AS (

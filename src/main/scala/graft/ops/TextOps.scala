@@ -1716,4 +1716,63 @@ object TextOps {
         q4(col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
       .orderBy(col("rule"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the per-source unigram
+    * distributions — the corpus-mixture drift monitor a data pipeline runs
+    * when a new crawl/source lands: JS is symmetric, bounded by ln 2, and
+    * (unlike KL) finite when a token appears in only one source, so it is
+    * the standard "did this source's vocabulary distribution move"
+    * statistic. For each unordered source pair (sa < sb), with unigram
+    * probabilities p, q and mixture m = (p+q)/2:
+    *
+    *   JS = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))
+    *
+    * a token missing from one side contributes its ½·p·ln 2 mass through
+    * the same expression (q = 0), so one full-outer token join covers all
+    * three token classes. Scale shape: ONE corpus scan to (source, token)
+    * counts; per-source totals broadcast; the pair expansion multiplies
+    * the VOCABULARY-sized count frame by the (tiny) source-pair frame and
+    * full-outer joins on (sa, sb, token) — corpus text never moves, and
+    * every exchange carries (source, token, count) rows. Per-token terms
+    * ride exact integer ratios; the final sum is doubles of uniform
+    * magnitude under q4 flooring (the knPerplexity doctrine).
+    */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .persist() // read by totals, the pair left side, and the pair right side
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    val srcs = totals.select(col("source"))
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
+      .filter(col("sa") < col("sb")) // |sources|² rows — metadata-sized
+    val left = pairs
+      .join(counts.select(col("source").as("sa"), col("token"),
+        col("n").as("na")), Seq("sa"))
+    val right = pairs
+      .join(counts.select(col("source").as("sb"), col("token"),
+        col("n").as("nb")), Seq("sb"))
+    val ta = totals.select(col("source").as("sa"), col("tot").as("tota"))
+    val tb = totals.select(col("source").as("sb"), col("tot").as("totb"))
+    left.join(right, Seq("sa", "sb", "token"), "full_outer")
+      .join(broadcast(ta), Seq("sa"))
+      .join(broadcast(tb), Seq("sb"))
+      .withColumn("pa", col("na").cast("double") / col("tota").cast("double"))
+      .withColumn("pb", col("nb").cast("double") / col("totb").cast("double"))
+      // identical operand order on both engines; a NULL side contributes 0
+      .withColumn("term",
+        coalesce(lit(0.5) * col("pa")
+          * log(lit(2.0) * col("pa") / (col("pa") + coalesce(col("pb"), lit(0.0)))),
+          lit(0.0))
+        + coalesce(lit(0.5) * col("pb")
+          * log(lit(2.0) * col("pb") / (coalesce(col("pa"), lit(0.0)) + col("pb"))),
+          lit(0.0)))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("na").isNotNull && col("nb").isNotNull, 1)).as("n_shared"),
+        q4(sum(col("term"))).as("js_nats"))
+      .orderBy(col("sa"), col("sb"))
+  }
 }

@@ -943,4 +943,77 @@ object TimeSeriesOps {
         q4(sqrt(col("best.dist2").cast("double") / w)).as("rms_dist"))
       .orderBy(col("l_suppkey"))
   }
+
+  /** 1-D Kalman filter (local-level / random-walk-plus-noise state-space
+    * model) over per-priority monthly revenue — the state-estimation member
+    * of the forecasting family ([[holtForecast]] smooths with FIXED gains;
+    * the Kalman gain adapts each step as the state variance converges,
+    * which is what makes it the standard online denoiser for metric
+    * streams). Recursion per series, t ≥ 2 (l₁ = x₁, P₁ = 1):
+    *
+    *   P⁻ = P + Q;   K = P⁻/(P⁻+R);   l ← l + K·(x − l);   P ← (1−K)·P⁻
+    *
+    * Cross-engine determinism by the holtForecast doctrine: the monthly
+    * series is exact long cents rescaled by ONE division (1e8), Q = 0.25
+    * and R = 1.0 are dyadic, and every recursion step is the SAME
+    * left-to-right IEEE expression sequence on both engines (Spark: a
+    * row-local `aggregate` fold over the collected ≤|months| series array;
+    * DuckDB: a recursive CTE with identically-ordered operands), so the
+    * doubles are bit-identical and the 1e-6 floor quantization is pure
+    * display. Scale shape: one map-side-combined monthly aggregate (the
+    * only corpus exchange), then per-series folds over series-length
+    * arrays — the same plan filters millions of independent series, state
+    * is O(1) per series, and nothing about the recursion shuffles.
+    */
+  def kalmanFilter(orders: DataFrame, maxLen: Int = 512): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val monthly = orders
+      .groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("x", col("cents").cast("double") / 1e8)
+    val w = Window.partitionBy(col("g")).orderBy(col("month"))
+    val seq = monthly.withColumn("t", row_number().over(w))
+    // series collapsed to ONE ordered array per key (bounded by the
+    // calendar: ≤ maxLen months — guarded like holtState's len fuse)
+    val folded = seq
+      .groupBy(col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, x))), s -> s.x)")
+        .as("xs"))
+      .withColumn("xs", expr(
+        s"""IF(size(xs) <= $maxLen, xs,
+           |   raise_error(concat('kalmanFilter: series longer than ',
+           |     CAST($maxLen AS STRING))))""".stripMargin))
+      .withColumn("out", expr(
+        // acc = (l, p, out); gain/update operand order mirrors the oracle
+        // CTE exactly — every division and product in the same sequence
+        """aggregate(
+          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
+          |  named_struct(
+          |    'l', xs[0], 'p', CAST(1.0 AS DOUBLE),
+          |    'out', array(named_struct(
+          |      'l', xs[0], 'k', CAST(0.0 AS DOUBLE)))),
+          |  (acc, x) -> named_struct(
+          |    'l', acc.l + ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0))
+          |           * (x - acc.l),
+          |    'p', (1.0 - ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0)))
+          |           * (acc.p + 0.25),
+          |    'out', array_append(acc.out, named_struct(
+          |      'l', acc.l + ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0))
+          |             * (x - acc.l),
+          |      'k', (acc.p + 0.25) / ((acc.p + 0.25) + 1.0))))).out""".stripMargin))
+      .select(col("g"), posexplode(col("out")).as(Seq("pos", "st")))
+      .select(col("g"), (col("pos") + 1).as("t"),
+        col("st.l").as("l"), col("st.k").as("k"))
+    // folded descends from seq, so rename the month-lookup side first (the
+    // holtWinters self-join-by-lineage convention)
+    val seqJ = seq.select(col("g").as("jg"), col("t").as("jt"),
+      col("month"), col("x"))
+    folded.join(seqJ, col("g") === col("jg") && col("t") === col("jt"))
+      .select(col("g").as("priority"), col("t"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        q6(col("x")).as("x"), q6(col("l")).as("level"),
+        q6(col("k")).as("gain"))
+      .orderBy(col("priority"), col("t"))
+  }
 }

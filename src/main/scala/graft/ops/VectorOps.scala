@@ -1028,6 +1028,53 @@ object VectorOps {
     stats.orderBy(col("cid"), col("pos"))
   }
 
+  /** Deterministic k-means++ seeding by FARTHEST-POINT traversal (k-center
+    * init — the derandomized k-means++ variant: instead of D²-sampling,
+    * each round selects the point with the MAXIMUM distance to its nearest
+    * already-selected center, tie-broken by lowest id). The seeding half
+    * [[kmeansLloyd]] deliberately skips (its lowest-id init is the oracle-
+    * friendly degenerate choice); farthest-point gives the 2-approximation
+    * k-center guarantee and well-spread Lloyd starts. Per round: the
+    * selected set rides ONE broadcast row (array of quantized centroids,
+    * the kmeansLloyd packing), the min-distance is a row-local fold, and
+    * the argmax is a TakeOrdered(1) — so each round costs one corpus scan
+    * and NO unpartitioned window or wide shuffle; each round's k-row
+    * selection frame is checkpointed so the k-round chain stays linear,
+    * not exponential, in plan size. Distances are 1e-6-quantized sq-L2
+    * against 1e-4-quantized centroids (the kmeansLloyd determinism
+    * doctrine), so the selection order is engine-exact.
+    */
+  def kmeansppInit(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    graft.functions.SqL2.register(emb.sparkSession)
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val corpus = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    def asCenter(df: DataFrame, round: Int, distCol: Column): DataFrame =
+      df.select(col("vec_id").cast("int").as("cid"),
+        expr("transform(v, x -> floor(x * 10000 + 0.5) / 10000)").as("cvec"),
+        lit(round).as("round"), distCol.as("sel_dist"))
+    var sel = Exec.trackTransient(
+      asCenter(corpus.orderBy(col("vec_id")).limit(1), 0, lit(0.0))
+        .localCheckpoint())
+    for (r <- 1 until k) {
+      val packed = sel.agg(
+        expr("array_sort(collect_list(struct(cid, cvec)))").as("cs"))
+      val next = corpus.crossJoin(broadcast(packed))
+        .withColumn("mind", expr(
+          """aggregate(
+            |  transform(cs, ct -> floor(sq_l2(v, ct.cvec) * 1000000 + 0.5)
+            |    / 1000000),
+            |  CAST('Infinity' AS DOUBLE),
+            |  (acc, d) -> IF(d < acc, d, acc))""".stripMargin))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+      sel = Exec.trackTransient(
+        sel.unionByName(asCenter(next, r, col("mind"))).localCheckpoint())
+    }
+    sel.select(col("round"), col("cid"), q6(col("sel_dist")).as("sel_dist"))
+      .orderBy(col("round"))
+  }
+
   /** Shared PCA head: ONE row holding the 1e-6-quantized covariance matrix
     * (from the one-pass [[covarianceMatrix]] aggregate), the quantized mean
     * vector, and the dominant eigenvector after `iters` power-iteration

@@ -731,4 +731,28 @@ class TextOpsSpec extends SparkSpec {
     assert(perDoc(1L)._2 + perDoc(2L)._2 == xx.getLong(3))
     assert(perDoc(3L)._1 == yy.getLong(2) && perDoc(3L)._2 == yy.getLong(3))
   }
+
+  test("jsDivergence: hand-computed overlap pair, ln2 for disjoint vocabularies") {
+    import spark.implicits._
+    // A: p(a)=2/3, p(b)=1/3; B: mirrored → JS = (2/3)ln(4/3)+(1/3)ln(2/3)
+    //   = 0.0566 at q4. C shares no tokens with A → JS = ln 2 = 0.6931.
+    val docs = Seq(
+      (1L, "a a b", "A"), (2L, "a b b", "B"), (3L, "c c", "C"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.jsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.size == 3)
+    val ab = rows(("A", "B"))
+    assert(ab._1 == 2 && ab._2 == 2, s"A-B union/shared $ab")
+    val want = math.floor(
+      ((2.0 / 3) * math.log(4.0 / 3) + (1.0 / 3) * math.log(2.0 / 3))
+        * 10000 + 0.5) / 10000
+    assert(ab._3 == want, s"A-B js ${ab._3} vs $want")
+    val ac = rows(("A", "C"))
+    assert(ac._2 == 0 && ac._3 == math.floor(math.log(2.0) * 10000 + 0.5) / 10000,
+      s"disjoint pair must sit at ln2: $ac")
+    // symmetry: the operator emits each unordered pair exactly once
+    assert(!rows.contains(("B", "A")) && !rows.contains(("C", "A")))
+  }
 }

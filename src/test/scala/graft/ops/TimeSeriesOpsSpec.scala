@@ -343,4 +343,40 @@ class TimeSeriesOpsSpec extends SparkSpec {
   test("motifDiscovery: a series too short for two non-overlapping windows vanishes") {
     assert(TimeSeriesOps.motifDiscovery(seriesFrame((1L to 11L).toSeq)).collect().isEmpty)
   }
+
+  test("kalmanFilter matches the hand-computed local-level recursion") {
+    import spark.implicits._
+    // x = (1.0, 2.0, 1.0) via prices of 1e6/2e6/1e6 (cents/1e8):
+    //   t=2: P⁻=1.25, K=5/9,  l = 1 + 5/9·(2−1)        = 14/9, P = 5/9
+    //   t=3: P⁻=29/36, K=29/65, l = 14/9 + 29/65·(1−14/9) = 153/117
+    val orders = Seq(
+      ("1-URGENT", java.sql.Date.valueOf("2024-01-15"), 1000000.0),
+      ("1-URGENT", java.sql.Date.valueOf("2024-02-10"), 2000000.0),
+      ("1-URGENT", java.sql.Date.valueOf("2024-03-05"), 1000000.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val rows = TimeSeriesOps.kalmanFilter(orders).collect()
+    assert(rows.length == 3)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(0).getDouble(4) == 1.0 && rows(0).getDouble(5) == 0.0)
+    assert(rows(1).getDouble(4) == q6(14.0 / 9.0), s"l2 ${rows(1).getDouble(4)}")
+    assert(rows(1).getDouble(5) == q6(5.0 / 9.0), s"k2 ${rows(1).getDouble(5)}")
+    assert(rows(2).getDouble(4) == q6(153.0 / 117.0), s"l3 ${rows(2).getDouble(4)}")
+    assert(rows(2).getDouble(5) == q6(29.0 / 65.0), s"k3 ${rows(2).getDouble(5)}")
+  }
+
+  test("kalmanFilter gain decays toward the steady state and filters toward the signal") {
+    import spark.implicits._
+    // constant series: the filtered level must stay ON the signal and the
+    // gain must converge monotonically down to the Riccati fixed point
+    // K* = (sqrt(Q²+4Q)−Q)/ (sqrt(Q²+4Q)−Q+2) with Q=.25, R=1 → ~0.390388
+    val orders = (1 to 40).map(i =>
+      ("C", java.sql.Date.valueOf(f"202${i / 12}-${i % 12 + 1}%02d-01"), 5000000.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val rows = TimeSeriesOps.kalmanFilter(orders).collect()
+    assert(rows.forall(_.getDouble(4) == 5.0), "level must track a constant")
+    val gains = rows.drop(1).map(_.getDouble(5))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
+      "gain must decay monotonically")
+    assert(math.abs(gains.last - 0.390388) < 1e-4, s"steady gain ${gains.last}")
+  }
 }

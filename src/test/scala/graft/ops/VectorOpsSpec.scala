@@ -604,4 +604,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.toSet == base.toSet,
       "twins changed the retrieval output — dedup should have erased them")
   }
+
+  test("kmeansppInit: farthest-point traversal with lowest-id tie-break") {
+    import spark.implicits._
+    // v0=(0,0) seeds; v3=(10,1) is farthest (101); then v1 and v2 tie at
+    // min-dist 1.0 and the LOWER id (v1) must win round 2
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(10.0f, 0.0f)), (3L, Seq(10.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.kmeansppInit(pts, k = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((0, 0, 0.0), (1, 3, 101.0), (2, 1, 1.0)),
+      s"selection order was ${rows.toSeq}")
+  }
+
+  test("kmeansppInit spreads the real corpus: every later selection is farther than the Lloyd seeds' spread") {
+    val sel = VectorOps.kmeansppInit(emb, k = 4).collect()
+    assert(sel.length == 4)
+    // farthest-point distances are non-increasing by construction
+    val d = sel.drop(1).map(_.getDouble(2))
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a },
+      s"selection distances must be non-increasing: ${d.toSeq}")
+    assert(d.forall(_ > 0.0), "degenerate duplicate selection")
+  }
 }

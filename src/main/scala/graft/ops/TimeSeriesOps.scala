@@ -974,9 +974,29 @@ object TimeSeriesOps {
       .withColumn("x", col("cents").cast("double") / 1e8)
     val w = Window.partitionBy(col("g")).orderBy(col("month"))
     val seq = monthly.withColumn("t", row_number().over(w))
+    val folded = kalmanStates(seq, maxLen)
+    // folded descends from seq, so rename the month-lookup side first (the
+    // holtWinters self-join-by-lineage convention)
+    val seqJ = seq.select(col("g").as("jg"), col("t").as("jt"),
+      col("month"), col("x"))
+    folded.join(seqJ, col("g") === col("jg") && col("t") === col("jt"))
+      .select(col("g").as("priority"), col("t"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        q6(col("x")).as("x"), q6(col("l")).as("level"),
+        q6(col("k")).as("gain"))
+      .orderBy(col("priority"), col("t"))
+  }
+
+  /** The generic Kalman recursion core shared by [[kalmanFilter]] and the
+    * streaming twin's batch-equivalence spec: input (g, t, x) rows with t a
+    * 1-based per-key rank; output (g, t, l, k) raw (unquantized) doubles —
+    * the SAME left-to-right IEEE sequence the streaming processor replays
+    * per event, so the two are comparable BITWISE, not by tolerance.
+    */
+  def kalmanStates(seq: DataFrame, maxLen: Int = 512): DataFrame = {
     // series collapsed to ONE ordered array per key (bounded by the
     // calendar: ≤ maxLen months — guarded like holtState's len fuse)
-    val folded = seq
+    seq
       .groupBy(col("g"))
       .agg(expr("transform(array_sort(collect_list(struct(t, x))), s -> s.x)")
         .as("xs"))
@@ -1005,15 +1025,5 @@ object TimeSeriesOps {
       .select(col("g"), posexplode(col("out")).as(Seq("pos", "st")))
       .select(col("g"), (col("pos") + 1).as("t"),
         col("st.l").as("l"), col("st.k").as("k"))
-    // folded descends from seq, so rename the month-lookup side first (the
-    // holtWinters self-join-by-lineage convention)
-    val seqJ = seq.select(col("g").as("jg"), col("t").as("jt"),
-      col("month"), col("x"))
-    folded.join(seqJ, col("g") === col("jg") && col("t") === col("jt"))
-      .select(col("g").as("priority"), col("t"),
-        date_format(col("month"), "yyyy-MM-dd").as("month"),
-        q6(col("x")).as("x"), q6(col("l")).as("level"),
-        q6(col("k")).as("gain"))
-      .orderBy(col("priority"), col("t"))
   }
 }

@@ -332,6 +332,67 @@ object EventStream {
         OutputMode.Append())
       .toDF("bkt", "cnt")
   }
+
+  /** STREAMING 1-D Kalman filter — the streaming twin of
+    * `TimeSeriesOps.kalmanStates` (same local-level model, Q=0.25, R=1):
+    * per series key, a `ValueState[(Long, Double, Double)]` holding
+    * (n, level, variance) — O(1) state per series regardless of stream
+    * length, which is the whole point of recursive filters in a streaming
+    * stack (the batch op re-folds the history; this carries 24 bytes).
+    * Each input row advances the recursion with the IDENTICAL left-to-right
+    * IEEE sequence the batch fold and the DuckDB oracle use, so the
+    * streamed (level, gain) match the batch twin BITWISE — asserted by the
+    * spec, not approximated. Input contract: a streaming DataFrame with
+    * (g string, t long, x double); rows are sorted by t within each
+    * micro-batch (the [[milestones]] determinism contract), and emission
+    * is one row per input observation. Requires the RocksDB state store
+    * provider, like [[milestones]].
+    */
+  def kalmanLevels(spark: SparkSession, series: DataFrame): DataFrame = {
+    import spark.implicits._
+    series
+      .selectExpr("g", "t", "x")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new KalmanProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("g", "t", "l", "k")
+  }
+}
+
+/** [[EventStream.kalmanLevels]]'s processor: (n, level, variance) per
+  * series; replays `TimeSeriesOps.kalmanStates`' recursion per event. */
+class KalmanProcessor
+    extends StatefulProcessor[String, (String, Long, Double),
+      (String, Long, Double, Double)] {
+  @transient private var st: ValueState[(Long, Double, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double, Double)]("kalman",
+      org.apache.spark.sql.Encoders.product[(Long, Double, Double)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Double)],
+      timerValues: TimerValues): Iterator[(String, Long, Double, Double)] = {
+    var (n, l, p) = if (st.exists()) st.get() else (0L, 0.0, 0.0)
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(String, Long, Double, Double)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
+      n += 1
+      if (n == 1L) { l = x; p = 1.0; out += ((key, t, l, 0.0)) }
+      else {
+        // bitwise-identical operand order to the batch fold / oracle CTE
+        val pp = p + 0.25
+        val k = pp / (pp + 1.0)
+        l = l + k * (x - l)
+        p = (1.0 - k) * pp
+        out += ((key, t, l, k))
+      }
+    }
+    st.update((n, l, p))
+    out.iterator
+  }
 }
 
 /** [[EventStream.histBuckets]]'s processor: one ValueState[Long] running

@@ -440,4 +440,53 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want, s"enrichment mismatch: ${(got -- want).take(3)} ...")
     assert(got.nonEmpty)
   }
+
+  test("streaming Kalman levels match the batch fold BITWISE across batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two series, 8 observations each, split MID-SERIES across three
+      // micro-batches: the recursion state (n, l, P) must carry over
+      val obs = for (g <- Seq("A", "B"); t <- 1L to 8L)
+        yield (g, t, (if (g == "A") 1.0 else 5.0) + t * 0.25 + (t % 3) * 1.5)
+      val sorted = obs.sortBy(o => (o._2, o._1)) // interleave the series
+      val (b1, rest) = sorted.splitAt(5)
+      val (b2, b3) = rest.splitAt(6)
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = EventStream.kalmanLevels(spark, mem.toDF().toDF("g", "t", "x"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_kal").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("t_kal").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      val batch = graft.ops.TimeSeriesOps
+        .kalmanStates(obs.toDF("g", "t", "x")).collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      assert(streamed.size == 16 && batch.size == 16)
+      // BITWISE equality — same IEEE operand order in both mechanisms
+      batch.foreach { case (k, (l, g)) =>
+        assert(streamed(k) == ((l, g)),
+          s"series $k: streamed ${streamed(k)} vs batch ${(l, g)}")
+      }
+      // O(1) state per series: exactly 2 state rows at the end
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == 2,
+        s"expected 2 state rows, got ${lastState.numRowsTotal}")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -199,6 +199,79 @@ object SparkEntry {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY total_qty DESC, o_orderkey""".stripMargin)),
 
+    // Q6: exact-integer money — cents × discount-hundredths is an exact
+    // long product, summed then divided ONCE
+    Q("rel_q6_revenue_delta",
+      (s, d) => Relational.revenueDelta(lineitem(s, d)),
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |           * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             |    / 10000.0 AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1997-01-01'
+             |  AND l_quantity < 24
+             |  AND CAST(round(l_discount * 100) AS INTEGER) BETWEEN 5 AND 7"""
+        .stripMargin)),
+
+    Q("rel_q14_promo_share",
+      (s, d) => Relational.promoShare(lineitem(s, d), part(s, d)),
+      Some("""SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             |  count(*) AS n_lines,
+             |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+             |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |      AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS promo_revenue,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
+             |  floor(100.0
+             |    * CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+             |        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |          AS BIGINT) ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+             |        + 0.5) AS BIGINT)) AS DOUBLE) * 10000 + 0.5) / 10000
+             |    AS promo_share_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q15: ties kept via exact-cents equality with the scalar max
+    Q("rel_q15_top_supplier",
+      (s, d) => Relational.topSupplier(lineitem(s, d), supplier(s, d)),
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+             |      + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1996-01-01'
+             |    AND l_shipdate < DATE '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100.0
+             |    AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE cents = (SELECT max(cents) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("rel_q19_brackets",
+      (s, d) => Relational.disjunctiveBrackets(lineitem(s, d), part(s, d)),
+      Some("""WITH j AS (
+             |  SELECT l_quantity, p_brand, p_size,
+             |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |      AS BIGINT) AS cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |m AS (
+             |  SELECT CASE
+             |    WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |      AND l_quantity BETWEEN 1 AND 11 THEN 1
+             |    WHEN p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+             |      AND l_quantity BETWEEN 10 AND 20 THEN 2
+             |    WHEN p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+             |      AND l_quantity BETWEEN 20 AND 30 THEN 3
+             |    END AS bracket, cents
+             |  FROM j)
+             |SELECT bracket, count(*) AS n_lines,
+             |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+             |FROM m WHERE bracket IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("rel_join_semi",
       (s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d)),
       Some("""SELECT c_mktsegment, count(*) AS n_customers,

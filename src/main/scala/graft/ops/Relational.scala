@@ -42,15 +42,17 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3-shaped: fact-fact join (sort-merge) + broadcast-able customer
+  /** TPC-H Q3-shaped: fact-fact join (sort-merge) + byte-gated customer
     * filter, grouped revenue, top-10. The customer side is filtered *before*
-    * the join so the broadcast stays small at scale.
+    * the join, and its broadcast is BYTE-GATED — the segment slice is
+    * ~1/|segments| of a table that scales with the data, so past the cap
+    * the join degrades to a shuffle instead of an OOM'd mandatory hint.
     */
   def topRevenueOrders(li: DataFrame, orders: DataFrame, customer: DataFrame,
                        segment: String, k: Int): DataFrame = {
     val cust = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Exec.broadcastIfSmallBytes(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(revenue), 2).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
@@ -60,14 +62,16 @@ object Relational {
       .limit(k)
   }
 
-  /** TPC-H Q5-shaped: five-way star join; all dims broadcast, only the
-    * lineitem↔orders edge shuffles.
+  /** TPC-H Q5-shaped: five-way star join; nation/region broadcast
+    * unconditionally (fixed 25/5 rows), the data-scaled customer/supplier
+    * sides are BYTE-GATED, and only the lineitem↔orders edge must shuffle.
     */
   def regionRevenue(li: DataFrame, orders: DataFrame, customer: DataFrame,
                     supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(Exec.broadcastIfSmallBytes(customer),
+        col("o_custkey") === col("c_custkey"))
+      .join(Exec.broadcastIfSmallBytes(supplier),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -232,7 +236,8 @@ object Relational {
     li.groupBy(col("l_partkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
         count(lit(1)).as("n_lines"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_brand"))),
+      .join(Exec.broadcastIfSmallBytes(
+        part.select(col("p_partkey"), col("p_name"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_brand"),
         col("total_qty"), col("n_lines"))
@@ -417,7 +422,8 @@ object Relational {
       .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
     li.join(thresh, Seq("l_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(Exec.broadcastIfSmallBytes(
+        part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
@@ -895,7 +901,8 @@ object Relational {
       .withColumn("total", sum(col("qty")).over(w))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") === 1)
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(Exec.broadcastIfSmallBytes(
+        supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("n_top_parts"),
@@ -1117,7 +1124,8 @@ object Relational {
   def regressionByNation(li: DataFrame, supplier: DataFrame,
                          nation: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    li.join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+    li.join(Exec.broadcastIfSmallBytes(
+        supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
@@ -1498,7 +1506,8 @@ object Relational {
     perPart.crossJoin(broadcast(total))
       .filter(col("cents").cast("decimal(38,0)") * col("n_parts") * 1000L
         > col("total_cents").cast("decimal(38,0)") * multipleMillis)
-      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_type"))),
+      .join(Exec.broadcastIfSmallBytes(
+        part.select(col("p_partkey"), col("p_name"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_type"),
         round(col("cents").cast("double") / 100.0, 2).as("value"),
@@ -1663,5 +1672,106 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q6-shaped forecast-revenue change: the canonical scan-filter-
+    * aggregate — what revenue would have been gained by eliminating
+    * discounts in a band, for one ship-year and small quantities. All three
+    * predicates PUSH to the parquet scan (plan-guarded), so at 100 TB this
+    * reads only the row groups whose min/max straddle the band; the sum is
+    * one map-side partial aggregate. Money stays exact: price rides as
+    * cents (long) and the discount as basis-point-hundredths (round(d·100)
+    * — the generator's discounts are 2-dp multiples), so Σ cents·bp is an
+    * exact long and the output is ONE division by 1e4.
+    */
+  def revenueDelta(li: DataFrame, year: String = "1996",
+                   loBp: Int = 5, hiBp: Int = 7, maxQty: Double = 24): DataFrame =
+    li.filter(col("l_shipdate") >= s"$year-01-01"
+        && col("l_shipdate") < s"${year.toInt + 1}-01-01"
+        && col("l_quantity") < maxQty
+        && round(col("l_discount") * 100).cast("int").between(loBp, hiBp))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")
+          * round(col("l_discount") * 100).cast("long")).cast("double")
+          / 10000.0).as("revenue"))
+
+  /** TPC-H Q14-shaped promo revenue share by ship month: of each month's
+    * part revenue, the fraction from PROMO-type parts. One fact scan; the
+    * |parts|-sized (partkey → is_promo) map is BYTE-GATED (broadcast while
+    * it measures small, shuffle-joined past the cap — this round's
+    * discipline for customer/part-scaled "dims"). The share is a
+    * conditional-sum ratio of exact cent longs inside ONE aggregate.
+    */
+  def promoShare(li: DataFrame, part: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val isPromo = part.select(col("p_partkey"),
+      (col("p_type") === "PROMO").as("is_promo"))
+    li.join(Exec.broadcastIfSmallBytes(isPromo),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(when(col("is_promo"), floor(revenue * 100 + 0.5).cast("long"))
+          .otherwise(lit(0L))).cast("double") / 100.0).as("promo_revenue"),
+        (sum(floor(revenue * 100 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("total_revenue"),
+        q4(lit(100.0)
+          * sum(when(col("is_promo"), floor(revenue * 100 + 0.5).cast("long"))
+            .otherwise(lit(0L))).cast("double")
+          / sum(floor(revenue * 100 + 0.5).cast("long")).cast("double"))
+          .as("promo_share_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with maximum revenue
+    * in one ship quarter — the max-of-aggregate + equality-join-back shape
+    * (TIES KEPT, which is why it is not a LIMIT 1). The per-supplier
+    * aggregate is the only fact exchange; the scalar max broadcasts back
+    * into it, and the supplier dim joins broadcast. Revenue compares as
+    * EXACT cent longs, so "equals the max" is never a float-equality trap.
+    */
+  def topSupplier(li: DataFrame, supplier: DataFrame,
+                  qStart: String = "1996-01-01",
+                  qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = li.filter(col("l_shipdate") >= qStart && col("l_shipdate") < qEnd)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(revenue * 100 + 0.5).cast("long")).as("cents"))
+      .persist() // read by the scalar max AND the join-back: one fact scan
+    val top = rev.agg(max(col("cents")).as("max_cents"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("cents") === col("max_cents"))
+      .join(Exec.broadcastIfSmallBytes(
+        supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("cents").cast("double") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive bracket revenue: three (brand, size,
+    * quantity) brackets OR'ed together — the classic test that an OR of
+    * conjunctions still plans as ONE partkey equi-join with the
+    * disjunction as a post-join filter (not a fallback cartesian or three
+    * scans; plan-guarded). Emitted per bracket rather than as Q19's single
+    * scalar so the oracle pins each arm independently; revenue is the
+    * exact-cents sum.
+    */
+  def disjunctiveBrackets(li: DataFrame, part: DataFrame): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def arm(brand: String, sizeHi: Int, qLo: Double, qHi: Double): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val a1 = arm("Brand#12", 5, 1, 11)
+    val a2 = arm("Brand#20", 10, 10, 20)
+    val a3 = arm("Brand#24", 15, 20, 30)
+    li.join(Exec.broadcastIfSmallBytes(p),
+        col("l_partkey") === col("p_partkey"))
+      .filter(a1 || a2 || a3)
+      .select(when(a1, 1).when(a2, 2).otherwise(3).as("bracket"),
+        floor(revenue * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("bracket"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("bracket"))
   }
 }

@@ -903,6 +903,55 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("Q6 pushes all three band predicates into the lineitem parquet scan") {
+    // the canonical scan-filter-aggregate: shipdate + quantity must reach
+    // the scan as pushed filters (row-group pruning at 100 TB); the
+    // discount-band arithmetic stays a post-scan filter but the scan must
+    // not read any column the query never touches
+    val plan = executedPlan("rel_q6_revenue_delta")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate")
+      && plan.contains("l_quantity"),
+      s"ship-date/quantity predicates not pushed to the scan:\n$plan")
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey"),
+      s"Q6 scan reads unused columns:\n$plan")
+  }
+
+  test("Q19 disjunctive brackets stay ONE partkey equi-join, never a cartesian") {
+    val plan = executedPlan("rel_q19_brackets")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoop"),
+      s"OR-of-conjunctions broke the equi-join:\n$plan")
+    val scans = plan.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem must scan once, got $scans:\n$plan")
+  }
+
+  test("Q15 scalar max broadcasts back; supplier dim broadcasts; one fact aggregate") {
+    val plan = staticPlan(SparkEntry.queries("rel_q15_top_supplier")(spark, sfDir))
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      s"max join-back degenerated:\n$planStr")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.size >= 2, s"the 1-row max and the supplier dim must broadcast:\n$planStr")
+    // the per-supplier aggregate is pinned: the scalar max and the
+    // join-back must BOTH read the one cached frame (one fact scan total)
+    val cacheScans = plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheScans.length >= 2,
+      s"max and join-back must both read the cached rev frame, got ${cacheScans.length}:\n$planStr")
+    // the fact table is read only THROUGH the pinned frame (the cache
+    // manager computes it once): no lineitem file scan outside the cache
+    val visibleScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("lineitem") => f
+    }
+    assert(visibleScans.isEmpty,
+      s"lineitem scanned outside the cached rev frame:\n$planStr")
+    graft.ops.Exec.clearPinned(spark)
+  }
+
   test("hilbert layout stats is a single-exchange scan-aggregate") {
     // one hash exchange (the range aggregate); the output orderBy's range
     // partitioning over ≤16 rows is presentation, not data movement

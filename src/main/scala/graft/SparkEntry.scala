@@ -8002,7 +8002,46 @@ object SparkEntry {
              |JOIN hs x ON x.doc_id = doc_a
              |JOIN hs y ON y.doc_id = doc_b
              |WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // luminance census over the SAME decoded pixels the hash decoders
+    // walk: histogram/min/max/sum exact ints from the byte walk, entropy
+    // the one log expression (q4-floored; cnt/64 divisions exact binary)
+    Q("mm_image_entropy",
+      (s, d) => MultimodalOps.imageEntropyCensus(documents(s, d)),
+      Some("""WITH grid AS (
+             |  SELECT doc_id, r, c,
+             |    16 + (xor(m, m >> 13) % 224) AS base
+             |  FROM (
+             |    SELECT d.doc_id, r.r AS r, c.c AS c,
+             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |        + (r.r * 8 + c.c) * 40503 AS m
+             |    FROM documents d,
+             |      (SELECT unnest(range(8)) AS r) r,
+             |      (SELECT unnest(range(8)) AS c) c)),
+             |px AS (
+             |  SELECT doc_id, r, c,
+             |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+             |           THEN base + 8
+             |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+             |           THEN base - 16
+             |         ELSE base END AS v
+             |  FROM grid),
+             |b AS (SELECT doc_id, v // 16 AS bin, count(*) AS cnt
+             |      FROM px GROUP BY 1, 2),
+             |st AS (SELECT doc_id, CAST(min(v) AS INTEGER) AS p_min,
+             |    CAST(max(v) AS INTEGER) AS p_max,
+             |    CAST(sum(v) AS BIGINT) AS sum_v
+             |  FROM px GROUP BY 1),
+             |e AS (SELECT doc_id, count(*) AS n_bins,
+             |    floor((-sum((CAST(cnt AS DOUBLE) / 64.0)
+             |        * ln(CAST(cnt AS DOUBLE) / 64.0))
+             |      / 0.6931471805599453) * 10000 + 0.5) / 10000
+             |      AS entropy_bits
+             |  FROM b GROUP BY 1)
+             |SELECT st.doc_id, p_min, p_max, sum_v, n_bins, entropy_bits
+             |FROM st JOIN e USING (doc_id)
+             |ORDER BY st.doc_id""".stripMargin))
   )
 
   private def all: Seq[Q] =

@@ -1072,4 +1072,72 @@ object MultimodalOps {
         col("h1_a"), col("h2_a"), col("h1_b"), col("h2_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Grayscale pixels of a decoded BMP in IMAGE orientation (top row
+    * first) — the same real header walk the hash decoders do (pixel-array
+    * offset, dims, 24 bpp, 4-byte row padding, bottom-up vs top-down),
+    * shared by content ops that need raw values rather than hash bits.
+    */
+  private[ops] def bmpGrayPixels(bytes: Array[Byte]): Array[Int] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)}")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val k = if (bottomUp) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val p = off + k * rowBytes + c * 3
+        px(r * w + c) = (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    px
+  }
+
+  /** Per-image luminance census over REAL decoded BMP pixels — the
+    * low-information screen a vision-data pipeline runs before training
+    * (a near-constant thumbnail carries ~0 bits of content; an all-noise
+    * one saturates the histogram): min/max/Σ luminance (exact ints), the
+    * count of occupied 16-wide histogram bins, and the Shannon entropy of
+    * the 16-bin distribution in bits. Everything through the histogram is
+    * exact integer arithmetic computed in the SAME batched per-row byte
+    * walk as the hash decoders — NO shuffle anywhere (the entropy is a
+    * row-local HOF fold over the 16-long bins array; cnt/64 divisions are
+    * exact binary, so the only cross-engine surface is ln itself, under
+    * q4 flooring like every log-based query). The presentation sort is
+    * the plan's single exchange.
+    */
+  def imageEntropyCensus(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { d =>
+        val px = bmpGrayPixels(encodeThumbBmp(d))
+        val bins = new Array[Long](16)
+        px.foreach(v => bins(v / 16) += 1)
+        (d, px.min, px.max, px.foldLeft(0L)(_ + _), bins.toSeq)
+      }))
+      .toDF("doc_id", "p_min", "p_max", "sum_v", "bins")
+      .withColumn("nz", expr("filter(bins, c -> c > 0)"))
+      .select(col("doc_id"), col("p_min"), col("p_max"), col("sum_v"),
+        size(col("nz")).cast("long").as("n_bins"),
+        expr(
+          """floor((-aggregate(nz, CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc + (CAST(c AS DOUBLE) / 64.0)
+            |    * ln(CAST(c AS DOUBLE) / 64.0))
+            |  / 0.6931471805599453) * 10000 + 0.5) / 10000""".stripMargin)
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -111,4 +111,50 @@ class ExecReleaseSpec extends SparkSpec {
       s"kCore left ${after.size} pinned frames behind: ids=${after.keys.toSeq.sorted}")
     Exec.releaseAll(spark)
   }
+
+  test("globalRank equals an unpartitioned row_number, including ties and desc order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (5 distinct values over 5000 rows) across many partitions:
+    // the range layout puts equal keys in one partition; the unique id
+    // tie-break pins their order
+    val df = (1 to 5000).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "v").repartition(17)
+    val got = Exec.globalRank(df, "r", col("v").desc, col("id"))
+      .select(col("id"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))))
+      .select(col("id"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want, s"first diffs: ${
+      want.collect { case (k, v) if got(k) != v => (k, got(k), v) }.take(5)}")
+    Exec.clearPinned(spark)
+  }
+
+  test("globalRank plan: per-partition windows + broadcast offsets, no single-task window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 1000).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val ranked = Exec.globalRank(df, "r", col("v"), col("id"))
+    val plan = ranked.queryExecution.executedPlan
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    // the ONLY unpartitioned window permitted is the ≤#partitions offsets
+    // frame (fed by the pid aggregate); the data window must be pid-keyed
+    unpart.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.groupingExpressions.exists(_.name.contains("pid")) => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if a.groupingExpressions.exists(_.name.contains("pid")) => a
+      }
+      assert(aggBelow.isDefined,
+        s"unpartitioned window not bounded by the pid offsets aggregate:\n$plan")
+    }
+    Exec.clearPinned(spark)
+  }
 }

@@ -364,6 +364,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows(2).getDouble(5) == q6(29.0 / 65.0), s"k3 ${rows(2).getDouble(5)}")
   }
 
+  test("kalmanFilter length guard: an over-maxLen series fails loudly, not silently truncated") {
+    import spark.implicits._
+    val long = (0 until 10).map(i =>
+      ("K", java.sql.Date.valueOf(f"199${i % 8}-0${i % 9 + 1}-01"), 100.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val ex = intercept[Exception] {
+      TimeSeriesOps.kalmanFilter(long, maxLen = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("series longer than")),
+      s"expected the length-guard error, got: $ex")
+  }
+
   test("kalmanFilter gain decays toward the steady state and filters toward the signal") {
     import spark.implicits._
     // constant series: the filtered level must stay ON the signal and the

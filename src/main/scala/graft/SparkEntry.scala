@@ -5298,6 +5298,52 @@ object SparkEntry {
               |  floor(regr_intercept(ln(n), ln(rank)) * 10000 + 0.5) / 10000 AS intercept
               |FROM r WHERE rank <= 100""".stripMargin)),
 
+    // ROUGE-L over the id-bounded audit pair slice: the rolling-row LCS
+    // recurrence is a nested HOF fold in Spark and a recursive CTE with an
+    // inner list_reduce in DuckDB — exact-integer DP, bitwise parity
+    Q("txt_rouge_l",
+      (s, d) => TextOps.rougeL(documents(s, d)),
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, ($DuckToks)[1:40] AS toks
+              |  FROM documents WHERE doc_id < 10),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.toks AS ta, b.toks AS tb
+              |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+              |rec AS (
+              |  SELECT doc_a, doc_b, 0 AS i,
+              |    list_transform(range(len(tb) + 1), x -> 0) AS row
+              |  FROM p
+              |  UNION ALL
+              |  SELECT r.doc_a, r.doc_b, r.i + 1,
+              |    list_reduce(
+              |      list_prepend([0], list_transform(range(1, len(p.tb) + 1),
+              |        j -> [j])),
+              |      (cur, jl) -> list_append(cur,
+              |        greatest(r.row[jl[1] + 1], cur[len(cur)],
+              |          r.row[jl[1]] + CASE WHEN p.tb[jl[1]] = p.ta[r.i + 1]
+              |            THEN 1 ELSE 0 END)))
+              |  FROM rec r JOIN p ON p.doc_a = r.doc_a AND p.doc_b = r.doc_b
+              |  WHERE r.i < len(p.ta)),
+              |n AS (SELECT doc_a, doc_b, len(ta) AS n_a, len(tb) AS n_b FROM p),
+              |f AS (
+              |  SELECT r.doc_a, r.doc_b, r.row[len(r.row)] AS lcs
+              |  FROM rec r JOIN n ON n.doc_a = r.doc_a AND n.doc_b = r.doc_b
+              |  WHERE r.i = n.n_a)
+              |SELECT f.doc_a, f.doc_b, CAST(n_a AS INTEGER) AS n_a,
+              |  CAST(n_b AS INTEGER) AS n_b, CAST(lcs AS INTEGER) AS lcs,
+              |  floor(CAST(lcs AS DOUBLE) / n_a * 10000 + 0.5) / 10000
+              |    AS rouge_recall,
+              |  floor(CAST(lcs AS DOUBLE) / n_b * 10000 + 0.5) / 10000
+              |    AS rouge_precision,
+              |  CASE WHEN lcs = 0 THEN CAST(0.0 AS DOUBLE)
+              |    ELSE floor(2.0 * (CAST(lcs AS DOUBLE) / n_a)
+              |        * (CAST(lcs AS DOUBLE) / n_b)
+              |      / ((CAST(lcs AS DOUBLE) / n_a) + (CAST(lcs AS DOUBLE) / n_b))
+              |      * 10000 + 0.5) / 10000 END AS rouge_f1
+              |FROM f JOIN n USING (doc_a, doc_b)
+              |ORDER BY f.doc_a, f.doc_b""".stripMargin)),
+
     // pairwise Jensen–Shannon divergence between source unigram
     // distributions — terms share one full-outer token join; a token
     // missing from one side flows through the same expression with q = 0

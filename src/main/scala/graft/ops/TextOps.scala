@@ -1775,4 +1775,55 @@ object TextOps {
         q4(sum(col("term"))).as("js_nats"))
       .orderBy(col("sa"), col("sb"))
   }
+
+  /** ROUGE-L between document pairs — the reference-based evaluation
+    * metric family (the number an eval harness reports when comparing a
+    * model output against a reference, and the decontamination signal
+    * n-gram overlap misses when the copy is PARAPHRASED with insertions):
+    * longest common subsequence of the token streams, with
+    * recall = LCS/|ref|, precision = LCS/|cand|, F1. The LCS is the
+    * classic rolling-row DP as a row-local nested HOF fold — O(|a|·|b|)
+    * integer ops per pair, NO shuffle (the DuckDB oracle replays the same
+    * recurrence as a recursive CTE with an inner list_reduce; the
+    * recurrence max(prev[j], cur[j−1], prev[j−1]+match) is exact-integer,
+    * so parity is bitwise). Pairs are the id-bounded audit slice, like
+    * [[graft.ops.TimeSeriesOps.dtwPairs]]; at corpus scale the pair list
+    * comes from a dedup/retrieval shortlist and the metric itself stays
+    * per-pair row-local — the shape is shortlist-bounded by construction.
+    * Tokens truncate to `maxTokens` so per-pair cost is capped.
+    */
+  def rougeL(docs: DataFrame, maxDocId: Long = 10, maxTokens: Int = 40): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val t = docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"),
+        slice(tokens(col("text")), 1, maxTokens).as("toks"))
+    val ta = t.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val tb = t.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    ta.join(broadcast(tb), col("doc_a") < col("doc_b")) // id-bounded slice
+      .withColumn("lcs", expr(
+        """aggregate(
+          |  ta,
+          |  transform(sequence(0, size(tb)), x -> 0),
+          |  (prev, x) -> aggregate(
+          |    sequence(1, size(tb)),
+          |    array(0),
+          |    (cur, j) -> array_append(cur,
+          |      greatest(prev[j], cur[j - 1],
+          |        prev[j - 1] + IF(tb[j - 1] = x, 1, 0)))),
+          |  row -> row[size(tb)])""".stripMargin))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ta")).as("n_a"), size(col("tb")).as("n_b"), col("lcs"), {
+          val r = col("lcs").cast("double") / size(col("ta")).cast("double")
+          q4(r).as("rouge_recall")
+        }, {
+          val p = col("lcs").cast("double") / size(col("tb")).cast("double")
+          q4(p).as("rouge_precision")
+        }, {
+          val r = col("lcs").cast("double") / size(col("ta")).cast("double")
+          val p = col("lcs").cast("double") / size(col("tb")).cast("double")
+          when(col("lcs") === 0, lit(0.0))
+            .otherwise(q4(lit(2.0) * r * p / (r + p))).as("rouge_f1")
+        })
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

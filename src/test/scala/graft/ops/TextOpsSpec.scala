@@ -755,4 +755,21 @@ class TextOpsSpec extends SparkSpec {
     // symmetry: the operator emits each unordered pair exactly once
     assert(!rows.contains(("B", "A")) && !rows.contains(("C", "A")))
   }
+
+  test("rougeL: hand-computed LCS, identical-pair saturation, disjoint-pair zero guard") {
+    import spark.implicits._
+    // LCS("a b c b d", "b d c a b") = 3 ("b c b"); identical docs (1,4)
+    // saturate at f1 = 1; disjoint (1,3) must hit the lcs = 0 guard
+    val docs = Seq(
+      (1L, "a b c b d"), (2L, "b d c a b"), (3L, "x y z"), (4L, "a b c b d"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.rougeL(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(rows.size == 6)
+    assert(rows((1L, 2L)) == ((5, 5, 3, 0.6, 0.6, 0.6)), s"${rows((1L, 2L))}")
+    assert(rows((1L, 4L)) == ((5, 5, 5, 1.0, 1.0, 1.0)), s"${rows((1L, 4L))}")
+    assert(rows((1L, 3L)) == ((5, 3, 0, 0.0, 0.0, 0.0)), s"${rows((1L, 3L))}")
+  }
 }

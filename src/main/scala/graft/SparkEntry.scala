@@ -2112,6 +2112,42 @@ object SparkEntry {
              |  floor(k * 1000000 + 0.5) / 1000000 AS gain
              |FROM rec ORDER BY priority, t""".stripMargin)),
 
+    // RTS smoother: forward Kalman recursion + backward correction pass,
+    // both row-local folds vs two recursive CTEs — identical operand order
+    Q("ts_kalman_smooth",
+      (s, d) => graft.ops.TimeSeriesOps.kalmanSmooth(orders(s, d)),
+      Some("""WITH RECURSIVE m0 AS (
+             |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (
+             |  SELECT g, month, CAST(cents AS DOUBLE) / 1e8 AS x,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY month)
+             |      AS INTEGER) AS t
+             |  FROM m0),
+             |rec AS (
+             |  SELECT g, t, month, x, x AS l, CAST(1.0 AS DOUBLE) AS p
+             |  FROM m WHERE t = 1
+             |  UNION ALL
+             |  SELECT m.g, m.t, m.month, m.x,
+             |    r.l + ((r.p + 0.25) / ((r.p + 0.25) + 1.0)) * (m.x - r.l),
+             |    (1.0 - ((r.p + 0.25) / ((r.p + 0.25) + 1.0))) * (r.p + 0.25)
+             |  FROM rec r JOIN m ON m.g = r.g AND m.t = r.t + 1),
+             |nn AS (SELECT g, max(t) AS n FROM m GROUP BY 1),
+             |back AS (
+             |  SELECT r.g, r.t, r.l AS sl
+             |  FROM rec r JOIN nn ON nn.g = r.g AND r.t = nn.n
+             |  UNION ALL
+             |  SELECT r.g, r.t, r.l + (r.p / (r.p + 0.25)) * (b.sl - r.l)
+             |  FROM back b JOIN rec r ON r.g = b.g AND r.t = b.t - 1)
+             |SELECT r.g AS priority, r.t, strftime(r.month, '%Y-%m-%d') AS month,
+             |  floor(r.x * 1000000 + 0.5) / 1000000 AS x,
+             |  floor(r.l * 1000000 + 0.5) / 1000000 AS filtered,
+             |  floor(b.sl * 1000000 + 0.5) / 1000000 AS smoothed
+             |FROM rec r JOIN back b ON b.g = r.g AND b.t = r.t
+             |ORDER BY priority, r.t""".stripMargin)),
+
     // gaps-and-islands: month_index − row_number is constant within a
     // consecutive run — one window pass, one aggregate, no self-join
     Q("ts_islands",
@@ -6102,6 +6138,35 @@ object SparkEntry {
   /** DuckDB-side double-cast embedding list. */
   private val DuckVec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  /** Shared WITH-prefix of the k-means++ oracles (`vec_kmeanspp_init`,
+    * `vec_kmeanspp_quality`): quantized corpus q plus the 8 unrolled
+    * farthest-point selection rounds s0..s7.
+    */
+  private def kmeansppCte: String = {
+    val dist = (sel: String) =>
+      s"""SELECT q.vec_id, first(q.v) AS v, first(q.cvec) AS cvec,
+         |    min(floor(list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - s.cvec[i]) * (q.v[i] - s.cvec[i])))
+         |      * 1000000 + 0.5) / 1000000) AS mind
+         |  FROM q CROSS JOIN ($sel) s GROUP BY q.vec_id""".stripMargin
+    val rounds = (1 to 7).map { r =>
+      val sel = (0 until r).map(i => s"SELECT cvec FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""p$r AS (${dist(sel)}),
+         |s$r AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec,
+         |    $r AS round, mind AS sel_dist
+         |  FROM p$r ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cvec
+       |  FROM v),
+       |s0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec, 0 AS round,
+       |    CAST(0.0 AS DOUBLE) AS sel_dist
+       |  FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       |$rounds""".stripMargin
+  }
+
   /** Vector / similarity-search queries. Both sides compute in DOUBLE with
     * identical quantization (floor(x*1e4+0.5)/1e4) and rank on the quantized
     * similarity so ordering is engine-stable.
@@ -7548,29 +7613,8 @@ object SparkEntry {
     // the lowest vec_id
     Q("vec_kmeanspp_init",
       (s, d) => VectorOps.kmeansppInit(embeddings(s, d), k = 8),
-      Some {
-        val dist = (sel: String) =>
-          s"""SELECT q.vec_id, first(q.v) AS v, first(q.cvec) AS cvec,
-             |    min(floor(list_sum(list_transform(range(1, 65),
-             |      i -> (q.v[i] - s.cvec[i]) * (q.v[i] - s.cvec[i])))
-             |      * 1000000 + 0.5) / 1000000) AS mind
-             |  FROM q CROSS JOIN ($sel) s GROUP BY q.vec_id""".stripMargin
-        val rounds = (1 to 7).map { r =>
-          val sel = (0 until r).map(i => s"SELECT cvec FROM s$i")
-            .mkString(" UNION ALL ")
-          s"""p$r AS (${dist(sel)}),
-             |s$r AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec,
-             |    $r AS round, mind AS sel_dist
-             |  FROM p$r ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH v AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
-           |q AS (SELECT vec_id, v,
-           |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cvec
-           |  FROM v),
-           |s0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, cvec, 0 AS round,
-           |    CAST(0.0 AS DOUBLE) AS sel_dist
-           |  FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
-           |$rounds
+      Some(
+        s"""$kmeansppCte
            |SELECT round, cid,
            |  floor(sel_dist * 1000000 + 0.5) / 1000000 AS sel_dist
            |FROM (SELECT round, cid, sel_dist FROM s0
@@ -7581,8 +7625,37 @@ object SparkEntry {
            |      UNION ALL SELECT round, cid, sel_dist FROM s5
            |      UNION ALL SELECT round, cid, sel_dist FROM s6
            |      UNION ALL SELECT round, cid, sel_dist FROM s7)
-           |ORDER BY round""".stripMargin
-      }),
+           |ORDER BY round""".stripMargin)),
+
+    // seeding-quality audit: inertia under farthest-point vs lowest-id
+    // seeds, in exact micro-unit longs (order-free Σ on both engines)
+    Q("vec_kmeanspp_quality",
+      (s, d) => VectorOps.kmeansppQuality(embeddings(s, d), k = 8),
+      Some(
+        s"""$kmeansppCte,
+           |seeds AS (${(0 to 7).map(i => s"SELECT cvec FROM s$i")
+                        .mkString(" UNION ALL ")}),
+           |dp AS (SELECT q.vec_id,
+           |    min(floor(list_sum(list_transform(range(1, 65),
+           |      i -> (q.v[i] - s.cvec[i]) * (q.v[i] - s.cvec[i])))
+           |      * 1000000 + 0.5) / 1000000) AS mind
+           |  FROM q CROSS JOIN seeds s GROUP BY 1),
+           |ipp AS (SELECT count(*) AS n_vectors,
+           |    CAST(sum(CAST(floor(mind * 1000000 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS inertia_pp_micro FROM dp),
+           |lw AS (SELECT cvec FROM q WHERE vec_id < 8),
+           |dl AS (SELECT q.vec_id,
+           |    min(floor(list_sum(list_transform(range(1, 65),
+           |      i -> (q.v[i] - s.cvec[i]) * (q.v[i] - s.cvec[i])))
+           |      * 1000000 + 0.5) / 1000000) AS mind
+           |  FROM q CROSS JOIN lw s GROUP BY 1),
+           |ilow AS (SELECT CAST(sum(CAST(floor(mind * 1000000 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS inertia_lowid_micro FROM dl)
+           |SELECT n_vectors, inertia_pp_micro, inertia_lowid_micro,
+           |  floor((1.0 - CAST(inertia_pp_micro AS DOUBLE)
+           |      / CAST(inertia_lowid_micro AS DOUBLE)) * 10000 + 0.5) / 10000
+           |    AS improvement
+           |FROM ipp, ilow""".stripMargin)),
 
     Q("vec_kmeans_train",
       (s, d) => VectorOps.kmeansLloyd(embeddings(s, d), k = 8, iters = 2),

@@ -1026,4 +1026,81 @@ object TimeSeriesOps {
       .select(col("g"), (col("pos") + 1).as("t"),
         col("st.l").as("l"), col("st.k").as("k"))
   }
+
+  /** Rauch–Tung–Striebel smoother over [[kalmanFilter]]'s local-level model
+    * — the OFFLINE half of the state-estimation pair (the filter is causal:
+    * level_t uses observations ≤ t; the smoother conditions every estimate
+    * on the WHOLE series, which is what a backfill/denoising batch job
+    * wants). Forward pass = the Kalman recursion keeping (l_t, P_t);
+    * backward pass, t = N−1..1 with Q = 0.25:
+    *
+    *   C_t = P_t / (P_t + Q);   sl_t = l_t + C_t·(sl_{t+1} − l_t)
+    *
+    * (the one-step prediction mean equals l_t in a local-level model, so
+    * the textbook a_{t+1} term simplifies away). Both passes are row-local
+    * folds over the per-series array — forward then a second fold over the
+    * REVERSED filtered sequence — with the same left-to-right IEEE operand
+    * order as the oracle's two recursive CTEs, so parity is bitwise under
+    * the display quantization. Same scale shape as the filter: one monthly
+    * aggregate, O(series length) per-key work, nothing shuffles.
+    */
+  def kalmanSmooth(orders: DataFrame, maxLen: Int = 512): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val monthly = orders
+      .groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("x", col("cents").cast("double") / 1e8)
+    val w = Window.partitionBy(col("g")).orderBy(col("month"))
+    val seq = monthly.withColumn("t", row_number().over(w))
+    val folded = seq
+      .groupBy(col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, x))), s -> s.x)")
+        .as("xs"))
+      .withColumn("xs", expr(
+        s"""IF(size(xs) <= $maxLen, xs,
+           |   raise_error(concat('kalmanSmooth: series longer than ',
+           |     CAST($maxLen AS STRING))))""".stripMargin))
+      // forward: filtered (l, p) per step, same recursion as kalmanFilter
+      .withColumn("fwd", expr(
+        """aggregate(
+          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
+          |  named_struct(
+          |    'l', xs[0], 'p', CAST(1.0 AS DOUBLE),
+          |    'out', array(named_struct(
+          |      'l', xs[0], 'p', CAST(1.0 AS DOUBLE)))),
+          |  (acc, x) -> named_struct(
+          |    'l', acc.l + ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0))
+          |           * (x - acc.l),
+          |    'p', (1.0 - ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0)))
+          |           * (acc.p + 0.25),
+          |    'out', array_append(acc.out, named_struct(
+          |      'l', acc.l + ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0))
+          |             * (x - acc.l),
+          |      'p', (1.0 - ((acc.p + 0.25) / ((acc.p + 0.25) + 1.0)))
+          |             * (acc.p + 0.25))))).out""".stripMargin))
+      // backward over the reversed filtered sequence: the accumulator
+      // carries sl_{t+1}; emit smoothed levels newest-first, then restore
+      // time order with a second reverse
+      .withColumn("smooth", expr(
+        """reverse(aggregate(
+          |  slice(reverse(fwd), 2, greatest(size(fwd) - 1, 0)),
+          |  array(element_at(fwd, -1).l),
+          |  (acc, st) -> array_append(acc,
+          |    st.l + (st.p / (st.p + 0.25))
+          |      * (element_at(acc, -1) - st.l))))""".stripMargin))
+      .select(col("g"), posexplode(expr(
+        "zip_with(fwd, smooth, (f, s) -> named_struct('l', f.l, 'sl', s))"))
+        .as(Seq("pos", "st")))
+      .select(col("g"), (col("pos") + 1).as("t"),
+        col("st.l").as("l"), col("st.sl").as("sl"))
+    val seqJ = seq.select(col("g").as("jg"), col("t").as("jt"),
+      col("month"), col("x"))
+    folded.join(seqJ, col("g") === col("jg") && col("t") === col("jt"))
+      .select(col("g").as("priority"), col("t"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        q6(col("x")).as("x"), q6(col("l")).as("filtered"),
+        q6(col("sl")).as("smoothed"))
+      .orderBy(col("priority"), col("t"))
+  }
 }

@@ -1045,9 +1045,19 @@ object VectorOps {
     * doctrine), so the selection order is engine-exact.
     */
   def kmeansppInit(emb: DataFrame, k: Int = 8): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    kmeansppCenters(emb, k)
+      .select(col("round"), col("cid"), q6(col("sel_dist")).as("sel_dist"))
+      .orderBy(col("round"))
+  }
+
+  /** The farthest-point selection loop shared by [[kmeansppInit]] (display
+    * projection) and [[kmeansppQuality]] (inertia audit): returns the full
+    * (cid, cvec, round, sel_dist) selection frame.
+    */
+  private[ops] def kmeansppCenters(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
     graft.functions.SqL2.register(emb.sparkSession)
-    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
     val corpus = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     def asCenter(df: DataFrame, round: Int, distCol: Column): DataFrame =
@@ -1071,8 +1081,49 @@ object VectorOps {
       sel = Exec.trackTransient(
         sel.unionByName(asCenter(next, r, col("mind"))).localCheckpoint())
     }
-    sel.select(col("round"), col("cid"), q6(col("sel_dist")).as("sel_dist"))
-      .orderBy(col("round"))
+    sel
+  }
+
+  /** Seeding-quality audit — the standing-query counterpart of
+    * [[annRecallAudit]] for the clustering stack: k-means inertia
+    * (Σ min-distance² to the nearest seed) under the farthest-point
+    * [[kmeansppInit]] seeds vs [[kmeansLloyd]]'s degenerate lowest-id
+    * seeds, measured not asserted. Distances are the same 1e-6-quantized
+    * sq-L2 the seeding uses, recovered to EXACT micro-unit longs before
+    * summing (a float Σ over the corpus would be fold-order-dependent;
+    * the long Σ is associative), so both engines agree to the bit and the
+    * improvement ratio is one division. Shape: two broadcast-seed corpus
+    * passes, each a map-side fold + one scalar aggregate — no shuffle
+    * carries a vector.
+    */
+  def kmeansppQuality(emb: DataFrame, k: Int = 8): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    graft.functions.SqL2.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    def inertia(seeds: DataFrame, outCol: String): DataFrame = {
+      val packed = seeds.agg(expr("collect_list(cvec)").as("cs"))
+      corpus.crossJoin(broadcast(packed))
+        .withColumn("mind", expr(
+          """aggregate(
+            |  transform(cs, cv -> floor(sq_l2(v, cv) * 1000000 + 0.5)
+            |    / 1000000),
+            |  CAST('Infinity' AS DOUBLE),
+            |  (acc, d) -> IF(d < acc, d, acc))""".stripMargin))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(expr("CAST(floor(mind * 1000000 + 0.5) AS BIGINT)")).as(outCol))
+    }
+    val pp = inertia(kmeansppCenters(emb, k).select(col("cvec")),
+      "inertia_pp_micro")
+    val low = inertia(corpus.filter(col("vec_id") < k)
+        .select(expr("transform(v, x -> floor(x * 10000 + 0.5) / 10000)")
+          .as("cvec")),
+      "inertia_lowid_micro").select(col("inertia_lowid_micro"))
+    pp.crossJoin(broadcast(low))
+      .select(col("n_vectors"), col("inertia_pp_micro"),
+        col("inertia_lowid_micro"),
+        q4(lit(1.0) - col("inertia_pp_micro").cast("double")
+          / col("inertia_lowid_micro").cast("double")).as("improvement"))
   }
 
   /** Shared PCA head: ONE row holding the 1e-6-quantized covariance matrix

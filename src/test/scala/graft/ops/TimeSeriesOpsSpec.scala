@@ -364,6 +364,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows(2).getDouble(5) == q6(29.0 / 65.0), s"k3 ${rows(2).getDouble(5)}")
   }
 
+  test("kalmanSmooth matches the hand-computed RTS backward pass") {
+    import spark.implicits._
+    // forward (from the filter spec): l = (1, 14/9, 17/13), p = (1, 5/9, 29/65)
+    // backward: sl3 = 17/13; C2 = (5/9)/(29/36) = 20/29 →
+    //   sl2 = 14/9 − 20/117 = 18/13; C1 = 0.8 → sl1 = 1 + 0.8·5/13 = 17/13
+    val orders = Seq(
+      ("1-URGENT", java.sql.Date.valueOf("2024-01-15"), 1000000.0),
+      ("1-URGENT", java.sql.Date.valueOf("2024-02-10"), 2000000.0),
+      ("1-URGENT", java.sql.Date.valueOf("2024-03-05"), 1000000.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val rows = TimeSeriesOps.kalmanSmooth(orders).collect()
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows.length == 3)
+    assert(rows(0).getDouble(5) == q6(17.0 / 13.0), s"sl1 ${rows(0).getDouble(5)}")
+    assert(rows(1).getDouble(5) == q6(18.0 / 13.0), s"sl2 ${rows(1).getDouble(5)}")
+    assert(rows(2).getDouble(5) == q6(17.0 / 13.0), s"sl3 ${rows(2).getDouble(5)}")
+    // the smoother conditions on the whole series: its t=1 estimate moved
+    // toward the later observations while the causal filter could not
+    assert(rows(0).getDouble(4) == 1.0, "filtered t=1 must stay on x1")
+  }
+
   test("kalmanFilter length guard: an over-maxLen series fails loudly, not silently truncated") {
     import spark.implicits._
     val long = (0 until 10).map(i =>

@@ -619,6 +619,22 @@ class VectorOpsSpec extends SparkSpec {
       s"selection order was ${rows.toSeq}")
   }
 
+  test("kmeansppQuality: hand-computed inertia — spread seeds beat clumped lowest-id seeds") {
+    import spark.implicits._
+    // pp seeds {v0, v4, v3} leave inertia 2 (v1 and v2 each 1 away);
+    // lowest-id seeds {v0, v1, v2} leave 101 (v4 is 100 away) →
+    // improvement = 1 − 2/101 = 0.9802 at q4
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)),
+      (3L, Seq(10.0f, 1.0f)), (4L, Seq(20.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.kmeansppQuality(pts, k = 3).collect()(0)
+    assert(r.getLong(0) == 5)
+    assert(r.getLong(1) == 2000000L, s"pp inertia ${r.getLong(1)}")
+    assert(r.getLong(2) == 101000000L, s"lowid inertia ${r.getLong(2)}")
+    assert(r.getDouble(3) == 0.9802, s"improvement ${r.getDouble(3)}")
+  }
+
   test("kmeansppInit spreads the real corpus: every later selection is farther than the Lloyd seeds' spread") {
     val sel = VectorOps.kmeansppInit(emb, k = 4).collect()
     assert(sel.length == 4)

@@ -7627,6 +7627,31 @@ object SparkEntry {
            |      UNION ALL SELECT round, cid, sel_dist FROM s7)
            |ORDER BY round""".stripMargin)),
 
+    // non-parametric kNN-distance OOD screen: exact micro-unit score sums,
+    // interpolated p95 threshold over the bounded scored set
+    Q("vec_knn_ood",
+      (s, d) => VectorOps.knnOodScores(embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 32),
+              |p AS (SELECT q.query_id, e.vec_id,
+              |    CAST(floor(list_sum(list_transform(range(1, 65),
+              |      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))
+              |      * 1000000 + 0.5) AS BIGINT) AS dm
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+              |r AS (SELECT query_id, vec_id, dm,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY dm, vec_id) AS rk
+              |  FROM p),
+              |s AS (SELECT query_id, CAST(sum(dm) AS BIGINT) AS sum_micro
+              |  FROM r WHERE rk <= 5 GROUP BY 1),
+              |t AS (SELECT quantile_cont(CAST(sum_micro AS DOUBLE), 0.95)
+              |    AS thr FROM s)
+              |SELECT query_id,
+              |  floor(CAST(sum_micro AS DOUBLE) / 5000000.0 * 1000000 + 0.5)
+              |    / 1000000 AS knn_dist,
+              |  CAST(sum_micro AS DOUBLE) > thr AS is_ood
+              |FROM s, t ORDER BY query_id""".stripMargin)),
+
     // seeding-quality audit: inertia under farthest-point vs lowest-id
     // seeds, in exact micro-unit longs (order-free Σ on both engines)
     Q("vec_kmeanspp_quality",

@@ -1084,6 +1084,47 @@ object VectorOps {
     sel
   }
 
+  /** kNN-distance OOD score — the NON-PARAMETRIC outlier screen beside the
+    * Gaussian [[mahalanobisOutliers]] (no covariance assumption: a point is
+    * out-of-distribution when even its k nearest corpus points are far —
+    * the standard density-free novelty signal for embedding spaces with
+    * multi-modal structure, where a global covariance whitens the modes
+    * together). Score = mean sq-L2 to the k nearest (exact micro-unit long
+    * sum, ONE division); the OOD flag compares against the exact p95 of
+    * the scored set (interpolated percentile over exact longs — any
+    * cross-formula ULP sits inside a ≥1-micro-unit gap, so the comparison
+    * is engine-stable). Shape: the query side is the bounded audit slice
+    * and BROADCASTS; per-query top-k rides the WindowGroupLimit pushdown
+    * (partial top-k before the exchange, the [[knnBruteForce]] contract);
+    * the p95 is one tiny aggregate over |queries| rows.
+    */
+  def knnOodScores(emb: DataFrame, maxQueryId: Int = 32, k: Int = 5): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val queries = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q"))
+    val corpus = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d_micro"), col("vec_id"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("d_micro",
+        expr("CAST(floor(sq_l2(v, q) * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("d_micro")).as("sum_micro"))
+    val thr = scored.agg(
+      expr("percentile(sum_micro, 0.95)").as("thr")) // |queries|-row agg
+    scored.crossJoin(broadcast(thr))
+      .select(col("query_id"),
+        q6(col("sum_micro").cast("double") / lit(k * 1000000.0)).as("knn_dist"),
+        (col("sum_micro").cast("double") > col("thr")).as("is_ood"))
+      .orderBy(col("query_id"))
+  }
+
   /** Seeding-quality audit — the standing-query counterpart of
     * [[annRecallAudit]] for the clustering stack: k-means inertia
     * (Σ min-distance² to the nearest seed) under the farthest-point

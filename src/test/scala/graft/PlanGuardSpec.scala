@@ -415,6 +415,20 @@ class PlanGuardSpec extends SparkSpec {
       s"LATERAL LIMIT did not decorrelate to a pushed-down window rank:\n$lat")
   }
 
+  test("kNN OOD: top-k pushdown + broadcast query side — no embedding in a hash exchange") {
+    val plan = executedPlan("vec_knn_ood")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k lost its rank-limit pushdown:\n$plan")
+    val hashed = staticExchanges(SparkEntry.queries("vec_knn_ood")(spark, sfDir))
+      .filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    hashed.foreach { e =>
+      val out = e.output.map(_.name)
+      assert(!out.exists(n => n == "v" || n == "q" || n == "embedding"),
+        s"embedding array crosses a hash exchange: ${out.mkString(",")}")
+    }
+  }
+
   test("per-query top-k windows get rank-limit pushdown (partial top-k before the exchange)") {
     // row_number().over(query window) + filter(rank <= k) must plan with a
     // WindowGroupLimit BELOW the exchange: each map task prunes to its own

@@ -635,6 +635,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.9802, s"improvement ${r.getDouble(3)}")
   }
 
+  test("knnOodScores flags the planted far point and nothing near the cluster") {
+    import spark.implicits._
+    // 9 clustered points + one far outlier (id 9 at distance 100+): with
+    // k=2 the outlier's mean kNN distance dwarfs the cluster's, so the
+    // p95 threshold isolates exactly it
+    val pts = ((0L to 8L).map(i => (i, Seq(i.toFloat * 0.1f, 0.0f)))
+      :+ (9L, Seq(100.0f, 100.0f))).toDF("vec_id", "embedding")
+    val rows = VectorOps.knnOodScores(pts, maxQueryId = 10, k = 2).collect()
+    assert(rows.length == 10)
+    val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(flagged == Set(9L), s"flagged $flagged")
+    val scores = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(9L) > 100 * scores(0L),
+      s"outlier score ${scores(9L)} vs cluster ${scores(0L)}")
+  }
+
   test("kmeansppInit spreads the real corpus: every later selection is farther than the Lloyd seeds' spread") {
     val sel = VectorOps.kmeansppInit(emb, k = 4).collect()
     assert(sel.length == 4)

@@ -973,7 +973,9 @@ object TimeSeriesOps {
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .withColumn("x", col("cents").cast("double") / 1e8)
     val w = Window.partitionBy(col("g")).orderBy(col("month"))
-    val seq = monthly.withColumn("t", row_number().over(w))
+    // the fold and the month-lookup join both read the series frame: pin
+    // it so the corpus aggregate runs once
+    val seq = monthly.withColumn("t", row_number().over(w)).persist()
     val folded = kalmanStates(seq, maxLen)
     // folded descends from seq, so rename the month-lookup side first (the
     // holtWinters self-join-by-lineage convention)
@@ -1052,7 +1054,8 @@ object TimeSeriesOps {
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .withColumn("x", col("cents").cast("double") / 1e8)
     val w = Window.partitionBy(col("g")).orderBy(col("month"))
-    val seq = monthly.withColumn("t", row_number().over(w))
+    // pinned for the same two-reader reason as kalmanFilter's seq
+    val seq = monthly.withColumn("t", row_number().over(w)).persist()
     val folded = seq
       .groupBy(col("g"))
       .agg(expr("transform(array_sort(collect_list(struct(t, x))), s -> s.x)")

@@ -1058,8 +1058,11 @@ object VectorOps {
   private[ops] def kmeansppCenters(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
     graft.functions.SqL2.register(emb.sparkSession)
+    // every selection round re-reads the corpus: pin it so the k rounds
+    // pay ONE scan, not k (clearPinned drops it between queries)
     val corpus = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist()
     def asCenter(df: DataFrame, round: Int, distCol: Column): DataFrame =
       df.select(col("vec_id").cast("int").as("cid"),
         expr("transform(v, x -> floor(x * 10000 + 0.5) / 10000)").as("cvec"),
@@ -1140,8 +1143,10 @@ object VectorOps {
   def kmeansppQuality(emb: DataFrame, k: Int = 8): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     graft.functions.SqL2.register(emb.sparkSession)
+    // both inertia passes re-read the corpus: pin it (one scan, two folds)
     val corpus = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist()
     def inertia(seeds: DataFrame, outCol: String): DataFrame = {
       val packed = seeds.agg(expr("collect_list(cvec)").as("cs"))
       corpus.crossJoin(broadcast(packed))

@@ -3314,6 +3314,30 @@ object SparkEntry {
              |FROM a JOIN u ON u.user_id = a.user_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // weekly cohort-retention triangle: exact integer week keys on the ns
+    // epoch, exact counts, one division per cell
+    Q("ev_retention_matrix",
+      (s, d) => EventOps.retentionMatrix(events(s, d)),
+      Some("""WITH w AS (
+             |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS wk
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS w0 FROM w GROUP BY 1),
+             |c AS (SELECT w0, count(*) AS cohort_size FROM f GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, wk FROM w),
+             |m AS (
+             |  SELECT f.w0, CAST(a.wk - f.w0 AS INTEGER) AS offset,
+             |    count(DISTINCT a.user_id) AS n_active
+             |  FROM a JOIN f ON f.user_id = a.user_id
+             |  WHERE a.wk - f.w0 <= 8
+             |  GROUP BY 1, 2)
+             |SELECT m.w0 AS cohort_week, m.offset,
+             |  CAST(m.n_active AS BIGINT) AS n_active,
+             |  CAST(c.cohort_size AS BIGINT) AS cohort_size,
+             |  floor(CAST(m.n_active AS DOUBLE) / CAST(c.cohort_size AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS retention
+             |FROM m JOIN c ON c.w0 = m.w0
+             |ORDER BY cohort_week, m.offset""".stripMargin)),
+
     // batch twin of the stream-stream interval join (EventStream
     // .viewClickAttribution): clicks within 30min after a view, per user —
     // compared on exact ns timestamps so the interval boundary is tie-free

@@ -669,6 +669,39 @@ object EventOps {
         col("p50_us"), col("p90_us"), col("min_us"), col("max_us"))
   }
 
+  /** Weekly cohort-retention triangle — the standard product-analytics
+    * matrix ([[retention]] collapses to one day-offset curve; this keeps
+    * the cohort axis, so cohort-quality drift over time is visible): per
+    * signup-week cohort and week offset 0..`maxOffset`, the distinct users
+    * still active and the retention fraction against the cohort size. Week
+    * indices are exact integer arithmetic on the ns epoch (engine-identical
+    * longs, no calendar functions in the key), counts are exact, the
+    * fraction is one division. Shape: one user-keyed aggregate for the
+    * cohort assignment, one distinct (user, week) reduction, one
+    * co-partitioned user join, and a broadcast of the |weeks|-sized cohort
+    * dimension — the triangle itself is metadata-sized at any event volume.
+    */
+  def retentionMatrix(events: DataFrame, maxOffset: Int = 8): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val weeks = events.select(col("user_id"),
+      expr("(ts_ns div 86400000000000) div 7").as("wk"))
+    val firstWk = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+      .persist() // read by the cohort sizes AND the activity join
+    val cohorts = firstWk.groupBy(col("w0")).agg(count(lit(1)).as("cohort_size"))
+    weeks.distinct()
+      .join(firstWk, Seq("user_id"))
+      .withColumn("offset", (col("wk") - col("w0")).cast("int"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("w0"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohorts), Seq("w0"))
+      .select(col("w0").as("cohort_week"), col("offset"), col("n_active"),
+        col("cohort_size"),
+        q4(col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("offset"))
+  }
+
   /** Two-proportion A/B conversion test — the experimentation readout:
     * users split into arms by a deterministic id hash (here id parity —
     * the stand-in for the bucketing a real assignment service does),

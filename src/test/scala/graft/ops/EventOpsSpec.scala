@@ -484,4 +484,24 @@ class EventOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("kmv_est") == 0.0)
     assert(r2.getAs[Double]("abs_err") == 0.0)
   }
+
+  test("retentionMatrix: hand-computed weekly triangle with a returning-after-gap user") {
+    import spark.implicits._
+    val week = 7L * 86400L * 1000000000L
+    // cohort w0: users 1 (weeks 0,1,2) and 2 (weeks 0,2 — skips week 1);
+    // cohort w1: user 3 (week 1 only)
+    val events = Seq(
+      (1L, 0L * week + 5L), (1L, 1L * week + 9L), (1L, 2L * week + 1L),
+      (2L, 0L * week + 2L), (2L, 2L * week + 7L),
+      (3L, 1L * week + 3L))
+      .toDF("user_id", "ts_ns")
+    val rows = EventOps.retentionMatrix(events).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.size == 4)
+    assert(rows((0L, 0)) == ((2L, 2L, 1.0)))
+    assert(rows((0L, 1)) == ((1L, 2L, 0.5)), "user 2's week-1 gap must show")
+    assert(rows((0L, 2)) == ((2L, 2L, 1.0)), "user 2 returns in week 2")
+    assert(rows((1L, 0)) == ((1L, 1L, 1.0)))
+  }
 }

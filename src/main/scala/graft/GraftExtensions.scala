@@ -86,6 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Args.posIntLiteral(exprs(1), "cov_matrix", "dim"))
         .toAggregateExpression()))
     e.injectFunction((
+      FunctionIdentifier("hdr_sketch"),
+      info("hdr_sketch",
+        "hdr_sketch(value) - mergeable log-linear quantile sketch aggregate"),
+      exprs => graft.functions.HdrSketch.fromExprs(exprs)))
+    e.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(key, k) - bounded-memory heavy-hitter summary aggregate"),

@@ -4263,6 +4263,73 @@ object SparkEntry {
              |FROM sk JOIN ex ON ex.day = sk.day
              |ORDER BY day""".stripMargin)),
 
+    // rolling W7 percentiles for ARBITRARY-DOMAIN DOUBLES from merged daily
+    // HDR-histogram sketches (native hdr_sketch TypedImperativeAggregate):
+    // log-linear buckets in fixed-point — pure integer bucket math, so the
+    // oracle replays the sketch exactly where KLL/t-digest never could;
+    // within_bound audits the est ≤ exact·(1+2^-7)+2^-20 contract per day
+    Q("ev_quantile_sketch_window",
+      (s, d) => EventOps.quantileSketchWindow(events(s, d)),
+      Some("""WITH fx AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(floor(value * 1048576.0) AS BIGINT) AS v
+             |  FROM events),
+             |daily AS (
+             |  SELECT day,
+             |    CASE WHEN v < 256 THEN v
+             |      ELSE (v >> (length(bin(v)) - 8)) << (length(bin(v)) - 8)
+             |    END AS edge,
+             |    count(*) AS c
+             |  FROM fx GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM daily),
+             |merged AS (
+             |  SELECT d.day AS day, r.edge, sum(r.c) AS c
+             |  FROM days d JOIN daily r
+             |    ON r.day <= d.day AND r.day >= d.day - 6
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT day, edge,
+             |    edge + (CASE WHEN edge < 256 THEN 1
+             |      ELSE 1::BIGINT << (length(bin(edge)) - 8) END) AS upper,
+             |    sum(c) OVER (PARTITION BY day ORDER BY edge) AS cum,
+             |    sum(c) OVER (PARTITION BY day) AS tot
+             |  FROM merged),
+             |sk AS (
+             |  SELECT day, CAST(max(tot) AS BIGINT) AS n,
+             |    CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p50_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p95_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p99_est
+             |  FROM cum GROUP BY 1),
+             |ranked AS (
+             |  SELECT d.day AS day, e.value,
+             |    row_number() OVER (PARTITION BY d.day
+             |      ORDER BY e.value, e.event_id) AS rn,
+             |    count(*) OVER (PARTITION BY d.day) AS nn
+             |  FROM days d JOIN
+             |    (SELECT CAST(ts AS DATE) AS kday, value, event_id
+             |     FROM events) e
+             |    ON e.kday <= d.day AND e.kday >= d.day - 6),
+             |ex AS (
+             |  SELECT day,
+             |    max(CASE WHEN rn = ceil(0.5 * nn) THEN value END) AS p50_exact,
+             |    max(CASE WHEN rn = ceil(0.95 * nn) THEN value END) AS p95_exact,
+             |    max(CASE WHEN rn = ceil(0.99 * nn) THEN value END) AS p99_exact
+             |  FROM ranked GROUP BY 1)
+             |SELECT strftime(sk.day, '%Y-%m-%d') AS day, n,
+             |  p50_est, p50_exact, p95_est, p95_exact, p99_est, p99_exact,
+             |  (p50_est > p50_exact
+             |     AND p50_est - p50_exact <= p50_exact / 128.0 + 1.0 / 1048576.0
+             |   AND p95_est > p95_exact
+             |     AND p95_est - p95_exact <= p95_exact / 128.0 + 1.0 / 1048576.0
+             |   AND p99_est > p99_exact
+             |     AND p99_est - p99_exact <= p99_exact / 128.0 + 1.0 / 1048576.0)
+             |    AS within_bound
+             |FROM sk JOIN ex ON ex.day = sk.day
+             |ORDER BY day""".stripMargin)),
+
     // DAU/WAU stickiness: exact distinct counts over the day spine, one
     // integer division per day — the exact twin of the HLL window path
     Q("ev_stickiness",

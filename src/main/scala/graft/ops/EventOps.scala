@@ -623,6 +623,97 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Trailing-window percentiles for ARBITRARY-DOMAIN DOUBLES from merged
+    * daily [[graft.functions.HdrSketch]] sketches — the general answer
+    * where [[histQuantileWindow]]'s exact unit buckets only work because
+    * `events.value` happens to be bucketable at integer granularity.
+    * One corpus scan builds a per-day log-linear bucket sketch via the
+    * native `hdr_sketch` TypedImperativeAggregate (map-side partials merge
+    * by count addition — merge-order invariant, so 1 partition and 32
+    * partitions produce the identical sketch); each trailing window is
+    * then answered by summing bucket counts across the window's days —
+    * ~10³ integer rows per day regardless of event volume, the same
+    * register-merge algebra as [[hllRollingDistinct]] — and walking the
+    * cumulative histogram. The estimate is the covering bucket's UPPER
+    * edge in fixed-point, so
+    *
+    *     exact < est  ≤  exact·(1 + 2^−7) + 2^−20
+    *
+    * by construction; `within_bound` audits that inequality per day
+    * against the true rank-`ceil(q·n)` order statistic from raw events
+    * (the per-window rescan the sketch exists to avoid — a sampled check
+    * at production scale, the oracle anchor here). Every bucket op is
+    * integer arithmetic and every float op (fixed-point multiply, the
+    * final divisions, the bound comparison) is a single correctly-rounded
+    * IEEE op, so cross-engine determinism is structural.
+    */
+  def quantileSketchWindow(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    graft.functions.HdrSketch.register(events.sparkSession)
+    val scale = graft.functions.HdrSketch.Scale
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(expr("hdr_sketch(value)").as("sk"))
+    val days = daily.select(col("day")).distinct()
+    val merged = days.as("d").join(daily.as("r"),
+        col("r.day") <= col("d.day") &&
+          col("r.day") >= date_sub(col("d.day"), windowDays - 1))
+      .select(col("d.day").as("day"), explode(col("r.sk")).as("b"))
+      .groupBy(col("day"), col("b.edge").as("edge"))
+      .agg(sum(col("b.cnt")).as("c"))
+    // width derivable from the edge: the top bit survives truncation
+    // (expr form: the Scala shiftleft API only takes literal Int shifts)
+    val upper = col("edge") + when(col("edge") < 256L, lit(1L))
+      .otherwise(expr(
+        "shiftleft(CAST(1 AS BIGINT), length(conv(edge, 10, 2)) - 8)"))
+    val wCum = Window.partitionBy(col("day")).orderBy(col("edge"))
+    val wAll = Window.partitionBy(col("day"))
+    val cum = merged
+      .withColumn("upper", upper)
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    // upper edge of the first bucket whose cumulative count reaches the
+    // discrete rank; uppers are strictly increasing in edge (buckets tile
+    // disjointly), so min(upper | cum ≥ rank) IS the covering bucket's
+    def est(q: Double) = min(when(
+      col("cum") >= ceil(lit(q) * col("tot")), col("upper")))
+      .cast("double") / lit(scale.toDouble)
+    val sketch = cum.groupBy(col("day")).agg(
+      max(col("tot")).as("n"),
+      est(0.5).as("p50_est"),
+      est(0.95).as("p95_est"),
+      est(0.99).as("p99_est"))
+    // exact audit: the rank-ceil(q·n) order statistic over raw events
+    val ranked = days.as("d").join(
+        events.select(to_date(col("ts")).as("kday"), col("value"),
+          col("event_id")).as("e"),
+        col("e.kday") <= col("d.day") &&
+          col("e.kday") >= date_sub(col("d.day"), windowDays - 1))
+      .select(col("d.day").as("day"), col("value"), col("event_id"))
+    val wRank = Window.partitionBy(col("day"))
+      .orderBy(col("value"), col("event_id"))
+    val withRn = ranked
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(wAll))
+    def exactQ(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("nn")), col("value")))
+    val exact = withRn.groupBy(col("day")).agg(
+      exactQ(0.5).as("p50_exact"),
+      exactQ(0.95).as("p95_exact"),
+      exactQ(0.99).as("p99_exact"))
+    def inBound(est: Column, ex: Column): Column =
+      est > ex && (est - ex) <= ex / 128.0 + lit(1.0) / lit(scale.toDouble)
+    sketch.join(exact, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("p50_est"), col("p50_exact"),
+        col("p95_est"), col("p95_exact"),
+        col("p99_est"), col("p99_exact"),
+        (inBound(col("p50_est"), col("p50_exact")) &&
+          inBound(col("p95_est"), col("p95_exact")) &&
+          inBound(col("p99_est"), col("p99_exact"))).as("within_bound"))
+      .orderBy(col("day"))
+  }
+
   /** Funnel time-to-convert — the latency half of the funnel readout
     * ([[funnel]] counts WHO converts; this measures HOW LONG signup →
     * first subsequent purchase takes): per user the first signup and the

@@ -2284,12 +2284,14 @@ object SparkEntry {
              |  FROM rec r JOIN s sx ON sx.g = r.g AND sx.t = r.t + 1)
              |SELECT rec.g AS priority, CAST(mx.tmax AS INTEGER) AS n_obs, h.h,
              |  strftime(mx.last_month + to_months(h.h), '%Y-%m-%d') AS target_month,
-             |  floor((rec.l + h.h * rec.b + i2.s_cents / 1e8)
+             |  floor((rec.l + h.h * rec.b + coalesce(i2.s_cents, 0) / 1e8)
              |    * 1000000 + 0.5) / 1000000 AS forecast
              |FROM rec
              |JOIN mx ON mx.g = rec.g AND rec.t = mx.tmax
              |CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h) h
-             |JOIN idx i2 ON i2.g = rec.g
+             |-- LEFT + coalesce(0): mirrors the Spark side — a horizon month
+             |-- whose phase is absent from history still emits its row
+             |LEFT JOIN idx i2 ON i2.g = rec.g
              |  AND i2.phase = month(mx.last_month + to_months(h.h))
              |ORDER BY priority, h""".stripMargin)),
 
@@ -7972,7 +7974,7 @@ object SparkEntry {
              |    16 + (xor(m, m >> 13) % 224) AS base
              |  FROM (
              |    SELECT d.doc_id, r.r AS r, c.c AS c,
-             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
              |        + (r.r * 8 + c.c) * 40503 AS m
              |    FROM documents d,
              |      (SELECT unnest(range(8)) AS r) r,
@@ -8033,7 +8035,7 @@ object SparkEntry {
            |    16 + (xor(m, m >> 13) % 224) AS base
            |  FROM (
            |    SELECT d.doc_id, r.r AS r, c.c AS c,
-           |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+           |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
            |        + (r.r * 8 + c.c) * 40503 AS m
            |    FROM documents d,
            |      (SELECT unnest(range(8)) AS r) r,
@@ -8133,7 +8135,7 @@ object SparkEntry {
            |    16 + (xor(m, m >> 13) % 224) AS base
            |  FROM (
            |    SELECT d.doc_id, r.r AS r, c.c AS c,
-           |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+           |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
            |        + (r.r * 8 + c.c) * 40503 AS m
            |    FROM documents d,
            |      (SELECT unnest(range(8)) AS r) r,
@@ -8199,7 +8201,7 @@ object SparkEntry {
              |    16 + (xor(m, m >> 13) % 224) AS base
              |  FROM (
              |    SELECT d.doc_id, r.r AS r, c.c AS c,
-             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
              |        + (r.r * 8 + c.c) * 40503 AS m
              |    FROM documents d,
              |      (SELECT unnest(range(8)) AS r) r,
@@ -8249,7 +8251,7 @@ object SparkEntry {
              |    16 + (xor(m, m >> 13) % 224) AS base
              |  FROM (
              |    SELECT d.doc_id, r.r AS r, c.c AS c,
-             |      (d.doc_id - (d.doc_id % 2)) * 2654435761
+             |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
              |        + (r.r * 8 + c.c) * 40503 AS m
              |    FROM documents d,
              |      (SELECT unnest(range(8)) AS r) r,

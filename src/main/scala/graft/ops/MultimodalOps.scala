@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as BATCHED per-partition transforms.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives a deterministic fake feature vector
-  * from the payload bytes. Everything around it — the binary column, the
-  * metadata struct, the partition-wise batching shape (the exact structure a
-  * vectorized decoder needs: fixed-size batches per partition, no driver
-  * collection) — is real and tested, so swapping in a real codec is a
-  * one-function change.
+  * Stub/real split: FORMAT PARSING IS REAL — this file contains working
+  * header decoders for PNG/BMP/JPEG/GIF/WAV/MP4 containers, a full 24-bpp
+  * BMP encoder/decoder (bottom-up BGR pixel walk), aHash/dHash/pHash
+  * perceptual hashing over decoded pixels, and luminance/entropy pixel
+  * censuses. Only the CONTENT decode of codecs absent from this container
+  * (JPEG entropy-coded scans, audio samples, video frames) is stubbed:
+  * `decodeStub` derives a deterministic fake feature vector from payload
+  * bytes, behind the same batched per-partition shape a real vectorized
+  * codec call takes (fixed-size batches, no shuffle, no driver collection),
+  * so swapping in a real codec is a one-function change.
   */
 object MultimodalOps {
 
@@ -552,9 +555,17 @@ object MultimodalOps {
     * pair set went quadratic (measured 262 s / tens of millions of rows).
     * Distinct anchors now yield distinct patterns and the pair set scales
     * with the planted pairs.
+    *
+    * The anchor id is pre-reduced mod the prime 1000003 BEFORE the Knuth
+    * multiply (the bootstrap-LCG doctrine): the raw product wraps silently
+    * on the JVM but RAISES on int64 overflow in DuckDB for ids ≥ ~3.5e9 —
+    * a wrap-vs-raise divergence, not just a value mismatch. The reduction
+    * bounds distinct patterns to 1000003 anchor classes: collision-free
+    * for every shipped SF (sf1 ids ≪ 1e6) and documented here as the
+    * fixture's id-domain bound.
     */
   private[ops] def thumbPixel(d: Long, r: Int, c: Int): Int = {
-    val e = d - (d % 2)
+    val e = (d - (d % 2)) % 1000003L
     val pos = r * 8 + c
     val m = e * 2654435761L + pos * 40503L
     val base = (16 + ((m ^ (m >> 13)) % 224)).toInt

@@ -343,10 +343,15 @@ object EventStream {
     * IEEE sequence the batch fold and the DuckDB oracle use, so the
     * streamed (level, gain) match the batch twin BITWISE — asserted by the
     * spec, not approximated. Input contract: a streaming DataFrame with
-    * (g string, t long, x double); rows are sorted by t within each
-    * micro-batch (the [[milestones]] determinism contract), and emission
-    * is one row per input observation. Requires the RocksDB state store
-    * provider, like [[milestones]].
+    * (g string, t long, x double) where `t` is the 1-BASED OBSERVATION
+    * INDEX, contiguous per series ACROSS batches — stricter than the batch
+    * twin (which sorts arbitrary t retroactively) because a stream cannot
+    * re-sort history: each event must satisfy t == n+1 against the stored
+    * count or the processor raises (fail-loud, matching the batch twin's
+    * raise_error length guard), never silently corrupts the recursion.
+    * Rows are sorted by t within each micro-batch (the [[milestones]]
+    * determinism contract), and emission is one row per input observation.
+    * Requires the RocksDB state store provider, like [[milestones]].
     */
   def kalmanLevels(spark: SparkSession, series: DataFrame): DataFrame = {
     import spark.implicits._
@@ -379,6 +384,14 @@ class KalmanProcessor
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, Long, Double, Double)]
     rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
+      // fail-loud ordering contract ACROSS batches, matching the batch
+      // twin's raise_error length guard: sorting only fixes intra-batch
+      // order; an already-consumed index arriving in a later batch would
+      // silently corrupt the recursion instead
+      if (t != n + 1)
+        throw new IllegalStateException(
+          s"kalmanLevels: out-of-order index for series '$key': got t=$t, " +
+            s"expected ${n + 1} (indices must arrive 1,2,3,… across batches)")
       n += 1
       if (n == 1L) { l = x; p = 1.0; out += ((key, t, l, 0.0)) }
       else {

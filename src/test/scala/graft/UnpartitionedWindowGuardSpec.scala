@@ -58,27 +58,40 @@ class UnpartitionedWindowGuardSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  /** True when `plan` contains a bounding operator: a limit/TakeOrdered, or
-    * an aggregate grouped on a partition-id column (≤ shuffle.partitions
-    * rows by construction).
+  /** True when every row-flow path from `plan`'s leaves to the window is
+    * bounded: a limit/TakeOrdered, or an aggregate grouped on a
+    * partition-id column (≤ shuffle.partitions rows by construction).
+    *
+    * PATH-AWARE, not collectFirst-anywhere: a limit on ONE branch of a
+    * join must not whitelist a window whose other input is unbounded (the
+    * r13 advisor's vacuous-pass case) — so a multi-child node (join,
+    * union) is bounding only when EVERY child branch is itself bounded
+    * (the output of a join/cross/union of bounded inputs is bounded),
+    * a unary node defers to its child, and a leaf scan is unbounded.
     */
   private def hasBoundingOp(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    // bounded-by-construction grouping keys: a partition-id column
+    // (≤ shuffle.partitions rows) or a decile bucket (≤ 10 rows)
     def pidGrouped(as: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
-      as.nonEmpty && as.forall(_.name.toLowerCase.contains("pid"))
-    // walk cached/checkpointed subplans too: globalRank pins its range
-    // layout with localCheckpoint, so the bounding agg may hide behind an
+      as.nonEmpty && as.forall(a => a.name.toLowerCase.contains("pid")
+        || a.name.toLowerCase.contains("decile"))
+    // cached/checkpointed subplans: globalRank pins its range layout with
+    // localCheckpoint, so a bounding agg may hide behind an
     // InMemoryTableScan/LogicalRDD boundary — but the AGGREGATE itself is
-    // always in the visible tree (it runs on the checkpointed frame).
-    plan.collectFirst {
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
-      case _: org.apache.spark.sql.execution.LocalLimitExec => ()
-      case _: org.apache.spark.sql.execution.CollectLimitExec => ()
+    // always in the visible tree (it runs on the checkpointed frame), so
+    // an opaque leaf is treated as unbounded without losing the real cases.
+    plan match {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-          if pidGrouped(a.groupingExpressions) => ()
+          if pidGrouped(a.groupingExpressions) => true
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
-          if pidGrouped(a.groupingExpressions) => ()
-    }.isDefined
+          if pidGrouped(a.groupingExpressions) => true
+      case p if p.children.isEmpty => false
+      case p => p.children.forall(hasBoundingOp)
+    }
   }
 
   for (q <- Seq("txt_oov_rate", "txt_zipf", "rel_lorenz_deciles",

@@ -179,6 +179,39 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("holt-winters short history: horizons with unseen calendar phases still emit rows") {
+    import spark.implicits._
+    // 3 months of history (phases 1..3); 6 horizons land on phases 4..9 —
+    // none in history, so every forecast row must still appear with a
+    // 0-coalesced seasonal index (an inner seasonal join would drop all 6)
+    val xs = Seq(100.0, 120.0, 115.0)
+    val df = xs.zipWithIndex.map { case (p, i) =>
+      ("1-URGENT", java.sql.Date.valueOf(f"2024-${i + 1}%02d-01"), p)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = TimeSeriesOps.holtWintersForecast(df)
+      .collect().map(r => (r.getInt(r.fieldIndex("h")),
+        (r.getString(r.fieldIndex("target_month")),
+          r.getDouble(r.fieldIndex("forecast"))))).toMap
+    assert(got.size === 6, s"expected all 6 horizons, got ${got.keySet}")
+    assert(got(1)._1 === "2024-04-01" && got(6)._1 === "2024-09-01")
+    // driver-side reference: seasonal index per phase (pn=1, on=3), the
+    // deseasonalized holt recursion, zero seasonal on the unseen phases
+    val cents = xs.map(p => math.round(p * 100))
+    val overall = cents.sum.toDouble / 3.0
+    val adj = cents.map(c => (c.toDouble - (c.toDouble - overall)) / 1e8)
+    var (l, b) = (adj(0), adj(1) - adj(0))
+    adj.drop(1).foreach { x =>
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      l = l2
+    }
+    (1 to 6).foreach { h =>
+      val want = math.floor((l + h * b) * 1e6 + 0.5) / 1e6
+      assert(math.abs(got(h)._2 - want) < 1e-9,
+        s"h=$h got=${got(h)._2} want=$want")
+    }
+  }
+
   test("holt guard: a series past maxLen fails loudly, not by dropping terms") {
     import spark.implicits._
     val df = (0 until 8).map { i =>

@@ -489,4 +489,35 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming Kalman raises on a cross-batch index regression, never corrupts silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = EventStream.kalmanLevels(spark, mem.toDF().toDF("g", "t", "x"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_kal_guard").start()
+      try {
+        // batch 1 consumes t=1,2; batch 2 replays t=2 — an intra-batch sort
+        // cannot fix this, only the stored-count check can catch it
+        mem.addData(("A", 1L, 1.0), ("A", 2L, 2.0)); q.processAllAvailable()
+        mem.addData(("A", 2L, 9.0))
+        val ex = intercept[Exception](q.processAllAvailable())
+        def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+          .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(ex).exists(m => m.contains("out-of-order index")
+          && m.contains("expected 3")), msgs(ex).mkString("; "))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -703,13 +703,34 @@ object VectorOps {
     * pays by definition. The per-10× coefficient is quadratic BY CONTRACT
     * when block sizes grow with the corpus — production corpora must feed
     * bounded blocks (LSH buckets), at which point this is linear in pairs.
+    *
+    * The bounded-block contract is ENFORCED IN-PLAN, not just documented
+    * (the r13 verdict's "detonates silently at 100×" finding): a
+    * label-count aggregate (column-pruned, metadata-sized) rides a
+    * broadcast onto the scan, and `assert_true(block_n ≤ maxBlock)` fails
+    * the job in the first stage — seconds — the moment any block exceeds
+    * the cap, instead of running quadratically for a week. On conforming
+    * data the guard is algebraically transparent (assert_true yields NULL,
+    * coalesce adds 0.0 to the norm), so hashes are unchanged at every SF.
+    * Oversized corpora route through the candidate generators the error
+    * message names ([[annLsh]] / [[semanticDedup]] cells), or raise
+    * `maxBlock` deliberately.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
-                         idBuckets: Int = 8): DataFrame = {
+                         idBuckets: Int = 8, maxBlock: Int = 16384): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
-    val prepped = emb.select(col("label"), col("vec_id"), col("embedding"),
-      sqrt(call_function("dot_product", col("embedding"), col("embedding")))
-        .as("nrm"),
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("block_n"))
+    val prepped = emb.join(broadcast(sizes), Seq("label"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+      (sqrt(call_function("dot_product", col("embedding"), col("embedding")))
+        + coalesce(assert_true(col("block_n") <= maxBlock,
+            concat(lit("cosineNearDupPairs: label block '"), col("label"),
+              lit("' holds "), col("block_n").cast("string"),
+              lit(s" vectors > maxBlock=$maxBlock — the exact all-pairs " +
+                "contract is quadratic per block; feed bounded blocks " +
+                "(annLsh / semanticDedup cells) or raise maxBlock " +
+                "deliberately"))),
+          lit(0.0))).as("nrm"),
       (col("vec_id") % idBuckets).cast("int").as("g"))
     val a = prepped.select(col("label"), col("g").as("p"),
       explode(expr(s"sequence(g, ${idBuckets - 1})")).as("q"),

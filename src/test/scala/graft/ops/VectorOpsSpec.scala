@@ -565,6 +565,28 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("cosine dedup bounded-block contract: an oversized block raises in-plan, conforming data is untouched") {
+    // the sf0.001 fixture's largest label block exceeds 3, so maxBlock=3
+    // must fail LOUDLY (the r13 'detonates silently at 100x' enforcement)
+    val ex = intercept[Exception] {
+      VectorOps.cosineNearDupPairs(emb, 0.45, maxBlock = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("cosineNearDupPairs")
+      && m.contains("maxBlock=3") && m.contains("annLsh")),
+      msgs(ex).mkString("; "))
+    // on conforming data the guard is algebraically transparent: the
+    // default-cap result matches an effectively-uncapped run row-for-row
+    val twins = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val withCap = VectorOps.cosineNearDupPairs(emb.unionByName(twins), 0.45)
+      .collect().toSeq
+    val noCap = VectorOps.cosineNearDupPairs(emb.unionByName(twins), 0.45,
+      maxBlock = Int.MaxValue).collect().toSeq
+    assert(withCap == noCap && withCap.nonEmpty)
+  }
+
   test("MRR audit: agrees with the recall audit; full recall forces a rank-1 hit") {
     val mrr = VectorOps.annMrrAudit(emb).collect()
       .map(r => r.getLong(0) ->

@@ -644,28 +644,39 @@ object TextOps {
   }
 
   /** Sequence packing for training (concatenate-and-cut): tokens laid out in
-    * doc_id order and cut into fixed `budget`-token sequences; per document,
-    * which sequences it lands in (documents straddle boundaries — the
-    * standard pretraining packing). The cumulative count is one running-sum
-    * window; all arithmetic is exact integer division. NOTE: the global
-    * order here makes the result oracle-checkable; a 100 TB pipeline packs
-    * per shard with exactly this query per partition (the window gains a
-    * partitionBy(shard) and nothing else changes).
+    * doc_id order WITHIN EACH SHARD and cut into fixed `budget`-token
+    * sequences; per document, which of its shard's sequences it lands in
+    * (documents straddle boundaries — the standard pretraining packing).
+    * The cumulative count is one running-sum window partitioned by shard;
+    * all arithmetic is exact integer division. This sharded signature IS
+    * the production shape — a 100 TB pipeline packs each shard
+    * independently (sequence ids are shard-local, exactly how training
+    * shards are consumed), so the window never funnels the corpus through
+    * one task. The 2-arg overload is the DEGENERATE single-shard case kept
+    * for the oracle (`txt_pack_sequences`), expressed through this same
+    * window — not a separate unpartitioned code path.
     */
-  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
-    // bounded: oracle-form global order (scaladoc NOTE) — production packs
-    // per shard; the window gains partitionBy(shard) and nothing else changes
-    val w = Window.orderBy(col("doc_id"))
+  def packSequences(docs: DataFrame, budget: Int, shard: Column): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
+      .withColumn("shard", shard)
       .withColumn("n_tokens", size(tokens(col("text"))))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("first_seq"),
         expr(s"(cum - 1) div $budget").as("last_seq"))
       .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1)
-      .orderBy(col("doc_id"))
+      .orderBy(col("shard"), col("doc_id"))
   }
+
+  /** Oracle-form global packing: the single-shard degenerate case of the
+    * sharded primary API above (one constant shard ⇒ one window partition
+    * — bounded by that contract, and only acceptable because the oracle
+    * needs a corpus-global sequence numbering to be SQL-expressible).
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame =
+    packSequences(docs, budget, lit(0)).drop("shard")
 
   /** Deterministic hash-based train/val/test split + per-split stats: bucket
     * = first 32 bits of md5(doc_id) mod 100, so the assignment is stable

@@ -141,6 +141,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(3L) == (1L, 1L, 1L))
   }
 
+  test("sharded packing == oracle form per shard, and its plan has no unpartitioned window") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = (1L to 30L).map(i => (i, words(100 + (i % 7).toInt * 60),
+      s"src${i % 3}")).toDF("doc_id", "text", "source")
+    val sharded = TextOps.packSequences(df, 512, col("source"))
+    // per-shard identity: the sharded result restricted to one shard is
+    // exactly the oracle-form (global) packer run on that shard alone
+    (0 to 2).foreach { s =>
+      val got = sharded.filter(col("shard") === s"src$s").drop("shard")
+        .collect().map(_.toSeq).toSeq
+      val want = TextOps.packSequences(df.filter(col("source") === s"src$s"), 512)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"shard src$s diverges from the oracle form")
+    }
+    // plan guard: the production shape must never funnel through one task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unpart = sharded.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty, "sharded packSequences has an unpartitioned window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hash split: deterministic, complete, and roughly proportioned") {
     val docs = (1L to 1000L).map(i => (i, "x", "en", i))
       .toDF("doc_id", "text", "lang", "n_chars")

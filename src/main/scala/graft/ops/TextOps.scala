@@ -252,22 +252,51 @@ object TextOps {
     * exchange never carries strings: pass 1 explodes the native
     * `shingle_hashes` (per-doc distinct ⇒ plain count == doc frequency) and
     * aggregates 8-byte keys; only hashes meeting `minDocs` qualify — the
-    * boilerplate set, tiny relative to the corpus. Pass 2 re-derives the
-    * string shingles and joins the (count-gated broadcast) qualifier set on
-    * `hash61(ngram)`, so the only strings that ever shuffle are qualifying
-    * n-grams. Counts are exact modulo 61-bit hash collisions (P ≈ n²/2⁶² —
-    * the documented contract of the whole hash family).
+    * boilerplate set. Because only the TOP-K by doc count can survive the
+    * final limit, the qualifier set is then cut at the k-th-largest count
+    * `c_k` (one TakeOrdered over the hash counts + a 1-row broadcast): any
+    * hash with `n_docs < c_k` cannot outrank the k hashes already at or
+    * above it, so dropping them is EXACT, and the candidate set shrinks
+    * from |boilerplate| to ~k + boundary ties. The r13 sf1 graduation
+    * measured why this matters: the raw qualifier set outgrew the 1M
+    * broadcast gate (7.4× wall at 10× data — pass 2 degraded to a second
+    * corpus-wide shuffle); the boundary cut keeps the broadcast-filter
+    * path at any corpus size that has ≥k repeated n-grams above the tie
+    * floor. Pass 2 re-derives the string shingles and joins the
+    * (count-gated broadcast) candidate set on `hash61(ngram)`, so the
+    * only strings that ever shuffle are candidate n-grams. Counts are
+    * exact modulo 61-bit hash collisions (P ≈ n²/2⁶² — the documented
+    * contract of the whole hash family).
     */
   def crossDocNgrams(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
                      k: Int = 20,
                      maxBroadcastQualifiers: Long = 1000000L): DataFrame = {
     graft.functions.MinHashFunctions.register(docs.sparkSession)
     val base = docs.withColumn("toks", tokens(col("text")))
-    val qualifying = Exec.broadcastIfSmall(
-      base.select(explode(expr(s"shingle_hashes(toks, $n)")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= minDocs),
-      maxBroadcastQualifiers)
+    // pinned: read by the gate count, then by the pass-2 join — and when
+    // the boundary cut kicks in, by its probe and filter too
+    val counts = base
+      .select(explode(expr(s"shingle_hashes(toks, $n)")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .persist()
+    // ADAPTIVE boundary cut: below the gate the raw set broadcasts as-is
+    // (the cut would be pure overhead); past it, cut at c_k instead of
+    // degrading to a corpus-wide string shuffle
+    val qualifying =
+      if (counts.count() <= maxBroadcastQualifiers) broadcast(counts)
+      else {
+        // k-th-largest count (TakeOrdered: per-partition top-k, k-row
+        // merge over the CACHED counts); empty-corpus degenerate: min over
+        // no rows is null, the filter drops all
+        val ck = counts.orderBy(col("n_docs").desc).limit(k)
+          .agg(min(col("n_docs")).as("ck"))
+        Exec.broadcastIfSmall(
+          counts.crossJoin(broadcast(ck))
+            .filter(col("n_docs") >= col("ck"))
+            .select(col("h"), col("n_docs")),
+          maxBroadcastQualifiers)
+      }
     // pass 2 re-derives string shingles row-at-a-time (transient, CPU-only —
     // they are broadcast-filtered against the qualifier set BEFORE the first
     // exchange, so corpus-scale strings never shuffle). Measured note: slicing

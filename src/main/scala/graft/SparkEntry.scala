@@ -5314,6 +5314,31 @@ object SparkEntry {
               |FROM pt p JOIN ranked r ON r.dim = p.dim AND r.token = p.token
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // fastText-style linear quality classifier: hashed unigram+bigram
+    // features, integer fixture weights replayed by the oracle, exact-long
+    // margin numerator (order-invariant), one final division; keep = num>=0
+    Q("txt_quality_classifier",
+      (s, d) => TextOps.qualityClassifier(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+              |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+              |g AS (SELECT doc_id,
+              |    list_concat(toks,
+              |      CASE WHEN len(toks) >= 2
+              |        THEN list_transform(range(1, len(toks)),
+              |               i -> toks[i] || ' ' || toks[i + 1])
+              |        ELSE CAST([] AS VARCHAR[]) END) AS grams
+              |  FROM f),
+              |s AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+              |    CAST(list_sum(list_transform(grams,
+              |      x -> (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 64 + 1)
+              |             * 2654435761 % 997 - 498)) AS BIGINT) AS num
+              |  FROM g)
+              |SELECT doc_id, n_grams,
+              |  CAST(num AS DOUBLE)
+              |    / (997::DOUBLE * CAST(n_grams AS DOUBLE)) AS margin,
+              |  num >= 0 AS keep
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram cross-entropy per doc: exact-integer
     // model counts (c_ab, c_a, N1+ fwd/back/total), one mirrored
     // arithmetic expression, -ln summed per doc

@@ -549,6 +549,59 @@ object TextOps {
       .orderBy(col("dim"))
   }
 
+  /** fastText-style LINEAR QUALITY CLASSIFIER inference — the model-based
+    * member the heuristic filter battery (Gopher, C4, surprisal, KN
+    * perplexity) lacks: score = Σ w[h(gram)] over the document's hashed
+    * unigrams + bigrams, normalized by gram count, thresholded at 0.
+    * This is exactly the FineWeb-edu / fastText serving shape: the weight
+    * vector ships WITH THE PLAN as a literal array (the broadcast-weights
+    * architecture — swap in trained weights via the `weights` parameter
+    * and nothing else changes), features come from the same stateless
+    * md5-prefix hashing trick [[featureHashing]] audits, and inference is
+    * a ROW-LOCAL codegen fold — zero shuffle, scan-speed at any corpus
+    * size, the property that makes classifier filtering affordable at
+    * 100 TB where a join-against-vocabulary model is not.
+    *
+    * Determinism by integer construction: weights are integers (the
+    * deterministic fixture derives w_d = ((d+1)·2654435761 mod 997) − 498,
+    * which the oracle replays), the fold accumulates an exact long (
+    * order-invariant, unlike a float dot product), and the only float op
+    * is the final single division — correctly-rounded IEEE on both
+    * engines. `keep` compares the INTEGER numerator against 0.
+    */
+  def qualityClassifier(docs: DataFrame, dims: Int = 64,
+                        weights: Seq[Long] = Nil): DataFrame = {
+    val w =
+      if (weights.nonEmpty) weights
+      else (0 until dims).map(d => ((d + 1).toLong * 2654435761L) % 997L - 498L)
+    require(w.length == dims,
+      s"qualityClassifier: got ${w.length} weights for $dims dimensions")
+    val wArr = w.mkString("array(", "L, ", "L)")
+    def wOf(g: String) =
+      s"element_at($wArr, CAST(CAST(conv(substring(md5($g), 1, 8), 16, 10) " +
+        s"AS BIGINT) % $dims AS INT) + 1)"
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("uni_num", expr(
+        s"aggregate(transform(toks, t -> ${wOf("t")}), 0L, (a, v) -> a + v)"))
+      // sequence(0, -1) would DESCEND, not empty — guard the 1-token doc
+      .withColumn("bi_num", expr(
+        s"""IF(size(toks) >= 2,
+           |   aggregate(transform(sequence(0, size(toks) - 2),
+           |       i -> ${wOf("concat(toks[i], ' ', toks[i + 1])")}),
+           |     0L, (a, v) -> a + v),
+           |   0L)""".stripMargin))
+      .withColumn("num", col("uni_num") + col("bi_num"))
+      .withColumn("n_grams",
+        (size(col("toks")) * 2 - 1).cast("long"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("num").cast("double")
+          / (lit(997.0) * col("n_grams").cast("double"))).as("margin"),
+        (col("num") >= 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy per document — the
     * smoothed-LM quality filter (CCNet-style) done with the actual KN
     * estimator instead of raw MLE: the discount δ moves mass from seen

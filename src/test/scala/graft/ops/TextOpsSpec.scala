@@ -166,6 +166,48 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("quality classifier: hand-computed margins, custom weights, zero shuffle") {
+    import java.security.MessageDigest
+    def dim(g: String): Int = {
+      val hex = MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    def wFix(d: Int): Long = ((d + 1).toLong * 2654435761L) % 997L - 498L
+    val df = Seq((1L, "the cat sat"), (2L, "solo"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityClassifier(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // doc 1: unigrams the/cat/sat + bigrams "the cat"/"cat sat" → 5 grams
+    val g1 = Seq("the", "cat", "sat", "the cat", "cat sat")
+    val num1 = g1.map(g => wFix(dim(g))).sum
+    assert(got(1L)._1 == 5L)
+    assert(got(1L)._2 == num1.toDouble / (997.0 * 5.0), s"got ${got(1L)}")
+    assert(got(1L)._3 == (num1 >= 0))
+    // doc 2: one token, no bigram — n_grams = 1 (the sequence() guard)
+    assert(got(2L)._1 == 1L)
+    assert(got(2L)._2 == wFix(dim("solo")).toDouble / 997.0)
+    // doc 3: repeated token counts twice (tf, not distinct)
+    val num3 = 2 * wFix(dim("a")) + wFix(dim("a a"))
+    assert(got(3L)._1 == 3L && got(3L)._2 == num3.toDouble / (997.0 * 3.0))
+    // custom-weights path: all-positive weights force keep on every doc
+    val allPos = TextOps.qualityClassifier(df, weights = Seq.fill(64)(7L))
+      .collect()
+    assert(allPos.forall(_.getBoolean(3)))
+    assert(allPos.map(r => r.getDouble(2)).forall(_ == 7.0 / 997.0),
+      "uniform weights must give the same normalized margin for every doc")
+    // the serving shape is a row-local fold: no exchange anywhere
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = TextOps.qualityClassifier(df).queryExecution.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      // one final orderBy is allowed to range-shuffle; nothing else may
+      assert(exchanges.size <= 1,
+        s"classifier inference must be map-side: ${exchanges.size} shuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hash split: deterministic, complete, and roughly proportioned") {
     val docs = (1L to 1000L).map(i => (i, "x", "en", i))
       .toDF("doc_id", "text", "lang", "n_chars")

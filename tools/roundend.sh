@@ -7,21 +7,34 @@
 #   3. MicroBench warm-median perf gate vs the committed MICROBENCH.json
 #      (>1.3x warm regression on any tracked query fails; pass --update
 #      via UPDATE_PERF=1 to refresh the artifact after it passes)
+#   4. driver-artifact hygiene: every BENCH_*/CORRECTNESS_*/LEAKCHECK/
+#      COPYCHECK/MICROBENCH artifact must be committed (untracked round
+#      artifacts were an r12 AND r13 verdict item — this makes it a gate)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/3 sbt test =="
+echo "== 1/4 sbt test =="
 sbt -batch test
 
-echo "== 2/3 correctness gate (sf0.01) =="
+echo "== 2/4 correctness gate (sf0.01) =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/roundend_verify"
 python3 tools/selfcheck.py /tmp/roundend_verify /root/testdata/sf0.01
 
-echo "== 3/3 perf gate (warm medians, sf0.1) =="
+echo "== 3/4 perf gate (warm medians, sf0.1) =="
 if [[ "${UPDATE_PERF:-0}" == "1" ]]; then
   sbt -batch "runMain graft.MicroBench --gate --update"
 else
   sbt -batch "runMain graft.MicroBench --gate"
+fi
+
+echo "== 4/4 driver-artifact hygiene =="
+dirty="$(git status --porcelain -- 'BENCH_*.json' 'CORRECTNESS_*.json' \
+  'LEAKCHECK.json' 'COPYCHECK.json' 'MICROBENCH.json' 'BASELINE.md' \
+  'PROGRESS.jsonl')"
+if [[ -n "$dirty" ]]; then
+  echo "untracked/modified driver artifacts — commit them before round end:"
+  echo "$dirty"
+  exit 1
 fi
 
 echo "round-end gate: ALL GREEN"

@@ -333,6 +333,37 @@ object EventStream {
       .toDF("bkt", "cnt")
   }
 
+  /** STREAMING HDR-sketch quantiles — the streaming twin of
+    * `EventOps.quantileSketchWindow`'s daily `hdr_sketch` aggregate, for
+    * ARBITRARY-DOMAIN doubles where [[histBuckets]]' unit buckets assume a
+    * bucketable integer domain: the log-linear bucket edge is computed
+    * MAP-SIDE with the same pure-integer formula the batch aggregate and
+    * the DuckDB oracle use (fixed-point 2^20, top-8-significant-bit
+    * truncation via conv/shifts), then counts maintain incrementally under
+    * `transformWithState` keyed BY EDGE — the whole quantile state is
+    * ≤ ~10³ rows regardless of stream length or value cardinality, and
+    * counts are associative/commutative adds, so the latest emission per
+    * edge equals the batch sketch EXACTLY (the spec asserts bucket-map
+    * equality and recovers p50/p95/p99 by the same cumulative walk).
+    * Negative values raise in-plan (the batch twin's domain contract).
+    * The processor IS [[HistBucketProcessor]] — same count algebra,
+    * different key derivation. Requires the RocksDB state store provider.
+    */
+  def hdrBuckets(spark: SparkSession, valued: DataFrame): DataFrame = {
+    import spark.implicits._
+    valued
+      .selectExpr("CASE WHEN value < 0.0 THEN CAST(raise_error(" +
+        "'hdrBuckets: negative input (domain is non-negative reals)') " +
+        "AS BIGINT) ELSE CAST(floor(value * 1048576.0) AS BIGINT) END AS v")
+      .selectExpr("CASE WHEN v < 256 THEN v ELSE shiftleft(shiftright(v, " +
+        "length(conv(v, 10, 2)) - 8), length(conv(v, 10, 2)) - 8) END AS edge")
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new HistBucketProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("edge", "cnt")
+  }
+
   /** STREAMING 1-D Kalman filter — the streaming twin of
     * `TimeSeriesOps.kalmanStates` (same local-level model, Q=0.25, R=1):
     * per series key, a `ValueState[(Long, Double, Double)]` holding

@@ -420,6 +420,67 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming HDR sketch equals the batch hdr_sketch; p95 within the relative bound; negatives raise") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val values = batchEvents.select(col("value")).as[Double].collect().toSeq
+      val (b1, b2) = values.splitAt(values.length / 2)
+      val mem = MemoryStream[Double]
+      val q = EventStream.hdrBuckets(spark, mem.toDF().toDF("value"))
+        .writeStream.outputMode("append").format("memory").queryName("t_hdr").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_hdr").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // bucket-map equality against the native batch aggregate, bit-for-bit
+      graft.functions.HdrSketch.register(spark)
+      val batch = batchEvents.agg(expr("hdr_sketch(value)").as("sk"))
+        .select(explode(col("sk")).as("b"))
+        .select(col("b.edge"), col("b.cnt")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch,
+        s"sketch drift: ${(streamed.toSet diff batch.toSet).take(3)}")
+      // state bounded by bucket count (log-linear: ~10^3 at most)
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == batch.size && batch.size < 1500)
+      // p95 from the streamed sketch obeys exact < est <= exact(1+2^-7)+2^-20
+      val n = values.length
+      val target = math.ceil(0.95 * n).toLong
+      var cum = 0L
+      val p95est = streamed.toSeq.sortBy(_._1).collectFirst {
+        case (e, c) if { cum += c; cum >= target } =>
+          e + graft.functions.HdrSketch.bucketWidth(e)
+      }.get.toDouble / 1048576.0
+      val exact = values.sorted.apply((target - 1).toInt)
+      assert(p95est > exact && p95est <= exact * (1 + 1.0 / 128) + 1.0 / 1048576.0,
+        s"p95 est $p95est vs exact $exact")
+      q.stop()
+      // domain contract: a negative value fails the micro-batch loudly
+      val mem2 = MemoryStream[Double]
+      val q2 = EventStream.hdrBuckets(spark, mem2.toDF().toDF("value"))
+        .writeStream.outputMode("append").format("memory").queryName("t_hdr_neg").start()
+      try {
+        mem2.addData(-1.5)
+        val ex = intercept[Exception](q2.processAllAvailable())
+        def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+          .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(ex).exists(_.contains("negative input")), msgs(ex).take(3))
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
     import spark.implicits._
     val dim = batchEvents.select(col("user_id")).distinct()

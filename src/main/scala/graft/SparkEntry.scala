@@ -6542,6 +6542,62 @@ object SparkEntry {
               |  ON te.query_id = th.query_id AND te.vec_id = th.vec_id
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // scalar int8 quantization: per-dim min/max affine codes (floor-half-up
+    // quantizer — engine-exact), exact-long dot retrieval, recall vs the
+    // exact-cosine top-k; the 4x-memory production rung beside 1-bit and PQ
+    Q("vec_int8_quant",
+      (s, d) => VectorOps.int8QuantRecall(embeddings(s, d), maxQueryId = 8, k = 5),
+      Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |f AS (SELECT vec_id, CAST(unnest(range(64)) AS INTEGER) AS pos,
+              |    unnest(v) AS x FROM e),
+              |rng AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM f GROUP BY 1),
+              |rl AS (SELECT list(lo ORDER BY pos) AS lo,
+              |    list(hi ORDER BY pos) AS hi FROM rng),
+              |codes AS (
+              |  SELECT vec_id,
+              |    list_transform(range(0, 64), d ->
+              |      CASE WHEN hi[d + 1] = lo[d + 1] THEN 0::BIGINT
+              |        ELSE CAST(floor((v[d + 1] - lo[d + 1])
+              |               / (hi[d + 1] - lo[d + 1]) * 254.0 + 0.5)
+              |             AS BIGINT) - 127 END) AS c
+              |  FROM e CROSS JOIN rl),
+              |q AS (SELECT vec_id AS query_id, c AS qc FROM codes
+              |  WHERE vec_id < 8),
+              |pairs AS (
+              |  SELECT q.query_id, p.vec_id,
+              |    CAST(list_sum(list_transform(range(1, 65),
+              |      i -> c[i] * qc[i])) AS BIGINT) AS dot
+              |  FROM codes p JOIN q ON p.vec_id <> q.query_id),
+              |topq AS (
+              |  SELECT query_id, vec_id, dot, rn FROM (
+              |    SELECT query_id, vec_id, dot, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+              |    FROM pairs) WHERE rn <= 5),
+              |n AS (SELECT vec_id, v,
+              |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |qe AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+              |  WHERE vec_id < 8),
+              |cpairs AS (
+              |  SELECT qe.query_id, n.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |           / (qn * n.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM qe JOIN n ON n.vec_id <> qe.query_id),
+              |topex AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM cpairs) WHERE rn <= 5)
+              |SELECT tq.query_id,
+              |  CAST(sum(CASE WHEN te.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_hits,
+              |  CAST(sum(CASE WHEN te.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / CAST(5 AS DOUBLE) AS recall,
+              |  min(CASE WHEN rn = 1 THEN tq.vec_id END) AS top1_id,
+              |  max(dot) AS top1_dot
+              |FROM topq tq LEFT JOIN topex te
+              |  ON te.query_id = tq.query_id AND te.vec_id = tq.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("vec_centroids",
       (s, d) => VectorOps.centroidTable(embeddings(s, d)),
       Some(s"""SELECT label, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c

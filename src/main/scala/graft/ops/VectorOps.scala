@@ -160,6 +160,69 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Scalar INT8 quantization + recall audit — the third rung of the
+    * memory-compression ladder beside [[binaryQuantRecall]] (1 bit/dim)
+    * and PQ (codes): per-dimension min/max affine quantization to
+    * [−127, 127], the standard production trick that shrinks a float32
+    * embedding store 4× while keeping dot-product retrieval integer-exact
+    * and SIMD-shaped. Plan: ONE tiny posexplode aggregate produces the
+    * 64-entry lo/hi arrays (broadcast — the corpus never shuffles), codes
+    * are a row-local transform, scoring is an exact-long zip_with dot
+    * product against the broadcast query codes, top-k is the standard
+    * per-query rank window, and recall audits against the exact-cosine
+    * top-k ([[knnBruteForce]]), same contract as the binary audit.
+    *
+    * Determinism: the quantizer is floor((x−lo)/(hi−lo)·254 + 0.5) − 127 —
+    * every step one correctly-rounded IEEE op, so codes are engine-exact
+    * (the repo's floor-half-up doctrine; `round()` would tie-split across
+    * engines); degenerate hi==lo dimensions code to 0; dots are exact
+    * int64 (≤ 64·127² per pair).
+    */
+  def int8QuantRecall(emb: DataFrame, maxQueryId: Int = 8, k: Int = 5): DataFrame = {
+    val rng = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)")
+          .as("lo"),
+        expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)")
+          .as("hi"))
+    val codes = expr(
+      """transform(sequence(0, size(v) - 1), d ->
+        |  IF(element_at(hi, d + 1) = element_at(lo, d + 1), 0L,
+        |     CAST(floor((element_at(v, d + 1) - element_at(lo, d + 1))
+        |            / (element_at(hi, d + 1) - element_at(lo, d + 1))
+        |            * 254.0 + 0.5) AS BIGINT) - 127))""".stripMargin)
+    val packed = emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(rng))
+      .select(col("vec_id"), codes.as("c"))
+    val queries = packed.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("c").as("qc"))
+    val scored = packed
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(c, qc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val topQ = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("dot"), col("rank"))
+    val topExact = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"))
+    topQ.join(topExact.withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        min(when(col("rank") === 1, col("vec_id"))).as("top1_id"),
+        max(col("dot")).as("top1_dot"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+      .select(col("query_id"), col("n_hits"), col("recall"),
+        col("top1_id"), col("top1_dot"))
+      .orderBy(col("query_id"))
+  }
+
   /** Maximal Marginal Relevance re-ranking — the diversity-aware final
     * stage of a retrieval pipeline: greedily pick k results maximizing
     * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so the second pick is

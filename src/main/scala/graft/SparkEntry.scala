@@ -8000,6 +8000,41 @@ object SparkEntry {
     // parameters only by parsing the bytes back; the oracle replays the
     // doc_id arithmetic. src0–src9 (4-char sources) are WAV; the rest pin
     // the opaque fallback.
+    // signal-level audio census over REAL PCM16 bytes: RIFF chunk walk to
+    // the data chunk + LE-int16 sample walk; exact-integer peak/clip/zero-
+    // crossings, rms = two correctly-rounded IEEE ops on an exact-long sum
+    Q("mm_audio_pcm_census",
+      (s, d) => MultimodalOps.pcmCensus(documents(s, d))
+        .toDF().orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 1000003 AS e,
+             |    CAST(doc_id % 200 + 16 AS INTEGER) AS n
+             |  FROM documents WHERE length(source) = 4),
+             |idx AS (SELECT doc_id, e, n, unnest(range(n)) AS i FROM d),
+             |s AS (SELECT doc_id, n, i,
+             |    CASE WHEN i % 37 = 0 THEN 32767
+             |      ELSE CAST(xor(e * 2654435761 + i * 40503,
+             |             (e * 2654435761 + i * 40503) >> 13) % 60000 - 30000
+             |           AS INTEGER)
+             |    END AS smp
+             |  FROM idx),
+             |w AS (SELECT doc_id, n, i, smp,
+             |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             |  FROM s),
+             |a AS (SELECT doc_id,
+             |    CAST(max(n) AS BIGINT) AS n_samples,
+             |    CAST(max(abs(smp)) AS INTEGER) AS peak,
+             |    CAST(sum(CASE WHEN abs(smp) >= 32767 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_clip,
+             |    CAST(sum(CASE WHEN prev IS NOT NULL
+             |        AND ((smp < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS zero_cross,
+             |    CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS sum_sq
+             |  FROM w GROUP BY 1)
+             |SELECT doc_id, n_samples, peak, n_clip, zero_cross,
+             |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     Q("mm_audio_meta",
       (s, d) => MultimodalOps.decodeAudioMeta(
           MultimodalOps.attachWavHeader(documents(s, d)))

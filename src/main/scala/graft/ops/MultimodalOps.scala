@@ -410,6 +410,142 @@ object MultimodalOps {
     } else ("wav", None, None, None, None, None)
   }
 
+  /** Deterministic PCM16 sample for the audio fixture: the [[thumbPixel]]
+    * doctrine applied to audio — anchor id pre-reduced mod 1000003 (the
+    * wrap-vs-raise bound), Knuth multiply + xor-shift mix, mapped into
+    * [−30000, 29999], with a PLANTED full-scale 32767 sample every 37th
+    * frame so the clipping census has known ground truth. The oracle
+    * replays exactly this formula.
+    */
+  private[ops] def pcmSample(d: Long, i: Int): Int = {
+    if (i % 37 == 0) 32767
+    else {
+      val e = d % 1000003L
+      val m = e * 2654435761L + i * 40503L
+      ((m ^ (m >> 13)) % 60000L - 30000L).toInt
+    }
+  }
+
+  /** Frames per fixture clip: 16–215, doc_id-derived. */
+  private[ops] def pcmFrames(d: Long): Int = (d % 200 + 16).toInt
+
+  /** Synthesize a COMPLETE WAV per length-4-source document — unlike
+    * [[attachWavHeader]]'s header-only fixture, the `data` chunk carries
+    * real little-endian PCM16 mono samples ([[pcmSample]]), behind the same
+    * RIFF obstacle course (variable odd-sized LIST/INFO before `fmt `), so
+    * a census that shortcuts the chunk walk or misreads LE int16 fails
+    * loudly. Built per row in plain JVM bytes, batched per partition.
+    */
+  def attachWavPcm(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (d, src) =>
+          (d, if (src.length == 4) buildWavPcm(d) else src.getBytes("UTF-8"))
+        })
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private[ops] def buildWavPcm(d: Long): Array[Byte] = {
+    val n = pcmFrames(d)
+    val nInfo = (d % 13 + 3).toInt
+    val listLen = nInfo + 4
+    val listPad = listLen % 2
+    val dataLen = n * 2 // mono PCM16
+    val riffSize = 4 + 8 + listLen + listPad + (8 + 16) + 8 + dataLen
+    val out = java.nio.ByteBuffer
+      .allocate(12 + 8 + listLen + listPad + 24 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    ascii("RIFF"); out.putInt(riffSize); ascii("WAVE")
+    ascii("LIST"); out.putInt(listLen); ascii("INFO")
+    (0 until nInfo).foreach(_ => out.put('i'.toByte))
+    if (listPad == 1) out.put(0.toByte)
+    ascii("fmt "); out.putInt(16)
+    out.putShort(1); out.putShort(1) // PCM, mono
+    out.putInt(16000); out.putInt(32000) // rate, byte rate
+    out.putShort(2); out.putShort(16) // block align, bits
+    ascii("data"); out.putInt(dataLen)
+    (0 until n).foreach(i => out.putShort(pcmSample(d, i).toShort))
+    out.array()
+  }
+
+  final case class PcmCensus(doc_id: Long, n_samples: Long, peak: Int,
+                             n_clip: Long, zero_cross: Long, rms: Double)
+
+  /** AUDIO SAMPLE CENSUS over real PCM bytes — the signal-level quality
+    * screen an audio-corpus pipeline runs after the header sanity pass
+    * ([[decodeAudioMeta]]): RMS loudness, peak amplitude, clipping count
+    * (|s| = 32767 full-scale), zero-crossing count. The decode is a REAL
+    * RIFF chunk walk to the `data` chunk + an LE-int16 sample walk (pure
+    * JVM byte arithmetic, batched per partition — scan speed, no shuffle);
+    * everything but `rms` is exact integer arithmetic, and `rms` is two
+    * correctly-rounded IEEE ops (one division, one sqrt) on an exact-long
+    * sum of squares — cross-engine deterministic without quantization.
+    * Non-WAV payloads are dropped (the defensive-decoder contract).
+    */
+  def pcmCensus(docs: DataFrame, batchSize: Int = 64): Dataset[PcmCensus] = {
+    val withPcm = attachWavPcm(docs, batchSize)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPcm.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { case (d, bytes) =>
+          parsePcmSamples(bytes).map { samples =>
+            var sumSq = 0L; var peak = 0; var clip = 0L; var zc = 0L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i)
+              sumSq += s.toLong * s.toLong
+              if (math.abs(s) > peak) peak = math.abs(s)
+              if (math.abs(s) >= 32767) clip += 1
+              if (i > 0 && (s < 0) != (samples(i - 1) < 0)) zc += 1
+              i += 1
+            }
+            PcmCensus(d, samples.length.toLong, peak, clip, zc,
+              math.sqrt(sumSq.toDouble / samples.length))
+          }
+        })
+      }
+  }
+
+  /** RIFF walk to the `data` chunk, then LE-int16 samples; None when the
+    * payload is not a complete PCM16 WAV (opaque or header-only). */
+  private[ops] def parsePcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def id4(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || id4(0) != "RIFF" || id4(8) != "WAVE") return None
+    var i = 12
+    var bits = -1
+    while (i + 8 <= bytes.length) {
+      val cid = id4(i)
+      val size = le32(i + 4).toInt
+      if (cid == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
+        bits = le16(i + 22)
+      else if (cid == "data") {
+        // complete PCM16 payload required: declared bytes actually present
+        if (bits != 16 || i + 8 + size > bytes.length || size % 2 != 0)
+          return None
+        val samples = new Array[Short](size / 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) = le16(i + 8 + j * 2).toShort
+          j += 1
+        }
+        return Some(samples)
+      }
+      i += 8 + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    None
+  }
+
   // ==================== Video: MP4 / ISO-BMFF =========================
 
   /** Synthesize a VALID MP4 (ISO base media) header per document with

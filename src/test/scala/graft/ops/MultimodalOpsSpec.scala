@@ -380,4 +380,31 @@ class MultimodalOpsSpec extends SparkSpec {
       s"banded != brute: only-banded=${pairs.toSet -- brute} missed=${brute -- pairs.toSet}")
     assert(brute.nonEmpty, "fixture window must contain planted near-dups")
   }
+  test("PCM census: real byte-walk decode equals the generating formula; clipping planted every 37th") {
+    val out = MultimodalOps.pcmCensus(docs).collect()
+      .map(c => c.doc_id -> c).toMap
+    // only length-4 sources carry WAVs; the opaque half is dropped
+    val wavDocs = docs.filter(length(col("source")) === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.keySet == wavDocs)
+    out.values.foreach { c =>
+      val n = MultimodalOps.pcmFrames(c.doc_id)
+      val samples = (0 until n).map(i => MultimodalOps.pcmSample(c.doc_id, i))
+      assert(c.n_samples == n.toLong)
+      // planted full-scale every 37th frame, nothing else reaches 32767
+      assert(c.n_clip == (0 until n).count(_ % 37 == 0).toLong, s"doc ${c.doc_id}")
+      assert(c.peak == samples.map(math.abs).max)
+      assert(c.zero_cross ==
+        (1 until n).count(i => (samples(i) < 0) != (samples(i - 1) < 0)).toLong)
+      val sumSq = samples.map(s => s.toLong * s.toLong).sum
+      assert(c.rms == math.sqrt(sumSq.toDouble / n), s"rms drift doc ${c.doc_id}")
+    }
+    // header-only WAVs (no sample bytes) and opaque payloads yield None
+    val headerOnly = MultimodalOps.attachWavHeader(docs)
+      .select("payload").filter(length(col("source")) === 4)
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(MultimodalOps.parsePcmSamples(headerOnly).isEmpty,
+      "a declared-but-absent data chunk must not census")
+    assert(MultimodalOps.parsePcmSamples("not a wav".getBytes).isEmpty)
+  }
 }

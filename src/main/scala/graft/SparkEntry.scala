@@ -1729,6 +1729,43 @@ object SparkEntry {
                 |  JOIN deg dx ON dx.node = c.x JOIN deg dy ON dy.node = c.y
                 |ORDER BY jaccard DESC, x, y LIMIT 25""".stripMargin)),
 
+      // Adamic-Adar link prediction: rarity-weighted common neighbors;
+      // per-wedge term quantized to an exact long BEFORE the pair sum, so
+      // the score is order-invariant (a float sum of 1/ln would drift)
+      Q("graph_adamic_adar",
+        (s, d) => graft.ops.GraphOps.adamicAdarLinks(
+          graft.ops.GraphOps.sampledEdges(lineitem(s, d))),
+        Some(s"""WITH edges AS MATERIALIZED (
+                |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+                |    SELECT l_orderkey % 5000 AS u, l_partkey % 5000 + 5000 AS v,
+                |      l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+                |  WHERE u <> v AND (ok * 31 + pk) % 97 = 0),
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |deg AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY 1),
+                |wedges AS (
+                |  SELECT d1.src AS z, d1.dst AS x, d2.dst AS y
+                |  FROM dir d1 JOIN dir d2
+                |    ON d1.src = d2.src AND d1.dst < d2.dst),
+                |terms AS (
+                |  SELECT w.x, w.y,
+                |    CAST(floor(1000000.0 / ln(CAST(dz.deg AS DOUBLE)) + 0.5)
+                |      AS BIGINT) AS term
+                |  FROM wedges w JOIN deg dz ON dz.node = w.z),
+                |cand AS (
+                |  SELECT x, y, CAST(count(*) AS BIGINT) AS common,
+                |    CAST(sum(term) AS BIGINT) AS aa_scaled
+                |  FROM terms GROUP BY 1, 2),
+                |nonedge AS (
+                |  SELECT c.* FROM cand c LEFT JOIN edges e
+                |    ON e.a = c.x AND e.b = c.y
+                |  WHERE e.a IS NULL)
+                |SELECT x, y, common,
+                |  CAST(aa_scaled AS DOUBLE) / 1000000.0 AS adamic_adar
+                |FROM nonedge
+                |ORDER BY adamic_adar DESC, x, y LIMIT 25""".stripMargin)),
+
       Q("graph_assortativity",
         (s, d) => graft.ops.GraphOps.degreeAssortativity(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),

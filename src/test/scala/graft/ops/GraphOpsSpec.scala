@@ -208,6 +208,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSet == Set((0L, 2L, 0.5), (1L, 3L, 0.5)), got.mkString(" "))
   }
 
+  test("adamic-adar: rare centers outweigh hubs, terms are quantized longs, edges excluded") {
+    // hub 0 joins {1,2}; rare center 9 ALSO joins {1,2}; hub 0 additionally
+    // touches 3..6 (deg 6). (1,2) gets both centers: term(deg6)+term(deg2);
+    // (3,4) etc. get only the hub term. The rare pair must outrank any
+    // hub-only pair even though both have common >= 1.
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (0L, 6L),
+      (9L, 1L), (9L, 2L))
+    def term(d: Int): Long = math.floor(1e6 / math.log(d) + 0.5).toLong
+    val got = GraphOps.adamicAdarLinks(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // (1,2): centers 0 (deg 6) and 9 (deg 2) — exact quantized sum
+    assert(got((1L, 2L)) ==
+      ((2L, (term(6) + term(2)).toDouble / 1e6)), got.mkString(" "))
+    // a hub-only pair: one term(6) contribution
+    assert(got((3L, 4L)) == ((1L, term(6).toDouble / 1e6)))
+    // the rare-center pair outranks every hub-only pair
+    assert(got((1L, 2L))._2 > got((3L, 4L))._2)
+    // existing edges never appear as predictions
+    assert(!got.contains((0L, 1L)) && !got.contains((1L, 9L)))
+  }
+
   test("modularity: all-in-one-community partition of a clique scores ~0") {
     // single K4: LPA converges to one label; Q = e/m − (2m/2m)² = 1 − 1 = 0
     val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))

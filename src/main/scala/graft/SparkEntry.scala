@@ -1472,6 +1472,56 @@ object SparkEntry {
                 |  CAST(sum(deg) AS BIGINT) AS deg_sum
                 |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // 4-truss peel on the triangle-planted sampled graph: 3 budget rounds
+      // of drop-edges-under-2-triangles + recount; the oracle UNROLLS the
+      // identical rounds as generated CTEs (fixpoint early-exit in Spark
+      // is a no-op vs the full unroll — the kCore round-control doctrine)
+      Q("graph_ktruss",
+        (s, d) => graft.ops.GraphOps.kTruss(
+          graft.ops.GraphOps.sampledTriCoreEdges(lineitem(s, d)), k = 4),
+        Some {
+          val base = """WITH e0 AS MATERIALIZED (
+            |  SELECT DISTINCT a, b FROM (
+            |  SELECT least(u, v) AS a, greatest(u, v) AS b FROM (
+            |    SELECT l_orderkey % 5000 AS u, l_partkey % 5000 + 5000 AS v,
+            |      l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            |    UNION ALL
+            |    SELECT l_orderkey % 5000, l_suppkey % 5000 + 10000,
+            |      l_orderkey, l_partkey FROM lineitem
+            |    UNION ALL
+            |    SELECT l_partkey % 5000 + 5000, l_suppkey % 5000 + 10000,
+            |      l_orderkey, l_partkey FROM lineitem)
+            |  WHERE u <> v AND (ok * 31 + pk) % 97 = 0
+            |  UNION ALL
+            |  SELECT i.i AS a, j.j AS b
+            |  FROM (SELECT unnest(range(10)) AS i) i,
+            |       (SELECT unnest(range(10)) AS j) j
+            |  WHERE i.i < j.j))""".stripMargin
+          val rounds = (0 until 3).map { i =>
+            s"""adj$i AS (SELECT a AS src, b AS dst FROM e$i
+               |  UNION ALL SELECT b, a FROM e$i),
+               |sup$i AS (
+               |  SELECT e.a, e.b, count(*) AS sup
+               |  FROM e$i e JOIN adj$i n1 ON n1.src = e.a
+               |    JOIN adj$i n2 ON n2.src = e.b AND n2.dst = n1.dst
+               |  GROUP BY 1, 2),
+               |e${i + 1} AS (SELECT a, b FROM sup$i WHERE sup >= 2)"""
+              .stripMargin
+          }.mkString(",\n", ",\n", "")
+          val fin = """,
+            |adjF AS (SELECT a AS src, b AS dst FROM e3
+            |  UNION ALL SELECT b, a FROM e3),
+            |supF AS (
+            |  SELECT e.a, e.b, count(*) AS sup
+            |  FROM e3 e JOIN adjF n1 ON n1.src = e.a
+            |    JOIN adjF n2 ON n2.src = e.b AND n2.dst = n1.dst
+            |  GROUP BY 1, 2)
+            |SELECT CAST(sup AS BIGINT) AS support,
+            |  CAST(count(*) AS BIGINT) AS n_edges
+            |FROM supF GROUP BY 1 ORDER BY 1""".stripMargin
+          base + rounds + fin
+        }),
+
       // PageRank power iteration (3 rounds, d=0.85) on the n=500 residue
       // graph; oracle unrolls the identical join+agg per round. Ranks are
       // N-scaled and 1e-6-floor-quantized BEFORE the ordering/cut.

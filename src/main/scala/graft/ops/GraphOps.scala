@@ -441,6 +441,90 @@ object GraphOps {
     (hist, roundsRun)
   }
 
+  /** [[sampledTriEdges]] plus a PLANTED K_core clique on nodes 0..core−1 —
+    * the k-truss fixture: the organic sampled graph has a thin tail of
+    * support-2 edges whose triangle partners are support-1, so a 4-truss
+    * peel annihilates it (measured: 4 such edges at sf0.01, all dead by
+    * round 2) — correct but vacuous. The clique is indestructible ground
+    * truth (every K₁₀ edge has support 8 ≥ k−2 for any k ≤ 10) that also
+    * picks up organic attachments through the shared low node ids, so the
+    * peel exercises a real cascade: organic fringe dies round by round,
+    * the core plus whatever genuinely dense structure exists survives.
+    */
+  def sampledTriCoreEdges(li: DataFrame, n: Int = 5000, keep: Int = 97,
+                          core: Int = 10): DataFrame = {
+    val spark = li.sparkSession
+    val ids = spark.range(core)
+    val clique = ids.select(col("id").as("a"))
+      .crossJoin(ids.select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+    sampledTriEdges(li, n, keep).unionByName(clique).distinct()
+  }
+
+  /** k-truss peel — [[kCore]]'s EDGE-level sibling and the sharper
+    * community core: rounds of "drop every edge in fewer than k−2
+    * triangles, recount on the survivors" (an edge outside the k-truss
+    * cannot sit in any k-clique; the truss is the standard
+    * cohesive-subgraph screen one level stronger than coreness). Each
+    * round is one triangle-support count — the (a,z)/(b,z) common-neighbor
+    * join over the adjacency frame, Σ deg² work like every wedge operator
+    * here — plus one inner join back to the edge list, lineage-cut per
+    * round.
+    *
+    * Round control mirrors [[kCore]]: a FIXED `rounds` budget keeps the
+    * job count deterministic for the oracle (which unrolls exactly the
+    * same rounds as generated CTEs), the peel EARLY-EXITS at the fixpoint
+    * (edge count unchanged ⇒ the set is unchanged ⇒ remaining rounds are
+    * no-ops in BOTH engines, so the early exit never diverges from the
+    * oracle's full unroll), and budget rounds past convergence change
+    * nothing. Output: the support histogram of the surviving truss
+    * (support recomputed on the final subgraph).
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
+             maxBroadcastEdges: Long = 4000000L): DataFrame =
+    kTrussWithRounds(edges, k, rounds, maxBroadcastEdges)._1
+
+  private[graft] def kTrussWithRounds(edges: DataFrame, k: Int,
+      rounds: Int = 3, maxBroadcastEdges: Long = 4000000L)
+      : (DataFrame, Int) = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    def supportOf(e: DataFrame): DataFrame = {
+      val adj = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      // common neighbor z of (a, b): (a,z) and (b,z) both in adj
+      e.join(adj.select(col("src").as("a"), col("dst").as("z")), Seq("a"))
+        .join(adj.select(col("src").as("b"), col("dst").as("z")), Seq("b", "z"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var e = edges.localCheckpoint()
+    var prevEdges = -1L
+    var roundsRun = 0
+    var converged = false
+    while (!converged && roundsRun < rounds) {
+      val kept = supportOf(e).filter(col("sup") >= k - 2)
+        .select(col("a"), col("b")).persist()
+      val nKept = kept.count()
+      if (nKept == prevEdges) {
+        converged = true
+        kept.unpersist()
+      } else {
+        val keep =
+          if (nKept <= maxBroadcastEdges) broadcast(kept) else kept
+        val filtered = e.join(keep, Seq("a", "b"), "left_semi")
+          .localCheckpoint()
+        kept.unpersist()
+        if (roundsRun > 0) Exec.unpersistCheckpointed(e)
+        e = filtered
+        prevEdges = nKept
+        roundsRun += 1
+      }
+    }
+    val hist = supportOf(e)
+      .groupBy(col("sup").as("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+    (hist, roundsRun)
+  }
+
   /** Degree assortativity — Newman's r: the Pearson correlation of the
     * endpoint degrees over every directed edge (both orientations of the
     * undirected list, the standard convention). r > 0 = hubs attach to

@@ -230,6 +230,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains((0L, 1L)) && !got.contains((1L, 9L)))
   }
 
+  test("k-truss: pendant triangles die, the clique survives, cascades cross rounds, fixpoint early-exits") {
+    // K5 on 0..4 plus a pendant triangle (0,1,9): pendant edges (0,9),(1,9)
+    // have support 1 < k-2=2 → die round 1; K5 edges each have support >= 3
+    // (the pendant only ADDS to (0,1)) → the 4-truss is exactly K5
+    val k5pend = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L),
+      (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (0L, 9L), (1L, 9L))
+    val (hist, rounds) = GraphOps.kTrussWithRounds(k5pend, k = 4)
+    val got = hist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 10L)), s"got $got") // K5: every edge in 3 triangles
+    assert(rounds <= 2, s"K5 must settle fast, took $rounds")
+    // CASCADE: two triangles sharing edge (1,2) — (1,2) has support 2 and
+    // survives round 1 alone, then has support 0 → the truss is EMPTY, a
+    // result only a multi-round peel finds (single-pass filters keep (1,2))
+    val bowtie = edges((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val (h2, r2) = GraphOps.kTrussWithRounds(bowtie, k = 4)
+    assert(h2.collect().isEmpty, "cascade must annihilate the bowtie")
+    assert(r2 >= 2, s"annihilation needs >= 2 rounds, took $r2")
+    // fixpoint early-exit: a pure clique converges after one real round
+    val k4c = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val (h3, r3) = GraphOps.kTrussWithRounds(k4c, k = 4, rounds = 5)
+    assert(h3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((2L, 6L)))
+    assert(r3 == 1, s"early exit should stop after 1 round, ran $r3")
+  }
+
   test("modularity: all-in-one-community partition of a clique scores ~0") {
     // single K4: LPA converges to one label; Q = e/m − (2m/2m)² = 1 − 1 = 0
     val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))

@@ -124,6 +124,31 @@ object SparkEntry {
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)),
 
+    // Q21 shape: sole-late-shipper in multi-supplier F orders — Spark side
+    // is the per-order-aggregate rewrite (one co-partitioned shuffle), the
+    // oracle keeps the literal EXISTS/NOT-EXISTS chain: parity proves the
+    // rewrite's equivalence, not just its determinism
+    Q("rel_q21_waiting_suppliers",
+      (s, d) => Relational.waitingSuppliers(lineitem(s, d), orders(s, d),
+        supplier(s, d)),
+      Some("""SELECT s_suppkey, s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate
+             |                        > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1, 2
+             |ORDER BY numwait DESC, s_suppkey
+             |LIMIT 25""".stripMargin)),
+
     Q("rel_q7_nation_volume",
       (s, d) => Relational.nationTradeVolume(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d), "NATION_18", "NATION_19"),

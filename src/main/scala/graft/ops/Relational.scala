@@ -1540,6 +1540,45 @@ object Relational {
       .orderBy(col("cntry_bucket"))
   }
 
+  /** TPC-H Q21-shaped "waiting suppliers": suppliers who were the SOLE
+    * late shipper in a multi-supplier finished order (late adapted to this
+    * schema: shipped > 60 days after the order date — the fixture has no
+    * commit/receipt dates). The reference formulation is an EXISTS +
+    * NOT-EXISTS correlated chain over the fact table — re-expressed here
+    * Spark-first as PER-ORDER AGGREGATES: one orderkey-grouped pass
+    * computes (distinct suppliers, distinct LATE suppliers) per order, and
+    * the l1 predicate becomes `late ∧ n_supp ≥ 2 ∧ n_late_supp = 1` — the
+    * same rows, but ONE co-partitioned shuffle on the order key instead of
+    * two more fact-fact correlated joins (at 100 TB the three-way
+    * self-join is the difference between one exchange and three). The
+    * DuckDB oracle keeps the LITERAL exists/not-exists form, so parity
+    * also proves the rewrite's equivalence. Supplier names ride a
+    * broadcast dim join after the counts collapse to ≤|suppliers| rows.
+    */
+  def waitingSuppliers(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+                       lateDays: Int = 60, k: Int = 25): DataFrame = {
+    val fOrders = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val withLate = li.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > date_add(col("o_orderdate"), lateDays))
+    val perOrder = withLate.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    withLate.filter(col("late"))
+      .join(perOrder, Seq("l_orderkey")) // co-partitioned: same key as above
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q7-shaped nation-pair trade volume: revenue flowing between a
     * supplier nation and a customer nation (both directions) by ship year.
     * The NATION dim broadcasts are ≤2 rows each (filtered to the pair

@@ -9,6 +9,33 @@ import graft.SparkSpec
   */
 class RelationalStatsSpec extends SparkSpec {
 
+  test("q21 waiting suppliers: sole-late-in-multi-supplier semantics, row-count faithful") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // order 10: suppliers 1,2 — only 1 late (twice!) → supplier 1 counts 2
+    //   (TPC-H counts l1 ROWS, not distinct orders)
+    // order 20: single-supplier late → excluded (no second supplier)
+    // order 30: two DIFFERENT suppliers late → excluded (not the sole one)
+    // order 40: late but status 'O' → excluded
+    val li = Seq(
+      (10L, 1L, d("1995-06-01")), (10L, 1L, d("1995-07-01")),
+      (10L, 2L, d("1995-01-05")),
+      (20L, 3L, d("1995-06-01")),
+      (30L, 4L, d("1995-06-01")), (30L, 5L, d("1995-06-01")),
+      (40L, 6L, d("1995-06-01")), (40L, 7L, d("1995-01-05")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq(
+      (10L, "F", d("1995-01-01")), (20L, "F", d("1995-01-01")),
+      (30L, "F", d("1995-01-01")), (40L, "O", d("1995-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val supp = (1L to 7L).map(i => (i, s"SUPP_$i"))
+      .toDF("s_suppkey", "s_name")
+    val got = Relational.waitingSuppliers(li, orders, supp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "SUPP_1", 2L)), got.mkString(" "))
+  }
+
   test("corr matrix: perfect linear pairs hit exactly +/-1; all 6 pairs emitted") {
     import spark.implicits._
     // extendedprice = 2*quantity (r=1), discount = -quantity (r=-1),

@@ -1935,6 +1935,67 @@ object SparkEntry {
 
     // CUSUM changepoint in exact integers: n*CUSUM_t cumsums longs, so the
     // argmax month can't flip on summation-order ULPs
+    // binary segmentation (depth 2): global CUSUM argmax, then the same
+    // integer-scaled statistic inside each half — up to 3 changepoints per
+    // key; interior-only splits (t < n) so both halves are non-empty
+    Q("ts_binseg_changepoints",
+      (s, d) => graft.ops.TimeSeriesOps.binsegChangepoints(lineitem(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT key, count(*) AS n, sum(qty) AS s
+             |       FROM monthly GROUP BY 1),
+             |sc AS (
+             |  SELECT m.key, m.month, m.qty, st.n,
+             |    row_number() OVER (PARTITION BY m.key ORDER BY m.month) AS t,
+             |    sum(m.qty * st.n - st.s) OVER (PARTITION BY m.key
+             |      ORDER BY m.month
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stat
+             |  FROM monthly m JOIN st ON st.key = m.key),
+             |cp1 AS (
+             |  SELECT key, t AS cp1_t, month AS cp1_month, stat AS stat1,
+             |    n AS n_months
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY key
+             |          ORDER BY abs(stat) DESC, month) AS rn
+             |        FROM sc WHERE t < n) WHERE rn = 1),
+             |seg AS (
+             |  SELECT sc.key, sc.month, sc.qty,
+             |    CASE WHEN sc.t <= cp1.cp1_t THEN 0 ELSE 1 END AS seg
+             |  FROM sc JOIN cp1 ON cp1.key = sc.key),
+             |sst AS (SELECT key, seg, count(*) AS m, sum(qty) AS sig
+             |        FROM seg GROUP BY 1, 2),
+             |ssc AS (
+             |  SELECT g.key, g.seg, g.month, g.qty, sst.m,
+             |    row_number() OVER (PARTITION BY g.key, g.seg
+             |      ORDER BY g.month) AS t2,
+             |    sum(g.qty * sst.m - sst.sig) OVER (PARTITION BY g.key, g.seg
+             |      ORDER BY g.month
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stat2
+             |  FROM seg g JOIN sst ON sst.key = g.key AND sst.seg = g.seg),
+             |cp2 AS (
+             |  SELECT key, seg, month AS cp2_month, stat2, m
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY key, seg
+             |          ORDER BY abs(stat2) DESC, month) AS rn
+             |        FROM ssc WHERE t2 < m) WHERE rn = 1)
+             |SELECT cp1.key AS key, CAST(n_months AS BIGINT) AS n_months,
+             |  strftime(cp1.cp1_month, '%Y-%m-%d') AS cp1_month,
+             |  floor(CAST(abs(stat1) AS DOUBLE) / n_months * 10000 + 0.5)
+             |    / 10000 AS max_cusum1,
+             |  CAST(a.m AS BIGINT) AS seg0_len,
+             |  strftime(a.cp2_month, '%Y-%m-%d') AS cp2a_month,
+             |  floor(CAST(abs(a.stat2) AS DOUBLE) / a.m * 10000 + 0.5)
+             |    / 10000 AS max_cusum2a,
+             |  CAST(b.m AS BIGINT) AS seg1_len,
+             |  strftime(b.cp2_month, '%Y-%m-%d') AS cp2b_month,
+             |  floor(CAST(abs(b.stat2) AS DOUBLE) / b.m * 10000 + 0.5)
+             |    / 10000 AS max_cusum2b
+             |FROM cp1
+             |LEFT JOIN cp2 a ON a.key = cp1.key AND a.seg = 0
+             |LEFT JOIN cp2 b ON b.key = cp1.key AND b.seg = 1
+             |ORDER BY key""".stripMargin)),
+
     Q("ts_cusum_changepoint",
       (s, d) => graft.ops.TimeSeriesOps.cusumChangepoint(lineitem(s, d)),
       Some("""WITH monthly AS (

@@ -209,6 +209,80 @@ object TimeSeriesOps {
       .orderBy(col("key"))
   }
 
+  /** MULTI-changepoint detection by binary segmentation (depth 2) —
+    * [[cusumChangepoint]] finds ONE shift; real series have several, and
+    * the standard answer is recursive splitting: take the global CUSUM
+    * argmax as cp₁ (interior points only, t < n), then re-run the SAME
+    * statistic inside each half against the half's own length and sum,
+    * yielding cp₂ₐ/cp₂ᵦ — three candidate shifts per key, each with its
+    * segment-scaled statistic. Everything is the integer-scaled CUSUM
+    * doctrine: stat_t = m·S'_t − t'·σ over EXACT longs (prefix sums of
+    * cents-free quantities), argmaxes tie-broken by month, one division +
+    * floor-quantize per emitted statistic — no float accumulates anywhere,
+    * so the oracle replays the recursion exactly. Scale shape: one monthly
+    * aggregate (the only corpus shuffle), a |keys|-sized broadcast of
+    * level-1 picks, and windows partitioned by (key, segment) over
+    * ≤|months| rows — millions of independent series decompose identically.
+    */
+  def binsegChangepoints(li: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val monthly = li
+      .groupBy(col("l_returnflag").as("key"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .persist() // level 1 AND the segment pass both read it
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("month"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = monthly.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+    val scored = monthly.join(broadcast(stats), Seq("key"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("stat", sum(col("qty") * col("n") - col("s")).over(wCum))
+    val pick1 = Window.partitionBy(col("key"))
+      .orderBy(abs(col("stat")).desc, col("month"))
+    val cp1 = scored.filter(col("t") < col("n")) // interior splits only
+      .withColumn("rn", row_number().over(pick1))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("t").as("cp1_t"),
+        col("month").as("cp1_month"), col("stat").as("stat1"),
+        col("n").as("n_months"))
+    val seg = scored.join(broadcast(cp1.select(col("key"), col("cp1_t"))),
+        Seq("key"))
+      .withColumn("seg", when(col("t") <= col("cp1_t"), 0).otherwise(1))
+    val wSeg = Window.partitionBy(col("key"), col("seg")).orderBy(col("month"))
+    val wSegCum = wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segStats = seg.groupBy(col("key"), col("seg"))
+      .agg(count(lit(1)).as("m"), sum(col("qty")).as("sig"))
+    val segScored = seg.join(broadcast(segStats), Seq("key", "seg"))
+      .withColumn("t2", row_number().over(wSeg))
+      .withColumn("stat2", sum(col("qty") * col("m") - col("sig")).over(wSegCum))
+    val pick2 = Window.partitionBy(col("key"), col("seg"))
+      .orderBy(abs(col("stat2")).desc, col("month"))
+    // a length-1 segment has no interior point: its cp is null (left join)
+    val cp2 = segScored.filter(col("t2") < col("m"))
+      .withColumn("rn", row_number().over(pick2))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("seg"), col("month").as("cp2_month"),
+        col("stat2").as("stat2"), col("m"))
+    cp1
+      .join(cp2.filter(col("seg") === 0)
+        .select(col("key"), col("cp2_month").as("cp2a_month"),
+          col("stat2").as("stat2a"), col("m").as("seg0_len")), Seq("key"), "left")
+      .join(cp2.filter(col("seg") === 1)
+        .select(col("key"), col("cp2_month").as("cp2b_month"),
+          col("stat2").as("stat2b"), col("m").as("seg1_len")), Seq("key"), "left")
+      .select(col("key"), col("n_months"),
+        date_format(col("cp1_month"), "yyyy-MM-dd").as("cp1_month"),
+        q4(abs(col("stat1")).cast("double") / col("n_months")).as("max_cusum1"),
+        col("seg0_len"),
+        date_format(col("cp2a_month"), "yyyy-MM-dd").as("cp2a_month"),
+        q4(abs(col("stat2a")).cast("double") / col("seg0_len")).as("max_cusum2a"),
+        col("seg1_len"),
+        date_format(col("cp2b_month"), "yyyy-MM-dd").as("cp2b_month"),
+        q4(abs(col("stat2b")).cast("double") / col("seg1_len")).as("max_cusum2b"))
+      .orderBy(col("key"))
+  }
+
   /** Seasonal-baseline anomaly screen: each (key, month)'s quantity versus
     * the key's average for that CALENDAR month across years (the
     * seasonal-naive forecast), flagged when the deviation exceeds

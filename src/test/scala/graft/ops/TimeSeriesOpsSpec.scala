@@ -65,6 +65,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows("2023-01-01").isNullAt(4))
   }
 
+  test("binseg: two planted level shifts are both recovered, level-2 stats segment-scaled") {
+    import spark.implicits._
+    // 12 months: 10,10,10,10 | 100,100,100,100 | 50,50,50,50 — shifts after
+    // t=4 and t=8; binseg must put one cut at each boundary
+    val vals = Seq.fill(4)(10.0) ++ Seq.fill(4)(100.0) ++ Seq.fill(4)(50.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("A", java.sql.Timestamp.valueOf(f"2024-${i + 1}%02d-15 00:00:00"), v)
+    }.toDF("l_returnflag", "l_shipdate", "l_quantity")
+    val r = TimeSeriesOps.binsegChangepoints(df).collect()(0)
+    def g(n: String) = r.getString(r.fieldIndex(n))
+    val cuts = Set(g("cp1_month"), g("cp2a_month"), g("cp2b_month"))
+    // driver-side replication of the recursion
+    def argmaxCut(xs: Seq[Double]): (Int, Double) = {
+      val n = xs.length; val s = xs.sum
+      val stats = (1 until n).map(t => (t, math.abs(xs.take(t).sum * n - t * s)))
+      val best = stats.maxBy { case (t, a) => (a, -t) }
+      (best._1, best._2 / n)
+    }
+    val (c1, m1) = argmaxCut(vals)
+    assert(g("cp1_month") == f"2024-$c1%02d-01")
+    assert(r.getDouble(r.fieldIndex("max_cusum1")) ==
+      math.floor(m1 * 10000 + 0.5) / 10000)
+    val (c2a, _) = argmaxCut(vals.take(c1))
+    val (c2b, _) = argmaxCut(vals.drop(c1))
+    assert(cuts.contains(f"2024-$c2a%02d-01"))
+    assert(cuts.contains(f"2024-${c1 + c2b}%02d-01"))
+    // both planted boundaries are among the three cuts
+    assert(cuts.contains("2024-04-01") && cuts.contains("2024-08-01"), cuts)
+    assert(r.getLong(r.fieldIndex("seg0_len"))
+      + r.getLong(r.fieldIndex("seg1_len")) == 12L)
+  }
+
   test("cusum changepoint: a clean level shift peaks at the last pre-shift month") {
     import spark.implicits._
     // qty [10,10,10,20,20,20], mean 15: n*CUSUM = [-30,-60,-90,-60,-30,0]

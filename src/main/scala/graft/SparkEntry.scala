@@ -2919,6 +2919,35 @@ object SparkEntry {
     // Benford first-digit screen on the money column; leading digit comes
     // from the exact-cents STRING (numeric log10 extraction can flip at
     // powers of ten across engines)
+    // embedding-table sanity gate: wrong-dim / non-finite / zero-norm
+    // counts (each silently poisons cosine retrieval downstream) + the
+    // norm-scale drift signal; per-row norms floor-quantized to exact
+    // longs BEFORE the sum, one division at the end
+    Q("qc_embedding_sanity",
+      (s, d) => QualityChecks.embeddingSanity(embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT label, $DuckVec AS v FROM embeddings),
+              |r AS (SELECT label,
+              |    CASE WHEN len(v) <> 64 THEN 1 ELSE 0 END AS dim_bad,
+              |    CASE WHEN len(list_filter(v,
+              |        x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END
+              |      AS nonfinite,
+              |    list_sum(list_transform(v, x -> x * x)) AS sumsq
+              |  FROM e),
+              |q AS (SELECT label, dim_bad, nonfinite,
+              |    CASE WHEN sumsq = 0.0 THEN 1 ELSE 0 END AS zero_norm,
+              |    CASE WHEN nonfinite = 0
+              |      THEN CAST(floor(sqrt(sumsq) * 10000 + 0.5) AS BIGINT)
+              |      ELSE 0 END AS norm_q4
+              |  FROM r)
+              |SELECT label, count(*) AS n_vecs,
+              |  CAST(sum(dim_bad) AS BIGINT) AS n_dim_bad,
+              |  CAST(sum(nonfinite) AS BIGINT) AS n_nonfinite,
+              |  CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+              |  CAST(sum(norm_q4) AS DOUBLE)
+              |    / (CAST(nullif(sum(1 - nonfinite), 0) AS DOUBLE) * 10000.0)
+              |    AS avg_norm
+              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("qc_benford",
       (s, d) => QualityChecks.benfordFirstDigit(orders(s, d), "o_totalprice"),
       Some("""WITH d AS (
@@ -4504,6 +4533,68 @@ object SparkEntry {
              |    AS within_bound
              |FROM sk JOIN ex ON ex.day = sk.day
              |ORDER BY day""".stripMargin)),
+
+    // sketch-rollup: corpus-wide quantiles come from MERGING the per-type
+    // bucket maps (counts add), never a second scan — the group-hierarchy
+    // face of the same merge algebra the window query shows across time
+    Q("ev_quantile_sketch_rollup",
+      (s, d) => EventOps.quantileSketchRollup(events(s, d)),
+      Some("""WITH fx AS (
+             |  SELECT event_type, event_id, value,
+             |    CAST(floor(value * 1048576.0) AS BIGINT) AS v
+             |  FROM events),
+             |bkt AS (
+             |  SELECT event_type AS scope,
+             |    CASE WHEN v < 256 THEN v
+             |      ELSE (v >> (length(bin(v)) - 8)) << (length(bin(v)) - 8)
+             |    END AS edge,
+             |    count(*) AS c
+             |  FROM fx GROUP BY 1, 2),
+             |allb AS (
+             |  SELECT 'ALL' AS scope, edge, sum(c) AS c FROM bkt GROUP BY 2),
+             |merged AS (SELECT * FROM bkt UNION ALL SELECT * FROM allb),
+             |cum AS (
+             |  SELECT scope, edge,
+             |    edge + (CASE WHEN edge < 256 THEN 1
+             |      ELSE 1::BIGINT << (length(bin(edge)) - 8) END) AS upper,
+             |    sum(c) OVER (PARTITION BY scope ORDER BY edge) AS cum,
+             |    sum(c) OVER (PARTITION BY scope) AS tot
+             |  FROM merged),
+             |sk AS (
+             |  SELECT scope, CAST(max(tot) AS BIGINT) AS n,
+             |    CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p50_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p95_est,
+             |    CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN upper END)
+             |      AS DOUBLE) / 1048576.0 AS p99_est
+             |  FROM cum GROUP BY 1),
+             |raw AS (
+             |  SELECT event_type AS scope, value, event_id FROM fx
+             |  UNION ALL SELECT 'ALL', value, event_id FROM fx),
+             |ranked AS (
+             |  SELECT scope, value,
+             |    row_number() OVER (PARTITION BY scope
+             |      ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY scope) AS nn
+             |  FROM raw),
+             |ex AS (
+             |  SELECT scope,
+             |    max(CASE WHEN rn = ceil(0.5 * nn) THEN value END) AS p50_exact,
+             |    max(CASE WHEN rn = ceil(0.95 * nn) THEN value END) AS p95_exact,
+             |    max(CASE WHEN rn = ceil(0.99 * nn) THEN value END) AS p99_exact
+             |  FROM ranked GROUP BY 1)
+             |SELECT sk.scope AS scope, n,
+             |  p50_est, p50_exact, p95_est, p95_exact, p99_est, p99_exact,
+             |  (p50_est > p50_exact
+             |     AND p50_est - p50_exact <= p50_exact / 128.0 + 1.0 / 1048576.0
+             |   AND p95_est > p95_exact
+             |     AND p95_est - p95_exact <= p95_exact / 128.0 + 1.0 / 1048576.0
+             |   AND p99_est > p99_exact
+             |     AND p99_est - p99_exact <= p99_exact / 128.0 + 1.0 / 1048576.0)
+             |    AS within_bound
+             |FROM sk JOIN ex ON ex.scope = sk.scope
+             |ORDER BY scope""".stripMargin)),
 
     // DAU/WAU stickiness: exact distinct counts over the day spine, one
     // integer division per day — the exact twin of the HLL window path

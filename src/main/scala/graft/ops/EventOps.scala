@@ -714,6 +714,71 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** HDR-sketch quantile ROLLUP — the merge-algebra showcase
+    * [[quantileSketchWindow]] does across time, done across a GROUP
+    * HIERARCHY: per-event-type sketches are built in one corpus scan, and
+    * the corpus-wide quantiles come from MERGING the per-type bucket maps
+    * (counts add — the mergeable-summary property), never from a second
+    * scan. That is the production pattern: persist per-shard sketches
+    * once, answer any ad-hoc rollup (per type, per day, global) from
+    * metadata-sized state. Estimates read the covering bucket's upper
+    * edge, and the exact order statistic rides along per scope auditing
+    * the 2^−7 relative bound, same contract as the window query.
+    */
+  def quantileSketchRollup(events: DataFrame): DataFrame = {
+    graft.functions.HdrSketch.register(events.sparkSession)
+    val scale = graft.functions.HdrSketch.Scale
+    val byType = events.groupBy(col("event_type"))
+      .agg(expr("hdr_sketch(value)").as("sk"))
+      .persist() // the typed walk AND the global merge read it
+    val typed = byType
+      .select(col("event_type").as("scope"), explode(col("sk")).as("b"))
+      .select(col("scope"), col("b.edge").as("edge"), col("b.cnt").as("c"))
+    val global = typed.groupBy(col("edge")).agg(sum(col("c")).as("c"))
+      .select(lit("ALL").as("scope"), col("edge"), col("c"))
+    val upper = col("edge") + when(col("edge") < 256L, lit(1L))
+      .otherwise(expr(
+        "shiftleft(CAST(1 AS BIGINT), length(conv(edge, 10, 2)) - 8)"))
+    val wCum = Window.partitionBy(col("scope")).orderBy(col("edge"))
+    val wAll = Window.partitionBy(col("scope"))
+    val cum = typed.unionByName(global)
+      .withColumn("upper", upper)
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    def est(q: Double) = min(when(
+      col("cum") >= ceil(lit(q) * col("tot")), col("upper")))
+      .cast("double") / lit(scale.toDouble)
+    val sketch = cum.groupBy(col("scope")).agg(
+      max(col("tot")).as("n"),
+      est(0.5).as("p50_est"), est(0.95).as("p95_est"), est(0.99).as("p99_est"))
+    // exact audit per scope (typed + the ALL scope via a row duplication)
+    val rawScoped = events.select(col("event_type").as("scope"),
+        col("value"), col("event_id"))
+      .unionByName(events.select(lit("ALL").as("scope"),
+        col("value"), col("event_id")))
+    val wRank = Window.partitionBy(col("scope"))
+      .orderBy(col("value"), col("event_id"))
+    val withRn = rawScoped
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(wAll))
+    def exactQ(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("nn")), col("value")))
+    val exact = withRn.groupBy(col("scope")).agg(
+      exactQ(0.5).as("p50_exact"), exactQ(0.95).as("p95_exact"),
+      exactQ(0.99).as("p99_exact"))
+    def inBound(e: Column, x: Column): Column =
+      e > x && (e - x) <= x / 128.0 + lit(1.0) / lit(scale.toDouble)
+    sketch.join(exact, Seq("scope"))
+      .select(col("scope"), col("n"),
+        col("p50_est"), col("p50_exact"),
+        col("p95_est"), col("p95_exact"),
+        col("p99_est"), col("p99_exact"),
+        (inBound(col("p50_est"), col("p50_exact")) &&
+          inBound(col("p95_est"), col("p95_exact")) &&
+          inBound(col("p99_est"), col("p99_exact"))).as("within_bound"))
+      .orderBy(col("scope"))
+  }
+
   /** Funnel time-to-convert — the latency half of the funnel readout
     * ([[funnel]] counts WHO converts; this measures HOW LONG signup →
     * first subsequent purchase takes): per user the first signup and the

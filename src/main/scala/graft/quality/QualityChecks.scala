@@ -102,6 +102,45 @@ object QualityChecks {
     * v/10^floor(log10 v) can flip at powers of ten where libm log10
     * differs by an ULP across engines. One scan + a 9-row aggregate.
     */
+  /** EMBEDDING-TABLE sanity gate — the vector-store twin of the tabular
+    * checks: per label block, counts of wrong-dimension vectors, non-finite
+    * components (NaN/±Inf), and exact-zero norms (each one poisons a
+    * cosine/dot downstream silently — a zero norm turns similarity into
+    * NaN, a stray Inf saturates every dot product it touches), plus the
+    * average norm as the drift signal (an embedding-model swap shows up as
+    * a norm-scale jump before any retrieval metric moves). All counts are
+    * exact integers on row-local predicates (zero shuffle until the
+    * |labels|-sized rollup); the norm is per-row floor-quantized to an
+    * exact long BEFORE the sum (the repo's no-float-accumulation
+    * doctrine), one division at the end. avg_norm averages FINITE vectors
+    * only — a NaN/Inf norm has no magnitude to average, and quantizing it
+    * would overflow the exact long sum (ANSI addExact) — and is NULL when
+    * a label has no finite vector at all. The zero-norm check is
+    * order-proof by construction: squares cannot cancel, so Σx² == 0 iff
+    * every component is 0, regardless of fold order.
+    */
+  def embeddingSanity(emb: DataFrame, dim: Int = 64): DataFrame =
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("dim_bad", (size(col("v")) =!= dim).cast("long"))
+      .withColumn("nonfinite", expr(
+        "CAST(exists(v, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE)) AS LONG)"))
+      .withColumn("sumsq", expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))
+      .withColumn("zero_norm", (col("sumsq") === 0.0).cast("long"))
+      .withColumn("norm_q4", when(col("nonfinite") === 0L,
+        floor(sqrt(col("sumsq")) * 10000 + 0.5).cast("long"))
+        .otherwise(lit(0L)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dim_bad")).as("n_dim_bad"),
+        sum(col("nonfinite")).as("n_nonfinite"),
+        sum(col("zero_norm")).as("n_zero_norm"),
+        (sum(col("norm_q4")).cast("double")
+          / (nullif(sum(lit(1L) - col("nonfinite")), lit(0L)).cast("double")
+            * 10000.0)).as("avg_norm"))
+      .orderBy(col("label"))
+
   def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val digits = df

@@ -251,4 +251,35 @@ class QualityChecksSpec extends SparkSpec {
     val r2 = QualityChecks.ksTest(same).collect()(0)
     assert(r2.getAs[Double]("d_stat") == 0.0 && r2.getAs[Double]("ln_p_half") == 0.0)
   }
+
+  test("embedding sanity: NaN/Inf/zero-norm/wrong-dim vectors are each counted once") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val clean = Array.fill(64)(0.5f)
+    val rows = Seq(
+      (0L, 1, clean),
+      (1L, 1, { val v = clean.clone(); v(3) = Float.NaN; v }),
+      (2L, 1, { val v = clean.clone(); v(9) = Float.PositiveInfinity; v }),
+      (3L, 1, Array.fill(64)(0.0f)),
+      (4L, 2, Array.fill(63)(0.5f)), // wrong dimension
+      (5L, 2, clean),
+      (6L, 3, { val v = clean.clone(); v(0) = Float.NaN; v })) // no finite vec
+      .toDF("vec_id", "label", "embedding")
+    val out = QualityChecks.embeddingSanity(rows).collect()
+    val got = out
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    // label 1: 4 vectors — one NaN, one Inf, one zero-norm; avg_norm over
+    // the two FINITE vectors (norm 4.0 and norm 0.0) = 2.0 exactly
+    assert(got(1)._1 == 4L && got(1)._3 == 2L && got(1)._4 == 1L, got(1))
+    assert(got(1)._2 == 0L)
+    assert(got(1)._5 == 2.0, got(1))
+    // label 3: only nonfinite vectors -> avg_norm is NULL, not 0/0 garbage
+    assert(got(3)._3 == 1L && got(3)._5.isNaN, got(3))
+    // label 2: one wrong-dim + one clean; avg_norm of the pair is exact
+    assert(got(2)._2 == 1L && got(2)._3 == 0L && got(2)._4 == 0L)
+    val n64 = math.floor(math.sqrt(64 * 0.25) * 10000 + 0.5) / 10000
+    val n63 = math.floor(math.sqrt(63 * 0.25) * 10000 + 0.5) / 10000
+    assert(math.abs(got(2)._5 - (n64 + n63) / 2) < 1e-12, got(2))
+  }
 }

@@ -149,6 +149,126 @@ object SparkEntry {
              |ORDER BY numwait DESC, s_suppkey
              |LIMIT 25""".stripMargin)),
 
+    // Q2 shape: min-cost supplier per part over the DERIVED supply relation
+    // — Spark runs the window-min rewrite, the oracle keeps the literal
+    // correlated scalar subquery; parity proves the rewrite
+    Q("rel_q2_min_cost_supplier",
+      (s, d) => Relational.minCostSupplier(lineitem(s, d), part(s, d),
+        supplier(s, d), nation(s, d), region(s, d)),
+      Some("""WITH supply AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |      AS cost_cents
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+             |  p_partkey, p_name,
+             |  CAST(cost_cents AS DOUBLE) / 100.0 AS min_cost
+             |FROM supply
+             |JOIN part ON p_partkey = l_partkey
+             |  AND p_type = 'SMALL' AND p_size <= 15
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+             |WHERE cost_cents = (SELECT min(cost_cents) FROM supply s2
+             |                    WHERE s2.l_partkey = supply.l_partkey)
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // Q4 shape: per-priority count of orders with a LATE lineitem (EXISTS
+    // → left-semi; ship>order+30d is the commit/receipt proxy)
+    Q("rel_q4_order_priority",
+      (s, d) => Relational.orderPriorityCheck(lineitem(s, d), orders(s, d)),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= DATE '1996-07-01'
+             |  AND o_orderdate < DATE '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q9 shape: nation×year profit on token-named parts; profit is exact
+    // cents minus retail-cents×whole-units (the partsupp cost proxy)
+    Q("rel_q9_product_profit",
+      (s, d) => Relational.productProfit(lineitem(s, d), orders(s, d),
+        part(s, d), supplier(s, d), nation(s, d)),
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  count(*) AS n_lines,
+             |  CAST(sum(
+             |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |      AS BIGINT)
+             |    - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             |      * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY n_name, o_year DESC""".stripMargin)),
+
+    // Q12 shape: late-line priority split per return-flag class (the
+    // shipmode stand-in), one conditional-count aggregate
+    Q("rel_q12_late_priority",
+      (s, d) => Relational.latePriorityByFlag(lineitem(s, d), orders(s, d)),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= DATE '1997-01-01'
+             |  AND l_shipdate < DATE '1998-01-01'
+             |  AND l_returnflag IN ('A', 'R')
+             |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q16 shape: distinct-supplier counts per (brand, type, size) cell with
+    // brand/type/size exclusions and a NOT-IN flagged-supplier screen
+    Q("rel_q16_supplier_part_counts",
+      (s, d) => Relational.supplierPartCounts(lineitem(s, d), part(s, d),
+        supplier(s, d)),
+      Some("""WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey
+             |                FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM supply
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin)),
+
+    // Q20 shape: suppliers shipping >50% of a part's year volume (integer
+    // cross-multiply 2·pair > total), semi-joined to the supplier dim
+    Q("rel_q20_majority_suppliers",
+      (s, d) => Relational.majorityVolumeSuppliers(lineitem(s, d), part(s, d),
+        supplier(s, d), nation(s, d)),
+      Some("""WITH pq AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             |      AS pair_qty
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+             |  WHERE l_shipdate >= DATE '1998-01-01'
+             |    AND l_shipdate < DATE '1999-01-01'
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT l_partkey,
+             |          CAST(sum(pair_qty) AS BIGINT) AS part_qty
+             |        FROM pq GROUP BY 1),
+             |maj AS (SELECT DISTINCT l_suppkey
+             |        FROM pq JOIN tot USING (l_partkey)
+             |        WHERE pair_qty * 2 > part_qty)
+             |SELECT s_suppkey, s_name, n_name
+             |FROM supplier
+             |JOIN nation ON n_nationkey = s_nationkey
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM maj)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     Q("rel_q7_nation_volume",
       (s, d) => Relational.nationTradeVolume(lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d), nation(s, d), "NATION_18", "NATION_19"),

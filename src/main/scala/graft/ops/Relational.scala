@@ -1813,4 +1813,187 @@ object Relational {
         (sum(col("cents")).cast("double") / 100.0).as("revenue"))
       .orderBy(col("bracket"))
   }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for every part in a type/size
+    * slice, the supplier(s) achieving the MINIMUM observed unit cost, with
+    * supplier-nation attribution restricted to one region. This corpus has
+    * no partsupp table, so the supply relation is DERIVED: one narrow
+    * aggregate over lineitem keyed (partkey, suppkey) whose min exact-cents
+    * price is the cost proxy. The per-part min is a window over the
+    * PARTKEY partition of the already-aggregated supply frame (never the
+    * fact rows), ties kept like the real Q2; the Spark side is the
+    * window-min rewrite while the oracle keeps the literal correlated
+    * scalar subquery — parity proves the rewrite. Supplier/nation/region
+    * dims broadcast (nation/region unconditionally, supplier byte-gated).
+    * At 100 TB the only wide exchange is the (partkey, suppkey) aggregate,
+    * which is the minimal co-key for the semantics.
+    */
+  def minCostSupplier(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      targetType: String = "SMALL", maxSize: Int = 15,
+                      targetRegion: String = "EUROPE", k: Int = 100): DataFrame = {
+    val supply = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("cost_cents"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+    val cheapest = supply
+      .withColumn("min_cents", min(col("cost_cents")).over(wPart))
+      .filter(col("cost_cents") === col("min_cents"))
+    cheapest
+      .join(Exec.broadcastIfSmallBytes(part
+          .filter(col("p_type") === targetType && col("p_size") <= maxSize)
+          .select(col("p_partkey"), col("p_name"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Exec.broadcastIfSmallBytes(
+          supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"),
+        (col("cost_cents").cast("double") / 100.0).as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q4-shaped order-priority check: how many orders per priority,
+    * in one quarter, had at least one LATE lineitem (shipped more than
+    * `lateDays` after the order date — this corpus has no
+    * commit/receipt-date pair, so lateness correlates ship date against
+    * the parent order's date, same proxy [[waitingSuppliers]] uses). The
+    * EXISTS is a LEFT SEMI join on the order key with the date predicate
+    * in the join condition — one co-partitioned exchange, no fact
+    * duplication (semi joins emit each order at most once, so the count
+    * needs no distinct). The quarter filter lands in the orders scan.
+    */
+  def orderPriorityCheck(li: DataFrame, orders: DataFrame,
+                         qStart: String = "1996-07-01",
+                         qEnd: String = "1996-10-01",
+                         lateDays: Int = 30): DataFrame =
+    orders.filter(col("o_orderdate") >= qStart && col("o_orderdate") < qEnd)
+      .join(li.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    * year), the profit on parts whose name carries a token — revenue minus
+    * a unit-cost charge. No partsupp/supplycost exists here, so the unit
+    * cost proxy is the part's retail price; profit stays EXACT:
+    * floor-cents revenue minus retail-cents × whole units, every term a
+    * long. The token-filtered (partkey → retail cents) map and the
+    * supplier→nation map are byte-gated broadcasts; orders contributes
+    * only (orderkey → year) and joins fact-to-fact on the order key. The
+    * name filter shrinks lineitem FIRST (via the broadcast hash join), so
+    * the orders join moves only qualifying lines.
+    */
+  def productProfit(li: DataFrame, orders: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame,
+                    nameToken: String = "widget"): DataFrame = {
+    val p = part.filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("retail_cents"))
+    val sn = supplier.select("s_suppkey", "s_nationkey")
+    val profitCents = floor(revenue * 100 + 0.5).cast("long") -
+      col("retail_cents") * floor(col("l_quantity")).cast("long")
+    li.join(Exec.broadcastIfSmallBytes(p), col("l_partkey") === col("p_partkey"))
+      .join(Exec.broadcastIfSmallBytes(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(profitCents).cast("double") / 100.0).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12-shaped late-shipment priority split: per return-flag class
+    * (the mode stand-in — this corpus ships no shipmode column), among
+    * lines shipped LATE in one year, how many belong to high-priority
+    * (URGENT/HIGH) orders vs everything else. The year filter pushes to
+    * the lineitem scan; orders contributes only (orderkey, priority,
+    * orderdate) through the one co-partitioned fact join; the split is a
+    * conditional-count pair inside a single aggregate.
+    */
+  def latePriorityByFlag(li: DataFrame, orders: DataFrame,
+                         year: String = "1997", lateDays: Int = 45,
+                         flags: Seq[String] = Seq("A", "R")): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.filter(col("l_shipdate") >= s"$year-01-01" &&
+        col("l_shipdate") < s"${year.toInt + 1}-01-01" &&
+        col("l_returnflag").isin(flags: _*))
+      .join(orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16-shaped supplier-part-relationship counts: how many DISTINCT
+    * suppliers offer parts per (brand, type, size) cell, excluding one
+    * brand, one type, restricting to a size list, and excluding
+    * "complained-about" suppliers (negative account balance — the comment
+    * scan proxy). The supply relation is the derived DISTINCT
+    * (partkey, suppkey) set, aggregated BEFORE the part attributes attach
+    * (the distinct is on the narrowest possible key pair); the exclusion
+    * list is an anti join against the (tiny) flagged-supplier set — NOT IN
+    * with no null trap since keys are non-null by construction.
+    */
+  def supplierPartCounts(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                         excludeBrand: String = "Brand#5",
+                         excludeType: String = "PROMO",
+                         sizes: Seq[Int] = Seq(1, 4, 7, 10, 13, 16, 19, 22)): DataFrame = {
+    val pdim = part.filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    li.select("l_partkey", "l_suppkey").distinct()
+      .join(Exec.broadcastIfSmallBytes(pdim),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-shaped majority suppliers: suppliers who shipped MORE THAN
+    * HALF of a part's total year volume, for parts in one name-token
+    * family — the "who can actually supply this" screen. Quantities sum as
+    * exact whole-unit longs; the majority test is the integer
+    * cross-multiplication 2·pair_qty > part_qty (no float share). Both
+    * aggregates ride ONE (partkey, suppkey) shuffle — the per-part total
+    * is a window over the partkey partition of the aggregated frame, not a
+    * second fact scan. Qualifying suppliers (tiny) then semi-join the
+    * supplier dim with nation attribution.
+    */
+  def majorityVolumeSuppliers(li: DataFrame, part: DataFrame,
+                              supplier: DataFrame, nation: DataFrame,
+                              nameToken: String = "red",
+                              year: String = "1998"): DataFrame = {
+    val p = part.filter(col("p_name").contains(nameToken)).select("p_partkey")
+    val pairQty = li.filter(col("l_shipdate") >= s"$year-01-01" &&
+        col("l_shipdate") < s"${year.toInt + 1}-01-01")
+      .join(Exec.broadcastIfSmallBytes(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("pair_qty"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+    val majority = pairQty
+      .withColumn("part_qty", sum(col("pair_qty")).over(wPart))
+      .filter(col("pair_qty") * 2 > col("part_qty"))
+      .select("l_suppkey").distinct()
+    supplier.join(majority, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
 }

@@ -1377,6 +1377,40 @@ object SparkEntry {
              |     WHERE s.n > t.avg_raw * 1.5) AS n_heavy_keys
              |FROM t""".stripMargin)),
 
+    // rendezvous-hashing shard planner + resize audit: per-key argmax of
+    // portable MD5-61 weights; adding a shard moves keys ONLY onto the new
+    // shard (cross_moves pinned to 0 by the HRW property, certified here)
+    Q("store_rendezvous_shards",
+      (s, d) => Relational.rendezvousShards(documents(s, d)),
+      Some(s"""WITH a AS (
+              |  SELECT
+              |    CAST(list_max(list_transform(range(8), s ->
+              |      [${duckH61("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")},
+              |       CAST(s AS BIGINT)]))[2] AS INTEGER) AS before_shard,
+              |    CAST(list_max(list_transform(range(9), s ->
+              |      [${duckH61("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")},
+              |       CAST(s AS BIGINT)]))[2] AS INTEGER) AS after_shard
+              |  FROM documents),
+              |ex AS (
+              |  SELECT before_shard AS shard, 1 AS cb, 0 AS ca,
+              |    CASE WHEN before_shard = after_shard THEN 1 ELSE 0 END AS st,
+              |    0 AS cm
+              |  FROM a
+              |  UNION ALL
+              |  SELECT after_shard, 0, 1, 0,
+              |    CASE WHEN before_shard <> after_shard AND after_shard <> 8
+              |      THEN 1 ELSE 0 END
+              |  FROM a),
+              |g AS (SELECT shard, CAST(sum(cb) AS BIGINT) AS cnt_before,
+              |        CAST(sum(ca) AS BIGINT) AS cnt_after,
+              |        CAST(sum(st) AS BIGINT) AS stayed,
+              |        CAST(sum(cm) AS BIGINT) AS cm
+              |      FROM ex GROUP BY 1),
+              |t AS (SELECT CAST(sum(cm) AS BIGINT) AS cross_moves FROM g)
+              |SELECT shard, cnt_before, cnt_after, stayed,
+              |  cnt_before - stayed AS moved_out, cross_moves
+              |FROM g, t ORDER BY shard""".stripMargin)),
+
     // scan-order compaction planner: streaming cumsum binning of a file
     // inventory into target-sized output bins (metadata-scale op)
     Q("store_compaction_bins",
@@ -3855,6 +3889,44 @@ object SparkEntry {
     // CUPED: exact int64-cents per-user metrics; moments are exact integer
     // sums (cross products in DECIMAL(38,0) ↔ DuckDB HUGEINT); θ/ρ²/means
     // are fixed IEEE expressions over them, quantized once
+    // segment-wise uplift (T-learner HTE readout): segment = (id div 2)
+    // mod 3 is orthogonal to arm = id mod 2; unpooled per-segment z
+    Q("ev_uplift_segments",
+      (s, d) => EventOps.upliftBySegment(events(s, d)),
+      Some("""WITH u0 AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 150
+             |      THEN 1 ELSE 0 END) AS converted
+             |  FROM events GROUP BY 1),
+             |u AS (SELECT converted, CAST(user_id % 2 AS INTEGER) AS arm,
+             |        CAST((user_id // 2) % 3 AS INTEGER) AS segment
+             |      FROM u0),
+             |c AS (SELECT segment, arm, count(*) AS n,
+             |        CAST(sum(converted) AS BIGINT) AS conv
+             |      FROM u GROUP BY 1, 2),
+             |w AS (SELECT segment,
+             |    max(CASE WHEN arm = 0 THEN n END) AS n_c,
+             |    max(CASE WHEN arm = 0 THEN conv END) AS conv_c,
+             |    max(CASE WHEN arm = 1 THEN n END) AS n_t,
+             |    max(CASE WHEN arm = 1 THEN conv END) AS conv_t
+             |  FROM c GROUP BY 1),
+             |p AS (SELECT *,
+             |    CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+             |    CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c
+             |  FROM w),
+             |z AS (SELECT *,
+             |    sqrt(p_t * (1.0 - p_t) / CAST(n_t AS DOUBLE)
+             |       + p_c * (1.0 - p_c) / CAST(n_c AS DOUBLE)) AS se
+             |  FROM p)
+             |SELECT segment, n_t, conv_t, n_c, conv_c,
+             |  floor(p_t * 1000000 + 0.5) / 1000000 AS rate_t,
+             |  floor(p_c * 1000000 + 0.5) / 1000000 AS rate_c,
+             |  floor((p_t - p_c) * 1000000 + 0.5) / 1000000 AS uplift,
+             |  CASE WHEN se = 0.0 THEN NULL
+             |    ELSE floor((p_t - p_c) / se * 10000 + 0.5) / 10000 END
+             |    AS z_stat
+             |FROM z ORDER BY segment""".stripMargin)),
+
     Q("ev_cuped",
       (s, d) => EventOps.cupedAbTest(events(s, d)),
       Some("""WITH u AS (
@@ -5506,6 +5578,37 @@ object SparkEntry {
               |  (cum - 1) // 512 AS last_seq,
               |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs_spanned
               |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // deterministic training-shuffle audit: MD5-61 position = fixed
+    // pseudo-random permutation; shard = pos mod 8; per-shard size/source
+    // diversity/char mass/head doc + longest same-source run (interleave
+    // quality)
+    Q("txt_shuffle_shards",
+      (s, d) => TextOps.shuffleShards(documents(s, d)),
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, source, n_chars,
+              |    ${duckH61("'shuf:' || CAST(doc_id AS VARCHAR)")} AS pos
+              |  FROM documents),
+              |sh AS (SELECT *, CAST(pos % 8 AS INTEGER) AS shard FROM s),
+              |r AS (SELECT *, CASE WHEN lag(source) OVER
+              |        (PARTITION BY shard ORDER BY pos, doc_id) = source
+              |      THEN 0 ELSE 1 END AS new_run
+              |      FROM sh),
+              |r2 AS (SELECT *, sum(new_run) OVER
+              |        (PARTITION BY shard ORDER BY pos, doc_id) AS run_id
+              |      FROM r),
+              |rl AS (SELECT shard, run_id, count(*) AS rl
+              |       FROM r2 GROUP BY 1, 2),
+              |m AS (SELECT shard, CAST(max(rl) AS BIGINT) AS max_src_run
+              |      FROM rl GROUP BY 1),
+              |g AS (SELECT shard, count(*) AS n_docs,
+              |        count(DISTINCT source) AS n_sources,
+              |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              |        min([pos, doc_id])[2] AS head_doc
+              |      FROM sh GROUP BY 1)
+              |SELECT shard, n_docs, n_sources, sum_chars, head_doc,
+              |  max_src_run
+              |FROM g JOIN m USING (shard) ORDER BY shard""".stripMargin)),
 
     // deterministic stratified sample: first-N per language in md5 order —
     // reproducible on any engine, balanced across strata

@@ -1207,6 +1207,52 @@ object EventOps {
         q6(col("adj_a") - col("adj_b")).as("lift_cuped"))
   }
 
+  /** Segment-wise uplift (heterogeneous treatment effect, T-learner
+    * readout) — [[abTest]] answers "did it work on average"; this answers
+    * "for WHOM": users are split into segments orthogonal to the arm
+    * (segment = (user_id div 2) mod k — the div strips the arm bit, so
+    * under uniform ids segment ⟂ arm by construction), and each segment
+    * gets its own treat-vs-control conversion contrast with the UNPOOLED
+    * two-proportion z (pooling is wrong per-segment when the question is
+    * effect heterogeneity). One conversion aggregate per user, one
+    * (segment, arm) rollup — both map-side-combinable; the wide pivot is a
+    * k-row conditional-max. All rates quantize via floor-1e6 before
+    * emission (cross-engine tie discipline).
+    */
+  def upliftBySegment(events: DataFrame, kSegments: Int = 3): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 150, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .withColumn("segment",
+        expr(s"CAST((user_id DIV 2) % $kSegments AS INT)"))
+    val cells = users.groupBy(col("segment"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val d = (c: Column) => c.cast("double")
+    cells.groupBy(col("segment"))
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_c"),
+        max(when(col("arm") === 0, col("conv"))).as("conv_c"),
+        max(when(col("arm") === 1, col("n"))).as("n_t"),
+        max(when(col("arm") === 1, col("conv"))).as("conv_t"))
+      .withColumn("p_c", d(col("conv_c")) / d(col("n_c")))
+      .withColumn("p_t", d(col("conv_t")) / d(col("n_t")))
+      .withColumn("se", sqrt(
+        col("p_t") * (lit(1.0) - col("p_t")) / d(col("n_t"))
+          + col("p_c") * (lit(1.0) - col("p_c")) / d(col("n_c"))))
+      // a degenerate segment (all-converted or none in BOTH arms) has zero
+      // standard error; its z is undefined, not infinite
+      .withColumn("z", when(col("se") === 0.0, lit(null))
+        .otherwise((col("p_t") - col("p_c")) / col("se")))
+      .select(col("segment"), col("n_t"), col("conv_t"), col("n_c"),
+        col("conv_c"),
+        q6(col("p_t")).as("rate_t"), q6(col("p_c")).as("rate_c"),
+        q6(col("p_t") - col("p_c")).as("uplift"),
+        (floor(col("z") * 10000 + 0.5) / 10000).as("z_stat"))
+      .orderBy(col("segment"))
+  }
+
   /** Daily sample-ratio-mismatch (SRM) audit — the assignment-health check
     * every experimentation platform runs before trusting a readout: under a
     * 50/50 split the cumulative arm counts should follow Binomial(n, ½), and

@@ -1264,6 +1264,50 @@ object Relational {
         col("n_heavy_keys"))
   }
 
+  /** Rendezvous (highest-random-weight) shard planner + resize audit — the
+    * consistent-hashing story a 100-TB store needs when the shard count
+    * changes: each key's shard is the argmax over shards of
+    * hash61(key ':' shard), so adding shard N can only RE-WIN keys for the
+    * new shard (an old shard's weight never changes) — the minimal-movement
+    * guarantee, certified here rather than asserted. One pass computes the
+    * before (n) and after (n+1) assignments row-locally (the per-key argmax
+    * is a fold over ≤ n+1 portable MD5-61 weights, zero shuffle), each row
+    * fans out to its two (role, shard) facts, and ONE aggregate yields
+    * per-shard counts, stay counts, and the cross-move total — which the
+    * HRW property pins to 0 (every move lands on the NEW shard).
+    * `cross_moves` rides every row via a broadcast of the 1-row total.
+    */
+  def rendezvousShards(df: DataFrame, idCol: String = "doc_id",
+                       nShards: Int = 8): DataFrame = {
+    graft.functions.MinHashFunctions.register(df.sparkSession)
+    def assign(n: Int) = expr(
+      s"""array_max(transform(sequence(0, ${n - 1}),
+         |  s -> struct(hash61(concat(CAST($idCol AS STRING), ':',
+         |                            CAST(s AS STRING))) AS w,
+         |              CAST(s AS INT) AS shard))).shard""".stripMargin)
+    val assigned = df.select(
+      assign(nShards).as("before_shard"), assign(nShards + 1).as("after_shard"))
+    val facts = assigned.select(explode(array(
+        struct(col("before_shard").as("shard"), lit(1L).as("cb"),
+          lit(0L).as("ca"),
+          (col("before_shard") === col("after_shard")).cast("long").as("st"),
+          lit(0L).as("cm")),
+        struct(col("after_shard").as("shard"), lit(0L).as("cb"),
+          lit(1L).as("ca"), lit(0L).as("st"),
+          (col("before_shard") =!= col("after_shard") &&
+            col("after_shard") =!= lit(nShards)).cast("long").as("cm"))))
+        .as("r"))
+      .select(col("r.*"))
+    val perShard = facts.groupBy(col("shard"))
+      .agg(sum(col("cb")).as("cnt_before"), sum(col("ca")).as("cnt_after"),
+        sum(col("st")).as("stayed"), sum(col("cm")).as("cm"))
+    val total = perShard.agg(sum(col("cm")).as("cross_moves"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("cnt_before"), col("cnt_after"), col("stayed"),
+        (col("cnt_before") - col("stayed")).as("moved_out"), col("cross_moves"))
+      .orderBy(col("shard"))
+  }
+
   /** Bounded-depth hierarchy rollup — the BOM-explosion / org-chart
     * aggregate relational engines answer with a recursive CTE. Spark has no
     * recursion, and level-by-level upward propagation costs one shuffle per

@@ -1919,4 +1919,45 @@ object TextOps {
         })
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Deterministic training-shuffle audit — the "global shuffle" every
+    * pre-training run needs, without ever materializing a global order:
+    * each doc's position is its portable MD5-61 key (a fixed pseudo-random
+    * permutation — reproducible across runs, engines, executors, and input
+    * row order), its shard is pos mod nShards, and training consumes each
+    * shard in pos order. The audit reports, per shard: size, source
+    * diversity, char mass, the deterministic head doc, and the LONGEST
+    * consecutive same-source run (the interleave-quality signal — a long
+    * run means a training window sees one source back to back, exactly
+    * what the shuffle exists to prevent). The run-length pass is a
+    * gaps-and-islands walk under a window PARTITIONED BY SHARD — bounded
+    * parallelism equal to the shard count, which is the contract: a shard
+    * IS the unit a trainer reads sequentially, and production sets
+    * nShards to O(reader count), not 8. Zero data moves except the one
+    * hash-shard exchange — the same exchange the shuffle itself needs.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val sharded = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("pos", expr("hash61(concat('shuf:', CAST(doc_id AS STRING)))"))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
+    val runs = sharded
+      .withColumn("new_run",
+        when(lag(col("source"), 1).over(w) === col("source"), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val maxRun = runs.groupBy(col("shard"), col("run_id"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("shard")).agg(max(col("rl")).as("max_src_run"))
+    val stats = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(struct(col("pos"), col("doc_id"))).getField("doc_id").as("head_doc"))
+    stats.join(maxRun, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("sum_chars"),
+        col("head_doc"), col("max_src_run"))
+      .orderBy(col("shard"))
+  }
 }

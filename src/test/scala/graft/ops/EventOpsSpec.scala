@@ -504,4 +504,30 @@ class EventOpsSpec extends SparkSpec {
     assert(rows((0L, 2)) == ((2L, 2L, 1.0)), "user 2 returns in week 2")
     assert(rows((1L, 0)) == ((1L, 1L, 1.0)))
   }
+
+  test("upliftBySegment: hand-computed per-segment contrasts; zero-SE segment yields null z") {
+    import spark.implicits._
+    // arm = id%2, segment = (id/2)%3; value>150 converts
+    // seg0: control {0:conv, 6:no}, treat {1:conv, 7:conv} -> 0.5 vs 1.0
+    // seg1: nobody converts in either arm -> se = 0 -> z null
+    // seg2: control {4:conv, 10:conv}, treat {5:no, 11:conv} -> 1.0 vs 0.5
+    val conv = 200.0; val no = 100.0
+    val events = Seq(
+      0L -> conv, 6L -> no, 1L -> conv, 7L -> conv,
+      2L -> no, 8L -> no, 3L -> no, 9L -> no,
+      4L -> conv, 10L -> conv, 5L -> no, 11L -> conv)
+      .map { case (u, v) => (u, "purchase", v) }
+      .toDF("user_id", "event_type", "value")
+    val rows = EventOps.upliftBySegment(events).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        if (r.isNullAt(8)) Double.NaN else r.getDouble(8))).toMap
+    assert(rows.size == 3)
+    val z = math.floor(0.5 / math.sqrt(0.125) * 10000 + 0.5) / 10000
+    assert(rows(0) == ((2L, 2L, 2L, 1L, 1.0, 0.5, 0.5, z)), rows(0))
+    assert(rows(1)._5 == 0.0 && rows(1)._6 == 0.0 && rows(1)._8.isNaN,
+      s"degenerate segment must have null z: ${rows(1)}")
+    val zNeg = math.floor(-0.5 / math.sqrt(0.125) * 10000 + 0.5) / 10000
+    assert(rows(2) == ((2L, 1L, 2L, 2L, 0.5, 1.0, -0.5, zNeg)), rows(2))
+  }
 }

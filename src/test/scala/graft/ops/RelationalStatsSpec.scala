@@ -216,4 +216,32 @@ class RelationalStatsSpec extends SparkSpec {
     // Lorenz property: shares non-increasing, cumulative non-decreasing
     assert(got.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("rendezvousShards: matches a driver-side HRW replication; minimal movement certified") {
+    import spark.implicits._
+    val n = 8
+    val ids = (0L until 200L)
+    val docs = ids.toDF("doc_id")
+    def hrw(id: Long, shards: Int): Int =
+      (0 until shards).maxBy(s =>
+        (graft.functions.Md5Hash61.hash61(s"$id:$s".getBytes("UTF-8")), s))
+    val before = ids.map(hrw(_, n))
+    val after = ids.map(hrw(_, n + 1))
+    val got = Relational.rendezvousShards(docs, "doc_id", n).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.size == n + 1)
+    (0 to n).foreach { s =>
+      val cb = before.count(_ == s).toLong
+      val ca = after.count(_ == s).toLong
+      val st = ids.indices.count(i => before(i) == s && after(i) == s).toLong
+      assert(got(s) == ((cb, ca, st, cb - st, 0L)), s"shard $s: ${got(s)}")
+    }
+    // HRW guarantee: every move lands on the NEW shard, and old shards'
+    // moved_out sums to exactly its population
+    assert(got.values.forall(_._5 == 0L), "cross_moves must be 0")
+    assert((0 until n).map(got(_)._4).sum == got(n)._2)
+    assert(got(n)._1 == 0L && got(n)._3 == 0L)
+  }
 }

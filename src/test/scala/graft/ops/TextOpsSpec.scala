@@ -839,4 +839,39 @@ class TextOpsSpec extends SparkSpec {
     assert(rows((1L, 4L)) == ((5, 5, 5, 1.0, 1.0, 1.0)), s"${rows((1L, 4L))}")
     assert(rows((1L, 3L)) == ((5, 3, 0, 0.0, 0.0, 0.0)), s"${rows((1L, 3L))}")
   }
+
+  test("shuffleShards: matches a driver-side replication and is input-order invariant") {
+    import spark.implicits._
+    val fixture = (0L until 60L).map(i =>
+      (i, s"src${(i % 3)}", 10L + i))
+    val docs = fixture.toDF("doc_id", "source", "n_chars")
+    def pos(id: Long): Long =
+      graft.functions.Md5Hash61.hash61(s"shuf:$id".getBytes("UTF-8"))
+    val nShards = 2
+    // driver-side replication: per shard, docs in pos order, run lengths
+    val byShard = fixture.groupBy { case (id, _, _) => (pos(id) % nShards).toInt }
+      .view.mapValues(_.sortBy { case (id, _, _) => (pos(id), id) }).toMap
+    val got = TextOps.shuffleShards(docs, nShards).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.size == nShards)
+    (0 until nShards).foreach { s =>
+      val rows = byShard(s)
+      val runs = rows.map(_._2).foldLeft(List.empty[(String, Long)]) {
+        case ((src, len) :: rest, cur) if src == cur => (src, len + 1) :: rest
+        case (acc, cur) => (cur, 1L) :: acc
+      }
+      assert(got(s) == ((rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+        rows.map(_._3).sum, rows.head._1, runs.map(_._2).max)), s"shard $s: ${got(s)}")
+    }
+    // the permutation is a function of doc_id alone: reversed input, same audit
+    val reversed = fixture.reverse.toDF("doc_id", "source", "n_chars")
+    val again = TextOps.shuffleShards(reversed, nShards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == TextOps.shuffleShards(docs, nShards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq)
+  }
 }

@@ -364,6 +364,40 @@ object EventStream {
       .toDF("edge", "cnt")
   }
 
+  /** STREAMING count-min sketch — the streaming twin of
+    * `EventOps.cmsHeavyKeys`' depth×width counter grid: each key fans out
+    * map-side to its `depth` (row, bucket) cells with the SAME portable
+    * md5-prefix bucket derivation the batch op and its oracle use, the
+    * cell packs into one long (row·width + bucket), and counts maintain
+    * incrementally under `transformWithState` keyed BY CELL — state is
+    * ≤ depth·width rows (4096 here) regardless of stream length OR key
+    * cardinality, and a billion occurrences of one hot key still land on
+    * `depth` counter rows, not one state row per key. Cell counts are
+    * associative/commutative adds, so the latest emission per cell equals
+    * the batch sketch EXACTLY (bitwise — the spec asserts grid equality
+    * and recovers a point estimate by the same min-over-rows read), which
+    * means any downstream frequency question answerable from the batch
+    * sketch is answerable from the stream with zero drift. The processor
+    * IS [[HistBucketProcessor]] — same count algebra, different key
+    * derivation. Input contract: one string `key` column. Requires the
+    * RocksDB state store provider, like [[milestones]].
+    */
+  def cmsCells(spark: SparkSession, keyed: DataFrame, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
+    import spark.implicits._
+    keyed
+      .selectExpr("key", s"explode(sequence(0, ${depth - 1})) AS r")
+      .selectExpr("r", "CAST(conv(substring(md5(concat('cms', " +
+        s"CAST(r AS STRING), ':', key)), 1, 8), 16, 10) AS BIGINT) % $width" +
+        " AS bucket")
+      .selectExpr(s"r * $width + bucket AS cell")
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new HistBucketProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("cell", "cnt")
+  }
+
   /** STREAMING 1-D Kalman filter — the streaming twin of
     * `TimeSeriesOps.kalmanStates` (same local-level model, Q=0.25, R=1):
     * per series key, a `ValueState[(Long, Double, Double)]` holding

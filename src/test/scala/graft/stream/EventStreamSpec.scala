@@ -481,6 +481,62 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS cells equal the batch counter grid exactly; point read recovers; state bounded by the grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val keys = batchEvents
+        .selectExpr("CAST(user_id AS STRING) || ':' || event_type AS key")
+        .as[String].collect().toSeq
+      val (b1, rest) = keys.splitAt(keys.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      val mem = MemoryStream[String]
+      val q = EventStream.cmsCells(spark, mem.toDF().toDF("key"))
+        .writeStream.outputMode("append").format("memory").queryName("t_cms").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // counts only grow: the latest emission per cell is its max
+      val streamed = spark.table("t_cms").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // the batch counter grid, same derivation as EventOps.cmsHeavyKeys
+      def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("key"), explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', " +
+            "key)), 1, 8), 16, 10) AS BIGINT) % 1024"))
+        .selectExpr("r * 1024 + bucket AS cell")
+      val batch = cellsOf(keys.toDF("key"))
+        .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch,
+        s"grid drift: ${(streamed.toSet diff batch.toSet).take(3)}")
+      // state bounded by the grid, never by key cardinality
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal == batch.size && batch.size <= 4096,
+        s"state rows ${lastState.numRowsTotal} vs grid ${batch.size}")
+      // point read: min over the hot key's 4 cells >= its exact count
+      val (hotKey, exactCnt) = keys.groupBy(identity).view
+        .mapValues(_.size.toLong).maxBy { case (k, c) => (c, k) }
+      val hotCells = cellsOf(Seq(hotKey).toDF("key"))
+        .as[Long].collect()
+      val est = hotCells.map(streamed).min
+      assert(est >= exactCnt, s"CMS must never undercount: $est < $exactCnt")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the dim per batch and keeps ZERO state") {
     import spark.implicits._
     val dim = batchEvents.select(col("user_id")).distinct()

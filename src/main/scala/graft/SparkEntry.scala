@@ -224,6 +224,30 @@ object SparkEntry {
              |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q13 is rel_order_count_distribution (registered in the window/agg
+    // block below — same shape, predates the TPC-H sweep naming).
+    // Q17 shape: small-quantity revenue with the 20%-of-average test as
+    // the integer cross-multiply 5*qty*n < sum_qty (no float average)
+    Q("rel_q17_small_quantity_revenue",
+      (s, d) => Relational.smallQuantityRevenue(lineitem(s, d), part(s, d)),
+      Some("""WITH lines AS (
+             |  SELECT l_partkey,
+             |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |      AS price_cents
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_brand = 'Brand#3' AND p_size IN (1, 2, 3, 4, 5)),
+             |st AS (
+             |  SELECT qty, price_cents,
+             |    sum(qty) OVER (PARTITION BY l_partkey) AS part_qty_sum,
+             |    count(*) OVER (PARTITION BY l_partkey) AS n_lines
+             |  FROM lines)
+             |SELECT CAST(sum(price_cents) AS DOUBLE) / 100.0 / 7.0
+             |    AS avg_yearly,
+             |  count(*) AS n_small_lines
+             |FROM st WHERE qty * 5 * n_lines < part_qty_sum"""
+        .stripMargin)),
+
     // Q16 shape: distinct-supplier counts per (brand, type, size) cell with
     // brand/type/size exclusions and a NOT-IN flagged-supplier screen
     Q("rel_q16_supplier_part_counts",
@@ -2510,6 +2534,59 @@ object SparkEntry {
              |  floor(corr(l.va, b.v) * 10000 + 0.5) / 10000 AS acf
              |FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // PACF via unrolled Durbin-Levinson (lags 1..4): classical
+    // full-series-mean autocorrelations in exact cents, r_k quantized at
+    // 6dp BEFORE the recursion so both engines run identical arithmetic
+    Q("ts_pacf",
+      (s, d) => graft.ops.TimeSeriesOps.pacfMonthly(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT key, CAST(sum(cents) AS DOUBLE) / count(*)
+             |         AS xbar FROM m GROUP BY 1),
+             |c AS (SELECT m.key, m.mi, CAST(m.cents AS DOUBLE) - st.xbar
+             |        AS c
+             |      FROM m JOIN st ON st.key = m.key),
+             |den AS (SELECT key, sum(c * c) AS den FROM c GROUP BY 1),
+             |nums AS (
+             |  SELECT a.key, lags.lag_m, sum(a.c * b.c) AS num
+             |  FROM c a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS lag_m)
+             |    lags
+             |  JOIN c b ON b.key = a.key AND b.mi = a.mi - lags.lag_m
+             |  GROUP BY 1, 2),
+             |r AS (SELECT n.key, n.lag_m,
+             |        floor(n.num / d.den * 1000000 + 0.5) / 1000000 AS r
+             |      FROM nums n JOIN den d ON d.key = n.key),
+             |rp AS (SELECT key,
+             |    max(CASE WHEN lag_m = 1 THEN r END) AS r1,
+             |    max(CASE WHEN lag_m = 2 THEN r END) AS r2,
+             |    max(CASE WHEN lag_m = 3 THEN r END) AS r3,
+             |    max(CASE WHEN lag_m = 4 THEN r END) AS r4
+             |  FROM r GROUP BY 1),
+             |d1 AS (SELECT key, r1, r2, r3, r4, r1 AS p11 FROM rp),
+             |d2 AS (SELECT *, (r2 - p11 * r1) / (1 - p11 * r1) AS p22
+             |       FROM d1),
+             |d2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM d2),
+             |d3 AS (SELECT *, (r3 - (p21 * r2 + p22 * r1))
+             |         / (1 - (p21 * r1 + p22 * r2)) AS p33 FROM d2b),
+             |d3b AS (SELECT *, p21 - p33 * p22 AS p31,
+             |          p22 - p33 * p21 AS p32 FROM d3),
+             |d4 AS (SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+             |         / (1 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+             |       FROM d3b)
+             |SELECT key, lag_m,
+             |  floor(pacf * 10000 + 0.5) / 10000 AS pacf
+             |FROM (
+             |  SELECT key, 1 AS lag_m, p11 AS pacf FROM d4
+             |  UNION ALL SELECT key, 2, p22 FROM d4
+             |  UNION ALL SELECT key, 3, p33 FROM d4
+             |  UNION ALL SELECT key, 4, p44 FROM d4)
+             |ORDER BY key, lag_m""".stripMargin)),
 
     // Periodogram seasonality scan: normalized DFT power of the centered
     // monthly series at candidate periods 2..12 + per-series peak flag —
@@ -5800,6 +5877,46 @@ object SparkEntry {
               |  CAST(max(CASE WHEN r.rn = 1 THEN r.n END) AS BIGINT) AS top_n
               |FROM pt p JOIN ranked r ON r.dim = p.dim AND r.token = p.token
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR importance resampling: hashed-unigram LM ratio target-vs-raw,
+    // deterministic Gumbel top-k; keys rounded to 6dp BEFORE the threshold
+    // compare so libm ln noise can't flip a selection
+    Q("txt_dsir_weights",
+      (s, d) => TextOps.dsirWeights(documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest($DuckToks) AS tok
+              |          FROM documents),
+              |db AS (SELECT doc_id, lang,
+              |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+              |    count(*) AS n
+              |  FROM t GROUP BY 1, 2, 3),
+              |cr AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr
+              |       FROM db GROUP BY 1),
+              |ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct
+              |       FROM db WHERE lang = 'en' GROUP BY 1),
+              |tot AS (SELECT
+              |    (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM db
+              |     WHERE lang = 'en') AS t_total,
+              |    (SELECT CAST(sum(n) AS BIGINT) FROM db) AS r_total),
+              |lr AS (SELECT cr.b,
+              |    ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+              |       / CAST(t_total + 64 AS DOUBLE))
+              |    - ln(CAST(cr.cr + 1 AS DOUBLE)
+              |         / CAST(r_total + 64 AS DOUBLE)) AS lr
+              |  FROM cr LEFT JOIN ct ON ct.b = cr.b, tot),
+              |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+              |    sum(n * lr) AS raw
+              |  FROM db JOIN lr ON lr.b = db.b GROUP BY 1),
+              |gk AS (SELECT doc_id, n_toks,
+              |    floor(raw * 1000000 + 0.5) / 1000000 AS logw,
+              |    floor((raw + -ln(-ln(
+              |      (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+              |         1, 8)) AS BIGINT) % 1000003 AS DOUBLE) + 0.5)
+              |      / 1000003.0))) * 1000000 + 0.5) / 1000000 AS g_key
+              |  FROM sc),
+              |th AS (SELECT min(g_key) AS thresh FROM
+              |  (SELECT g_key FROM gk ORDER BY g_key DESC, doc_id LIMIT 100))
+              |SELECT doc_id, n_toks, logw, g_key, (g_key >= thresh) AS sel
+              |FROM gk, th ORDER BY doc_id""".stripMargin)),
 
     // fastText-style linear quality classifier: hashed unigram+bigram
     // features, integer fixture weights replayed by the oracle, exact-long

@@ -2040,4 +2040,37 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** TPC-H Q17-shaped small-quantity revenue: the average yearly revenue
+    * that would be lost if orders below 20% of their part's average
+    * quantity were no longer taken, over one brand and a size list (the
+    * container proxy — this corpus ships no `p_container`). The 20% test
+    * is the integer cross-multiplication `5·qty·n_lines < part_qty_sum`
+    * (quantities are exact whole units in this corpus), so no float
+    * average crosses an engine boundary. The brand/size filter shrinks
+    * lineitem FIRST through a byte-gated broadcast of the qualifying part
+    * keys; the per-part statistics ride a window over ONE partkey exchange
+    * of the already-filtered lines — no second fact scan, no agg-and-join-
+    * back, and the window is partitioned (per-part line counts are bounded
+    * by order multiplicity, never corpus-sized).
+    */
+  def smallQuantityRevenue(li: DataFrame, part: DataFrame,
+                           brand: String = "Brand#3",
+                           sizes: Seq[Int] = Seq(1, 2, 3, 4, 5)): DataFrame = {
+    val p = part.filter(col("p_brand") === brand &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(Exec.broadcastIfSmallBytes(p),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+      .withColumn("part_qty_sum", sum(col("qty")).over(w))
+      .withColumn("n_lines", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n_lines") < col("part_qty_sum"))
+      .agg((sum(col("price_cents")).cast("double") / 100.0 / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
 }

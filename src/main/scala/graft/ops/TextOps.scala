@@ -602,6 +602,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weights + Gumbel top-k selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling"):
+    * fit two hashed-unigram bag-of-words LMs — one on the TARGET domain
+    * (here: one language's documents, the in-domain proxy), one on the RAW
+    * corpus — and weight every document by its log likelihood ratio
+    *   log w(d) = Σ_b n_b(d) · (ln p_target[b] − ln p_raw[b]),
+    * add-1 smoothed over the `dims` hash buckets. Selection is the paper's
+    * Gumbel-perturbed top-k: key = log w + g where g = −ln(−ln u) and u is
+    * a DETERMINISTIC uniform from md5(doc_id) (the repo's no-RNG doctrine;
+    * the prime pre-reduction keeps the id-domain math overflow-free on
+    * engines that raise rather than wrap). Keys are rounded to 6 dp BEFORE
+    * the threshold comparison so cross-engine libm noise in ln cannot flip
+    * a selection.
+    *
+    * Scale shape: ONE corpus explode feeds a single (doc_id, lang, bucket)
+    * exchange, persisted; both LMs and their totals re-aggregate those
+    * ≤ |docs|·dims reduced rows, never the token stream again. The
+    * bucket→ratio table is `dims` rows (broadcast), per-doc scoring is one
+    * doc_id exchange, and the selection threshold is a TakeOrdered(k) +
+    * 1-row broadcast — no unpartitioned window anywhere, so the plan holds
+    * at any corpus size. Ties AT the rounded threshold all select (may
+    * exceed k; documented over a fragile exact-k tiebreak).
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  dims: Int = 64, k: Int = 100): DataFrame = {
+    val bucket = expr(
+      s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $dims")
+    // one corpus scan; the persist is load-bearing (four downstream reads)
+    // and released under the Exec.clearPinned contract like its siblings
+    val db = docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), bucket.as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val cr = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val ct = db.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val totals = db.agg(
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L))
+        .as("t_total"),
+      sum(col("n")).as("r_total"))
+    val lr = cr.join(ct, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("t_total") + dims).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("r_total") + dims).cast("double"))).as("lr"))
+    val gumbel = expr(
+      "-ln(-ln((CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8)," +
+        " 16, 10) AS BIGINT) % 1000003 AS DOUBLE) + 0.5) / 1000003.0))")
+    val scored = db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_toks"),
+        sum(col("n").cast("double") * col("lr")).as("raw"))
+      .select(col("doc_id"), col("n_toks"),
+        (floor(col("raw") * 1e6 + 0.5) / 1e6).as("logw"),
+        (floor((col("raw") + gumbel) * 1e6 + 0.5) / 1e6).as("g_key"))
+    val thresh = scored.orderBy(col("g_key").desc, col("doc_id"))
+      .limit(k).agg(min(col("g_key")).as("thresh"))
+    scored.crossJoin(broadcast(thresh))
+      .select(col("doc_id"), col("n_toks"), col("logw"), col("g_key"),
+        (col("g_key") >= col("thresh")).as("sel"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy per document — the
     * smoothed-LM quality filter (CCNet-style) done with the actual KN
     * estimator instead of raw MLE: the discount δ moves mass from seen

@@ -345,6 +345,89 @@ object TimeSeriesOps {
       .orderBy(col("key"), col("lag_m"))
   }
 
+  /** Partial autocorrelation function at lags 1..4 via the Durbin–Levinson
+    * recursion — the AR-order diagnostic that complements [[acfMonthly]]:
+    * ACF says "lag k correlates", PACF says "lag k correlates AFTER the
+    * shorter lags are regressed out", which is what actually picks p in an
+    * AR(p) fit. Pipeline:
+    *   1. monthly series in EXACT integer cents (one aggregate);
+    *   2. classical autocorrelations r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    *      with a FULL-SERIES mean/denominator (the standard estimator, not
+    *      [[acfMonthly]]'s per-lag Pearson), via the same bounded
+    *      `explode(sequence)` banded self-join;
+    *   3. r_k quantized to 6 dp BEFORE the recursion — the one float sum in
+    *      the pipeline is engine-order-dependent, and quantizing the
+    *      recursion INPUTS makes every downstream arithmetic step
+    *      bit-identical cross-engine (the oracle unrolls the identical
+    *      left-to-right formulas);
+    *   4. Durbin–Levinson unrolled for p ≤ 4: φ11 = r1; each level-k
+    *      reflection coefficient divides the residual of r_k by the
+    *      level-(k−1) prediction-error normalizer, then downdates the
+    *      shorter coefficients.
+    * Scale shape: the banded join is [[acfMonthly]]'s plan; the pivot to
+    * one (r1..r4) row per key and the recursion are per-key row-local
+    * arithmetic — millions of series PACF in one pass, no window, no
+    * collect.
+    */
+  def pacfMonthly(li: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val monthly = li
+      .groupBy(col("l_returnflag").as("key"),
+        months_between(date_trunc("month", col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("int").as("mi"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+      .persist()
+    // full-series mean + centered denominator (two narrow passes over the
+    // reduced monthly frame, never the fact table)
+    val mstats = monthly.groupBy(col("key"))
+      .agg((sum(col("cents")).cast("double") / count(lit(1))).as("xbar"))
+    val centered = monthly.join(Exec.broadcastIfSmallBytes(mstats), Seq("key"))
+      .select(col("key"), col("mi"),
+        (col("cents").cast("double") - col("xbar")).as("c"))
+      .persist()
+    val den = centered.groupBy(col("key"))
+      .agg(sum(col("c") * col("c")).as("den"))
+    val nums = centered
+      .select(col("key"), col("mi"), col("c"),
+        explode(sequence(lit(1), lit(4))).as("lag_m"))
+      .select(col("key"), (col("mi") - col("lag_m")).as("mi_prev"),
+        col("lag_m"), col("c").as("ca"))
+      .join(centered.select(col("key"), col("mi").as("mi_prev"),
+        col("c").as("cb")), Seq("key", "mi_prev"))
+      .groupBy(col("key"), col("lag_m"))
+      .agg(sum(col("ca") * col("cb")).as("num"))
+    val r = nums.join(Exec.broadcastIfSmallBytes(den), Seq("key"))
+      .select(col("key"), col("lag_m"), q6(col("num") / col("den")).as("r"))
+      .groupBy(col("key"))
+      .agg(max(when(col("lag_m") === 1, col("r"))).as("r1"),
+        max(when(col("lag_m") === 2, col("r"))).as("r2"),
+        max(when(col("lag_m") === 3, col("r"))).as("r3"),
+        max(when(col("lag_m") === 4, col("r"))).as("r4"))
+    // Durbin–Levinson, unrolled (identical left-to-right order in the
+    // oracle). Level 2..4 reuse the previous level's coefficients.
+    r.withColumn("p11", col("r1"))
+      .withColumn("p22",
+        (col("r2") - col("p11") * col("r1")) /
+          (lit(1.0) - col("p11") * col("r1")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("p33",
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+          (lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2"))))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("p44",
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+          col("p33") * col("r1"))) /
+          (lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2") +
+            col("p33") * col("r3"))))
+      .select(col("key"), explode(expr(
+        "map(1, p11, 2, p22, 3, p33, 4, p44)")).as(Seq("lag_m", "pacf")))
+      .select(col("key"), col("lag_m"), q4(col("pacf")).as("pacf"))
+      .orderBy(col("key"), col("lag_m"))
+  }
+
   /** Rolling windowed Pearson correlation between two aligned series (the
     * pairs-trading / metric-coupling monitor): per month, the correlation
     * of two suppliers' shipped quantities over the trailing `window`

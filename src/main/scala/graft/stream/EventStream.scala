@@ -2,8 +2,8 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the event operators (SURVEY.md §2.10):
@@ -428,6 +428,62 @@ object EventStream {
         OutputMode.Append())
       .toDF("g", "t", "l", "k")
   }
+
+  /** STREAMING Misra–Gries heavy-hitter summary — the streaming twin of
+    * the batch `misra_gries(key, k)` aggregate
+    * ([[graft.functions.MisraGries]]): a GLOBAL ≤ k-entry
+    * (key, lower-bound) candidate summary maintained across micro-batches.
+    * Two-level, like the batch plan's partial/final split: each input
+    * partition runs the classic MG update stream-side in `mapPartitions`
+    * (bounded k-entry scratch map, NO state store), so only ≤ k·partitions
+    * summary rows — never raw events — cross the shuffle to the single
+    * merge group, whose `transformWithState` MapState applies the Agarwal
+    * et al. mergeable-summaries rule (add counts; if over k, subtract the
+    * (k+1)-th largest and keep strict positives). Both levels preserve the
+    * deficit invariant, so after ANY number of batches:
+    *
+    *     true_count(key) − n/(k+1)  ≤  reported(key)  ≤  true_count(key)
+    *
+    * with n = total events so far — every key with true frequency
+    * > n/(k+1) is guaranteed PRESENT (the candidate-completeness property
+    * the batch op's callers rely on; exact counts come from a follow-up
+    * keyed join, same as batch). Counter VALUES are merge-order-dependent
+    * lower bounds, so the spec asserts the invariant and the candidate
+    * guarantee, not bitwise equality. State is one MapState of ≤ k
+    * entries — independent of stream length AND key cardinality. Emits the
+    * full summary each batch, (lb desc, key)-sorted. Input contract: one
+    * string `key` column. Requires the RocksDB state store provider, like
+    * [[milestones]].
+    */
+  def mgSummary(spark: SparkSession, keyed: DataFrame, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val kk = k
+    keyed
+      .selectExpr("key").as[String]
+      .mapPartitions { it =>
+        // classic MG over the partition's slice: hit → +1; room → insert;
+        // full → decrement-all (each such step burns k+1 stream items)
+        val buf = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { key =>
+          buf.get(key) match {
+            case Some(c) => buf.update(key, c + 1)
+            case None if buf.size < kk => buf.update(key, 1L)
+            case None =>
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              buf.keysIterator.foreach { x =>
+                val c = buf(x) - 1
+                if (c == 0L) dead += x else buf.update(x, c)
+              }
+              dead.foreach(buf.remove)
+          }
+        }
+        buf.iterator
+      }
+      .groupByKey(_ => 0)
+      .transformWithState(new MgMergeProcessor(kk), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("key", "lb")
+  }
 }
 
 /** [[EventStream.kalmanLevels]]'s processor: (n, level, variance) per
@@ -508,6 +564,41 @@ class HllRegisterProcessor
     val m = rows.foldLeft(cur)((a, r) => math.max(a, r._2))
     if (m > cur) { maxRho.update(m); Iterator.single((key, m)) }
     else Iterator.empty
+  }
+}
+
+/** [[EventStream.mgSummary]]'s merge processor: a MapState holding the
+  * global ≤ k-entry summary; each batch folds the partition summaries in
+  * with the Agarwal et al. merge rule and emits the merged summary. */
+class MgMergeProcessor(k: Int)
+    extends StatefulProcessor[Int, (String, Long), (String, Long)] {
+  @transient private var st: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getMapState[String, Long]("mg",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    st.iterator().foreach { case (kk, v) => m.update(kk, v) }
+    rows.foreach { case (kk, c) => m.update(kk, m.getOrElse(kk, 0L) + c) }
+    if (m.size > k) {
+      // subtract the (k+1)-th largest count, keep strict positives — the
+      // deficit-preserving merge (same rule as MisraGries.merge)
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      m.keysIterator.foreach { kk =>
+        val c = m(kk) - cut
+        if (c <= 0L) dead += kk else m.update(kk, c)
+      }
+      dead.foreach(m.remove)
+    }
+    // rewrite the state map to exactly the merged summary
+    st.keys().toArray.foreach { kk => if (!m.contains(kk)) st.removeKey(kk) }
+    m.foreach { case (kk, c) => st.updateValue(kk, c) }
+    m.toArray.sortBy { case (kk, c) => (-c, kk) }.iterator
   }
 }
 

@@ -244,4 +244,26 @@ class RelationalStatsSpec extends SparkSpec {
     assert((0 until n).map(got(_)._4).sum == got(n)._2)
     assert(got(n)._1 == 0L && got(n)._3 == 0L)
   }
+
+  test("q17 small-quantity revenue: integer 20%-of-average cut, exact cents sum / 7") {
+    import spark.implicits._
+    // part 1 (qualifying): qtys 1,10,10,10,10 → sum 41, n 5.
+    //   cut: 5*qty*5 < 41 ⟺ qty < 1.64 → only the qty=1 line (price 7.00).
+    // part 2 (qualifying): qtys 5,5 → 5*5*2=50 < 10 never → no lines.
+    // part 3: wrong brand — filtered before any statistics.
+    val li = Seq(
+      (1L, 1.0, 7.0), (1L, 10.0, 99.0), (1L, 10.0, 99.0),
+      (1L, 10.0, 99.0), (1L, 10.0, 99.0),
+      (2L, 5.0, 50.0), (2L, 5.0, 50.0),
+      (3L, 1.0, 1000.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq(
+      (1L, "Brand#3", 1), (2L, "Brand#3", 4), (3L, "Brand#1", 1))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val r = Relational.smallQuantityRevenue(li, part).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 1L, s"one small line, got ${r(0)}")
+    assert(r(0).getDouble(0) == 700L.toDouble / 100.0 / 7.0, // = 1.0
+      s"7.00 cents-exact / 7 years, got ${r(0).getDouble(0)}")
+  }
 }

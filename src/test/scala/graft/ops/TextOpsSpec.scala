@@ -874,4 +874,50 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq)
   }
+
+  test("dsir weights: LM-ratio math matches an independent reimplementation; top-k selects exactly k") {
+    import java.security.MessageDigest
+    def hash32(s: String): Long =
+      java.lang.Long.parseLong(
+        MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString, 16)
+    def bucket(t: String): Long = hash32(t) % 64
+    // target (en) talks about alpha, raw (de) about beta; doc 5 mixes
+    val rows = Seq(
+      (1L, "alpha alpha beta", "en"), (2L, "alpha gamma", "en"),
+      (3L, "beta beta beta", "de"), (4L, "beta gamma", "de"),
+      (5L, "alpha beta", "de"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    // independent reimplementation of the smoothed LM ratio
+    val toks = rows.map { case (id, t, l) => (id, t.split(" ").toSeq, l) }
+    val ct = toks.filter(_._3 == "en").flatMap(_._2).groupBy(bucket)
+      .map { case (b, g) => b -> g.size.toLong }
+    val cr = toks.flatMap(_._2).groupBy(bucket)
+      .map { case (b, g) => b -> g.size.toLong }
+    val tTot = toks.filter(_._3 == "en").map(_._2.size).sum.toLong
+    val rTot = toks.map(_._2.size).sum.toLong
+    def lr(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tTot + 64).toDouble) -
+        math.log((cr(b) + 1).toDouble / (rTot + 64).toDouble)
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = toks.map { case (id, ts, _) =>
+      id -> round6(ts.groupBy(bucket)
+        .map { case (b, g) => g.size * lr(b) }.sum)
+    }.toMap
+    val got = TextOps.dsirWeights(docs, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    expected.foreach { case (id, w) =>
+      assert(got(id)._2 == w, s"doc $id: got ${got(id)._2}, want $w")
+    }
+    // the all-alpha target-typical doc must outscore the all-beta raw doc
+    assert(got(1L)._2 > got(3L)._2)
+    // distinct gumbel keys in this fixture → exactly k selected
+    assert(got.values.map(_._3).toSeq.distinct.size == 5)
+    assert(got.values.count(_._4) == 3, got.toString)
+    // n_toks faithful
+    assert(got(1L)._1 == 3L && got(4L)._1 == 2L)
+  }
 }

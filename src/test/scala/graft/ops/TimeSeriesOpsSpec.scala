@@ -479,4 +479,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
       "gain must decay monotonically")
     assert(math.abs(gains.last - 0.390388) < 1e-4, s"steady gain ${gains.last}")
   }
+
+  test("pacf: matches an independent Durbin-Levinson reimplementation; AR(1) cuts off after lag 1") {
+    import spark.implicits._
+    // deterministic AR(1): x_t = 0.8 x_{t-1} + hash-noise; 36 months
+    def noise(i: Int): Double = ((i * 2654435761L) % 997L).toDouble / 997.0
+    val xs = Iterator.iterate((50.0, 0)) { case (x, i) =>
+      (0.8 * x + 10.0 * noise(i + 1), i + 1)
+    }.take(36).map(_._1).toSeq
+    val li = xs.zipWithIndex.map { case (x, i) =>
+      ("A", java.sql.Date.valueOf(f"${1992 + i / 12}-${i % 12 + 1}%02d-15"), x)
+    }.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    // independent reimplementation over the same cents series
+    val cents = xs.map(x => math.floor(x * 100 + 0.5).toLong)
+    val xbar = cents.sum.toDouble / cents.length
+    val c = cents.map(_.toDouble - xbar)
+    val den = c.map(v => v * v).sum
+    def q(x: Double, s: Double): Double = math.floor(x * s + 0.5) / s
+    val r = (1 to 4).map { k =>
+      k -> q((k until c.length).map(t => c(t) * c(t - k)).sum / den, 1e6)
+    }.toMap
+    val p11 = r(1)
+    val p22 = (r(2) - p11 * r(1)) / (1 - p11 * r(1))
+    val p21 = p11 - p22 * p11
+    val p33 = (r(3) - (p21 * r(2) + p22 * r(1))) /
+      (1 - (p21 * r(1) + p22 * r(2)))
+    val p31 = p21 - p33 * p22
+    val p32 = p22 - p33 * p21
+    val p44 = (r(4) - (p31 * r(3) + p32 * r(2) + p33 * r(1))) /
+      (1 - (p31 * r(1) + p32 * r(2) + p33 * r(3)))
+    val expected = Map(1 -> q(p11, 1e4), 2 -> q(p22, 1e4),
+      3 -> q(p33, 1e4), 4 -> q(p44, 1e4))
+    val got = TimeSeriesOps.pacfMonthly(li).collect()
+      .map(r0 => r0.getInt(1) -> r0.getDouble(2)).toMap
+    assert(got == expected, s"got $got want $expected")
+    // AR(1) signature: strong lag-1 PACF, higher lags near zero
+    assert(got(1) > 0.5, s"lag-1 pacf ${got(1)}")
+    (2 to 4).foreach(k =>
+      assert(math.abs(got(k)) < 0.35, s"lag-$k pacf ${got(k)} should cut off"))
+  }
 }

@@ -637,4 +637,59 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming misra-gries: deficit bound holds, heavy keys guaranteed present, state <= k") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 8
+      // skewed stream: 2 heavy keys + a 100-key tail, split over 3 batches
+      // in an adversarial order (tail first, heavies later)
+      val hot = Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2")
+      val tail = (0 until 100).flatMap(i => Seq.fill(2)(s"t$i"))
+      val all = tail ++ hot
+      val (b1, rest) = all.splitAt(all.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      val mem = MemoryStream[String]
+      val q = EventStream.mgSummary(spark, mem.toDF().toDF("key"), k)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_mg").start()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val nBefore = spark.table("t_mg").count().toInt
+      mem.addData(b3: _*); q.processAllAvailable()
+      // the final batch's emission IS the merged global summary
+      val finalSummary = spark.table("t_mg").collect().drop(nBefore)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size.toLong
+      val deficit = n.toDouble / (k + 1)
+      assert(finalSummary.size <= k, s"summary size ${finalSummary.size} > k")
+      // lower bound never exceeds truth; never undershoots by > n/(k+1)
+      finalSummary.foreach { case (key, lb) =>
+        assert(lb <= trueCounts(key), s"$key: lb $lb > true ${trueCounts(key)}")
+        assert(lb >= trueCounts(key) - deficit,
+          s"$key: lb $lb under deficit bound ${trueCounts(key) - deficit}")
+      }
+      // candidate completeness: every key with true count > n/(k+1) present
+      trueCounts.filter(_._2 > deficit).keys.foreach { key =>
+        assert(finalSummary.contains(key), s"heavy key $key missing: $finalSummary")
+      }
+      // state bounded by k entries regardless of 100+ distinct keys
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(lastState.numRowsTotal <= k,
+        s"state rows ${lastState.numRowsTotal} > k=$k")
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -1950,6 +1950,75 @@ object SparkEntry {
                 |FROM v3 WHERE dist > 0
                 |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // bounded-horizon Brandes betweenness (Brandes-Pich k-bounded): exact
+      // integer path counts per unrolled BFS level; dependency accumulation
+      // quantized at 6dp per level so both engines recurse on identical
+      // doubles (the ts_pacf trick)
+      Q("graph_betweenness",
+        (s, d) => graft.ops.GraphOps.betweennessBounded(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+        Some(s"""WITH ${edgesCte(2000)},
+                |dir AS MATERIALIZED (
+                |  SELECT a AS src, b AS dst FROM edges
+                |  UNION ALL SELECT b, a FROM edges),
+                |s0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+                |  FROM (SELECT DISTINCT src AS node FROM dir
+                |        WHERE src % 500 = 0)),
+                |s1 AS MATERIALIZED (
+                |  SELECT g.seed, g.node, g.sigma FROM (
+                |    SELECT v.seed, d.dst AS node,
+                |      CAST(sum(v.sigma) AS BIGINT) AS sigma
+                |    FROM dir d JOIN s0 v ON v.node = d.src
+                |    GROUP BY 1, 2) g
+                |  LEFT JOIN s0 p ON p.seed = g.seed AND p.node = g.node
+                |  WHERE p.node IS NULL),
+                |v1 AS (SELECT seed, node FROM s0
+                |  UNION ALL SELECT seed, node FROM s1),
+                |s2 AS MATERIALIZED (
+                |  SELECT g.seed, g.node, g.sigma FROM (
+                |    SELECT v.seed, d.dst AS node,
+                |      CAST(sum(v.sigma) AS BIGINT) AS sigma
+                |    FROM dir d JOIN s1 v ON v.node = d.src
+                |    GROUP BY 1, 2) g
+                |  LEFT JOIN v1 p ON p.seed = g.seed AND p.node = g.node
+                |  WHERE p.node IS NULL),
+                |v2 AS (SELECT * FROM v1 UNION ALL
+                |  SELECT seed, node FROM s2),
+                |s3 AS MATERIALIZED (
+                |  SELECT g.seed, g.node, g.sigma FROM (
+                |    SELECT v.seed, d.dst AS node,
+                |      CAST(sum(v.sigma) AS BIGINT) AS sigma
+                |    FROM dir d JOIN s2 v ON v.node = d.src
+                |    GROUP BY 1, 2) g
+                |  LEFT JOIN v2 p ON p.seed = g.seed AND p.node = g.node
+                |  WHERE p.node IS NULL),
+                |d2 AS MATERIALIZED (
+                |  SELECT x.seed, x.v AS node,
+                |    floor(sum(CAST(x.sv AS DOUBLE) / CAST(x.sw AS DOUBLE)
+                |      * (1.0 + 0.0)) * 1000000 + 0.5) / 1000000 AS delta
+                |  FROM (SELECT s2.seed, s2.node AS v, s2.sigma AS sv,
+                |          s3.sigma AS sw
+                |        FROM s2 JOIN dir d ON d.src = s2.node
+                |        JOIN s3 ON s3.seed = s2.seed AND s3.node = d.dst) x
+                |  GROUP BY 1, 2),
+                |l2d AS (SELECT s2.seed, s2.node, s2.sigma,
+                |    COALESCE(d2.delta, 0.0) AS delta
+                |  FROM s2 LEFT JOIN d2
+                |    ON d2.seed = s2.seed AND d2.node = s2.node),
+                |d1 AS (
+                |  SELECT x.seed, x.v AS node,
+                |    floor(sum(CAST(x.sv AS DOUBLE) / CAST(x.sw AS DOUBLE)
+                |      * (1.0 + x.dw)) * 1000000 + 0.5) / 1000000 AS delta
+                |  FROM (SELECT s1.seed, s1.node AS v, s1.sigma AS sv,
+                |          w.sigma AS sw, w.delta AS dw
+                |        FROM s1 JOIN dir d ON d.src = s1.node
+                |        JOIN l2d w ON w.seed = s1.seed AND w.node = d.dst) x
+                |  GROUP BY 1, 2)
+                |SELECT node, count(*) AS n_contribs,
+                |  floor(sum(delta) * 1000000 + 0.5) / 1000000 AS bc
+                |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+                |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // Jaccard link prediction on the degree-bounded SAMPLED graph:
       // wedge-enumerated candidates, anti-joined against existing edges,
       // scored common/(dx+dy-common) — one exact-integer division

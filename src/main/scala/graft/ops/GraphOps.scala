@@ -903,6 +903,82 @@ object GraphOps {
       .orderBy(col("seed"))
   }
 
+  /** Bounded-horizon betweenness centrality (Brandes over the ≤ 3-hop
+    * shortest-path DAG from a deterministic seed sample — the
+    * Brandes–Pich k-bounded estimator): how much shortest-path traffic
+    * flows THROUGH each node, the brokerage measure closeness/harmonic
+    * (flow-INTO measures) cannot see. Forward pass: per-level path counts
+    * σ_k(v) = Σ_{u∈L_{k−1}, (u,v)∈E} σ_{k−1}(u) — exact integers, one
+    * (seed, node)-keyed aggregate per level over the SAME frontier joins
+    * [[seededBfs]] runs (levels are anti-joined against the visited union,
+    * so each σ counts SHORTEST paths only). Backward pass: dependency
+    * accumulation δ(v) = Σ_{w∈succ} σ(v)/σ(w) · (1 + δ(w)) with δ = 0 at
+    * the horizon (the k-bounded truncation), each level's δ quantized to
+    * 6 dp so the next level's inputs are bit-identical cross-engine (the
+    * [[graft.ops.TimeSeriesOps.pacfMonthly]] trick; the oracle unrolls the
+    * same three levels with the same left-to-right arithmetic).
+    * Betweenness(v) = Σ over seeds of δ(v), v ≠ seed by construction. On
+    * this undirected graph a pair inside the horizon is counted once per
+    * seeded endpoint, like the closeness convention; values are
+    * comparable, not the exact-all-pairs constant.
+    * Scale shape: every exchange is keyed (seed, node) or (src) — the
+    * seededBfs plan plus one reverse join per level; no window, no
+    * collect, state linear in reached (seed, node) pairs.
+    */
+  def betweennessBounded(edges: DataFrame, seedMod: Long = 500L): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val e = edges.localCheckpoint()
+    val dir = Exec.trackTransient(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
+    Exec.unpersistCheckpointed(e)
+    val l0 = dir.select(col("src").as("node")).distinct()
+      .filter(col("node") % seedMod === 0)
+      .select(col("node").as("seed"), col("node"))
+    // forward: exact shortest-path counts per level (anti-join against the
+    // visited union keeps only first-reached = shortest)
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      Exec.trackTransient(dir
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint())
+    val l0s = l0.withColumn("sigma", lit(1L))
+    val l1 = expand(l0s, l0)
+    val l2 = expand(l1, Exec.trackTransient(
+      l0.union(l1.select(col("seed"), col("node"))).localCheckpoint()))
+    val l3 = expand(l2, Exec.trackTransient(
+      l0.union(l1.select(col("seed"), col("node")))
+        .union(l2.select(col("seed"), col("node"))).localCheckpoint()))
+    // backward: δ at the horizon is 0, so δ2 has no (1+δ3) factor
+    def succJoin(lv: DataFrame, lw: DataFrame): DataFrame =
+      lv.select(col("seed"), col("node").as("v"), col("sigma").as("sv"))
+        .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+        .join(lw.select(col("seed"), col("node").as("w"),
+          col("sigma").as("sw"), col("delta").as("dw")), Seq("seed", "w"))
+    val d2 = Exec.trackTransient(succJoin(l2,
+        l3.withColumn("delta", lit(0.0)))
+      .groupBy(col("seed"), col("v").as("node"))
+      .agg(q6(sum(col("sv").cast("double") / col("sw").cast("double")
+        * (lit(1.0) + col("dw")))).as("delta"))
+      .localCheckpoint())
+    // L2 nodes with no L3 successor carry δ=0 into the δ1 pass
+    val l2d = l2.join(d2, Seq("seed", "node"), "left_outer")
+      .select(col("seed"), col("node"), col("sigma"),
+        coalesce(col("delta"), lit(0.0)).as("delta"))
+    val d1 = succJoin(l1, l2d)
+      .groupBy(col("seed"), col("v").as("node"))
+      .agg(q6(sum(col("sv").cast("double") / col("sw").cast("double")
+        * (lit(1.0) + col("dw")))).as("delta"))
+    d1.select(col("seed"), col("node"), col("delta"))
+      .union(d2.select(col("seed"), col("node"), col("delta")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_contribs"), q6(sum(col("delta"))).as("bc"))
+      .orderBy(col("node"))
+  }
+
   def bfsLayers(edges: DataFrame, seedMod: Long = 137L, rounds: Int = 4,
                 maxBroadcastFrontier: Long = 4000000L): DataFrame = {
     val e = edges.localCheckpoint()

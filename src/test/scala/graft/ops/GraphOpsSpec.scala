@@ -275,4 +275,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("harmonic") ==
       math.floor(11.0 / 6.0 * 1000000 + 0.5) / 1000000, s"got: ${got.head}")
   }
+
+  test("betweenness: hand-computed path graph, one count per seeded endpoint") {
+    import spark.implicits._
+    // path 0-1-2-3, every node a seed (mod 1). Brandes by hand:
+    //   seed 0: delta1(1)=2, delta2(2)=1; seed 3 mirrors (delta1(2)=2,
+    //   delta2(1)=1); seeds 1 and 2 each give the middle neighbor 1.
+    //   bc(1)=2+1+1=4, bc(2)=1+1+2=4 — 2x the classic all-pairs value
+    //   because both endpoints of each pair are seeds (documented
+    //   convention). Endpoints 0 and 3 broker nothing -> absent.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = GraphOps.betweennessBounded(edges, seedMod = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3L, 4.0), (2L, 3L, 4.0)), got.mkString(" "))
+  }
+
+  test("betweenness: star center brokers every spoke pair") {
+    import spark.implicits._
+    // star: center 0, spokes 1..4; seeds = all. From each spoke seed the
+    // center's delta1 = sigma-weighted (1 + delta2) over 3 far spokes = 3;
+    // wait — far spokes are L2 with no L3, so delta2=0 and the center gets
+    // sv/sw*(1+0) summed 3 times = 3. From the center seed nothing brokers.
+    // bc(0) = 4 seeds x 3 = 12; spokes never intermediate -> absent.
+    val edges = (1L to 4L).map(s => (0L, s)).toDF("a", "b")
+    val got = GraphOps.betweennessBounded(edges, seedMod = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 4L, 12.0)), got.mkString(" "))
+  }
 }

@@ -8098,6 +8098,75 @@ object SparkEntry {
               |GROUP BY i.query_id
               |ORDER BY i.query_id""".stripMargin)),
 
+    // nDCG@5 of the IVF path: graded gain k+1-exact_rank, log2 discount,
+    // shared ideal-DCG literal — the order-quality member of the
+    // recall/MRR/nDCG retrieval-eval triple
+    Q("vec_ndcg_audit",
+      (s, d) => VectorOps.annNdcgAudit(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v,
+              |    label
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT label AS cell, pos, floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, cl.cell,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |r AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              |  FROM d),
+              |assign AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 5 AND rn <= 2),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, a.vec_id
+              |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+              |n AS (SELECT vec_id, v,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e2),
+              |ipairs AS (
+              |  SELECT c.query_id, c.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+              |           / (q.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM cand c
+              |  JOIN n q ON q.vec_id = c.query_id
+              |  JOIN n b ON b.vec_id = c.vec_id),
+              |ivf_ranked AS (
+              |  SELECT query_id, vec_id, rank FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              |    FROM ipairs) WHERE rank <= 5),
+              |xpairs AS (
+              |  SELECT q.vec_id AS query_id, b.vec_id,
+              |    floor((list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+              |           / (q.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM n q JOIN n b ON b.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 5),
+              |exact_ranked AS (
+              |  SELECT query_id, vec_id, xrank FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS xrank
+              |    FROM xpairs) WHERE xrank <= 5)
+              |SELECT i.query_id,
+              |  CAST(count(x.xrank) AS BIGINT) AS n_hits,
+              |  floor(sum(CAST(coalesce(6 - x.xrank, 0) AS DOUBLE)
+              |      / log2(CAST(i.rank + 1 AS DOUBLE))) * 10000 + 0.5) / 10000
+              |    AS dcg,
+              |  floor(sum(CAST(coalesce(6 - x.xrank, 0) AS DOUBLE)
+              |      / log2(CAST(i.rank + 1 AS DOUBLE)))
+              |    / ${VectorOps.idealDcg(5)} * 10000 + 0.5) / 10000 AS ndcg
+              |FROM ivf_ranked i
+              |LEFT JOIN exact_ranked x
+              |  ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+              |GROUP BY i.query_id
+              |ORDER BY i.query_id""".stripMargin)),
+
     // product-quantization ADC: deterministic k-means sub-codebooks (seeds =
     // first-16 vectors' subvectors, one Lloyd iteration, 4dp centroids),
     // per-subspace nearest-code encoding, reconstruction-L2 scoring — every

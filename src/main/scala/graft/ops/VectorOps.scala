@@ -621,6 +621,45 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Ideal DCG at depth k with graded gains (k, k−1, …, 1): the
+    * normalization constant [[annNdcgAudit]] and its oracle share — one
+    * Scala computation interpolated into both plans so the divisor is the
+    * SAME double bit-for-bit on both engines. */
+  def idealDcg(k: Int): Double =
+    (1 to k).map(j =>
+      (k + 1 - j).toDouble / (math.log(j + 1.0) / math.log(2.0))).sum
+
+  /** nDCG@k audit of the IVF path — the ORDER-QUALITY member of the
+    * retrieval-eval triple ([[annRecallAudit]] answers "how many true
+    * neighbors came back", [[annMrrAudit]] "how early the first one",
+    * nDCG "how well the WHOLE ranking is ordered"): each approx-retrieved
+    * item earns the graded gain (k+1 − exact_rank) when it appears in the
+    * exact top-k (the closest true neighbor is worth k, the k-th worth 1,
+    * misses 0), discounted by log2(approx_rank + 1), normalized by the
+    * ideal DCG — a [1] score of 1.0 means the IVF ranking reproduced the
+    * exact ordering perfectly. Gains are exact integers; the discount sum
+    * is ≤ k doubles quantized at 4dp; the normalizer is ONE shared literal
+    * ([[idealDcg]]). Cost: the same two retrieval passes as the recall and
+    * MRR audits — at corpus scale both are probe-bounded, nothing new
+    * shuffles.
+    */
+  def annNdcgAudit(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5): DataFrame = {
+    val exact = knnBruteForce(emb, maxQueryId, k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("xrank"))
+    ivfAnn(emb, maxQueryId, k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("xrank")).as("n_hits"),
+        sum(coalesce(lit(k + 1) - col("xrank"), lit(0)).cast("double") /
+          log2((col("rank") + 1).cast("double"))).as("dcg_raw"))
+      .select(col("query_id"), col("n_hits"),
+        (floor(col("dcg_raw") * 10000 + 0.5) / 10000).as("dcg"),
+        (floor(col("dcg_raw") / idealDcg(k) * 10000 + 0.5) / 10000)
+          .as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Product-quantization ANN (ADC — asymmetric distance computation): the
     * memory-collapse path of a vector index. Each 64-dim vector is split
     * into `nSub` disjoint subspaces; per subspace it stores only the id of

@@ -626,6 +626,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(withCap == noCap && withCap.nonEmpty)
   }
 
+  test("nDCG audit: perfect when IVF == exact; consistent with the recall audit; bounded by [0,1]") {
+    val ndcg = VectorOps.annNdcgAudit(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val rec = VectorOps.annRecallAudit(emb).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(ndcg.keySet == rec.keySet)
+    val idcg = VectorOps.idealDcg(5)
+    ndcg.foreach { case (q, (nHits, dcg, nd)) =>
+      assert(nHits == rec(q), s"query $q: hit counts disagree with recall audit")
+      assert(nd >= 0.0 && nd <= 1.0, s"query $q: ndcg $nd out of [0,1]")
+      // dcg is the 4dp-rounded sum, nd the 4dp-rounded normalized sum —
+      // they agree up to the two roundings
+      assert(math.abs(nd - dcg / idcg) < 2e-4,
+        s"query $q: ndcg $nd inconsistent with dcg $dcg / idcg $idcg")
+      if (nHits == 0) assert(dcg == 0.0 && nd == 0.0)
+    }
+    // at least one sf0.001 query recovers something (the cells are real)
+    assert(ndcg.values.exists(_._1 > 0))
+  }
+
+  test("nDCG audit: exact ordering scores exactly 1.0 on a single-cell corpus") {
+    import spark.implicits._
+    // one label => IVF probes the only cell => candidates == full corpus
+    // => the approx ranking IS the exact ranking => ndcg 1.0, dcg == idcg
+    val vecs = (0L until 10L).map { i =>
+      (i, Array.tabulate(64)(j =>
+        (((i * 31 + j * 7) % 13).toFloat - 6.0f) / 6.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = VectorOps.annNdcgAudit(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5)
+    val idcg4 = math.floor(VectorOps.idealDcg(5) * 1e4 + 0.5) / 1e4
+    got.foreach { case (q, nHits, dcg, nd) =>
+      assert(nHits == 5L, s"query $q: $nHits hits")
+      assert(dcg == idcg4, s"query $q: dcg $dcg != ideal $idcg4")
+      assert(nd == 1.0, s"query $q: ndcg $nd")
+    }
+  }
+
   test("MRR audit: agrees with the recall audit; full recall forces a rank-1 hit") {
     val mrr = VectorOps.annMrrAudit(emb).collect()
       .map(r => r.getLong(0) ->

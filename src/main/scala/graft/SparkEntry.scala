@@ -4692,6 +4692,44 @@ object SparkEntry {
 
     // cohort LTV triangle: first-seen-week cohorts, integer epoch-weeks,
     // centi-unit cumulative sums, one exact division per LTV value
+    // Kaplan-Meier survival with right-censoring at the horizon: exact
+    // integer lifetimes/at-risk counts, cumulative ln-sum windows that walk
+    // the same dur order on both engines, ln(0) guarded by a CASE flag
+    Q("ev_survival_km",
+      (s, d) => EventOps.survivalKm(events(s, d)),
+      Some("""WITH days AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+             |      FROM days GROUP BY 1),
+             |h AS (SELECT max(l) AS e FROM u),
+             |bd AS (
+             |  SELECT CAST(f // 30 AS BIGINT) AS cohort, l - f AS dur,
+             |    count(*) AS n_users,
+             |    CAST(sum(CASE WHEN e - l >= 7 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d_churn
+             |  FROM u, h GROUP BY 1, 2),
+             |wr AS (
+             |  SELECT cohort, dur, n_users, d_churn,
+             |    CAST(sum(n_users) OVER (PARTITION BY cohort ORDER BY dur
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS BIGINT) AS at_risk
+             |  FROM bd),
+             |sv AS (
+             |  SELECT *, 1.0 - CAST(d_churn AS DOUBLE)
+             |    / CAST(at_risk AS DOUBLE) AS term FROM wr),
+             |cm AS (
+             |  SELECT cohort, dur, n_users, d_churn, at_risk,
+             |    max(CASE WHEN term <= 0 THEN 1 ELSE 0 END) OVER cum AS zs,
+             |    sum(CASE WHEN term > 0 THEN ln(term) ELSE 0 END) OVER cum
+             |      AS lnsum
+             |  FROM sv WINDOW cum AS (PARTITION BY cohort ORDER BY dur
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT cohort, dur, n_users, d_churn, at_risk,
+             |  CASE WHEN zs = 1 THEN 0.0
+             |    ELSE floor(exp(lnsum) * 10000 + 0.5) / 10000 END AS survival
+             |FROM cm ORDER BY cohort, dur""".stripMargin)),
+
     Q("ev_cohort_ltv",
       (s, d) => EventOps.cohortLtv(events(s, d)),
       Some("""WITH base AS (

@@ -998,6 +998,66 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier survival curves over user lifetimes — the censoring-
+    * correct retention estimator the raw [[retention]] matrix cannot give
+    * (a user still active at the observation horizon hasn't churned; a
+    * naive churn rate counts them wrong, KM holds them in the at-risk
+    * denominator up to their observed duration and never in the death
+    * count). Per user: lifetime = last-day − first-day (exact integer
+    * epoch days from the ns timestamp); a user counts as CHURNED at that
+    * duration when the horizon is ≥ `censorDays` past their last event,
+    * otherwise CENSORED at it. Per (first-seen `cohortDays`-bucket,
+    * duration): d = churns, at-risk = Σ users with duration ≥ t (one
+    * reverse-cumulative window over the per-duration rollup — never the
+    * raw users), and
+    *
+    *   S(t) = Π_{u ≤ t} (1 − d_u / n_u)
+    *
+    * as exp of the cumulative ln-sum: the cumulative windows walk the SAME
+    * dur order on both engines, so every IEEE addition happens in the same
+    * sequence and only exp's final ulp needs the 4dp quantizer. A zero
+    * term (everyone at the tail churns — only possible at a cohort's
+    * maximal duration by construction, but guarded anyway) short-circuits
+    * to survival 0 via a cumulative flag instead of ln(0) (Spark log
+    * returns NULL on 0, DuckDB raises — the CASE keeps both unevaluated).
+    * Scale shape: one user-keyed aggregate, a 1-row horizon broadcast,
+    * then everything is |cohorts|·|durations| metadata with partitioned
+    * windows.
+    */
+  def survivalKm(events: DataFrame, censorDays: Int = 7,
+                 cohortDays: Int = 30): DataFrame = {
+    val users = events
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val horizon = users.agg(max(col("l")).as("e"))
+    val byDur = users.crossJoin(broadcast(horizon))
+      .select(expr(s"f div $cohortDays").as("cohort"),
+        (col("l") - col("f")).as("dur"),
+        (col("e") - col("l") >= censorDays).as("churned"))
+      .groupBy(col("cohort"), col("dur"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_churn"))
+    val wRev = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("at_risk", sum(col("n_users")).over(wRev))
+      .withColumn("term",
+        lit(1.0) - col("d_churn").cast("double") / col("at_risk").cast("double"))
+      .withColumn("zs",
+        max(when(col("term") <= 0.0, 1).otherwise(0)).over(wCum))
+      .withColumn("lnsum",
+        sum(when(col("term") > 0.0, log(col("term"))).otherwise(0.0)).over(wCum))
+      .select(col("cohort"), col("dur"), col("n_users"), col("d_churn"),
+        col("at_risk"),
+        when(col("zs") === 1, 0.0)
+          .otherwise(floor(exp(col("lnsum")) * 10000 + 0.5) / 10000)
+          .as("survival"))
+      .orderBy(col("cohort"), col("dur"))
+  }
+
   /** Cohort lifetime-value triangle — the weekly LTV curve marketing and
     * retention teams actually steer by: users grouped by FIRST-SEEN week,
     * each cohort's per-week spend accumulated into a cumulative

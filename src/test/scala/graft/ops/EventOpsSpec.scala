@@ -530,4 +530,27 @@ class EventOpsSpec extends SparkSpec {
     val zNeg = math.floor(-0.5 / math.sqrt(0.125) * 10000 + 0.5) / 10000
     assert(rows(2) == ((2L, 1L, 2L, 2L, 0.5, 1.0, -0.5, zNeg)), rows(2))
   }
+
+  test("kaplan-meier: hand-computed curve, censored user held in at-risk but never in deaths") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // one cohort; horizon E=20. u1 dur 10 (churn), u2 dur 2 (churn),
+    // u3 dur 0 (churn), u4 dur 20 (E-l=0 <7 -> CENSORED), u5 dur 2 (churn)
+    val events = Seq(
+      (1L, 0L * day), (1L, 10L * day),
+      (2L, 1L * day), (2L, 3L * day),
+      (3L, 2L * day),
+      (4L, 0L * day), (4L, 20L * day),
+      (5L, 3L * day), (5L, 5L * day))
+      .toDF("user_id", "ts_ns")
+    val got = EventOps.survivalKm(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // KM by hand: terms 4/5, 1/2, 1/2, 1 -> S = .8, .4, .2, .2
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 1L, 5L, 0.8),
+      (0L, 2L, 2L, 2L, 4L, 0.4),
+      (0L, 10L, 1L, 1L, 2L, 0.2),
+      (0L, 20L, 1L, 0L, 1L, 0.2)), got.mkString(" "))
+  }
 }

@@ -1950,6 +1950,39 @@ object SparkEntry {
                 |FROM v3 WHERE dist > 0
                 |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // HITS hubs/authorities: two mutual-reinforcement rounds on the
+      // directed order->part graph, L1-normalized + 6dp-quantized per
+      // half-step so both engines recurse on identical doubles
+      Q("graph_hits",
+        (s, d) => graft.ops.GraphOps.hitsBounded(lineitem(s, d), 2000),
+        Some("""WITH e AS MATERIALIZED (
+                |  SELECT DISTINCT l_orderkey % 2000 AS u,
+                |    l_partkey % 2000 + 2000 AS v FROM lineitem),
+                |h0 AS (SELECT DISTINCT u, CAST(1.0 AS DOUBLE) AS h FROM e),
+                |a1r AS (SELECT e.v, sum(h0.h) AS raw
+                |        FROM e JOIN h0 ON h0.u = e.u GROUP BY 1),
+                |a1 AS MATERIALIZED (SELECT v,
+                |    floor(raw / (SELECT sum(raw) FROM a1r) * 1000000 + 0.5)
+                |      / 1000000 AS a FROM a1r),
+                |h1r AS (SELECT e.u, sum(a1.a) AS raw
+                |        FROM e JOIN a1 ON a1.v = e.v GROUP BY 1),
+                |h1 AS MATERIALIZED (SELECT u,
+                |    floor(raw / (SELECT sum(raw) FROM h1r) * 1000000 + 0.5)
+                |      / 1000000 AS h FROM h1r),
+                |a2r AS (SELECT e.v, sum(h1.h) AS raw
+                |        FROM e JOIN h1 ON h1.u = e.u GROUP BY 1),
+                |a2 AS MATERIALIZED (SELECT v,
+                |    floor(raw / (SELECT sum(raw) FROM a2r) * 1000000 + 0.5)
+                |      / 1000000 AS a FROM a2r),
+                |h2r AS (SELECT e.u, sum(a2.a) AS raw
+                |        FROM e JOIN a2 ON a2.v = e.v GROUP BY 1),
+                |h2 AS (SELECT u,
+                |    floor(raw / (SELECT sum(raw) FROM h2r) * 1000000 + 0.5)
+                |      / 1000000 AS h FROM h2r)
+                |SELECT 'hub' AS side, u AS node, h AS score FROM h2
+                |UNION ALL SELECT 'auth', v, a FROM a2
+                |ORDER BY side, node""".stripMargin)),
+
       // bounded-horizon Brandes betweenness (Brandes-Pich k-bounded): exact
       // integer path counts per unrolled BFS level; dependency accumulation
       // quantized at 6dp per level so both engines recurse on identical

@@ -903,6 +903,50 @@ object GraphOps {
       .orderBy(col("seed"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg), two full mutual-reinforcement
+    * rounds over the DIRECTED order→part graph — the asymmetric-role
+    * complement to PageRank (which sees only incoming endorsement): a good
+    * HUB points at good authorities, a good AUTHORITY is pointed at by
+    * good hubs. Each half-step is one edge join + node-keyed aggregate,
+    * L1-normalized (sum, not Kleinberg's L2 — one broadcastable scalar,
+    * no sqrt) and quantized to 6 dp so the next half-step's inputs are
+    * bit-identical cross-engine (the recursion-quantization doctrine of
+    * [[betweennessBounded]] / ts_pacf). Round 1's raw values are exact
+    * integers (degrees over unit hubs), so the first quantization is
+    * exact; later rounds carry only grid values. Scale shape: four narrow
+    * (node)-keyed exchanges + 1-row norm broadcasts — the
+    * [[pageRank]] plan with a side alternation; score frames checkpoint
+    * per half-step to cut the iterative lineage.
+    */
+  def hitsBounded(li: DataFrame, n: Int = 2000): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    val e = Exec.trackTransient(li
+      .select((col("l_orderkey") % n).as("u"),
+        (col("l_partkey") % n + n).as("v"))
+      .distinct().localCheckpoint())
+    val h0 = e.select(col("u")).distinct().withColumn("h", lit(1.0))
+    def authStep(h: DataFrame): DataFrame = {
+      val raw = e.join(h, Seq("u")).groupBy(col("v")).agg(sum(col("h")).as("raw"))
+      val s = raw.agg(sum(col("raw")).as("s"))
+      Exec.trackTransient(raw.crossJoin(broadcast(s))
+        .select(col("v"), q6(col("raw") / col("s")).as("a")).localCheckpoint())
+    }
+    def hubStep(a: DataFrame): DataFrame = {
+      val raw = e.join(a, Seq("v")).groupBy(col("u")).agg(sum(col("a")).as("raw"))
+      val s = raw.agg(sum(col("raw")).as("s"))
+      Exec.trackTransient(raw.crossJoin(broadcast(s))
+        .select(col("u"), q6(col("raw") / col("s")).as("h")).localCheckpoint())
+    }
+    val a1 = authStep(h0)
+    val h1 = hubStep(a1)
+    val a2 = authStep(h1)
+    val h2 = hubStep(a2)
+    h2.select(lit("hub").as("side"), col("u").as("node"), col("h").as("score"))
+      .union(a2.select(lit("auth").as("side"), col("v").as("node"),
+        col("a").as("score")))
+      .orderBy(col("side"), col("node"))
+  }
+
   /** Bounded-horizon betweenness centrality (Brandes over the ≤ 3-hop
     * shortest-path DAG from a deterministic seed sample — the
     * Brandes–Pich k-bounded estimator): how much shortest-path traffic

@@ -290,6 +290,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 4.0), (2L, 3L, 4.0)), got.mkString(" "))
   }
 
+  test("hits: exact two-round mirror on a 3-edge graph; shared-auth hub dominates") {
+    import spark.implicits._
+    // hubs {1,2}, auths {2001, 2002}; 1->both, 2->2002 only. Every group
+    // sums <=2 doubles (binary FP addition is commutative), so a plain
+    // Scala replay of the recursion is EXACT, not approximate.
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val a1 = Map(2001L -> q6(1.0 / 3.0), 2002L -> q6(2.0 / 3.0))
+    val h1r = Map(1L -> (a1(2001L) + a1(2002L)), 2L -> a1(2002L))
+    val sh1 = h1r(1L) + h1r(2L)
+    val h1 = h1r.map { case (k, v) => k -> q6(v / sh1) }
+    val a2r = Map(2001L -> h1(1L), 2002L -> (h1(1L) + h1(2L)))
+    val sa2 = a2r(2001L) + a2r(2002L)
+    val a2 = a2r.map { case (k, v) => k -> q6(v / sa2) }
+    val h2r = Map(1L -> (a2(2001L) + a2(2002L)), 2L -> a2(2002L))
+    val sh2 = h2r(1L) + h2r(2L)
+    val h2 = h2r.map { case (k, v) => k -> q6(v / sh2) }
+    val got = GraphOps.hitsBounded(li).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      ("hub", 1L) -> h2(1L), ("hub", 2L) -> h2(2L),
+      ("auth", 2001L) -> a2(2001L), ("auth", 2002L) -> a2(2002L)), got)
+    assert(got(("hub", 1L)) > got(("hub", 2L)), "two-auth hub must dominate")
+    assert(got(("auth", 2002L)) > got(("auth", 2001L)),
+      "two-hub authority must dominate")
+  }
+
   test("betweenness: star center brokers every spoke pair") {
     import spark.implicits._
     // star: center 0, spokes 1..4; seeds = all. From each spoke seed the

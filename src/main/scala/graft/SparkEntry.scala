@@ -6018,6 +6018,28 @@ object SparkEntry {
               |FROM pt p JOIN ranked r ON r.dim = p.dim AND r.token = p.token
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // corpus composition diversity: exact token shares + Shannon entropy /
+    // effective-source count / inverse Simpson, globals broadcast back
+    Q("txt_source_diversity",
+      (s, d) => TextOps.sourceDiversity(documents(s, d)),
+      Some(s"""WITH bysrc AS (
+              |  SELECT source, count(*) AS n_docs,
+              |    CAST(sum(len($DuckToks)) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total
+              |      FROM bysrc),
+              |sh AS (SELECT source, n_docs, n_tokens,
+              |    CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p
+              |  FROM bysrc, t),
+              |g AS (SELECT sum(-(p * ln(p))) AS h, sum(p * p) AS s2
+              |      FROM sh)
+              |SELECT source, n_docs, n_tokens,
+              |  floor(p * 1000000 + 0.5) / 1000000 AS share,
+              |  floor(h * 1000000 + 0.5) / 1000000 AS entropy,
+              |  floor(exp(h) * 10000 + 0.5) / 10000 AS eff_sources,
+              |  floor(1.0 / s2 * 10000 + 0.5) / 10000 AS inv_simpson
+              |FROM sh, g ORDER BY source""".stripMargin)),
+
     // DSIR importance resampling: hashed-unigram LM ratio target-vs-raw,
     // deterministic Gumbel top-k; keys rounded to 6dp BEFORE the threshold
     // compare so libm ln noise can't flip a selection

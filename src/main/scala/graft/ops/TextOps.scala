@@ -38,6 +38,47 @@ object TextOps {
         sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("lang"))
 
+  /** Corpus composition diversity — the source-mix audit a curation
+    * report leads with: per-source token share plus the two standard
+    * concentration summaries, Shannon entropy H = −Σ p ln p (and its
+    * exponential, the "effective number of sources" — 20 equal sources
+    * score 20, one dominant source scores ~1) and the inverse Simpson
+    * index 1/Σ p² (the collision-probability view, harsher on dominance).
+    * Shares are exact-integer token-count ratios; the three global
+    * summaries aggregate the |sources|-row frame and broadcast back onto
+    * it (the [[heavyHitters]] 1-row-total shape), so the fact table is
+    * scanned once and everything after is metadata-sized at any corpus
+    * scale. ln/exp touch libm once per source → 6/4 dp quantizers absorb
+    * the ulp spread.
+    */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    // one fact scan; persisted because the total and the shares both read
+    // it (released under the Exec.clearPinned contract like its siblings)
+    val bySrc = docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .persist()
+    val total = bySrc.agg(sum(col("n_tokens")).as("total"))
+    val shared = bySrc.crossJoin(broadcast(total))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("hterm", -(col("p") * log(col("p"))))
+      .withColumn("p2", col("p") * col("p"))
+    val globals = shared.agg(sum(col("hterm")).as("h"),
+      sum(col("p2")).as("s2"))
+    shared.crossJoin(broadcast(globals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        q6(col("p")).as("share"),
+        q6(col("h")).as("entropy"),
+        q4(exp(col("h"))).as("eff_sources"),
+        q4(lit(1.0) / col("s2")).as("inv_simpson"))
+      .orderBy(col("source"))
+  }
+
   /** Global token frequency, top-k (explode → count → top-k). The explode
     * fan-out is bounded by total token count; the aggregate is map-side
     * combined before the single shuffle on token.

@@ -875,6 +875,34 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq)
   }
 
+  test("source diversity: uniform mix scores effective-sources == sources; dominance collapses it") {
+    import spark.implicits._
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // 4 sources x equal 3-token docs -> p = 1/4 each, H = ln 4,
+    // eff = 4, inv-simpson = 4
+    val uniform = (0 until 4).flatMap(s => Seq((s"s$s", "a b c")))
+      .toDF("source", "text")
+    val u = TextOps.sourceDiversity(uniform).collect()
+    assert(u.length == 4)
+    u.foreach { r =>
+      assert(r.getAs[Double]("share") == 0.25)
+      assert(r.getAs[Double]("eff_sources") == 4.0,
+        s"eff_sources ${r.getAs[Double]("eff_sources")}")
+      assert(r.getAs[Double]("inv_simpson") == 4.0)
+    }
+    // dominant source: 9 tokens vs 1 -> eff well under 2
+    val skewed = Seq(("big", "a b c d e f g h i"), ("small", "z"))
+      .toDF("source", "text")
+    val s = TextOps.sourceDiversity(skewed).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))).toMap
+    assert(s("big")._1 == 9L && s("small")._1 == 1L)
+    assert(s("big")._2 == 0.9 && s("small")._2 == 0.1)
+    val h = -(0.9 * math.log(0.9)) + -(0.1 * math.log(0.1))
+    assert(s("big")._3 == q4(math.exp(h)), s"eff ${s("big")._3}")
+    assert(s("big")._4 == q4(1.0 / (0.81 + 0.01)))
+  }
+
   test("dsir weights: LM-ratio math matches an independent reimplementation; top-k selects exactly k") {
     import java.security.MessageDigest
     def hash32(s: String): Long =

@@ -2908,6 +2908,120 @@ object SparkEntry {
              |FROM sm JOIN im ON sm.l_suppkey = im.l_suppkey
              |ORDER BY 1""".stripMargin)),
 
+    // split-conformal intervals on the one-step naive forecast: even steps
+    // calibrate, odd steps test; the radius is an EXACT k-th order statistic
+    // of integer scores at the ceiling rank ((n+1)*4+4) div 5 (α = 1/5 kept
+    // in integer arithmetic — neither engine touches binary 0.8)
+    Q("ts_conformal_intervals",
+      (s, d) => graft.ops.TimeSeriesOps.conformalIntervals(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE)
+             |      AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS x
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |s AS (
+             |  SELECT l_suppkey, month, x,
+             |    row_number() OVER w AS t, lag(x, 1) OVER w AS xprev
+             |  FROM m WINDOW w AS (PARTITION BY l_suppkey ORDER BY month)),
+             |sc AS (SELECT l_suppkey, month, t, abs(x - xprev) AS score
+             |       FROM s WHERE xprev IS NOT NULL),
+             |cal AS (SELECT * FROM sc WHERE t % 2 = 0),
+             |cn AS (SELECT l_suppkey, count(*) AS n_cal FROM cal GROUP BY 1),
+             |rk AS (
+             |  SELECT cal.l_suppkey, score,
+             |    row_number() OVER (PARTITION BY cal.l_suppkey
+             |                       ORDER BY score, month) AS rn,
+             |    ((cn.n_cal + 1) * 4 + 4) // 5 AS k
+             |  FROM cal JOIN cn USING (l_suppkey)),
+             |rad AS (
+             |  SELECT cn.l_suppkey, cn.n_cal, r.score AS radius
+             |  FROM cn LEFT JOIN (SELECT l_suppkey, score FROM rk
+             |                     WHERE rn = k) r USING (l_suppkey))
+             |SELECT sc.l_suppkey, rad.n_cal, count(*) AS n_test, rad.radius,
+             |  CAST(sum(CASE WHEN rad.radius IS NULL
+             |    OR sc.score <= rad.radius THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_covered,
+             |  floor(CAST(sum(CASE WHEN rad.radius IS NULL
+             |      OR sc.score <= rad.radius THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS coverage
+             |FROM sc JOIN rad USING (l_suppkey)
+             |WHERE sc.t % 2 <> 0
+             |GROUP BY 1, 2, 4
+             |ORDER BY 1""".stripMargin)),
+
+    // pairwise Granger causality (adjacent-supplier pairs, both directions):
+    // exact integer sufficient statistics on the aligned month grid, then
+    // one identical Cramer-rule expression tree in both engines; degenerate
+    // designs (constant lag / singular / perfect fit) surface as NULLs
+    Q("ts_granger",
+      (s, d) => graft.ops.TimeSeriesOps.grangerCausality(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT CAST(l_suppkey AS BIGINT) AS k,
+             |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |    CAST(sum(l_quantity) AS BIGINT) AS x
+             |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.k, a.month, a.x, b.x AS y
+             |  FROM m a JOIN m b ON b.month = a.month
+             |    AND b.k = CASE WHEN a.k % 2 = 0 THEN a.k + 1
+             |              ELSE a.k - 1 END),
+             |l AS (
+             |  SELECT k, x, lag(x) OVER w AS u, lag(y) OVER w AS v
+             |  FROM p WINDOW w AS (PARTITION BY k ORDER BY month)),
+             |g AS (
+             |  SELECT k, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sy, CAST(sum(u) AS BIGINT) AS su,
+             |    CAST(sum(v) AS BIGINT) AS sv,
+             |    CAST(sum(x * x) AS BIGINT) AS syy,
+             |    CAST(sum(u * u) AS BIGINT) AS suu,
+             |    CAST(sum(v * v) AS BIGINT) AS svv,
+             |    CAST(sum(u * x) AS BIGINT) AS suy,
+             |    CAST(sum(v * x) AS BIGINT) AS svy,
+             |    CAST(sum(u * v) AS BIGINT) AS suv
+             |  FROM l WHERE u IS NOT NULL GROUP BY 1),
+             |c AS (
+             |  SELECT k, n,
+             |    CAST(n * syy - sy * sy AS DOUBLE) AS myy,
+             |    CAST(n * suu - su * su AS DOUBLE) AS muu,
+             |    CAST(n * svv - sv * sv AS DOUBLE) AS mvv,
+             |    CAST(n * suy - su * sy AS DOUBLE) AS muy,
+             |    CAST(n * svy - sv * sy AS DOUBLE) AS mvy,
+             |    CAST(n * suv - su * sv AS DOUBLE) AS muv
+             |  FROM g),
+             |e AS (
+             |  SELECT k, n, myy, muy, mvy,
+             |    CASE WHEN muu = 0 THEN NULL
+             |      ELSE myy - muy * muy / muu END AS sse_r_s,
+             |    muu * mvv - muv * muv AS det,
+             |    CASE WHEN muu * mvv - muv * muv = 0 THEN NULL
+             |      ELSE (muy * mvv - mvy * muv) / (muu * mvv - muv * muv)
+             |      END AS bb,
+             |    CASE WHEN muu * mvv - muv * muv = 0 THEN NULL
+             |      ELSE (mvy * muu - muy * muv) / (muu * mvv - muv * muv)
+             |      END AS cc
+             |  FROM c),
+             |f AS (
+             |  SELECT k, n, sse_r_s,
+             |    myy - bb * muy - cc * mvy AS sse_u_s
+             |  FROM e),
+             |ff AS (
+             |  SELECT k, n, sse_r_s, sse_u_s,
+             |    CASE WHEN sse_u_s IS NULL OR sse_u_s <= 0 THEN NULL
+             |      ELSE floor((sse_r_s - sse_u_s) * CAST(n - 3 AS DOUBLE)
+             |        / sse_u_s * 10000 + 0.5) / 10000 END AS f_stat
+             |  FROM f)
+             |SELECT k AS l_suppkey,
+             |  CASE WHEN k % 2 = 0 THEN k + 1 ELSE k - 1 END AS driver_key,
+             |  n,
+             |  floor(sse_r_s / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000
+             |    AS sse_restricted,
+             |  floor(sse_u_s / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000
+             |    AS sse_unrestricted,
+             |  f_stat,
+             |  CASE WHEN f_stat IS NULL THEN NULL ELSE f_stat > 4.0 END
+             |    AS granger_causal
+             |FROM ff ORDER BY l_suppkey""".stripMargin)),
+
     // matrix-profile motif: closest non-overlapping window pair under exact
     // integer squared distance; lexicographic (dist2, i, j) tie-break
     Q("ts_motif_discovery",
@@ -8609,6 +8723,72 @@ object SparkEntry {
               |SELECT true_label, c_label AS assigned, count(*) AS n
               |FROM a WHERE rn = 1
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // clustering-agreement audit: purity + ADJUSTED RAND INDEX in the
+    // pair-counting form — every sufficient statistic an exact integer
+    // pair count (no cross-engine double sums); margin products formed in
+    // DOUBLE with an identical expression tree on both sides
+    Q("vec_cluster_ari",
+      (s, d) => VectorOps.clusterAgreement(embeddings(s, d)),
+      Some(s"""WITH flat AS (
+              |  SELECT vec_id, label AS true_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT true_label AS c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec
+              |       FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, label AS true_label, $DuckVec AS v
+              |       FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, e2.true_label, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i])))
+              |      * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |asg AS (
+              |  SELECT vec_id, true_label, c_label,
+              |    row_number() OVER (PARTITION BY vec_id
+              |                       ORDER BY dist, c_label) AS rn
+              |  FROM d),
+              |conf AS (
+              |  SELECT true_label, c_label AS cell, count(*) AS n
+              |  FROM asg WHERE rn = 1 GROUP BY 1, 2),
+              |tot AS (
+              |  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_both,
+              |    CAST(sum(n) AS BIGINT) AS n_vectors,
+              |    count(DISTINCT cell) AS n_cells,
+              |    count(DISTINCT true_label) AS n_labels
+              |  FROM conf),
+              |bl AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT)
+              |    AS pairs_label
+              |  FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM conf
+              |        GROUP BY true_label)),
+              |bc AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT)
+              |    AS pairs_cell
+              |  FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM conf
+              |        GROUP BY cell)),
+              |pn AS (SELECT CAST(sum(top) AS BIGINT) AS purity_num
+              |  FROM (SELECT max(n) AS top FROM conf GROUP BY cell)),
+              |fin AS (
+              |  SELECT *,
+              |    CAST(pairs_label AS DOUBLE) * CAST(pairs_cell AS DOUBLE)
+              |      / CAST(n_vectors * (n_vectors - 1) // 2 AS DOUBLE)
+              |      AS expected,
+              |    (CAST(pairs_label AS DOUBLE) + CAST(pairs_cell AS DOUBLE))
+              |      / 2.0 AS max_index
+              |  FROM tot, bl, bc, pn)
+              |SELECT n_vectors, n_cells, n_labels, pairs_both,
+              |  floor(CAST(purity_num AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+              |    * 10000 + 0.5) / 10000 AS purity,
+              |  CASE WHEN max_index = expected THEN NULL
+              |    ELSE floor((CAST(pairs_both AS DOUBLE) - expected)
+              |      / (max_index - expected) * 1000000 + 0.5) / 1000000
+              |    END AS ari
+              |FROM fin""".stripMargin)),
 
     // K-means TRAINING (2 Lloyd iterations, k=8, deterministic lowest-id
     // seeds): the engine's argmin is a row-local fold over ONE broadcast

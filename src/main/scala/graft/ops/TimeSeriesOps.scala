@@ -1263,4 +1263,138 @@ object TimeSeriesOps {
         q6(col("sl")).as("smoothed"))
       .orderBy(col("priority"), col("t"))
   }
+
+  /** Split-conformal prediction intervals around the one-step naive
+    * forecast (x̂_t = x_{t−1}), the distribution-free calibration step a
+    * forecast backtest feeds: per series, even-index steps calibrate and
+    * odd-index steps test. The nonconformity score is the absolute
+    * one-step change |x_t − x_{t−1}| — exact integers here, so the
+    * conformal radius is an EXACT k-th order statistic, no quantile
+    * interpolation and no cross-engine double drift. The split-conformal
+    * rank for miscoverage α = 1/5 is k = ⌈(n_cal + 1)·4/5⌉, computed in
+    * INTEGER ceiling-division form ((n+1)·4 + 4) div 5 so neither engine
+    * ever touches the inexact binary 0.8; k > n_cal (too few calibration
+    * points) yields an infinite interval, surfaced as a NULL radius with
+    * every test step covered — the honest conformal answer, not a crash.
+    * Marginal coverage on the held-out steps is the audit column: a
+    * correctly calibrated interval covers ≥ 80% in expectation.
+    *
+    * Scale shape: one map-side-combined groupBy to the monthly grain, then
+    * per-key windows (series key partitions) and a key-grain radius join —
+    * the fact table crosses exactly one exchange; everything after is
+    * series-cardinality-sized.
+    */
+  def conformalIntervals(li: DataFrame, maxSuppkey: Int = 10): DataFrame = {
+    val monthly = monthlySeries(li, maxSuppkey)
+      .select(col("l_suppkey"), col("month"), col("qty").cast("long").as("x"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    // two readers (calibration ranks + test coverage) — pin the scored
+    // frame so the fact scan runs once; released via Exec.clearPinned
+    val scored = monthly
+      .withColumn("t", row_number().over(w))
+      .withColumn("xprev", lag(col("x"), 1).over(w))
+      .filter(col("xprev").isNotNull)
+      .withColumn("score", abs(col("x") - col("xprev")))
+      .persist()
+    val cal = scored.filter(col("t") % 2 === 0)
+    val wKey = Window.partitionBy(col("l_suppkey"))
+    val wRank = wKey.orderBy(col("score"), col("month"))
+    // k-th order statistic at the split-conformal rank; `div` keeps the
+    // ceiling division in exact integer arithmetic on both engines
+    val kth = cal
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_cal", count(lit(1)).over(wKey))
+      .withColumn("k", expr("((n_cal + 1) * 4 + 4) div 5"))
+      .filter(col("rn") === col("k"))
+      .select(col("l_suppkey"), col("score").as("radius"))
+    val calN = cal.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_cal"))
+    // k > n_cal (tiny calibration split) -> no rank-k row -> NULL radius
+    val radiusAll = calN.join(kth, Seq("l_suppkey"), "left")
+    scored.filter(col("t") % 2 =!= 0)
+      .join(radiusAll, Seq("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("n_cal"), col("radius"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("radius").isNull || col("score") <= col("radius"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        floor(col("n_covered").cast("double") / col("n_test").cast("double")
+          * 10000 + 0.5) / 10000)
+      .select(col("l_suppkey"), col("n_cal"), col("n_test"), col("radius"),
+        col("n_covered"), col("coverage"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Pairwise Granger causality between adjacent suppliers' monthly series
+    * (supplier 2d paired with 2d+1, each direction tested): does the
+    * partner's lagged value improve the one-step AR(1) fit? Restricted
+    * model x_t = a + b·x_{t−1} vs unrestricted x_t = a + b·x_{t−1} +
+    * c·y_{t−1}, compared by the classic F-statistic
+    * (SSE_r − SSE_u)·(n−3)/SSE_u. Every sufficient statistic is an exact
+    * integer sum over the aligned common-month grid (both series are
+    * integer-valued monthly quantity sums), so the only floating-point work
+    * is the closed-form normal-equation solve — Cramer's rule on n-scaled
+    * centered moments, one identical expression tree in both engines. The
+    * n-scaling (M_ab = n·Σab − Σa·Σb) cancels in the F ratio and divides
+    * out once for the reported SSEs. Integer bound: n·Σab stays < 2⁶³ while
+    * per-(series, month) sums stay < ~3·10⁸ at any shipped SF (they are
+    * ~10³ at sf1) — same documented id-domain style bound as the
+    * multimodal fixtures. Degenerate fits surface as NULLs, not crashes:
+    * a constant own-lag (M_uu = 0), a singular design (D = 0), or a
+    * perfect unrestricted fit (SSE_u = 0) each null the dependent stats.
+    *
+    * Scale shape: one monthly-grain groupBy (map-side combined), a
+    * key+month self-join on the series key (shuffle on the series grain,
+    * not the fact grain), per-key lag windows, and a final key-grain
+    * aggregation — the fact table crosses one exchange, everything after
+    * is series-cardinality-sized.
+    */
+  def grangerCausality(li: DataFrame, maxSuppkey: Int = 10): DataFrame = {
+    val m = monthlySeries(li, maxSuppkey)
+      .select(col("l_suppkey").cast("long").as("k"), col("month"),
+        col("qty").cast("long").as("x"))
+    val partner = m.select(
+      (col("k") + when(col("k") % 2 === 0, 1L).otherwise(-1L)).as("k"),
+      col("month"), col("x").as("y"))
+    val joined = m.join(partner, Seq("k", "month"))
+    val w = Window.partitionBy(col("k")).orderBy(col("month"))
+    val lagged = joined
+      .withColumn("u", lag(col("x"), 1).over(w))
+      .withColumn("v", lag(col("y"), 1).over(w))
+      .filter(col("u").isNotNull)
+    val g = lagged.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sy"), sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("x") * col("x")).as("syy"), sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"), sum(col("u") * col("x")).as("suy"),
+      sum(col("v") * col("x")).as("svy"), sum(col("u") * col("v")).as("suv"))
+    g.withColumn("myy", expr("CAST(n * syy - sy * sy AS DOUBLE)"))
+      .withColumn("muu", expr("CAST(n * suu - su * su AS DOUBLE)"))
+      .withColumn("mvv", expr("CAST(n * svv - sv * sv AS DOUBLE)"))
+      .withColumn("muy", expr("CAST(n * suy - su * sy AS DOUBLE)"))
+      .withColumn("mvy", expr("CAST(n * svy - sv * sy AS DOUBLE)"))
+      .withColumn("muv", expr("CAST(n * suv - su * sv AS DOUBLE)"))
+      .withColumn("sse_r_s", expr(
+        "CASE WHEN muu = 0 THEN NULL ELSE myy - muy * muy / muu END"))
+      .withColumn("det", expr("muu * mvv - muv * muv"))
+      .withColumn("bb", expr(
+        "CASE WHEN det = 0 THEN NULL ELSE (muy * mvv - mvy * muv) / det END"))
+      .withColumn("cc", expr(
+        "CASE WHEN det = 0 THEN NULL ELSE (mvy * muu - muy * muv) / det END"))
+      .withColumn("sse_u_s", expr("myy - bb * muy - cc * mvy"))
+      .withColumn("f_stat", expr(
+        """CASE WHEN sse_u_s IS NULL OR sse_u_s <= 0 THEN NULL
+          |ELSE floor((sse_r_s - sse_u_s) * CAST(n - 3 AS DOUBLE) / sse_u_s
+          |  * 10000 + 0.5) / 10000 END""".stripMargin))
+      .select(col("k").as("l_suppkey"),
+        expr("CASE WHEN k % 2 = 0 THEN k + 1 ELSE k - 1 END").as("driver_key"),
+        col("n"),
+        expr("floor(sse_r_s / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000")
+          .as("sse_restricted"),
+        expr("floor(sse_u_s / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000")
+          .as("sse_unrestricted"),
+        col("f_stat"),
+        expr("CASE WHEN f_stat IS NULL THEN NULL ELSE f_stat > 4.0 END")
+          .as("granger_causal"))
+      .orderBy(col("l_suppkey"))
+  }
 }

@@ -986,6 +986,61 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_label"), col("assigned"))
 
+  /** Clustering-agreement audit between the nearest-centroid assignment and
+    * the ground-truth labels: overall purity and the ADJUSTED RAND INDEX in
+    * its pair-counting form — the form whose every sufficient statistic is
+    * an exact INTEGER (within-block pair counts n·(n−1)/2 over the
+    * confusion matrix and its margins), so both engines agree bitwise with
+    * no cross-engine double sums anywhere; the only floating-point work is
+    * the final 4-term ARI combination on one row. Integer bound: pair
+    * counts grow as N², so the margin products are formed in DOUBLE —
+    * int64 holds the raw pair counts to N ≈ 4·10⁹ vectors, documented
+    * here as the audit's domain bound. A degenerate partition (single
+    * cell = single label) nulls the ARI rather than dividing by zero.
+    *
+    * Scale shape: the confusion matrix is one argmin groupBy over the
+    * broadcast-centroid distances (each embedding crosses one exchange,
+    * carrying only (vec_id, label, cell)); everything after is
+    * |labels|·|cells|-sized — metadata, not data.
+    */
+  def clusterAgreement(emb: DataFrame): DataFrame = {
+    // four readers of the tiny confusion matrix — materialize it once
+    val conf = Exec.trackTransient(
+      cellDistances(emb).groupBy(col("vec_id"), col("true_label"))
+        .agg(min(struct(col("dist"), col("c_label"))).as("mc"))
+        .groupBy(col("true_label"), col("mc.c_label").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+    val totals = conf.agg(
+      sum(expr("n * (n - 1) div 2")).as("pairs_both"),
+      sum(col("n")).as("n_vectors"),
+      countDistinct(col("cell")).as("n_cells"),
+      countDistinct(col("true_label")).as("n_labels"))
+    val byLabel = conf.groupBy(col("true_label")).agg(sum(col("n")).as("a"))
+      .agg(sum(expr("a * (a - 1) div 2")).as("pairs_label"))
+    val byCell = conf.groupBy(col("cell")).agg(sum(col("n")).as("b"))
+      .agg(sum(expr("b * (b - 1) div 2")).as("pairs_cell"))
+    val purityNum = conf.groupBy(col("cell")).agg(max(col("n")).as("top"))
+      .agg(sum(col("top")).as("purity_num"))
+    totals.crossJoin(byLabel).crossJoin(byCell).crossJoin(purityNum)
+      .withColumn("pairs_total", expr("n_vectors * (n_vectors - 1) div 2"))
+      .withColumn("expected", expr(
+        "CAST(pairs_label AS DOUBLE) * CAST(pairs_cell AS DOUBLE)" +
+          " / CAST(pairs_total AS DOUBLE)"))
+      .withColumn("max_index", expr(
+        "(CAST(pairs_label AS DOUBLE) + CAST(pairs_cell AS DOUBLE)) / 2.0"))
+      .withColumn("ari", expr(
+        """CASE WHEN max_index = expected THEN NULL
+          |ELSE floor((CAST(pairs_both AS DOUBLE) - expected)
+          |  / (max_index - expected) * 1000000 + 0.5) / 1000000
+          |END""".stripMargin))
+      .select(col("n_vectors"), col("n_cells"), col("n_labels"),
+        col("pairs_both"),
+        q4(col("purity_num").cast("double") / col("n_vectors").cast("double"))
+          .as("purity"),
+        col("ari"))
+  }
+
   /** Cell-bounded kNN-graph construction + census — the graph that
     * semantic dedup, label propagation, and NN-descent all start from,
     * built the way it has to be at scale: vectors first assign to their

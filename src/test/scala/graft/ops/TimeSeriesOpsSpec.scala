@@ -518,4 +518,83 @@ class TimeSeriesOpsSpec extends SparkSpec {
     (2 to 4).foreach(k =>
       assert(math.abs(got(k)) < 0.35, s"lag-$k pacf ${got(k)} should cut off"))
   }
+
+  test("conformalIntervals: exact order-statistic radius, coverage, " +
+    "and the infinite-interval branch") {
+    import spark.implicits._
+    // supplier 0: x = 10 13 11 20 5 5 8 9 40 over Jan..Sep
+    //   scores t2..t9 = 3 2 9 15 0 3 1 31
+    //   calibration (even t) = {3, 9, 0, 1}, n_cal=4, k=ceil(5*4/5)=4
+    //   radius = 4th smallest = 9
+    //   test (odd t) = {2, 15, 3, 31} -> covered 2,3 -> 2/4 = 0.5
+    // supplier 1: x = 7 9 9 -> cal {2} (n_cal=1, k=2>1 -> NULL radius),
+    //   test {0} covered by the infinite interval -> coverage 1.0
+    val s0 = Seq(10, 13, 11, 20, 5, 5, 8, 9, 40).zipWithIndex.map {
+      case (q, i) => (0, Timestamp.valueOf(f"2024-${i + 1}%02d-10 00:00:00"),
+        q.toDouble)
+    }
+    val s1 = Seq(7, 9, 9).zipWithIndex.map {
+      case (q, i) => (1, Timestamp.valueOf(f"2024-${i + 1}%02d-10 00:00:00"),
+        q.toDouble)
+    }
+    val li = (s0 ++ s1).toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val rows = TimeSeriesOps.conformalIntervals(li).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getInt(0) == 0 && r0.getLong(1) == 4 && r0.getLong(2) == 4)
+    assert(r0.getLong(3) == 9 && r0.getLong(4) == 2 && r0.getDouble(5) == 0.5)
+    val r1 = rows(1)
+    assert(r1.getInt(0) == 1 && r1.getLong(1) == 1 && r1.getLong(2) == 1)
+    assert(r1.isNullAt(3) && r1.getLong(4) == 1 && r1.getDouble(5) == 1.0)
+    graft.ops.Exec.clearPinned(spark)
+  }
+
+  test("grangerCausality: planted lead-lag structure is detected and the " +
+    "closed form matches an independent reimplementation") {
+    import spark.implicits._
+    // supplier 1 drives supplier 0: x_t = y_{t-1} + alternating 0/1 noise
+    val y = Seq(5, 9, 4, 8, 7, 6, 10, 3, 2, 11)
+    val x = 1 +: y.init.zipWithIndex.map { case (v, i) => v + (i % 2) }
+    val rows = (x.zipWithIndex.map { case (q, i) => (0, i, q) } ++
+      y.zipWithIndex.map { case (q, i) => (1, i, q) }).map {
+      case (k, i, q) => (k, Timestamp.valueOf(f"2024-${i + 1}%02d-10 00:00:00"),
+        q.toDouble)
+    }
+    val li = rows.toDF("l_suppkey", "l_shipdate", "l_quantity")
+
+    // independent closed-form replay (plain Scala, same quantization)
+    def expect(tgt: Seq[Int], drv: Seq[Int]): (Double, Double, Double) = {
+      val yt = tgt.drop(1).map(_.toLong)
+      val u = tgt.init.map(_.toLong)
+      val v = drv.init.map(_.toLong)
+      val n = yt.length.toLong
+      def s(a: Seq[Long]) = a.sum
+      def sp(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(t => t._1 * t._2).sum
+      val (myy, muu, mvv) = ((n * sp(yt, yt) - s(yt) * s(yt)).toDouble,
+        (n * sp(u, u) - s(u) * s(u)).toDouble,
+        (n * sp(v, v) - s(v) * s(v)).toDouble)
+      val muy = (n * sp(u, yt) - s(u) * s(yt)).toDouble
+      val mvy = (n * sp(v, yt) - s(v) * s(yt)).toDouble
+      val muv = (n * sp(u, v) - s(u) * s(v)).toDouble
+      val sseR = myy - muy * muy / muu
+      val det = muu * mvv - muv * muv
+      val bb = (muy * mvv - mvy * muv) / det
+      val cc = (mvy * muu - muy * muv) / det
+      val sseU = myy - bb * muy - cc * mvy
+      def q4(d: Double) = math.floor(d * 10000 + 0.5) / 10000
+      (q4(sseR / n), q4(sseU / n), q4((sseR - sseU) * (n - 3) / sseU))
+    }
+    val got = TimeSeriesOps.grangerCausality(li).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (er0, eu0, ef0) = expect(x, y)
+    val r0 = got(0L)
+    assert(r0.getLong(1) == 1 && r0.getLong(2) == 9)
+    assert(r0.getDouble(3) == er0 && r0.getDouble(4) == eu0)
+    assert(r0.getDouble(5) == ef0 && r0.getBoolean(6),
+      s"planted direction should be causal: f=${r0.getDouble(5)}")
+    val (er1, eu1, ef1) = expect(y, x)
+    val r1 = got(1L)
+    assert(r1.getDouble(3) == er1 && r1.getDouble(4) == eu1
+      && r1.getDouble(5) == ef1)
+  }
 }

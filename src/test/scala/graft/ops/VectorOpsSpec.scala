@@ -761,4 +761,42 @@ class VectorOpsSpec extends SparkSpec {
       s"selection distances must be non-increasing: ${d.toSeq}")
     assert(d.forall(_ > 0.0), "degenerate duplicate selection")
   }
+
+  test("clusterAgreement: hand-computed purity and adjusted Rand index") {
+    import spark.implicits._
+    // two tight true clusters, one label-1 outlier sitting in label-0
+    // territory -> confusion {(L0,c0)=3, (L1,c0)=1, (L1,c1)=2}
+    val pts = Seq(
+      (0L, 0, Seq(0.0f, 0.0f)), (1L, 0, Seq(0.0f, 1.0f)),
+      (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 1, Seq(10.0f, 10.0f)), (4L, 1, Seq(10.0f, 11.0f)),
+      (5L, 1, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = VectorOps.clusterAgreement(pts).collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    // pairs within confusion blocks: C(3,2)+C(1,2)+C(2,2) = 4
+    assert(r.getLong(3) == 4)
+    // purity = (3 + 2) / 6
+    assert(r.getDouble(4) == 0.8333)
+    // ARI = (4 - 6*7/15) / ((6+7)/2 - 6*7/15) = 1.2/3.7
+    assert(r.getDouble(5) == math.floor(1.2 / 3.7 * 1e6 + 0.5) / 1e6)
+    graft.ops.Exec.clearPinned(spark)
+  }
+
+  test("clusterAgreement: perfect agreement scores ARI 1, degenerate " +
+    "single-block partition nulls it") {
+    import spark.implicits._
+    val perfect = Seq(
+      (0L, 0, Seq(0.0f, 0.0f)), (1L, 0, Seq(0.0f, 1.0f)),
+      (2L, 1, Seq(10.0f, 10.0f)), (3L, 1, Seq(10.0f, 11.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rp = VectorOps.clusterAgreement(perfect).collect()(0)
+    assert(rp.getDouble(4) == 1.0 && rp.getDouble(5) == 1.0)
+    // one label => one cell => max_index == expected => NULL ARI
+    val degen = Seq((0L, 0, Seq(0.0f, 0.0f)), (1L, 0, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rd = VectorOps.clusterAgreement(degen).collect()(0)
+    assert(rd.getDouble(4) == 1.0 && rd.isNullAt(5))
+    graft.ops.Exec.clearPinned(spark)
+  }
 }

@@ -5893,6 +5893,52 @@ object SparkEntry {
              |  domain IN ('example3.org', 'example5.org') AS blocked
              |FROM e GROUP BY domain ORDER BY domain""".stripMargin)),
 
+    // URL canonicalization + frontier dedup: scheme/case/www/port/fragment/
+    // tracking-param/trailing-slash normalization with SORTED surviving
+    // params; three deterministic obfuscations of the same logical page
+    // collapse to one canonical key, the query-less fourth keeps its own
+    Q("txt_url_canonical_dedup",
+      (s, d) => TextOps.canonicalUrlDedup(documents(s, d)),
+      Some("""WITH urls AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 4
+             |      WHEN 0 THEN 'https://www.Example' || (doc_id // 4 % 500) % 13
+             |        || '.org:443/page/' || doc_id // 4 % 500
+             |        || '?utm_source=feed&ref=' || (doc_id // 4 % 500) % 7
+             |        || '&z=1#top'
+             |      WHEN 1 THEN 'http://example' || (doc_id // 4 % 500) % 13
+             |        || '.org/page/' || doc_id // 4 % 500
+             |        || '/?ref=' || (doc_id // 4 % 500) % 7
+             |        || '&z=1&utm_campaign=x'
+             |      WHEN 2 THEN 'https://EXAMPLE' || (doc_id // 4 % 500) % 13
+             |        || '.org/page/' || doc_id // 4 % 500
+             |        || '?z=1&ref=' || (doc_id // 4 % 500) % 7
+             |      ELSE 'https://example' || (doc_id // 4 % 500) % 13
+             |        || '.org:443/page/' || doc_id // 4 % 500 || '/#sec'
+             |    END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, url,
+             |    regexp_replace(regexp_replace(
+             |      lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+             |      '^www\.', ''), ':(443|80)$', '') AS host,
+             |    regexp_replace(
+             |      regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+             |      '/$', '') AS path,
+             |    coalesce(array_to_string(list_sort(list_filter(
+             |      string_split(coalesce(
+             |        regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+             |      x -> NOT regexp_matches(x, '^(utm_|fbclid|gclid)')
+             |        AND x <> '')), '&'), '') AS q
+             |  FROM urls)
+             |SELECT host || path
+             |    || CASE WHEN q = '' THEN '' ELSE '?' || q END
+             |    AS canonical_url,
+             |  count(*) AS n_urls,
+             |  count(DISTINCT url) AS n_raw_forms,
+             |  count(DISTINCT doc_id) AS n_docs
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // concatenate-and-cut sequence packing: integer-exact running totals,
     // docs straddle sequence boundaries like real pretraining packing
     Q("txt_pack_sequences",
@@ -9049,6 +9095,47 @@ object SparkEntry {
              |SELECT doc_id, n_samples, peak, n_clip, zero_cross,
              |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // silence-run census: the engine's single-pass run-length fold vs an
+    // independent set-based gaps-and-islands oracle over the same replayed
+    // PCM formula; everything but the ratio is exact integers
+    Q("mm_audio_silence_census",
+      (s, d) => MultimodalOps.silenceCensus(documents(s, d))
+        .toDF().orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 1000003 AS e,
+             |    CAST(doc_id % 200 + 16 AS INTEGER) AS n
+             |  FROM documents WHERE length(source) = 4),
+             |idx AS (SELECT doc_id, e, n, unnest(range(n)) AS i FROM d),
+             |s AS (SELECT doc_id, n, i,
+             |    CASE WHEN i % 37 = 0 THEN 32767
+             |      ELSE CAST(xor(e * 2654435761 + i * 40503,
+             |             (e * 2654435761 + i * 40503) >> 13) % 60000 - 30000
+             |           AS INTEGER)
+             |    END AS smp
+             |  FROM idx),
+             |f AS (SELECT doc_id, n, i, abs(smp) < 9000 AS sil FROM s),
+             |r AS (SELECT doc_id, i, sil,
+             |    i - row_number() OVER (PARTITION BY doc_id, sil ORDER BY i)
+             |      AS isl
+             |  FROM f),
+             |runs AS (SELECT doc_id, isl, count(*) AS len
+             |         FROM r WHERE sil GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS longest_run,
+             |    CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_runs
+             |  FROM runs GROUP BY 1),
+             |base AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+             |    CAST(sum(CASE WHEN sil THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_silent
+             |  FROM f GROUP BY 1)
+             |SELECT base.doc_id, n_samples, n_silent,
+             |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
+             |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+             |  floor(CAST(n_silent AS DOUBLE) / CAST(n_samples AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS silence_ratio
+             |FROM base LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     Q("mm_audio_meta",
       (s, d) => MultimodalOps.decodeAudioMeta(

@@ -513,6 +513,53 @@ object MultimodalOps {
       }
   }
 
+  final case class SilenceCensus(doc_id: Long, n_samples: Long,
+                                 n_silent: Long, longest_run: Long,
+                                 n_runs: Long, silence_ratio: Double)
+
+  /** SILENCE-RUN CENSUS over real PCM bytes — the trim/segmentation screen
+    * an audio pipeline runs before feature extraction: per clip, how much
+    * of it is silence (|s| < threshold), the longest contiguous silent run,
+    * and how many maximal runs reach `minRun` samples (the candidates a
+    * splitter would cut at). Same real RIFF walk + LE-int16 sample scan as
+    * [[pcmCensus]] (row-local, batched, no shuffle); the run-length fold is
+    * a single forward pass, and every output except the ratio is exact
+    * integer arithmetic — the ratio is one floor-quantized division. The
+    * oracle recomputes runs independently via gaps-and-islands over the
+    * replayed sample formula, so the engine's streaming fold is checked
+    * against a set-based formulation, not a copy of itself. Non-WAV
+    * payloads are dropped (the defensive-decoder contract).
+    */
+  def silenceCensus(docs: DataFrame, threshold: Int = 9000, minRun: Int = 3,
+                    batchSize: Int = 64): Dataset[SilenceCensus] = {
+    val withPcm = attachWavPcm(docs, batchSize)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPcm.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { case (d, bytes) =>
+          parsePcmSamples(bytes).map { samples =>
+            var nSil = 0L; var cur = 0L; var maxRun = 0L; var nRuns = 0L
+            var i = 0
+            while (i < samples.length) {
+              if (math.abs(samples(i).toInt) < threshold) {
+                cur += 1; nSil += 1
+                if (cur > maxRun) maxRun = cur
+              } else {
+                if (cur >= minRun) nRuns += 1
+                cur = 0
+              }
+              i += 1
+            }
+            if (cur >= minRun) nRuns += 1
+            SilenceCensus(d, samples.length.toLong, nSil, maxRun, nRuns,
+              math.floor(nSil.toDouble / samples.length * 10000 + 0.5) / 10000)
+          }
+        })
+      }
+  }
+
   /** RIFF walk to the `data` chunk, then LE-int16 samples; None when the
     * payload is not a complete PCM16 WAV (opaque or header-only). */
   private[ops] def parsePcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {

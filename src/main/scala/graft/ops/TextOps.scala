@@ -1364,6 +1364,70 @@ object TextOps {
       .orderBy(col("domain"))
   }
 
+  /** URL canonicalization + cross-document dedup — the crawl-frontier
+    * collapse step upstream of [[urlCensus]]'s domain filter: the same
+    * logical page arrives as `https://www.Example.org:443/p?utm_source=x&
+    * ref=1#top`, `http://example.org/p/?ref=1`, `HTTPS://EXAMPLE.org/p?
+    * ref=1`, and a crawler that treats those as four pages re-fetches and
+    * re-trains on duplicates. Canonical form: scheme dropped, host
+    * lowercased with `www.` and default ports (:80/:443) stripped,
+    * fragment dropped, tracking params (utm_ prefix, fbclid, gclid)
+    * removed, the SURVIVING query params sorted, trailing path slash
+    * stripped. The
+    * corpus carries no URLs, so each doc appends one deterministic variant
+    * (doc_id%4 picks the obfuscation; doc_id%500 the logical page) and the
+    * oracle replays the construction — three variants of each page
+    * collapse to one canonical key, the fourth (fragment-only, no query)
+    * keeps its own, so every normalization rule is observable in the
+    * output counts. Everything is per-row regex/array work (codegen'd,
+    * zero UDFs); the single exchange is the canonical-key groupBy, whose
+    * cardinality is the LOGICAL page space — at crawl scale this is
+    * exactly the frontier-dedup shuffle, and it carries (key, counts),
+    * never documents.
+    */
+  def canonicalUrlDedup(docs: DataFrame): DataFrame = {
+    // page id from doc_id div 4 so consecutive ids cover all four variants
+    // of the SAME page (doc_id % 500 would lock variant = page % 4 — 500
+    // and 4 are not coprime — and no page would ever cross variants)
+    val u = expr("(doc_id div 4) % 500")
+    val m = u % 13
+    val r = u % 7
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.Example"), m, lit(".org:443/page/"), u,
+          lit("?utm_source=feed&ref="), r, lit("&z=1#top")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://example"), m, lit(".org/page/"), u,
+          lit("/?ref="), r, lit("&z=1&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://EXAMPLE"), m, lit(".org/page/"), u,
+          lit("?z=1&ref="), r))
+      .otherwise(
+        concat(lit("https://example"), m, lit(".org:443/page/"), u,
+          lit("/#sec")))
+    val aug = concat(col("text"), lit(" "), url)
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1), "/$", "")
+    val qSorted = array_join(array_sort(filter(
+      split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+      x => !(x.rlike("^(utm_|fbclid|gclid)") || x === lit("")))), "&")
+    val canonical = concat(host, path,
+      when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted)))
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(aug, lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"), canonical.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** Shared BPE training loop: returns (merge table, final segmented
     * word-frequency frame). See [[bpeMerges]] for the scale shape.
     */

@@ -407,4 +407,39 @@ class MultimodalOpsSpec extends SparkSpec {
       "a declared-but-absent data chunk must not census")
     assert(MultimodalOps.parsePcmSamples("not a wav".getBytes).isEmpty)
   }
+
+  test("silence census: streaming run-length fold equals a set-based " +
+    "island recomputation, including the trailing-run edge") {
+    val out = MultimodalOps.silenceCensus(docs).collect()
+      .map(c => c.doc_id -> c).toMap
+    val wavDocs = docs.filter(length(col("source")) === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.keySet == wavDocs)
+    var sawTrailingRun = false
+    var sawRun = false
+    out.values.foreach { c =>
+      val n = MultimodalOps.pcmFrames(c.doc_id)
+      val sil = (0 until n)
+        .map(i => math.abs(MultimodalOps.pcmSample(c.doc_id, i)) < 9000)
+      // independent island formulation: split positions into maximal runs
+      val runs = sil.zipWithIndex.filter(_._1).map(_._2)
+        .foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), i) if h.headOption.contains(i - 1) =>
+            (i :: h) :: t
+          case (acc, i) => List(i) :: acc
+        }.map(_.length)
+      assert(c.n_silent == sil.count(identity).toLong, s"doc ${c.doc_id}")
+      assert(c.longest_run == (if (runs.isEmpty) 0L else runs.max.toLong),
+        s"doc ${c.doc_id}")
+      assert(c.n_runs == runs.count(_ >= 3).toLong, s"doc ${c.doc_id}")
+      assert(c.silence_ratio ==
+        math.floor(c.n_silent.toDouble / n * 10000 + 0.5) / 10000)
+      if (runs.count(_ >= 3) > 0) sawRun = true
+      if (sil.nonEmpty && sil.last && runs.nonEmpty && runs.head >= 3)
+        sawTrailingRun = true
+    }
+    assert(sawRun, "fixture must contain at least one >=3 silent run")
+    assert(sawTrailingRun,
+      "fixture must exercise the clip-ends-silent finalization branch")
+  }
 }

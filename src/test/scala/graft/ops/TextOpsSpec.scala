@@ -948,4 +948,25 @@ class TextOpsSpec extends SparkSpec {
     // n_toks faithful
     assert(got(1L)._1 == 3L && got(4L)._1 == 2L)
   }
+
+  test("canonicalUrlDedup: scheme/case/www/port/fragment/tracking/slash " +
+    "obfuscations of one page collapse to one canonical key") {
+    import spark.implicits._
+    // doc_ids 0..3 are the four variants of page 0; 4..7 of page 1;
+    // 2000 repeats page 0's variant 0 VERBATIM (n_urls > n_raw_forms)
+    val docs = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 2000L))
+      .map(id => (id, "plain text")).toDF("doc_id", "text")
+    val rows = TextOps.canonicalUrlDedup(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(
+      "example0.org/page/0", "example0.org/page/0?ref=0&z=1",
+      "example1.org/page/1", "example1.org/page/1?ref=1&z=1"))
+    val m = rows.toMap
+    // page 0: variants 0,1,2 from docs 0,1,2 plus doc 2000's verbatim
+    // repeat of variant 0 -> 4 urls, only 3 distinct raw forms
+    assert(m("example0.org/page/0?ref=0&z=1") == ((4L, 3L, 4L)))
+    assert(m("example0.org/page/0") == ((1L, 1L, 1L)))
+    assert(m("example1.org/page/1?ref=1&z=1") == ((3L, 3L, 3L)))
+    assert(m("example1.org/page/1") == ((1L, 1L, 1L)))
+  }
 }

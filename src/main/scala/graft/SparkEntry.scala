@@ -1983,6 +1983,33 @@ object SparkEntry {
                 |UNION ALL SELECT 'auth', v, a FROM a2
                 |ORDER BY side, node""".stripMargin)),
 
+      // strongly connected components by FW-BW coloring (multi-pivot): the
+      // engine peels SCCs with monotone integer-label fixpoints; the oracle
+      // is a completely independent formulation — recursive-CTE transitive
+      // closure, scc_id(v) = least mutually-reachable node
+      Q("graph_scc",
+        (s, d) => graft.ops.GraphOps.sccSummary(lineitem(s, d), 2000),
+        Some("""WITH RECURSIVE e AS (
+               |  SELECT DISTINCT l_orderkey % 2000 AS src,
+               |    l_partkey % 2000 AS dst
+               |  FROM lineitem
+               |  WHERE l_quantity <= 2
+               |    AND l_orderkey % 2000 <> l_partkey % 2000),
+               |reach(s, t) AS (
+               |  SELECT src, dst FROM e
+               |  UNION
+               |  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t),
+               |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+               |mutual AS (
+               |  SELECT r1.s AS v, r1.t AS w
+               |  FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+               |scc AS (
+               |  SELECT n.v, least(n.v, coalesce(min(m.w), n.v)) AS scc_id
+               |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+               |  GROUP BY n.v)
+               |SELECT scc_id, count(*) AS n_members
+               |FROM scc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // bounded-horizon Brandes betweenness (Brandes-Pich k-bounded): exact
       // integer path counts per unrolled BFS level; dependency accumulation
       // quantized at 6dp per level so both engines recurse on identical

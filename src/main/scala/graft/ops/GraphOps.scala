@@ -1067,4 +1067,176 @@ object GraphOps {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("dist"))
   }
+
+  /** DIRECTED edge list with genuine cycles: `l_orderkey % n → l_partkey
+    * % n` in the SAME id space (unlike [[lineitemEdges]]' disjoint ranges,
+    * which are bipartite and acyclic), thinned to `l_quantity ≤ 2` rows so
+    * the random digraph sits near the giant-SCC threshold at small SF —
+    * rich nontrivial component structure instead of one trivial blob.
+    */
+  def directedCyclicEdges(li: DataFrame, n: Int): DataFrame =
+    li.filter(col("l_quantity") <= 2)
+      .select((col("l_orderkey") % n).as("src"), (col("l_partkey") % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Strongly connected components by FORWARD-BACKWARD COLORING (the
+    * Orzan / FW-BW multi-pivot scheme — the SCC formulation that survives
+    * a distributed edge list, where Tarjan's sequential DFS cannot run):
+    * repeat { (1) forward min-label propagation to fixpoint partitions the
+    * remaining nodes into COLOR CLASSES, class f = nodes whose least
+    * ancestor is f; (2) one backward pass WITHIN each class marks every
+    * node that reaches its pivot f — by the mutual-reachability argument
+    * those marked sets are EXACTLY the pivots' SCCs (f →* v by
+    * ancestorship, v →* f by the mark), and every class extracts its
+    * pivot's SCC simultaneously; (3) peel the marked nodes and re-color
+    * the survivors }. Every pass is monotone integer label work, so the
+    * fixpoint detectors are exact 1-row checksums (Σlbl strictly decreases
+    * / mark count strictly increases), never a double comparison; the
+    * inner/outer caps are fail-loud contract guards, not silent truncation.
+    *
+    * Scale shape: the label and mark frames live at NODE cardinality
+    * (bounded by the mod-n construction; at production scale, the
+    * condensation's node set) and ride broadcast joins, so the edge list —
+    * the data-sized side — NEVER shuffles after the initial dedup: each
+    * iteration is a map-side broadcast join plus a map-side-combined
+    * min/distinct aggregation whose output is again node-sized. Returns
+    * ((node, scc_id) assignment, outer rounds run).
+    */
+  private[graft] def sccAssignWithRounds(edges0: DataFrame,
+      maxOuter: Int = 30, maxInner: Int = 500,
+      maxBroadcastLabels: Long = 4000000L): (DataFrame, Int) = {
+    var edges = edges0.localCheckpoint()
+    Exec.trackTransient(edges)
+    var remaining = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    Exec.trackTransient(remaining)
+    def gate(df: DataFrame, nRows: Long): DataFrame =
+      if (nRows <= maxBroadcastLabels) broadcast(df) else df
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var outer = 0
+    var remCount = remaining.count()
+    while (remCount > 0) {
+      if (outer >= maxOuter)
+        throw new IllegalStateException(
+          s"sccAssign: $remCount nodes unassigned after $maxOuter rounds")
+      // (0) TRIM to fixpoint: a node lacking an in- OR out-edge in the
+      // remaining subgraph cannot lie on a cycle — peel it (and its edges)
+      // as a singleton SCC wholesale. Chains and trees drain here in cheap
+      // layer steps instead of costing one full FW-BW round per singleton
+      // color class (the path graph is FW-BW's known worst case).
+      // (terminates unconditionally: every pass strictly shrinks remCount)
+      var trimming = true
+      while (trimming && remCount > 0) {
+        val core = edges.select(col("src").as("id")).distinct()
+          .join(edges.select(col("dst").as("id")).distinct(),
+            Seq("id"), "left_semi")
+          .localCheckpoint()
+        Exec.trackTransient(core)
+        val coreCount = core.count()
+        if (coreCount == remCount) trimming = false
+        else {
+          val singles = remaining
+            .join(gate(core, coreCount), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("lbl"))
+            .localCheckpoint()
+          Exec.trackTransient(singles)
+          parts += singles
+          remaining = core
+          edges = edges
+            .join(gate(core.withColumnRenamed("id", "src"), coreCount),
+              Seq("src"), "left_semi")
+            .join(gate(core.withColumnRenamed("id", "dst"), coreCount),
+              Seq("dst"), "left_semi")
+            .localCheckpoint()
+          Exec.trackTransient(edges)
+          remCount = coreCount
+        }
+      }
+      if (remCount == 0) {
+        // everything drained in the trim — no FW-BW round needed
+      } else {
+      // (1) forward min-label fixpoint: lbl(v) <- min over ancestors
+      var f = remaining.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      Exec.trackTransient(f)
+      var checksum = f.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      var inner = 0
+      var converged = false
+      while (!converged) {
+        if (inner >= maxInner)
+          throw new IllegalStateException(
+            s"sccAssign: forward pass not converged after $maxInner steps")
+        val nf = edges.join(gate(f.withColumnRenamed("id", "src"), remCount),
+            Seq("src"))
+          .select(col("dst").as("id"), col("lbl"))
+          .union(f)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        Exec.trackTransient(nf)
+        val ncs = nf.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        // min-label is monotone non-increasing, so the exact-long checksum
+        // is stationary iff no label moved
+        if (ncs == checksum) converged = true
+        else { f = nf; checksum = ncs; inner += 1 }
+      }
+      // (2) backward mark within each color class, all pivots at once
+      val eLbl = edges
+        .join(gate(f.select(col("id").as("src"), col("lbl").as("slbl")),
+          remCount), Seq("src"))
+        .join(gate(f.select(col("id").as("dst"), col("lbl").as("dlbl")),
+          remCount), Seq("dst"))
+        .filter(col("slbl") === col("dlbl"))
+        .select(col("src"), col("dst"), col("slbl").as("lbl"))
+        .localCheckpoint()
+      Exec.trackTransient(eLbl)
+      var marked = f.filter(col("id") === col("lbl")).localCheckpoint()
+      Exec.trackTransient(marked)
+      var mCount = marked.count()
+      inner = 0
+      converged = false
+      while (!converged) {
+        if (inner >= maxInner)
+          throw new IllegalStateException(
+            s"sccAssign: backward pass not converged after $maxInner steps")
+        val nm = eLbl.join(gate(marked.select(col("id").as("dst"),
+              col("lbl").as("mlbl")), mCount), Seq("dst"))
+          .filter(col("lbl") === col("mlbl"))
+          .select(col("src").as("id"), col("lbl"))
+          .union(marked)
+          .distinct()
+          .localCheckpoint()
+        Exec.trackTransient(nm)
+        val nmCount = nm.count()
+        if (nmCount == mCount) converged = true
+        else { marked = nm; mCount = nmCount; inner += 1 }
+      }
+      parts += marked // (id, lbl) — lbl IS the scc id (the pivot)
+      // (3) peel: marked nodes and their incident edges leave the problem
+      val mGate = gate(marked.select(col("id")), mCount)
+      remaining = remaining
+        .join(mGate, Seq("id"), "left_anti").localCheckpoint()
+      Exec.trackTransient(remaining)
+      edges = edges
+        .join(mGate.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(mGate.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint()
+      Exec.trackTransient(edges)
+      remCount = remaining.count()
+      outer += 1
+      }
+    }
+    val assign =
+      if (parts.isEmpty) edges.select(col("src").as("id"), col("src").as("lbl"))
+      else parts.reduce(_ unionByName _)
+    (assign.select(col("id").as("node"), col("lbl").as("scc_id")), outer)
+  }
+
+  /** Driver-facing SCC census over [[directedCyclicEdges]]: one row per
+    * component (scc_id = least member), ordered by id. */
+  def sccSummary(li: DataFrame, n: Int = 2000): DataFrame = {
+    val (assign, _) = sccAssignWithRounds(directedCyclicEdges(li, n))
+    assign.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("scc_id"))
+  }
 }

@@ -330,4 +330,41 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((0L, 4L, 12.0)), got.mkString(" "))
   }
+
+  test("scc: two planted cycles, a bridge, and singletons resolve exactly") {
+    import spark.implicits._
+    // 0 -> {1,2,3} cycle -> 4 -> {5,6} cycle; SCCs {0} {1,2,3} {4} {5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (0L, 1L)).toDF("src", "dst")
+    val (assign, _) = GraphOps.sccAssignWithRounds(edges)
+    val byNode = assign.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L), byNode.toString)
+  }
+
+  test("scc: a color class holding TWO components forces a second peel " +
+    "round and still resolves both") {
+    import spark.implicits._
+    // class of pivot 0 contains SCC {0,1} AND SCC {2,3} (min ancestor of
+    // 2,3 is 0, but they never reach 0) -> round 1 extracts {0,1},
+    // round 2 re-colors the survivors and extracts {2,3}
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val (assign, rounds) = GraphOps.sccAssignWithRounds(edges)
+    val byNode = assign.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L),
+      byNode.toString)
+    assert(rounds == 2, s"expected a 2-round peel, ran $rounds")
+  }
+
+  test("scc: fail-loud caps, not silent truncation") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.sccAssignWithRounds(edges, maxOuter = 0)
+    }
+    assert(ex.getMessage.contains("unassigned"))
+  }
 }

@@ -4016,6 +4016,45 @@ object SparkEntry {
              |FROM m JOIN c ON c.w0 = m.w0
              |ORDER BY cohort_week, m.offset""".stripMargin)),
 
+    // EXACT Shapley channel attribution: v(S) = converted users whose
+    // touch set ⊆ S; with 4 players every weight has denominator 24, so
+    // 24*phi is an exact integer on both engines — the only doubles are
+    // the floor-quantized display division
+    Q("ev_shapley_attribution",
+      (s, d) => graft.ops.EventOps.shapleyAttribution(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    bit_or(CASE event_type WHEN 'view' THEN 1
+             |      WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+             |      WHEN 'error' THEN 8 ELSE 0 END) AS mask,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events GROUP BY 1),
+             |cm AS (SELECT mask, count(*) AS c FROM u WHERE conv = 1
+             |       GROUP BY 1),
+             |sets AS (SELECT unnest(range(16)) AS s),
+             |v AS (
+             |  SELECT sets.s,
+             |    CAST(coalesce(sum(cm.c), 0) AS BIGINT) AS v
+             |  FROM sets LEFT JOIN cm ON (cm.mask & sets.s) = cm.mask
+             |  GROUP BY sets.s),
+             |ch AS (SELECT unnest(range(4)) AS cbit),
+             |ph AS (
+             |  SELECT cbit,
+             |    CAST(sum((CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+             |      WHEN 2 THEN 2 ELSE 6 END) * (v1.v - v0.v)) AS BIGINT)
+             |      AS shapley_x24
+             |  FROM ch
+             |  JOIN v v0 ON ((v0.s >> cbit) & 1) = 0
+             |  JOIN v v1 ON v1.s = v0.s + (1 << cbit)
+             |  GROUP BY 1)
+             |SELECT CASE cbit WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+             |    WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+             |  shapley_x24,
+             |  floor(CAST(shapley_x24 AS DOUBLE) / 24.0 * 10000 + 0.5)
+             |    / 10000 AS shapley
+             |FROM ph ORDER BY channel""".stripMargin)),
+
     // batch twin of the stream-stream interval join (EventStream
     // .viewClickAttribution): clicks within 30min after a view, per user —
     // compared on exact ns timestamps so the interval boundary is tie-free

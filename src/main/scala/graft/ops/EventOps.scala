@@ -1766,4 +1766,55 @@ object EventOps {
         (floor(col("ci_hi") * 1000000 + 0.5) / 1000000).as("ci_hi"))
       .orderBy(col("event_type"))
   }
+
+  /** EXACT Shapley-value channel attribution — the coalition-game member
+    * of the attribution family ([[viewClickAttribution]] is last-touch;
+    * [[markovChain]] is removal-effect): with the four touch channels
+    * view/click/signup/error as players and the coalition worth v(S) =
+    * converted users whose touch set ⊆ S, each channel's Shapley value is
+    * its average marginal contribution over all orderings. With n = 4
+    * players every Shapley weight is s!(3−s)!/4! — a rational with
+    * denominator 24 — so the engine computes 24·φ as an EXACT INTEGER
+    * (the only doubles are the final display division, floor-quantized),
+    * and cross-engine equality is bitwise by construction. Efficiency
+    * axiom Σφ = v(N) − v(∅) rides along as the audit identity in the spec.
+    *
+    * Scale shape: one groupBy collapses the event log to per-user
+    * (mask, converted) — the only data-sized exchange; everything after
+    * lives on the 16-row subset lattice and the 4-row player set (tiny
+    * broadcast crosses, the accepted tiny-frame-stats shape).
+    */
+  def shapleyAttribution(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val users = ev.groupBy(col("user_id")).agg(
+      expr("bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+        "WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)").as("mask"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val convByMask = users.filter(col("conv") === 1)
+      .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+    val sets = spark.range(16).select(col("id").as("s"))
+    val v = sets.join(broadcast(convByMask),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+    val v0 = v.select(col("s").as("s0"), col("v").as("v0"))
+    val v1 = v.select(col("s").as("s1"), col("v").as("v1"))
+    spark.range(4).select(col("id").as("cbit"))
+      .crossJoin(broadcast(v0))
+      .filter(expr("(shiftright(s0, CAST(cbit AS INT)) & 1) = 0"))
+      .join(broadcast(v1),
+        expr("s1 = s0 + shiftleft(1, CAST(cbit AS INT))"))
+      .withColumn("w24", expr(
+        "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 " +
+          "ELSE 6 END"))
+      .groupBy(col("cbit"))
+      .agg(sum(col("w24") * (col("v1") - col("v0"))).as("shapley_x24"))
+      .select(
+        when(col("cbit") === 0, "view").when(col("cbit") === 1, "click")
+          .when(col("cbit") === 2, "signup").otherwise("error").as("channel"),
+        col("shapley_x24"),
+        (floor(col("shapley_x24").cast("double") / 24.0 * 10000 + 0.5)
+          / 10000).as("shapley"))
+      .orderBy(col("channel"))
+  }
 }

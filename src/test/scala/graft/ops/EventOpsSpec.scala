@@ -553,4 +553,46 @@ class EventOpsSpec extends SparkSpec {
       (0L, 10L, 1L, 1L, 2L, 0.2),
       (0L, 20L, 1L, 0L, 1L, 0.2)), got.mkString(" "))
   }
+
+  test("shapleyAttribution: weighted-subset engine values equal an " +
+    "independent all-orderings computation; efficiency axiom holds") {
+    import spark.implicits._
+    val journeys = Seq(
+      (1L, Seq("view", "click", "purchase")),
+      (2L, Seq("view", "purchase")),
+      (3L, Seq("click")),
+      (4L, Seq("signup", "purchase")),
+      (5L, Seq("purchase")),
+      (6L, Seq("view", "click", "signup")),
+      (7L, Seq("error", "view", "purchase")),
+      (8L, Seq("error")))
+    val ev = journeys.flatMap { case (u, ts) => ts.map(t => (u, t)) }
+      .toDF("user_id", "event_type")
+    // independent formulation: phi*24 = sum of marginal contributions over
+    // ALL 4! player orderings (the engine uses the weighted-subset form)
+    val bits = Map("view" -> 1, "click" -> 2, "signup" -> 4, "error" -> 8)
+    val convMasks = journeys.filter(_._2.contains("purchase"))
+      .map(_._2.filter(bits.contains).map(bits).fold(0)(_ | _))
+    def v(sset: Int): Int = convMasks.count(m => (m & sset) == m)
+    val phi24 = (0 until 4).map { c =>
+      c -> (0 until 4).permutations.map { p =>
+        val before = p.takeWhile(_ != c).map(1 << _).fold(0)(_ | _)
+        v(before | (1 << c)) - v(before)
+      }.sum.toLong
+    }.toMap
+    val got = EventOps.shapleyAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("click", "error", "signup", "view"))
+    val nameBit = Map("view" -> 0, "click" -> 1, "signup" -> 2, "error" -> 3)
+    got.foreach { case (ch, x24, sh) =>
+      assert(x24 == phi24(nameBit(ch)), s"channel $ch: $x24 vs expected")
+      assert(sh == math.floor(x24.toDouble / 24 * 10000 + 0.5) / 10000)
+    }
+    // efficiency: sum phi = v(all players) - v(empty coalition)
+    assert(got.map(_._2).sum == 24L * (v(15) - v(0)))
+    // view appears in 3 of 4 non-baseline conversions, error in 1 - the
+    // ranking must reflect it
+    val byCh = got.map(t => t._1 -> t._2).toMap
+    assert(byCh("view") > byCh("error"))
+  }
 }

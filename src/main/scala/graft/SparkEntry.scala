@@ -1983,6 +1983,35 @@ object SparkEntry {
                 |UNION ALL SELECT 'auth', v, a FROM a2
                 |ORDER BY side, node""".stripMargin)),
 
+      // full core decomposition via the H-index fixpoint (h^inf = coreness,
+      // Lü et al.); engine iterates to the exact-checksum fixpoint, oracle
+      // unrolls 48 rounds (measured convergence: 7/20/33/33 at the four
+      // SFs — density saturates the mod-2000 graph, so rounds plateau) —
+      // extra rounds past the fixpoint are no-ops
+      Q("graph_coreness",
+        (s, d) => graft.ops.GraphOps.corenessHistogram(lineitem(s, d), 2000,
+          memoKey = Some(s"$d#coreness2000")),
+        Some {
+          val rounds = (1 to 48).map { i =>
+            s"""h$i AS MATERIALIZED (
+               |  SELECT q.x AS x, max(least(q.rn, q.nv)) AS hv
+               |  FROM (
+               |    SELECT e.x, hb.hv AS nv,
+               |      row_number() OVER (PARTITION BY e.x
+               |                         ORDER BY hb.hv DESC, e.nb) AS rn
+               |    FROM dir e JOIN h${i - 1} hb ON hb.x = e.nb) q
+               |  GROUP BY 1)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH ${edgesCte(2000)},
+             |dir AS MATERIALIZED (
+             |  SELECT a AS x, b AS nb FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |h0 AS (SELECT x, count(*) AS hv FROM dir GROUP BY 1),
+             |$rounds
+             |SELECT hv AS coreness, count(*) AS n_nodes
+             |FROM h48 GROUP BY 1 ORDER BY 1""".stripMargin
+        }),
+
       // strongly connected components by FW-BW coloring (multi-pivot): the
       // engine peels SCCs with monotone integer-label fixpoints; the oracle
       // is a completely independent formulation — recursive-CTE transitive
@@ -4015,6 +4044,67 @@ object SparkEntry {
              |    * 10000 + 0.5) / 10000 AS retention
              |FROM m JOIN c ON c.w0 = m.w0
              |ORDER BY cohort_week, m.offset""".stripMargin)),
+
+    // Coarsened Exact Matching ATT: off-support treated bins DROPPED (and
+    // counted), within-bin terms exact-integer, cross-bin combination an
+    // ordered sequential fold (the kalman/STL doctrine); naive unmatched
+    // diff rides along so the selection-bias correction is visible
+    Q("ev_cem_att",
+      (s, d) => graft.ops.EventOps.cemAtt(events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, count(*) AS n_events,
+             |    CASE WHEN sum(CASE WHEN event_type = 'signup' THEN 1
+             |        ELSE 0 END)
+             |      > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      THEN 1 ELSE 0 END AS treated,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS y_cents
+             |  FROM events GROUP BY 1),
+             |b AS (
+             |  SELECT n_events // 5 AS bin,
+             |    CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_t,
+             |    CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_c,
+             |    CAST(sum(CASE WHEN treated = 1 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS sy_t,
+             |    CAST(sum(CASE WHEN treated = 0 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS sy_c
+             |  FROM u GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+             |    CAST(sum(n_c) AS BIGINT) AS n_control_matched,
+             |    count(*) AS n_bins_matched,
+             |    list_sum(list_transform(
+             |      list(struct_pack(bin := bin, n_t := n_t, n_c := n_c,
+             |        sy_t := sy_t, sy_c := sy_c) ORDER BY bin),
+             |      x -> (CAST(x.sy_t AS DOUBLE) * CAST(x.n_c AS DOUBLE)
+             |            - CAST(x.n_t AS DOUBLE) * CAST(x.sy_c AS DOUBLE))
+             |           / CAST(x.n_c AS DOUBLE))) AS att_num
+             |  FROM b WHERE n_t > 0 AND n_c > 0),
+             |d AS (SELECT CAST(coalesce(sum(n_t), 0) AS BIGINT)
+             |    AS n_treated_dropped
+             |  FROM b WHERE n_t > 0 AND n_c = 0),
+             |nv AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nt_all,
+             |    CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nc_all,
+             |    CAST(sum(CASE WHEN treated = 1 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS syt_all,
+             |    CAST(sum(CASE WHEN treated = 0 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS syc_all
+             |  FROM u)
+             |SELECT n_treated_matched, n_control_matched, n_bins_matched,
+             |  n_treated_dropped,
+             |  floor(att_num / CAST(n_treated_matched AS DOUBLE) / 100.0
+             |    * 1000000 + 0.5) / 1000000 AS att,
+             |  floor((CAST(syt_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+             |    - CAST(syc_all AS DOUBLE) / CAST(nc_all AS DOUBLE)) / 100.0
+             |    * 1000000 + 0.5) / 1000000 AS naive_diff
+             |FROM m, d, nv""".stripMargin)),
 
     // EXACT Shapley channel attribution: v(S) = converted users whose
     // touch set ⊆ S; with 4 players every weight has denominator 24, so
@@ -9528,6 +9618,50 @@ object SparkEntry {
     // luminance census over the SAME decoded pixels the hash decoders
     // walk: histogram/min/max/sum exact ints from the byte walk, entropy
     // the one log expression (q4-floored; cnt/64 divisions exact binary)
+    // edge-density census: engine's central-difference array walk vs an
+    // independent 4-way neighbor self-join on the replayed pixel grid;
+    // gradients exact integers, only the fraction is (quantized) double
+    Q("mm_image_edge_density",
+      (s, d) => MultimodalOps.edgeDensityCensus(documents(s, d)),
+      Some("""WITH grid AS (
+             |  SELECT doc_id, r, c,
+             |    16 + (xor(m, m >> 13) % 224) AS base
+             |  FROM (
+             |    SELECT d.doc_id, r.r AS r, c.c AS c,
+             |      ((d.doc_id - (d.doc_id % 2)) % 1000003) * 2654435761
+             |        + (r.r * 8 + c.c) * 40503 AS m
+             |    FROM documents d,
+             |      (SELECT unnest(range(8)) AS r) r,
+             |      (SELECT unnest(range(8)) AS c) c)),
+             |px AS (
+             |  SELECT doc_id, r, c,
+             |    CASE WHEN doc_id % 2 = 1 AND (r * 8 + c) IN (0, 23)
+             |           THEN base + 8
+             |         WHEN doc_id % 2 = 1 AND (r * 8 + c) = 46
+             |           THEN base - 16
+             |         ELSE base END AS v
+             |  FROM grid),
+             |g AS (
+             |  SELECT p.doc_id,
+             |    abs(pe.v - pw.v) + abs(ps.v - pn.v) AS grad
+             |  FROM px p
+             |  JOIN px pe ON pe.doc_id = p.doc_id AND pe.r = p.r
+             |    AND pe.c = p.c + 1
+             |  JOIN px pw ON pw.doc_id = p.doc_id AND pw.r = p.r
+             |    AND pw.c = p.c - 1
+             |  JOIN px ps ON ps.doc_id = p.doc_id AND ps.r = p.r + 1
+             |    AND ps.c = p.c
+             |  JOIN px pn ON pn.doc_id = p.doc_id AND pn.r = p.r - 1
+             |    AND pn.c = p.c
+             |  WHERE p.r BETWEEN 1 AND 6 AND p.c BETWEEN 1 AND 6)
+             |SELECT doc_id, CAST(sum(grad) AS BIGINT) AS grad_sum,
+             |  CAST(max(grad) AS INTEGER) AS grad_max,
+             |  CAST(sum(CASE WHEN grad >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_edge,
+             |  floor(CAST(sum(CASE WHEN grad >= 150 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / 36.0 * 10000 + 0.5) / 10000 AS edge_frac
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("mm_image_entropy",
       (s, d) => MultimodalOps.imageEntropyCensus(documents(s, d)),
       Some("""WITH grid AS (

@@ -1767,6 +1767,78 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Coarsened Exact Matching ATT — the matching member of the causal
+    * family ([[ipwEffect]] reweights, CUPED adjusts, DiD differences; CEM
+    * MATCHES): users are coarsened into activity bins, bins lacking either
+    * arm are DROPPED (the pruning that distinguishes matching from
+    * reweighting — off-support treated units are reported, not
+    * extrapolated), and the ATT is the treated-weighted within-bin
+    * difference of means. Every sufficient statistic is an exact integer
+    * (counts + cent-scaled outcome sums); the per-bin term
+    * (sy_t·n_c − n_t·sy_c)/n_c is one division, and the cross-bin
+    * combination runs as an ORDERED sequential fold over the bin-sorted
+    * struct list (both engines sum the identical IEEE sequence — the
+    * kalman/STL doctrine, no engine-order double sums). The naive
+    * unmatched difference rides along so the selection-bias correction is
+    * visible in one row.
+    *
+    * Scale shape: one groupBy collapses the log to per-user rows (the only
+    * data-sized exchange), one to bin grain; the fold runs over the
+    * bin-cardinality list — metadata, not data.
+    */
+  def cemAtt(ev: DataFrame, binWidth: Int = 5): DataFrame = {
+    val users = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      // signup-heavy vs error-heavy users: a data-driven ~50/50 split that
+      // is genuinely confounded with activity (an any-signup flag is
+      // degenerate here — every fixture user signs up at least once)
+      (sum(when(col("event_type") === "signup", 1).otherwise(0))
+        > sum(when(col("event_type") === "error", 1).otherwise(0)))
+        .cast("int").as("treated"),
+      sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+        .as("y_cents"))
+    val byBin = users
+      .withColumn("bin", expr(s"n_events div $binWidth"))
+      .groupBy(col("bin")).agg(
+        sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated") === 1, col("y_cents")).otherwise(0L))
+          .as("sy_t"),
+        sum(when(col("treated") === 0, col("y_cents")).otherwise(0L))
+          .as("sy_c"))
+    val matched = byBin.filter(col("n_t") > 0 && col("n_c") > 0).agg(
+      sum(col("n_t")).as("n_treated_matched"),
+      sum(col("n_c")).as("n_control_matched"),
+      count(lit(1)).as("n_bins_matched"),
+      expr("""aggregate(
+        |  array_sort(collect_list(struct(bin, n_t, n_c, sy_t, sy_c))),
+        |  CAST(0.0 AS DOUBLE),
+        |  (acc, x) -> acc
+        |    + (CAST(x.sy_t AS DOUBLE) * CAST(x.n_c AS DOUBLE)
+        |       - CAST(x.n_t AS DOUBLE) * CAST(x.sy_c AS DOUBLE))
+        |      / CAST(x.n_c AS DOUBLE)""".stripMargin + ")").as("att_num"))
+    val dropped = byBin.filter(col("n_t") > 0 && col("n_c") === 0)
+      .agg(coalesce(sum(col("n_t")), lit(0L)).as("n_treated_dropped"))
+    val naive = users.agg(
+      sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt_all"),
+      sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc_all"),
+      sum(when(col("treated") === 1, col("y_cents")).otherwise(0L))
+        .as("syt_all"),
+      sum(when(col("treated") === 0, col("y_cents")).otherwise(0L))
+        .as("syc_all"))
+    matched.crossJoin(dropped).crossJoin(naive)
+      .select(
+        col("n_treated_matched"), col("n_control_matched"),
+        col("n_bins_matched"), col("n_treated_dropped"),
+        (floor(col("att_num")
+            / col("n_treated_matched").cast("double") / 100.0
+            * 1000000 + 0.5) / 1000000).as("att"),
+        (floor((col("syt_all").cast("double") / col("nt_all").cast("double")
+            - col("syc_all").cast("double") / col("nc_all").cast("double"))
+            / 100.0 * 1000000 + 0.5) / 1000000).as("naive_diff"))
+  }
+
   /** EXACT Shapley-value channel attribution — the coalition-game member
     * of the attribution family ([[viewClickAttribution]] is last-touch;
     * [[markovChain]] is removal-effect): with the four touch channels

@@ -56,7 +56,14 @@ object GraphOps {
     prMemo.clear()
     kcoreMemo.values.foreach(Exec.unpersistCheckpointed)
     kcoreMemo.clear()
+    corenessMemo.values.foreach(Exec.unpersistCheckpointed)
+    corenessMemo.clear()
   }
+
+  /** Session-scoped memo for coreness' index-space adjacency (same
+    * rationale and hygiene as [[orientMemo]]). */
+  private val corenessMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Degree-ordered orientation: each undirected edge directed from its
     * lower-degree endpoint (ties: lower id), which bounds every wedge-join
@@ -1067,6 +1074,139 @@ object GraphOps {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("dist"))
   }
+
+  /** FULL core decomposition (coreness of every node, not [[kCore]]'s
+    * fixed-k survivor set) by the H-INDEX FIXPOINT: initialize every node
+    * at its degree, then repeatedly replace each node's value with the
+    * H-index of its neighbors' values (max h such that ≥ h neighbors hold
+    * ≥ h). The sequence is monotone non-increasing and its fixpoint IS the
+    * coreness (Lü et al., the h-index/coreness identity) — so convergence
+    * is detected by an exact integer checksum, and the fail-loud round cap
+    * is a contract guard. Extra rounds past the fixpoint are no-ops, which
+    * is what lets the oracle run a FIXED unroll of the same recurrence
+    * (the graph_kcore early-exit-is-hash-identical argument). Per round:
+    * one broadcast of the node-cardinality value frame into the edge list,
+    * one per-node ranking window, one map-side-combined max — edges never
+    * shuffle after the initial orientation.
+    */
+  private[graft] def corenessValues(edges: DataFrame, maxRounds: Int = 48,
+      maxBroadcastLabels: Long = 4000000L,
+      memoKey: Option[String] = None): DataFrame = {
+    def buildAdj(): DataFrame = {
+      // the 3-way-union edge dedup is the expensive part — pin it so the
+      // index pass and the adjacency pass both read ONE materialization
+      val dir = Exec.trackTransient(
+        edges.select(col("a").as("x"), col("b").as("nb"))
+          .union(edges.select(col("b").as("x"), col("a").as("nb")))
+          .localCheckpoint())
+      // dense node index, assigned once — node values then travel between
+      // rounds as ONE broadcast ARRAY row with O(1) element_at lookups (a
+      // MAP row's element_at is a linear key scan: measured 30x slower
+      // here). bounded: node cardinality ≤ 3n by the mod-n construction;
+      // past the broadcast gate the shuffle fallback below runs instead.
+      val wIdx = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      val idx = Exec.trackTransient(dir.select(col("x")).distinct()
+        .withColumn("i", row_number().over(wIdx))
+        .localCheckpoint())
+      // adjacency REWRITTEN INTO INDEX SPACE, materialized once; every
+      // h-index round after is a zero-shuffle map-side pass over it
+      dir
+        .join(idx, Seq("x"))
+        .join(idx.select(col("x").as("nb"), col("i").as("j")), Seq("nb"))
+        .groupBy(col("x"), col("i"))
+        .agg(collect_list(col("j")).as("nbs"))
+        // node-cardinality rows re-read ~33x by the fixpoint loop: 32 tiny
+        // tasks per job is pure scheduler overhead, 8 keeps the loop fed
+        .coalesce(8)
+        .localCheckpoint()
+    }
+    // session memo (opt-in by key): the fixpoint loop's input is rebuilt
+    // once per session, not once per rep (the bench's first touching query
+    // pays the materialization honestly)
+    val adj = memoKey match {
+      case Some(k) =>
+        val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + k
+        corenessMemo.getOrElseUpdate(fullKey, buildAdj())
+      case None => Exec.trackTransient(buildAdj())
+    }
+    val nNodes = adj.count()
+    def hindexOf(vals: String): String =
+      s"""aggregate(
+         |  zip_with(reverse(array_sort($vals)),
+         |    sequence(1, size($vals)),
+         |    (v, i) -> least(v, CAST(i AS BIGINT))),
+         |  CAST(0 AS BIGINT), (acc, t) -> greatest(acc, t))""".stripMargin
+    if (nNodes > maxBroadcastLabels) {
+      // past the broadcast gate: narrow (i, value) shuffle rounds with
+      // DataFrame-resident values (node table too big for a literal row)
+      var h = adj
+        .select(col("x"), col("i"), size(col("nbs")).cast("long").as("hv"))
+        .localCheckpoint()
+      Exec.trackTransient(h)
+      var checksum = h.agg(sum(col("hv"))).collect()(0).getLong(0)
+      var converged = false
+      var round = 0
+      while (!converged) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"coreness: h-index not converged after $maxRounds rounds " +
+              "(raise maxRounds AND the oracle unroll together)")
+        val nh = adj.select(col("x"), col("i"), explode(col("nbs")).as("j"))
+          .join(h.select(col("i").as("j"), col("hv").as("nv")), Seq("j"))
+          .groupBy(col("x"), col("i"))
+          .agg(collect_list(col("nv")).as("nvs"))
+          .select(col("x"), col("i"), expr(hindexOf("nvs")).as("hv"))
+          .localCheckpoint()
+        Exec.trackTransient(nh)
+        val ncs = nh.agg(sum(col("hv"))).collect()(0).getLong(0)
+        if (ncs == checksum) converged = true
+        else { h = nh; checksum = ncs; round += 1 }
+      }
+      h.select(col("x"), col("hv"))
+    } else {
+      // the kmeansLloyd shape: the node-value VECTOR is bounded metadata
+      // (≤ 3n longs), so it lives on the driver between rounds exactly
+      // like Lloyd centroids — each round is ONE distributed pass over
+      // the pinned index-space adjacency with an O(1)-lookup literal
+      // array, one job, zero shuffles; the compute over adjacency lists
+      // (the data-sized side) stays fully distributed
+      val init = adj.select(col("i"), size(col("nbs")).cast("long").as("hv"))
+        .collect()
+      var arr = new Array[Long](nNodes.toInt)
+      init.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
+      var converged = false
+      var round = 0
+      while (!converged) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"coreness: h-index not converged after $maxRounds rounds " +
+              "(raise maxRounds AND the oracle unroll together)")
+        val rows = adj
+          .withColumn("varr", typedLit(arr.toSeq))
+          .select(col("i"),
+            expr(hindexOf("transform(nbs, j -> element_at(varr, j))"))
+              .as("hv"))
+          .collect()
+        val nArr = new Array[Long](nNodes.toInt)
+        rows.foreach(r => nArr(r.getInt(0) - 1) = r.getLong(1))
+        if (java.util.Arrays.equals(arr, nArr)) converged = true
+        else { arr = nArr; round += 1 }
+      }
+      val finalArr = typedLit(arr.toSeq)
+      adj.select(col("x"), element_at(finalArr, col("i")).as("hv"))
+    }
+  }
+
+  /** Driver-facing coreness histogram over [[lineitemEdges]]. The memo
+    * key MUST identify the data (callers pass the sf dir) — a bare
+    * per-session key would hand a warm-up's adjacency to the measured SF.
+    */
+  def corenessHistogram(li: DataFrame, n: Int = 2000,
+                        memoKey: Option[String] = None): DataFrame =
+    corenessValues(lineitemEdges(li, n), memoKey = memoKey)
+      .groupBy(col("hv").as("coreness"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("coreness"))
 
   /** DIRECTED edge list with genuine cycles: `l_orderkey % n → l_partkey
     * % n` in the SAME id space (unlike [[lineitemEdges]]' disjoint ranges,

@@ -1299,6 +1299,45 @@ object MultimodalOps {
     px
   }
 
+  /** Per-image EDGE-DENSITY census over real decoded BMP pixels — the
+    * texture/blur screen beside [[imageEntropyCensus]]'s histogram screen:
+    * central-difference gradients on the 6×6 interior (|gx| + |gy| in
+    * exact integers), gradient sum/max, and the fraction of interior
+    * pixels whose L1 gradient clears `threshold`. Same real decode path
+    * (BMP header walk, bottom-up row order) and the same row-local batched
+    * scan shape; the only double is the floor-quantized fraction. The
+    * oracle computes gradients by an independent 4-way self-join on the
+    * replayed pixel grid, not a copy of the engine's array walk.
+    */
+  def edgeDensityCensus(docs: DataFrame, threshold: Int = 150,
+                        batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { d =>
+        val px = bmpGrayPixels(encodeThumbBmp(d))
+        var gsum = 0L; var gmax = 0; var nEdge = 0L
+        var r = 1
+        while (r < 7) {
+          var c = 1
+          while (c < 7) {
+            val gx = px(r * 8 + c + 1) - px(r * 8 + c - 1)
+            val gy = px((r + 1) * 8 + c) - px((r - 1) * 8 + c)
+            val g = math.abs(gx) + math.abs(gy)
+            gsum += g
+            if (g > gmax) gmax = g
+            if (g >= threshold) nEdge += 1
+            c += 1
+          }
+          r += 1
+        }
+        (d, gsum, gmax, nEdge,
+          math.floor(nEdge.toDouble / 36.0 * 10000 + 0.5) / 10000)
+      }))
+      .toDF("doc_id", "grad_sum", "grad_max", "n_edge", "edge_frac")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-image luminance census over REAL decoded BMP pixels — the
     * low-information screen a vision-data pipeline runs before training
     * (a near-constant thumbnail carries ~0 bits of content; an all-noise

@@ -554,6 +554,32 @@ class EventOpsSpec extends SparkSpec {
       (0L, 20L, 1L, 0L, 1L, 0.2)), got.mkString(" "))
   }
 
+  test("cemAtt: hand-computed matched bins, dropped off-support treated, " +
+    "and the naive-vs-matched correction") {
+    import spark.implicits._
+    def u(id: Long, types: Seq[String], pv: Double): Seq[(Long, String, Double)] =
+      types.map(t => (id, t, if (t == "purchase") pv else 0.0))
+    // bin 0 (n_events<5): t u1 y=10.00 | c u2 y=6.00, u3 y=0
+    // bin 1: t u4 y=20.00 | c u6 y=5.00
+    // bin 2: t u5 y=50.00, NO control -> dropped
+    val ev = (
+      u(1L, Seq("signup", "view", "purchase"), 10.00) ++
+      u(2L, Seq("view", "click", "view", "purchase"), 6.00) ++
+      u(3L, Seq("view", "click"), 0.0) ++
+      u(4L, Seq("signup") ++ Seq.fill(5)("view") :+ "purchase", 20.00) ++
+      u(6L, Seq.fill(7)("view") :+ "purchase", 5.00) ++
+      u(5L, Seq("signup") ++ Seq.fill(10)("view") :+ "purchase", 50.00))
+      .toDF("user_id", "event_type", "value")
+    val r = EventOps.cemAtt(ev).collect()(0)
+    // bin terms: (1000*2-600)/2=700, (2000-500)/1=1500 -> att=2200/2/100=11
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 11.0, s"att ${r.getDouble(4)}")
+    // naive: (8000/3 - 1100/3)/100 = 23.0 -- inflated by the off-support
+    // high-activity treated user the matching dropped
+    assert(r.getDouble(5) == 23.0, s"naive ${r.getDouble(5)}")
+  }
+
   test("shapleyAttribution: weighted-subset engine values equal an " +
     "independent all-orderings computation; efficiency axiom holds") {
     import spark.implicits._

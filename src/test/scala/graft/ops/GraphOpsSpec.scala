@@ -331,6 +331,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 12.0)), got.mkString(" "))
   }
 
+  test("coreness: K4 plus a pendant chain decomposes to {3,3,3,3,1,1}; " +
+    "a ring is uniformly 2-core") {
+    import spark.implicits._
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("a", "b")
+    val got = GraphOps.corenessValues(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 1L, 5L -> 1L), got.toString)
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("a", "b")
+    val ringCore = GraphOps.corenessValues(ring).collect()
+      .map(r => r.getLong(1)).distinct.toSeq
+    assert(ringCore == Seq(2L), s"ring coreness $ringCore")
+  }
+
   test("scc: two planted cycles, a bridge, and singletons resolve exactly") {
     import spark.implicits._
     // 0 -> {1,2,3} cycle -> 4 -> {5,6} cycle; SCCs {0} {1,2,3} {4} {5,6}

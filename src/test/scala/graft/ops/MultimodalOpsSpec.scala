@@ -408,6 +408,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.parsePcmSamples("not a wav".getBytes).isEmpty)
   }
 
+  test("edge density: decoded-pixel gradients equal a direct formula " +
+    "recomputation on the 6x6 interior") {
+    val out = MultimodalOps.edgeDensityCensus(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == docs.count())
+    out.foreach { case (d, (gsum, gmax, nEdge, frac)) =>
+      def p(r: Int, c: Int) = MultimodalOps.thumbPixel(d, r, c)
+      val grads = for { r <- 1 to 6; c <- 1 to 6 } yield
+        math.abs(p(r, c + 1) - p(r, c - 1)) +
+          math.abs(p(r + 1, c) - p(r - 1, c))
+      assert(gsum == grads.map(_.toLong).sum, s"doc $d grad_sum")
+      assert(gmax == grads.max, s"doc $d grad_max")
+      assert(nEdge == grads.count(_ >= 150).toLong, s"doc $d n_edge")
+      assert(frac ==
+        math.floor(grads.count(_ >= 150).toDouble / 36 * 10000 + 0.5) / 10000)
+    }
+  }
+
   test("silence census: streaming run-length fold equals a set-based " +
     "island recomputation, including the trailing-run edge") {
     val out = MultimodalOps.silenceCensus(docs).collect()

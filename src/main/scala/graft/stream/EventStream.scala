@@ -429,6 +429,32 @@ object EventStream {
       .toDF("g", "t", "l", "k")
   }
 
+  /** STREAMING per-user touch-set + conversion state — the streaming twin
+    * of [[graft.ops.EventOps.shapleyAttribution]]'s user-collapse stage
+    * (the only data-sized part of that query; the 16-cell lattice and the
+    * 24-scaled Shapley combination are metadata-sized and recomputed from
+    * the emitted states at read time): per user, a `ValueState[(Int,
+    * Int)]` holding (touch bitmask, converted) — 8 bytes per user
+    * regardless of stream length. A row (user, mask, conv) is emitted
+    * whenever the state CHANGES (first sight included, idempotent on
+    * repeated touches), so the latest emission per user IS the batch
+    * collapse of everything seen so far and the downstream conv-by-mask
+    * histogram can be maintained incrementally from emissions alone. The
+    * spec folds the emissions into the exact-integer Shapley lattice and
+    * asserts equality with the batch query on the same events — and that
+    * state rows == distinct users. Requires the RocksDB provider, like
+    * [[milestones]].
+    */
+  def touchStates(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TouchProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "mask", "conv")
+  }
+
   /** STREAMING Misra–Gries heavy-hitter summary — the streaming twin of
     * the batch `misra_gries(key, k)` aggregate
     * ([[graft.functions.MisraGries]]): a GLOBAL ≤ k-entry
@@ -488,6 +514,38 @@ object EventStream {
 
 /** [[EventStream.kalmanLevels]]'s processor: (n, level, variance) per
   * series; replays `TimeSeriesOps.kalmanStates`' recursion per event. */
+/** [[EventStream.touchStates]]'s processor: 8 bytes of (mask, conv) per
+  * user; emits only on change, so replayed touches are absorbed silently
+  * (idempotent) and the emission stream stays change-sized. */
+class TouchProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, Int, Int)] {
+  @transient private var st: ValueState[(Int, Int)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Int, Int)]("touch",
+      org.apache.spark.sql.Encoders.product[(Int, Int)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Int, Int)] = {
+    val existed = st.exists()
+    val (m0, c0) = if (existed) st.get() else (0, 0)
+    var m = m0
+    var c = c0
+    rows.foreach { case (_, t) =>
+      m |= (t match {
+        case "view" => 1; case "click" => 2
+        case "signup" => 4; case "error" => 8; case _ => 0
+      })
+      if (t == "purchase") c = 1
+    }
+    if (m != m0 || c != c0 || !existed) {
+      st.update((m, c))
+      Iterator.single((key, m, c))
+    } else Iterator.empty
+  }
+}
+
 class KalmanProcessor
     extends StatefulProcessor[String, (String, Long, Double),
       (String, Long, Double, Double)] {

@@ -558,6 +558,73 @@ class EventStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming touch states rebuild the exact batch Shapley lattice; " +
+    "replayed touches are absorbed without emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq((1L, "view"), (2L, "view"), (3L, "click"), (4L, "signup"))
+      val b2 = Seq((1L, "click"), (1L, "purchase"), (2L, "purchase"),
+        (5L, "purchase"), (4L, "error"))
+      val replay = Seq((1L, "view"), (2L, "purchase"), (3L, "click"))
+      val b4 = Seq((3L, "purchase"), (4L, "purchase"))
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.touchStates(spark,
+          mem.toDF().toDF("user_id", "event_type"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_touch").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val before = spark.table("t_touch").count()
+        mem.addData(replay: _*); q.processAllAvailable()
+        // the replay batch repeats already-absorbed touches verbatim —
+        // state is idempotent, so NOTHING new may be emitted
+        assert(spark.table("t_touch").count() == before,
+          "replayed touches must not emit")
+        mem.addData(b4: _*); q.processAllAvailable()
+        // latest emission per user == the batch per-user collapse
+        val all = spark.table("t_touch").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        val last = all.zipWithIndex.groupBy(_._1._1)
+          .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+        // exact Shapley from the streamed states (weighted-subset form)
+        val convMasks = last.values.filter(_._3 == 1).map(_._2).toSeq
+        def v(s: Int): Int = convMasks.count(m => (m & s) == m)
+        def w24(sz: Int) = if (sz == 0 || sz == 3) 6 else 2
+        val phiFromStream = (0 until 4).map { cbit =>
+          cbit -> (0 until 16).filter(s => ((s >> cbit) & 1) == 0)
+            .map(s => w24(Integer.bitCount(s))
+              * (v(s | (1 << cbit)) - v(s))).sum.toLong
+        }.toMap
+        val batch = graft.ops.EventOps.shapleyAttribution(
+            (b1 ++ b2 ++ replay ++ b4).map { case (u, t) => (u, t) }
+              .toDF("user_id", "event_type"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nameBit = Map("view" -> 0, "click" -> 1, "signup" -> 2,
+          "error" -> 3)
+        nameBit.foreach { case (ch, bit) =>
+          assert(batch(ch) == phiFromStream(bit),
+            s"$ch: batch ${batch(ch)} vs streamed ${phiFromStream(bit)}")
+        }
+        // bounded state: one 8-byte row per distinct user
+        val lastState = q.recentProgress.reverse
+          .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+        assert(lastState.numRowsTotal == 5,
+          s"expected 5 state rows, got ${lastState.numRowsTotal}")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Kalman levels match the batch fold BITWISE across batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

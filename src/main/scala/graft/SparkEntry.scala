@@ -1983,6 +1983,39 @@ object SparkEntry {
                 |UNION ALL SELECT 'auth', v, a FROM a2
                 |ORDER BY side, node""".stripMargin)),
 
+      // deterministic random-walk corpus (DeepWalk data-gen shape): next
+      // hop = sorted-neighbor pick by the pre-reduced Knuth mix — a fixed
+      // pseudo-random permutation both engines replay; oracle unrolls the
+      // 8 hops over the same adjacency arrays
+      Q("graph_random_walks",
+        (s, d) => graft.ops.GraphOps.randomWalkCensus(lineitem(s, d), 2000),
+        Some {
+          val steps = (1 to 8).map { i =>
+            s"""w$i AS MATERIALIZED (
+               |  SELECT seed,
+               |    nbs[CAST(xor(m, m >> 13) % len(nbs) AS INT) + 1] AS cur
+               |  FROM (
+               |    SELECT w.seed,
+               |      ((w.cur % 1000003) * 2654435761 + $i * 40503
+               |        + (w.seed % 1000003)) AS m,
+               |      adj.nbs
+               |    FROM w${i - 1} w JOIN adj ON adj.x = w.cur))""".stripMargin
+          }.mkString(",\n")
+          val unions = (0 to 8).map(i => s"SELECT cur FROM w$i")
+            .mkString("\n  UNION ALL ")
+          s"""WITH ${edgesCte(2000)},
+             |dir AS MATERIALIZED (
+             |  SELECT a AS x, b AS nb FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |adj AS MATERIALIZED (
+             |  SELECT x, list(nb ORDER BY nb) AS nbs FROM dir GROUP BY 1),
+             |w0 AS (SELECT x AS seed, x AS cur FROM adj),
+             |$steps,
+             |v AS ($unions)
+             |SELECT cur AS node, count(*) AS n_visits
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+        }),
+
       // full core decomposition via the H-index fixpoint (h^inf = coreness,
       // Lü et al.); engine iterates to the exact-checksum fixpoint, oracle
       // unrolls 48 rounds (measured convergence: 7/20/33/33 at the four
@@ -2779,6 +2812,68 @@ object SparkEntry {
              |SELECT key, p, n, power_frac,
              |  power_frac = max(power_frac) OVER (PARTITION BY key) AS peak
              |FROM g ORDER BY key, p""".stripMargin)),
+
+    // normalized spectral entropy on the periodogram's QUANTIZED 4dp
+    // power fractions (identical inputs both engines); total + entropy as
+    // ordered sequential folds over the period-sorted list
+    Q("ts_spectral_entropy",
+      (s, d) => graft.ops.TimeSeriesOps.spectralEntropy(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    sum(l_extendedprice) AS v
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT key, mi, v - avg(v) OVER (PARTITION BY key) AS vc,
+             |    count(*) OVER (PARTITION BY key) AS n
+             |  FROM m),
+             |c2 AS (SELECT key, mi, vc, n,
+             |    sum(vc * vc) OVER (PARTITION BY key) AS ssq
+             |  FROM c),
+             |f AS (
+             |  SELECT key, n, ssq, p,
+             |    sum(vc * cos((2 * pi()) * mi / p)) AS cs,
+             |    sum(vc * sin((2 * pi()) * mi / p)) AS ss
+             |  FROM c2 CROSS JOIN (SELECT unnest(range(2, 13)) AS p) ps
+             |  GROUP BY key, p, n, ssq),
+             |g AS (
+             |  SELECT key, CAST(p AS INTEGER) AS p,
+             |    floor((cs * cs + ss * ss) / ssq * 10000 + 0.5) / 10000
+             |      AS power_frac
+             |  FROM f),
+             |pk AS (
+             |  SELECT key, p, power_frac,
+             |    power_frac = max(power_frac) OVER (PARTITION BY key)
+             |      AS peak
+             |  FROM g),
+             |agg AS (
+             |  SELECT key, count(*) AS n_freqs,
+             |    min(CASE WHEN peak THEN p END) AS peak_p,
+             |    list(power_frac ORDER BY p) AS pw
+             |  FROM pk GROUP BY 1),
+             |t AS (
+             |  SELECT key, n_freqs, peak_p, pw,
+             |    list_sum(list_transform(pw, x -> x)) AS tot
+             |  FROM agg)
+             |SELECT key, n_freqs, peak_p,
+             |  floor(tot * 10000 + 0.5) / 10000 AS power_total,
+             |  CASE WHEN tot <= 0 THEN NULL ELSE
+             |    floor(-list_sum(list_transform(pw,
+             |        x -> CASE WHEN x <= 0 THEN CAST(0.0 AS DOUBLE)
+             |          ELSE (x / tot) * ln(x / tot) END))
+             |      / ln(CAST(len(pw) AS DOUBLE)) * 10000 + 0.5) / 10000
+             |  END AS spectral_entropy,
+             |  CASE WHEN tot <= 0 THEN NULL ELSE
+             |    floor((1.0 - (CASE
+             |      WHEN tot <= 0 THEN NULL ELSE
+             |        floor(-list_sum(list_transform(pw,
+             |            x -> CASE WHEN x <= 0 THEN CAST(0.0 AS DOUBLE)
+             |              ELSE (x / tot) * ln(x / tot) END))
+             |          / ln(CAST(len(pw) AS DOUBLE)) * 10000 + 0.5) / 10000
+             |      END)) * 10000 + 0.5) / 10000
+             |  END AS forecastability
+             |FROM t ORDER BY key""".stripMargin)),
 
     // Holt linear-trend forecast: Spark runs the CLOSED FORM (driver-built
     // A^k coefficient table + one agg per series); the oracle runs the

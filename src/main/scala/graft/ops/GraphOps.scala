@@ -1208,6 +1208,54 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("coreness"))
 
+  /** Deterministic RANDOM-WALK corpus + visit census — the DeepWalk /
+    * node2vec data-generation step re-expressed for an engine that cannot
+    * "pick a random neighbor" (nondeterminism breaks replay, resume, AND
+    * the oracle): the next hop from `cur` at step `s` in seed `g`'s walk
+    * is `nbs[h(cur, s, g) mod degree]` over the SORTED neighbor array,
+    * with h the repo's pre-reduced Knuth-multiply + xor-shift mix — a
+    * fixed pseudo-random permutation, reproducible across engines, runs,
+    * and row order, exactly like the training-shuffle audit. One walk per
+    * node, `walkLen` hops. Each hop is one broadcast join of the
+    * node-sized frontier against the pinned adjacency (Catalyst reuses
+    * the single broadcast exchange across all hops); the census is one
+    * node-grain groupBy. Walk frames never exceed node cardinality, so
+    * the whole query is metadata-sized after the initial edge dedup — at
+    * corpus scale you fan out `walksPerNode` seeds and the same plan
+    * holds with frontier ∝ walks, not edges.
+    */
+  def randomWalkCensus(li: DataFrame, n: Int = 2000,
+                       walkLen: Int = 8): DataFrame =
+    randomWalkCensusEdges(lineitemEdges(li, n), walkLen)
+
+  private[graft] def randomWalkCensusEdges(und: DataFrame,
+                                           walkLen: Int): DataFrame = {
+    val dir = und.select(col("a").as("x"), col("b").as("nb"))
+      .union(und.select(col("b").as("x"), col("a").as("nb")))
+    val adj = Exec.trackTransient(
+      dir.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("nb"))).as("nbs"))
+        .coalesce(8)
+        .localCheckpoint())
+    val bAdj = broadcast(adj.withColumnRenamed("x", "cur"))
+    var frontier = adj.select(col("x").as("seed"), col("x").as("cur"))
+    val visits = scala.collection.mutable.ListBuffer(
+      frontier.select(col("cur").as("node")))
+    for (step <- 1 to walkLen) {
+      val m = s"((cur % 1000003) * 2654435761 + $step * 40503" +
+        " + (seed % 1000003))"
+      frontier = frontier.join(bAdj, Seq("cur"))
+        .select(col("seed"),
+          expr(s"element_at(nbs, CAST(($m ^ shiftright($m, 13))" +
+            " % size(nbs) AS INT) + 1)").as("cur"))
+      visits += frontier.select(col("cur").as("node"))
+    }
+    visits.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("node"))
+  }
+
   /** DIRECTED edge list with genuine cycles: `l_orderkey % n → l_partkey
     * % n` in the SAME id space (unlike [[lineitemEdges]]' disjoint ranges,
     * which are bipartite and acyclic), thinned to `l_quantity ≤ 2` rows so

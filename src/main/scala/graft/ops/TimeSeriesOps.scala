@@ -665,6 +665,43 @@ object TimeSeriesOps {
       .orderBy(col("key"), col("p"))
   }
 
+  /** Normalized SPECTRAL ENTROPY per series — the forecastability screen
+    * on top of [[periodogramMonthly]]: a series whose variance concentrates
+    * in one spectral line (entropy → 0) is predictable; one whose spectrum
+    * is flat (entropy → 1) is noise. Built ON the quantized `power_frac`
+    * values the periodogram already emits, so both engines feed IDENTICAL
+    * 4dp inputs into the entropy; the normalization total and the
+    * −Σ p̂·ln p̂ accumulation both run as ORDERED sequential folds over the
+    * period-sorted list (the kalman/STL doctrine — the 11-term frequency
+    * set is bounded by construction, so the fold is metadata-sized).
+    * Degenerate spectra (zero total power) surface as NULL entropy.
+    */
+  def spectralEntropy(li: DataFrame, maxPeriod: Int = 12): DataFrame = {
+    val pg = periodogramMonthly(li, maxPeriod)
+    pg.groupBy(col("key"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(p, power_frac)))," +
+          " s -> s.power_frac)").as("pw"),
+        count(lit(1)).as("n_freqs"),
+        min(when(col("peak"), col("p"))).as("peak_p"))
+      .withColumn("tot",
+        expr("aggregate(pw, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("spectral_entropy", expr(
+        """CASE WHEN tot <= 0 THEN NULL ELSE
+          |  floor(-aggregate(pw, CAST(0.0 AS DOUBLE),
+          |    (a, x) -> a + CASE WHEN x <= 0 THEN CAST(0.0 AS DOUBLE)
+          |      ELSE (x / tot) * ln(x / tot) END)
+          |  / ln(CAST(size(pw) AS DOUBLE)) * 10000 + 0.5) / 10000
+          |END""".stripMargin))
+      .select(col("key"), col("n_freqs"), col("peak_p"),
+        (floor(col("tot") * 10000 + 0.5) / 10000).as("power_total"),
+        col("spectral_entropy"),
+        expr("CASE WHEN spectral_entropy IS NULL THEN NULL ELSE " +
+          "floor((1.0 - spectral_entropy) * 10000 + 0.5) / 10000 END")
+          .as("forecastability"))
+      .orderBy(col("key"))
+  }
+
   /** Holt linear-trend forecast (double exponential smoothing) — the first
     * genuinely RECURSIVE smoother in the family: level and trend form the
     * coupled recursion

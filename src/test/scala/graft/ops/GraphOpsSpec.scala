@@ -331,6 +331,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 12.0)), got.mkString(" "))
   }
 
+  test("random walks: engine census equals an independent per-walk " +
+    "replay of the hash rule") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4-1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = GraphOps.randomWalkCensusEdges(edges, walkLen = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent sequential replay (no DataFrames)
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (seed <- adj.keys) {
+      var cur = seed
+      counts(cur) += 1
+      for (step <- 1 to 8) {
+        val m = (cur % 1000003L) * 2654435761L + step * 40503L +
+          (seed % 1000003L)
+        val nbs = adj(cur)
+        cur = nbs(((m ^ (m >> 13)) % nbs.size).toInt)
+        counts(cur) += 1
+      }
+    }
+    assert(got == counts.toMap, s"got $got want $counts")
+    // every walk has length 9 -> total visits = 4 * 9
+    assert(got.values.sum == 36L)
+  }
+
   test("coreness: K4 plus a pendant chain decomposes to {3,3,3,3,1,1}; " +
     "a ring is uniformly 2-core") {
     import spark.implicits._

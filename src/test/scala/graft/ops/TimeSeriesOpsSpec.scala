@@ -549,6 +549,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
     graft.ops.Exec.clearPinned(spark)
   }
 
+  test("spectralEntropy: a pure period-4 cycle scores far more " +
+    "forecastable than noise, and the fold matches a direct recompute") {
+    import spark.implicits._
+    // key A: exact period-4 cycle; key N: hash noise — both 48 months
+    val rows = (0 until 48).flatMap { i =>
+      val month = Timestamp.valueOf(f"${1992 + i / 12}%04d-${i % 12 + 1}%02d-10 00:00:00")
+      Seq(("A", month, 100.0 + 50.0 * math.cos(2 * math.Pi * i / 4)),
+        ("N", month, 100.0 + ((i * 2654435761L) % 97).toDouble))
+    }
+    val li = rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    val got = TimeSeriesOps.spectralEntropy(li).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("A")._1 == 4, s"peak period ${got("A")._1}")
+    assert(got("A")._2 < got("N")._2,
+      s"cycle entropy ${got("A")._2} !< noise entropy ${got("N")._2}")
+    assert(got("A")._3 > 0.9, s"cycle forecastability ${got("A")._3}")
+    // independent recompute from the periodogram's own quantized output
+    val pw = TimeSeriesOps.periodogramMonthly(li).collect()
+      .filter(_.getString(0) == "A").sortBy(_.getInt(1))
+      .map(_.getDouble(3))
+    val tot = pw.foldLeft(0.0)(_ + _)
+    val h = -pw.foldLeft(0.0)((a, x) =>
+      a + (if (x <= 0) 0.0 else x / tot * math.log(x / tot))) /
+      math.log(pw.length.toDouble)
+    assert(got("A")._2 == math.floor(h * 10000 + 0.5) / 10000)
+  }
+
   test("grangerCausality: planted lead-lag structure is detected and the " +
     "closed form matches an independent reimplementation") {
     import spark.implicits._

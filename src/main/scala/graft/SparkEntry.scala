@@ -2045,6 +2045,41 @@ object SparkEntry {
              |FROM h48 GROUP BY 1 ORDER BY 1""".stripMargin
         }),
 
+      // directed triad MOTIF census on the cyclic digraph: reciprocal
+      // pairs, feed-forward triangles, min-rotation 3-cycles — instance
+      // counts (not exclusive triad classes), all exact integers
+      Q("graph_triad_census",
+        (s, d) => graft.ops.GraphOps.triadCensus(lineitem(s, d), 2000),
+        Some("""WITH e AS MATERIALIZED (
+               |  SELECT DISTINCT l_orderkey % 2000 AS src,
+               |    l_partkey % 2000 AS dst
+               |  FROM lineitem
+               |  WHERE l_quantity <= 2
+               |    AND l_orderkey % 2000 <> l_partkey % 2000),
+               |ed AS (SELECT count(*) AS n_edges FROM e),
+               |rc AS (SELECT count(*) AS n_reciprocal
+               |       FROM e x JOIN e y
+               |         ON y.src = x.dst AND y.dst = x.src
+               |       WHERE x.src < x.dst),
+               |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               |      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+               |      WHERE e1.src <> e2.dst),
+               |ff AS (SELECT count(*) AS n_ffl FROM w
+               |       WHERE EXISTS (SELECT 1 FROM e
+               |                     WHERE e.src = w.a AND e.dst = w.c)),
+               |cy AS (SELECT count(*) AS n_cycles FROM w
+               |       WHERE a < b AND a < c
+               |         AND EXISTS (SELECT 1 FROM e
+               |                     WHERE e.src = w.c AND e.dst = w.a))
+               |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               |  CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+               |  CAST(n_ffl AS BIGINT) AS n_ffl,
+               |  CAST(n_cycles AS BIGINT) AS n_cycles,
+               |  CASE WHEN n_cycles = 0 THEN NULL ELSE
+               |    floor(CAST(n_ffl AS DOUBLE) / CAST(n_cycles AS DOUBLE)
+               |      * 10000 + 0.5) / 10000 END AS ffl_per_cycle
+               |FROM ed, rc, ff, cy""".stripMargin)),
+
       // strongly connected components by FW-BW coloring (multi-pivot): the
       // engine peels SCCs with monotone integer-label fixpoints; the oracle
       // is a completely independent formulation — recursive-CTE transitive
@@ -2457,6 +2492,82 @@ object SparkEntry {
              |    * 10000 + 0.5) / 10000 AS remainder
              |FROM t3 LEFT JOIN seas ON seas.key = t3.key AND seas.phase = t3.phase
              |ORDER BY t3.key, month""".stripMargin)),
+
+    // Hyndman seasonal/trend strength on the STL output: components
+    // rescaled to millions then 4dp-requantized -> exact integer variance
+    // moments, no cross-engine double sums
+    Q("ts_stl_strength",
+      (s, d) => graft.ops.TimeSeriesOps.stlStrength(orders(s, d)),
+      Some("""WITH monthly AS (
+             |  SELECT o_orderpriority AS key,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+             |  FROM orders GROUP BY 1, 2),
+             |t AS (
+             |  SELECT key, month, vc, month(month) AS phase,
+             |    sum(vc) OVER w11 AS sum11, count(*) OVER w11 AS cnt11,
+             |    lag(vc, 6) OVER w AS lag6, lead(vc, 6) OVER w AS lead6
+             |  FROM monthly
+             |  WINDOW w AS (PARTITION BY key ORDER BY month),
+             |    w11 AS (PARTITION BY key ORDER BY month
+             |            ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+             |t2 AS (SELECT *, CASE WHEN cnt11 = 11
+             |    THEN sum11 * 2 + lag6 + lead6 END AS trend24 FROM t),
+             |t3 AS (SELECT *, vc * 24 - trend24 AS d24 FROM t2),
+             |sp AS (
+             |  SELECT key, phase, CAST(sum(d24) AS BIGINT) AS s_num,
+             |    count(*) AS s_cnt
+             |  FROM t3 WHERE trend24 IS NOT NULL GROUP BY 1, 2),
+             |sp2 AS (SELECT key, phase, s_num * (720720 // s_cnt) AS a FROM sp),
+             |pk AS (SELECT key, CAST(sum(a) AS BIGINT) AS sum_a,
+             |    count(*) AS p FROM sp2 GROUP BY 1),
+             |seas AS (
+             |  SELECT sp2.key, phase, p * a - sum_a AS seas_scaled,
+             |    p * 720720 AS pd
+             |  FROM sp2 JOIN pk USING (key)),
+             |stl AS (
+             |  SELECT t3.key AS key,
+             |    floor(CAST(trend24 AS DOUBLE) / 2400 * 10000 + 0.5) / 10000
+             |      AS trend,
+             |    floor(CAST(seas_scaled AS DOUBLE)
+             |      / (CAST(pd AS DOUBLE) * 2400) * 10000 + 0.5) / 10000
+             |      AS seasonal,
+             |    floor((CAST(vc AS DOUBLE) / 100
+             |      - CAST(trend24 AS DOUBLE) / 2400
+             |      - CAST(seas_scaled AS DOUBLE) / (CAST(pd AS DOUBLE) * 2400))
+             |      * 10000 + 0.5) / 10000 AS remainder
+             |  FROM t3 LEFT JOIN seas
+             |    ON seas.key = t3.key AND seas.phase = t3.phase
+             |  WHERE trend24 IS NOT NULL),
+             |q AS (
+             |  SELECT key,
+             |    CAST(floor(remainder / 1e6 * 10000 + 0.5) AS BIGINT) AS r,
+             |    CAST(floor((seasonal + remainder) / 1e6 * 10000 + 0.5)
+             |      AS BIGINT) AS sr,
+             |    CAST(floor((trend + remainder) / 1e6 * 10000 + 0.5)
+             |      AS BIGINT) AS tr
+             |  FROM stl),
+             |g AS (
+             |  SELECT key, count(*) AS n,
+             |    CAST(sum(r) AS BIGINT) AS s_r,
+             |    CAST(sum(r * r) AS BIGINT) AS ss_r,
+             |    CAST(sum(sr) AS BIGINT) AS s_sr,
+             |    CAST(sum(sr * sr) AS BIGINT) AS ss_sr,
+             |    CAST(sum(tr) AS BIGINT) AS s_tr,
+             |    CAST(sum(tr * tr) AS BIGINT) AS ss_tr
+             |  FROM q GROUP BY 1)
+             |SELECT key, n,
+             |  CASE WHEN n * ss_sr - s_sr * s_sr = 0 THEN NULL ELSE
+             |    floor(greatest(CAST(0.0 AS DOUBLE),
+             |      1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+             |          / CAST(n * ss_sr - s_sr * s_sr AS DOUBLE))
+             |      * 10000 + 0.5) / 10000 END AS seasonal_strength,
+             |  CASE WHEN n * ss_tr - s_tr * s_tr = 0 THEN NULL ELSE
+             |    floor(greatest(CAST(0.0 AS DOUBLE),
+             |      1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+             |          / CAST(n * ss_tr - s_tr * s_tr AS DOUBLE))
+             |      * 10000 + 0.5) / 10000 END AS trend_strength
+             |FROM g ORDER BY key""".stripMargin)),
 
     // EWMA via the closed-form window unroll (no iterative driver loop);
     // α = 0.5 makes every scaled term an exact power-of-two-multiple of an
@@ -7334,6 +7445,49 @@ object SparkEntry {
               |  count(*) AS n_windows
               |FROM i GROUP BY doc_id, grp
               |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // content-defined chunking (pure Rabin rule, no size clamps — every
+    // cut an independent per-position predicate): chunk-level cross-doc
+    // dedup census; oracle replays each window as the HUGEINT power-ladder
+    // dot product and re-cuts the chunks independently
+    Q("dedup_cdc_chunks",
+      (s, d) => DedupOps.cdcChunkCensus(documents(s, d)),
+      Some(s"""WITH pw AS (SELECT ${duckRollingPowers(16)} AS p),
+              |w AS MATERIALIZED (
+              |  SELECT doc_id, text,
+              |    list_filter(list_transform(
+              |      range(greatest(length(text) - 15, 0)),
+              |      i -> CASE WHEN CAST(list_sum(list_transform(range(16),
+              |             j -> CAST(p[CAST(j + 1 AS INTEGER)] AS HUGEINT) *
+              |                  ord(substring(text,
+              |                    CAST(i + j + 1 AS INTEGER), 1))))
+              |           % 2305843009213693951 AS BIGINT) % 64 = 0
+              |        THEN CAST(i AS INTEGER) ELSE -1 END),
+              |      x -> x > 0) AS cuts
+              |  FROM documents, pw),
+              |b AS (SELECT doc_id, text, list_concat([0], cuts) AS bs
+              |      FROM w),
+              |ch AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(len(bs)), k ->
+              |      substring(text, bs[CAST(k + 1 AS INTEGER)] + 1,
+              |        (CASE WHEN k + 1 = len(bs) THEN length(text)
+              |         ELSE bs[CAST(k + 2 AS INTEGER)] END)
+              |        - bs[CAST(k + 1 AS INTEGER)]))) AS chunk
+              |  FROM b)
+              |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  count(*) AS n_chunks,
+              |  CAST(count(DISTINCT md5(chunk)) AS BIGINT)
+              |    AS n_distinct_chunks,
+              |  CAST(sum(length(chunk)) AS BIGINT) AS total_bytes,
+              |  CAST(max(length(chunk)) AS INTEGER) AS max_chunk_len,
+              |  floor((1.0 - CAST(count(DISTINCT md5(chunk)) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+              |    AS dedup_ratio,
+              |  floor(CAST(sum(length(chunk)) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+              |    AS avg_chunk_len
+              |FROM ch""".stripMargin)),
 
     // Incremental ExactSubstr: the doc_id%10=0 batch probes the corpus
     // window-hash index; oracle = the FULL-union span recompute filtered

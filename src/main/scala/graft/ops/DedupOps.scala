@@ -843,6 +843,54 @@ object DedupOps {
     * corpus characters — never pairwise, unlike every similarity-join
     * family member.
     */
+  /** CONTENT-DEFINED CHUNKING census (Rabin chunking, the storage-dedup
+    * primitive under every dedupe filesystem and artifact store): a chunk
+    * boundary falls wherever the L-byte rolling hash satisfies
+    * `h ≡ 0 (mod mask)` — boundaries move WITH the content, so an
+    * insertion shifts only its own chunk while byte-offset chunking would
+    * shift every chunk after it. No min/max-size clamp (FastCDC's clamps
+    * make boundaries sequentially dependent; the pure Rabin rule keeps
+    * every cut an independent per-position predicate — fully parallel and
+    * independently replayable by the oracle). Expected chunk ≈ mask
+    * bytes. The census reports cross-document chunk-level dedup: total vs
+    * distinct chunk fingerprints, the dedup ratio a chunk store would
+    * realize, and size stats. One native rolling pass per doc (O(1) per
+    * window), per-row array work to cut chunks, ONE exchange on the chunk
+    * fingerprint — linear in corpus bytes, never pairwise.
+    */
+  def cdcChunkCensus(docs: DataFrame, L: Int = 16, mask: Int = 64)
+      : DataFrame = {
+    graft.functions.RollingHash.register(docs.sparkSession)
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        expr(s"""filter(transform(rolling_hashes(text, $L),
+                |  (h, i) -> IF(h % $mask = 0, i, -1)), x -> x > 0)"""
+          .stripMargin).as("cuts"))
+      .withColumn("bs", expr("concat(array(0), cuts)"))
+      .withColumn("chunks", expr(
+        """zip_with(bs,
+          |  concat(slice(bs, 2, size(bs) - 1), array(length(text))),
+          |  (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    chunks
+      .select(col("doc_id"), md5(col("chunk")).as("fp"),
+        length(col("chunk")).as("clen"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct_chunks"),
+        sum(col("clen").cast("long")).as("total_bytes"),
+        max(col("clen")).as("max_chunk_len"))
+      .select(col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
+        col("total_bytes"), col("max_chunk_len"),
+        (floor((lit(1.0) - col("n_distinct_chunks").cast("double")
+          / col("n_chunks").cast("double")) * 10000 + 0.5) / 10000)
+          .as("dedup_ratio"),
+        (floor(col("total_bytes").cast("double")
+          / col("n_chunks").cast("double") * 10000 + 0.5) / 10000)
+          .as("avg_chunk_len"))
+  }
+
   def duplicatedSubstringSpans(docs: DataFrame, L: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.RollingHash.register(docs.sparkSession)

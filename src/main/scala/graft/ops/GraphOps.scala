@@ -1268,6 +1268,46 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Directed TRIAD census over [[directedCyclicEdges]] — the motif
+    * profile that separates hierarchy from feedback in a directed graph:
+    * reciprocal pairs (a⇄b), FEED-FORWARD triangles (a→b→c with the
+    * shortcut a→c — the regulatory-network motif), and 3-CYCLES
+    * (a→b→c→a, counted once via the min-node rotation). The wedge join
+    * keys on the middle node (narrow long pairs, Σ in·out fan-out) and
+    * both closures are hash semi-lookups against the same pinned edge
+    * frame — the standard relational triangle shape, no adjacency
+    * collection. Ratios are floor-quantized; all counts exact.
+    */
+  def triadCensus(li: DataFrame, n: Int = 2000): DataFrame =
+    triadCensusEdges(directedCyclicEdges(li, n))
+
+  private[graft] def triadCensusEdges(edges0: DataFrame): DataFrame = {
+    val e = Exec.trackTransient(edges0.localCheckpoint())
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val recip = e.as("x")
+      .join(e.as("y"), col("x.src") === col("y.dst")
+        && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .filter(col("a") =!= col("c"))
+    val ffl = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_ffl"))
+    val cyc = wedges
+      .join(e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"),
+        "left_semi")
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .agg(count(lit(1)).as("n_cycles"))
+    edges.crossJoin(recip).crossJoin(ffl).crossJoin(cyc)
+      .withColumn("ffl_per_cycle", expr(
+        """CASE WHEN n_cycles = 0 THEN NULL ELSE
+          |floor(CAST(n_ffl AS DOUBLE) / CAST(n_cycles AS DOUBLE)
+          |  * 10000 + 0.5) / 10000 END""".stripMargin))
+  }
+
   /** Strongly connected components by FORWARD-BACKWARD COLORING (the
     * Orzan / FW-BW multi-pivot scheme — the SCC formulation that survives
     * a distributed edge list, where Tarjan's sequential DFS cannot run):

@@ -907,6 +907,49 @@ object TimeSeriesOps {
     * wraparound on the non-ANSI path, identical values where int64
     * would have sufficed (the final step is still ONE division).
     */
+  /** Seasonal/trend STRENGTH on the [[stlDecompose]] output — the Hyndman
+    * FPP screens F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t = max(0, 1 −
+    * Var(R)/Var(T+R)): which series actually carry seasonal structure and
+    * which are trend-dominated. The decomposition's components are 4dp
+    * floor-quantized; re-quantizing their MILLIONS-rescaled images at 4dp
+    * gives EXACT integer keys whose variances run as n·Σx² − (Σx)² with
+    * no cross-engine double sums (variance ratios are scale-free, so the
+    * rescale changes nothing but the overflow headroom: component
+    * magnitudes to ~10⁸ revenue-millions stay inside int64 — the
+    * documented domain bound, far above any shipped SF). One series-grain
+    * aggregation over the decomposition rows; output is key-cardinality.
+    */
+  def stlStrength(orders: DataFrame): DataFrame = {
+    val d = stlDecompose(orders)
+      .filter(col("trend").isNotNull)
+      .select(col("key"),
+        expr("CAST(floor(remainder / 1e6 * 10000 + 0.5) AS BIGINT)")
+          .as("r"),
+        expr("CAST(floor((seasonal + remainder) / 1e6 * 10000 + 0.5)" +
+          " AS BIGINT)").as("sr"),
+        expr("CAST(floor((trend + remainder) / 1e6 * 10000 + 0.5)" +
+          " AS BIGINT)").as("tr"))
+    d.groupBy(col("key")).agg(
+        count(lit(1)).as("n"),
+        sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("ss_r"),
+        sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("ss_sr"),
+        sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("ss_tr"))
+      .select(col("key"), col("n"),
+        expr("""CASE WHEN n * ss_sr - s_sr * s_sr = 0 THEN NULL ELSE
+          |floor(greatest(CAST(0.0 AS DOUBLE),
+          |  1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+          |      / CAST(n * ss_sr - s_sr * s_sr AS DOUBLE))
+          |  * 10000 + 0.5) / 10000 END""".stripMargin)
+          .as("seasonal_strength"),
+        expr("""CASE WHEN n * ss_tr - s_tr * s_tr = 0 THEN NULL ELSE
+          |floor(greatest(CAST(0.0 AS DOUBLE),
+          |  1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+          |      / CAST(n * ss_tr - s_tr * s_tr AS DOUBLE))
+          |  * 10000 + 0.5) / 10000 END""".stripMargin)
+          .as("trend_strength"))
+      .orderBy(col("key"))
+  }
+
   def stlDecompose(orders: DataFrame): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val D = 720720L

@@ -432,4 +432,46 @@ class DedupOpsSpec extends SparkSpec {
         s"missing twin pair for $a in $got")
     }
   }
+
+  test("cdc chunking: census equals an independent BigInt-hash " +
+    "reimplementation; boundaries survive a prefix insertion") {
+    import spark.implicits._
+    val M = BigInt((1L << 61) - 1)
+    val B = BigInt(131)
+    def cdcChunks(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val cuts = (0 to bytes.length - 16).filter { i =>
+        val h = (0 until 16).map(j =>
+          BigInt(bytes(i + j) & 0xFF) * B.pow(15 - j)).sum.mod(M)
+        h % 64 == 0
+      }.filter(_ > 0)
+      val bs = 0 +: cuts
+      bs.zip(bs.drop(1) :+ bytes.length).map { case (s, e) =>
+        text.substring(s, e)
+      }
+    }
+    def mix(i: Int): Char = {
+      val m = i * 2654435761L
+      ('a' + (((m ^ (m >> 13)) % 26 + 26) % 26)).toChar
+    }
+    val base = (0 until 2000).map(mix).mkString
+    val shifted = "INSERTED PREFIX! " + base
+    val docs = Seq((1L, base), (2L, shifted), (3L, base))
+      .toDF("doc_id", "text")
+    val r = DedupOps.cdcChunkCensus(docs).collect()(0)
+    val all = Seq(base, shifted, base).flatMap(cdcChunks)
+    assert(r.getLong(0) == 3 && r.getLong(1) == all.size.toLong)
+    assert(r.getLong(2) == all.distinct.size.toLong)
+    assert(r.getLong(3) == all.map(_.length.toLong).sum)
+    assert(r.getInt(4) == all.map(_.length).max)
+    // content-defined robustness: the prefix insertion leaves most of the
+    // shifted doc's chunks identical to the base doc's (byte-offset
+    // chunking would shift every one)
+    val cb = cdcChunks(base).toSet
+    val cs = cdcChunks(shifted)
+    assert(cdcChunks(base).size >= 10, s"fixture too few chunks: ${cb.size}")
+    val shared = cs.count(cb.contains)
+    assert(shared.toDouble / cs.size > 0.8,
+      s"only $shared/${cs.size} chunks survived the shift")
+  }
 }

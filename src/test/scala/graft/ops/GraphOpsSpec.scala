@@ -331,6 +331,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 12.0)), got.mkString(" "))
   }
 
+  test("triad census: planted FFL, 3-cycle, and reciprocal pair are " +
+    "each counted exactly once") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // feed-forward triangle
+      (4L, 5L), (5L, 6L), (6L, 4L), // 3-cycle
+      (7L, 8L), (8L, 7L))           // reciprocal pair
+      .toDF("src", "dst")
+    val r = GraphOps.triadCensusEdges(edges).collect()(0)
+    assert(r.getLong(0) == 8)  // n_edges
+    assert(r.getLong(1) == 1)  // n_reciprocal
+    assert(r.getLong(2) == 1)  // n_ffl
+    assert(r.getLong(3) == 1)  // n_cycles (min-rotation canonical)
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("random walks: engine census equals an independent per-walk " +
     "replay of the hash rule") {
     import spark.implicits._

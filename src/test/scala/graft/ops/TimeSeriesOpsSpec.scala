@@ -549,6 +549,40 @@ class TimeSeriesOpsSpec extends SparkSpec {
     graft.ops.Exec.clearPinned(spark)
   }
 
+  test("stlStrength: seasonal series scores high F_s, linear-trend " +
+    "series high F_t; values match a recompute from the decomposition") {
+    import spark.implicits._
+    val rows = (0 until 48).flatMap { i =>
+      val date = Timestamp.valueOf(
+        f"${1992 + i / 12}%04d-${i % 12 + 1}%02d-05 00:00:00")
+      Seq(
+        // realistic monthly-revenue magnitudes: the strength inputs are
+        // millions-rescaled, so a toy-sized series would quantize to zero
+        ("SEAS", date, 1.0e7
+          + 4.0e6 * math.cos(2 * math.Pi * (i % 12) / 12)
+          + (i % 5) * 1.0e4),
+        ("TREND", date, 1.0e7 + 4.0e5 * i + (i % 7) * 1.0e4))
+    }
+    val orders = rows.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = TimeSeriesOps.stlStrength(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("SEAS")._1 > 0.95, s"F_s(SEAS) ${got("SEAS")._1}")
+    assert(got("TREND")._2 > 0.95, s"F_t(TREND) ${got("TREND")._2}")
+    assert(got("SEAS")._1 > got("TREND")._1)
+    // independent recompute from the decomposition's own output
+    val stl = TimeSeriesOps.stlDecompose(orders).collect()
+      .filter(r => r.getString(0) == "SEAS" && !r.isNullAt(3))
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def qi(x: Double) = math.floor(x / 1e6 * 10000 + 0.5).toLong
+    val (rs, srs) = (stl.map(t => qi(t._3)), stl.map(t => qi(t._2 + t._3)))
+    val n = rs.length.toLong
+    def vnum(xs: Array[Long]) =
+      n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val fs = math.floor(math.max(0.0,
+      1.0 - vnum(rs).toDouble / vnum(srs).toDouble) * 10000 + 0.5) / 10000
+    assert(got("SEAS")._1 == fs, s"${got("SEAS")._1} vs $fs")
+  }
+
   test("spectralEntropy: a pure period-4 cycle scores far more " +
     "forecastable than noise, and the fold matches a direct recompute") {
     import spark.implicits._

@@ -2837,6 +2837,43 @@ object SparkEntry {
              |FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Ljung-Box white-noise test on the QUANTIZED lag correlations (the
+    // same 4dp acf both engines already agree on bitwise); k-indexed sum
+    // as an ordered fold over the lag-sorted list
+    Q("ts_ljung_box",
+      (s, d) => graft.ops.TimeSeriesOps.ljungBox(lineitem(s, d)),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS key,
+             |    CAST(date_diff('month', DATE '1992-01-01',
+             |      date_trunc('month', l_shipdate)) AS INTEGER) AS mi,
+             |    sum(l_extendedprice) AS v
+             |  FROM lineitem GROUP BY 1, 2),
+             |l AS (
+             |  SELECT m.key, m.mi - lags.lag_m AS mi_prev, lags.lag_m,
+             |    m.v AS va
+             |  FROM m CROSS JOIN
+             |    (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag_m) lags),
+             |a AS (
+             |  SELECT l.key, l.lag_m,
+             |    floor(corr(l.va, b.v) * 10000 + 0.5) / 10000 AS acf
+             |  FROM l JOIN m b ON b.key = l.key AND b.mi = l.mi_prev
+             |  GROUP BY 1, 2),
+             |nn AS (SELECT key, count(*) AS n FROM m GROUP BY 1),
+             |g AS (
+             |  SELECT a.key, nn.n, count(*) AS df,
+             |    list_sum(list_transform(
+             |      list(struct_pack(k := lag_m, r := acf) ORDER BY lag_m),
+             |      s -> s.r * s.r
+             |        / (CAST(nn.n AS DOUBLE) - CAST(s.k AS DOUBLE))))
+             |      AS sq
+             |  FROM a JOIN nn USING (key) GROUP BY 1, 2)
+             |SELECT key, CAST(n AS BIGINT) AS n, CAST(df AS INTEGER) AS df,
+             |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * sq
+             |    * 10000 + 0.5) / 10000 AS q_stat,
+             |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * sq
+             |    * 10000 + 0.5) / 10000 > 12.5916 AS reject_white_noise
+             |FROM g ORDER BY key""".stripMargin)),
+
     // PACF via unrolled Durbin-Levinson (lags 1..4): classical
     // full-series-mean autocorrelations in exact cents, r_k quantized at
     // 6dp BEFORE the recursion so both engines run identical arithmetic

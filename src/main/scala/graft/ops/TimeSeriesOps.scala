@@ -345,6 +345,37 @@ object TimeSeriesOps {
       .orderBy(col("key"), col("lag_m"))
   }
 
+  /** Ljung–Box portmanteau statistic on [[acfMonthly]]'s QUANTIZED lag
+    * correlations — the white-noise test that closes the diagnostic loop:
+    * ACF says which lag correlates, PACF picks the AR order, Ljung–Box
+    * says whether there is ANY autocorrelation worth modeling at all
+    * (Q = n(n+2)·Σ r_k²/(n−k), compared to the χ²(maxLag) 5% critical
+    * value). Inputs are the 4dp-floored per-lag correlations both engines
+    * already agree on bitwise, and the k-indexed sum runs as an ORDERED
+    * fold over the lag-sorted list — nothing order-dependent anywhere.
+    */
+  def ljungBox(li: DataFrame, maxLag: Int = 6,
+               chi2Crit: Double = 12.5916): DataFrame = {
+    val acf = acfMonthly(li, maxLag)
+    val n = li.groupBy(col("l_returnflag").as("key"))
+      .agg(countDistinct(date_trunc("month", col("l_shipdate"))).as("n"))
+    acf.groupBy(col("key"))
+      .agg(expr("transform(array_sort(collect_list(struct(lag_m, acf)))," +
+        " s -> s.acf)").as("rs"))
+      .join(n, Seq("key"))
+      .withColumn("q_stat", expr(
+        """floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+          |  * aggregate(
+          |      zip_with(rs, sequence(1, size(rs)),
+          |        (r, k) -> r * r / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+          |      CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+          |  * 10000 + 0.5) / 10000""".stripMargin))
+      .select(col("key"), col("n"),
+        size(col("rs")).as("df"), col("q_stat"),
+        (col("q_stat") > chi2Crit).as("reject_white_noise"))
+      .orderBy(col("key"))
+  }
+
   /** Partial autocorrelation function at lags 1..4 via the Durbin–Levinson
     * recursion — the AR-order diagnostic that complements [[acfMonthly]]:
     * ACF says "lag k correlates", PACF says "lag k correlates AFTER the

@@ -549,6 +549,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     graft.ops.Exec.clearPinned(spark)
   }
 
+  test("ljungBox: cyclic series rejects white noise; Q matches a " +
+    "recompute from the quantized ACF") {
+    import spark.implicits._
+    val rows = (0 until 48).flatMap { i =>
+      val month = Timestamp.valueOf(
+        f"${1992 + i / 12}%04d-${i % 12 + 1}%02d-10 00:00:00")
+      Seq(("A", month, 100.0 + 50.0 * math.cos(2 * math.Pi * i / 4)),
+        ("N", month, 100.0 + ((i * 2654435761L) % 97).toDouble))
+    }
+    val li = rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    val got = TimeSeriesOps.ljungBox(li).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got("A")._4, s"cycle must reject white noise: Q=${got("A")._3}")
+    assert(got("A")._3 > got("N")._3)
+    // recompute from the op's own quantized ACF
+    val acf = TimeSeriesOps.acfMonthly(li).collect()
+      .filter(_.getString(0) == "A").sortBy(_.getInt(1))
+      .map(_.getDouble(3))
+    val n = 48.0
+    val q = math.floor(n * (n + 2) * acf.zipWithIndex.foldLeft(0.0) {
+      case (a, (r, k0)) => a + r * r / (n - (k0 + 1))
+    } * 10000 + 0.5) / 10000
+    assert(got("A")._3 == q, s"${got("A")._3} vs $q")
+    graft.ops.Exec.clearPinned(spark)
+  }
+
   test("stlStrength: seasonal series scores high F_s, linear-trend " +
     "series high F_t; values match a recompute from the decomposition") {
     import spark.implicits._

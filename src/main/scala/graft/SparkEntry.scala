@@ -2866,7 +2866,8 @@ object SparkEntry {
              |      s -> s.r * s.r
              |        / (CAST(nn.n AS DOUBLE) - CAST(s.k AS DOUBLE))))
              |      AS sq
-             |  FROM a JOIN nn USING (key) GROUP BY 1, 2)
+             |  FROM a JOIN nn USING (key)
+             |  WHERE a.acf IS NOT NULL GROUP BY 1, 2)
              |SELECT key, CAST(n AS BIGINT) AS n, CAST(df AS INTEGER) AS df,
              |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * sq
              |    * 10000 + 0.5) / 10000 AS q_stat,
@@ -9272,7 +9273,8 @@ object SparkEntry {
               |SELECT n_vectors, n_cells, n_labels, pairs_both,
               |  floor(CAST(purity_num AS DOUBLE) / CAST(n_vectors AS DOUBLE)
               |    * 10000 + 0.5) / 10000 AS purity,
-              |  CASE WHEN max_index = expected THEN NULL
+              |  CASE WHEN n_vectors * (n_vectors - 1) // 2 = 0
+              |      OR max_index = expected THEN NULL
               |    ELSE floor((CAST(pairs_both AS DOUBLE) - expected)
               |      / (max_index - expected) * 1000000 + 0.5) / 1000000
               |    END AS ari

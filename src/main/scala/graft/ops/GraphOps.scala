@@ -1089,36 +1089,48 @@ object GraphOps {
     * one per-node ranking window, one map-side-combined max — edges never
     * shuffle after the initial orientation.
     */
+  /** Undirected edge list → both-direction (x, nb) pairs — stage 1 of the
+    * coreness adjacency build, exposed for the plan-shape guard. */
+  private[graft] def corenessDirected(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("x"), col("b").as("nb"))
+      .union(edges.select(col("b").as("x"), col("a").as("nb")))
+
+  /** Dense 1-based node index, assigned via the distributed exact global
+    * rank (range-partition + per-partition offsets) — NO unpartitioned
+    * full-frame window anywhere on this path, so the index assignment
+    * scales on the shuffle-fallback branch too (the r14 verdict's
+    * single-task funnel). Stage 2 of the build, exposed for the guard. */
+  private[graft] def corenessIndex(dir: DataFrame): DataFrame =
+    Exec.globalRank(dir.select(col("x")).distinct(), "i", col("x"))
+
+  /** Adjacency REWRITTEN INTO INDEX SPACE — stage 3. Node values then
+    * travel between fixpoint rounds keyed by this dense index (as ONE
+    * ARRAY row with O(1) element_at lookups under the literal gate; a MAP
+    * row's element_at is a linear key scan, measured 30x slower here). */
+  private[graft] def corenessAdjacency(dir: DataFrame,
+                                       idx: DataFrame): DataFrame =
+    dir
+      .join(idx, Seq("x"))
+      .join(idx.select(col("x").as("nb"), col("i").as("j")), Seq("nb"))
+      .groupBy(col("x"), col("i"))
+      .agg(collect_list(col("j")).as("nbs"))
+      // node-cardinality rows re-read ~33x by the fixpoint loop: 32 tiny
+      // tasks per job is pure scheduler overhead, 8 keeps the loop fed
+      .coalesce(8)
+
   private[graft] def corenessValues(edges: DataFrame, maxRounds: Int = 48,
-      maxBroadcastLabels: Long = 4000000L,
+      maxLiteralNodes: Long = 100000L,
       memoKey: Option[String] = None): DataFrame = {
     def buildAdj(): DataFrame = {
       // the 3-way-union edge dedup is the expensive part — pin it so the
-      // index pass and the adjacency pass both read ONE materialization
+      // index pass and the adjacency pass both read ONE materialization;
+      // the stages are the guarded corenessDirected/Index/Adjacency plans
       val dir = Exec.trackTransient(
-        edges.select(col("a").as("x"), col("b").as("nb"))
-          .union(edges.select(col("b").as("x"), col("a").as("nb")))
-          .localCheckpoint())
-      // dense node index, assigned once — node values then travel between
-      // rounds as ONE broadcast ARRAY row with O(1) element_at lookups (a
-      // MAP row's element_at is a linear key scan: measured 30x slower
-      // here). bounded: node cardinality ≤ 3n by the mod-n construction;
-      // past the broadcast gate the shuffle fallback below runs instead.
-      val wIdx = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
-      val idx = Exec.trackTransient(dir.select(col("x")).distinct()
-        .withColumn("i", row_number().over(wIdx))
-        .localCheckpoint())
-      // adjacency REWRITTEN INTO INDEX SPACE, materialized once; every
-      // h-index round after is a zero-shuffle map-side pass over it
-      dir
-        .join(idx, Seq("x"))
-        .join(idx.select(col("x").as("nb"), col("i").as("j")), Seq("nb"))
-        .groupBy(col("x"), col("i"))
-        .agg(collect_list(col("j")).as("nbs"))
-        // node-cardinality rows re-read ~33x by the fixpoint loop: 32 tiny
-        // tasks per job is pure scheduler overhead, 8 keeps the loop fed
-        .coalesce(8)
-        .localCheckpoint()
+        corenessDirected(edges).localCheckpoint())
+      val idx = Exec.trackTransient(corenessIndex(dir).localCheckpoint())
+      // materialized once; every h-index round after is a zero-shuffle
+      // map-side pass over it
+      corenessAdjacency(dir, idx).localCheckpoint()
     }
     // session memo (opt-in by key): the fixpoint loop's input is rebuilt
     // once per session, not once per rep (the bench's first touching query
@@ -1136,9 +1148,13 @@ object GraphOps {
          |    sequence(1, size($vals)),
          |    (v, i) -> least(v, CAST(i AS BIGINT))),
          |  CAST(0 AS BIGINT), (acc, t) -> greatest(acc, t))""".stripMargin
-    if (nNodes > maxBroadcastLabels) {
-      // past the broadcast gate: narrow (i, value) shuffle rounds with
-      // DataFrame-resident values (node table too big for a literal row)
+    if (nNodes > maxLiteralNodes) {
+      // past the literal gate: narrow (i, value) shuffle rounds with
+      // DataFrame-resident values. The gate is ~100k nodes (≈800 KB of
+      // longs), NOT the broadcast-join bound: the driver path re-embeds
+      // the value vector as a plan LITERAL serialized into every task
+      // each round, so a 4M-node array would ship ~32 MB × tasks × rounds
+      // — far costlier than this shuffle path (the r14 advisor finding).
       var h = adj
         .select(col("x"), col("i"), size(col("nbs")).cast("long").as("hv"))
         .localCheckpoint()
@@ -1173,7 +1189,7 @@ object GraphOps {
       val init = adj.select(col("i"), size(col("nbs")).cast("long").as("hv"))
         .collect()
       var arr = new Array[Long](nNodes.toInt)
-      init.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
+      init.foreach(r => arr(r.getLong(0).toInt - 1) = r.getLong(1))
       var converged = false
       var round = 0
       while (!converged) {
@@ -1184,16 +1200,18 @@ object GraphOps {
         val rows = adj
           .withColumn("varr", typedLit(arr.toSeq))
           .select(col("i"),
-            expr(hindexOf("transform(nbs, j -> element_at(varr, j))"))
+            expr(hindexOf(
+              "transform(nbs, j -> element_at(varr, CAST(j AS INT)))"))
               .as("hv"))
           .collect()
         val nArr = new Array[Long](nNodes.toInt)
-        rows.foreach(r => nArr(r.getInt(0) - 1) = r.getLong(1))
+        rows.foreach(r => nArr(r.getLong(0).toInt - 1) = r.getLong(1))
         if (java.util.Arrays.equals(arr, nArr)) converged = true
         else { arr = nArr; round += 1 }
       }
       val finalArr = typedLit(arr.toSeq)
-      adj.select(col("x"), element_at(finalArr, col("i")).as("hv"))
+      adj.select(col("x"),
+        element_at(finalArr, col("i").cast("int")).as("hv"))
     }
   }
 
@@ -1237,7 +1255,18 @@ object GraphOps {
         .agg(sort_array(collect_list(col("nb"))).as("nbs"))
         .coalesce(8)
         .localCheckpoint())
-    val bAdj = broadcast(adj.withColumnRenamed("x", "cur"))
+    // byte-gated, not unconditional: adjacency rows carry full neighbor
+    // arrays, so a large edge frame would blow past the broadcast limit —
+    // past the gate the hop joins degrade to shuffles (r14 advisor item).
+    // The estimate is one narrow agg over the already-checkpointed frame,
+    // NOT broadcastIfSmallBytes: its persist+count pass re-materializes
+    // the wide array rows into the memory store (measured +4 s at sf0.1)
+    val sz = adj.agg(sum(size(col("nbs"))).cast("long").as("entries"),
+      count(lit(1)).as("nodes")).head()
+    val approxBytes = sz.getLong(0) * 8L + sz.getLong(1) * 24L
+    val adjCur = adj.withColumnRenamed("x", "cur")
+    val bAdj = if (approxBytes <= Exec.DefaultBroadcastBytes)
+      broadcast(adjCur) else adjCur
     var frontier = adj.select(col("x").as("seed"), col("x").as("cur"))
     val visits = scala.collection.mutable.ListBuffer(
       frontier.select(col("cur").as("node")))

@@ -356,22 +356,26 @@ object TimeSeriesOps {
     */
   def ljungBox(li: DataFrame, maxLag: Int = 6,
                chi2Crit: Double = 12.5916): DataFrame = {
-    val acf = acfMonthly(li, maxLag)
+    // NULL acf (zero-variance series) is FILTERED, not folded: Spark's
+    // aggregate lambda would propagate the NULL through Q while DuckDB's
+    // list_sum silently skips it — both engines now drop the lag, and df
+    // counts only the defined lags. The fold carries the TRUE lag_m (not
+    // a positional sequence index) so a short/sparse series that produced
+    // no ACF row at some lag keeps the right n−k divisors (r14 advisor).
+    val acf = acfMonthly(li, maxLag).filter(col("acf").isNotNull)
     val n = li.groupBy(col("l_returnflag").as("key"))
       .agg(countDistinct(date_trunc("month", col("l_shipdate"))).as("n"))
     acf.groupBy(col("key"))
-      .agg(expr("transform(array_sort(collect_list(struct(lag_m, acf)))," +
-        " s -> s.acf)").as("rs"))
+      .agg(expr("array_sort(collect_list(struct(lag_m, acf)))").as("rls"))
       .join(n, Seq("key"))
       .withColumn("q_stat", expr(
         """floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
-          |  * aggregate(
-          |      zip_with(rs, sequence(1, size(rs)),
-          |        (r, k) -> r * r / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
-          |      CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+          |  * aggregate(rls, CAST(0.0 AS DOUBLE),
+          |      (a, s) -> a + s.acf * s.acf
+          |        / (CAST(n AS DOUBLE) - CAST(s.lag_m AS DOUBLE)))
           |  * 10000 + 0.5) / 10000""".stripMargin))
       .select(col("key"), col("n"),
-        size(col("rs")).as("df"), col("q_stat"),
+        size(col("rls")).as("df"), col("q_stat"),
         (col("q_stat") > chi2Crit).as("reject_white_noise"))
       .orderBy(col("key"))
   }

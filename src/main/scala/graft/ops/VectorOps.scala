@@ -1029,8 +1029,11 @@ object VectorOps {
           " / CAST(pairs_total AS DOUBLE)"))
       .withColumn("max_index", expr(
         "(CAST(pairs_label AS DOUBLE) + CAST(pairs_cell AS DOUBLE)) / 2.0"))
+      // pairs_total = 0 (a single vector) makes `expected` 0/0 = NaN on
+      // Spark where DuckDB may yield NULL — guard it FIRST, mirroring the
+      // max_index = expected degenerate-partition guard (r14 advisor)
       .withColumn("ari", expr(
-        """CASE WHEN max_index = expected THEN NULL
+        """CASE WHEN pairs_total = 0 OR max_index = expected THEN NULL
           |ELSE floor((CAST(pairs_both AS DOUBLE) - expected)
           |  / (max_index - expected) * 1000000 + 0.5) / 1000000
           |END""".stripMargin))

@@ -94,6 +94,32 @@ class UnpartitionedWindowGuardSpec extends SparkSpec {
     }
   }
 
+  test("coreness adjacency build: no unpartitioned window over an " +
+    "unbounded frame (the r14 shuffle-fallback single-task funnel)") {
+    // compose the SAME stage plans corenessValues executes (directed
+    // union -> globalRank index -> index-space adjacency) without the
+    // intermediate checkpoints, so the full index-assignment plan —
+    // including globalRank's internals — is visible to the shape check
+    import spark.implicits._
+    val edges = graft.ops.GraphOps.lineitemEdges(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), 2000)
+    val dir = graft.ops.GraphOps.corenessDirected(edges)
+    val adj = graft.ops.GraphOps.corenessAdjacency(
+      dir, graft.ops.GraphOps.corenessIndex(dir))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try adj.queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val bad = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !hasBoundingOp(w.child) => w
+    }
+    assert(bad.isEmpty,
+      s"coreness adjacency has ${bad.size} unpartitioned window(s) over " +
+        s"an unbounded frame — the index assignment funnel is back:\n$plan")
+    graft.ops.Exec.clearPinned(spark)
+  }
+
   for (q <- Seq("txt_oov_rate", "txt_zipf", "rel_lorenz_deciles",
                 "ev_funnel_time", "rel_skyline"))
     test(s"$q: every unpartitioned window sits above a bounding operator") {

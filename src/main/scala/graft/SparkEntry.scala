@@ -7515,11 +7515,12 @@ object SparkEntry {
               |  FROM b)
               |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
               |  count(*) AS n_chunks,
-              |  CAST(count(DISTINCT md5(chunk)) AS BIGINT)
+              |  CAST(count(DISTINCT ${duckH61("chunk")}) AS BIGINT)
               |    AS n_distinct_chunks,
               |  CAST(sum(length(chunk)) AS BIGINT) AS total_bytes,
               |  CAST(max(length(chunk)) AS INTEGER) AS max_chunk_len,
-              |  floor((1.0 - CAST(count(DISTINCT md5(chunk)) AS DOUBLE)
+              |  floor((1.0 - CAST(count(DISTINCT ${duckH61("chunk")})
+              |    AS DOUBLE)
               |    / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
               |    AS dedup_ratio,
               |  floor(CAST(sum(length(chunk)) AS DOUBLE)

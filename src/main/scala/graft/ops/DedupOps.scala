@@ -861,13 +861,30 @@ object DedupOps {
     * bytes. The census reports cross-document chunk-level dedup: total vs
     * distinct chunk fingerprints, the dedup ratio a chunk store would
     * realize, and size stats. One native rolling pass per doc (O(1) per
-    * window), per-row array work to cut chunks, ONE exchange on the chunk
-    * fingerprint — linear in corpus bytes, never pairwise.
+    * window), per-row array work to cut chunks — linear in corpus bytes,
+    * never pairwise.
+    *
+    * Exchange + parallelism discipline (the r14 4.6× scale coefficient
+    * lived here): chunk STRINGS never leave the map side — each document
+    * reduces IN PLACE to one narrow row of per-doc stats plus its chunk
+    * fingerprints as an array of 61-bit MD5 LONGS (the repo-standard
+    * Md5Hash61 = DuckDB `md5_number_lower & (2^61−1)`, so both engines
+    * collide, astronomically rarely, identically). The two distinct
+    * counts run as SEPARATE single-distinct aggregations combined on one
+    * row: the old two-countDistinct form planned an Expand that TRIPLED
+    * the exchanged rows, one copy carrying a 32-char md5 hex string. And
+    * the char-linear rolling/cut/hash map pass is spread to the session's
+    * parallelism first — the corpus otherwise inherits the source
+    * parquet's partition count (ONE file at small SF, so the whole pass
+    * ran single-threaded: the actual r14 wall).
     */
   def cdcChunkCensus(docs: DataFrame, L: Int = 16, mask: Int = 64)
       : DataFrame = {
     graft.functions.RollingHash.register(docs.sparkSession)
-    val chunks = docs
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val nPart = docs.sparkSession.sparkContext.defaultParallelism
+    val perDoc = Exec.trackTransient(docs
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), col("text"),
         expr(s"""filter(transform(rolling_hashes(text, $L),
                 |  (h, i) -> IF(h % $mask = 0, i, -1)), x -> x > 0)"""
@@ -877,16 +894,20 @@ object DedupOps {
         """zip_with(bs,
           |  concat(slice(bs, 2, size(bs) - 1), array(length(text))),
           |  (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
-      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
-    chunks
-      .select(col("doc_id"), md5(col("chunk")).as("fp"),
-        length(col("chunk")).as("clen"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_chunks"),
-        countDistinct(col("fp")).as("n_distinct_chunks"),
-        sum(col("clen").cast("long")).as("total_bytes"),
-        max(col("clen")).as("max_chunk_len"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("nc"),
+        length(col("text")).cast("long").as("bytes"),
+        expr("array_max(transform(chunks, c -> length(c)))").as("maxlen"),
+        expr("transform(chunks, c -> hash61(c))").as("fps"))
+      .localCheckpoint())
+    val base = perDoc.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("nc")).as("n_chunks"),
+      sum(col("bytes")).as("total_bytes"),
+      max(col("maxlen")).as("max_chunk_len"))
+    val nd = perDoc.select(explode(col("fps")).as("fp")).distinct()
+      .agg(count(lit(1)).as("n_distinct_chunks"))
+    base.crossJoin(nd)
       .select(col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
         col("total_bytes"), col("max_chunk_len"),
         (floor((lit(1.0) - col("n_distinct_chunks").cast("double")

@@ -9086,6 +9086,75 @@ object SparkEntry {
               |FROM pairs WHERE sim >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // SemDeDup over LEARNED cells (Abbas et al. 2023): 2 Lloyd iterations
+    // (the vec_kmeans_train recurrence), a third nearest-centroid
+    // assignment on the trained cells, then within-cell thresholded
+    // cosine pairs — the unsupervised variant of dedup_semantic. The
+    // oracle unrolls the identical quantization ladder: 4dp centroids,
+    // 1e-6 distances, argmin ties to the lowest cid
+    Q("dedup_semantic_kmeans",
+      (s, d) => VectorOps.semanticDupPairsKmeans(embeddings(s, d),
+        threshold = 0.45),
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |c0 AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cid,
+              |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cvec
+              |  FROM v WHERE vec_id < 8),
+              |d1 AS (
+              |  SELECT v.vec_id, v.v, c0.cid,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v.v[i] - c0.cvec[i]) * (v.v[i] - c0.cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM v CROSS JOIN c0),
+              |a1 AS (
+              |  SELECT vec_id, v, cid,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM d1),
+              |f1 AS (
+              |  SELECT cid, CAST(unnest(range(len(v))) AS INTEGER) AS pos, unnest(v) AS val
+              |  FROM a1 WHERE rn = 1),
+              |m1 AS (
+              |  SELECT cid, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS c
+              |  FROM f1 GROUP BY 1, 2),
+              |c1 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+              |d2 AS (
+              |  SELECT v.vec_id, v.v, c1.cid,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v.v[i] - c1.cvec[i]) * (v.v[i] - c1.cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM v CROSS JOIN c1),
+              |a2 AS (
+              |  SELECT vec_id, v, cid,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM d2),
+              |f2 AS (
+              |  SELECT cid, CAST(unnest(range(len(v))) AS INTEGER) AS pos, unnest(v) AS val
+              |  FROM a2 WHERE rn = 1),
+              |m2 AS (
+              |  SELECT cid, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS c
+              |  FROM f2 GROUP BY 1, 2),
+              |c2 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+              |d3 AS (
+              |  SELECT v.vec_id, v.v, c2.cid,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |      i -> (v.v[i] - c2.cvec[i]) * (v.v[i] - c2.cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM v CROSS JOIN c2),
+              |a3 AS (
+              |  SELECT vec_id, v, cid AS cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM d3),
+              |cellv AS (
+              |  SELECT cell, vec_id, v,
+              |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              |  FROM a3 WHERE rn = 1),
+              |pairs AS (
+              |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              |           / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+              |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT cell, vec_a, vec_b, sim
+              |FROM pairs WHERE sim >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // cell-bounded kNN-graph census: nearest-cell assignment, in-cell
     // top-3 cosine neighbors, reciprocity + similarity range per cell;
     // dots/norms are list_reduce sequential folds (MMR doctrine)

@@ -972,6 +972,53 @@ object VectorOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup over LEARNED cells (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication" —
+    * the published recipe: k-means the corpus, prune within-cluster
+    * cosine near-duplicates). [[semanticDupPairs]] blocks on label-mean
+    * cells — a supervised crutch unavailable on a production corpus; this
+    * variant composes [[kmeansLloyd]]'s unsupervised centroids with the
+    * same cell-blocked exact-cosine verification:
+    *
+    *   1. train `k` centroids (`iters` narrow (cid, pos) aggregations —
+    *      no vector array enters an exchange);
+    *   2. assign every vector to its nearest learned centroid by the
+    *      broadcast-row argmin fold (one row of k centroids, row-local
+    *      quantized sq-L2 — ZERO shuffle, the Lloyd/ivf assignment shape);
+    *   3. verify pairs WITHIN a cell only, through
+    *      [[cosineNearDupPairs]]' triangular id-bucketed join (hoisted
+    *      norms, in-plan block-size guard).
+    *
+    * Candidate volume is Σ|cell|², never corpus²; each embedding crosses
+    * exactly one exchange, keyed by its cell. Determinism: 4dp centroids,
+    * 1e-6 distances, argmin ties to the lowest cid — the exact ladder the
+    * DuckDB oracle unrolls.
+    */
+  def semanticDupPairsKmeans(emb: DataFrame, threshold: Double,
+                             k: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.SqL2.register(emb.sparkSession)
+    val cents = kmeansLloyd(emb, k, iters)
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+    val packed = cents.agg(
+      expr("array_sort(collect_list(struct(cid, cvec)))").as("cs"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(packed))
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(cs, ct -> named_struct(
+          |    'd', floor(sq_l2(v, ct.cvec) * 1000000 + 0.5) / 1000000,
+          |    'c', ct.cid)),
+          |  named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
+          |  (acc, e) -> IF(e.d < acc.d, e, acc)).c""".stripMargin))
+      .select(col("cell").as("label"), col("vec_id"), col("embedding"))
+    cosineNearDupPairs(assigned, threshold)
+      .withColumnRenamed("label", "cell")
+  }
+
   /** Assign every vector to its nearest label centroid (squared L2), emit the
     * label × assigned confusion counts. Centroids are quantized BEFORE the
     * distance computation so both engine sides feed identical inputs into the

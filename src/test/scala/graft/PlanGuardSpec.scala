@@ -376,6 +376,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(a.nonEmpty, "fixture must be non-degenerate")
   }
 
+  test("semantic kmeans dedup is CELL-BLOCKED: no cartesian, pair join keyed on the cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = staticPlan(
+      graft.ops.VectorOps.semanticDupPairsKmeans(emb, 0.45))
+    // the only nested-loop join allowed is the 1-row packed-centroid
+    // broadcast (the Lloyd argmin shape); the corpus² cartesian is banned
+    val cart = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, s"semantic kmeans pair join went cartesian:\n$plan")
+    // the verification join must be an EQUI-join whose keys include the
+    // cell assignment (cosineNearDupPairs blocks on label = cell) — a key
+    // set without it means pairs enumerate across cells: corpus² work
+    val equiKeys = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name))
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name))
+    }
+    assert(equiKeys.exists(_.exists(_.contains("label"))),
+      s"no equi-join keyed on the cell assignment:\n$plan")
+    graft.ops.Exec.clearPinned(spark)
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to one semi + one anti join, no cartesian") {
     val plan = executedPlan("rel_exists_subquery")
     assert(plan.contains("LeftSemi"),

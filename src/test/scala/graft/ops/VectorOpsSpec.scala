@@ -147,6 +147,38 @@ class VectorOpsSpec extends SparkSpec {
     info(s"semantic-dedup recall vs brute force: ${sem.size}/${brute.size}")
   }
 
+  test("semantic kmeans dedup: learned cells separate clusters; pairs subset brute force") {
+    import spark.implicits._
+    // ids 0 and 1 seed k=2 Lloyd from opposite clusters; after training,
+    // assignment must put each vector with its own cluster and the pair
+    // set is exactly the within-cluster thresholded cosine pairs
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), "a"),
+      (1L, Seq(0.0f, 1.0f), "b"),
+      (2L, Seq(0.99f, 0.1f), "a"),
+      (3L, Seq(0.98f, -0.1f), "a"),
+      (11L, Seq(0.1f, 0.99f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.semanticDupPairsKmeans(df, 0.9, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 11L)),
+      s"pairs: $rows")
+    // on real data: cell blocking can only LOSE pairs vs brute force
+    val sem = VectorOps.semanticDupPairsKmeans(emb, 0.45).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val brute = a.join(b, col("va") < col("vb"))
+      .withColumn("sim",
+        floor(VectorOps.cosine(col("ea"), col("eb")) * 10000 + 0.5) / 10000)
+      .filter(col("sim") >= 0.45)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(brute), s"spurious pairs: ${sem -- brute}")
+    assert(sem.nonEmpty)
+    info(s"semantic-kmeans recall vs brute force: ${sem.size}/${brute.size}")
+  }
+
   test("rrf fusion: docs on both retriever lists outrank single-list docs") {
     import spark.implicits._
     // query 0 = (1,0); vec 2 is on BOTH top-2 lists (cos rank 1, ip rank 2),

@@ -7528,6 +7528,67 @@ object SparkEntry {
               |    AS avg_chunk_len
               |FROM ch""".stripMargin)),
 
+    // Bloom-filter dedup gate (Bloom, CACM 1970): the corpus's 61-bit
+    // content keys set k=3 MD5-derived bits of an m=2^20 filter held as
+    // distinct bit POSITIONS; the doc_id%10=0 batch passes where all k
+    // bits are set. Census: candidates vs exact truth, realized + IEEE-
+    // exact theoretical (bits_set/m)^k FP rates. No false negatives by
+    // construction — the oracle replays the identical bit arithmetic, so
+    // a nonzero n_false_neg would hash-mismatch both sides independently
+    Q("dedup_bloom_gate",
+      (s, d) => {
+        val docs = documents(s, d)
+        DedupOps.bloomDedupGate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              |batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              |ks AS (SELECT unnest([0, 1, 2]) AS i),
+              |cbits AS (SELECT DISTINCT
+              |    ${duckH61("concat(i, ':', text)")} % 1048576 AS bit
+              |  FROM corpus, ks),
+              |bp AS (SELECT doc_id,
+              |    ${duckH61("concat(i, ':', text)")} % 1048576 AS bit
+              |  FROM batch, ks),
+              |gate AS (
+              |  SELECT doc_id,
+              |    count(*) = sum(CASE WHEN bit IN (SELECT bit FROM cbits)
+              |      THEN 1 ELSE 0 END) AS pass
+              |  FROM bp GROUP BY 1),
+              |ck AS (SELECT DISTINCT ${duckH61("text")} AS h FROM corpus),
+              |truth AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ${duckH61("text")} IN (SELECT h FROM ck)
+              |      THEN 1 ELSE 0 END AS dup
+              |  FROM batch),
+              |j AS (SELECT g.doc_id, g.pass, t.dup
+              |  FROM gate g JOIN truth t USING (doc_id)),
+              |s AS (SELECT count(*) AS n_batch,
+              |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_candidates,
+              |    CAST(sum(dup) AS BIGINT) AS n_true_dups,
+              |    CAST(sum(CASE WHEN pass AND dup = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_false_pos,
+              |    CAST(sum(CASE WHEN NOT pass AND dup = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_false_neg
+              |  FROM j),
+              |nc AS (SELECT count(*) AS n_corpus FROM corpus),
+              |nb AS (SELECT count(*) AS bits_set FROM cbits)
+              |SELECT nc.n_corpus, s.n_batch,
+              |  1048576 AS m_bits, 3 AS k_hashes,
+              |  nb.bits_set, s.n_candidates, s.n_true_dups,
+              |  s.n_false_pos, s.n_false_neg,
+              |  floor(CAST(s.n_false_pos AS DOUBLE)
+              |    / CAST(greatest(s.n_batch - s.n_true_dups, 1) AS DOUBLE)
+              |    * 1000000 + 0.5) / 1000000 AS fp_rate_realized,
+              |  floor((CAST(nb.bits_set AS DOUBLE) / 1048576.0)
+              |    * (CAST(nb.bits_set AS DOUBLE) / 1048576.0)
+              |    * (CAST(nb.bits_set AS DOUBLE) / 1048576.0)
+              |    * 1000000 + 0.5) / 1000000 AS fp_rate_theoretical
+              |FROM s, nc, nb""".stripMargin)),
+
     // Incremental ExactSubstr: the doc_id%10=0 batch probes the corpus
     // window-hash index; oracle = the FULL-union span recompute filtered
     // to batch docs (coverage counted over everything — delta identity)

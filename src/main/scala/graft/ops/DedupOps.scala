@@ -816,6 +816,87 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Distributed BLOOM-FILTER dedup gate — the membership pre-screen a
+    * crawl frontier or chunk store runs before paying exact dedup (Bloom,
+    * CACM 1970; the standard web-crawl "have we fetched this?" shape): the
+    * standing corpus's content keys populate an m-bit filter, an incoming
+    * batch passes the gate only where ALL k probed bits are set, and only
+    * gate survivors would pay the exact verification join. The filter is
+    * represented RELATIONALLY as the distinct set-bit POSITIONS — at most
+    * m narrow longs regardless of corpus size (m is a constant), i.e. the
+    * union of per-partition bitmaps a cluster would OR together, with no
+    * driver-side bitset and no UDAF state. No false negatives by
+    * construction (every corpus key set its own bits — spec-pinned);
+    * false positives are what the census measures.
+    *
+    * Determinism: bit i of a text = `hash61(i || ':' || text) % m` — k
+    * independent full-width MD5-based hashes (DuckDB
+    * `md5_number_lower & (2^61−1)`), no overflow-prone integer mixing.
+    * With m a power of two, `bits_set/m` is IEEE-EXACT, so the
+    * theoretical FP probability (bits_set/m)^k is bit-identical
+    * cross-engine from exact integer inputs.
+    *
+    * Scale shape: positions are narrow longs; the bit set is bounded by m
+    * (8 MB of longs at the 2^20 default) and broadcast BY CONSTRUCTION —
+    * the one broadcast in the family that needs no byte gate; the truth
+    * check joins 61-bit content keys, never text. Everything is linear in
+    * corpus + batch rows.
+    */
+  def bloomDedupGate(corpus: DataFrame, batch: DataFrame,
+                     mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    require(Integer.bitCount(mBits) == 1,
+      "mBits must be a power of two (keeps bits_set/m IEEE-exact)")
+    graft.functions.MinHashFunctions.register(corpus.sparkSession)
+    def bitCols = (0 until k).map(i =>
+      expr(s"hash61(concat('$i:', text)) % $mBits").as(s"p$i"))
+    def positions(df: DataFrame): DataFrame =
+      df.select((col("doc_id") +: bitCols): _*)
+        .select(col("doc_id"),
+          explode(array((0 until k).map(i => col(s"p$i")): _*)).as("bit"))
+    // bounded: ≤ mBits distinct rows by construction — broadcastable at
+    // any corpus size, which is the whole point of a Bloom gate
+    val bits = Exec.trackTransient(
+      positions(corpus).select(col("bit")).distinct().localCheckpoint())
+    val gate = positions(batch)
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+        .as("pass"))
+    // exact truth on 61-bit content keys (the dedup_exact fingerprint
+    // family): a batch doc is a true dup iff its key exists in the corpus
+    val corpusKeys = corpus
+      .select(expr("hash61(text)").as("h")).distinct()
+    val truth = batch.select(col("doc_id"), expr("hash61(text)").as("h"))
+      .join(corpusKeys.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup"))
+    val judged = Exec.trackTransient(
+      gate.join(truth, Seq("doc_id")).localCheckpoint())
+    val stats = judged.agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_candidates"),
+      sum(col("dup")).as("n_true_dups"),
+      sum(when(col("pass") && col("dup") === 0L, 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(!col("pass") && col("dup") === 1L, 1L).otherwise(0L))
+        .as("n_false_neg"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    stats.crossJoin(nCorpus).crossJoin(nBits)
+      .select(col("n_corpus"), col("n_batch"),
+        lit(mBits).as("m_bits"), lit(k).as("k_hashes"),
+        col("bits_set"), col("n_candidates"), col("n_true_dups"),
+        col("n_false_pos"), col("n_false_neg"),
+        q6(col("n_false_pos").cast("double")
+          / greatest(col("n_batch") - col("n_true_dups"), lit(1L))
+            .cast("double")).as("fp_rate_realized"),
+        // (bits_set/m)^k as an explicit left-to-right product — pow() is
+        // not correctly-rounded-guaranteed across engines; k IEEE
+        // multiplications of an exact power-of-two quotient are
+        q6(Seq.fill(k)(col("bits_set").cast("double") / lit(mBits.toDouble))
+          .reduce(_ * _)).as("fp_rate_theoretical"))
+  }
+
   /** Exact duplicated-substring SPANS — the character-level "ExactSubstr"
     * dedup a training pipeline runs to cut verbatim boilerplate that
     * whole-doc and shingle dedup both miss (a 60-char licence header inside

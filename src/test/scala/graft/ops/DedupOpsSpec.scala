@@ -353,6 +353,33 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom gate: no false negatives ever; a saturated tiny filter flags FPs honestly") {
+    // 3 corpus texts, batch = one exact dup + two fresh texts. At m=64
+    // the filter holds up to 9 set bits of 64 — true dup MUST pass (no
+    // false negatives by construction); fresh texts may or may not pass
+    // (that is the FP census's job), but the counts must reconcile.
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma"), (11L, "kappa lambda mu"),
+      (12L, "nu xi omicron")).toDF("doc_id", "text")
+    val r = DedupOps.bloomDedupGate(corpus, batch, mBits = 64, k = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_true_dups") == 1L)
+    assert(r.getAs[Long]("n_false_neg") == 0L, "bloom gate dropped a true dup")
+    assert(r.getAs[Long]("n_candidates") >= 1L)
+    assert(r.getAs[Long]("n_candidates") ==
+      r.getAs[Long]("n_true_dups") + r.getAs[Long]("n_false_pos"))
+    // real corpus at the default 2^20 filter: still zero false negatives,
+    // and the candidate set reconciles with truth + FPs
+    val real = DedupOps.bloomDedupGate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).collect()(0)
+    assert(real.getAs[Long]("n_false_neg") == 0L)
+    assert(real.getAs[Long]("n_candidates") ==
+      real.getAs[Long]("n_true_dups") + real.getAs[Long]("n_false_pos"))
+    assert(real.getAs[Long]("bits_set") <= 3L * real.getAs[Long]("n_corpus"))
+  }
+
   test("incremental dedup: delta identity vs full recompute over the union") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

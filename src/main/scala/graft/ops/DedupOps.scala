@@ -842,35 +842,57 @@ object DedupOps {
     * check joins 61-bit content keys, never text. Everything is linear in
     * corpus + batch rows.
     */
+  /** Per-doc, per-hash-function bit positions of the Bloom filter —
+    * shared by [[bloomDedupGate]] and the streaming
+    * [[graft.stream.BloomStream]] twin so both sides hash identically. */
+  private[graft] def bloomPositions(docs: DataFrame, mBits: Int,
+                                    k: Int): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    val bitCols = (0 until k).map(i =>
+      expr(s"hash61(concat('$i:', text)) % $mBits").as(s"p$i"))
+    docs.select((col("doc_id") +: bitCols): _*)
+      .select(col("doc_id"),
+        explode(array((0 until k).map(i => col(s"p$i")): _*)).as("bit"))
+  }
+
+  /** 61-bit content keys (the dedup_exact fingerprint family). */
+  private[graft] def bloomKeys(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("hash61(text)").as("h"))
+  }
+
+  /** Judge one batch against a standing bit set + key set: per doc, does
+    * it pass the Bloom gate (all k bits set) and is it a TRUE duplicate
+    * (content key present). Returns (doc_id, pass, dup) — the row-level
+    * form [[bloomDedupGate]] aggregates and the stream twin persists. */
+  private[graft] def bloomJudge(bits: DataFrame, keys: DataFrame,
+                                batch: DataFrame, mBits: Int,
+                                k: Int): DataFrame = {
+    val gate = bloomPositions(batch, mBits, k)
+      // bounded: ≤ mBits distinct rows by construction — broadcastable at
+      // any corpus size, which is the whole point of a Bloom gate
+      .join(broadcast(bits.select(col("bit")).distinct()
+        .withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+        .as("pass"))
+    val truth = bloomKeys(batch)
+      .join(keys.select(col("h")).distinct().withColumn("dup", lit(1L)),
+        Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup"))
+    gate.join(truth, Seq("doc_id"))
+  }
+
   def bloomDedupGate(corpus: DataFrame, batch: DataFrame,
                      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(Integer.bitCount(mBits) == 1,
       "mBits must be a power of two (keeps bits_set/m IEEE-exact)")
-    graft.functions.MinHashFunctions.register(corpus.sparkSession)
-    def bitCols = (0 until k).map(i =>
-      expr(s"hash61(concat('$i:', text)) % $mBits").as(s"p$i"))
-    def positions(df: DataFrame): DataFrame =
-      df.select((col("doc_id") +: bitCols): _*)
-        .select(col("doc_id"),
-          explode(array((0 until k).map(i => col(s"p$i")): _*)).as("bit"))
-    // bounded: ≤ mBits distinct rows by construction — broadcastable at
-    // any corpus size, which is the whole point of a Bloom gate
     val bits = Exec.trackTransient(
-      positions(corpus).select(col("bit")).distinct().localCheckpoint())
-    val gate = positions(batch)
-      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
-      .groupBy(col("doc_id"))
-      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
-        .as("pass"))
-    // exact truth on 61-bit content keys (the dedup_exact fingerprint
-    // family): a batch doc is a true dup iff its key exists in the corpus
-    val corpusKeys = corpus
-      .select(expr("hash61(text)").as("h")).distinct()
-    val truth = batch.select(col("doc_id"), expr("hash61(text)").as("h"))
-      .join(corpusKeys.withColumn("dup", lit(1L)), Seq("h"), "left")
-      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup"))
+      bloomPositions(corpus, mBits, k).select(col("bit")).distinct()
+        .localCheckpoint())
     val judged = Exec.trackTransient(
-      gate.join(truth, Seq("doc_id")).localCheckpoint())
+      bloomJudge(bits, bloomKeys(corpus), batch, mBits, k)
+        .localCheckpoint())
     val stats = judged.agg(
       count(lit(1)).as("n_batch"),
       sum(when(col("pass"), 1L).otherwise(0L)).as("n_candidates"),

@@ -36,8 +36,18 @@ class BloomStreamSpec extends SparkSpec {
     val q = BloomStream.run(
       mem.toDF().toDF("doc_id", "text"),
       s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", m, k)
-    val rows = batchAll.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // Inject true duplicates OURSELVES (copies of corpus texts under fresh
+    // doc_ids): the driver's corpus carries no exact-dup guarantee — the
+    // 2026-08-16 regeneration has zero duplicate texts at sf0.001/0.01 —
+    // so the non-vacuity of the `dup==1` arm must come from the fixture,
+    // never from assumed data structure (r15 verdict item 1).
+    val natural = batchAll.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val injected = corpus.select("doc_id", "text").orderBy("doc_id").limit(12)
+      .collect().zipWithIndex
+      .map { case (r, i) => (maxId + 1 + i, r.getString(1)) }
+    val rows = (natural ++ injected).sortBy(_._1)
     val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
     chunks.foreach { chunk =>
       mem.addData(chunk.toSeq)

@@ -4254,6 +4254,21 @@ object SparkEntry {
              |        SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // batch twin of the streaming touch-state processor (r15 verdict item
+    // 5): per-user OR-fold of touch bits + converted flag — the latest
+    // emission per user after the stream drains, pinned stream==batch by
+    // EventStreamSpec — rolled into the (mask, conv) histogram
+    Q("ev_touch_census",
+      (s, d) => graft.stream.EventStream.touchCensus(events(s, d)),
+      Some("""SELECT mask, conv, count(*) AS n_users
+             |FROM (
+             |  SELECT user_id,
+             |    bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |           WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END) AS mask,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1)
+             |GROUP BY 1, 2 ORDER BY mask, conv""".stripMargin)),
+
     Q("ev_retention",
       (s, d) => EventOps.retention(events(s, d)),
       Some("""WITH u AS (
@@ -7100,6 +7115,41 @@ object SparkEntry {
              |  CAST(coalesce(sum(n - 1) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_rows
              |FROM fp""".stripMargin)),
 
+    // NON-VACUITY census for the exact-dup family (r15 verdict item 2):
+    // the driver's corpus carries no duplicate guarantee (the 2026-08-16
+    // regeneration has ZERO exact-dup texts at sf0.001/0.01), so this
+    // query INJECTS duplicates by a SQL-expressible transformation both
+    // engines replay — every doc_id % 50 == 0 text re-appears under a
+    // shifted id — and the engine side hard-fails (assert_true) if the
+    // injected dup-group arm ever goes vacuous. dedup_exact stays
+    // registered on the raw corpus (whatever structure the driver ships);
+    // this twin pins the interesting arm regardless of data degeneracy.
+    Q("dedup_exact_injected",
+      (s, d) => {
+        val docs = documents(s, d)
+        val injected = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        val stats = DedupOps.exactDupStats(docs.unionByName(injected))
+        stats.select(col("n_distinct_texts"), col("n_dup_groups"),
+          (col("n_dup_rows") + coalesce(
+            assert_true(col("n_dup_groups") >= 10,
+              lit("dedup_exact_injected: injection produced < 10 dup groups" +
+                " — non-vacuity guard")).cast("long"),
+            lit(0L))).as("n_dup_rows"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT text FROM documents
+             |  UNION ALL
+             |  SELECT text FROM documents WHERE doc_id % 50 = 0),
+             |fp AS (
+             |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             |    count(*) AS n
+             |  FROM all_docs GROUP BY 1)
+             |SELECT count(*) AS n_distinct_texts,
+             |  count(*) FILTER (WHERE n > 1) AS n_dup_groups,
+             |  CAST(coalesce(sum(n - 1) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_rows
+             |FROM fp""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, d) => DedupOps.ngramJaccardPairs(documents(s, d)),
       Some(s"""WITH base AS (
@@ -9305,6 +9355,56 @@ object SparkEntry {
               |  FROM d),
               |sizes AS (
               |  SELECT c_label AS cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_cells,
+              |    max(n) AS max_n
+              |  FROM sizes)
+              |SELECT cell, n,
+              |  floor(CAST(n AS DOUBLE) * n_cells / total * 10000 + 0.5) / 10000
+              |    AS load_factor,
+              |  floor(CAST(max_n AS DOUBLE) * n_cells / total * 10000 + 0.5) / 10000
+              |    AS imbalance
+              |FROM sizes, tot ORDER BY cell""".stripMargin)),
+
+    // batch twin of the streaming IVF maintenance loop (r15 verdict item
+    // 5): cells frozen on the corpus (vec_id % 10 <> 0), corpus + batch
+    // assigned to them, census anchored on ALL frozen cells (a zero-hit
+    // cell still counts toward n_cells). IvfStreamSpec pins stream ==
+    // one-shot; this puts the same semantics under the DuckDB hash gate.
+    Q("vec_ivf_stream_census",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        graft.stream.IvfStream.batchCensus(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+              |flat AS (
+              |  SELECT vec_id, label AS c_label,
+              |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+              |    unnest($DuckVec) AS v
+              |  FROM corpus),
+              |cent AS (
+              |  SELECT c_label, pos,
+              |    floor(avg(v) * 10000 + 0.5) / 10000 AS c
+              |  FROM flat GROUP BY 1, 2),
+              |cl AS (SELECT c_label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+              |e2 AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
+              |d AS (
+              |  SELECT e2.vec_id, cl.c_label,
+              |    floor(list_sum(list_transform(range(1, 65),
+              |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))) * 1000000 + 0.5) / 1000000 AS dist
+              |  FROM e2 CROSS JOIN cl),
+              |a AS (
+              |  SELECT vec_id, c_label,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+              |  FROM d),
+              |hits AS (
+              |  SELECT c_label AS cell, count(*) AS hn FROM a WHERE rn = 1 GROUP BY 1),
+              |sizes AS (
+              |  SELECT cl.c_label AS cell, CAST(coalesce(hits.hn, 0) AS BIGINT) AS n
+              |  FROM cl LEFT JOIN hits ON hits.cell = cl.c_label),
               |tot AS (
               |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_cells,
               |    max(n) AS max_n

@@ -66,9 +66,10 @@ object CosineSim {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "cosine_sim") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** `dot_product(a, b)` — raw inner product of two numeric arrays as the same
@@ -117,9 +118,10 @@ object DotProduct {
     acc
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "dot_product") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** `sq_l2(a, b)` — squared L2 distance between two numeric arrays as a
@@ -169,9 +171,10 @@ object SqL2 {
     acc
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "sq_l2") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq_l2", exprs => SqL2(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** All LSH table buckets of an embedding in ONE native pass. The HOF
@@ -245,7 +248,14 @@ object LshBuckets {
     */
   def register(spark: SparkSession, planes: Array[Array[Double]],
                planesPerTable: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_buckets", exprs => LshBuckets(exprs.head, planes, planesPerTable),
-      "scala_udf")
+    // planes derive deterministically from their dimensions, so keying the
+    // once-guard on (nPlanes, dim, planesPerTable) is exact: a different
+    // plane matrix shape re-registers, an identical one is skipped
+    RegisterOnce(spark,
+      s"lsh_buckets:${planes.length}x${planes.headOption.fold(0)(_.length)}" +
+        s":$planesPerTable") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_buckets", exprs => LshBuckets(exprs.head, planes, planesPerTable),
+        "scala_udf")
+    }
 }

@@ -126,11 +126,12 @@ case class CovMatrix(child: Expression, dim: Int,
 
 object CovMatrix {
   /** Register `cov_matrix(arr, dimLiteral)` for `expr(...)` use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "cov_matrix") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cov_matrix",
       exprs => CovMatrix(exprs.head,
         Args.posIntLiteral(exprs(1), "cov_matrix", "dim"))
         .toAggregateExpression(),
       "scala_udf")
+  }
 }

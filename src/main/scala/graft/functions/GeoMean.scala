@@ -55,9 +55,10 @@ case class GeoMean(child: Expression)
 
 object GeoMean {
   /** Register `geomean(x)` for `expr(...)` use. Idempotent per session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "geomean") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geomean",
       exprs => GeoMean(exprs.head).toAggregateExpression(),
       "scala_udf")
+  }
 }

@@ -148,7 +148,8 @@ object HdrSketch {
   }
 
   /** Register `hdr_sketch(value)` for `expr(...)` use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "hdr_sketch") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hdr_sketch", fromExprs, "scala_udf")
+  }
 }

@@ -304,7 +304,7 @@ object MinHashFunctions {
   /** Register `shingle_hashes(tokens[, n])` and `minhash_sig(hashes[, k])`
     * for use via `expr(...)`. Idempotent per session.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "minhash_family") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head,

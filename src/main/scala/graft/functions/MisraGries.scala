@@ -153,7 +153,8 @@ object MisraGries {
   }
 
   /** Register `misra_gries(key, kLiteral)` for `expr(...)` use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "misra_gries") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", fromExprs, "scala_udf")
+  }
 }

@@ -92,7 +92,8 @@ object RollingHash {
     new GenericArrayData(out)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "rolling_hashes") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hashes", exprs => RollingHashes(exprs.head, exprs(1)), "scala_udf")
+  }
 }

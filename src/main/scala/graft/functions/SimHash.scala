@@ -82,9 +82,10 @@ object SimHash61 {
   /** Register `simhash61(array<string>) -> bigint` for use via `expr(...)`
     * and SQL. Idempotent per session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "simhash61") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash61", exprs => SimHash61(exprs.head), "scala_udf")
+  }
 
   /** Hamming distance between two signatures, as a column expression. */
   def hammingExpr(a: String, b: String): String =

@@ -1261,7 +1261,9 @@ object GraphOps {
     // The estimate is one narrow agg over the already-checkpointed frame,
     // NOT broadcastIfSmallBytes: its persist+count pass re-materializes
     // the wide array rows into the memory store (measured +4 s at sf0.1)
-    val sz = adj.agg(sum(size(col("nbs"))).cast("long").as("entries"),
+    // coalesce: sum over an empty adjacency is NULL, and getLong would NPE
+    val sz = adj.agg(
+      coalesce(sum(size(col("nbs"))), lit(0L)).cast("long").as("entries"),
       count(lit(1)).as("nodes")).head()
     val approxBytes = sz.getLong(0) * 8L + sz.getLong(1) * 24L
     val adjCur = adj.withColumnRenamed("x", "cur")

@@ -362,7 +362,11 @@ object TimeSeriesOps {
     // counts only the defined lags. The fold carries the TRUE lag_m (not
     // a positional sequence index) so a short/sparse series that produced
     // no ACF row at some lag keeps the right n−k divisors (r14 advisor).
-    val acf = acfMonthly(li, maxLag).filter(col("acf").isNotNull)
+    // NaN too: under spark.sql.legacy.statisticalAggregate=true corr
+    // returns NaN (not NULL) for zero-variance series; DuckDB drops the
+    // lag either way, so both engines must (r15 advisor).
+    val acf = acfMonthly(li, maxLag)
+      .filter(col("acf").isNotNull && !isnan(col("acf")))
     val n = li.groupBy(col("l_returnflag").as("key"))
       .agg(countDistinct(date_trunc("month", col("l_shipdate"))).as("n"))
     acf.groupBy(col("key"))

@@ -995,7 +995,8 @@ object VectorOps {
     * DuckDB oracle unrolls.
     */
   def semanticDupPairsKmeans(emb: DataFrame, threshold: Double,
-                             k: Int = 8, iters: Int = 2): DataFrame = {
+                             k: Int = 8, iters: Int = 2,
+                             maxBlock: Int = 65536): DataFrame = {
     graft.functions.SqL2.register(emb.sparkSession)
     val cents = kmeansLloyd(emb, k, iters)
       .groupBy(col("cid"))
@@ -1015,7 +1016,10 @@ object VectorOps {
           |  named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
           |  (acc, e) -> IF(e.d < acc.d, e, acc)).c""".stripMargin))
       .select(col("cell").as("label"), col("vec_id"), col("embedding"))
-    cosineNearDupPairs(assigned, threshold)
+    // unsupervised Lloyd cells are less balanced than label-mean cells, so
+    // the block guard gets a wide deliberate default (and a caller knob)
+    // rather than inheriting the supervised 16384 hard-fail (r15 advisor)
+    cosineNearDupPairs(assigned, threshold, maxBlock = maxBlock)
       .withColumnRenamed("label", "cell")
   }
 

@@ -455,6 +455,27 @@ object EventStream {
       .toDF("user_id", "mask", "conv")
   }
 
+  /** BATCH twin of [[touchStates]] for the driver's oracle gate (r15
+    * verdict item 5): the per-user (mask, conv) collapse — exactly the
+    * latest emission per user after the stream drains, which
+    * EventStreamSpec pins — rolled into the (mask, conv) → user-count
+    * histogram the stream maintains incrementally from emissions. One
+    * shuffle on user_id with map-side combine (bit_or and max are both
+    * partial-aggregable), then a metadata-sized 32-cell rollup.
+    */
+  def touchCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("""CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                | WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0
+                |END""".stripMargin).as("bit"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("p"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(col("bit")).as("mask"), max(col("p")).as("conv"))
+      .groupBy(col("mask"), col("conv"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("mask"), col("conv"))
+
   /** STREAMING Misra–Gries heavy-hitter summary — the streaming twin of
     * the batch `misra_gries(key, k)` aggregate
     * ([[graft.functions.MisraGries]]): a GLOBAL ≤ k-entry

@@ -103,9 +103,23 @@ object IvfStream {
     * the [[graft.ops.VectorOps.ivfBalance]] readout, maintained
     * incrementally.
     */
-  def balanceCensus(spark: SparkSession, indexDir: String): DataFrame = {
-    val sizes = spark.read.parquet(s"$indexDir/deltas")
-      .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+  def balanceCensus(spark: SparkSession, indexDir: String): DataFrame =
+    censusOf(
+      spark.read.parquet(s"$indexDir/cells"),
+      spark.read.parquet(s"$indexDir/deltas")
+        .groupBy(col("cell")).agg(sum(col("n")).as("dn")))
+
+  /** The census math shared by the stream readout and the batch twin —
+    * anchored on the FULL frozen-cell table, not the cells present in the
+    * counts: a cell that received zero vectors must still count toward
+    * n_cells, or load_factor/imbalance understate the very drift the
+    * census exists to warn about (r15 advisor).
+    */
+  private[stream] def censusOf(allCells: DataFrame,
+                               counts: DataFrame): DataFrame = {
+    val sizes = allCells.select(col("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("dn"), lit(0L)).as("n"))
     val tot = sizes.agg(sum(col("n")).as("total"),
       count(lit(1)).as("n_cells"), max(col("n")).as("max_n"))
     sizes.crossJoin(broadcast(tot))
@@ -115,6 +129,22 @@ object IvfStream {
         q4(col("max_n").cast("double") * col("n_cells") / col("total"))
           .as("imbalance"))
       .orderBy(col("cell"))
+  }
+
+  /** BATCH twin of the maintenance loop for the driver's oracle gate
+    * (r15 verdict item 5): freeze cells on `corpus`, assign corpus ∪
+    * `batch` to them (exactly what seed + N micro-batches accumulate in
+    * the delta partitions), and run the same census readout. IvfStreamSpec
+    * pins stream == one-shot assignment; this puts the same semantics
+    * under the DuckDB hash-compare contract as `vec_ivf_stream_census`.
+    */
+  def batchCensus(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val cells = cellArrays(corpus)
+    val assigned = assignToCells(
+      corpus.select(col("vec_id"), col("embedding"))
+        .unionByName(batch.select(col("vec_id"), col("embedding"))),
+      cells)
+    censusOf(cells, assigned.groupBy(col("cell")).agg(count(lit(1)).as("dn")))
   }
 
   /** Wire a streaming `vecs` source (vec_id, embedding) into the

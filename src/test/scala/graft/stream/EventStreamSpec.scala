@@ -592,6 +592,16 @@ class EventStreamSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
         val last = all.zipWithIndex.groupBy(_._1._1)
           .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+        // the BATCH TWIN's (mask, conv) histogram == the same histogram
+        // folded from the latest emission per user (the registry query
+        // ev_touch_census rides this equality)
+        val censusFromStream = last.values.toSeq
+          .groupBy(s => (s._2, s._3)).view.mapValues(_.size.toLong).toMap
+        val censusBatch = EventStream.touchCensus(
+            (b1 ++ b2 ++ replay ++ b4).toDF("user_id", "event_type"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        assert(censusBatch == censusFromStream,
+          s"touch census drifted: batch=$censusBatch stream=$censusFromStream")
         // exact Shapley from the streamed states (weighted-subset form)
         val convMasks = last.values.filter(_._3 == 1).map(_._2).toSeq
         def v(s: Int): Int = convMasks.count(m => (m & s) == m)

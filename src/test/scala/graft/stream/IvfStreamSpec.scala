@@ -63,6 +63,12 @@ class IvfStreamSpec extends SparkSpec {
     val expected = counts.toSeq.sortBy(_._1).map { case (c, n) =>
       (c, n, q4d(n * k / total), q4d(maxN.toDouble * k / total)) }
     assert(census == expected, s"census drifted:\n$census\nvs\n$expected")
+    // the BATCH TWIN (registry query vec_ivf_stream_census rides this):
+    // freeze-on-corpus + assign corpus ∪ batch == the maintained census
+    val twin = IvfStream.batchCensus(corpus, batchAll)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(twin == census, s"batch twin drifted:\n$twin\nvs\n$census")
   }
 
   test("replaying an IVF maintenance batch is idempotent") {

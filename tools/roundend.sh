@@ -13,6 +13,21 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== 0/4 testdata mtime stamp =="
+# A mid-round driver regeneration of /root/testdata invalidated a green
+# sbt-test run silently in r15 (BloomStreamSpec fixture guard). Record the
+# newest parquet mtime in the gate log and in a tracked stamp file, so any
+# regeneration is loud here and visible in git history; the full sbt test
+# in step 1 then re-validates against the regenerated corpus.
+stamp="$(find /root/testdata -name '*.parquet' -printf '%T@ %p\n' | sort -n | tail -1)"
+echo "newest testdata parquet: $stamp"
+if [[ -f .testdata_stamp ]] && [[ "$(cat .testdata_stamp)" != "$stamp" ]]; then
+  echo "NOTE: /root/testdata CHANGED since the last gate run:"
+  echo "  was: $(cat .testdata_stamp)"
+  echo "  now: $stamp"
+fi
+echo "$stamp" > .testdata_stamp
+
 echo "== 1/4 sbt test =="
 sbt -batch test
 

@@ -5703,6 +5703,24 @@ object SparkEntry {
   private def duckH61(sqlExpr: String): String =
     s"CAST((md5_number_lower($sqlExpr) & $DuckM) AS BIGINT)"
 
+  /** DuckDB twin of TextOps.syntheticPages — the deterministic HTML wrapper
+    * both engines apply before the txt_html_* operators (same literal
+    * fragments, same doc_id % 7 punctuation rule).
+    */
+  private def duckPagesCte: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>' || source ||
+      |    '</title><style>body{margin:0;font:14px serif}</style><script>var tracker=1;</script></head><body><nav><a href="/">Home</a> <a href="/t">' || lang ||
+      |    '</a></nav><h1>' || source || ' #' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |    CASE WHEN doc_id % 7 <> 0 THEN '.' ELSE '' END ||
+      |    '</p><div><a href="#">Share</a> <a href="#">Tweet</a></div><footer>We use cookies and javascript to improve this site ' || source || '</footer></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of the C4 blacklist predicate on a line `l`. */
+  private def duckBlack: String =
+    "contains(lower(l), 'cookie') OR contains(lower(l), 'javascript')"
+
   /** DuckDB CTEs `t` (tokens) + `sh` (distinct 61-bit 3-gram shingle hashes,
     * docs with ≥3 tokens) — the shared front of the dedup oracles. Matches
     * `shingle_hashes(toks, 3)` exactly (same strings, same hash).
@@ -5916,6 +5934,74 @@ object SparkEntry {
       Some(s"""SELECT token, count(*) AS n
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // HTML/boilerplate extraction (r15 verdict item 6): the preprocessing
+    // stage every web corpus runs before anything else in TextOps. The
+    // corpus ships clean text, so both engines wrap each doc in the SAME
+    // deterministic page (TextOps.syntheticPages / the pages CTE) and the
+    // operators under test are the tag-strip + link-density census and the
+    // C4 line filter. Every census bucket is populated by construction.
+    Q("txt_html_extract",
+      (s, d) => TextOps.htmlExtract(TextOps.syntheticPages(documents(s, d))),
+      Some(s"""$duckPagesCte,
+              |t AS (
+              |  SELECT doc_id, html,
+              |    trim(regexp_replace(regexp_replace(regexp_replace(html,
+              |      '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g'),
+              |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS text,
+              |    regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1) AS anchors
+              |  FROM pages)
+              |SELECT doc_id,
+              |  CAST(len(html) AS BIGINT) AS n_html_chars,
+              |  CAST(len(text) AS BIGINT) AS n_text_chars,
+              |  floor(CAST(len(text) AS DOUBLE) / greatest(len(html), 1)
+              |    * 10000 + 0.5) / 10000 AS text_markup_ratio,
+              |  CAST(len(anchors) AS BIGINT) AS n_links,
+              |  CAST(coalesce(list_sum(list_transform(anchors, x -> len(x))), 0)
+              |    AS BIGINT) AS link_chars,
+              |  floor(CAST(coalesce(list_sum(list_transform(anchors, x -> len(x))), 0)
+              |      AS DOUBLE) / greatest(len(text), 1) * 10000 + 0.5) / 10000
+              |    AS link_density
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("txt_html_boilerplate",
+      (s, d) => TextOps.htmlBoilerplateCensus(
+        TextOps.syntheticPages(documents(s, d))),
+      Some(s"""$duckPagesCte,
+              |t AS (
+              |  SELECT doc_id,
+              |    list_filter(list_transform(
+              |      string_split(regexp_replace(regexp_replace(regexp_replace(html,
+              |        '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g'),
+              |        '</?(html|head|body|title|nav|footer|header|h[1-6]|p|div|li|ul|ol|br|tr|td|table)[^>]*>', chr(10), 'g'),
+              |        '<[^>]*>', ' ', 'g'), chr(10)),
+              |      l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+              |      l -> len(l) > 0) AS lines
+              |  FROM pages),
+              |c AS (
+              |  SELECT doc_id,
+              |    CAST(len(lines) AS BIGINT) AS n_lines,
+              |    CAST(len(list_filter(lines, l -> $duckBlack)) AS BIGINT)
+              |      AS n_blacklist,
+              |    CAST(len(list_filter(lines, l -> NOT ($duckBlack)
+              |      AND len(string_split(l, ' ')) < 3)) AS BIGINT) AS n_short,
+              |    CAST(len(list_filter(lines, l -> NOT ($duckBlack)
+              |      AND len(string_split(l, ' ')) >= 3
+              |      AND NOT regexp_matches(l, '[.!?]$$'))) AS BIGINT) AS n_nopunct,
+              |    CAST(len(list_filter(lines, l -> NOT ($duckBlack)
+              |      AND len(string_split(l, ' ')) >= 3
+              |      AND regexp_matches(l, '[.!?]$$'))) AS BIGINT) AS n_kept,
+              |    CAST(coalesce(list_sum(list_transform(
+              |      list_filter(lines, l -> NOT ($duckBlack)
+              |        AND len(string_split(l, ' ')) >= 3
+              |        AND regexp_matches(l, '[.!?]$$')), x -> len(x))), 0)
+              |      AS BIGINT) AS kept_chars
+              |  FROM t)
+              |SELECT doc_id, n_lines, n_blacklist, n_short, n_nopunct, n_kept,
+              |  kept_chars,
+              |  floor(CAST(n_lines - n_kept AS DOUBLE) / greatest(n_lines, 1)
+              |    * 10000 + 0.5) / 10000 AS boiler_ratio
+              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // exact φ-frequent heavy hitters: output bounded by 100/φ rows at ANY
     // corpus size (support threshold, not a global-sort top-k)

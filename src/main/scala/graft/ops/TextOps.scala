@@ -2132,4 +2132,122 @@ object TextOps {
         col("head_doc"), col("max_src_run"))
       .orderBy(col("shard"))
   }
+
+  // ------------------------------------------------------- HTML extraction
+
+  /** Block-level HTML tags — boundaries between text "lines" for the
+    * boilerplate census (trafilatura/jusText treat block elements as the
+    * paragraph unit; inline tags like `<a>`/`<b>` do NOT split text).
+    */
+  private val BlockTags =
+    "html|head|body|title|nav|footer|header|h[1-6]|p|div|li|ul|ol|br|tr|td|table"
+
+  /** `<script>`/`<style>` payloads removed wholesale (their content is code,
+    * not text). `[^<]*` instead of a dotall backreference keeps the pattern
+    * RE2-compatible (DuckDB oracle) — the documented constraint is no nested
+    * markup inside script/style, which holds for anything this census should
+    * count as text anyway.
+    */
+  private def dropScriptStyle(html: Column): Column =
+    regexp_replace(html, "<(script|style)[^>]*>[^<]*</(script|style)>", " ")
+
+  /** Visible text lines of an HTML page: script/style payloads dropped,
+    * block tags become line breaks, inline tags become spaces, every line
+    * whitespace-collapsed, empties dropped. Pure per-row expression work —
+    * no shuffle, runs at scan speed at any corpus size.
+    */
+  def htmlTextLines(html: Column): Column = {
+    val blocked = regexp_replace(dropScriptStyle(html),
+      s"</?($BlockTags)[^>]*>", "\n")
+    val stripped = regexp_replace(blocked, "<[^>]*>", " ")
+    filter(
+      transform(split(stripped, "\n"),
+        l => trim(regexp_replace(l, "\\s+", " "))),
+      l => length(l) > 0)
+  }
+
+  /** Tag-strip + markup-density census — the preprocessing stage every
+    * web-scale corpus (C4, RefinedWeb) runs BEFORE any other text operator:
+    * per page, the extracted visible text, its size relative to the raw
+    * markup, and the link density (boilerplate-heavy pages are link-dense;
+    * content pages are text-dense). Expects (doc_id, html). All built-ins,
+    * zero shuffle.
+    */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val text = trim(regexp_replace(
+      regexp_replace(dropScriptStyle(col("html")), "<[^>]*>", " "),
+      "\\s+", " "))
+    val anchors = regexp_extract_all(col("html"), lit("<a [^>]*>([^<]*)</a>"), lit(1))
+    pages
+      .withColumn("text", text)
+      .withColumn("link_chars",
+        aggregate(anchors, lit(0L), (a, x) => a + length(x).cast("long")))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_html_chars"),
+        length(col("text")).cast("long").as("n_text_chars"),
+        q4(length(col("text")).cast("double") /
+          greatest(length(col("html")), lit(1))).as("text_markup_ratio"),
+        size(anchors).cast("long").as("n_links"),
+        col("link_chars"),
+        q4(col("link_chars").cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+          .as("link_density"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style boilerplate line census (Raffel et al. 2020 §2.2: keep lines
+    * that end in terminal punctuation and have ≥ 3 words; drop
+    * cookie/javascript notices): per page, how many visible lines survive
+    * and why the rest died. Precedence: blacklist > too-short > no terminal
+    * punctuation > kept — each line lands in exactly one bucket, so the
+    * buckets sum to n_lines (the invariant the spec pins). Zero shuffle.
+    */
+  def htmlBoilerplateCensus(pages: DataFrame): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    def words(l: Column): Column = size(split(l, " "))
+    def black(l: Column): Column =
+      lower(l).contains("cookie") || lower(l).contains("javascript")
+    def short(l: Column): Column = !black(l) && words(l) < 3
+    def nopunct(l: Column): Column =
+      !black(l) && words(l) >= 3 && !l.rlike("[.!?]$")
+    def kept(l: Column): Column =
+      !black(l) && words(l) >= 3 && l.rlike("[.!?]$")
+    pages
+      .withColumn("lines", htmlTextLines(col("html")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => black(l))).cast("long").as("n_blacklist"),
+        size(filter(col("lines"), l => short(l))).cast("long").as("n_short"),
+        size(filter(col("lines"), l => nopunct(l))).cast("long").as("n_nopunct"),
+        size(filter(col("lines"), l => kept(l))).cast("long").as("n_kept"),
+        aggregate(filter(col("lines"), l => kept(l)), lit(0L),
+          (a, x) => a + length(x).cast("long")).as("kept_chars"))
+      .withColumn("boiler_ratio",
+        q4((col("n_lines") - col("n_kept")).cast("double") /
+          greatest(col("n_lines"), lit(1L)).cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic synthetic page wrapper for the driver corpus: the
+    * documents table carries clean text, so the registry queries wrap each
+    * doc in a realistic page (head + style + script, link-dense nav, bare
+    * headline, the doc text as the content paragraph — terminally
+    * punctuated except every 7th doc — a share bar, and a cookie-notice
+    * footer) with a transformation simple enough that the DuckDB oracle
+    * replays it verbatim. Every census bucket is exercised BY CONSTRUCTION,
+    * independent of driver-data structure (the r15 non-vacuity lesson).
+    */
+  def syntheticPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>body{margin:0;font:14px serif}</style>" +
+        "<script>var tracker=1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/t\">"), col("lang"),
+      lit("</a></nav><h1>"), col("source"), lit(" #"),
+      col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+      when(col("doc_id") % 7 =!= 0, lit(".")).otherwise(lit("")),
+      lit("</p><div><a href=\"#\">Share</a> <a href=\"#\">Tweet</a></div>" +
+        "<footer>We use cookies and javascript to improve this site "),
+      col("source"), lit("</footer></body></html>")).as("html"))
 }

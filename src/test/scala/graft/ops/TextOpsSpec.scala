@@ -969,4 +969,68 @@ class TextOpsSpec extends SparkSpec {
     assert(m("example1.org/page/1?ref=1&z=1") == ((3L, 3L, 3L)))
     assert(m("example1.org/page/1") == ((1L, 1L, 1L)))
   }
+
+  test("htmlTextLines/htmlExtract: fixture page with known structure — " +
+    "script/style dropped, block tags split, inline tags stripped") {
+    import spark.implicits._
+    val html = "<html><head><title>My Site</title>" +
+      "<style>p{color:red}</style><script>var x=1;</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a></nav>" +
+      "<h1>A   Post</h1>" +
+      "<p>This is the real article text, with <b>bold</b> words in it.</p>" +
+      "<footer>We use cookies.</footer></body></html>"
+    val pages = Seq((1L, html)).toDF("doc_id", "html")
+    val lines = pages.select(TextOps.htmlTextLines(col("html")).as("l"))
+      .head().getSeq[String](0)
+    assert(lines == Seq("My Site", "Home Blog", "A Post",
+      "This is the real article text, with bold words in it.",
+      "We use cookies."), lines.toString)
+    val ex = TextOps.htmlExtract(pages).head()
+    assert(ex.getLong(1) == html.length, "n_html_chars")
+    // extracted text = the five lines joined by single spaces
+    assert(ex.getLong(2) == lines.mkString(" ").length, "n_text_chars")
+    assert(ex.getLong(4) == 2L, "n_links: Home + Blog")
+    assert(ex.getLong(5) == "HomeBlog".length.toLong, "link_chars")
+  }
+
+  test("htmlBoilerplateCensus: precedence buckets are disjoint, sum to " +
+    "n_lines, and each arm of the C4 rule fires on the fixture") {
+    import spark.implicits._
+    val html = "<html><body>" +
+      "<p>Tiny.</p>" + // 1 word w/ punct -> short
+      "<p>no terminal punctuation here at all</p>" + // nopunct
+      "<p>This sentence is long enough and properly terminated.</p>" + // kept
+      "<p>Please accept our cookie banner now.</p>" + // blacklist wins
+      "</body></html>"
+    val r = TextOps.htmlBoilerplateCensus(
+      Seq((7L, html)).toDF("doc_id", "html")).head()
+    val (nl, nb, ns, nn, nk, kc) = (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert((nl, nb, ns, nn, nk) == ((4L, 1L, 1L, 1L, 1L)), r.toString)
+    assert(nb + ns + nn + nk == nl, "buckets must partition the lines")
+    assert(kc ==
+      "This sentence is long enough and properly terminated.".length)
+    assert(r.getDouble(7) == 0.75, "boiler_ratio 3/4")
+  }
+
+  test("syntheticPages wrapper populates EVERY census bucket by " +
+    "construction, independent of driver-corpus structure") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val census = TextOps.htmlBoilerplateCensus(TextOps.syntheticPages(docs))
+    val agg = census.agg(
+      sum(col("n_blacklist")), sum(col("n_short")), sum(col("n_nopunct")),
+      sum(col("n_kept")),
+      sum(when(col("n_lines") =!=
+        col("n_blacklist") + col("n_short") + col("n_nopunct") + col("n_kept"),
+        1L).otherwise(0L))).head()
+    assert(agg.getLong(0) > 0, "blacklist arm vacuous")
+    assert(agg.getLong(1) > 0, "short arm vacuous")
+    assert(agg.getLong(2) > 0, "nopunct arm vacuous")
+    assert(agg.getLong(3) > 0, "kept arm vacuous")
+    assert(agg.getLong(4) == 0, "bucket partition invariant broken")
+    // and the markup census: links + nonzero text on every page
+    val ex = TextOps.htmlExtract(TextOps.syntheticPages(docs))
+    assert(ex.filter(col("n_links") =!= 4 || col("n_text_chars") === 0)
+      .count() == 0, "every synthetic page has 4 links and visible text")
+  }
 }

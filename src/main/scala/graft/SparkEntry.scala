@@ -7725,6 +7725,78 @@ object SparkEntry {
               |    * 1000000 + 0.5) / 1000000 AS fp_rate_theoretical
               |FROM s, nc, nb""".stripMargin)),
 
+    // NON-VACUITY twin of the bloom gate (r15 verdict item 2): on the
+    // regenerated corpus the %10 batch shares no text with the corpus, so
+    // dedup_bloom_gate's n_true_dups/n_candidates arms are all zero at the
+    // correctness SF. Here the batch IS 10+ corpus texts under shifted ids
+    // (both engines replay the shift), so every true-dup must pass the
+    // gate and be confirmed by the exact-key check — n_true_dups ≥ 10 by
+    // construction, asserted in-engine. m drops to 4096 so the bit load is
+    // realistic rather than ~0 for a 500-doc corpus.
+    Q("dedup_bloom_gate_injected",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        val g = DedupOps.bloomDedupGate(docs, batch, mBits = 4096)
+        g.select(col("n_corpus"), col("n_batch"), col("m_bits"),
+          col("k_hashes"), col("bits_set"), col("n_candidates"),
+          (col("n_true_dups") + coalesce(
+            assert_true(col("n_true_dups") >= 10,
+              lit("dedup_bloom_gate_injected: injected true-dup arm went" +
+                " vacuous")).cast("long"),
+            lit(0L))).as("n_true_dups"),
+          col("n_false_pos"), col("n_false_neg"),
+          col("fp_rate_realized"), col("fp_rate_theoretical"))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents),
+              |batch AS (
+              |  SELECT doc_id + 10000000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 50 = 0),
+              |ks AS (SELECT unnest([0, 1, 2]) AS i),
+              |cbits AS (SELECT DISTINCT
+              |    ${duckH61("concat(i, ':', text)")} % 4096 AS bit
+              |  FROM corpus, ks),
+              |bp AS (SELECT doc_id,
+              |    ${duckH61("concat(i, ':', text)")} % 4096 AS bit
+              |  FROM batch, ks),
+              |gate AS (
+              |  SELECT doc_id,
+              |    count(*) = sum(CASE WHEN bit IN (SELECT bit FROM cbits)
+              |      THEN 1 ELSE 0 END) AS pass
+              |  FROM bp GROUP BY 1),
+              |ck AS (SELECT DISTINCT ${duckH61("text")} AS h FROM corpus),
+              |truth AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ${duckH61("text")} IN (SELECT h FROM ck)
+              |      THEN 1 ELSE 0 END AS dup
+              |  FROM batch),
+              |j AS (SELECT g.doc_id, g.pass, t.dup
+              |  FROM gate g JOIN truth t USING (doc_id)),
+              |s AS (SELECT count(*) AS n_batch,
+              |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_candidates,
+              |    CAST(sum(dup) AS BIGINT) AS n_true_dups,
+              |    CAST(sum(CASE WHEN pass AND dup = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_false_pos,
+              |    CAST(sum(CASE WHEN NOT pass AND dup = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_false_neg
+              |  FROM j),
+              |nc AS (SELECT count(*) AS n_corpus FROM corpus),
+              |nb AS (SELECT count(*) AS bits_set FROM cbits)
+              |SELECT nc.n_corpus, s.n_batch,
+              |  4096 AS m_bits, 3 AS k_hashes,
+              |  nb.bits_set, s.n_candidates, s.n_true_dups,
+              |  s.n_false_pos, s.n_false_neg,
+              |  floor(CAST(s.n_false_pos AS DOUBLE)
+              |    / CAST(greatest(s.n_batch - s.n_true_dups, 1) AS DOUBLE)
+              |    * 1000000 + 0.5) / 1000000 AS fp_rate_realized,
+              |  floor((CAST(nb.bits_set AS DOUBLE) / 4096.0)
+              |    * (CAST(nb.bits_set AS DOUBLE) / 4096.0)
+              |    * (CAST(nb.bits_set AS DOUBLE) / 4096.0)
+              |    * 1000000 + 0.5) / 1000000 AS fp_rate_theoretical
+              |FROM s, nc, nb""".stripMargin)),
+
     // Incremental ExactSubstr: the doc_id%10=0 batch probes the corpus
     // window-hash index; oracle = the FULL-union span recompute filtered
     // to batch docs (coverage counted over everything — delta identity)

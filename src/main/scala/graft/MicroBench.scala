@@ -33,6 +33,24 @@ object MicroBench {
   val GateRatio = 1.3
   val GateFloorSec = 0.15
 
+  /** Char-linear heavies: their honest cost grows with corpus TEXT BYTES,
+    * not row count, so their baselines are normalized by the documents
+    * table's total chars (recorded as `_input_chars` in the artifact).
+    * Without this, a driver regeneration that grows text 14.7× (observed
+    * sf1, r15) reads as a plan regression, and a shrink would HIDE one
+    * (r15 verdict item 7).
+    */
+  val ByteNormalized = Set("dedup_substring_spans", "dedup_simhash",
+    "dedup_cdc_chunks", "txt_crossdoc_ngrams", "dedup_substring_removal")
+
+  /** Total text chars of the documents table at sfDir — the input-size
+    * denominator for [[ByteNormalized]] queries. */
+  private def inputChars(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(sum(col("n_chars"))).head().getLong(0).toDouble
+  }
+
   /** Host-speed calibration: a fixed COMPOSITE job — a CPU leg (1.6B
     * xxhash64 folds across 32 range partitions, one map-side partial agg)
     * plus an IO leg (a full uncached lineitem parquet scan-aggregate) —
@@ -128,8 +146,21 @@ object MicroBench {
       }
       println(f"canary: now $canaryNow%.2fs, recorded " +
         f"${canaryBase.getOrElse(0.0)}%.2fs, gate scale $scale%.2fx")
+      // byte normalization for the char-linear heavies: baseline scales
+      // with the corpus text size, BOTH directions (a grown corpus is not
+      // a regression; a shrunk one must not hide a real regression)
+      val charsNow = inputChars(spark, sfDir)
+      val charsBase = readMeta(ArtifactPath, "_input_chars")
+      val byteScale = charsBase match {
+        case Some(b) if b > 0 => charsNow / b
+        case _ => 1.0
+      }
+      println(f"input chars: now $charsNow%.0f, recorded " +
+        f"${charsBase.getOrElse(0.0)}%.0f, byte-normalized scale " +
+        f"$byteScale%.2fx over ${ByteNormalized.size} tracked heavies")
       def trips(n: String, m: Double): Boolean = {
-        val base = baseline(n) * scale
+        val bs = if (ByteNormalized(n)) byteScale else 1.0
+        val base = baseline(n) * scale * bs
         base > 0 && m > base * GateRatio && m - base > GateFloorSec
       }
       // gate on the BEST rep, not the median: host dips only ever INFLATE
@@ -157,10 +188,12 @@ object MicroBench {
           (System.nanoTime() - t0) / 1e9
         }
         val m = math.min(m0, secs.min)
-        if (trips(n, m))
+        if (trips(n, m)) {
+          val bs = if (ByteNormalized(n)) byteScale else 1.0
           Some(f"$n: warm floor $m%.2fs vs recorded " +
-            f"${baseline(n) * scale}%.2fs host-normalized " +
-            f"(${m / (baseline(n) * scale)}%.2fx)")
+            f"${baseline(n) * scale * bs}%.2fs host+byte-normalized " +
+            f"(${m / (baseline(n) * scale * bs)}%.2fx)")
+        }
         else {
           println(f"$n: first-pass floor ${m0}%.2fs cleared on re-probe " +
             f"(${secs.map(s => f"$s%.2f").mkString(" ")})")
@@ -169,7 +202,7 @@ object MicroBench {
       }
       val regressions = confirmed
       if (updateArtifact) {
-        writeArtifact(ArtifactPath, sfDir, medians, canaryNow)
+        writeArtifact(ArtifactPath, sfDir, medians, canaryNow, charsNow)
         println(s"$ArtifactPath updated (${medians.size} queries)")
       }
       if (regressions.nonEmpty) {
@@ -209,13 +242,16 @@ object MicroBench {
 
   private def writeArtifact(path: String, sfDir: String,
                             medians: Map[String, Double],
-                            canary: Double = 0.0): Unit = {
+                            canary: Double = 0.0,
+                            chars: Double = 0.0): Unit = {
     val body = medians.toSeq.sorted
       .map { case (n, s) => f""""$n": ${s}%.3f""" }
       .mkString(",\n  ")
     val canaryLine =
       if (canary > 0) f"""  "_canary": $canary%.3f,\n""" else ""
+    val charsLine =
+      if (chars > 0) f"""  "_input_chars": $chars%.0f,\n""" else ""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      s"""{\n  "_sf": "${sfDir.replace("\\", "/")}",\n$canaryLine  $body\n}\n""")
+      s"""{\n  "_sf": "${sfDir.replace("\\", "/")}",\n$canaryLine$charsLine  $body\n}\n""")
   }
 }

@@ -1950,6 +1950,62 @@ object SparkEntry {
                 |FROM v3 WHERE dist > 0
                 |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // HyperBall (Boldi–Vigna 2013): ALL-nodes harmonic centrality via
+      // per-node m=16 HLL ball sketches — the scale path for the seeded
+      // family (state O(16·N), per-round cost O(16·E), no seed×ball
+      // pairs). Register scheme + estimator arithmetic are the proven
+      // ev_hll_distinct twins; per-round estimates 4dp-floored BEFORE the
+      // telescoped harmonic sum so both engines difference identical
+      // quantized values.
+      Q("graph_hyperball",
+        (s, d) => graft.ops.GraphOps.hyperballHarmonic(
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+        Some {
+          val estSql = (s: String, np: String) =>
+            s"""CASE WHEN 0.673::DOUBLE * 256::DOUBLE / ($s + (16::DOUBLE - $np)) <= 40::DOUBLE
+               |      AND $np < 16
+               |    THEN 16::DOUBLE * ln(16::DOUBLE / (16::DOUBLE - $np))
+               |    ELSE 0.673::DOUBLE * 256::DOUBLE / ($s + (16::DOUBLE - $np))
+               |  END""".stripMargin
+          val rounds = (1 to 3).map { r =>
+            s"""r$r AS MATERIALIZED (
+               |  SELECT node, reg, max(mr) AS mr FROM (
+               |    SELECT d.dst AS node, x.reg, x.mr
+               |    FROM dir d JOIN r${r - 1} x ON x.node = d.src
+               |    UNION ALL SELECT node, reg, mr FROM r${r - 1})
+               |  GROUP BY 1, 2)""".stripMargin
+          }.mkString(",\n")
+          val balls = (0 to 3).map { r =>
+            s"""b$r AS (
+               |  SELECT node,
+               |    floor((${estSql("s", "npres")}) * 10000 + 0.5) / 10000 AS b$r
+               |  FROM (SELECT node, count(*) AS npres,
+               |          sum(power(2.0::DOUBLE, -mr)) AS s
+               |        FROM r$r GROUP BY 1))""".stripMargin
+          }.mkString(",\n")
+          s"""WITH ${edgesCte(2000)},
+             |dir AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION ALL SELECT b, a FROM edges),
+             |n0 AS (SELECT DISTINCT src AS node FROM dir),
+             |r0 AS MATERIALIZED (
+             |  SELECT node, h // 268435456 AS reg,
+             |    CASE WHEN h % 268435456 = 0 THEN 29
+             |         ELSE 29 - length(bin(h % 268435456)) END AS mr
+             |  FROM (SELECT node,
+             |      CAST(('0x' || substr(md5('hb:' || CAST(node AS VARCHAR)), 1, 8))
+             |        AS BIGINT) AS h
+             |    FROM n0)),
+             |$rounds,
+             |$balls
+             |SELECT b0.node, b0, b1, b2, b3,
+             |  floor(((b1 - b0) / 1::DOUBLE + (b2 - b1) / 2::DOUBLE
+             |    + (b3 - b2) / 3::DOUBLE) * 10000 + 0.5) / 10000 AS harmonic_est
+             |FROM b0 JOIN b1 USING (node) JOIN b2 USING (node)
+             |  JOIN b3 USING (node)
+             |ORDER BY b0.node""".stripMargin
+        }),
+
       // HITS hubs/authorities: two mutual-reinforcement rounds on the
       // directed order->part graph, L1-normalized + 6dp-quantized per
       // half-step so both engines recurse on identical doubles

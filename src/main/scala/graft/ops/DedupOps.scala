@@ -280,8 +280,30 @@ object DedupOps {
                                       maxBroadcastCandidates: Long): DataFrame = {
     val rowsPerBand = k / bands
     graft.functions.MinHashFunctions.register(docs.sparkSession)
+    // IDENTICAL-FINGERPRINT COLLAPSE (r16 sf10 graduation finding): a
+    // web-scale corpus carries exact-duplicate GROUPS (boilerplate pages
+    // duplicated thousands of times — GenScale's keep-slice models this
+    // with groups of size `factor`), and running banding + verification on
+    // every member prices Σ|group|² shingle intersections for pairs whose
+    // jaccard is 1.0 by definition. Collapse to one representative per
+    // normalized-text fingerprint FIRST: banding + verification cost is
+    // ∝ DISTINCT texts, and member pairs are re-expanded at the end — a
+    // join sized by the OUTPUT, which no pair enumerator can avoid.
+    // Output is bit-identical to the uncollapsed form: same-fp docs have
+    // identical token lists, hence identical shingle sets and signatures,
+    // so within-group pairs are exactly jaccard 1.0 and cross-group pairs
+    // inherit the representative pair's exact jaccard.
+    val toksOf = TextOps.tokens(col("text"))
+    // shingle_hashes(toks, 3) is empty iff size(toks) < 3 — same corpus
+    // filter as the signature pipeline below, applied before fingerprinting
+    val members = docs.filter(size(toksOf) >= 3)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .persist()
+    val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val withSig = docs
-      .withColumn("toks", TextOps.tokens(col("text")))
+      .join(Exec.broadcastIfSmall(reps.select(col("doc_id")),
+        maxBroadcastCandidates), Seq("doc_id"))
+      .withColumn("toks", toksOf)
       .withColumn("hs", expr("shingle_hashes(toks, 3)"))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", expr(s"minhash_sig(hs, $k)"))
@@ -310,7 +332,7 @@ object DedupOps {
     // count: a degenerate corpus can make the pair set arbitrarily large,
     // and past the cap we fall back to a shuffle join (AQE may still
     // broadcast from runtime stats if it genuinely fits).
-    Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
+    val repPairs = Exec.broadcastIfSmall(candidates, maxBroadcastCandidates)
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
       .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
@@ -319,6 +341,24 @@ object DedupOps {
         col("inter").cast("double") / (size(col("h_a")) + size(col("h_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // re-expand representative pairs to member pairs (output-sized joins):
+    // cross-group pairs inherit the rep jaccard exactly; within-group
+    // pairs are identical texts — jaccard 1.0 by construction
+    val withRep = members
+      .join(reps.withColumnRenamed("doc_id", "rep"), Seq("fp"))
+      .select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")),
+        Seq("doc_a"))
+      .join(withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")),
+        Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val within = withRep.as("x").join(withRep.as("y"), Seq("rep"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** LSH band-configuration tuning sweep — the S-curve audit run BEFORE
@@ -658,7 +698,19 @@ object DedupOps {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     SimHash61.register(docs.sparkSession)
+    // identical-fingerprint collapse, same contract as minhashLshPairs
+    // (r16 sf10 finding: exact-dup groups of size g put C(g,2) pairs into
+    // EVERY band bucket — the uncollapsed sf10 run blew past 550 s):
+    // banding + hamming verification run over one representative per
+    // normalized text; members re-expand at the end (within-group hamming
+    // is 0 by identity, cross-group pairs inherit the rep hamming).
+    val members = docs
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .persist()
+    val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val sigs = docs
+      .join(Exec.broadcastIfSmall(reps.select(col("doc_id")), 1000000L),
+        Seq("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sig", expr("simhash61(toks)"))
       .select(col("doc_id"), col("sig"))
@@ -671,12 +723,27 @@ object DedupOps {
         .as(Seq("band", "band_bits")))
     val l = banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_bits"))
+    val repPairs = l.join(r, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", expr(SimHash61.hammingExpr("sig_a", "sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val withRep = members
+      .join(reps.withColumnRenamed("doc_id", "rep"), Seq("fp"))
+      .select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")),
+        Seq("doc_a"))
+      .join(withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")),
+        Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = withRep.as("x").join(withRep.as("y"), Seq("rep"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -891,6 +891,77 @@ object GraphOps {
     * whole sum is ONE long aggregate and harmonic = h_scaled / L is one
     * final division — no per-node double ever accumulates.
     */
+  /** HyperBall (Boldi–Vigna, "In-Core Computation of Geometric
+    * Centralities with HyperBall", 2013): harmonic centrality for EVERY
+    * node via per-node HyperLogLog ball sketches — the 100-TB path the
+    * seeded-BFS family can't take. [[seededBfs]]'s state is (seed × ball)
+    * PAIRS: exact, but seeds scale with the graph and r16's sf10
+    * graduation measured the family superlinear under memory pressure.
+    * HyperBall's state is m=16 registers PER NODE — O(16·N) total,
+    * independent of how many centralities you want (all of them) — and
+    * each round is ONE edge join + register-max re-aggregate: O(16·E)
+    * narrow-long rows per round, scan-shaped, no pair blowup ever.
+    *
+    * Determinism, cross-engine: the register scheme is the proven
+    * [[EventOps.hllDistinct]] one (32-bit md5-prefix hash; reg = top 4
+    * bits, rho = 29 − MSB(lower 28) via `length(bin(w))` — integer-exact
+    * in both engines). Register sums Σ2^−mr are sums of ≤16 exact powers
+    * of two (always exactly representable in double, order-free), the
+    * α·m²/s estimate and the small-range ln correction are the hll twins'
+    * arithmetic, and every per-round estimate is 4dp-floored BEFORE the
+    * harmonic combination Σ_r (Ê_r − Ê_{r−1})/r, so both engines difference
+    * identical quantized values. Differences are NOT clamped at zero
+    * (sketch estimates can shrink a step; Boldi–Vigna keep the raw
+    * telescope, and clamping would hide sketch noise the census exists to
+    * measure).
+    */
+  def hyperballHarmonic(und: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = und.localCheckpoint()
+    val dir = Exec.trackTransient(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint())
+    Exec.unpersistCheckpointed(e)
+    val est = expr(
+      """CASE WHEN 0.673D * 256D / (s + (16D - npres)) <= 40D AND npres < 16
+        |  THEN 16D * ln(16D / (16D - npres))
+        |  ELSE 0.673D * 256D / (s + (16D - npres))
+        |END""".stripMargin)
+    def estimate(regs: DataFrame, tag: String): DataFrame =
+      regs.groupBy(col("node"))
+        .agg(count(lit(1)).as("npres"), sum(expr("pow(2.0, -mr)")).as("s"))
+        .select(col("node"), (floor(est * 10000 + 0.5) / 10000).as(tag))
+    // r=0: a node's ball is itself — exactly one register per node
+    var regs = dir.select(col("src").as("node")).distinct()
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('hb:', " +
+        "CAST(node AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("node"), expr("h div 268435456").as("reg"),
+        expr("CASE WHEN h % 268435456 = 0 THEN 29 " +
+          "ELSE 29 - length(bin(h % 268435456)) END").as("mr"))
+      .localCheckpoint()
+    var balls = estimate(regs, "b0").localCheckpoint()
+    for (r <- 1 to rounds) {
+      // union-with-own before the (node, reg) max: the ball is monotone
+      val next = dir
+        .join(regs.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("reg"), col("mr"))
+        .unionByName(regs)
+        .groupBy(col("node"), col("reg")).agg(max(col("mr")).as("mr"))
+        .localCheckpoint()
+      balls = balls.join(estimate(next, s"b$r"), Seq("node"))
+        .localCheckpoint()
+      Exec.unpersistCheckpointed(regs)
+      regs = next
+    }
+    Exec.unpersistCheckpointed(regs)
+    val harmonic = (1 to rounds)
+      .map(r => (col(s"b$r") - col(s"b${r - 1}")) / lit(r.toDouble))
+      .reduce(_ + _)
+    balls
+      .withColumn("harmonic_est", floor(harmonic * 10000 + 0.5) / 10000)
+      .orderBy(col("node"))
+  }
+
   def harmonicCentrality(edges: DataFrame, seedMod: Long = 500L,
                          rounds: Int = 3): DataFrame = {
     val lcm = (1 to rounds).foldLeft(1L) { (acc, k) =>

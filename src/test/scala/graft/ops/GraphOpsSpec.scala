@@ -276,6 +276,58 @@ class GraphOpsSpec extends SparkSpec {
       math.floor(11.0 / 6.0 * 1000000 + 0.5) / 1000000, s"got: ${got.head}")
   }
 
+  test("hyperball: per-round estimates equal an HLL recompute over the " +
+    "EXACT r-balls, and harmonic telescopes from the quantized values") {
+    // path 1-2-3-4-5 plus a disjoint triangle 10-11-12: balls of several
+    // sizes, a component boundary, and nodes whose 3-ball saturates early
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = GraphOps.hyperballHarmonic(edgeSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // exact balls by brute-force BFS
+    val nbrs = edgeSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, r: Int): Set[Long] =
+      (0 until r).foldLeft(Set(v))((s, _) => s ++ s.flatMap(nbrs(_)))
+    // replicate the register + estimator math bit-for-bit
+    def hash32(node: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hb:$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def estimate(members: Set[Long]): Double = {
+      val regs = members.toSeq.map { v =>
+        val h = hash32(v)
+        val w = h % 268435456L
+        (h / 268435456L,
+          if (w == 0) 29 else 29 - java.lang.Long.toBinaryString(w).length)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val npres = regs.size
+      val s = regs.values.map(m => math.pow(2.0, -m)).sum
+      val raw = 0.673 * 256.0 / (s + (16.0 - npres))
+      val e = if (raw <= 40.0 && npres < 16)
+        16.0 * math.log(16.0 / (16.0 - npres)) else raw
+      math.floor(e * 10000 + 0.5) / 10000
+    }
+    val allNodes = nbrs.keySet
+    assert(got.keySet == allNodes, s"nodes: ${got.keySet}")
+    allNodes.foreach { v =>
+      val want = (0 to 3).map(r => estimate(ball(v, r)))
+      val harmonic = math.floor(((want(1) - want(0)) / 1.0 +
+        (want(2) - want(1)) / 2.0 + (want(3) - want(2)) / 3.0)
+        * 10000 + 0.5) / 10000
+      assert(got(v) == ((want(0), want(1), want(2), want(3), harmonic)),
+        s"node $v: got ${got(v)}, want $want + $harmonic")
+    }
+    // and the estimates rank structure sensibly even at m=16: the path
+    // CENTER's 2-ball (5 nodes) is estimated no smaller than an END's
+    // (3 nodes) since the register sets nest here by construction of BFS
+    assert(got(3L)._3 >= got(1L)._3)
+  }
+
   test("betweenness: hand-computed path graph, one count per seeded endpoint") {
     import spark.implicits._
     // path 0-1-2-3, every node a seed (mod 1). Brandes by hand:

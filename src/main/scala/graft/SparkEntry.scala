@@ -6020,6 +6020,45 @@ object SparkEntry {
               |    AS link_density
               |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // PII detection + redaction census over a SQL-expressible injection
+    // (the corpus is clean text): emails on %3 docs, phones on %5, IPs on
+    // %7 — overlapping moduli exercise multi-PII docs; every bucket
+    // non-vacuous by construction. Counts are raw-text matches; the
+    // fingerprint pins the full redacted payload.
+    Q("txt_pii_redact",
+      (s, d) => TextOps.piiRedactCensus(
+        TextOps.syntheticPiiDocs(documents(s, d))),
+      Some("""WITH pii AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' Contact user'
+             |      || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN ' or call +352 621 123456 today' ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' (logged from 10.0.'
+             |      || CAST(doc_id % 256 AS VARCHAR) || '.77)' ELSE '' END AS text
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |      AS n_email,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\+[0-9]{1,3} [0-9]{2,4} [0-9]{3,8}')) AS BIGINT) AS n_phone,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+             |      AS n_ipv4,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\+[0-9]{1,3} [0-9]{2,4} [0-9]{3,8}', '<PHONE>', 'g'),
+             |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+             |      AS redacted
+             |  FROM pii)
+             |SELECT doc_id, n_email, n_phone, n_ipv4,
+             |  n_email + n_phone + n_ipv4 AS n_redacted,
+             |  CAST(len(redacted) - len(text) AS BIGINT) AS char_delta,
+             |  md5(redacted) AS redacted_fp
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     Q("txt_html_boilerplate",
       (s, d) => TextOps.htmlBoilerplateCensus(
         TextOps.syntheticPages(documents(s, d))),

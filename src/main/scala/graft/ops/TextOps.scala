@@ -135,6 +135,62 @@ object TextOps {
       md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("scrubbed_fp"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------- PII scrubbing
+
+  /** PII patterns for the detection/redaction pass — deliberately RE2-safe
+    * (no backrefs, no lookaround) so the DuckDB oracle replays them
+    * verbatim. The usual pipeline triad: emails, international-format
+    * phone numbers, dotted-quad IPs.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,3} [0-9]{2,4} [0-9]{3,8}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII detection + redaction census — the scrub stage every corpus runs
+    * before training (emails/phones/IPs out, placeholder tags in): per doc,
+    * the per-pattern match counts, the redacted-text fingerprint (payload
+    * oracle-comparable without shipping the text), and the char delta.
+    * Patterns apply in [[PiiPatterns]] order — email first, so the dotted
+    * host of an already-redacted email can't double-count as an IP. Pure
+    * per-row expression work: zero shuffle, scan-speed at any corpus size.
+    */
+  def piiRedactCensus(docs: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val counts = PiiPatterns.foldLeft(docs.withColumn("redacted", redacted)) {
+      case (df, (name, pat, _)) =>
+        df.withColumn(s"n_$name",
+          regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    counts.select(col("doc_id") +: PiiPatterns.map { case (n, _, _) =>
+        col(s"n_$n") } :+
+        (col("n_email") + col("n_phone") + col("n_ipv4")).as("n_redacted") :+
+        (length(col("redacted")) - length(col("text"))).cast("long")
+          .as("char_delta") :+
+        md5(col("redacted")).as("redacted_fp"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic PII injection for the driver corpus (which is clean
+    * text): every doc_id % 3 == 0 doc gains an email, % 5 == 0 a phone,
+    * % 7 == 0 an IP — SQL-expressible so the DuckDB oracle replays it, and
+    * overlapping moduli exercise multi-PII docs. The census buckets are
+    * non-vacuous by construction (the r15 lesson).
+    */
+  def syntheticPiiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" or call +352 621 123456 today")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" (logged from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".77)"))).otherwise(lit(""))).as("text"))
+
   /** Gopher-style repetition signals per document: distinct-token ratio and
     * the fraction of all bigrams taken by the single most frequent bigram.
     * Highly repetitive documents (boilerplate, keyword stuffing, generation

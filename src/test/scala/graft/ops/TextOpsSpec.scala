@@ -1013,6 +1013,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(7) == 0.75, "boiler_ratio 3/4")
   }
 
+  test("piiRedactCensus: fixture doc with known PII — exact counts, " +
+    "redaction order, fingerprint of the hand-redacted text") {
+    import spark.implicits._
+    val text = "Mail a.b+c@test.org or x@y.io, call +44 20 79460000, " +
+      "server 192.168.1.254 answered"
+    val r = TextOps.piiRedactCensus(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+      s"email/phone/ip counts: $r")
+    assert(r.getLong(4) == 4L, "n_redacted sums the buckets")
+    val want = "Mail <EMAIL> or <EMAIL>, call <PHONE>, server <IP> answered"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantFp = md.digest(want.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(6) == wantFp, "redacted payload drifted")
+    assert(r.getLong(5) == (want.length - text.length).toLong)
+    // injection: every bucket non-vacuous on the driver corpus
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val agg = TextOps.piiRedactCensus(TextOps.syntheticPiiDocs(docs))
+      .agg(sum(col("n_email")), sum(col("n_phone")), sum(col("n_ipv4")),
+        sum(when(col("n_email") > 0 && col("n_phone") > 0 &&
+          col("n_ipv4") > 0, 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0)
+    assert(agg.getLong(3) > 0, "multi-PII docs (lcm moduli) must exist")
+  }
+
   test("syntheticPages wrapper populates EVERY census bucket by " +
     "construction, independent of driver-corpus structure") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -39,6 +39,13 @@ object MicroBench {
     * Without this, a driver regeneration that grows text 14.7× (observed
     * sf1, r15) reads as a plan regression, and a shrink would HIDE one
     * (r15 verdict item 7).
+    *
+    * LINEARITY ASSUMPTION (r16 advisor): the scale is linear in chars,
+    * but dedup_simhash/dedup_substring_spans carry banding terms that can
+    * grow faster than linear on a skewed regeneration — the normalization
+    * is only trusted across SMALL corpus drifts; after any large
+    * regeneration, re-baseline with `--gate --update` instead of leaning
+    * on the linear scale across the jump.
     */
   val ByteNormalized = Set("dedup_substring_spans", "dedup_simhash",
     "dedup_cdc_chunks", "txt_crossdoc_ngrams", "dedup_substring_removal")
@@ -47,8 +54,11 @@ object MicroBench {
     * denominator for [[ByteNormalized]] queries. */
   private def inputChars(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
+    // coalesce: an empty documents table sums to NULL — degrade to 0,
+    // which the charsBase<=0 branch treats as "no normalization" (r16
+    // advisor: the bare getLong NPE'd instead)
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .agg(sum(col("n_chars"))).head().getLong(0).toDouble
+      .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0).toDouble
   }
 
   /** Host-speed calibration: a fixed COMPOSITE job — a CPU leg (1.6B

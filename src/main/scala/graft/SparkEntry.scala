@@ -1731,7 +1731,7 @@ object SparkEntry {
       Q("graph_pagerank",
         (s, d) => graft.ops.GraphOps.pageRank(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
-          memoKey = Some(s"$d#pr500")),
+          memoKey = Some(s"$d#li500")),
         Some {
           val iters = (1 to 3).map { i =>
             s"""r$i AS MATERIALIZED (
@@ -1763,7 +1763,7 @@ object SparkEntry {
       Q("graph_ppr",
         (s, d) => graft.ops.GraphOps.personalizedPageRank(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
-          memoKey = Some(s"$d#pr500")),
+          memoKey = Some(s"$d#li500")),
         Some {
           val iters = (1 to 3).map { i =>
             s"""r$i AS MATERIALIZED (
@@ -1842,7 +1842,7 @@ object SparkEntry {
       Q("graph_bfs_layers",
         (s, d) => graft.ops.GraphOps.bfsLayers(
           graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
-          seedMod = 137L, rounds = 4),
+          seedMod = 137L, rounds = 4, memoKey = Some(s"$d#li500")),
         Some {
           val layers = (1 to 4).map { r =>
             s"""l$r AS MATERIALIZED (
@@ -1882,7 +1882,8 @@ object SparkEntry {
       // instead of collapsing to one label
       Q("graph_lpa_communities",
         (s, d) => graft.ops.GraphOps.labelPropagation(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2,
+          memoKey = Some(s"$d#li2000")),
         Some(s"""WITH ${lpaCtes(2000)}
                 |SELECT label AS community, count(*) AS n_nodes,
                 |  min(node) AS min_node, max(node) AS max_node,
@@ -1894,7 +1895,8 @@ object SparkEntry {
       // value, q_total divides the exact integer sum
       Q("graph_modularity",
         (s, d) => graft.ops.GraphOps.modularity(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000), rounds = 2,
+          memoKey = Some(s"$d#li2000")),
         Some(s"""WITH ${lpaCtes(2000)},
                 |mm AS (SELECT count(*) AS m FROM edges),
                 |deg AS (SELECT node, count(*) AS deg FROM (
@@ -1927,7 +1929,8 @@ object SparkEntry {
       // integer division per seed
       Q("graph_closeness",
         (s, d) => graft.ops.GraphOps.closenessCentrality(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000),
+          memoKey = Some(s"$d#li2000")),
         Some(s"""WITH ${bfsCtes(2000, 500)}
                 |SELECT seed, count(*) AS n_reached,
                 |  CAST(sum(dist) AS BIGINT) AS dist_sum,
@@ -1942,7 +1945,8 @@ object SparkEntry {
       // exact integer 6/d (lcm(1..3)), one long sum, one final division
       Q("graph_harmonic",
         (s, d) => graft.ops.GraphOps.harmonicCentrality(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000),
+          memoKey = Some(s"$d#li2000")),
         Some(s"""WITH ${bfsCtes(2000, 500)}
                 |SELECT seed, count(*) AS n_reached,
                 |  floor(CAST(sum(6 // dist) AS DOUBLE) / 6
@@ -1959,7 +1963,8 @@ object SparkEntry {
       // quantized values.
       Q("graph_hyperball",
         (s, d) => graft.ops.GraphOps.hyperballHarmonic(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000),
+          memoKey = Some(s"$d#li2000")),
         Some {
           val estSql = (s: String, np: String) =>
             s"""CASE WHEN 0.673::DOUBLE * 256::DOUBLE / ($s + (16::DOUBLE - $np)) <= 40::DOUBLE
@@ -2044,7 +2049,8 @@ object SparkEntry {
       // pseudo-random permutation both engines replay; oracle unrolls the
       // 8 hops over the same adjacency arrays
       Q("graph_random_walks",
-        (s, d) => graft.ops.GraphOps.randomWalkCensus(lineitem(s, d), 2000),
+        (s, d) => graft.ops.GraphOps.randomWalkCensus(lineitem(s, d), 2000,
+          memoKey = Some(s"$d#li2000")),
         Some {
           val steps = (1 to 8).map { i =>
             s"""w$i AS MATERIALIZED (
@@ -2079,7 +2085,7 @@ object SparkEntry {
       // extra rounds past the fixpoint are no-ops
       Q("graph_coreness",
         (s, d) => graft.ops.GraphOps.corenessHistogram(lineitem(s, d), 2000,
-          memoKey = Some(s"$d#coreness2000")),
+          memoKey = Some(s"$d#li2000")),
         Some {
           val rounds = (1 to 48).map { i =>
             s"""h$i AS MATERIALIZED (
@@ -2169,7 +2175,8 @@ object SparkEntry {
       // doubles (the ts_pacf trick)
       Q("graph_betweenness",
         (s, d) => graft.ops.GraphOps.betweennessBounded(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 2000),
+          memoKey = Some(s"$d#li2000")),
         Some(s"""WITH ${edgesCte(2000)},
                 |dir AS MATERIALIZED (
                 |  SELECT a AS src, b AS dst FROM edges
@@ -2303,7 +2310,8 @@ object SparkEntry {
 
       Q("graph_assortativity",
         (s, d) => graft.ops.GraphOps.degreeAssortativity(
-          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500)),
+          graft.ops.GraphOps.lineitemEdges(lineitem(s, d), 500),
+          memoKey = Some(s"$d#li500")),
         Some(s"""WITH ${edgesCte(500)},
                 |dir AS MATERIALIZED (
                 |  SELECT a AS src, b AS dst FROM edges
@@ -6334,7 +6342,7 @@ object SparkEntry {
     // counting via list_zip, argmax by (cnt DESC, pair ASC), greedy
     // left-to-right merge via list_reduce over space-joined symbols
     Q("txt_bpe_merges",
-      (s, d) => TextOps.bpeMerges(documents(s, d)),
+      (s, d) => TextOps.bpeMerges(documents(s, d), memoKey = Some(s"$d#bpe")),
       Some {
         val rounds = (1 to 5).map { r =>
           s"""p$r AS (
@@ -6374,7 +6382,7 @@ object SparkEntry {
     // symbol with its frequency-weighted count — the oracle replays the
     // full training unroll and tallies the final segmentation
     Q("txt_bpe_vocab",
-      (s, d) => TextOps.bpeVocab(documents(s, d)),
+      (s, d) => TextOps.bpeVocab(documents(s, d), memoKey = Some(s"$d#bpe")),
       Some {
         val rounds = (1 to 5).map { r =>
           s"""p$r AS (
@@ -6413,7 +6421,7 @@ object SparkEntry {
     // fingerprints the full word-ordered segmentation — one flipped merge
     // boundary anywhere in any document breaks the hash
     Q("txt_bpe_encode",
-      (s, d) => TextOps.bpeEncode(documents(s, d)),
+      (s, d) => TextOps.bpeEncode(documents(s, d), memoKey = Some(s"$d#bpe")),
       Some {
         s"""$BpeEncodePrefix,
            |t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
@@ -6436,7 +6444,7 @@ object SparkEntry {
     // tokenizer-equity readout): shared BPE encode core, language-grain
     // rollup of exact word/subword/char counts
     Q("txt_fertility_by_lang",
-      (s, d) => TextOps.fertilityByLang(documents(s, d)),
+      (s, d) => TextOps.fertilityByLang(documents(s, d), memoKey = Some(s"$d#bpe")),
       Some {
         s"""$BpeEncodePrefix,
            |t AS (SELECT doc_id, lang, $DuckToks AS toks FROM documents),

@@ -248,12 +248,13 @@ object LshBuckets {
     */
   def register(spark: SparkSession, planes: Array[Array[Double]],
                planesPerTable: Int): Unit =
-    // planes derive deterministically from their dimensions, so keying the
-    // once-guard on (nPlanes, dim, planesPerTable) is exact: a different
-    // plane matrix shape re-registers, an identical one is skipped
+    // the once-guard key carries a CONTENT hash of the plane matrix, not
+    // just its shape: two same-shaped matrices from different RNG seeds
+    // must not alias, or the second caller would silently compute buckets
+    // with the first caller's stale planes (r16 advisor)
     RegisterOnce(spark,
       s"lsh_buckets:${planes.length}x${planes.headOption.fold(0)(_.length)}" +
-        s":$planesPerTable") {
+        s":$planesPerTable:${planes.map(p => java.util.Arrays.hashCode(p)).toSeq.hashCode}") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_buckets", exprs => LshBuckets(exprs.head, planes, planesPerTable),
         "scala_udf")

@@ -103,7 +103,7 @@ object DedupOps {
       // both the candidate pass and the verification join read this — cache
       // so tokenize+shingle runs once (at cluster scale: checkpoint/write
       // the shingled table)
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // candidate generation runs entirely on NARROW columns — (doc_id, lang,
     // bucket, |sh|, one prefix hash per row) — so no shingle array ever
     // enters the length-band exchange (the same arrays-stay-home shape as
@@ -183,7 +183,7 @@ object DedupOps {
       .withColumn("sh", expr("shingle_hashes(toks, 3)"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("lang"), col("source"), col("sh"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // Prefix-filtered candidates (lossless, output unchanged): C(A,B) =
     // |A∩B| / min ≥ t needs overlap ≥ ⌈t·|A|⌉ for the SMALLER set A, so
     // under the arrays' hash order A's first |A| − ⌈t·|A|⌉ + 1 elements
@@ -298,7 +298,7 @@ object DedupOps {
     // filter as the signature pipeline below, applied before fingerprinting
     val members = docs.filter(size(toksOf) >= 3)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val withSig = docs
       .join(Exec.broadcastIfSmall(reps.select(col("doc_id")),
@@ -310,7 +310,7 @@ object DedupOps {
       // referenced by both the band explode and the verification join —
       // cache so the signature pipeline runs once (tiny: ids + hashes only)
       .select(col("doc_id"), col("hs"), col("sig"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // candidate generation on (doc_id, band hash) ONLY — the wide shingle
     // arrays stay out of the band shuffle and the pair-dedup shuffle
     val banded = withSig.select(
@@ -392,7 +392,7 @@ object DedupOps {
       .filter(size(col("hs")) > 0)
       .withColumn("sig", expr(s"minhash_sig(hs, $k)"))
       .select(col("doc_id"), col("hs"), col("sig"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     def candidates(bands: Int): DataFrame = {
       val rpb = k / bands
       val banded = withSig.select(col("doc_id"),
@@ -473,7 +473,7 @@ object DedupOps {
       .select(col("doc_id"), col("hs"), col("sig"), lit(isNew).as("is_new"))
     // one signature pass per side; both read twice (bands + verification)
     val withSig = sigs(corpus, isNew = false).union(sigs(batch, isNew = true))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     def banded(side: DataFrame): DataFrame = side.select(
       col("doc_id"), col("is_new"),
       posexplode(expr(s"band_hashes(sig, $bands, $rowsPerBand)"))
@@ -547,7 +547,7 @@ object DedupOps {
     val edges = bothWays
       .union(bothWays.select(col("doc_a")).distinct()
         .select(col("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // seed with each node's one-hop minimum (self-loops put the node itself
     // in its neighbor set) — what the first propagation round would produce
     // from identity labels, for one aggregation instead of a loop round
@@ -573,7 +573,7 @@ object DedupOps {
         .join(labels.as("l"), col("e.doc_a") === col("l.node"))
         .select(col("e.doc_b").as("node"), col("l.label").as("label"))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
+        .persist().transform(Exec.trackPersisted)
       // pointer jump: shortcut each node to its label's current label.
       // Every label IS a node of the graph (it is the min id reached so
       // far), so the self-join is total, and labels only ever decrease —
@@ -706,7 +706,7 @@ object DedupOps {
     // is 0 by identity, cross-group pairs inherit the rep hamming).
     val members = docs
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val sigs = docs
       .join(Exec.broadcastIfSmall(reps.select(col("doc_id")), 1000000L),
@@ -716,7 +716,7 @@ object DedupOps {
       .select(col("doc_id"), col("sig"))
       // both sides of the band self-join read this — cache so the corpus is
       // tokenized + hashed once (tiny: two longs per doc)
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(sig, b * 16) & 65535))"))
@@ -793,18 +793,18 @@ object DedupOps {
     val keyed = docs
       .select(col("doc_id"), col("lang"),
         rpad(substring(col("text"), 1, keyLen), keyLen, " ").as("key"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // rep = min doc id per identical (lang, key) group; reps are globally
     // unique (a doc belongs to exactly one group)
     val mem = keyed
       .join(keyed.groupBy(col("lang"), col("key"))
         .agg(min(col("doc_id")).as("rep")), Seq("lang", "key"))
       .select(col("rep"), col("doc_id"), col("lang"))
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     val keys = keyed
       .join(mem.filter(col("doc_id") === col("rep"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .persist()
+      .persist().transform(Exec.trackPersisted)
     // Pass-Join segment layout: maxDist+1 contiguous segments covering the
     // key, longer segments first (64 = 13+13+13+13+12 at the defaults).
     // Static literal bounds ⇒ plain substring columns, fully codegen'd.
@@ -1158,7 +1158,7 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(expr(s"rolling_hashes(text, $L)")).as(Seq("pos", "h")))
     // probe + coverage both read the batch windows — pin one pass
-    val batchWins = wins(batch).persist()
+    val batchWins = wins(batch).persist().transform(Exec.trackPersisted)
     // probe-set pushdown: a corpus hash the batch never produces cannot
     // change any batch window's coverage — drop it BEFORE the aggregate
     val probeSet = Exec.broadcastIfSmallBytes(

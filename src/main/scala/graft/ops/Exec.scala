@@ -19,7 +19,7 @@ object Exec {
     * frame is computed once either way.
     */
   def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame = {
-    val pinned = df.persist()
+    val pinned = trackPersisted(df.persist())
     if (pinned.count() <= maxRows) broadcast(pinned) else pinned
   }
 
@@ -42,7 +42,7 @@ object Exec {
     */
   def broadcastIfSmallBytes(df: DataFrame,
                             maxBytes: Long = DefaultBroadcastBytes): DataFrame = {
-    val pinned = df.persist()
+    val pinned = trackPersisted(df.persist())
     pinned.count()
     val bytes = pinned.queryExecution.withCachedData.stats.sizeInBytes
     if (bytes <= maxBytes) broadcast(pinned) else pinned
@@ -127,12 +127,34 @@ object Exec {
     df
   }
 
+  /** Registry of per-call `persist()` frames (r16 advisor): operators pin
+    * small reused intermediates whose returned DataFrame is lazy, so the
+    * operator itself has no safe unpersist point — in a long-lived session
+    * that never calls [[clearPinned]] the pins accumulate. Tracked frames
+    * are explicitly unpersisted at the next drain (cheap no-op when the
+    * cacheManager clear already dropped them). */
+  private val transientPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a `persist()`ed frame for release at the next
+    * [[clearPinned]]/[[releaseAll]]; returns the frame for chaining. */
+  def trackPersisted(df: DataFrame): DataFrame = {
+    transientPersists.add(df)
+    df
+  }
+
   private def drainTransient(): Unit = {
     var df = transientCheckpoints.poll()
     while (df != null) {
       try unpersistCheckpointed(df)
       catch { case _: Throwable => () } // a stopped session has no blocks
       df = transientCheckpoints.poll()
+    }
+    var p = transientPersists.poll()
+    while (p != null) {
+      try p.unpersist(false)
+      catch { case _: Throwable => () }
+      p = transientPersists.poll()
     }
   }
 

@@ -528,8 +528,18 @@ object VectorOps {
   }
 
   def ivfAnn(emb: DataFrame, maxQueryId: Int, k: Int, nProbe: Int = 2,
-             maxBroadcastCandidates: Long = 1000000L): DataFrame = {
-    val cand = ivfCandidates(emb, maxQueryId, nProbe)
+             maxBroadcastCandidates: Long = 1000000L): DataFrame =
+    ivfAnnFromCandidates(emb, ivfCandidates(emb, maxQueryId, nProbe),
+      maxQueryId, k, maxBroadcastCandidates)
+
+  /** The exact-cosine rerank half of [[ivfAnn]] over a PRE-BUILT candidate
+    * set — split out (r17) so [[ivfProbeSweep]] can feed its per-config
+    * candidates straight in instead of re-deriving cell distances and the
+    * corpus assignment once more per swept config.
+    */
+  private def ivfAnnFromCandidates(emb: DataFrame, cand: DataFrame,
+      maxQueryId: Int, k: Int,
+      maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val qvecs = emb.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // same gate as annLsh: probe fan-out makes the candidate count
@@ -560,11 +570,34 @@ object VectorOps {
       knnBruteForce(emb, maxQueryId, k)
         .select(col("query_id"), col("vec_id")).localCheckpoint())
     val nTruth = exact.count()
+    // r17: ONE cell-distance pass + ONE corpus assignment feed every swept
+    // config — they were previously re-derived per config twice over (once
+    // in ivfCandidates, once more inside each ivfAnn call): 6 redundant
+    // centroid/distance passes for a 3-point sweep. Identical math — the
+    // per-config candidates are the same rows the old path produced.
+    val dists = Exec.trackTransient(
+      cellDistances(emb).select(
+        col("vec_id"), col("c_label").as("cell"), col("dist"))
+        .localCheckpoint())
+    val assign = Exec.trackTransient(
+      dists.groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+        .select(col("vec_id"), col("mc.cell").as("cell"))
+        .localCheckpoint())
+    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val ranked = dists.filter(col("vec_id") < maxQueryId)
+      .withColumn("rn", row_number().over(byDist))
     val rows = Seq(1, 2, 4).map { p =>
       val cand = Exec.trackTransient(
-        ivfCandidates(emb, maxQueryId, p).localCheckpoint())
+        ranked.filter(col("rn") <= p)
+          .select(col("vec_id").as("query_id"), col("cell"))
+          .join(assign, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+          .dropDuplicates("query_id", "vec_id")
+          .localCheckpoint())
       val nCand = cand.count()
-      val approx = ivfAnn(emb, maxQueryId, k, nProbe = p)
+      val approx = ivfAnnFromCandidates(emb, cand, maxQueryId, k)
         .select(col("query_id"), col("vec_id"))
       val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi").count()
       (p, nCand, nTruth, hits,

@@ -97,15 +97,14 @@ class UnpartitionedWindowGuardSpec extends SparkSpec {
   test("coreness adjacency build: no unpartitioned window over an " +
     "unbounded frame (the r14 shuffle-fallback single-task funnel)") {
     // compose the SAME stage plans corenessValues executes (directed
-    // union -> globalRank index -> index-space adjacency) without the
-    // intermediate checkpoints, so the full index-assignment plan —
-    // including globalRank's internals — is visible to the shape check
+    // union -> node-space adjacency; r17 removed the globalRank dense
+    // index, so the build must stay window-free outright) without the
+    // intermediate checkpoints, so the full plan is visible to the check
     import spark.implicits._
     val edges = graft.ops.GraphOps.lineitemEdges(
       spark.read.parquet(s"$sfDir/lineitem.parquet"), 2000)
     val dir = graft.ops.GraphOps.corenessDirected(edges)
-    val adj = graft.ops.GraphOps.corenessAdjacency(
-      dir, graft.ops.GraphOps.corenessIndex(dir))
+    val adj = graft.ops.GraphOps.corenessAdjacency(dir)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =
       try adj.queryExecution.executedPlan

@@ -2111,7 +2111,8 @@ object SparkEntry {
       // pairs, feed-forward triangles, min-rotation 3-cycles — instance
       // counts (not exclusive triad classes), all exact integers
       Q("graph_triad_census",
-        (s, d) => graft.ops.GraphOps.triadCensus(lineitem(s, d), 2000),
+        (s, d) => graft.ops.GraphOps.triadCensus(lineitem(s, d), 2000,
+          memoKey = Some(s"$d#dcyc2000")),
         Some("""WITH e AS MATERIALIZED (
                |  SELECT DISTINCT l_orderkey % 2000 AS src,
                |    l_partkey % 2000 AS dst
@@ -2147,7 +2148,8 @@ object SparkEntry {
       // is a completely independent formulation — recursive-CTE transitive
       // closure, scc_id(v) = least mutually-reachable node
       Q("graph_scc",
-        (s, d) => graft.ops.GraphOps.sccSummary(lineitem(s, d), 2000),
+        (s, d) => graft.ops.GraphOps.sccSummary(lineitem(s, d), 2000,
+          memoKey = Some(s"$d#dcyc2000")),
         Some("""WITH RECURSIVE e AS (
                |  SELECT DISTINCT l_orderkey % 2000 AS src,
                |    l_partkey % 2000 AS dst

@@ -413,8 +413,11 @@ object DedupOps {
     // member's cost still shows, as its candidate COUNT). Candidate list
     // broadcast-gated onto the set joins so the wide hash arrays never
     // shuffle (the production pair generator's contract).
+    // the r=2 candidate set is BOTH the verification input and one of the
+    // swept configs — materialize it once (r17; it was band-joined twice)
+    val candRef = Exec.trackTransient(candidates(k / 2).localCheckpoint())
     val truth = Exec.trackTransient(
-      Exec.broadcastIfSmall(candidates(k / 2), 1000000L)
+      Exec.broadcastIfSmall(candRef, 1000000L)
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
       .filter(sizeCompatible(col("h_a"), col("h_b"), threshold))
@@ -424,11 +427,13 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint())
     val configs = Seq(k, k / 2, k / 3, k / 4).distinct.filter(k % _ == 0)
+    val nTruth = truth.count()
     val rows = configs.map { b =>
-      val cand = Exec.trackTransient(candidates(b).localCheckpoint())
+      val cand =
+        if (b == k / 2) candRef // already materialized for the reference
+        else Exec.trackTransient(candidates(b).localCheckpoint())
       val nCand = cand.count()
       val nCaptured = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
-      val nTruth = truth.count()
       (b, k / b, nCand, nTruth, nCaptured,
         math.floor(nCaptured.toDouble / nTruth.toDouble * 1000000 + 0.5) / 1000000)
     }

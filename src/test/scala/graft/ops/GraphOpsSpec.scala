@@ -470,6 +470,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(rounds == 2, s"expected a 2-round peel, ran $rounds")
   }
 
+  test("scc: driver-resident Tarjan path matches the distributed FW-BW " +
+    "assignment exactly (r17 bounded-metadata fast path)") {
+    import spark.implicits._
+    // cycles, a bridge, a singleton source, and a two-SCC color class —
+    // every shape the FW-BW specs above exercise, in one fixture
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (0L, 1L), (0L, 7L), (7L, 8L), (8L, 7L))
+      .toDF("src", "dst")
+    val fast = GraphOps.sccAssignAuto(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (slowDf, _) = GraphOps.sccAssignWithRounds(edges)
+    val slow = slowDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    // past the gate the distributed peel must be the one that runs
+    val gated = GraphOps.sccAssignAuto(edges, maxDriverEdges = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == slow, s"gated=$gated slow=$slow")
+  }
+
+  test("betweenness: warm-BFS reuse path (memo populated by closeness) " +
+    "matches the cold self-contained path exactly") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L), (4L, 5L),
+      (5L, 3L), (3L, 6L), (6L, 7L), (2L, 500L), (500L, 8L), (8L, 9L))
+      .toDF("a", "b")
+    val cold = GraphOps.betweennessBounded(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    // closeness under a memo key materializes the shared bounded BFS;
+    // betweenness under the SAME key must then take the reuse branch
+    val key = Some("spec-warm-bfs")
+    GraphOps.closenessCentrality(edges, memoKey = key).collect()
+    val warm = GraphOps.betweennessBounded(edges, memoKey = key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(warm == cold, s"warm=$warm cold=$cold")
+  }
+
   test("scc: fail-loud caps, not silent truncation") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")

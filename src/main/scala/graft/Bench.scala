@@ -74,11 +74,22 @@ object Bench {
     // query count pushes the line over budget.
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    // Host-weather canary (r16 verdict item 1), measured INSIDE the
+    // official run AFTER the timed passes: the MicroBench composite CPU+IO
+    // job whose wall time tracks the box, not any plan. Dividing it by
+    // MICROBENCH.json's committed `_canary` gives the run's host band, so
+    // the artifact self-adjudicates slow-window spikes instead of leaving
+    // them to narrative. Additive JSON key — the driver's parser ignores
+    // keys it doesn't read, and the existing keys are untouched.
+    val canary =
+      try MicroBench.canarySecs(spark, sfDir)
+      catch { case _: Throwable => 0.0 }
     def render(decimals: Int): String = {
       def f(v: Double): String = s"%.${decimals}f".format(v)
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""canary":${"%.3f".format(canary)},"sf":"$sfName"}"""
     }
     // if even 1-decimal resolution overflows the tail budget (the per-query
     // map grows with the registry), keep the SLOWEST queries that fit and
@@ -90,7 +101,8 @@ object Bench {
         val qs = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + f(v) }
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-          s""""omitted":${results.size - k},"sf":"$sfName"}"""
+          s""""omitted":${results.size - k},""" +
+          s""""canary":${"%.3f".format(canary)},"sf":"$sfName"}"""
       }
       (results.size to 1 by -1).iterator.map(renderTop)
         .find(_.length <= 1850).getOrElse(renderTop(1))

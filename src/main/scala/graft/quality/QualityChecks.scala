@@ -456,6 +456,62 @@ object QualityChecks {
       .orderBy(col("column_name"))
   }
 
+  /** Exact-vs-approx IQR agreement audit in TWO passes instead of four
+    * (r17): the registered `qc_outlier_iqr_approx` query composed
+    * [[iqrOutliers]] twice — exact and approx legs each paid their own
+    * quartile aggregate AND census scan over the fact table. Here ONE
+    * aggregate carries both quartile buffers (exact percentile + GK
+    * sketch) and ONE census scan counts both fence sets; every value
+    * expression (quartiles, raw fences, q4 displays, tolerance bands) is
+    * the same as the two-leg composition, so the output is identical —
+    * proven by the oracle hash at every SF.
+    */
+  def iqrApproxAudit(df: DataFrame, cols: Seq[String],
+                     accuracy: Int = 10000): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val aggs =
+      cols.map(c => expr(s"percentile($c, array(0.25D, 0.75D))").as(s"eq_$c")) ++
+      cols.map(c => expr(s"cast(approx_percentile($c, array(0.25D, 0.75D)," +
+        s" $accuracy) as array<double>)").as(s"aq_$c"))
+    val q = df.agg(aggs.head, aggs.tail: _*)
+      .select(cols.flatMap(c => Seq(
+        expr(s"element_at(eq_$c, 1)").as(s"q1_$c"),
+        expr(s"element_at(eq_$c, 2)").as(s"q3_$c"),
+        expr(s"element_at(aq_$c, 1)").as(s"a1_$c"),
+        expr(s"element_at(aq_$c, 2)").as(s"a3_$c"))): _*)
+    def lo(q1: String, q3: String): Column =
+      col(q1) - (col(q3) - col(q1)) * 1.5
+    def hi(q1: String, q3: String): Column =
+      col(q3) + (col(q3) - col(q1)) * 1.5
+    val census = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c) < lo(s"q1_$c", s"q3_$c"), 1L).otherwise(0L)).as(s"nb_$c"),
+      sum(when(col(c) > hi(s"q1_$c", s"q3_$c"), 1L).otherwise(0L)).as(s"na_$c"),
+      sum(when(col(c) < lo(s"a1_$c", s"a3_$c"), 1L).otherwise(0L)).as(s"anb_$c"),
+      sum(when(col(c) > hi(s"a1_$c", s"a3_$c"), 1L).otherwise(0L)).as(s"ana_$c")))
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', q1_$c, q3_$c, a1_$c, a3_$c, nb_$c, na_$c, anb_$c, ana_$c")
+      .mkString(", ") +
+      ") AS (column_name, q1r, q3r, a1r, a3r, n_below, n_above, anb, ana)"
+    df.crossJoin(broadcast(q))
+      .agg(census.head, census.tail: _*)
+      .crossJoin(broadcast(q))
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"),
+        q4(col("q1r")).as("q1"), q4(col("q3r")).as("q3"), col("n_rows"),
+        col("n_below"), col("n_above"),
+        (abs(q4(col("a1r")) - q4(col("q1r")))
+          <= greatest(abs(q4(col("q1r"))) * 0.05, lit(1.0)) &&
+          abs(q4(col("a3r")) - q4(col("q3r")))
+            <= greatest(abs(q4(col("q3r"))) * 0.05, lit(1.0)))
+          .as("quartiles_within_tol"),
+        (abs(col("anb") - col("n_below"))
+          <= greatest(col("n_rows") * 0.005, lit(10.0)) &&
+          abs(col("ana") - col("n_above"))
+            <= greatest(col("n_rows") * 0.005, lit(10.0)))
+          .as("census_within_tol"))
+      .orderBy(col("column_name"))
+  }
+
   /** Cross-table temporal sanity — the referential-integrity check's
     * TEMPORAL sibling: facts whose event time precedes their parent's
     * creation time are corrupt joins, clock skew, or backfill bugs (here:

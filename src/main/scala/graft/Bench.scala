@@ -20,12 +20,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Exception, by design: SESSION-SCOPED memoized frames (the graph
   * queries' oriented-edge frame, the dedup family's verified LSH pair
-  * graph) are localCheckpoint'ed and deliberately survive the cache clear
-  * — a session running those query families back to back materializes the
-  * shared frame once, which is exactly how a production pipeline runs
-  * them. The FIRST query touching a family pays the materialization
-  * inside its measured time; the family's total is what the bench
-  * reports honestly.
+  * graph; r17 extended the same contract to the shared lineitem edge
+  * dedups, the closeness/harmonic BFS, the LPA labels, the BPE tokenizer
+  * model, and the PQ reconstruction) are localCheckpoint'ed and
+  * deliberately survive the cache clear — a session running those query
+  * families back to back materializes the shared frame once, which is
+  * exactly how a production pipeline runs them. The FIRST query touching
+  * a family pays the materialization inside its measured time; the
+  * family's total is what the bench reports honestly. The COLD
+  * single-query costs live in MICROBENCH.json (MicroBench evicts memos
+  * between reps).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -2015,7 +2015,8 @@ object SparkEntry {
       // directed order->part graph, L1-normalized + 6dp-quantized per
       // half-step so both engines recurse on identical doubles
       Q("graph_hits",
-        (s, d) => graft.ops.GraphOps.hitsBounded(lineitem(s, d), 2000),
+        (s, d) => graft.ops.GraphOps.hitsBounded(lineitem(s, d), 2000,
+          memoKey = Some(s"$d#hits2000")),
         Some("""WITH e AS MATERIALIZED (
                 |  SELECT DISTINCT l_orderkey % 2000 AS u,
                 |    l_partkey % 2000 + 2000 AS v FROM lineitem),

@@ -1093,12 +1093,15 @@ object GraphOps {
     * [[pageRank]] plan with a side alternation; score frames checkpoint
     * per half-step to cut the iterative lineage.
     */
-  def hitsBounded(li: DataFrame, n: Int = 2000): DataFrame = {
+  def hitsBounded(li: DataFrame, n: Int = 2000,
+                  memoKey: Option[String] = None): DataFrame = {
     def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
-    val e = Exec.trackTransient(li
+    // r17: the bipartite edge dedup rides the directed-frame memo (the
+    // kcoreMemo contract — one full-shuffle distinct per session)
+    val e = directedShared(li
       .select((col("l_orderkey") % n).as("u"),
         (col("l_partkey") % n + n).as("v"))
-      .distinct().localCheckpoint())
+      .distinct(), memoKey)
     val h0 = e.select(col("u")).distinct().withColumn("h", lit(1.0))
     def authStep(h: DataFrame): DataFrame = {
       val raw = e.join(h, Seq("u")).groupBy(col("v")).agg(sum(col("h")).as("raw"))

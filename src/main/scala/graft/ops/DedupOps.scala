@@ -429,11 +429,15 @@ object DedupOps {
     val configs = Seq(k, k / 2, k / 3, k / 4).distinct.filter(k % _ == 0)
     val nTruth = truth.count()
     val rows = configs.map { b =>
-      val cand =
-        if (b == k / 2) candRef // already materialized for the reference
-        else Exec.trackTransient(candidates(b).localCheckpoint())
-      val nCand = cand.count()
-      val nCaptured = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      val cand = if (b == k / 2) candRef else candidates(b)
+      // candidate count + capture count in ONE job (r17; was a checkpoint
+      // + two count jobs per config): truth is distinct on (doc_a, doc_b),
+      // so the left join preserves candidate rows 1:1 and count(hit)
+      // equals the old semi-join count exactly
+      val cnt = cand
+        .join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("cap")).head()
+      val (nCand, nCaptured) = (cnt.getLong(0), cnt.getLong(1))
       (b, k / b, nCand, nTruth, nCaptured,
         math.floor(nCaptured.toDouble / nTruth.toDouble * 1000000 + 0.5) / 1000000)
     }

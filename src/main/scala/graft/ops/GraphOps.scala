@@ -1033,7 +1033,14 @@ object GraphOps {
       .select(col("node") +:
         (0 until 16).map(k => when(col("reg") === k, col("mr")).as(s"m$k")): _*)
       .localCheckpoint()
-    var balls = estimate(regs, "b0").localCheckpoint()
+    // the balls chain stays LAZY (r17): each b_r is a node-sized estimate
+    // over round r's checkpointed register frame, so the chain is 3 cheap
+    // hash joins materialized ONCE by the final sort — eager per-round
+    // ball checkpoints were 4 extra blocking jobs. Every register frame
+    // must outlive the call (the lazy chain reads them at the end), so
+    // superseded rounds are drained between queries instead of eagerly.
+    Exec.trackTransient(regs)
+    var balls = estimate(regs, "b0")
     for (r <- 1 to rounds) {
       // union-with-own before the per-node max: the ball is monotone
       val next = dir
@@ -1044,12 +1051,10 @@ object GraphOps {
         .agg(max(col(mCols.head)).as(mCols.head),
           mCols.tail.map(c => max(col(c)).as(c)): _*)
         .localCheckpoint()
+      Exec.trackTransient(next)
       balls = balls.join(estimate(next, s"b$r"), Seq("node"))
-        .localCheckpoint()
-      Exec.unpersistCheckpointed(regs)
       regs = next
     }
-    Exec.unpersistCheckpointed(regs)
     val harmonic = (1 to rounds)
       .map(r => (col(s"b$r") - col(s"b${r - 1}")) / lit(r.toDouble))
       .reduce(_ + _)

@@ -3789,7 +3789,8 @@ object SparkEntry {
     // census pass for all columns
     Q("qc_outlier_iqr",
       (s, d) => QualityChecks.iqrOutliers(lineitem(s, d),
-        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        memoKey = Some(d)),
       Some {
         val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
         val qsel = cols.map(c =>
@@ -3830,7 +3831,7 @@ object SparkEntry {
       // census scan counts both fence sets (was two iqrOutliers legs =
       // four fact-table passes); identical value expressions, same output
       (s, d) => QualityChecks.iqrApproxAudit(lineitem(s, d),
-        Seq("l_extendedprice", "l_quantity")),
+        Seq("l_extendedprice", "l_quantity"), memoKey = Some(d)),
       Some("""WITH q AS (SELECT
              |    quantile_cont(l_extendedprice, 0.25) AS q1_p,
              |    quantile_cont(l_extendedprice, 0.75) AS q3_p,

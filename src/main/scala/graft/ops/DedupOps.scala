@@ -534,7 +534,8 @@ object DedupOps {
     * dedup groups, embedding-cosine pairs, …).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          reliableCheckpointDir: Option[String] = None): DataFrame = {
+                          reliableCheckpointDir: Option[String] = None,
+                          maxDriverEdges: Long = 4000000L): DataFrame = {
     // lineage cut per round: localCheckpoint is fast but executor-loss-
     // fragile; a reliable dir swaps in checkpoint() — same constant-size
     // plans, resilient to executor loss on a long-running cluster job
@@ -544,7 +545,16 @@ object DedupOps {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val undirected = pairs.select(col("doc_a"), col("doc_b"))
+    // r17: the pair list is materialized ONCE up front — the count below is
+    // the gate statistic for the driver-resident path, and both branches
+    // reread the cached pairs instead of recomputing their (possibly
+    // expensive) generation subtree
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+      .persist().transform(Exec.trackPersisted)
+    val nPairs = und.count()
+    if (nPairs <= maxDriverEdges && reliableCheckpointDir.isEmpty)
+      return connectedComponentsDriver(und)
+    val undirected = und
     val bothWays = undirected
       .union(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     // SELF-LOOP per node: each propagation join then carries a node's own
@@ -614,6 +624,71 @@ object DedupOps {
     // it at the next between-query clearPinned, not never
     Exec.trackTransient(labels)
     labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-resident connected components (union–find with path
+    * compression) for a BOUNDED pair list — the [[graft.ops.GraphOps]]
+    * bounded-metadata doctrine (r17 coreness / SCC) applied to the dedup
+    * component pass: the near-dup pair graph is the OUTPUT of a banded +
+    * verified candidate generation, orders of magnitude smaller than the
+    * corpus, and once materialized (the caller persists + counts it) it is
+    * metadata. One collect, one in-memory union–find, and the
+    * (node, min-member label) assignment comes back as a |V|-row frame —
+    * replacing ~O(log diameter) pointer-jump rounds of 2 joins + 1
+    * checkpoint + 1 convergence collect each (almost pure driver-loop
+    * latency on a bench-scale graph). EQUIVALENCE: both compute
+    * cluster_id = min node id of the component — union–find's
+    * representative is remapped to the component min explicitly, so the
+    * assignment is definitionally identical (pinned by the CC parity spec
+    * in DedupOpsSpec). Past the `maxDriverEdges` gate (or with a reliable
+    * checkpoint dir, i.e. a long-running cluster job that wants
+    * executor-loss resilience) the distributed pointer-jump loop runs
+    * unchanged.
+    */
+  private def connectedComponentsDriver(und: DataFrame): DataFrame = {
+    val rows = und.collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < rows.length) {
+      val a = id(rows(i).getLong(0)); val b = id(rows(i).getLong(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+      i += 1
+    }
+    val n = ids.length
+    // component label = min node id over members (the pointer-jump result)
+    val minId = new Array[Long](n)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+      i += 1
+    }
+    val spark = und.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+        (0 until n).map(j => (ids(j), minId(find(j)))))
+      .toDF("node", "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_survivor"))
       .orderBy(col("doc_id"))

@@ -1099,7 +1099,8 @@ object GraphOps {
     * per half-step to cut the iterative lineage.
     */
   def hitsBounded(li: DataFrame, n: Int = 2000,
-                  memoKey: Option[String] = None): DataFrame = {
+                  memoKey: Option[String] = None,
+                  maxDriverEdges: Long = 4000000L): DataFrame = {
     def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
     // r17: the bipartite edge dedup rides the directed-frame memo (the
     // kcoreMemo contract — one full-shuffle distinct per session)
@@ -1107,6 +1108,17 @@ object GraphOps {
       .select((col("l_orderkey") % n).as("u"),
         (col("l_partkey") % n + n).as("v"))
       .distinct(), memoKey)
+    // r17b: the mod-n construction bounds the bipartite graph (≤ 2n nodes,
+    // ≤ n² edges), so once the distributed distinct has run the edge list
+    // is metadata — under the measured gate the four mutual-reinforcement
+    // half-steps (each a join + agg + 1-row norm collect + eager
+    // checkpoint ≈ 3 blocking jobs) run driver-resident with the SAME
+    // arithmetic: integer round-1 raws, q6 floor-quantize after each L1
+    // normalization (pinned by the HITS parity spec; oracle-verified at
+    // sf0.01/sf0.1). Past the gate the distributed half-steps below run
+    // unchanged.
+    if (e.count() <= maxDriverEdges)
+      return hitsDriver(e)
     val h0 = e.select(col("u")).distinct().withColumn("h", lit(1.0))
     def authStep(h: DataFrame): DataFrame = {
       val raw = e.join(h, Seq("u")).groupBy(col("v")).agg(sum(col("h")).as("raw"))
@@ -1127,6 +1139,61 @@ object GraphOps {
     h2.select(lit("hub").as("side"), col("u").as("node"), col("h").as("score"))
       .union(a2.select(lit("auth").as("side"), col("v").as("node"),
         col("a").as("score")))
+      .orderBy(col("side"), col("node"))
+  }
+
+  /** The in-memory HITS half-steps over a collected bounded edge list —
+    * see the gate comment in [[hitsBounded]]. Each half-step accumulates
+    * raw scores over the edges, L1-normalizes by the sum over nodes in
+    * ascending-id order (a deterministic order; the values are far from
+    * the 1e-6 grid boundaries, same argument as the distributed sums),
+    * and floor-quantizes to 6 dp — term-for-term the distributed
+    * expressions.
+    */
+  private def hitsDriver(e: DataFrame): DataFrame = {
+    def q6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val rows = e.select(col("u"), col("v")).collect()
+    val m = rows.length
+    val us = new Array[Long](m); val vs = new Array[Long](m)
+    var i = 0
+    while (i < m) { us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1); i += 1 }
+    def halfStep(in: java.util.HashMap[java.lang.Long, java.lang.Double],
+                 from: Array[Long], to: Array[Long]):
+        java.util.HashMap[java.lang.Long, java.lang.Double] = {
+      val raw = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+      var j = 0
+      while (j < m) {
+        val w = in.get(from(j))
+        if (w != null) {
+          val cur = raw.get(to(j))
+          raw.put(to(j), if (cur == null) w.doubleValue()
+            else cur.doubleValue() + w.doubleValue())
+        }
+        j += 1
+      }
+      val keys = raw.keySet().toArray(new Array[java.lang.Long](0))
+        .map(_.longValue()).sorted
+      var s = 0.0
+      keys.foreach(k => s += raw.get(k).doubleValue())
+      val out = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+      keys.foreach(k => out.put(k, q6(raw.get(k).doubleValue() / s)))
+      out
+    }
+    val h0 = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    us.foreach(u => h0.put(u, 1.0))
+    val a1 = halfStep(h0, us, vs)
+    val h1 = halfStep(a1, vs, us)
+    val a2 = halfStep(h1, us, vs)
+    val h2 = halfStep(a2, vs, us)
+    def rowsOf(side: String,
+               mp: java.util.HashMap[java.lang.Long, java.lang.Double]) =
+      mp.keySet().toArray(new Array[java.lang.Long](0))
+        .map(_.longValue()).sorted
+        .map(k => (side, k, mp.get(k).doubleValue())).toSeq
+    val spark = e.sparkSession
+    import spark.implicits._
+    spark.createDataset(rowsOf("auth", a2) ++ rowsOf("hub", h2))
+      .toDF("side", "node", "score")
       .orderBy(col("side"), col("node"))
   }
 
@@ -1153,9 +1220,21 @@ object GraphOps {
     * collect, state linear in reached (seed, node) pairs.
     */
   def betweennessBounded(edges: DataFrame, seedMod: Long = 500L,
-                         memoKey: Option[String] = None): DataFrame = {
+                         memoKey: Option[String] = None,
+                         maxDriverEdges: Long = 4000000L): DataFrame = {
     def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
-    val (_, dir) = undirectedShared(edges, memoKey)
+    val (e, dir) = undirectedShared(edges, memoKey)
+    // r17b: the mod-n edge construction bounds the graph, so once the
+    // distributed dedup has produced the checkpointed undirected list it
+    // is metadata — under the measured gate the whole 3-level forward
+    // σ-count / backward δ-accumulation (≈ 5 eager checkpoints + their
+    // joins, almost pure round latency at bench scale — 5.2 s standalone)
+    // runs driver-resident with the SAME per-level exact-integer σ and
+    // q6-floored δ arithmetic (pinned by the Brandes parity spec;
+    // oracle-verified at sf0.01/sf0.1). Past the gate, the distributed
+    // plan below runs unchanged — including the warm-BFS reuse.
+    if (e.count() <= maxDriverEdges)
+      return betweennessDriver(e, seedMod)
     // r17: when the session has ALREADY materialized the family's bounded
     // BFS (closeness/harmonic share it under the same memo key), its
     // dist ≤ k slices are exactly l0 ∪ … ∪ lk — reuse them as the forward
@@ -1220,6 +1299,111 @@ object GraphOps {
       .union(d2.select(col("seed"), col("node"), col("delta")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_contribs"), q6(sum(col("delta"))).as("bc"))
+      .orderBy(col("node"))
+  }
+
+  /** The in-memory 3-level Brandes–Pich estimator over a collected bounded
+    * undirected edge list — see the gate comment in [[betweennessBounded]].
+    * Per seed: exact-integer σ per BFS level (first-reached = shortest,
+    * the anti-join contract), then backward δ with a q6 floor after each
+    * level's accumulation; a (seed, node) contributes only when it has ≥ 1
+    * successor at the next level (the groupBy-over-join contract — a node
+    * whose neighbors all sit at ≤ its own level emits no row). Final
+    * per-node bc = q6(Σ over seed contributions), seeds accumulated in
+    * ascending order.
+    */
+  private def betweennessDriver(eDf: DataFrame, seedMod: Long): DataFrame = {
+    def q6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val rows = eDf.select(col("a"), col("b")).collect()
+    val m2 = rows.length * 2
+    // dense index + CSR (the sccAssignAuto layout — primitive arrays, no
+    // boxed lookups on the per-edge hot path)
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val srcs = new Array[Int](m2); val dsts = new Array[Int](m2)
+    var i = 0
+    while (i < rows.length) {
+      val a = id(rows(i).getLong(0)); val b = id(rows(i).getLong(1))
+      srcs(2 * i) = a; dsts(2 * i) = b
+      srcs(2 * i + 1) = b; dsts(2 * i + 1) = a
+      i += 1
+    }
+    val nV = ids.length
+    val deg = new Array[Int](nV)
+    srcs.foreach(s => deg(s) += 1)
+    val off = new Array[Int](nV + 1)
+    i = 0
+    while (i < nV) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = off.clone()
+    val adj = new Array[Int](m2)
+    i = 0
+    while (i < m2) { adj(fill(srcs(i))) = dsts(i); fill(srcs(i)) += 1; i += 1 }
+    val seeds = (0 until nV).filter(j => ids(j) % seedMod == 0)
+      .sortBy(ids(_)).toArray
+    val nContribs = new Array[Long](nV)
+    val bcSum = new Array[Double](nV)
+    val dist = new Array[Int](nV)
+    val sigma = new Array[Long](nV)
+    val delta2 = new Array[Double](nV)
+    seeds.foreach { seed =>
+      java.util.Arrays.fill(dist, -1)
+      // forward: levels with exact shortest-path counts
+      dist(seed) = 0; sigma(seed) = 1L
+      val levels = Array.fill(4)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      levels(0) += seed
+      var k = 1
+      while (k <= 3) {
+        levels(k - 1).foreach { u =>
+          val su = sigma(u)
+          var ei = off(u)
+          while (ei < off(u + 1)) {
+            val w = adj(ei)
+            if (dist(w) == -1) {
+              dist(w) = k; sigma(w) = su; levels(k) += w
+            } else if (dist(w) == k) sigma(w) += su
+            ei += 1
+          }
+        }
+        k += 1
+      }
+      // backward: δ₂ over L2 (succ in L3, δ=0 there), then δ₁ over L1
+      levels(2).foreach { v =>
+        var acc = 0.0; var any = false
+        val sv = sigma(v).toDouble
+        var ei = off(v)
+        while (ei < off(v + 1)) {
+          val w = adj(ei)
+          if (dist(w) == 3) { acc += sv / sigma(w).toDouble * 1.0; any = true }
+          ei += 1
+        }
+        delta2(v) = if (any) q6(acc) else 0.0
+        if (any) { nContribs(v) += 1L; bcSum(v) += delta2(v) }
+      }
+      levels(1).foreach { v =>
+        var acc = 0.0; var any = false
+        val sv = sigma(v).toDouble
+        var ei = off(v)
+        while (ei < off(v + 1)) {
+          val w = adj(ei)
+          if (dist(w) == 2) {
+            acc += sv / sigma(w).toDouble * (1.0 + delta2(w)); any = true
+          }
+          ei += 1
+        }
+        if (any) { nContribs(v) += 1L; bcSum(v) += q6(acc) }
+      }
+    }
+    val spark = eDf.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+        (0 until nV).filter(nContribs(_) > 0L).sortBy(ids(_))
+          .map(j => (ids(j), nContribs(j), q6(bcSum(j)))))
+      .toDF("node", "n_contribs", "bc")
       .orderBy(col("node"))
   }
 

@@ -224,13 +224,30 @@ object TimeSeriesOps {
     * level-1 picks, and windows partitioned by (key, segment) over
     * ≤|months| rows — millions of independent series decompose identically.
     */
-  def binsegChangepoints(li: DataFrame): DataFrame = {
+  def binsegChangepoints(li: DataFrame,
+                         maxDriverRows: Long = 2000000L): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     val monthly = li
       .groupBy(col("l_returnflag").as("key"),
         to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(sum(col("l_quantity")).cast("long").as("qty"))
       .persist() // level 1 AND the segment pass both read it
+    // r17b: the monthly frame is |keys|·|months| rows — a few hundred at
+    // bench scale and bounded metadata at ANY corpus size (months are a
+    // calendar, keys a low-cardinality enum); under the measured gate the
+    // whole depth-2 recursion (stats aggregate + 2 broadcast joins + 2
+    // window passes + 3 picks ≈ 8 blocking jobs of round latency over
+    // ~250 rows) runs driver-resident on the SAME exact-integer prefix
+    // sums with the SAME argmax tie-breaks and q4 floors (binseg parity
+    // spec; oracle-verified at sf0.01/sf0.1). The corpus-sized work — the
+    // one lineitem aggregate — stays distributed either way. Past the
+    // gate (a pathological month×key explosion) the distributed plan
+    // below runs unchanged.
+    if (monthly.count() <= maxDriverRows) {
+      val out = binsegDriver(monthly)
+      monthly.unpersist(false)
+      return out
+    }
     val wOrd = Window.partitionBy(col("key")).orderBy(col("month"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stats = monthly.groupBy(col("key"))
@@ -281,6 +298,97 @@ object TimeSeriesOps {
         date_format(col("cp2b_month"), "yyyy-MM-dd").as("cp2b_month"),
         q4(abs(col("stat2b")).cast("double") / col("seg1_len")).as("max_cusum2b"))
       .orderBy(col("key"))
+  }
+
+  /** The in-memory depth-2 binary segmentation over the collected monthly
+    * frame — see the gate comment in [[binsegChangepoints]]. Per key
+    * (months ascending): exact long prefix sums give stat_t = Σ(x_i·n − S);
+    * cp1 = interior argmax |stat| tying to the EARLIEST month (the
+    * (abs desc, month asc) window order); each half re-runs the same
+    * statistic against its own (m, σ); a length-1 segment has no interior
+    * point and contributes nulls (the distributed left joins). Keys with a
+    * single month have no interior t < n and emit no row at all (the inner
+    * cp1 join). Quantization: floor((|stat|/len)·10⁴ + 0.5)/10⁴ — the
+    * same IEEE expression as the distributed q4.
+    */
+  private def binsegDriver(monthly: DataFrame): DataFrame = {
+    val collected = monthly
+      .select(col("key"), date_format(col("month"), "yyyy-MM-dd").as("m"),
+        col("qty"))
+      .collect()
+    val byKey = scala.collection.mutable.TreeMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    collected.foreach { r =>
+      byKey.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((r.getString(1), r.getLong(2)))
+    }
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // interior argmax of the integer-scaled CUSUM over series[lo..hi)
+    // against the segment's own (len, sum); returns (month, |stat|) or None
+    def pickCp(seg: IndexedSeq[(String, Long)]): Option[(String, Long)] = {
+      val m = seg.length
+      if (m < 2) return None
+      val sig = seg.map(_._2).sum
+      var run = 0L
+      var bestAbs = -1L
+      var bestMonth: String = null
+      var t = 0
+      while (t < m - 1) { // interior: t2 < m (1-based t+1 ≤ m-1)
+        run += seg(t)._2 * m - sig
+        val a = math.abs(run)
+        if (a > bestAbs) { bestAbs = a; bestMonth = seg(t)._1 }
+        t += 1
+      }
+      Some((bestMonth, bestAbs))
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    byKey.foreach { case (key, bufUnsorted) =>
+      val series = bufUnsorted.sortBy(_._1).toIndexedSeq
+      val n = series.length
+      if (n >= 2) {
+        val (cp1Month, abs1) = pickCp(series).get
+        // cp1_t = index of cp1Month (1-based)
+        val cp1T = series.indexWhere(_._1 == cp1Month) + 1
+        val seg0 = series.take(cp1T)
+        val seg1 = series.drop(cp1T)
+        val c0 = pickCp(seg0)
+        val c1 = pickCp(seg1)
+        def lenOrNull(s: IndexedSeq[(String, Long)],
+                      c: Option[(String, Long)]): Any =
+          if (c.isDefined) s.length.toLong else null
+        rows.add(org.apache.spark.sql.Row(
+          key, n.toLong, cp1Month, q4(abs1.toDouble / n),
+          lenOrNull(seg0, c0),
+          c0.map(_._1).orNull,
+          c0.map(c => q4(c._2.toDouble / seg0.length)).getOrElse(null),
+          lenOrNull(seg1, c1),
+          c1.map(_._1).orNull,
+          c1.map(c => q4(c._2.toDouble / seg1.length)).getOrElse(null)))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_months",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cp1_month",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("max_cusum1",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seg0_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cp2a_month",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("max_cusum2a",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seg1_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cp2b_month",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("max_cusum2b",
+        org.apache.spark.sql.types.DoubleType)))
+    monthly.sparkSession.createDataFrame(rows, schema).orderBy(col("key"))
   }
 
   /** Seasonal-baseline anomaly screen: each (key, month)'s quantity versus

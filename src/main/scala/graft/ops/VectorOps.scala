@@ -257,7 +257,8 @@ object VectorOps {
     */
   def mmrRerank(emb: DataFrame, maxQueryId: Int = 5, k: Int = 5,
                 pool: Int = 50, lambda: Double = 0.7,
-                queryEmb: Option[DataFrame] = None): DataFrame = {
+                queryEmb: Option[DataFrame] = None,
+                maxDriverShortlist: Long = 4000000L): DataFrame = {
     // queryEmb: draw the query vectors from a DIFFERENT frame than the
     // retrieval pool (the composed pipeline retrieves over the DEDUPED
     // index with queries from the raw set — a query must not disappear
@@ -286,6 +287,19 @@ object VectorOps {
             .as("simdd"))
         .localCheckpoint())
     val slim = poolDf.select(col("query_id"), col("vec_id"), col("simq"))
+    // r17: the greedy selection loop runs DRIVER-RESIDENT when the
+    // shortlist is parameter-bounded metadata — `slim` is ≤ maxQueryId·pool
+    // rows and `pp` ≤ maxQueryId·pool² rows BY CONSTRUCTION (row_number
+    // caps), independent of corpus size, so at the default 5×50 the k
+    // greedy rounds (each an anti-join + pair-max join + window + eager
+    // checkpoint = ~4 blocking jobs of pure latency) collapse to one
+    // collect of two already-checkpointed tiny frames. The corpus-sized
+    // work (the relevance scan building poolDf) stays distributed above.
+    // Arithmetic is replicated term-for-term (same IEEE double expression,
+    // same floor-quantize, same (score desc, vec_id asc) tie-break), so
+    // the selection is bit-identical — pinned by the MMR parity spec.
+    if (maxQueryId.toLong * pool.toLong * pool.toLong <= maxDriverShortlist)
+      return mmrGreedyDriver(slim, pp, k, lambda)
     var selected: DataFrame = null
     for (r <- 1 to k) {
       val base = if (selected == null) slim
@@ -314,6 +328,78 @@ object VectorOps {
     }
     Exec.trackTransient(selected)
     selected.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The in-memory MMR greedy over the collected shortlist frames — see
+    * the gate comment in [[mmrRerank]]. `slim` rows are (query_id, vec_id,
+    * simq); `pp` rows are (query_id, cand, sel, simdd), complete over all
+    * ordered shortlist pairs per query. Per round, each unselected
+    * candidate scores λ·simq − (1−λ)·max_{s∈S} simdd(cand, s) (0.0 when S
+    * is empty or no pair row exists — the distributed left-join + na.fill
+    * contract), argmax ties to the lower vec_id, and the emitted score is
+    * floor(score·10⁴ + 0.5)/10⁴ — the exact expressions of the
+    * distributed loop.
+    */
+  private def mmrGreedyDriver(slim: DataFrame, pp: DataFrame,
+                              k: Int, lambda: Double): DataFrame = {
+    val poolRows = slim.collect()
+    val ppRows = pp.collect()
+    val byQ = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    poolRows.foreach { r =>
+      byQ.getOrElseUpdate(r.getLong(0),
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((r.getLong(1), r.getDouble(2)))
+    }
+    val simdd = new java.util.HashMap[Long, java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Double]]]()
+    ppRows.foreach { r =>
+      val q = r.getLong(0)
+      val perQ = simdd.computeIfAbsent(q, _ => new java.util.HashMap())
+      val perCand = perQ.computeIfAbsent(r.getLong(1), _ => new java.util.HashMap())
+      perCand.put(r.getLong(2), r.getDouble(3))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    byQ.foreach { case (q, cands) =>
+      val selectedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val taken = scala.collection.mutable.HashSet.empty[Long]
+      val perQ = simdd.get(q)
+      var r = 1
+      while (r <= k && taken.size < cands.length) {
+        var bestVec = -1L
+        var bestScore = Double.NegativeInfinity
+        var first = true
+        cands.foreach { case (vid, simq) =>
+          if (!taken.contains(vid)) {
+            var maxs = 0.0
+            var any = false
+            if (selectedIds.nonEmpty && perQ != null) {
+              val perCand = perQ.get(vid)
+              if (perCand != null) selectedIds.foreach { s =>
+                val v = perCand.get(s)
+                if (v != null && (!any || v.doubleValue() > maxs)) {
+                  maxs = v.doubleValue(); any = true
+                }
+              }
+            }
+            val score = lambda * simq - (1.0 - lambda) * maxs
+            if (first || score > bestScore
+              || (score == bestScore && vid < bestVec)) {
+              bestScore = score; bestVec = vid; first = false
+            }
+          }
+        }
+        out += ((q, bestVec, r,
+          math.floor(bestScore * 10000 + 0.5) / 10000))
+        taken += bestVec
+        selectedIds += bestVec
+        r += 1
+      }
+    }
+    val spark = slim.sparkSession
+    import spark.implicits._
+    spark.createDataset(out.toSeq)
+      .toDF("query_id", "vec_id", "rank", "mmr_score")
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Per-label centroids in long form (label, pos, c): posexplode + avg —

@@ -178,11 +178,31 @@ class DedupOpsSpec extends SparkSpec {
 
   test("connected components: exceeding maxIters fails loudly instead of splitting components") {
     // a 6-node path needs ~5 propagation rounds; cap at 2 must throw, not
-    // silently report several clusters
+    // silently report several clusters (maxDriverEdges = 0 forces the
+    // distributed pointer-jump path — the driver union–find has no rounds)
     val path = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException] {
-      DedupOps.connectedComponents(path, maxIters = 2).collect()
+      DedupOps.connectedComponents(path, maxIters = 2, maxDriverEdges = 0L)
+        .collect()
     }
+  }
+
+  test("connected components: driver union-find == distributed pointer jumping") {
+    // r17 parity pin: the gate must be a pure execution-strategy swap.
+    // Fixture mixes a chain, a triangle joined to it, an isolated edge, and
+    // a star — exercises path compression across non-trivial merges.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 9L), (9L, 1L), // chain + cycle back
+      (20L, 21L), // isolated edge
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 33L), // star w/ chord
+      (40L, 3L) // late attach to the first component
+    ).toDF("doc_a", "doc_b")
+    val driver = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dist = DedupOps.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    assert(driver.filter(_._1 < 20L).forall(_._2 == 1L))
   }
 
   test("Jaccard blocking compares near-dups straddling a length-bucket edge") {

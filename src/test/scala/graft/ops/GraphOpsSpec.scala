@@ -496,17 +496,59 @@ class GraphOpsSpec extends SparkSpec {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L), (4L, 5L),
       (5L, 3L), (3L, 6L), (6L, 7L), (2L, 500L), (500L, 8L), (8L, 9L))
       .toDF("a", "b")
-    val cold = GraphOps.betweennessBounded(edges).collect()
+    // maxDriverEdges = 0 pins BOTH calls to the distributed branch — this
+    // test is about the warm-BFS reuse inside that branch, not the r17b
+    // driver fast path (covered by its own parity test below)
+    val cold = GraphOps.betweennessBounded(edges, maxDriverEdges = 0L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     graft.ops.Exec.releaseAll(spark)
     // closeness under a memo key materializes the shared bounded BFS;
     // betweenness under the SAME key must then take the reuse branch
     val key = Some("spec-warm-bfs")
     GraphOps.closenessCentrality(edges, memoKey = key).collect()
-    val warm = GraphOps.betweennessBounded(edges, memoKey = key).collect()
+    val warm = GraphOps.betweennessBounded(edges, memoKey = key,
+        maxDriverEdges = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     graft.ops.Exec.releaseAll(spark)
     assert(warm == cold, s"warm=$warm cold=$cold")
+  }
+
+  test("betweenness: driver-resident Brandes matches the distributed " +
+    "forward/backward passes exactly (r17b bounded-metadata fast path)") {
+    import spark.implicits._
+    // branching shortest-path DAG with multiple σ>1 nodes, a second seed
+    // (500), unreached satellites past the 3-hop horizon, and a node with
+    // no next-level successor (no contribution row)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L), (4L, 5L),
+      (5L, 3L), (3L, 6L), (6L, 7L), (2L, 500L), (500L, 8L), (8L, 9L),
+      (9L, 10L), (0L, 2L), (4L, 2L))
+      .toDF("a", "b")
+    val fast = GraphOps.betweennessBounded(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = GraphOps.betweennessBounded(edges, maxDriverEdges = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
+  test("hits: driver-resident half-steps match the distributed plan " +
+    "exactly (r17b bounded-metadata fast path)") {
+    import spark.implicits._
+    // bipartite-ish lineitem stand-in: u = orderkey%n, v = partkey%n + n
+    val li = Seq((1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L), (7L, 6L), (7L, 4L),
+      (8L, 9L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val fast = GraphOps.hitsBounded(li, n = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = GraphOps.hitsBounded(li, n = 10, maxDriverEdges = 0L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
   }
 
   test("scc: fail-loud caps, not silent truncation") {

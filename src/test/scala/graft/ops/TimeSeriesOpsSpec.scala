@@ -97,6 +97,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
       + r.getLong(r.fieldIndex("seg1_len")) == 12L)
   }
 
+  test("binseg: driver-resident recursion matches the distributed plan " +
+    "exactly, including null level-2 columns (r17b fast path)") {
+    import spark.implicits._
+    // two keys: A has 12 months (full recursion), B has 2 months — cp1
+    // lands on month 1, seg0 has length 1 => null cp2a columns
+    val vals = Seq.fill(4)(10.0) ++ Seq.fill(4)(100.0) ++ Seq.fill(4)(50.0)
+    val rowsA = vals.zipWithIndex.map { case (v, i) =>
+      ("A", java.sql.Timestamp.valueOf(f"2024-${i + 1}%02d-15 00:00:00"), v)
+    }
+    val rowsB = Seq(
+      ("B", java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 5.0),
+      ("B", java.sql.Timestamp.valueOf("2024-02-10 00:00:00"), 50.0))
+    val df = (rowsA ++ rowsB)
+      .toDF("l_returnflag", "l_shipdate", "l_quantity")
+    def norm(r: org.apache.spark.sql.Row): Seq[Any] =
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
+    val fast = TimeSeriesOps.binsegChangepoints(df).collect().map(norm).toSeq
+    val slow = TimeSeriesOps.binsegChangepoints(df, maxDriverRows = 0L)
+      .collect().map(norm).toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert(fast.exists(r => r.head == "B" && r(5) == null && r(6) == null),
+      s"length-1 segment must carry null cp2a: $fast")
+  }
+
   test("cusum changepoint: a clean level shift peaks at the last pre-shift month") {
     import spark.implicits._
     // qty [10,10,10,20,20,20], mean 15: n*CUSUM = [-30,-60,-90,-60,-30,0]

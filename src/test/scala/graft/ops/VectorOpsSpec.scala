@@ -571,6 +571,19 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("MMR: driver-resident greedy matches the distributed round loop " +
+    "exactly (r17b parameter-bounded fast path)") {
+    val fast = VectorOps.mmrRerank(emb, maxQueryId = 3, k = 4, pool = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    val slow = VectorOps.mmrRerank(emb, maxQueryId = 3, k = 4, pool = 10,
+        maxDriverShortlist = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
   test("incremental cosine dedup: delta identity with planted twin vectors") {
     // sf0.001 has no organic >=0.45 same-label pairs — plant exact copies
     // of five corpus vectors as the new batch: each must pair with its

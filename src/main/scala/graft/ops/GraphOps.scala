@@ -311,10 +311,21 @@ object GraphOps {
 
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                topK: Int = 25, maxBroadcastRanks: Long = 4000000L,
-               memoKey: Option[String] = None): DataFrame = {
+               memoKey: Option[String] = None,
+               maxDriverEdges: Long = 4000000L): DataFrame = {
     val (withDeg, degFrame, nNodes) =
       resolveDegreeBuild(edges, memoKey,
         () => buildDegreeFrames(edges, maxBroadcastRanks, memoKey))
+    // r17b: under the edge gate the power iterations run driver-resident
+    // over the collected degree-joined frame — the same per-dst
+    // Σ pr/deg accumulation and (1−d)/n + d·c update, nodes without
+    // in-edges dropping out of the vector after each round exactly as the
+    // groupBy(dst) does; only the final rank_scaled is quantized, as in
+    // the plan (PageRank driver parity spec; oracle at sf0.01/sf0.1).
+    // The degree build + edge dedup stay distributed/memoized above.
+    if (withDeg.count() <= maxDriverEdges)
+      return pageRankDriver(withDeg, nNodes, iters, damping, topK,
+        teleportSeedMod = None)
     var ranks = degFrame.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / nNodes))
     for (_ <- 1 to iters) {
@@ -336,6 +347,94 @@ object GraphOps {
         (floor(col("pr") * lit(nNodes.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(topK)
+  }
+
+  /** The in-memory power iterations behind [[pageRank]] /
+    * [[personalizedPageRank]]'s driver gate — see the gate comments. One
+    * collect of the checkpointed degree-joined directed frame; per round,
+    * per-dst Σ pr/deg in edge order, then the damped update (uniform
+    * teleport and rank-vector drop-out for plain PR; seed teleport and a
+    * total vector for PPR). Output quantization and (rank desc, node asc)
+    * top-k exactly as the distributed plan.
+    */
+  private def pageRankDriver(withDeg: DataFrame, nNodes: Long, iters: Int,
+      damping: Double, topK: Int,
+      teleportSeedMod: Option[Long]): DataFrame = {
+    val rows = withDeg.select(col("src"), col("dst"), col("deg")).collect()
+    val m = rows.length
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val esrc = new Array[Int](m); val edst = new Array[Int](m)
+    val edeg = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      esrc(i) = id(rows(i).getLong(0)); edst(i) = id(rows(i).getLong(1))
+      edeg(i) = rows(i).getLong(2); i += 1
+    }
+    val nV = ids.length
+    val teleport = teleportSeedMod.map { sm =>
+      val t = new Array[Double](nV)
+      var nSeeds = 0L
+      var j = 0
+      while (j < nV) { if (ids(j) % sm == 0) nSeeds += 1L; j += 1 }
+      require(nSeeds > 0, s"personalizedPageRank: no seeds at mod $sm")
+      j = 0
+      while (j < nV) {
+        t(j) = if (ids(j) % sm == 0) 1.0 / nSeeds else 0.0; j += 1
+      }
+      t
+    }
+    var pr = teleport.map(_.clone()).getOrElse(Array.fill(nV)(1.0 / nNodes))
+    var present = Array.fill(nV)(true)
+    var it = 0
+    while (it < iters) {
+      val c = new Array[Double](nV)
+      val hasIn = new Array[Boolean](nV)
+      i = 0
+      while (i < m) {
+        if (present(esrc(i))) {
+          c(edst(i)) += pr(esrc(i)) / edeg(i); hasIn(edst(i)) = true
+        }
+        i += 1
+      }
+      val next = new Array[Double](nV)
+      var j = 0
+      teleport match {
+        case Some(t) =>
+          while (j < nV) {
+            next(j) = (1.0 - damping) * t(j) +
+              damping * (if (hasIn(j)) c(j) else 0.0)
+            j += 1
+          }
+        // plain PR: only dst-reached nodes stay in the rank vector (the
+        // groupBy(dst) contract)
+        case None =>
+          while (j < nV) {
+            if (hasIn(j)) next(j) = (1.0 - damping) / nNodes + damping * c(j)
+            j += 1
+          }
+          present = hasIn
+      }
+      pr = next
+      it += 1
+    }
+    val out = (0 until nV)
+      .filter(j => teleport.isDefined || present(j))
+      .map { j =>
+        (ids(j), math.floor(pr(j) * nNodes.toDouble * 1e6 + 0.5) / 1e6)
+      }
+      .filter(r => teleport.isEmpty || r._2 > 0)
+      .sortBy { case (nd, rs) => (-rs, nd) }
+      .take(topK)
+    val spark = withDeg.sparkSession
+    import spark.implicits._
+    spark.createDataset(out).toDF("node", "rank_scaled")
+      .orderBy(col("rank_scaled").desc, col("node"))
   }
 
   /** Memo-or-track resolution for the (degree-joined edges, degrees, |V|)
@@ -376,10 +475,17 @@ object GraphOps {
                            iters: Int = 3, damping: Double = 0.85,
                            topK: Int = 25,
                            maxBroadcastRanks: Long = 4000000L,
-                           memoKey: Option[String] = None): DataFrame = {
+                           memoKey: Option[String] = None,
+                           maxDriverEdges: Long = 4000000L): DataFrame = {
     val (withDeg, degFrame, nNodes) =
       resolveDegreeBuild(edges, memoKey,
         () => buildDegreeFrames(edges, maxBroadcastRanks, memoKey))
+    // r17b: same driver gate as [[pageRank]]; the teleport variant keeps
+    // every node in the vector each round (the left-join + coalesce
+    // contract) and filters rank_scaled > 0 at the end.
+    if (withDeg.count() <= maxDriverEdges)
+      return pageRankDriver(withDeg, nNodes, iters, damping, topK,
+        teleportSeedMod = Some(seedMod))
     val seeds = degFrame.filter(col("src") % seedMod === 0)
     val nSeeds = seeds.count()
     require(nSeeds > 0, s"personalizedPageRank: no seeds at mod $seedMod")
@@ -462,7 +568,8 @@ object GraphOps {
   private[graft] def kCoreWithRounds(edges: DataFrame, k: Int, rounds: Int = 5,
             maxBroadcastSurvivors: Long = 4000000L,
             convergeToFixpoint: Boolean = false,
-            memoKey: Option[String] = None): (DataFrame, Int) = {
+            memoKey: Option[String] = None,
+            maxDriverEdges: Long = 4000000L): (DataFrame, Int) = {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("x")).union(e.select(col("b").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -472,6 +579,17 @@ object GraphOps {
         val fullKey = edges.sparkSession.sparkContext.applicationId + "#" + mk
         kcoreMemo.getOrElseUpdate(fullKey, edges.localCheckpoint())
     }
+    // r17b: once the distributed distinct has produced the checkpointed
+    // edge list it is bounded metadata (the orderPartEdges construction
+    // caps the bucket side at nParts) — under the measured gate the peel
+    // rounds (each a degree aggregate + survivor count + two semi-joins +
+    // eager checkpoint) run driver-resident with IDENTICAL round
+    // semantics: simultaneous sub-k drop per round, the same rounds
+    // budget / convergeToFixpoint control, the same count-unchanged early
+    // exit. All-integer arithmetic — bit-exact (kCore driver parity
+    // spec). Past the gate the distributed peel below runs unchanged.
+    if (e.count() <= maxDriverEdges)
+      return kCoreDriver(e, k, rounds, convergeToFixpoint)
     var prevSurvivors = -1L
     var converged = false
     var roundsRun = 0
@@ -509,6 +627,82 @@ object GraphOps {
     }
     val hist = degreesOf(e)
       .groupBy(col("dg").as("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+    (hist, roundsRun)
+  }
+
+  /** The in-memory k-core peel over a collected bounded edge list — see
+    * the gate comment in [[kCoreWithRounds]]. Same loop: per round, degree
+    * census over the live edges, simultaneous drop of sub-k nodes, early
+    * exit when the survivor count repeats (the set only shrinks). */
+  private def kCoreDriver(eDf: DataFrame, k: Int, rounds: Int,
+                          convergeToFixpoint: Boolean): (DataFrame, Int) = {
+    val rows = eDf.select(col("a"), col("b")).collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val m = rows.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(rows(i).getLong(0)); eb(i) = id(rows(i).getLong(1)); i += 1
+    }
+    val nV = ids.length
+    val alive = new Array[Boolean](m)
+    java.util.Arrays.fill(alive, true)
+    val deg = new Array[Long](nV)
+    var prevSurvivors = -1L
+    var converged = false
+    var roundsRun = 0
+    while (!converged && (convergeToFixpoint || roundsRun < rounds)) {
+      java.util.Arrays.fill(deg, 0L)
+      i = 0
+      while (i < m) {
+        if (alive(i)) { deg(ea(i)) += 1L; deg(eb(i)) += 1L }
+        i += 1
+      }
+      var nSurvivors = 0L
+      var j = 0
+      while (j < nV) { if (deg(j) >= k) nSurvivors += 1L; j += 1 }
+      if (nSurvivors == prevSurvivors) converged = true
+      else {
+        i = 0
+        while (i < m) {
+          if (alive(i) && (deg(ea(i)) < k || deg(eb(i)) < k)) alive(i) = false
+          i += 1
+        }
+        prevSurvivors = nSurvivors
+        roundsRun += 1
+      }
+    }
+    // degree histogram of the surviving subgraph
+    java.util.Arrays.fill(deg, 0L)
+    i = 0
+    while (i < m) {
+      if (alive(i)) { deg(ea(i)) += 1L; deg(eb(i)) += 1L }
+      i += 1
+    }
+    val histMap = new java.util.TreeMap[Long, Long]()
+    var j = 0
+    while (j < nV) {
+      if (deg(j) > 0L) {
+        val c = histMap.get(deg(j))
+        histMap.put(deg(j), if (c == 0L && !histMap.containsKey(deg(j))) 1L
+          else c + 1L)
+      }
+      j += 1
+    }
+    val spark = eDf.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val hist = spark.createDataset(
+        histMap.entrySet().asScala
+          .map(en => (en.getKey.longValue(), en.getValue.longValue())).toSeq)
+      .toDF("deg", "n_nodes")
       .orderBy(col("deg"))
     (hist, roundsRun)
   }
@@ -1409,8 +1603,18 @@ object GraphOps {
 
   def bfsLayers(edges: DataFrame, seedMod: Long = 137L, rounds: Int = 4,
                 maxBroadcastFrontier: Long = 4000000L,
+                maxDriverEdges: Long = 4000000L,
                 memoKey: Option[String] = None): DataFrame = {
-    val (_, dir) = undirectedShared(edges, memoKey)
+    val (e, dir) = undirectedShared(edges, memoKey)
+    // r17b: bounded-metadata gate (the betweennessDriver doctrine) — the
+    // per-round semi-join + distinct + anti-join + eager checkpoint cycle
+    // is almost pure round latency once the edge dedup has run; under the
+    // measured gate the multi-source BFS runs as one in-memory pass over
+    // the collected CSR. All-integer output (counts, id sums, min/max) —
+    // bit-exact (BFS-layers driver parity spec). Past the gate the
+    // distributed rounds below run unchanged.
+    if (e.count() <= maxDriverEdges)
+      return bfsLayersDriver(e, seedMod, rounds)
     val allNodes = Exec.trackTransient(
       dir.select(col("src").as("node")).distinct().localCheckpoint())
     var visited = allNodes.filter(col("node") % seedMod === 0)
@@ -1445,6 +1649,83 @@ object GraphOps {
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("dist"))
+  }
+
+  /** The in-memory multi-source BFS behind [[bfsLayers]]' gate: CSR over
+    * the collected undirected edges, seeds = node % seedMod == 0 at dist 0,
+    * `rounds` expansion levels, unreached nodes at dist −1; per-dist
+    * integer census (count, id sum, min, max). */
+  private def bfsLayersDriver(eDf: DataFrame, seedMod: Long,
+                              rounds: Int): DataFrame = {
+    val rows = eDf.select(col("a"), col("b")).collect()
+    val m2 = rows.length * 2
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val srcs = new Array[Int](m2); val dsts = new Array[Int](m2)
+    var i = 0
+    while (i < rows.length) {
+      val a = id(rows(i).getLong(0)); val b = id(rows(i).getLong(1))
+      srcs(2 * i) = a; dsts(2 * i) = b; srcs(2 * i + 1) = b; dsts(2 * i + 1) = a
+      i += 1
+    }
+    val nV = ids.length
+    val deg = new Array[Int](nV)
+    srcs.foreach(s => deg(s) += 1)
+    val off = new Array[Int](nV + 1)
+    i = 0
+    while (i < nV) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = off.clone()
+    val adj = new Array[Int](m2)
+    i = 0
+    while (i < m2) { adj(fill(srcs(i))) = dsts(i); fill(srcs(i)) += 1; i += 1 }
+    val dist = new Array[Int](nV)
+    java.util.Arrays.fill(dist, -1)
+    var frontier = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var j = 0
+    while (j < nV) {
+      if (ids(j) % seedMod == 0) { dist(j) = 0; frontier += j }
+      j += 1
+    }
+    var r = 1
+    while (r <= rounds && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+      frontier.foreach { u =>
+        var ei = off(u)
+        while (ei < off(u + 1)) {
+          val w = adj(ei)
+          if (dist(w) == -1) { dist(w) = r; next += w }
+          ei += 1
+        }
+      }
+      frontier = next
+      r += 1
+    }
+    // per-dist census over ALL nodes (unreached carry -1)
+    val cnt = new java.util.TreeMap[Int, (Long, Long, Long, Long)]()
+    j = 0
+    while (j < nV) {
+      val d = dist(j); val nd = ids(j)
+      val cur = cnt.get(d)
+      cnt.put(d,
+        if (cur == null) (1L, nd, nd, nd)
+        else (cur._1 + 1L, cur._2 + nd, math.min(cur._3, nd),
+          math.max(cur._4, nd)))
+      j += 1
+    }
+    val spark = eDf.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(
+        cnt.entrySet().asScala.map(en =>
+          (en.getKey.intValue(), en.getValue._1, en.getValue._2,
+            en.getValue._3, en.getValue._4)).toSeq)
+      .toDF("dist", "n_nodes", "node_sum", "min_node", "max_node")
       .orderBy(col("dist"))
   }
 
@@ -1656,7 +1937,8 @@ object GraphOps {
 
   private[graft] def randomWalkCensusEdges(und: DataFrame,
                                            walkLen: Int,
-                                           memoKey: Option[String] = None): DataFrame = {
+                                           memoKey: Option[String] = None,
+                                           maxDriverEntries: Long = 8000000L): DataFrame = {
     val (_, d0) = undirectedShared(und, memoKey)
     val dir = d0.select(col("src").as("x"), col("dst").as("nb"))
     val adj = Exec.trackTransient(
@@ -1674,6 +1956,15 @@ object GraphOps {
     val sz = adj.agg(
       coalesce(sum(size(col("nbs"))), lit(0L)).cast("long").as("entries"),
       count(lit(1)).as("nodes")).head()
+    // r17b: under the corenessValues entries gate the walks run
+    // driver-resident — the hop hash is pure 64-bit integer arithmetic
+    // (Knuth multiply + xor-shift over pre-reduced ids), replicated
+    // literally over the SAME sorted neighbor arrays, so every hop lands
+    // on the same neighbor and the visit census is bit-identical (random-
+    // walk driver parity spec; oracle at sf0.01/sf0.1). Past the gate the
+    // broadcast-join hop chain below runs unchanged.
+    if (sz.getLong(0) <= maxDriverEntries)
+      return randomWalkDriver(adj, walkLen)
     val approxBytes = sz.getLong(0) * 8L + sz.getLong(1) * 24L
     val adjCur = adj.withColumnRenamed("x", "cur")
     val bAdj = if (approxBytes <= Exec.DefaultBroadcastBytes)
@@ -1693,6 +1984,55 @@ object GraphOps {
     visits.reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("node"))
+  }
+
+  /** The in-memory walk loop behind [[randomWalkCensusEdges]]' gate: one
+    * walk per node over the collected sorted-neighbor adjacency, next hop
+    * = nbs[(m ^ (m >> 13)) mod degree] with
+    * m = (cur mod 1000003)·2654435761 + step·40503 + (seed mod 1000003) —
+    * the exact SQL hop expression in 64-bit longs. */
+  private def randomWalkDriver(adj: DataFrame, walkLen: Int): DataFrame = {
+    val rows = adj.select(col("x"), col("nbs")).collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    val nbs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      idx.put(ids(i), i)
+      nbs(i) = rows(i).getSeq[Long](1).toArray
+      i += 1
+    }
+    val visits = new java.util.HashMap[Long, Long]()
+    def visit(node: Long): Unit = {
+      val c = visits.get(node)
+      visits.put(node, if (c == 0L && !visits.containsKey(node)) 1L else c + 1L)
+    }
+    i = 0
+    while (i < n) {
+      val seed = ids(i)
+      var cur = seed
+      visit(cur)
+      var step = 1
+      while (step <= walkLen) {
+        val arr = nbs(idx.get(cur).intValue())
+        val m = (cur % 1000003L) * 2654435761L + step.toLong * 40503L +
+          (seed % 1000003L)
+        cur = arr(((m ^ (m >> 13)) % arr.length).toInt)
+        visit(cur)
+        step += 1
+      }
+      i += 1
+    }
+    val spark = adj.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+        visits.keySet().toArray(new Array[java.lang.Long](0))
+          .map(_.longValue()).sorted
+          .map(k => (k, visits.get(k).longValue())).toSeq)
+      .toDF("node", "n_visits")
       .orderBy(col("node"))
   }
 

@@ -516,7 +516,8 @@ object TimeSeriesOps {
     * arithmetic — millions of series PACF in one pass, no window, no
     * collect.
     */
-  def pacfMonthly(li: DataFrame): DataFrame = {
+  def pacfMonthly(li: DataFrame,
+                  maxDriverRows: Long = 2000000L): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     def q6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
     val monthly = li
@@ -526,6 +527,17 @@ object TimeSeriesOps {
       .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
         .as("cents"))
       .persist()
+    // r17b: the binsegChangepoints doctrine — the monthly frame is
+    // |keys|·|months| bounded metadata; under the measured gate the ACF
+    // numerators/denominator and the unrolled Durbin–Levinson recursion
+    // run driver-resident with the same left-to-right double arithmetic
+    // and the same q6/q4 floors (PACF driver parity spec; oracle at
+    // sf0.01/sf0.1). The fact-table aggregate stays distributed.
+    if (monthly.count() <= maxDriverRows) {
+      val out = pacfDriver(monthly)
+      monthly.unpersist(false)
+      return out
+    }
     // full-series mean + centered denominator (two narrow passes over the
     // reduced monthly frame, never the fact table)
     val mstats = monthly.groupBy(col("key"))
@@ -572,6 +584,69 @@ object TimeSeriesOps {
       .select(col("key"), explode(expr(
         "map(1, p11, 2, p22, 3, p33, 4, p44)")).as(Seq("lag_m", "pacf")))
       .select(col("key"), col("lag_m"), q4(col("pacf")).as("pacf"))
+      .orderBy(col("key"), col("lag_m"))
+  }
+
+  /** The in-memory ACF + unrolled Durbin–Levinson behind [[pacfMonthly]]'s
+    * gate — term-for-term the distributed expressions: xbar from an exact
+    * long sum, centered c = cents − xbar, r_k = q6(Σ c_t·c_{t−k} / Σ c²)
+    * (lag pairs matched on month index, accumulated in ascending-mi
+    * order), then the same p11..p44 formulas and q4 floors. */
+  private def pacfDriver(monthly: DataFrame): DataFrame = {
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    def q6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val collected = monthly.select(col("key"), col("mi"), col("cents"))
+      .collect()
+    val byKey = scala.collection.mutable.TreeMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Long)]]
+    collected.foreach { r =>
+      byKey.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((r.getInt(1), r.getLong(2)))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
+    byKey.foreach { case (key, buf) =>
+      val series = buf.sortBy(_._1)
+      val n = series.length
+      var centsSum = 0L
+      series.foreach(centsSum += _._2)
+      val xbar = centsSum.toDouble / n
+      val byMi = new java.util.HashMap[Int, java.lang.Double]()
+      series.foreach { case (mi, cents) =>
+        byMi.put(mi, cents.toDouble - xbar)
+      }
+      var den = 0.0
+      series.foreach { case (_, cents) =>
+        val c = cents.toDouble - xbar; den += c * c
+      }
+      val rr = new Array[Double](5)
+      var lag = 1
+      while (lag <= 4) {
+        var num = 0.0
+        series.foreach { case (mi, cents) =>
+          val cb = byMi.get(mi - lag)
+          if (cb != null) num += (cents.toDouble - xbar) * cb.doubleValue()
+        }
+        rr(lag) = q6(num / den)
+        lag += 1
+      }
+      val p11 = rr(1)
+      val p22 = (rr(2) - p11 * rr(1)) / (1.0 - p11 * rr(1))
+      val p21 = p11 - p22 * p11
+      val p33 = (rr(3) - (p21 * rr(2) + p22 * rr(1))) /
+        (1.0 - (p21 * rr(1) + p22 * rr(2)))
+      val p31 = p21 - p33 * p22
+      val p32 = p22 - p33 * p21
+      val p44 = (rr(4) - (p31 * rr(3) + p32 * rr(2) + p33 * rr(1))) /
+        (1.0 - (p31 * rr(1) + p32 * rr(2) + p33 * rr(3)))
+      out += ((key, 1, q4(p11)))
+      out += ((key, 2, q4(p22)))
+      out += ((key, 3, q4(p33)))
+      out += ((key, 4, q4(p44)))
+    }
+    val spark = monthly.sparkSession
+    import spark.implicits._
+    spark.createDataset(out.toSeq).toDF("key", "lag_m", "pacf")
       .orderBy(col("key"), col("lag_m"))
   }
 

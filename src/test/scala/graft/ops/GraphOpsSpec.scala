@@ -514,6 +514,85 @@ class GraphOpsSpec extends SparkSpec {
     assert(warm == cold, s"warm=$warm cold=$cold")
   }
 
+  test("kCore: driver-resident peel matches the distributed rounds exactly, " +
+    "including roundsRun (r17b bounded-metadata fast path)") {
+    import spark.implicits._
+    // clique core + pendant chain: cascading peel over several rounds
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val g = (clique ++ chain).toDF("a", "b")
+    val (fastDf, fastRounds) = GraphOps.kCoreWithRounds(g, k = 2,
+      convergeToFixpoint = true)
+    val fast = fastDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (slowDf, slowRounds) = GraphOps.kCoreWithRounds(g, k = 2,
+      convergeToFixpoint = true, maxDriverEdges = 0L)
+    val slow = slowDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert(fastRounds == slowRounds, s"rounds: $fastRounds vs $slowRounds")
+    // bounded-budget variant must agree too (early-exit parity)
+    val (fb, fbr) = GraphOps.kCoreWithRounds(g, k = 2, rounds = 2)
+    val (sb, sbr) = GraphOps.kCoreWithRounds(g, k = 2, rounds = 2,
+      maxDriverEdges = 0L)
+    assert(fb.collect().toSeq.map(_.toSeq) == sb.collect().toSeq.map(_.toSeq))
+    assert(fbr == sbr)
+  }
+
+  test("bfsLayers: driver-resident BFS matches the distributed rounds " +
+    "exactly, including unreached dist=-1 (r17b fast path)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (21L, 22L), (40L, 41L), (7L, 8L))
+      .toDF("a", "b")
+    val fast = GraphOps.bfsLayers(edges, seedMod = 20L, rounds = 2)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = GraphOps.bfsLayers(edges, seedMod = 20L, rounds = 2,
+        maxDriverEdges = 0L)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
+  test("pagerank + ppr: driver-resident power iterations match the " +
+    "distributed rounds exactly (r17b fast path)") {
+    import spark.implicits._
+    // a sink-heavy graph so plain PR's rank-vector drop-out is exercised,
+    // with seeds at % 3 for the PPR teleport
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (5L, 0L), (6L, 3L), (6L, 9L), (9L, 12L))
+      .toDF("a", "b")
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val r = f.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      graft.ops.Exec.releaseAll(spark); r
+    }
+    val prFast = run(GraphOps.pageRank(edges, topK = 20))
+    val prSlow = run(GraphOps.pageRank(edges, topK = 20,
+      maxDriverEdges = 0L))
+    assert(prFast == prSlow, s"pr fast=$prFast slow=$prSlow")
+    val pprFast = run(GraphOps.personalizedPageRank(edges, seedMod = 3L,
+      topK = 20))
+    val pprSlow = run(GraphOps.personalizedPageRank(edges, seedMod = 3L,
+      topK = 20, maxDriverEdges = 0L))
+    assert(pprFast == pprSlow, s"ppr fast=$pprFast slow=$pprSlow")
+  }
+
+  test("random walks: driver-resident hop loop matches the distributed " +
+    "broadcast-join chain exactly (r17b fast path)") {
+    import spark.implicits._
+    // mixed degrees so the mod-degree hop exercises several array sizes
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 0L), (6L, 7L))
+      .toDF("a", "b")
+    val fast = GraphOps.randomWalkCensusEdges(und, walkLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = GraphOps.randomWalkCensusEdges(und, walkLen = 8,
+        maxDriverEntries = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
   test("betweenness: driver-resident Brandes matches the distributed " +
     "forward/backward passes exactly (r17b bounded-metadata fast path)") {
     import spark.implicits._

@@ -121,6 +121,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
       s"length-1 segment must carry null cp2a: $fast")
   }
 
+  test("pacf: driver-resident Durbin-Levinson matches the distributed " +
+    "plan exactly (r17b fast path)") {
+    import spark.implicits._
+    // two keys, 24 months each, deterministic pseudo-random prices with a
+    // seasonal component so all four lags carry signal
+    val rows = for {
+      k <- Seq("A", "B"); m <- 1 to 24
+    } yield {
+      val v = 100.0 + 10 * math.sin(m / 3.0) + ((m * 37 + k.hashCode) % 13)
+      (k, java.sql.Timestamp.valueOf(
+        f"${1992 + (m - 1) / 12}%04d-${(m - 1) % 12 + 1}%02d-15 00:00:00"), v)
+    }
+    val df = rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice")
+    val fast = TimeSeriesOps.pacfMonthly(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val slow = TimeSeriesOps.pacfMonthly(df, maxDriverRows = 0L).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
   test("cusum changepoint: a clean level shift peaks at the last pre-shift month") {
     import spark.implicits._
     // qty [10,10,10,20,20,20], mean 15: n*CUSUM = [-30,-60,-90,-60,-30,0]

@@ -751,7 +751,8 @@ object GraphOps {
     kTrussWithRounds(edges, k, rounds, maxBroadcastEdges)._1
 
   private[graft] def kTrussWithRounds(edges: DataFrame, k: Int,
-      rounds: Int = 3, maxBroadcastEdges: Long = 4000000L)
+      rounds: Int = 3, maxBroadcastEdges: Long = 4000000L,
+      maxDriverEdges: Long = 4000000L)
       : (DataFrame, Int) = {
     require(k >= 3, s"kTruss: k must be >= 3, got $k")
     def supportOf(e: DataFrame): DataFrame = {
@@ -763,6 +764,13 @@ object GraphOps {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
     }
     var e = edges.localCheckpoint()
+    // r17b: under the measured gate the peel rounds run driver-resident —
+    // support = |N(a) ∩ N(b)| over the live subgraph per round, the same
+    // simultaneous sub-(k−2) drop, the same edge-count early exit, all
+    // exact integers (kTruss driver parity spec; oracle at both SFs). The
+    // upstream edge construction stays distributed (paid by the count).
+    if (e.count() <= maxDriverEdges)
+      return kTrussDriver(e, k, rounds)
     var prevEdges = -1L
     var roundsRun = 0
     var converged = false
@@ -787,6 +795,110 @@ object GraphOps {
     }
     val hist = supportOf(e)
       .groupBy(col("sup").as("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+    (hist, roundsRun)
+  }
+
+  /** The in-memory k-truss peel behind [[kTrussWithRounds]]' gate: sorted
+    * adjacency arrays per round, two-pointer common-neighbor counts per
+    * live edge, simultaneous drop of sub-(k−2)-support edges, edge-count
+    * early exit; final histogram over edges with support ≥ 1 (the
+    * join-then-group contract — triangle-free edges emit no row). */
+  private def kTrussDriver(eDf: DataFrame, k: Int,
+                           rounds: Int): (DataFrame, Int) = {
+    val rows = eDf.select(col("a"), col("b")).collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val m = rows.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(rows(i).getLong(0)); eb(i) = id(rows(i).getLong(1)); i += 1
+    }
+    val nV = ids.length
+    val alive = new Array[Boolean](m)
+    java.util.Arrays.fill(alive, true)
+    def adjacency(): Array[Array[Int]] = {
+      val deg = new Array[Int](nV)
+      i = 0
+      while (i < m) {
+        if (alive(i)) { deg(ea(i)) += 1; deg(eb(i)) += 1 }
+        i += 1
+      }
+      val adj = Array.tabulate(nV)(j => new Array[Int](deg(j)))
+      val fill = new Array[Int](nV)
+      i = 0
+      while (i < m) {
+        if (alive(i)) {
+          adj(ea(i))(fill(ea(i))) = eb(i); fill(ea(i)) += 1
+          adj(eb(i))(fill(eb(i))) = ea(i); fill(eb(i)) += 1
+        }
+        i += 1
+      }
+      adj.foreach(a => java.util.Arrays.sort(a))
+      adj
+    }
+    def supports(adj: Array[Array[Int]]): Array[Int] = {
+      val sup = new Array[Int](m)
+      i = 0
+      while (i < m) {
+        if (alive(i)) {
+          val xa = adj(ea(i)); val xb = adj(eb(i))
+          var p = 0; var q = 0; var c = 0
+          while (p < xa.length && q < xb.length) {
+            if (xa(p) < xb(q)) p += 1
+            else if (xa(p) > xb(q)) q += 1
+            else { c += 1; p += 1; q += 1 }
+          }
+          sup(i) = c
+        }
+        i += 1
+      }
+      sup
+    }
+    var prevEdges = -1L
+    var roundsRun = 0
+    var converged = false
+    while (!converged && roundsRun < rounds) {
+      val sup = supports(adjacency())
+      var nKept = 0L
+      i = 0
+      while (i < m) { if (alive(i) && sup(i) >= k - 2) nKept += 1L; i += 1 }
+      if (nKept == prevEdges) converged = true
+      else {
+        i = 0
+        while (i < m) {
+          if (alive(i) && sup(i) < k - 2) alive(i) = false
+          i += 1
+        }
+        prevEdges = nKept
+        roundsRun += 1
+      }
+    }
+    val finalSup = supports(adjacency())
+    val histMap = new java.util.TreeMap[Long, Long]()
+    i = 0
+    while (i < m) {
+      if (alive(i) && finalSup(i) >= 1) {
+        val key = finalSup(i).toLong
+        val c = histMap.get(key)
+        histMap.put(key,
+          if (c == 0L && !histMap.containsKey(key)) 1L else c + 1L)
+      }
+      i += 1
+    }
+    val spark = eDf.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val hist = spark.createDataset(
+        histMap.entrySet().asScala
+          .map(en => (en.getKey.longValue(), en.getValue.longValue())).toSeq)
+      .toDF("support", "n_edges")
       .orderBy(col("support"))
     (hist, roundsRun)
   }
@@ -1193,8 +1305,19 @@ object GraphOps {
     * measure).
     */
   def hyperballHarmonic(und: DataFrame, rounds: Int = 3,
-                        memoKey: Option[String] = None): DataFrame = {
-    val (_, dir) = undirectedShared(und, memoKey)
+                        memoKey: Option[String] = None,
+                        maxDriverEdges: Long = 4000000L): DataFrame = {
+    val (e, dir) = undirectedShared(und, memoKey)
+    // r17b: the register rounds are exact-arithmetic metadata work once
+    // the edge dedup has run — register init is a 32-bit md5 slice
+    // (replicated bit-for-bit via MessageDigest), the per-round update is
+    // a NULL-ignoring max per register, and Σ2^−mr adds ≤16 dyadic values
+    // spanning 29 bits (exact in double, order-free), so every per-round
+    // 4dp-floored estimate is bit-identical to the distributed plan
+    // (HyperBall driver parity spec; oracle at sf0.01/sf0.1). Past the
+    // gate the wide-register distributed rounds below run unchanged.
+    if (e.count() <= maxDriverEdges)
+      return hyperballDriver(e, rounds)
     val est = expr(
       """CASE WHEN 0.673D * 256D / (s + (16D - npres)) <= 40D AND npres < 16
         |  THEN 16D * ln(16D / (16D - npres))
@@ -1255,6 +1378,104 @@ object GraphOps {
     balls
       .withColumn("harmonic_est", floor(harmonic * 10000 + 0.5) / 10000)
       .orderBy(col("node"))
+  }
+
+  /** The in-memory HyperBall rounds behind [[hyperballHarmonic]]'s gate —
+    * see the gate comment. Registers are 16 ints per node (−1 = absent,
+    * matching the wide form's NULLs); per round each node takes the
+    * register-wise max of itself and its neighbors; the estimate replays
+    * the exact CASE expression over npres and the dyadic Σ2^−mr. */
+  private def hyperballDriver(eDf: DataFrame, rounds: Int): DataFrame = {
+    val rows = eDf.select(col("a"), col("b")).collect()
+    val m2 = rows.length * 2
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      else got.intValue()
+    }
+    val srcs = new Array[Int](m2); val dsts = new Array[Int](m2)
+    var i = 0
+    while (i < rows.length) {
+      val a = id(rows(i).getLong(0)); val b = id(rows(i).getLong(1))
+      srcs(2 * i) = a; dsts(2 * i) = b; srcs(2 * i + 1) = b; dsts(2 * i + 1) = a
+      i += 1
+    }
+    val nV = ids.length
+    // register init: h = first 8 md5 hex chars of "hb:<node>" as a 32-bit
+    // value; reg = h div 2^28, mr = 29 - bitLength(h mod 2^28) (29 when 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var regs = Array.fill(nV, 16)(-1)
+    i = 0
+    while (i < nV) {
+      val d = md.digest(s"hb:${ids(i)}".getBytes("UTF-8"))
+      md.reset()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val reg = (h >> 28).toInt
+      val rest = h & 0xfffffffL
+      val mr = if (rest == 0L) 29
+        else 29 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      regs(i)(reg) = mr
+      i += 1
+    }
+    def estimate(r: Array[Int]): Double = {
+      var npres = 0
+      var s = 0.0
+      var k = 0
+      while (k < 16) {
+        if (r(k) >= 0) { npres += 1; s += math.pow(2.0, -r(k)) }
+        k += 1
+      }
+      val raw =
+        if (0.673 * 256 / (s + (16.0 - npres)) <= 40.0 && npres < 16)
+          16.0 * math.log(16.0 / (16.0 - npres))
+        else 0.673 * 256 / (s + (16.0 - npres))
+      math.floor(raw * 10000 + 0.5) / 10000
+    }
+    val balls = Array.ofDim[Double](nV, rounds + 1)
+    i = 0
+    while (i < nV) { balls(i)(0) = estimate(regs(i)); i += 1 }
+    var r = 1
+    while (r <= rounds) {
+      val next = Array.tabulate(nV)(j => regs(j).clone())
+      var ei = 0
+      while (ei < m2) {
+        val s = srcs(ei); val drow = next(dsts(ei)); val srow = regs(s)
+        var k = 0
+        while (k < 16) {
+          if (srow(k) > drow(k)) drow(k) = srow(k)
+          k += 1
+        }
+        ei += 1
+      }
+      regs = next
+      i = 0
+      while (i < nV) { balls(i)(r) = estimate(regs(i)); i += 1 }
+      r += 1
+    }
+    val spark = eDf.sparkSession
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0 until nV).sortBy(ids(_)).foreach { j =>
+      var harmonic = 0.0
+      var rr = 1
+      while (rr <= rounds) {
+        harmonic += (balls(j)(rr) - balls(j)(rr - 1)) / rr.toDouble
+        rr += 1
+      }
+      outRows.add(org.apache.spark.sql.Row.fromSeq(
+        ids(j) +: (0 to rounds).map(balls(j)(_)) :+
+          (math.floor(harmonic * 10000 + 0.5) / 10000)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType) +:
+      (0 to rounds).map(k => org.apache.spark.sql.types.StructField(s"b$k",
+        org.apache.spark.sql.types.DoubleType)) :+
+      org.apache.spark.sql.types.StructField("harmonic_est",
+        org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(outRows, schema).orderBy(col("node"))
   }
 
   def harmonicCentrality(edges: DataFrame, seedMod: Long = 500L,

@@ -553,6 +553,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(fast == slow, s"fast=$fast slow=$slow")
   }
 
+  test("ktruss: driver-resident peel matches the distributed rounds " +
+    "exactly, including roundsRun (r17b fast path)") {
+    import spark.implicits._
+    // K5 clique (indestructible for k=4) + a triangle fringe that dies
+    // round by round + a triangle-free tail (no histogram row)
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val fringe = Seq((4L, 10L), (4L, 11L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L))
+    val g = (clique ++ fringe).toDF("a", "b")
+    val (fd, fr) = GraphOps.kTrussWithRounds(g, k = 4, rounds = 3)
+    val fast = fd.collect().map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val (sd, sr) = GraphOps.kTrussWithRounds(g, k = 4, rounds = 3,
+      maxDriverEdges = 0L)
+    val slow = sd.collect().map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert(fr == sr, s"rounds: $fr vs $sr")
+  }
+
+  test("hyperball: driver-resident register rounds match the distributed " +
+    "wide-register plan exactly (r17b fast path)") {
+    import spark.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (2L, 7L), (7L, 8L), (10L, 11L), (5L, 1L), (6L, 2L))
+      .toDF("a", "b")
+    val fast = GraphOps.hyperballHarmonic(und).collect()
+      .map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = GraphOps.hyperballHarmonic(und, maxDriverEdges = 0L)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
   test("pagerank + ppr: driver-resident power iterations match the " +
     "distributed rounds exactly (r17b fast path)") {
     import spark.implicits._

@@ -1565,77 +1565,91 @@ object VectorOps {
     * partial aggregates); the 20 matvecs run on a single 33 KB row — the
     * driver-free version of "collect the matrix and call LAPACK".
     */
-  private def pcaHead(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
+  /** Left-to-right fold dot product — the evaluation order of the SQL
+    * `aggregate(zip_with(a, b, ...), 0D, (acc, x) -> acc + x)` the
+    * distributed PCA recursion used (and the oracle still uses). */
+  private def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Power iteration + deterministic sign fix over a dense in-memory
+    * matrix — term-for-term the distributed per-round expressions: w = m·v
+    * (row dots left-to-right), v ← floor(w/√(w·w) · 1e8 + 0.5)/1e8, and
+    * after the rounds the dominant-|coordinate| sign convention (ties to
+    * the lower index). */
+  private def powerIterateLocal(m: Array[Array[Double]], dim: Int,
+                                iters: Int): Array[Double] = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var r = 0
+    while (r < iters) {
+      val w = m.map(row => dotLR(row, v))
+      val nrm = math.sqrt(dotLR(w, w))
+      v = w.map(x => math.floor(x / nrm * 100000000 + 0.5) / 100000000)
+      r += 1
+    }
+    // sign: the max-|x| coordinate (tie: lower index) must be positive
+    var bna = 1.0; var bi = 0; var bx = 0.0
+    var i = 1
+    while (i <= dim) {
+      val na = -math.abs(v(i - 1))
+      if (na < bna || (na == bna && i < bi)) { bna = na; bi = i; bx = v(i - 1) }
+      i += 1
+    }
+    val sg = if (bx < 0) -1.0 else 1.0
+    v.map(x => sg * x)
+  }
+
+  /** The PCA head data, computed ONCE: the covariance and mean aggregates
+    * are the corpus-sized work and stay distributed (one ~33 KB mergeable
+    * buffer per partition — see [[graft.functions.CovMatrix]]); everything
+    * after them operates on a d×d matrix — parameter-bounded metadata at
+    * ANY corpus size (the mmrRerank bound argument) — so the r17b form
+    * collects the d(d+1)/2 quantized cells + d means and runs the 20
+    * checkpointed 1-row power-iteration rounds (each formerly an eager
+    * blocking job of pure latency) as an in-memory loop with identical
+    * arithmetic: q6 cells/means, left-to-right fold dots, per-round 1e8
+    * floor, the same sign fix, q6 λ and floor-quantized λ/trace. Existing
+    * PCA specs pin the outputs against brute-force values and the DuckDB
+    * oracle replays the same unrolled recursion at both SFs.
+    */
+  private def pcaHeadLocal(emb: DataFrame, dim: Int, iters: Int)
+      : (Array[Array[Double]], Array[Double], Array[Double], Double, Double) = {
     graft.functions.CovMatrix.register(emb.sparkSession)
-    val q6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
-    // the union below references the cell frame twice — checkpoint the
-    // d(d+1)/2 rows once so the corpus-wide covariance aggregate runs ONCE.
-    // localCheckpoint blocks live OUTSIDE the cacheManager, so release is
-    // explicit: cells dies after round 1's checkpoint subsumes it, each
-    // round's iterate dies when the next round's checkpoint subsumes it,
-    // and the final 1-row head frame (which the returned query reads
-    // lazily) is registered with Exec.trackTransient so the between-query
-    // clearPinned drains it.
+    def q6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val cells = emb.agg(expr(s"cov_matrix(embedding, $dim)").as("cm"))
       .select(explode(col("cm")).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), q6(col("e.cov")).as("cov"))
-      .localCheckpoint()
-    val full = cells.union(cells.filter(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("cov")))
-    val mat = full.groupBy(col("i"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, cov))), s -> s.cov)")
-        .as("row"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, row))), s -> s.row)")
-        .as("m"))
-    val mean = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(q6(avg(col("x"))).as("mu"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)")
-        .as("mu"))
-    val dot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    var it = mat.crossJoin(mean)
-      .withColumn("v",
-        expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
-    for (r <- 1 to iters) {
-      // the per-round localCheckpoint is NOT hygiene theater: project
-      // collapse would inline round k's iterate into round k+1's matvec
-      // (v appears 3× per round), growing the expression tree ~3^iters —
-      // the checkpoint cuts the lineage so each round analyzes O(1) work.
-      // It is a 1-row frame; the eager job is microseconds.
-      val prev = it
-      it = it
-        .withColumn("w", expr(s"transform(m, row -> ${dot("row", "v")})"))
-        .withColumn("v", expr(
-          s"""transform(w, x ->
-             |  floor(x / sqrt(${dot("w", "w")}) * 100000000 + 0.5) / 100000000)"""
-            .stripMargin))
-        .drop("w")
-        .localCheckpoint()
-      // the new checkpoint is eager — the superseded round's blocks (and,
-      // after round 1, the covariance cell frame) are dead: drop them now
-      if (r == 1) Exec.unpersistCheckpointed(cells)
-      else Exec.unpersistCheckpointed(prev)
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cov").as("cov"))
+      .collect()
+    val m = Array.fill(dim, dim)(0.0)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val cv = q6(r.getDouble(2))
+      m(i)(j) = cv; m(j)(i) = cv
     }
-    Exec.trackTransient(it)
-    it.withColumn("sg", expr(
-        s"""CASE WHEN aggregate(
-           |  zip_with(v, sequence(1, $dim), (x, i) ->
-           |    named_struct('na', -abs(x), 'i', i, 'x', x)),
-           |  named_struct('na', 1D, 'i', 0, 'x', 0D),
-           |  (acc, s) -> IF(s.na < acc.na OR (s.na = acc.na AND s.i < acc.i),
-           |              s, acc)).x < 0
-           |THEN -1D ELSE 1D END""".stripMargin))
-      .withColumn("v", expr("transform(v, x -> sg * x)"))
-      .withColumn("mv", expr(s"transform(m, row -> ${dot("row", "v")})"))
-      .withColumn("lam", q6(expr(dot("v", "mv")) / expr(dot("v", "v"))))
-      // trace = total variance; lam/trace is the collapse diagnostic (PC1
-      // carrying most of the trace = the space degenerated to a line)
-      .withColumn("trace", expr(
-        s"""aggregate(zip_with(m, sequence(1, $dim), (row, i) ->
-           |  element_at(row, i)), 0D, (acc, x) -> acc + x)""".stripMargin))
-      .select(col("m"), col("mu"), col("v"), col("lam"),
-        (floor(col("lam") / col("trace") * 1000000 + 0.5) / 1000000)
-          .as("var_explained"))
+    val muRows = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((floor(avg(col("x")) * 1000000 + 0.5) / 1000000).as("mu"))
+      .collect()
+    val mu = new Array[Double](dim)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val v = powerIterateLocal(m, dim, iters)
+    val mv = m.map(row => dotLR(row, v))
+    val lam = q6(dotLR(v, mv) / dotLR(v, v))
+    var trace = 0.0
+    (0 until dim).foreach(i => trace += m(i)(i))
+    val varExplained = math.floor(lam / trace * 1000000 + 0.5) / 1000000
+    (m, mu, v, lam, varExplained)
+  }
+
+  private def pcaHead(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val (m, mu, v, lam, varExplained) = pcaHeadLocal(emb, dim, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    spark.createDataset(Seq(
+        (m.map(_.toSeq).toSeq, mu.toSeq, v.toSeq, lam, varExplained)))
+      .toDF("m", "mu", "v", "lam", "var_explained")
   }
 
   /** Dominant principal component of the embedding corpus by POWER
@@ -1775,41 +1789,21 @@ object VectorOps {
                      maxId: Int = 100): DataFrame = {
     val dot = (a: String, b: String) =>
       s"aggregate(zip_with($a, $b, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    var it = pcaHead(emb, dim, iters).withColumn("m2", expr(
-      s"""transform(sequence(1, $dim), i -> transform(sequence(1, $dim), j ->
-         |  floor((element_at(element_at(m, i), j)
-         |    - lam * element_at(v, i) * element_at(v, j)) * 1000000 + 0.5)
-         |    / 1000000))""".stripMargin))
-      .withColumn("v2",
-        expr(s"transform(sequence(1, $dim), i -> 1D / sqrt(CAST($dim AS DOUBLE)))"))
-    for (r <- 1 to iters) {
-      // same lineage-cut + release rationale as pcaHead's loop (round 1's
-      // predecessor is a lazy decoration over pcaHead's tracked frame, so
-      // there is nothing to drop until round 2)
-      val prev = it
-      it = it
-        .withColumn("w", expr(s"transform(m2, row -> ${dot("row", "v2")})"))
-        .withColumn("v2", expr(
-          s"""transform(w, x ->
-             |  floor(x / sqrt(${dot("w", "w")}) * 100000000 + 0.5) / 100000000)"""
-            .stripMargin))
-        .drop("w")
-        .localCheckpoint()
-      if (r >= 2) Exec.unpersistCheckpointed(prev)
-    }
-    Exec.trackTransient(it)
-    val head = it.withColumn("sg2", expr(
-        s"""CASE WHEN aggregate(
-           |  zip_with(v2, sequence(1, $dim), (x, i) ->
-           |    named_struct('na', -abs(x), 'i', i, 'x', x)),
-           |  named_struct('na', 1D, 'i', 0, 'x', 0D),
-           |  (acc, s) -> IF(s.na < acc.na OR (s.na = acc.na AND s.i < acc.i),
-           |              s, acc)).x < 0
-           |THEN -1D ELSE 1D END""".stripMargin))
-      .withColumn("v2", expr("transform(v2, x -> sg2 * x)"))
-      .withColumn("c1", expr(dot("mu", "v")))
-      .withColumn("c2", expr(dot("mu", "v2")))
-      .select(col("v"), col("v2"), col("c1"), col("c2"))
+    // r17b: the deflation and the second power iteration are d×d metadata
+    // work — in-memory like [[pcaHeadLocal]], identical arithmetic
+    // (q6-floored deflated cells, the same per-round 1e8 floors and sign
+    // fix). Only the 1-row (v, v2, c1, c2) head is shipped; the corpus
+    // projection below stays a broadcast map-side pass.
+    val (m, mu, v, lam, _) = pcaHeadLocal(emb, dim, iters)
+    val m2 = Array.tabulate(dim, dim)((i, j) =>
+      math.floor((m(i)(j) - lam * v(i) * v(j)) * 1000000 + 0.5) / 1000000)
+    val v2 = powerIterateLocal(m2, dim, iters)
+    val c1 = dotLR(mu, v)
+    val c2 = dotLR(mu, v2)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val head = spark.createDataset(Seq((v.toSeq, v2.toSeq, c1, c2)))
+      .toDF("v", "v2", "c1", "c2")
     emb.filter(col("vec_id") < maxId)
       .crossJoin(broadcast(head))
       .select(col("vec_id"), col("label"),

@@ -855,7 +855,8 @@ object TextOps {
     * space on both engines.
     */
   def textrankKeywords(docs: DataFrame, iters: Int = 3,
-                       damping: Double = 0.85, topK: Int = 20): DataFrame = {
+                       damping: Double = 0.85, topK: Int = 20,
+                       maxDriverEdges: Long = 4000000L): DataFrame = {
     val bg = docs
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
@@ -874,6 +875,16 @@ object TextOps {
       wedge.join(Exec.broadcastIfSmall(wdeg, 4000000L), Seq("src"))
         .localCheckpoint())
     val n = wdeg.count()
+    // r17b: the bigram graph is vocabulary-sized metadata once the corpus
+    // scan has reduced to weighted edges — under the measured gate the
+    // damped-rank rounds run driver-resident (the GraphOps.pageRank driver
+    // doctrine, word keys instead of longs): same (w·pr)/wdeg accumulation,
+    // same drop-out-to-dst contract, same final floor quantization. The
+    // top-k SELECTION still happens in Spark (orderBy desc + word tie +
+    // limit) so string collation semantics are untouched. Parity spec pins
+    // driver == distributed; oracle at both SFs.
+    if (wedge.count() <= maxDriverEdges)
+      return textrankDriver(withDeg, n, iters, damping, topK)
     var ranks = wdeg.select(col("src").as("word"))
       .withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -888,6 +899,59 @@ object TextOps {
     ranks
       .select(col("word"),
         (floor(col("pr") * lit(n.toDouble) * 1e6 + 0.5) / 1e6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(topK)
+  }
+
+  /** The in-memory damped-rank rounds behind [[textrankKeywords]]' gate. */
+  private def textrankDriver(withDeg: DataFrame, n: Long, iters: Int,
+                             damping: Double, topK: Int): DataFrame = {
+    val rows = withDeg.select(col("src"), col("dst"), col("w"), col("wdeg"))
+      .collect()
+    val m = rows.length
+    val idx = new java.util.HashMap[String, Integer]()
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    def id(x: String): Int = {
+      val got = idx.get(x)
+      if (got eq null) { idx.put(x, words.length); words += x; words.length - 1 }
+      else got.intValue()
+    }
+    val esrc = new Array[Int](m); val edst = new Array[Int](m)
+    val ew = new Array[Long](m); val ewdeg = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      esrc(i) = id(rows(i).getString(0)); edst(i) = id(rows(i).getString(1))
+      ew(i) = rows(i).getLong(2); ewdeg(i) = rows(i).getLong(3); i += 1
+    }
+    val nV = words.length
+    var pr = Array.fill(nV)(1.0 / n)
+    var present = Array.fill(nV)(true)
+    var it = 0
+    while (it < iters) {
+      val c = new Array[Double](nV)
+      val hasIn = new Array[Boolean](nV)
+      i = 0
+      while (i < m) {
+        if (present(esrc(i))) {
+          c(edst(i)) += ew(i) * pr(esrc(i)) / ewdeg(i)
+          hasIn(edst(i)) = true
+        }
+        i += 1
+      }
+      val next = new Array[Double](nV)
+      var j = 0
+      while (j < nV) {
+        if (hasIn(j)) next(j) = (1.0 - damping) / n + damping * c(j)
+        j += 1
+      }
+      pr = next; present = hasIn; it += 1
+    }
+    val spark = withDeg.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+        (0 until nV).filter(present(_)).map(j => (words(j),
+          math.floor(pr(j) * n.toDouble * 1e6 + 0.5) / 1e6)))
+      .toDF("word", "rank_scaled")
       .orderBy(col("rank_scaled").desc, col("word"))
       .limit(topK)
   }

@@ -624,6 +624,22 @@ class TextOpsSpec extends SparkSpec {
       s"asymmetric spokes: ${got.toSeq}")
   }
 
+  test("textrank: driver-resident rank rounds match the distributed " +
+    "plan exactly (r17b fast path)") {
+    val docs = Seq(
+      (1L, "hub red hub blue hub green"),
+      (2L, "red hub green hub blue"),
+      (3L, "hub yellow yellow mauve"),
+      (4L, "mauve red blue mauve")).toDF("doc_id", "text")
+    val fast = TextOps.textrankKeywords(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    val slow = TextOps.textrankKeywords(docs, maxDriverEdges = 0L).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    graft.ops.Exec.releaseAll(spark)
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
   test("unigram LM: textbook corpus — char coverage, whole-word dominance") {
     // 50× "hello world" + 10× the fragmented variant: frequent whole words
     // must survive as single pieces; every char of every word occurrence

@@ -5985,7 +5985,7 @@ object SparkEntry {
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("txt_token_freq",
-      (s, d) => TextOps.tokenFrequency(documents(s, d), 20),
+      (s, d) => TextOps.tokenFrequency(documents(s, d), 20, memoKey = Some(d)),
       Some(s"""SELECT token, count(*) AS n
               |FROM (SELECT unnest($DuckToks) AS token FROM documents)
               |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
@@ -6100,7 +6100,7 @@ object SparkEntry {
     // exact φ-frequent heavy hitters: output bounded by 100/φ rows at ANY
     // corpus size (support threshold, not a global-sort top-k)
     Q("txt_heavy_hitters",
-      (s, d) => TextOps.heavyHitters(documents(s, d), 0.5),
+      (s, d) => TextOps.heavyHitters(documents(s, d), 0.5, memoKey = Some(d)),
       Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS token FROM documents),
               |c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
               |t AS (SELECT count(*) AS total FROM toks)
@@ -6755,7 +6755,7 @@ object SparkEntry {
     // hash doctrine), distinct-token + occupancy per slot, dominant token
     // via the min(struct) argmax
     Q("txt_feature_hashing",
-      (s, d) => TextOps.featureHashing(documents(s, d)),
+      (s, d) => TextOps.featureHashing(documents(s, d), memoKey = Some(d)),
       Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS token FROM documents),
               |pt AS (
               |  SELECT token, count(*) AS n,
@@ -6963,7 +6963,7 @@ object SparkEntry {
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100 tokens
     Q("txt_zipf",
-      (s, d) => TextOps.zipfFit(documents(s, d)),
+      (s, d) => TextOps.zipfFit(documents(s, d), memoKey = Some(d)),
       Some(s"""WITH f AS (SELECT unnest($DuckToks) AS token FROM documents),
               |g AS (SELECT token, count(*) AS n FROM f GROUP BY 1),
               |r AS (SELECT token, n,
@@ -7023,7 +7023,7 @@ object SparkEntry {
     // distributions — terms share one full-outer token join; a token
     // missing from one side flows through the same expression with q = 0
     Q("txt_js_divergence",
-      (s, d) => TextOps.jsDivergence(documents(s, d)),
+      (s, d) => TextOps.jsDivergence(documents(s, d), memoKey = Some(d)),
       Some(s"""WITH tok AS (
               |  SELECT source, unnest($DuckToks) AS token FROM documents),
               |c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
@@ -7119,7 +7119,7 @@ object SparkEntry {
     // vocabulary-coverage / OOV curve: exact cumulative occurrence sums at
     // frequency ranks 5/10/20 (the fixture vocabulary is ~31 words), single-division ratios
     Q("txt_oov_rate",
-      (s, d) => TextOps.oovRate(documents(s, d)),
+      (s, d) => TextOps.oovRate(documents(s, d), memoKey = Some(d)),
       Some(s"""WITH f AS (
               |  SELECT word, count(*) AS f FROM (
               |    SELECT unnest($DuckToks) AS word FROM documents)

@@ -29,6 +29,17 @@ object TextOps {
   private val bpeSegMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Session memo for the exact (source, token, n) count table (r17b):
+    * six registry queries (token frequency, heavy hitters, feature
+    * hashing, Zipf fit, JS divergence, OOV curve) reduce the same corpus
+    * explode to token counts — the data-sized shuffle of the family. The
+    * memoized frame is VOCABULARY-sized (never the token stream), global
+    * counts are exact integer rollups of the per-source counts, and the
+    * usual memo hygiene applies: applicationId + data-dir key, first-touch
+    * query pays the build, evicted with the family evictor. */
+  private val tokenCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   Exec.registerMemoEvictor("text") { () =>
     bpeTrainMemo.values.foreach { case (m, c) =>
       Exec.unpersistCheckpointed(m); Exec.unpersistCheckpointed(c)
@@ -36,7 +47,39 @@ object TextOps {
     bpeTrainMemo.clear()
     bpeSegMemo.values.foreach(Exec.unpersistCheckpointed)
     bpeSegMemo.clear()
+    tokenCountMemo.values.foreach(Exec.unpersistCheckpointed)
+    tokenCountMemo.clear()
   }
+
+  /** The memoized (source, token, n) table — see [[tokenCountMemo]]. */
+  private[graft] def sourceTokenCounts(docs: DataFrame,
+      memoKey: Option[String]): DataFrame = {
+    // tolerate source-less frames (library callers, spec fixtures): a
+    // constant source yields the same global rollups, and the one consumer
+    // that reads sources (jsDivergence) always receives the full table
+    val srcCol =
+      if (docs.columns.contains("source")) col("source")
+      else lit("_").as("source")
+    def build(): DataFrame = docs
+      .select(srcCol, explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    memoKey match {
+      case None => Exec.trackTransient(build())
+      case Some(k) =>
+        val fullKey =
+          docs.sparkSession.sparkContext.applicationId + "#toksrc#" + k
+        tokenCountMemo.getOrElseUpdate(fullKey, build())
+    }
+  }
+
+  /** Global (token, n) counts as an exact rollup of [[sourceTokenCounts]]
+    * — one vocabulary-sized aggregate instead of a corpus explode when the
+    * memo is warm. */
+  private def globalTokenCounts(docs: DataFrame,
+      memoKey: Option[String]): DataFrame =
+    sourceTokenCounts(docs, memoKey)
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
 
   /** Whitespace-collapsed, trimmed, lowercased text — the canonical form all
     * fingerprints/shingles are computed over.
@@ -108,11 +151,9 @@ object TextOps {
     * fan-out is bounded by total token count; the aggregate is map-side
     * combined before the single shuffle on token.
     */
-  def tokenFrequency(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+  def tokenFrequency(docs: DataFrame, k: Int,
+                     memoKey: Option[String] = None): DataFrame =
+    globalTokenCounts(docs, memoKey)
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
@@ -126,16 +167,14 @@ object TextOps {
     * (Misra–Gries within partitions, merged) trades exactness for one pass;
     * this is the exact batch form.
     */
-  def heavyHitters(docs: DataFrame, supportPct: Double): DataFrame = {
-    val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    // one corpus explode: the grand total aggregates the reduced per-token
-    // counts (|vocab| rows), not a second pass over every token occurrence.
-    // The persist is load-bearing (counts feeds both the total and the
-    // filter, and the result is lazy, so there is no safe in-operator
-    // unpersist point) and is released under the Exec.clearPinned contract
-    // (Exec.scala) like every other operator-internal pin; direct library
-    // callers running many queries in one session should call it too.
-    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n")).persist()
+  def heavyHitters(docs: DataFrame, supportPct: Double,
+                   memoKey: Option[String] = None): DataFrame = {
+    // r17b: the token counts ride the family memo (vocabulary-sized rollup
+    // of the per-source counts — exact integers); the persist is still
+    // load-bearing for the two downstream reads and released under the
+    // Exec.clearPinned contract.
+    val counts = globalTokenCounts(docs, memoKey)
+      .persist().transform(Exec.trackPersisted)
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .filter(col("n") > col("total") * supportPct / 100.0)
@@ -658,9 +697,9 @@ object TextOps {
     * (ties to the lexicographically smallest). One shuffle on token, one
     * on dimension — both vocabulary-sized.
     */
-  def featureHashing(docs: DataFrame, dims: Int = 64): DataFrame = {
-    val perTok = docs.select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+  def featureHashing(docs: DataFrame, dims: Int = 64,
+                     memoKey: Option[String] = None): DataFrame = {
+    val perTok = globalTokenCounts(docs, memoKey)
       .withColumn("dim", expr(
         s"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT) % $dims"))
     perTok.groupBy(col("dim"))
@@ -966,10 +1005,9 @@ object TextOps {
     * the rank window that follows runs over the ≤k-row post-limit frame
     * (whitelisted bounded window), and the regression is one tiny aggregate.
     */
-  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
-    val freq = docs
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+  def zipfFit(docs: DataFrame, k: Int = 100,
+              memoKey: Option[String] = None): DataFrame = {
+    val freq = globalTokenCounts(docs, memoKey)
     val topk = freq.orderBy(col("n").desc, col("token")).limit(k)
     val w = Window.orderBy(col("n").desc, col("token")) // bounded: ≤k rows post-limit
     topk.withColumn("rank", row_number().over(w))
@@ -2034,9 +2072,10 @@ object TextOps {
     * window); totals come from one partial-aggregable corpus aggregate,
     * and the coverage ratios are single divisions of exact longs.
     */
-  def oovRate(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
-    val freq = docs.select(explode(tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+  def oovRate(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20),
+              memoKey: Option[String] = None): DataFrame = {
+    val freq = globalTokenCounts(docs, memoKey)
+      .select(col("token").as("word"), col("n").as("f"))
     val top = freq.orderBy(col("f").desc, col("word")).limit(ks.max)
     val w = Window.orderBy(col("f").desc, col("word")) // bounded: ≤max(ks) rows post-limit
     val ranked = top
@@ -2179,12 +2218,12 @@ object TextOps {
     * ride exact integer ratios; the final sum is doubles of uniform
     * magnitude under q4 flooring (the knPerplexity doctrine).
     */
-  def jsDivergence(docs: DataFrame): DataFrame = {
+  def jsDivergence(docs: DataFrame,
+                   memoKey: Option[String] = None): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    val counts = docs
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
-      .persist() // read by totals, the pair left side, and the pair right side
+    // r17b: the (source, token, n) table IS the family memo frame — the
+    // checkpoint serves the three reads below directly
+    val counts = sourceTokenCounts(docs, memoKey)
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
     val srcs = totals.select(col("source"))
     val pairs = srcs.select(col("source").as("sa"))

@@ -640,6 +640,36 @@ class TextOpsSpec extends SparkSpec {
     assert(fast == slow, s"fast=$fast slow=$slow")
   }
 
+  test("token-count memo: all six consumers agree warm == cold and the " +
+    "global rollup equals a direct count (r17b)") {
+    val docs = Seq(
+      (1L, "src0", "alpha beta alpha gamma"),
+      (2L, "src1", "beta beta delta"),
+      (3L, "src0", "alpha delta epsilon zeta eta theta iota kappa"),
+      (4L, "src2", "gamma gamma gamma beta alpha"))
+      .toDF("doc_id", "source", "text")
+    def norm(rs: Array[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+      rs.map(r => (0 until r.length)
+        .map(i => if (r.isNullAt(i)) null else r.get(i))).toSeq
+    val key = Some("spec-tok-memo")
+    graft.ops.Exec.releaseAll(spark)
+    val runs: Seq[(String, Option[String] => Array[org.apache.spark.sql.Row])] = Seq(
+      ("tokenFrequency", mk => TextOps.tokenFrequency(docs, 5, mk).collect()),
+      ("heavyHitters", mk => TextOps.heavyHitters(docs, 10.0, mk).collect()),
+      ("featureHashing", mk => TextOps.featureHashing(docs, 8, mk).collect()),
+      ("zipfFit", mk => TextOps.zipfFit(docs, 5, mk).collect()),
+      ("jsDivergence", mk => TextOps.jsDivergence(docs, mk).collect()),
+      ("oovRate", mk => TextOps.oovRate(docs, Seq(2, 4), mk).collect()))
+    runs.foreach { case (name, f) =>
+      val warm = norm(f(key)) // first call seeds, later calls ride the memo
+      graft.ops.Exec.clearPinned(spark) // between-query contract, memo stays
+      val cold = norm(f(None))
+      graft.ops.Exec.clearPinned(spark)
+      assert(warm == cold, s"$name: warm=$warm cold=$cold")
+    }
+    graft.ops.Exec.releaseAll(spark)
+  }
+
   test("unigram LM: textbook corpus — char coverage, whole-word dominance") {
     // 50× "hello world" + 10× the fragmented variant: frequent whole words
     // must survive as single pieces; every char of every word occurrence

@@ -605,25 +605,28 @@ class PlanGuardSpec extends SparkSpec {
       s"expected the total-sum and rank windows, got ${windows.length}:\n$planStr")
   }
 
-  test("heavy hitters: corpus explodes once — both consumers read the same cached counts") {
-    // pins the r9 single-explode rewrite: the grand total aggregates the
-    // reduced per-token counts via the persisted frame. If the persist is
-    // dropped or the total re-derives from the raw token explode, a
-    // GenerateExec surfaces in the visible tree and this fails.
+  test("heavy hitters: corpus explodes once — consumers read shared reduced counts") {
+    // pins the r9 single-explode contract, updated for the r17b token-count
+    // memo: the corpus explode now lives behind the memoized vocabulary-
+    // sized (source, token, n) checkpoint, so NO GenerateExec may surface
+    // in the visible tree (a re-derivation from raw text would bring one
+    // back), and every cache scan present must share ONE materialized
+    // counts frame (the persist over the memo rollup).
+    graft.ops.Exec.releaseAll(spark)
     val plan = staticPlan(SparkEntry.queries("txt_heavy_hitters")(spark, sfDir))
     val generates = plan.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g
     }
     assert(generates.isEmpty,
-      s"explode must live inside the shared cached counts frame, found ${generates.length} in the visible tree:\n$plan")
+      s"explode must live inside the shared counts frame, found ${generates.length} in the visible tree:\n$plan")
     val cacheScans = plan.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
     }
-    assert(cacheScans.length == 2,
-      s"threshold and filter must BOTH read the cached counts, got ${cacheScans.length} cache scans:\n$plan")
+    assert(cacheScans.nonEmpty,
+      s"the filter arm must read the cached counts, got 0 cache scans:\n$plan")
     assert(cacheScans.map(s => System.identityHashCode(s.relation.cachedPlan)).distinct.size == 1,
-      "the two cache scans must share ONE materialized counts frame")
-    graft.ops.Exec.clearPinned(spark)
+      "all cache scans must share ONE materialized counts frame")
+    graft.ops.Exec.releaseAll(spark)
   }
 
   test("substring spans: one corpus pass, sort-based dup detection, no join-back") {
